@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Single source of truth for loading the test tables.
+  *
+  * Every query in [[SparkEntry.queries]] and every ScalaTest spec goes
+  * through this loader so that Spark and the DuckDB oracle see byte-identical
+  * values — in particular for `events.ts`, which is physically
+  * parquet TIMESTAMP(NANOS) and must be truncated to microseconds exactly the
+  * way DuckDB 1.0.0 does natively (see FIXTURES.md).
+  *
+  * Scale note (100 TB): this loader reads plain directories of parquet. At
+  * cluster scale the same call sites work unchanged against a partitioned
+  * layout (e.g. `events/date=.../hour=...`) — Spark's file index + dynamic
+  * partition pruning handle pruning; nothing here assumes single files.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table, applying the events nanos→micros fix. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Verify/Bench create the session without this conf; runtime-set works
+    // (verified in SURVEY §7.1 M0). Harmless to set repeatedly.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      // ts arrives as bigint nanos; truncate to micros — matches DuckDB's
+      // native read of the same file.
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else df
+  }
+
+  /** Load all tables and register each as a temp view (for SQL-surface use). */
+  def load(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
+    names.map { n =>
+      val df = table(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+      n -> df
+    }.toMap
+}
