@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** T3 — streaming/CEP semantics, declared as batch-equivalent queries
+  * (SURVEY §2.9). Event-time windows are pure functions of the data, so the
+  * batch results here are byte-equal to what the Structured Streaming twins
+  * in [[graft.streaming]] produce; the streaming equivalence is asserted in
+  * ScalaTest with MemoryStream.
+  *
+  * Reference: spark-cep's `OVER (WINDOW 'w', SLIDE 's')` processing-time
+  * windows and its incremental sliding aggregation [SURVEY §2.9 R] map to
+  * `window()` / `session_window()` event-time aggregation; its Redis pane
+  * state maps to the Structured Streaming state store.
+  */
+object Cep {
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J7 — interval self-join: purchase within 30 min after a signup by the
+    // same user. At scale this is a bucketed range join: both sides shuffle
+    // once on user_id; the time predicate is evaluated within the match.
+    "q_join_interval" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val a = e.filter(col("event_type") === "signup")
+        .select(col("event_id").as("sid"), col("user_id"),
+          col("ts").as("s_ts"))
+      val b = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("uid_b"),
+          col("ts").as("p_ts"))
+      a.join(b,
+          col("user_id") === col("uid_b") &&
+          col("p_ts") > col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES"))
+        .select("sid", "pid", "user_id")
+        .orderBy("sid", "pid")
+    }),
+
+    // C2 — sliding window (30 min / 10 min): each event lands in exactly 3
+    // epoch-aligned panes. At 100 TB, prefer tumbling-pane pre-agg + merge
+    // (SURVEY §7.6); at this SF the expand is the faster plan.
+    "q_window_sliding" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(window(col("ts"), "30 minutes", "10 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"),
+          col("sum_value"))
+        .orderBy("ws", "event_type")
+    }),
+
+    // C3 — session window, 5-minute gap, keyed by user.
+    "q_window_session" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), col("cnt"))
+        .orderBy("user_id", "s_start")
+    }),
+
+    // C5 — dedup (batch equivalent of dropDuplicates on the key columns).
+    "q_dedup_events" -> ((s, dir) => {
+      T(s, dir, "events")
+        .select("user_id", "event_type")
+        .dropDuplicates("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // C6 — CEP sequence: for each signup, the FIRST purchase by the same
+    // user within 30 min (AFTER MATCH SKIP TO NEXT ROW semantics). The
+    // streaming twin is graft.streaming.CepSequence (state machine per key).
+    "q_cep_seq" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val a = e.filter(col("event_type") === "signup")
+        .select(col("event_id").as("sid"), col("user_id"),
+          col("ts").as("s_ts"))
+      val b = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("uid_b"),
+          col("ts").as("p_ts"))
+      val w = Window.partitionBy("sid").orderBy(asc("p_ts"), asc("pid"))
+      a.join(b,
+          col("user_id") === col("uid_b") &&
+          col("p_ts") > col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "sid", "pid", "s_ts", "p_ts")
+        .orderBy("sid")
+    }),
+
+    // J8 — as-of join: for every error event, the latest click by the same
+    // user at/before it. Composition: theta join + row_number, which at
+    // scale becomes a per-user sort-merge — the idiomatic Spark as-of.
+    "q_join_asof" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val err = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts").as("err_ts"))
+      val clk = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("uid_c"),
+          col("ts").as("click_ts"))
+      val w = Window.partitionBy("err_id")
+        .orderBy(desc("click_ts"), desc("click_id"))
+      val matched = err.join(clk,
+          col("user_id") === col("uid_c") && col("click_ts") <= col("err_ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("err_id").as("m_err_id"), col("click_id"),
+          col("click_ts"))
+      err.join(matched, col("err_id") === col("m_err_id"), "left")
+        .select("err_id", "user_id", "err_ts", "click_id", "click_ts")
+        .orderBy("err_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_interval" ->
+      """SELECT a.event_id AS sid, b.event_id AS pid, a.user_id
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND a.event_type = 'signup' AND b.event_type = 'purchase'
+          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+         ORDER BY sid, pid""",
+    "q_window_sliding" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts)
+                - i.i * INTERVAL '10 minutes' AS ws,
+         event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+         FROM events, (SELECT unnest(range(3)) AS i) i
+         GROUP BY 1, 2 ORDER BY ws, event_type""",
+    "q_window_session" ->
+      """WITH g AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
+               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (
+           SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           FROM g)
+         SELECT user_id, min(ts) AS s_start,
+           max(ts) + INTERVAL 5 MINUTE AS s_end, count(*) AS cnt
+         FROM s GROUP BY user_id, sess ORDER BY user_id, s_start""",
+    "q_dedup_events" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+    "q_cep_seq" ->
+      """SELECT user_id, sid, pid, s_ts, p_ts FROM (
+           SELECT a.user_id, a.event_id AS sid, b.event_id AS pid,
+             a.ts AS s_ts, b.ts AS p_ts,
+             row_number() OVER (PARTITION BY a.event_id
+                                ORDER BY b.ts, b.event_id) AS rn
+           FROM events a JOIN events b
+             ON a.user_id = b.user_id
+            AND a.event_type = 'signup' AND b.event_type = 'purchase'
+            AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE) t
+         WHERE rn = 1 ORDER BY sid""",
+    "q_join_asof" ->
+      """SELECT e.event_id AS err_id, e.user_id, e.ts AS err_ts,
+         c.event_id AS click_id, c.ts AS click_ts
+         FROM (SELECT * FROM events WHERE event_type = 'error') e
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON e.user_id = c.user_id AND e.ts >= c.ts
+         ORDER BY err_id"""
+  )
+}

@@ -1,0 +1,346 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** T4 — LLM-training-pipeline text operators over `documents`
+  * (SURVEY §2.10; mandated by BASELINE.json's north star).
+  *
+  * Everything here is declarative DataFrame code — explode/groupBy shapes
+  * that scale by partitioning (shuffles are keyed on doc_id / token, never
+  * collected). Where the oracle needs cross-engine-identical hashing we use
+  * md5 (bit-identical in Spark and DuckDB); the xxhash64-based scale
+  * variants live in [[graft.functions]] with ScalaTest coverage instead
+  * (cross-engine hash values differ → oracle omitted per SURVEY §7.5).
+  */
+object TextOps {
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  /** Non-empty whitespace tokens, shared by every query below. */
+  private def toks(c: Column): Column =
+    filter(split(c, " "), t => t =!= "")
+
+  /** Word n-grams as space-joined strings (positions 1..len-n+1).
+    * Guarded: Spark's sequence(1, 0) would DESCEND, so short docs must
+    * yield an empty array explicitly. */
+  private def ngrams(t: Column, n: Int): Column = {
+    val cnt = size(t) - (n - 1)
+    when(cnt >= 1,
+      transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L1 — exact dedup: content hash → keeper (min doc_id) + group size.
+    // At 100 TB: single shuffle on the 256-bit hash; skew-free by design.
+    "q_dedup_exact" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .withColumn("h", sha2(col("text"), 256))
+        .groupBy("h")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("dups"))
+        .orderBy("h")
+    }),
+
+    // L2 — MinHash signatures + LSH banding, cross-engine-checkable via
+    // md5-derived permutation hashes: 16 hashes, 4 bands × 4 rows.
+    // Output: one row per (doc, band) with the band signature — join on
+    // (band, band_sig) yields candidate near-dup pairs sub-quadratically.
+    "q_minhash_band" -> ((s, dir) => {
+      val sh = T(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(
+          ngrams(toks(col("text")), 3))).as("gram"))
+      val seeds = (0 until 16).map(lit(_))
+      val mh = sh.select(col("doc_id"),
+          explode(array(seeds: _*)).as("seed"),
+          col("gram"))
+        .groupBy("doc_id", "seed")
+        .agg(min(md5(concat(col("seed").cast("string"), lit(":"),
+          col("gram")))).as("mh"))
+      mh.withColumn("band", (col("seed") / lit(4)).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(md5(concat_ws("|",
+          transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+            x => x.getField("mh")))).as("band_sig"))
+        .select(col("doc_id"), col("band").cast("long").as("band"),
+          col("band_sig"))
+        .orderBy("doc_id", "band")
+    }),
+
+    // L2b — SimHash (64-bit) via xxhash64: engine-native hashing, so the
+    // oracle is omitted (rows-only + ScalaTest golden). This is the scale
+    // path: one pass, no explode beyond tokens.
+    "q_simhash" -> ((s, dir) => {
+      val tok = T(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .withColumn("h", xxhash64(col("w")))
+      val bits = tok.select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(63))).as("b"))
+        .withColumn("contrib",
+          when(expr("shiftright(h, cast(b as int)) & 1") === 1, 1)
+            .otherwise(-1))
+        .groupBy("doc_id", "b")
+        .agg(sum("contrib").as("s"))
+      bits.groupBy("doc_id")
+        .agg(sum(when(col("s") > 0,
+          expr("shiftleft(1L, cast(b as int))")).otherwise(0L))
+          .as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // L2c — n-gram Jaccard near-dup: inverted-index join on word trigrams
+    // (only pairs sharing ≥1 trigram are scored — sub-quadratic), top-50
+    // pairs by similarity. Fully SQL-expressible → real DuckDB oracle.
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val g = T(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(
+          ngrams(toks(col("text")), 3))).as("gram"))
+      val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = g.as("a").join(g.as("b"),
+          col("a.gram") === col("b.gram") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.withColumnRenamed("doc_id", "da")
+          .withColumnRenamed("n", "na"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db")
+          .withColumnRenamed("n", "nb"), "db")
+        .withColumn("jac", fround(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 4))
+        .select("da", "db", "jac")
+        .orderBy(desc("jac"), asc("da"), asc("db"))
+        .limit(50)
+    }),
+
+    // L4 — tokenize + global top-20 word counts.
+    "q_text_tokens" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(explode(toks(lower(col("text")))).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("w"))
+        .limit(20)
+    }),
+
+    // Language ID — corpus-derived classifier: score each doc's distinct
+    // words against each language's top-50 word list, argmax wins.
+    "q_lang_id" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val tok = d.select(col("doc_id"), col("lang"),
+        explode(toks(col("text"))).as("w"))
+      val docwords = tok.select("doc_id", "w").distinct()
+      val wtop = Window.partitionBy("lang").orderBy(desc("cnt"), asc("w"))
+      val langtop = tok.groupBy(col("lang").as("cand"), col("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("cand").orderBy(desc("cnt"), asc("w"))))
+        .filter(col("rn") <= 50)
+        .select("cand", "w")
+      val scores = docwords.join(langtop, "w")
+        .groupBy("doc_id", "cand")
+        .agg(count(lit(1)).as("score"))
+      val wpick = Window.partitionBy("doc_id")
+        .orderBy(desc("score"), asc("cand"))
+      val pred = scores.withColumn("rn", row_number().over(wpick))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cand").as("pred_lang"))
+      d.select("doc_id", "lang").join(pred, Seq("doc_id"), "left")
+        .withColumn("pred_lang", coalesce(col("pred_lang"), lit("unk")))
+        .withColumn("hit", (col("pred_lang") === col("lang")).cast("int").cast("long"))
+        .select("doc_id", "lang", "pred_lang", "hit")
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: type-token ratio + avg word length, weighted.
+    "q_quality_score" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .withColumn("t", toks(col("text")))
+        .withColumn("nw", size(col("t")).cast("long"))
+        .withColumn("uniq", size(array_distinct(col("t"))).cast("long"))
+        .withColumn("ttr",
+          fround(col("uniq").cast("double") / col("nw"), 4))
+        .withColumn("awl",
+          fround((length(col("text")) - (col("nw") - 1)).cast("double") /
+            col("nw"), 4))
+        .withColumn("score",
+          fround(lit(0.6) * col("ttr") +
+            lit(0.4) * least(col("awl") / 8.0, lit(1.0)), 4))
+        .select("doc_id", "nw", "uniq", "ttr", "awl", "score")
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace tokens + BPE-ish regex tokens.
+    "q_token_count" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks(col("text"))).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+            .cast("long").as("re_tokens"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprint: min-md5 over word 5-grams (winnowing-lite).
+    "q_doc_fingerprint" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .withColumn("grams", ngrams(toks(col("text")), 5))
+        .select(col("doc_id"),
+          array_min(transform(col("grams"), g => md5(g))).as("fp"),
+          size(col("grams")).cast("long").as("n_grams"))
+        .orderBy("doc_id")
+    }),
+
+    // L5 — per-language / per-source corpus stats.
+    "q_doc_stats" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("cnt"),
+          fround(avg("n_chars"), 2).as("avg_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("lang", "source")
+    }),
+
+    // Multimodal plumbing token: opaque binary column + typed metadata.
+    // (The full decode/feature pipeline is graft.multimodal — stubbed decode,
+    // real Spark plumbing, ScalaTest-covered; binary payloads aren't
+    // SQL-portable beyond byte length + digest, checked here.)
+    "q_multimodal_meta" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("long").as("nbytes"),
+          sha2(col("payload"), 256).as("digest"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT sha256(text) AS h, min(doc_id) AS keeper, count(*) AS dups
+         FROM documents GROUP BY 1 ORDER BY h""",
+    "q_minhash_band" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+         gi AS (
+           SELECT doc_id, unnest(range(1, greatest(len(w) - 1, 1))) AS i, w
+           FROM t),
+         g AS (
+           SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+           FROM gi),
+         mh AS (
+           SELECT doc_id, s.seed,
+             min(md5(concat(CAST(s.seed AS VARCHAR), ':', gram))) AS mh
+           FROM g, (SELECT unnest(range(16)) AS seed) s
+           GROUP BY doc_id, s.seed)
+         SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
+           md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+         FROM mh GROUP BY doc_id, seed // 4
+         ORDER BY doc_id, band""",
+    "q_ngram_jaccard" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+         gi AS (
+           SELECT doc_id, unnest(range(1, greatest(len(w) - 1, 1))) AS i, w
+           FROM t),
+         g AS (
+           SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+           FROM gi),
+         sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+           FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT da, db,
+           floor(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) * 10000 + 0.5)
+             / 10000 AS jac
+         FROM pairs
+         JOIN sizes sa ON sa.doc_id = da
+         JOIN sizes sb ON sb.doc_id = db
+         ORDER BY jac DESC, da, db LIMIT 50""",
+    "q_text_tokens" ->
+      """SELECT w, count(*) AS cnt FROM (
+           SELECT unnest(list_filter(string_split(lower(text), ' '),
+             x -> x <> '')) AS w FROM documents) t
+         GROUP BY w ORDER BY cnt DESC, w LIMIT 20""",
+    "q_lang_id" ->
+      """WITH tok AS (
+           SELECT doc_id, lang,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+           FROM documents),
+         docwords AS (SELECT DISTINCT doc_id, w FROM tok),
+         langtop AS (
+           SELECT cand, w FROM (
+             SELECT lang AS cand, w, count(*) AS cnt,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY count(*) DESC, w) AS rn
+             FROM tok GROUP BY lang, w) t
+           WHERE rn <= 50),
+         scores AS (
+           SELECT d.doc_id, l.cand, count(*) AS score
+           FROM docwords d JOIN langtop l ON d.w = l.w
+           GROUP BY 1, 2),
+         pred AS (
+           SELECT doc_id, cand AS pred_lang FROM (
+             SELECT doc_id, cand,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand) AS rn
+             FROM scores) t
+           WHERE rn = 1)
+         SELECT d.doc_id, d.lang, coalesce(p.pred_lang, 'unk') AS pred_lang,
+           CAST(coalesce(p.pred_lang, 'unk') = d.lang AS BIGINT) AS hit
+         FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+         ORDER BY d.doc_id""",
+    "q_quality_score" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+         m AS (
+           SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS uniq,
+             floor(CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                   * 10000 + 0.5) / 10000 AS ttr,
+             floor(CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w)
+                   * 10000 + 0.5) / 10000 AS awl
+           FROM t)
+         SELECT doc_id, nw, uniq, ttr, awl,
+           floor((0.6 * ttr + 0.4 * least(awl / 8.0, 1.0)) * 10000 + 0.5)
+             / 10000 AS score
+         FROM m ORDER BY doc_id""",
+    "q_token_count" ->
+      """SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+         len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+         n_chars
+         FROM documents ORDER BY doc_id""",
+    "q_doc_fingerprint" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id, len(w) AS lw,
+             coalesce(list_transform(range(1, greatest(len(w) - 3, 1)),
+               i -> md5(array_to_string(list_slice(w, i, i + 4), ' '))),
+               []) AS hs
+           FROM t)
+         SELECT doc_id, list_min(hs) AS fp,
+           CAST(greatest(lw - 4, 0) AS BIGINT) AS n_grams
+         FROM g ORDER BY doc_id""",
+    "q_doc_stats" ->
+      """SELECT lang, source, count(*) AS cnt,
+         floor(avg(n_chars) * 100 + 0.5) / 100 AS avg_chars,
+         max(n_chars) AS max_chars
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id, strlen(text) AS nbytes, sha256(text) AS digest
+         FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** T4 — similarity search over the `embeddings` table (SURVEY §2.10 L3).
+  *
+  * All math is double-precision element folds inside whole-stage codegen
+  * (higher-order array functions — no UDFs). Oracles reproduce the same
+  * double math in DuckDB with explicit per-index sums, deliberately NOT
+  * DuckDB's float32 `list_cosine_similarity` (float32 rounding would break
+  * hash parity at the 4-dp rounding boundary).
+  *
+  * Scale path (100 TB): brute-force top-k broadcasts the query vector and
+  * is one scan + TakeOrdered; near-dup pairs are blocked (label here; LSH
+  * buckets in general) so the join is sub-quadratic; IVF restricts the
+  * scan to the best cluster — same plans, bigger constants.
+  */
+object VectorOps {
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  /** Double-precision dot product of two array<double> columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def asDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L3 — brute-force cosine top-k against one query vector (vec_id 0).
+    // The 1-row query side is broadcast; no collect, no shuffle of the
+    // candidate scan; LIMIT plans as TakeOrderedAndProject.
+    "q_cosine_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(dot(col("v"), col("qv")) /
+            (norm(col("v")) * norm(col("qv"))), 4).as("cs"))
+        .orderBy(desc("cs"), asc("vec_id"))
+        .limit(10)
+    }),
+
+    // Near-dup pairs, blocked by label (stand-in for an LSH bucket): only
+    // within-block pairs are scored — sub-quadratic at scale.
+    "q_embed_neardup" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          asDouble(col("embedding")).as("v"))
+      val a = e.select(col("vec_id").as("ia"), col("label"),
+        col("v").as("va"))
+      val b = e.select(col("vec_id").as("ib"), col("label").as("lb"),
+        col("v").as("vb"))
+      a.join(b, col("label") === col("lb") && col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          round(dot(col("va"), col("vb")) /
+            (norm(col("va")) * norm(col("vb"))), 4).as("cs"))
+        .orderBy(desc("cs"), asc("ia"), asc("ib"))
+        .limit(20)
+    }),
+
+    // IVF-style ANN: coarse quantizer = per-label centroid (deterministic
+    // stand-in for k-means); probe the best cluster only, then exact
+    // cosine within it. Demonstrates the two-stage ANN plan shape.
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          asDouble(col("embedding")).as("v"))
+      val cents = e
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(avg("x").as("cx"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          p => p.getField("cx")).as("cv"))
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val best = cents.crossJoin(broadcast(q))
+        .select(col("label"),
+          (dot(col("cv"), col("qv")) /
+            (norm(col("cv")) * norm(col("qv")))).as("ccs"))
+        .orderBy(desc("ccs"), asc("label"))
+        .limit(1)
+        .select(col("label").as("best_label"))
+      e.filter(col("vec_id") =!= 0)
+        .join(broadcast(best), col("label") === col("best_label"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          round(dot(col("v"), col("qv")) /
+            (norm(col("v")) * norm(col("qv"))), 4).as("cs"))
+        .orderBy(desc("cs"), asc("vec_id"))
+        .limit(10)
+    })
+  )
+
+  // Shared oracle scaffolding: explicit double dot products via an index
+  // join — identical fold math to Spark's aggregate() (error << 1e-12,
+  // rounded at 4 dp; safe regardless of summation order).
+  val oracles: Map[String, String] = Map(
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         d AS (
+           SELECT e.vec_id,
+             sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+               * CAST(q.qe[i.i + 1] AS DOUBLE)) AS dp,
+             sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+               * CAST(e.embedding[i.i + 1] AS DOUBLE)) AS na,
+             sum(CAST(q.qe[i.i + 1] AS DOUBLE)
+               * CAST(q.qe[i.i + 1] AS DOUBLE)) AS nb
+           FROM embeddings e, q, (SELECT unnest(range(64)) AS i) i
+           WHERE e.vec_id <> 0
+           GROUP BY e.vec_id)
+         SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cs
+         FROM d ORDER BY cs DESC, vec_id LIMIT 10""",
+    "q_embed_neardup" ->
+      """WITH p AS (
+           SELECT a.vec_id AS ia, b.vec_id AS ib,
+             a.embedding AS va, b.embedding AS vb
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id),
+         d AS (
+           SELECT ia, ib,
+             sum(CAST(va[i.i + 1] AS DOUBLE) * CAST(vb[i.i + 1] AS DOUBLE))
+               AS dp,
+             sum(CAST(va[i.i + 1] AS DOUBLE) * CAST(va[i.i + 1] AS DOUBLE))
+               AS na,
+             sum(CAST(vb[i.i + 1] AS DOUBLE) * CAST(vb[i.i + 1] AS DOUBLE))
+               AS nb
+           FROM p, (SELECT unnest(range(64)) AS i) i
+           GROUP BY ia, ib)
+         SELECT ia, ib, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cs
+         FROM d ORDER BY cs DESC, ia, ib LIMIT 20""",
+    "q_ann_ivf" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         cent AS (
+           SELECT label, i.i AS pos, avg(CAST(embedding[i.i + 1] AS DOUBLE))
+             AS cx
+           FROM embeddings, (SELECT unnest(range(64)) AS i) i
+           GROUP BY label, i.i),
+         cscore AS (
+           SELECT c.label,
+             sum(c.cx * CAST(q.qe[c.pos + 1] AS DOUBLE)) /
+               (sqrt(sum(c.cx * c.cx)) *
+                sqrt(sum(CAST(q.qe[c.pos + 1] AS DOUBLE)
+                       * CAST(q.qe[c.pos + 1] AS DOUBLE)))) AS ccs
+           FROM cent c, q GROUP BY c.label),
+         best AS (SELECT label FROM cscore ORDER BY ccs DESC, label LIMIT 1),
+         d AS (
+           SELECT e.vec_id, e.label,
+             sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+               * CAST(q.qe[i.i + 1] AS DOUBLE)) AS dp,
+             sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+               * CAST(e.embedding[i.i + 1] AS DOUBLE)) AS na,
+             sum(CAST(q.qe[i.i + 1] AS DOUBLE)
+               * CAST(q.qe[i.i + 1] AS DOUBLE)) AS nb
+           FROM embeddings e, q, (SELECT unnest(range(64)) AS i) i
+           WHERE e.vec_id <> 0 AND e.label = (SELECT label FROM best)
+           GROUP BY e.vec_id, e.label)
+         SELECT vec_id, CAST(label AS BIGINT) AS label,
+           round(dp / (sqrt(na) * sqrt(nb)), 4) AS cs
+         FROM d ORDER BY cs DESC, vec_id LIMIT 10"""
+  )
+}
