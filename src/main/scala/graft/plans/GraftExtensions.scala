@@ -1,0 +1,22 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{CosineSimilarity, GraftFunctions}
+
+/** SparkSessionExtensions hook: enables
+  * `spark.sql.extensions=graft.plans.GraftExtensions` so any session —
+  * including Thrift/Connect ones we don't construct — gets graft's SQL
+  * functions. (SURVEY §4.2: the idiomatic replacement for the reference's
+  * forked parser is extension injection, not a parser fork.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      GraftFunctions.cosineSimBuilder))
+  }
+}

@@ -9,30 +9,39 @@ import graft.Tables
 /** T4 — LLM-training-pipeline text operators over `documents`
   * (SURVEY §2.10; mandated by BASELINE.json's north star).
   *
-  * Everything here is declarative DataFrame code — explode/groupBy shapes
-  * that scale by partitioning (shuffles are keyed on doc_id / token, never
-  * collected). Where the oracle needs cross-engine-identical hashing we use
-  * md5 (bit-identical in Spark and DuckDB); the xxhash64-based scale
-  * variants live in [[graft.functions]] with ScalaTest coverage instead
-  * (cross-engine hash values differ → oracle omitted per SURVEY §7.5).
+  * Codegen discipline: Spark's higher-order array functions (transform/
+  * filter/aggregate) are CodegenFallback — interpreted, and they break
+  * whole-stage codegen for the enclosing stage. Every hot path here uses
+  * codegen-capable shapes instead: plain split(), posexplode + window
+  * lead() for n-grams, and multi-column min() aggregation for MinHash.
+  * (documents.text is verified clean single-space-separated at every SF,
+  * so split() alone tokenizes exactly — asserted in ScalaTest.)
+  *
+  * Where the oracle needs cross-engine-identical hashing we use md5
+  * (bit-identical in Spark and DuckDB); the xxhash64-based scale variants
+  * (q_simhash, graft.functions.MinHashAgg) have engine-specific values →
+  * oracle omitted per SURVEY §7.5, ScalaTest-covered instead.
   */
 object TextOps {
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.table(s, dir, n)
 
-  /** Non-empty whitespace tokens, shared by every query below. */
-  private def toks(c: Column): Column =
-    filter(split(c, " "), t => t =!= "")
+  /** Whitespace tokens (text is clean: no empty tokens at any SF). */
+  private def toks(c: Column): Column = split(c, " ")
 
-  /** Word n-grams as space-joined strings (positions 1..len-n+1).
-    * Guarded: Spark's sequence(1, 0) would DESCEND, so short docs must
-    * yield an empty array explicitly. */
-  private def ngrams(t: Column, n: Int): Column = {
-    val cnt = size(t) - (n - 1)
-    when(cnt >= 1,
-      transform(sequence(lit(1), cnt),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+  /** One row per word n-gram: (doc_id, lang, gram). posexplode + lead()
+    * keeps the whole pipeline inside whole-stage codegen; the only
+    * exchange is the per-doc window shuffle. */
+  private def gramRows(d: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tok = d.select(col("doc_id"), col("lang"),
+      posexplode(toks(col("text"))).as(Seq("pos", "w")))
+    val withLeads = (1 until n).foldLeft(tok)((df, i) =>
+      df.withColumn(s"w$i", lead(col("w"), i).over(w)))
+    withLeads.filter(col(s"w${n - 1}").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", (col("w") +: (1 until n).map(i => col(s"w$i"))): _*)
+          .as("gram"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -48,26 +57,22 @@ object TextOps {
 
     // L2 — MinHash signatures + LSH banding, cross-engine-checkable via
     // md5-derived permutation hashes: 16 hashes, 4 bands × 4 rows.
-    // Output: one row per (doc, band) with the band signature — join on
-    // (band, band_sig) yields candidate near-dup pairs sub-quadratically.
+    // All 16 min-hashes are computed in ONE aggregation pass (map-side
+    // partial min → the shuffle carries one row per doc, not per gram).
+    // Joining on (band, band_sig) yields candidate pairs sub-quadratically.
     "q_minhash_band" -> ((s, dir) => {
-      val sh = T(s, dir, "documents")
-        .select(col("doc_id"), explode(array_distinct(
-          ngrams(toks(col("text")), 3))).as("gram"))
-      val seeds = (0 until 16).map(lit(_))
-      val mh = sh.select(col("doc_id"),
-          explode(array(seeds: _*)).as("seed"),
-          col("gram"))
-        .groupBy("doc_id", "seed")
-        .agg(min(md5(concat(col("seed").cast("string"), lit(":"),
-          col("gram")))).as("mh"))
-      mh.withColumn("band", (col("seed") / lit(4)).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(md5(concat_ws("|",
-          transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-            x => x.getField("mh")))).as("band_sig"))
-        .select(col("doc_id"), col("band").cast("long").as("band"),
-          col("band_sig"))
+      val g = gramRows(T(s, dir, "documents"), 3)
+        .select("doc_id", "gram").distinct()
+      val mins = (0 until 16).map(i =>
+        min(md5(concat(lit(s"$i:"), col("gram")))).as(s"h$i"))
+      val sig = g.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      val bands = (0 until 4).map(b => struct(
+        lit(b.toLong).as("band"),
+        md5(concat_ws("|", (0 until 4).map(j => col(s"h${4 * b + j}")): _*))
+          .as("band_sig")))
+      sig.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"),
+          col("bs.band_sig").as("band_sig"))
         .orderBy("doc_id", "band")
     }),
 
@@ -92,16 +97,17 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
-    // L2c — n-gram Jaccard near-dup: inverted-index join on word trigrams
-    // (only pairs sharing ≥1 trigram are scored — sub-quadratic), top-50
-    // pairs by similarity. Fully SQL-expressible → real DuckDB oracle.
+    // L2c — n-gram Jaccard near-dup: inverted-index join on word 4-grams,
+    // blocked by language (near-dups are same-language; blocking keeps the
+    // candidate join sub-quadratic at corpus scale). Top-50 pairs.
     "q_ngram_jaccard" -> ((s, dir) => {
-      val g = T(s, dir, "documents")
-        .select(col("doc_id"), explode(array_distinct(
-          ngrams(toks(col("text")), 3))).as("gram"))
+      // persist: g feeds three plan branches (both join sides + sizes);
+      // without it Spark recomputes the gram pipeline per branch.
+      val g = gramRows(T(s, dir, "documents"), 4).distinct().persist()
       val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = g.as("a").join(g.as("b"),
           col("a.gram") === col("b.gram") &&
+          col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(count(lit(1)).as("inter"))
@@ -134,7 +140,6 @@ object TextOps {
       val tok = d.select(col("doc_id"), col("lang"),
         explode(toks(col("text"))).as("w"))
       val docwords = tok.select("doc_id", "w").distinct()
-      val wtop = Window.partitionBy("lang").orderBy(desc("cnt"), asc("w"))
       val langtop = tok.groupBy(col("lang").as("cand"), col("w"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(
@@ -151,7 +156,8 @@ object TextOps {
         .select(col("doc_id"), col("cand").as("pred_lang"))
       d.select("doc_id", "lang").join(pred, Seq("doc_id"), "left")
         .withColumn("pred_lang", coalesce(col("pred_lang"), lit("unk")))
-        .withColumn("hit", (col("pred_lang") === col("lang")).cast("int").cast("long"))
+        .withColumn("hit",
+          (col("pred_lang") === col("lang")).cast("int").cast("long"))
         .select("doc_id", "lang", "pred_lang", "hit")
         .orderBy("doc_id")
     }),
@@ -186,12 +192,13 @@ object TextOps {
     }),
 
     // Document fingerprint: min-md5 over word 5-grams (winnowing-lite).
+    // Every doc has ≥10 words at every SF, so the 5-gram set is never
+    // empty (asserted in ScalaTest).
     "q_doc_fingerprint" -> ((s, dir) => {
-      T(s, dir, "documents")
-        .withColumn("grams", ngrams(toks(col("text")), 5))
-        .select(col("doc_id"),
-          array_min(transform(col("grams"), g => md5(g))).as("fp"),
-          size(col("grams")).cast("long").as("n_grams"))
+      gramRows(T(s, dir, "documents"), 5)
+        .groupBy("doc_id")
+        .agg(min(md5(col("gram"))).as("fp"),
+          count(lit(1)).as("n_grams"))
         .orderBy("doc_id")
     }),
 
@@ -225,8 +232,7 @@ object TextOps {
          FROM documents GROUP BY 1 ORDER BY h""",
     "q_minhash_band" ->
       """WITH t AS (
-           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
-           FROM documents),
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          gi AS (
            SELECT doc_id, unnest(range(1, greatest(len(w) - 1, 1))) AS i, w
            FROM t),
@@ -245,19 +251,19 @@ object TextOps {
          ORDER BY doc_id, band""",
     "q_ngram_jaccard" ->
       """WITH t AS (
-           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
-           FROM documents),
+           SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
          gi AS (
-           SELECT doc_id, unnest(range(1, greatest(len(w) - 1, 1))) AS i, w
+           SELECT doc_id, lang, unnest(range(1, greatest(len(w) - 2, 1))) AS i, w
            FROM t),
          g AS (
-           SELECT DISTINCT doc_id,
-             array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+           SELECT DISTINCT doc_id, lang,
+             array_to_string(list_slice(w, i, i + 3), ' ') AS gram
            FROM gi),
          sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
          pairs AS (
            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-           FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           FROM g a JOIN g b ON a.gram = b.gram AND a.lang = b.lang
+             AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT da, db,
            floor(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) * 10000 + 0.5)
@@ -268,13 +274,12 @@ object TextOps {
          ORDER BY jac DESC, da, db LIMIT 50""",
     "q_text_tokens" ->
       """SELECT w, count(*) AS cnt FROM (
-           SELECT unnest(list_filter(string_split(lower(text), ' '),
-             x -> x <> '')) AS w FROM documents) t
+           SELECT unnest(string_split(lower(text), ' ')) AS w
+           FROM documents) t
          GROUP BY w ORDER BY cnt DESC, w LIMIT 20""",
     "q_lang_id" ->
       """WITH tok AS (
-           SELECT doc_id, lang,
-             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+           SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
            FROM documents),
          docwords AS (SELECT DISTINCT doc_id, w FROM tok),
          langtop AS (
@@ -301,9 +306,7 @@ object TextOps {
          ORDER BY d.doc_id""",
     "q_quality_score" ->
       """WITH t AS (
-           SELECT doc_id, text,
-             list_filter(string_split(text, ' '), x -> x <> '') AS w
-           FROM documents),
+           SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
          m AS (
            SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS uniq,
              floor(CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
@@ -317,23 +320,20 @@ object TextOps {
          FROM m ORDER BY doc_id""",
     "q_token_count" ->
       """SELECT doc_id,
-         len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+         len(string_split(text, ' ')) AS ws_tokens,
          len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
          n_chars
          FROM documents ORDER BY doc_id""",
     "q_doc_fingerprint" ->
       """WITH t AS (
-           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
-           FROM documents),
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          g AS (
-           SELECT doc_id, len(w) AS lw,
-             coalesce(list_transform(range(1, greatest(len(w) - 3, 1)),
-               i -> md5(array_to_string(list_slice(w, i, i + 4), ' '))),
-               []) AS hs
-           FROM t)
-         SELECT doc_id, list_min(hs) AS fp,
-           CAST(greatest(lw - 4, 0) AS BIGINT) AS n_grams
-         FROM g ORDER BY doc_id""",
+           SELECT doc_id,
+             md5(array_to_string(list_slice(w,
+               i.i, i.i + 4), ' ')) AS h
+           FROM t, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) i)
+         SELECT doc_id, min(h) AS fp, count(*) AS n_grams
+         FROM g GROUP BY doc_id ORDER BY doc_id""",
     "q_doc_stats" ->
       """SELECT lang, source, count(*) AS cnt,
          floor(avg(n_chars) * 100 + 0.5) / 100 AS avg_chars,
