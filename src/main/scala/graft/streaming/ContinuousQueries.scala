@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Runtime continuous-query management (SURVEY §2.9 C7 / §3.1 EP3).
+  *
+  * The reference runs a query service where SQL strings are submitted and
+  * cancelled against a shared StreamingContext at runtime [SURVEY §3.1 R].
+  * Structured Streaming's StreamingQueryManager already is that facility;
+  * this wrapper pins graft's conventions (named queries, memory/parquet
+  * sinks, explicit trigger) and gives the reference's submit/cancel/list
+  * verbs a direct home.
+  */
+object ContinuousQueries {
+  /** Submit a continuous query writing to an in-memory sink (results
+    * readable as `SELECT * FROM <name>`) — the reference's "register and
+    * query continuously" loop. Complete mode suits windowed aggregates. */
+  def submitMemory(df: DataFrame, name: String,
+      outputMode: String = "complete"): StreamingQuery =
+    df.writeStream.queryName(name).format("memory")
+      .outputMode(outputMode)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+  /** Submit an append-mode file sink (the INSERT INTO <external> path). */
+  def submitParquet(df: DataFrame, name: String, path: String,
+      checkpoint: String): StreamingQuery =
+    df.writeStream.queryName(name).format("parquet")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
+  def list(spark: SparkSession): Seq[StreamingQuery] =
+    spark.streams.active.toSeq
+
+  def cancel(spark: SparkSession, name: String): Boolean =
+    spark.streams.active.find(_.name == name) match {
+      case Some(q) => q.stop(); true
+      case None => false
+    }
+
+  def awaitAll(spark: SparkSession): Unit =
+    spark.streams.active.foreach(_.processAllAvailable())
+}
+
+/** State-store configuration for unbounded streams (SURVEY §2.9 C8): the
+  * idiomatic replacement for the reference's sharded-Redis window state.
+  * RocksDB keeps state off-heap and disk-backed, so window state scales
+  * past executor memory — the exact property the reference used Redis for,
+  * without an external service. */
+object StreamingConf {
+  val rocksDb: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
+  def applyTo(spark: SparkSession): Unit =
+    rocksDb.foreach { case (k, v) => spark.conf.set(k, v) }
+}

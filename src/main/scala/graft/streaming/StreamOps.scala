@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming operator surface (SURVEY §2.9) — the Spark-4 re-expression of
+  * spark-cep's continuous SQL layer.
+  *
+  * The reference registers a DStream as a stream table and runs
+  * `SELECT ... FROM s OVER (WINDOW 'w' SECONDS, SLIDE 's' SECONDS)` every
+  * slide, keeping per-pane partial aggregates in Redis
+  * [SURVEY §2.9/§4.1 R]. Structured Streaming subsumes each piece:
+  * the window clause → `window()`/`session_window()` groupings below;
+  * the incremental pane state → the state store (RocksDB provider at
+  * scale, see [[StreamingConf]]); the periodic execution → micro-batch
+  * IncrementalExecution; late data (which the reference's processing-time
+  * windows could not express) → watermarks.
+  *
+  * Every builder takes/returns a DataFrame and works identically on batch
+  * and streaming inputs — the batch/streaming equivalence is asserted in
+  * ScalaTest (`StreamingTwinSpec`), which is the modern form of the
+  * reference's per-batch assertion suites.
+  */
+object StreamOps {
+  /** Event-time tumbling window aggregation (reference: WINDOW w == SLIDE w). */
+  def tumblingCounts(events: DataFrame, window_ : String): DataFrame =
+    events
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"),
+        col("sum_value"))
+
+  /** Event-time sliding window aggregation (reference: WINDOW w, SLIDE s —
+    * its flagship incremental aggregation; the state store maintains the
+    * per-window running aggregates incrementally, same asymptotics as the
+    * reference's Redis panes with no external service). */
+  def slidingCounts(events: DataFrame, window_ : String, slide: String)
+      : DataFrame =
+    events
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"),
+        col("sum_value"))
+
+  /** Gap-based session windows per user (beyond the reference's surface —
+    * standard CEP; SURVEY §2.9 C3). */
+  def sessionCounts(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("cnt"))
+
+  /** Streaming dedup on key columns. On a stream with a watermark, prefer
+    * [[dedupWithinWatermark]] so state is bounded. */
+  def dedup(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.select(keys.map(col): _*).dropDuplicates(keys)
+
+  /** Watermark-bounded streaming dedup — state for a key is dropped once
+    * the watermark passes it (the 100 TB-safe variant). */
+  def dedupWithinWatermark(events: DataFrame, delay: String,
+      keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)
+
+  /** Attach an event-time watermark (late-data bound). */
+  def withLateness(events: DataFrame, delay: String): DataFrame =
+    events.withWatermark("ts", delay)
+}

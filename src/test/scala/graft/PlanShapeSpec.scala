@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape gates (SURVEY §4 / the 100 TB requirement): correctness is
+  * the oracle's job; these tests pin the PHYSICAL PLANS — a regression
+  * that keeps results right but, say, drops a broadcast or reads all
+  * columns would pass the oracle and still be wrong at scale. */
+class PlanShapeSpec extends SparkSpec {
+  private def plan(key: String): String = {
+    val df = SparkEntry.queries(key)(spark, sf)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q_join_broadcast broadcasts every dimension side") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "no dimension join should degrade to sort-merge at this scale")
+  }
+
+  test("q_topk plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_scan_project prunes the lineitem scan to the used columns") {
+    val p = plan("q_scan_project")
+    val scanLine = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scanLine.contains("l_orderkey") && !scanLine.contains("l_partkey"),
+      s"scan should read only referenced columns, got: $scanLine")
+  }
+
+  test("q_filter_pred pushes predicates into the parquet scan") {
+    val p = plan("q_filter_pred")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull") || p.contains("GreaterThan"), p)
+  }
+
+  test("q_agg_groupby uses two-phase hash aggregation (map-side combine)") {
+    val p = plan("q_agg_groupby")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate pair")
+  }
+
+  test("q_cosine_topk stays whole-stage-codegen through the similarity") {
+    val df = SparkEntry.queries("q_cosine_topk")(spark, sf)
+    df.collect() // finalize the adaptive plan — WSCG spans appear post-exec
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("TakeOrderedAndProject"))
+    // the custom expression must not force a codegen fallback stage:
+    // the Project computing cosine_sim must carry a WSCG stage marker *(n)
+    val projLine = p.linesIterator.find(_.contains("cosine_sim")).getOrElse("")
+    assert(projLine.contains("*("), s"cosine_sim project not codegen'd: $projLine")
+  }
+
+  test("flagship entry returns rows at sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching queries key") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+}

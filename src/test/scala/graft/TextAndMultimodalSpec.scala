@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+class TextAndMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.table(spark, sf, "documents")
+
+  test("tokenizer assumption: text is clean single-space (no empty tokens)") {
+    val bad = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") === "").count()
+    assert(bad == 0, "split-only tokenization requires clean text")
+  }
+
+  test("every document has >= 10 tokens (n-gram guards are dead paths)") {
+    val minTok = docs.select(size(split(col("text"), " ")).as("n"))
+      .agg(min("n")).as[Int].head()
+    assert(minTok >= 10)
+  }
+
+  test("minhash banding is deterministic across runs") {
+    val a = SparkEntry.queries("q_minhash_band")(spark, sf).collect()
+    val b = SparkEntry.queries("q_minhash_band")(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.length == docs.count() * 4, "4 bands per doc")
+  }
+
+  test("simhash: 64-bit signatures, deterministic, near-dup distance sane") {
+    val sh = SparkEntry.queries("q_simhash")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(sh.size == docs.count())
+    val again = SparkEntry.queries("q_simhash")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(sh == again)
+  }
+
+  test("exact-dedup keeps one keeper per distinct text") {
+    val out = SparkEntry.queries("q_dedup_exact")(spark, sf)
+    assert(out.count() == docs.select("text").distinct().count())
+  }
+
+  test("multimodal: stub decode is partition-local, deterministic, typed") {
+    val media = Multimodal.asMediaFrame(docs, "doc_id", "text", "text/plain")
+    assert(media.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("media_id", "long"), ("kind", "string"), ("payload", "binary")))
+    val feats = Multimodal.stubDecode(media)
+    val rows = feats.collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(_.features.length == 8))
+    assert(rows.forall(r => r.width >= 64 && r.height >= 64))
+    // deterministic across runs
+    val again = Multimodal.stubDecode(media).collect()
+    assert(rows.map(_.media_id).sorted.sameElements(
+      again.map(_.media_id).sorted))
+    val f1 = rows.sortBy(_.media_id).map(_.features.toSeq).toSeq
+    val f2 = again.sortBy(_.media_id).map(_.features.toSeq).toSeq
+    assert(f1 == f2)
+  }
+
+  test("multimodal: frame sampling emits n slices covering the payload") {
+    val media = Multimodal.asMediaFrame(docs.limit(10), "doc_id", "text",
+      "video/fake")
+    val frames = Multimodal.frameSample(media, 4)
+    assert(frames.count() == 40)
+    val widths = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
+      .select("n").as[Long].collect()
+    assert(widths.forall(_ == 4))
+    assert(frames.filter(octet_length(col("frame_bytes")) === 0).count() == 0)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cosLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+  }
+
+  private def cosSpark(a: Seq[Double], b: Seq[Double]): Double = {
+    GraftFunctions.register(spark)
+    Seq((a, b)).toDF("a", "b")
+      .select(expr("cosine_sim(a, b)").as("cs")).as[Double].head()
+  }
+
+  test("cosine_sim matches reference computation on floats from parquet") {
+    GraftFunctions.register(spark)
+    val e = graft.Tables.table(spark, sf, "embeddings").limit(50).cache()
+    val viaExpr = e.as("x").crossJoin(e.as("y"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id"), col("y.vec_id"),
+        expr("cosine_sim(x.embedding, y.embedding)").as("cs"))
+      .as[(Long, Long, Double)].collect()
+    val local = e.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    viaExpr.foreach { case (i, j, cs) =>
+      val want = cosLocal(local(i).map(_.toDouble).toSeq,
+        local(j).map(_.toDouble).toSeq)
+      assert(math.abs(cs - want) < 1e-12, s"pair ($i,$j)")
+    }
+  }
+
+  private val vecGen: Gen[List[Double]] =
+    Gen.listOfN(16, Gen.choose(-10.0, 10.0))
+      .suchThat(v => v.exists(x => math.abs(x) > 1e-3))
+
+  test("cosine_sim properties: bounds, symmetry, self-similarity") {
+    // scalacheck used directly (scalatestplus bridge isn't resolvable
+    // offline): deterministic seeds, 20 cases
+    (1 to 20).foreach { i =>
+      val a = vecGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val b = vecGen.pureApply(Gen.Parameters.default, Seed(i.toLong + 1000))
+      val cs = cosSpark(a, b)
+      assert(cs >= -1.0 - 1e-9 && cs <= 1.0 + 1e-9)
+      assert(math.abs(cs - cosSpark(b, a)) < 1e-12)
+      assert(math.abs(cosSpark(a, a) - 1.0) < 1e-9)
+    }
+  }
+
+  test("MinHashAgg: identical shingle sets give identical signatures") {
+    val agg = new MinHashAgg(64)
+    val s1 = Seq("a b c", "b c d", "c d e").foldLeft(agg.zero)(agg.reduce)
+    val s2 = Seq("c d e", "a b c", "b c d").foldLeft(agg.zero)(agg.reduce)
+    assert(s1.sameElements(s2), "order-insensitive")
+    assert(MinHashAgg.estimate(s1, s2) == 1.0)
+  }
+
+  test("MinHashAgg: merge is the same as combined reduce (partial agg law)") {
+    val agg = new MinHashAgg(32)
+    val xs = (1 to 20).map(i => s"sh$i")
+    val whole = xs.foldLeft(agg.zero)(agg.reduce)
+    val (l, r) = xs.splitAt(7)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce))
+    assert(whole.sameElements(merged))
+  }
+
+  test("MinHashAgg: estimate approximates true Jaccard") {
+    val agg = new MinHashAgg(256)
+    val a = (1 to 100).map(i => s"g$i")
+    val b = (51 to 150).map(i => s"g$i") // true jaccard = 50/150 = 1/3
+    val est = MinHashAgg.estimate(
+      a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+    assert(math.abs(est - 1.0 / 3.0) < 0.12, s"estimate $est")
+  }
+
+  test("MinHashAgg works as a Spark UDAF end-to-end") {
+    val sig = udaf(new MinHashAgg(16))
+    val out = Seq(("d1", "a b"), ("d1", "b c"), ("d2", "a b"), ("d2", "b c"))
+      .toDF("doc", "gram")
+      .groupBy("doc").agg(sig(col("gram")).as("sig"))
+      .as[(String, Array[Long])].collect().toMap
+    assert(out("d1").sameElements(out("d2")))
+    assert(out("d1").length == 16)
+  }
+}

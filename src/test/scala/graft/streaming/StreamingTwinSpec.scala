@@ -1,0 +1,152 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Batch/streaming equivalence — the modern form of the reference's
+  * per-batch assertion suites (SURVEY §5.2.3): event-time operators are
+  * pure functions of the data, so replaying the events table through a
+  * MemoryStream must reproduce the batch (oracle-checked) results exactly.
+  */
+class StreamingTwinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val eventsDf = Tables.table(spark, sf, "events")
+  private lazy val eventsDs: Dataset[CepEvent] = eventsDf
+    .select("event_id", "ts", "user_id", "event_type", "value")
+    .as[CepEvent]
+
+  /** Feed the events dataset through a MemoryStream in n ts-ordered
+    * chunks, apply `op`, run to completion in complete/append mode. */
+  private def streamed(op: DataFrame => DataFrame, mode: String,
+      chunks: Int = 4, name: String = s"twin_${System.nanoTime}") : DataFrame = {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val q = op(stream.toDF()).writeStream.queryName(name)
+      .format("memory").outputMode(mode).start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(math.max(1, data.length / chunks)).foreach { chunk =>
+      stream.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    spark.table(name)
+  }
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("tumbling window: streaming == batch") {
+    val batch = StreamOps.tumblingCounts(eventsDf, "1 hour")
+    val stream = streamed(StreamOps.tumblingCounts(_, "1 hour"), "complete")
+    assert(rows(stream) == rows(batch))
+  }
+
+  test("sliding window: streaming == batch (incremental agg parity)") {
+    val batch = StreamOps.slidingCounts(eventsDf, "30 minutes", "10 minutes")
+    val stream = streamed(
+      StreamOps.slidingCounts(_, "30 minutes", "10 minutes"), "complete")
+    assert(rows(stream) == rows(batch))
+  }
+
+  test("streaming dedup == batch distinct") {
+    val batch = StreamOps.dedup(eventsDf, Seq("user_id", "event_type"))
+    val stream = streamed(StreamOps.dedup(_, Seq("user_id", "event_type")),
+      "append")
+    assert(rows(stream) == rows(batch))
+  }
+
+  test("session windows: streaming (watermark+append) == batch") {
+    // Sentinel event far in the future closes every real session so
+    // append mode emits them; the sentinel's own session is filtered out.
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = "twin_session"
+    val q = StreamOps.sessionCounts(
+        stream.toDF().withWatermark("ts", "0 seconds"), "5 minutes")
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    stream.addData(data.toSeq)
+    q.processAllAvailable()
+    stream.addData(CepEvent(-1L, Timestamp.valueOf("2030-01-01 00:00:00"),
+      -1L, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name).filter(col("user_id") =!= -1L)
+    val batch = StreamOps.sessionCounts(eventsDf, "5 minutes")
+    assert(rows(streamed) == rows(batch))
+  }
+
+  test("CEP sequence state machine == batch q_cep_seq") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = "twin_cep"
+    val q = CepSequence.detect(stream.toDS(), "signup", "purchase",
+        30L * 60 * 1000)
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(math.max(1, data.length / 5)).foreach { chunk =>
+      stream.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table(name)
+      .select("user_id", "sid", "pid", "s_ts", "p_ts")
+    val want = graft.SparkEntry.queries("q_cep_seq")(spark, sf)
+    assert(rows(got) == rows(want))
+    assert(got.count() > 0, "expected at least one signup->purchase match")
+  }
+
+  test("watermark drops late events (beyond-lateness data is excluded)") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = "twin_late"
+    val q = StreamOps.tumblingCounts(
+        stream.toDF().withWatermark("ts", "10 minutes"), "1 hour")
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    def ev(id: Long, t: String) =
+      CepEvent(id, Timestamp.valueOf(t), 1L, "click", 1.0)
+    stream.addData(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:55:00"))
+    q.processAllAvailable()
+    // advance watermark far past the 10:00 window
+    stream.addData(ev(3, "2024-01-01 13:00:00"))
+    q.processAllAvailable()
+    val afterClose = spark.table(name).count()
+    assert(afterClose >= 1, "10:00 window should have been finalized")
+    val closedCnt = spark.table(name)
+      .filter(col("ws") === Timestamp.valueOf("2024-01-01 10:00:00"))
+      .select("cnt").as[Long].head()
+    assert(closedCnt == 2)
+    // late event for the closed 10:00 window: must be dropped
+    stream.addData(ev(4, "2024-01-01 10:30:00"))
+    q.processAllAvailable()
+    val cntAfterLate = spark.table(name)
+      .filter(col("ws") === Timestamp.valueOf("2024-01-01 10:00:00"))
+      .count()
+    q.stop()
+    assert(cntAfterLate == 1, "late event must not re-emit the closed window")
+  }
+
+  test("continuous query management: submit, list, cancel") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val q = ContinuousQueries.submitMemory(
+      StreamOps.tumblingCounts(stream.toDF(), "1 hour"), "mgmt_test")
+    assert(ContinuousQueries.list(spark).exists(_.name == "mgmt_test"))
+    stream.addData(CepEvent(1, Timestamp.valueOf("2024-01-01 00:00:01"),
+      1, "click", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("mgmt_test").count() == 1)
+    assert(ContinuousQueries.cancel(spark, "mgmt_test"))
+    assert(!ContinuousQueries.list(spark).exists(_.name == "mgmt_test"))
+    assert(!ContinuousQueries.cancel(spark, "mgmt_test"))
+  }
+}
