@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.MinHashAgg
+
+/** Deduplication operators for corpus-scale pipelines (SURVEY §2.10 L1/L2).
+  *
+  * These are the xxhash/FNV scale-path implementations exposed as reusable
+  * plan builders; the md5-flavored `q_*` declared queries exist because
+  * their hashes must be reproducible inside DuckDB for the oracle. Shapes:
+  *
+  *  - exact: one shuffle keyed on a 256-bit content hash — skew-free.
+  *  - minhashLsh: shingle → k-wide signature (single aggregation pass,
+  *    map-side combinable) → band buckets → candidate pairs only where a
+  *    band collides. Sub-quadratic; the shuffle carries one signature per
+  *    doc plus one row per (doc, band).
+  *  - simhash: 64-bit signature per doc; near-dup = small Hamming
+  *    distance. One explode over tokens, two aggregations.
+  */
+object Dedup {
+  /** Exact dedup: one keeper (min id) per identical content. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__h", sha2(col(textCol), 256))
+      .groupBy(col("__h").as("content_hash"))
+      .agg(min(idCol).as("keeper"), count(lit(1)).as("dups"))
+
+  /** Word n-gram shingles: (id, gram) rows via posexplode + lead —
+    * codegen-friendly (no higher-order functions). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int)
+      : DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy("__pos")
+    val tok = df.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
+    val withLeads = (1 until n).foldLeft(tok)((d, i) =>
+      d.withColumn(s"__w$i", lead(col("__w"), i).over(w)))
+    withLeads.filter(col(s"__w${n - 1}").isNotNull)
+      .select(col(idCol),
+        concat_ws(" ", (col("__w") +: (1 until n).map(i => col(s"__w$i"))): _*)
+          .as("gram"))
+      .distinct()
+  }
+
+  /** MinHash-LSH candidate pairs: docs whose signatures collide in at
+    * least one of `bands` bands (k hashes total, k % bands == 0). Returns
+    * (id_a, id_b, n_bands) with id_a < id_b. */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val sig = udaf(new MinHashAgg(k))
+    val sigs = shingles(df, idCol, textCol, shingleN)
+      .groupBy(idCol).agg(sig(col("gram")).as("sig"))
+    val banded = sigs.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+        .as(Seq("band", "band_sig")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_sig") === col("b.band_sig") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** 64-bit SimHash signature per document. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+        explode(split(col(textCol), " ")).as("__w"))
+      .withColumn("__h", xxhash64(col("__w")))
+    tok.select(col(idCol), col("__h"),
+        explode(sequence(lit(0), lit(63))).as("__b"))
+      .withColumn("__c",
+        when(expr("shiftright(__h, cast(__b as int)) & 1") === 1, 1)
+          .otherwise(-1))
+      .groupBy(idCol, "__b").agg(sum("__c").as("__s"))
+      .groupBy(idCol)
+      .agg(sum(when(col("__s") > 0,
+        expr("shiftleft(1L, cast(__b as int))")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures (for simhash pairs). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

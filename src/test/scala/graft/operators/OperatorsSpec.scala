@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The reusable operator API must agree with the oracle-checked declared
+  * queries wherever they overlap — one implementation semantics, two
+  * surfaces. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = Tables.table(spark, sf, "events")
+
+  test("TemporalJoins.intervalJoin == q_join_interval") {
+    val a = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("sid"), col("user_id"), col("ts").as("s_ts"))
+    val b = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("p_ts"))
+    val got = TemporalJoins.intervalJoin(a, b, Seq("user_id"),
+        "s_ts", "p_ts", "30 MINUTES")
+      .select(a("sid"), b("pid")).as[(Long, Long)].collect().toSet
+    val want = graft.SparkEntry.queries("q_join_interval")(spark, sf)
+      .select("sid", "pid").as[(Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("TemporalJoins.asofJoinBackward == q_join_asof") {
+    val err = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("ts").as("err_ts"))
+    val clk = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val got = TemporalJoins.asofJoinBackward(err, clk, Seq("user_id"),
+        "err_id", "err_ts", "click_ts", "click_id")
+      .select("err_id", "click_id")
+      .as[(Long, Option[Long])].collect().toSet
+    val want = graft.SparkEntry.queries("q_join_asof")(spark, sf)
+      .select("err_id", "click_id")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  private lazy val docs = Tables.table(spark, sf, "documents")
+
+  test("Dedup.exact == q_dedup_exact groups") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .select("keeper", "dups").as[(Long, Long)].collect().toSet
+    val want = graft.SparkEntry.queries("q_dedup_exact")(spark, sf)
+      .select("keeper", "dups").as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("Dedup.minhashLsh finds planted duplicates and self-consistency") {
+    val planted = docs.limit(20)
+      .union(docs.limit(5).withColumn("doc_id", col("doc_id") + 100000))
+    val pairs = Dedup.minhashLsh(planted, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    val exactDups = (0 until 5).map(i =>
+      docs.orderBy("doc_id").limit(5).collect()(i).getLong(0))
+    // every planted exact duplicate must collide in ALL bands
+    exactDups.foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 100000 &&
+        p._3 == 16), s"planted dup $id not found in $pairs")
+    }
+  }
+
+  test("Dedup.simhash: identical docs same signature; hamming works") {
+    val two = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
+      (3L, "k l m n o p q r s t")).toDF("doc_id", "text")
+    val sh = Dedup.simhash(two, "doc_id", "text")
+    val m = sh.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    val d = sh.as("x").crossJoin(sh.as("y"))
+      .filter(col("x.doc_id") === 1 && col("y.doc_id") === 3)
+      .select(Dedup.hamming(col("x.simhash"), col("y.simhash")))
+      .as[Long].head()
+    assert(d > 0)
+  }
+
+  private lazy val emb = Tables.table(spark, sf, "embeddings")
+
+  test("Similarity.topK == q_cosine_topk (modulo rounding)") {
+    val got = Similarity.topK(spark, emb, "vec_id", "embedding", 0L, 10)
+      .select(col("vec_id"), round(col("similarity"), 4).as("cs"))
+      .as[(Long, Double)].collect().toSeq
+    val want = graft.SparkEntry.queries("q_cosine_topk")(spark, sf)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("Similarity.ivfTopK == q_ann_ivf ids") {
+    val got = Similarity.ivfTopK(spark, emb, "vec_id", "embedding",
+        "label", 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val want = graft.SparkEntry.queries("q_ann_ivf")(spark, sf)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == want)
+  }
+
+  test("Similarity.nearDupPairs respects the block and threshold") {
+    val pairs = Similarity.nearDupPairs(spark, emb, "vec_id", "embedding",
+      "label", 0.2)
+    val labels = emb.select("vec_id", "label").as[(Long, Int)]
+      .collect().toMap
+    pairs.select("id_a", "id_b").as[(Long, Long)].collect().foreach {
+      case (a, b) =>
+        assert(labels(a) == labels(b), "pairs must stay within the block")
+        assert(a < b)
+    }
+  }
+}
