@@ -1,0 +1,65 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, SparkSpec, Tables}
+import graft.streaming.StreamOps
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file stream source: dropped parquet files become micro-batches") {
+    val dir = Files.createTempDirectory("graft_filestream").toFile
+    val out = s"file_stream_sink_${System.nanoTime()}"
+    val events = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val schema = events.schema
+    val q = StreamOps.tumblingCounts(
+        Sources.fileStream(spark, dir.getAbsolutePath, schema), "1 hour")
+      .writeStream.queryName(out).format("memory").outputMode("complete")
+      .start()
+    // drop the table into the directory as two file batches
+    val (h1, h2) = (events.filter(col("event_id") % 2 === 0),
+      events.filter(col("event_id") % 2 === 1))
+    h1.write.mode("append").parquet(dir.getAbsolutePath)
+    q.processAllAvailable()
+    h2.write.mode("append").parquet(dir.getAbsolutePath)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(out).collect().map(_.toSeq).toSet
+    val want = StreamOps.tumblingCounts(events, "1 hour")
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("rate source: streams synthetic rows") {
+    val q = Sources.rateStream(spark, 500)
+      .writeStream.queryName("rate_smoke").format("memory")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    Thread.sleep(1200)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("rate_smoke").count() > 0)
+  }
+
+  test("GraftSession.init exposes the full SQL surface (views + functions)") {
+    GraftSession.init(spark, sf)
+    val windowed = spark.sql(
+      """SELECT window.start AS ws, event_type, count(*) AS cnt
+         FROM events GROUP BY window(ts, '1 hour'), event_type""")
+    assert(windowed.count() > 0)
+    val sim = spark.sql(
+      """SELECT e.vec_id, cosine_sim(e.embedding, q.embedding) AS cs
+         FROM embeddings e JOIN embeddings q ON q.vec_id = 0
+         WHERE e.vec_id <> 0 ORDER BY cs DESC, e.vec_id LIMIT 5""")
+    val top = sim.as[(Long, Double)].collect()
+    assert(top.length == 5 && top.forall(t => t._2 <= 1.0 && t._2 >= -1.0))
+    // parity with the declared query key through the DataFrame surface
+    val viaKey = GraftSession.run(spark, sf, "q_cosine_topk")
+      .limit(5).as[(Long, Double)].collect()
+    assert(top.map(_._1).toSeq == viaKey.map(_._1).toSeq)
+  }
+}
