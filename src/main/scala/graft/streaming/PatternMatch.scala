@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A completed N-step pattern match: one event id per step, in order. */
+case class SeqMatch(user_id: Long, step_ids: Seq[Long],
+    start_ts: Timestamp, end_ts: Timestamp)
+
+/** Partial-match state: for each open partial, the ids matched so far and
+  * the timestamps of the first and last matched events. */
+case class PatternState(partials: List[(List[Long], Timestamp, Timestamp)])
+
+/** N-step CEP pattern detection (MATCH_RECOGNIZE-lite; SURVEY §2.9 C6
+  * generalized): detect `steps.head → steps(1) → … → steps.last` per key
+  * within a time budget, events in between allowed.
+  *
+  * Semantics (deterministic, and for 2 steps identical to [[CepSequence]]):
+  * events are processed in (ts, event_id) order; every event matching
+  * `steps.head` opens a partial; each partial advances greedily on the
+  * FIRST event matching its next step with ts strictly increasing; a
+  * partial completes when its last step matches within
+  * `start_ts + withinMs`. One event may advance several partials
+  * (each anchored at a different start event), so every start event gets
+  * its earliest completion — "every match, skip to next row".
+  *
+  * State is pruned to partials whose window can still complete, so per-key
+  * state is O(open starts in the window) — bounded for unbounded streams.
+  */
+object PatternMatch {
+  private def us(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  def detect(events: Dataset[CepEvent], steps: Seq[String], withinMs: Long)
+      : Dataset[SeqMatch] = {
+    require(steps.length >= 2, "a pattern needs at least 2 steps")
+    implicit val matchEnc = Encoders.product[SeqMatch]
+    implicit val stateEnc = Encoders.product[PatternState]
+    implicit val keyEnc = Encoders.scalaLong
+    val withinUs = withinMs * 1000L
+    val n = steps.length
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatternState, SeqMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[CepEvent], state: GroupState[PatternState]) =>
+          var partials = state.getOption.map(_.partials).getOrElse(Nil)
+          val out = List.newBuilder[SeqMatch]
+          val batch = it.toArray.sortBy(e => (us(e.ts), e.event_id))
+          var maxTs = 0L
+          batch.foreach { e =>
+            val t = us(e.ts)
+            if (t > maxTs) maxTs = t
+            // advance existing partials (greedy-first: a partial consumes
+            // the first event matching its next step)
+            partials = partials.flatMap { case p @ (ids, st, last) =>
+              val next = ids.length // 0-based index of the awaited step
+              if (next < n && e.event_type == steps(next) &&
+                  t > us(last) && t <= us(st) + withinUs) {
+                val ids2 = e.event_id :: ids
+                if (ids2.length == n) {
+                  out += SeqMatch(user, ids2.reverse, st, e.ts)
+                  Nil // completed
+                } else List((ids2, st, e.ts))
+              } else List(p)
+            }
+            // open a new partial on a start event
+            if (e.event_type == steps.head)
+              partials = (List(e.event_id), e.ts, e.ts) :: partials
+          }
+          partials = partials.filter { case (_, st, _) =>
+            us(st) + withinUs >= maxTs
+          }
+          state.update(PatternState(partials))
+          out.result().iterator
+      }
+  }
+}

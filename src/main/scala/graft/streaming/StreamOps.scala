@@ -65,4 +65,22 @@ object StreamOps {
   /** Attach an event-time watermark (late-data bound). */
   def withLateness(events: DataFrame, delay: String): DataFrame =
     events.withWatermark("ts", delay)
+
+  /** Stream–stream interval join (SURVEY §2.3 J9): rows of `right` within
+    * (leftTs, leftTs + interval] of a matching-key `left` row, both sides
+    * unbounded streams. The watermarks + the time-range condition bound
+    * the join state on both sides (StreamingSymmetricHashJoinExec evicts
+    * rows once the watermark passes leftTs + interval) — the property the
+    * reference obtained by windowing both streams before joining.
+    * Column names must be disjoint except the key columns. */
+  def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
+      key: Seq[String], leftTs: String, rightTs: String, interval: String,
+      lateness: String): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    val cond = key.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTs) > l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $interval")
+    l.join(r, cond)
+  }
 }

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class StreamJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream-stream interval join == batch q_join_interval") {
+    implicit val sq = spark.sqlContext
+    val signups = MemoryStream[CepEvent]
+    val purchases = MemoryStream[CepEvent]
+    val l = signups.toDF().select(col("event_id").as("sid"), col("user_id"),
+      col("ts").as("s_ts"))
+    val r = purchases.toDF().select(col("event_id").as("pid"),
+      col("user_id"), col("ts").as("p_ts"))
+    val joined = StreamOps.streamStreamIntervalJoin(
+        l, r, Seq("user_id"), "s_ts", "p_ts", "30 MINUTES", "10 minutes")
+      .select(col("sid"), col("pid"))
+    val name = "ssj_test"
+    val q = joined.writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val ev = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[CepEvent].orderBy("ts", "event_id").collect()
+    ev.grouped(300).foreach { chunk =>
+      signups.addData(chunk.filter(_.event_type == "signup").toSeq)
+      purchases.addData(chunk.filter(_.event_type == "purchase").toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table(name).as[(Long, Long)].collect().toSet
+    val want = graft.SparkEntry.queries("q_join_interval")(spark, sf)
+      .select("sid", "pid").as[(Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("RocksDB state store provider works for stateful streaming") {
+    // isolated session state: conf change must not leak to other suites
+    val s2 = spark.newSession()
+    StreamingConf.applyTo(s2)
+    assert(s2.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    implicit val sq = s2.sqlContext
+    import s2.implicits._
+    val stream = MemoryStream[CepEvent]
+    val q = StreamOps.tumblingCounts(stream.toDF(), "1 hour")
+      .writeStream.queryName("rocks_test").format("memory")
+      .outputMode("complete").start()
+    def ev(id: Long, t: String, ty: String) =
+      CepEvent(id, Timestamp.valueOf(t), 1L, ty, 1.0)
+    stream.addData(ev(1, "2024-01-01 10:05:00", "click"),
+      ev(2, "2024-01-01 10:15:00", "click"))
+    q.processAllAvailable()
+    stream.addData(ev(3, "2024-01-01 10:25:00", "click"))
+    q.processAllAvailable() // incremental update hits RocksDB state
+    val cnt = s2.table("rocks_test")
+      .filter(col("event_type") === "click").select("cnt")
+      .as[Long].collect().max
+    q.stop()
+    assert(cnt == 3, "state must accumulate across micro-batches in RocksDB")
+  }
+}
