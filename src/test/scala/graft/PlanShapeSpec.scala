@@ -62,4 +62,19 @@ class PlanShapeSpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
+
+  test("approx_count_distinct is within 5% of exact (SURVEY A6 bound)") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.table(spark, sf, "events")
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, sf)
+      .select("event_type", "nd_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("nd")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k).toDouble
+      assert(math.abs(ap - ex) / ex <= 0.05, s"$k: approx $ap vs exact $ex")
+    }
+  }
 }
