@@ -170,9 +170,59 @@ object Relational {
       T(s, dir, "orders")
         .withColumn("rn", row_number().over(w).cast("long"))
         .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("nt", ntile(4).over(w).cast("long"))
         .filter(col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk")
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk", "nt")
         .orderBy("o_custkey", "rn")
+    }),
+
+    // W4 — RANGE frame over a numeric ORDER BY (peer-inclusive, so the
+    // result is tie-order-independent by construction).
+    "q_window_range" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .withColumn("rsum", round(expr(
+          """sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice
+             RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)"""), 2))
+        .select("o_custkey", "o_orderkey", "rsum")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // U2b — INTERSECT ALL / EXCEPT ALL (multiset semantics).
+    "q_setops_all" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val x = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderpriority").as("pri"))
+      val y = o.filter(col("o_totalprice") > 100000.0)
+        .select(col("o_orderpriority").as("pri"))
+      val i = x.intersectAll(y).groupBy("pri")
+        .agg(count(lit(1)).as("cnt")).withColumn("op", lit("intersect_all"))
+      val e = x.exceptAll(y).groupBy("pri")
+        .agg(count(lit(1)).as("cnt")).withColumn("op", lit("except_all"))
+      i.union(e).select("op", "pri", "cnt").orderBy("op", "pri")
+    }),
+
+    // Exact percentiles (linear interpolation in both engines).
+    "q_percentile" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(fround(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          fround(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Pivot: per-user event-type count matrix (explicit value list keeps
+    // the output schema deterministic; DuckDB oracle via FILTER aggs).
+    "q_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = T(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      types.foldLeft(p)((df, t) =>
+          df.withColumn(t, coalesce(col(t), lit(0L))))
+        .orderBy("user_id")
     }),
 
     // W2 — running total over rowsBetween(unboundedPreceding, currentRow).
@@ -342,14 +392,49 @@ object Relational {
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY st, pri""",
     "q_window_rank" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk FROM (
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, nt FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn,
              rank() OVER (PARTITION BY o_custkey
-                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+             ntile(4) OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS nt
            FROM orders) t
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice
+           RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW), 2) AS rsum
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_setops_all" ->
+      """SELECT 'intersect_all' AS op, pri, count(*) AS cnt FROM (
+           SELECT o_orderpriority AS pri FROM orders WHERE o_orderstatus = 'F'
+           INTERSECT ALL
+           SELECT o_orderpriority FROM orders WHERE o_totalprice > 100000.0) a
+         GROUP BY pri
+         UNION ALL
+         SELECT 'except_all' AS op, pri, count(*) AS cnt FROM (
+           SELECT o_orderpriority AS pri FROM orders WHERE o_orderstatus = 'F'
+           EXCEPT ALL
+           SELECT o_orderpriority FROM orders WHERE o_totalprice > 100000.0) b
+         GROUP BY pri
+         ORDER BY op, pri""",
+    "q_percentile" ->
+      """SELECT l_returnflag,
+         floor(quantile_cont(l_quantity, 0.5) * 10000 + 0.5) / 10000 AS p50,
+         floor(quantile_cont(l_quantity, 0.9) * 10000 + 0.5) / 10000 AS p90,
+         count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_pivot" ->
+      """SELECT user_id,
+         count(*) FILTER (event_type = 'click') AS click,
+         count(*) FILTER (event_type = 'error') AS error,
+         count(*) FILTER (event_type = 'purchase') AS purchase,
+         count(*) FILTER (event_type = 'signup') AS signup,
+         count(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
          round(sum(o_totalprice) OVER (
