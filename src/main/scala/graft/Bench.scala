@@ -29,12 +29,12 @@ object Bench {
     // BASELINE.md metric names -> our equivalent declared keys, so the
     // per-round bench is directly comparable to the measured baseline.
     val aliases = Map(
-      "agg_groupby" -> "q_agg_groupby", "join_3way" -> "q_join_broadcast",
+      "agg_groupby" -> "q_agg_groupby", "join_3way" -> "q_join_3way",
       "window_rank" -> "q_window_rank", "tumbling_1h" -> "q_window_tumbling",
       "sliding_30m_10m" -> "q_window_sliding",
-      "approx_distinct" -> "q_approx_distinct", "topk_sort" -> "q_topk",
+      "approx_distinct" -> "q_approx_global", "topk_sort" -> "q_topk",
       "json_extract" -> "q_json_extract",
-      "minhash_dedup_proxy" -> "q_minhash_band",
+      "minhash_dedup_proxy" -> "q_dedup_exact",
       "cosine_knn_proxy" -> "q_cosine_topk")
     val rmap = results.toMap
     val base = aliases.collect { case (a, k) if rmap.contains(k) =>

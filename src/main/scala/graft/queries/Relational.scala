@@ -52,6 +52,21 @@ object Relational {
         .orderBy("r_name", "n_name")
     }),
 
+    // J2b — the BASELINE.md join_3way shape verbatim (orders⋈customer⋈
+    // nation + group agg) so BENCH is apples-to-apples with the measured
+    // baseline; q_join_broadcast is the heavier 5-way star.
+    "q_join_3way" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer")
+      val n = T(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("n_name")
+    }),
+
     // J3 — left outer with a join-side predicate (keeps unmatched rows).
     "q_join_outer" -> ((s, dir) => {
       val c = T(s, dir, "customer")
@@ -151,6 +166,13 @@ object Relational {
           coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
           col("cnt"), col("sum_price"))
         .orderBy("st", "pri")
+    }),
+
+    // A6b — the BASELINE.md approx_distinct shape verbatim (one global
+    // HLL) for apples-to-apples BENCH; rows-only like all sketches.
+    "q_approx_global" -> ((s, dir) => {
+      T(s, dir, "events")
+        .agg(approx_count_distinct(col("user_id")).as("nd_users"))
     }),
 
     // A6 — HLL sketch; deterministic per engine but engine-specific →
@@ -342,6 +364,12 @@ object Relational {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_join_3way" ->
+      """SELECT n_name, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
     "q_join_outer" ->
       """SELECT c_custkey, count(o_orderkey) AS cnt_orders
          FROM customer LEFT JOIN orders
