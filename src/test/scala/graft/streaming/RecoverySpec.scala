@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.sources.Sources
+
+/** Fault-tolerance parity (SURVEY §2.9 C8): the reference persisted window
+  * state in Redis so a restarted engine resumed where it left off; in
+  * graft the checkpoint (offsets + state store) provides that. This test
+  * stops a running windowed aggregation mid-stream and restarts a NEW
+  * query object from the same checkpoint: output must contain every input
+  * exactly once — no loss, no reprocessing duplicates.
+  */
+class RecoverySpec extends SparkSpec {
+  test("windowed agg resumes from checkpoint: exactly-once across restart") {
+    val in = Files.createTempDirectory("graft_recov_in").toFile
+    val outDir = Files.createTempDirectory("graft_recov_out").toFile
+    val ckpt = Files.createTempDirectory("graft_recov_ckpt").toFile
+    val events = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val schema = events.schema
+
+    def startQuery() =
+      Sources.fileStream(spark, in.getAbsolutePath, schema)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+        .writeStream
+        .format("parquet")
+        .option("path", outDir.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append")
+        .start()
+
+    // split by TIME (not id) so phase-2 data is newer than the restored
+    // watermark; the cut is mid-hour so the straddling window needs state
+    // merged across the restart
+    val cut = "2024-01-01 05:30:00"
+    val (h1, h2) = (events.filter(col("ts") < lit(cut)),
+      events.filter(col("ts") >= lit(cut)))
+
+    // phase 1: first half, then stop (simulated failure/redeploy)
+    h1.write.mode("append").parquet(in.getAbsolutePath)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+
+    // phase 2: second half arrives while "down"; restart from checkpoint
+    h2.write.mode("append").parquet(in.getAbsolutePath)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    // compare against batch on everything the watermark finalized;
+    // append + watermark 0s means all windows before the max ts of the
+    // last batch are emitted. The final (partial) window may be missing —
+    // exclude the batch rows at/after the last finalized window.
+    val got = spark.read.parquet(outDir.getAbsolutePath)
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+    val gotSet = got.collect().map(_.toSeq).toSet
+    val batchSet = batch.collect().map(_.toSeq).toSet
+    // no duplicates (exactly-once file sink)
+    assert(got.count() == got.distinct().count(), "sink must not duplicate")
+    // everything emitted matches batch truth exactly
+    assert(gotSet.subsetOf(batchSet),
+      s"emitted rows must match batch; extras: ${gotSet -- batchSet}")
+    // THE recovery assertion: the 05:00 window spans the restart — its
+    // counts require the phase-1 state restored from the checkpoint to be
+    // merged with phase-2 rows. It must equal the batch truth exactly.
+    val straddleWs = java.sql.Timestamp.valueOf("2024-01-01 05:00:00")
+    val gotStraddle = got.filter(col("ws") === lit(straddleWs))
+      .collect().map(_.toSeq).toSet
+    val batchStraddle = batch.filter(col("ws") === lit(straddleWs))
+      .collect().map(_.toSeq).toSet
+    assert(gotStraddle == batchStraddle && gotStraddle.nonEmpty,
+      s"straddle window must merge state across restart: " +
+        s"got $gotStraddle want $batchStraddle")
+    // and phase-2 windows were processed after the restart
+    assert(gotSet.exists(_.head.asInstanceOf[java.sql.Timestamp]
+      .after(straddleWs)), "post-restart windows must be emitted")
+  }
+}
