@@ -137,7 +137,7 @@ object Cep {
       """WITH g AS (
            SELECT user_id, ts,
              CASE WHEN ts - lag(ts) OVER
-               (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
+               (PARTITION BY user_id ORDER BY ts) > INTERVAL 5 MINUTE
                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
              THEN 1 ELSE 0 END AS new_s
            FROM events),

@@ -1,0 +1,78 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Boundary semantics, pinned with crafted rows — these are the contracts
+  * the oracle comparisons rely on and the exact edges a migrating user
+  * will hit (window inclusivity, tie-breaks, session gap equality). */
+class EdgeSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("interval join: (leftTs, leftTs+w] — exclusive start, inclusive end") {
+    val a = Seq((1L, 7L, ts("2024-01-01 10:00:00")))
+      .toDF("sid", "user_id", "s_ts")
+    val b = Seq(
+      (10L, 7L, ts("2024-01-01 10:00:00")),   // == s_ts   → excluded
+      (11L, 7L, ts("2024-01-01 10:30:00")),   // == s_ts+w → included
+      (12L, 7L, ts("2024-01-01 10:30:00.000001"))) // just past → excluded
+      .toDF("pid", "user_id", "p_ts")
+    val got = TemporalJoins.intervalJoin(a, b, Seq("user_id"),
+        "s_ts", "p_ts", "30 MINUTES")
+      .select("pid").as[Long].collect().toSet
+    assert(got == Set(11L))
+  }
+
+  test("as-of join: <= boundary matches; equal-ts ties break by max id") {
+    val err = Seq((1L, 7L, ts("2024-01-01 10:00:00")))
+      .toDF("err_id", "user_id", "err_ts")
+    val clk = Seq(
+      (20L, 7L, ts("2024-01-01 10:00:00")),  // == err_ts, eligible
+      (21L, 7L, ts("2024-01-01 10:00:00")),  // tie: higher id wins
+      (19L, 7L, ts("2024-01-01 09:00:00")))
+      .toDF("click_id", "user_id", "click_ts")
+    val got = TemporalJoins.asofJoinBackward(err, clk, Seq("user_id"),
+        "err_id", "err_ts", "click_ts", "click_id")
+      .select("click_id").as[Option[Long]].collect()
+    assert(got.toSeq == Seq(Some(21L)))
+  }
+
+  test("as-of join keeps unmatched left rows with nulls") {
+    val err = Seq((1L, 7L, ts("2024-01-01 10:00:00")))
+      .toDF("err_id", "user_id", "err_ts")
+    val clk = Seq((20L, 7L, ts("2024-01-01 11:00:00"))) // after → no match
+      .toDF("click_id", "user_id", "click_ts")
+    val got = TemporalJoins.asofJoinBackward(err, clk, Seq("user_id"),
+        "err_id", "err_ts", "click_ts", "click_id")
+      .select("click_id").as[Option[Long]].collect()
+    assert(got.toSeq == Seq(None))
+  }
+
+  test("session window: gap == 5 min starts a NEW session; < 5 min merges") {
+    def sessions(t2: String): Long = {
+      val df = Seq((1L, ts("2024-01-01 10:00:00")), (1L, ts(t2)))
+        .toDF("user_id", "ts")
+      df.groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .count().count()
+    }
+    // pinned Spark semantics: the merge bound is INCLUSIVE — an event at
+    // exactly prev_ts + gap still extends the session (the oracle for
+    // q_window_session uses `> gap` for new-session accordingly)
+    assert(sessions("2024-01-01 10:05:00") == 1,
+      "gap exactly == 5 min merges (inclusive bound)")
+    assert(sessions("2024-01-01 10:05:00.000001") == 2,
+      "gap just over 5 min starts a new session")
+  }
+
+  test("tumbling window boundary: event at hh:00 belongs to the new hour") {
+    val df = Seq((1L, ts("2024-01-01 11:00:00"))).toDF("user_id", "ts")
+    val ws = df.groupBy(window(col("ts"), "1 hour")).count()
+      .select(col("window.start")).as[Timestamp].head()
+    assert(ws == ts("2024-01-01 11:00:00"))
+  }
+}
