@@ -94,6 +94,26 @@ object Cep {
         .orderBy("sid")
     }),
 
+    // C6b — CEP absence pattern: signups NOT followed by a purchase within
+    // 30 min (negation is the other half of sequence CEP; streaming twin
+    // is AbsenceDetector — event-time timers fire on the deadline).
+    "q_cep_absence" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val a = e.filter(col("event_type") === "signup")
+        .select(col("event_id").as("sid"), col("user_id"),
+          col("ts").as("s_ts"))
+      val b = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("uid_b"),
+          col("ts").as("p_ts"))
+      a.join(b,
+          col("user_id") === col("uid_b") &&
+          col("p_ts") > col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES"),
+          "left_anti")
+        .select("sid", "user_id", "s_ts")
+        .orderBy("sid")
+    }),
+
     // J8 — as-of join: for every error event, the latest click by the same
     // user at/before it. Composition: theta join + row_number, which at
     // scale becomes a per-user sort-merge — the idiomatic Spark as-of.
@@ -163,6 +183,14 @@ object Cep {
             AND a.event_type = 'signup' AND b.event_type = 'purchase'
             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE) t
          WHERE rn = 1 ORDER BY sid""",
+    "q_cep_absence" ->
+      """SELECT a.event_id AS sid, a.user_id, a.ts AS s_ts
+         FROM events a
+         WHERE a.event_type = 'signup' AND NOT EXISTS (
+           SELECT 1 FROM events b
+           WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE)
+         ORDER BY sid""",
     "q_join_asof" ->
       """SELECT e.event_id AS err_id, e.user_id, e.ts AS err_ts,
          c.event_id AS click_id, c.ts AS click_ts

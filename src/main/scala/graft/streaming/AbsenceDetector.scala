@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+
+/** An emitted absence: a `first` event with NO `second` within the window. */
+case class AbsenceMatch(user_id: Long, sid: Long, s_ts: Timestamp)
+
+/** CEP negation / absence pattern (streaming twin of `q_cep_absence`):
+  * emit each `first` event for which no `second` arrives within
+  * `withinMs`. This is the pattern that REQUIRES timers — a match is
+  * known only when the deadline passes with nothing seen, so the emit is
+  * driven by the watermark crossing s_ts + within, not by any input row.
+  * (The reference's processing-time engine could only approximate this;
+  * event-time timers make it exact.) Requires the RocksDB provider.
+  */
+class AbsenceProcessor(first: String, second: String, withinMs: Long)
+    extends StatefulProcessor[Long, CepEvent, AbsenceMatch] {
+  @transient private var open: ListState[OpenFirst] = _
+
+  private def us(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getListState[OpenFirst]("absence_open",
+      Encoders.product[OpenFirst], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[CepEvent],
+      timers: TimerValues): Iterator[AbsenceMatch] = {
+    var opens = if (open.exists()) open.get().toList else Nil
+    val batch = rows.toArray.sortBy(e => (us(e.ts), e.event_id))
+    batch.foreach { e =>
+      val t = us(e.ts)
+      if (e.event_type == second)
+        // a second cancels every open first whose window covers it
+        opens = opens.filterNot(o =>
+          t > us(o.ts) && t <= us(o.ts) + withinMs * 1000L)
+      if (e.event_type == first) {
+        opens = OpenFirst(e.event_id, e.ts) :: opens
+        // +1 ms: getTime truncates the microsecond part, so the true
+        // (micro-precision) deadline lies inside the truncated ms — the
+        // timer must fire strictly after it
+        getHandle.registerTimer(e.ts.getTime + withinMs + 1)
+      }
+    }
+    if (opens.isEmpty) open.clear() else open.put(opens.toArray)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      info: ExpiredTimerInfo): Iterator[AbsenceMatch] = {
+    val expiryMs = info.getExpiryTimeInMs
+    val opens = if (open.exists()) open.get().toList else Nil
+    // every open first whose window has fully elapsed is a confirmed
+    // absence (its second never arrived — else it would have been
+    // removed). Compare in the same ms domain the timer was registered in.
+    val (due, keep) = opens.partition(o =>
+      o.ts.getTime + withinMs + 1 <= expiryMs)
+    if (keep.isEmpty) open.clear() else open.put(keep.toArray)
+    due.sortBy(o => (us(o.ts), o.id))
+      .map(o => AbsenceMatch(key, o.id, o.ts)).iterator
+  }
+}
+
+object AbsenceDetector {
+  def detect(events: Dataset[CepEvent], first: String, second: String,
+      withinMs: Long, lateness: String): Dataset[AbsenceMatch] = {
+    implicit val enc = Encoders.product[AbsenceMatch]
+    implicit val keyEnc = Encoders.scalaLong
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .transformWithState(new AbsenceProcessor(first, second, withinMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}
