@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's signature optimization — incremental sliding-window
+  * aggregation via per-slide panes ("add the new pane, retire the expired
+  * pane", SURVEY §0.1.2 [R]) — expressed relationally as a first-class
+  * operator.
+  *
+  * `window(ts, w, s)` assigns every ROW to w/s windows: the expand factor
+  * multiplies the SCAN. [[slidingViaPanes]] instead aggregates rows once
+  * into w/s-minute panes and replicates only the PANE PARTIALS (a few
+  * thousand rows) into the windows that contain them, merging partials —
+  * at 100 TB this turns "shuffle w/s × the fact table" into "shuffle the
+  * fact table once + a trivial pane merge", the same asymptotics the
+  * reference bought with Redis pane state.
+  *
+  * Correctness rests on the merge algebra (count/sum/min/max are
+  * commutative monoids over panes) — pinned by `PaneMergeSpec` on random
+  * data and by `PanesSpec` against `window()` on the events table.
+  * (avg = merged sum / merged count; distinct-style aggregates are NOT
+  * pane-mergeable — use sketches.)
+  */
+object Panes {
+  /** Sliding count/sum/min/max via tumbling-pane pre-aggregation.
+    *
+    * @param aggs (columnName, fn) with fn ∈ count|sum|min|max; output
+    *             column is named `fn_columnName` (count → `cnt`).
+    * @return one row per (ws [+ keys]) with the merged aggregates —
+    *         identical to grouping by `window(ts, window, slide)`.
+    */
+  def slidingViaPanes(df: DataFrame, tsCol: String, window_ : String,
+      slide: String, aggs: Seq[(String, String)], keys: Seq[String] = Nil)
+      : DataFrame = {
+    val panes = (parseDuration(window_) / parseDuration(slide)).toInt
+    require(panes.toLong * parseDuration(slide) == parseDuration(window_),
+      s"slide must divide window ($window_ / $slide)")
+
+    def partial(c: (String, String)): Column = c._2 match {
+      case "count" => count(lit(1)).as("cnt")
+      case "sum" => sum(c._1).as(s"sum_${c._1}")
+      case "min" => min(c._1).as(s"min_${c._1}")
+      case "max" => max(c._1).as(s"max_${c._1}")
+      case other => throw new IllegalArgumentException(
+        s"'$other' is not pane-mergeable (count|sum|min|max)")
+    }
+    def name(c: (String, String)): String =
+      if (c._2 == "count") "cnt" else s"${c._2}_${c._1}"
+    def merge(c: (String, String)): Column = c._2 match {
+      case "count" => sum("cnt").as("cnt")
+      case "sum" => sum(name(c)).as(name(c))
+      case "min" => min(name(c)).as(name(c))
+      case "max" => max(name(c)).as(name(c))
+    }
+
+    val paneAgg = df
+      .groupBy((window(col(tsCol), slide).getField("start").as("ps") +:
+        keys.map(col)): _*)
+      .agg(partial(aggs.head), aggs.tail.map(partial): _*)
+    paneAgg
+      .select((col("*") +: Seq(
+        explode(sequence(lit(0), lit(panes - 1))).as("k"))): _*)
+      .select((col("ps") - col("k") * expr(s"INTERVAL $slide")).as("ws") +:
+        (keys.map(col) ++ aggs.map(c => col(name(c)))): _*)
+      .groupBy(("ws" +: keys).map(col): _*)
+      .agg(merge(aggs.head), aggs.tail.map(merge): _*)
+  }
+
+  /** Duration string → microseconds (delegates to Catalyst's parser). */
+  private def parseDuration(d: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(d))
+    require(iv.months == 0, "month-based windows are not fixed-length")
+    iv.days * 86400000000L + iv.microseconds
+  }
+}

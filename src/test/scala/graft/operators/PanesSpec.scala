@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class PanesSpec extends SparkSpec {
+
+  test("slidingViaPanes == window() sliding aggregation on events") {
+    val e = Tables.table(spark, sf, "events")
+    val direct = e
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"),
+        min("value").as("min_value"), max("value").as("max_value"))
+      .select(col("window.start").as("ws"), col("cnt"),
+        round(col("sum_value"), 2).as("sum_value"),
+        col("min_value"), col("max_value"))
+    val paned = Panes.slidingViaPanes(e, "ts", "30 minutes", "10 minutes",
+        Seq(("value", "count"), ("value", "sum"), ("value", "min"),
+          ("value", "max")))
+      .select(col("ws"), col("cnt"), round(col("sum_value"), 2)
+        .as("sum_value"), col("min_value"), col("max_value"))
+    val d = direct.collect().map(_.toSeq).toSet
+    val p = paned.collect().map(_.toSeq).toSet
+    assert(p == d && p.nonEmpty)
+  }
+
+  test("slidingViaPanes with keys == keyed window() aggregation") {
+    val e = Tables.table(spark, sf, "events")
+    val direct = e
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+    val paned = Panes.slidingViaPanes(e, "ts", "1 hour", "30 minutes",
+      Seq(("value", "count")), keys = Seq("event_type"))
+    assert(paned.collect().map(_.toSeq).toSet ==
+      direct.collect().map(_.toSeq).toSet)
+  }
+
+  test("rejects non-mergeable aggregates and non-dividing slides") {
+    val e = Tables.table(spark, sf, "events")
+    intercept[IllegalArgumentException] {
+      Panes.slidingViaPanes(e, "ts", "30 minutes", "10 minutes",
+        Seq(("value", "avg"))).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Panes.slidingViaPanes(e, "ts", "30 minutes", "7 minutes",
+        Seq(("value", "count"))).collect()
+    }
+  }
+}

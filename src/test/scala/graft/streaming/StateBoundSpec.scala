@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.{SparkSpec, Tables}
+
+/** SCALE.md claims CEP state is O(open matches), not O(stream length) —
+  * assert it from the engine's own state-store metrics, not from prose. */
+class StateBoundSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CepSequence state rows stay bounded by key count, not events seen") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val q = CepSequence.detect(stream.toDS(), "signup", "purchase",
+        30L * 60 * 1000)
+      .writeStream.queryName("state_bound").format("memory")
+      .outputMode("append").start()
+    val data = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[CepEvent].orderBy("ts", "event_id").collect()
+    val users = data.map(_.user_id).distinct.length
+    var maxStateRows = 0L
+    data.grouped(100).foreach { c =>
+      stream.addData(c.toSeq)
+      q.processAllAvailable()
+      val p = q.lastProgress
+      if (p != null && p.stateOperators.nonEmpty)
+        maxStateRows = math.max(maxStateRows,
+          p.stateOperators.map(_.numRowsTotal).max)
+    }
+    q.stop()
+    // 1000 events streamed; state must track open-signup lists per user,
+    // i.e. at most one state row per user — never the event count
+    assert(maxStateRows <= users,
+      s"state rows $maxStateRows exceeded user count $users")
+    assert(maxStateRows > 0, "state metrics should have been recorded")
+  }
+}
