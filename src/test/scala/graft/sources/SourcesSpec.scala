@@ -45,6 +45,25 @@ class SourcesSpec extends SparkSpec {
     assert(spark.table("rate_smoke").count() > 0)
   }
 
+  test("streaming DF registered as temp view is SQL-queryable (S4)") {
+    // the reference's registerDStreamAsTable: attach a name to a live
+    // stream, then run SQL against it continuously
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val stream = MemoryStream[graft.streaming.CepEvent]
+    stream.toDF().createOrReplaceTempView("live_events")
+    val q = spark.sql(
+      """SELECT window.start AS ws, event_type, count(*) AS cnt
+         FROM live_events GROUP BY window(ts, '1 hour'), event_type""")
+      .writeStream.queryName("s4_view").format("memory")
+      .outputMode("complete").start()
+    stream.addData(graft.streaming.CepEvent(1,
+      java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("s4_view").count() == 1)
+  }
+
   test("GraftSession.init exposes the full SQL surface (views + functions)") {
     GraftSession.init(spark, sf)
     val windowed = spark.sql(
