@@ -45,7 +45,11 @@ object Dedup {
 
   /** MinHash-LSH candidate pairs: docs whose signatures collide in at
     * least one of `bands` bands (k hashes total, k % bands == 0). Returns
-    * (id_a, id_b, n_bands) with id_a < id_b. */
+    * (id_a, id_b, n_bands) with id_a < id_b. These are CANDIDATES — before
+    * deleting against them, either require a high `n_bands` (n_bands ==
+    * bands ≈ exact/near-exact duplicates) or verify with exact shingle
+    * Jaccard; feeding raw candidates to [[Components.resolveDuplicates]]
+    * clusters merely-similar documents too. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "bands must divide k")
