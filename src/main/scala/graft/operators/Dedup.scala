@@ -69,6 +69,31 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Exact-Jaccard verification of candidate pairs: computes the true
+    * shingle Jaccard for ONLY the candidate pairs (never all-pairs) and
+    * keeps those ≥ `threshold`. The standard second stage after
+    * [[minhashLsh]]; its output is safe to feed to
+    * [[Components.resolveDuplicates]]. */
+  def verifyJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, threshold: Double): DataFrame = {
+    val g = shingles(df, idCol, textCol, shingleN).persist()
+    val sizes = g.groupBy(idCol).agg(count(lit(1)).as("__n"))
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val inter = p
+      .join(g.select(col(idCol).as("id_a"), col("gram")), "id_a")
+      .join(g.select(col(idCol).as("id_b"), col("gram").as("__g2")), "id_b")
+      .filter(col("gram") === col("__g2"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__i"))
+    p.join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("__i"))
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")), "id_b")
+      .withColumn("jaccard", col("__i").cast("double") /
+        (col("__na") + col("__nb") - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** 64-bit SimHash signature per document. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol),

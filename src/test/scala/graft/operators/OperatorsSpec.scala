@@ -66,6 +66,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Dedup.verifyJaccard keeps true dups, drops merely-similar pairs") {
+    val docs = Tables.table(spark, sf, "documents")
+    val planted = docs.limit(20)
+      .union(docs.limit(5).withColumn("doc_id", col("doc_id") + 100000))
+    val cands = Dedup.minhashLsh(planted, "doc_id", "text")
+    val verified = Dedup.verifyJaccard(cands, planted, "doc_id", "text",
+      3, 0.95).as[(Long, Long, Double)].collect()
+    // all 5 planted identical pairs survive with jaccard exactly 1.0
+    val plantedPairs = verified.filter(_._2 >= 100000)
+    assert(plantedPairs.length == 5, verified.mkString(","))
+    assert(plantedPairs.forall(v => v._2 == v._1 + 100000 && v._3 == 1.0))
+    // anything else surviving 0.95 is a genuine corpus near-dup, not noise
+    verified.filterNot(_._2 >= 100000).foreach { v =>
+      assert(v._3 >= 0.95 && v._3 < 1.0, v.toString)
+    }
+  }
+
   test("Dedup.simhash: identical docs same signature; hamming works") {
     val two = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
       (3L, "k l m n o p q r s t")).toDF("doc_id", "text")
