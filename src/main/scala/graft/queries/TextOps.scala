@@ -55,6 +55,17 @@ object TextOps {
         .orderBy("h")
     }),
 
+    // L1b — the BASELINE.md minhash_dedup_proxy shape verbatim
+    // (countDistinct(text) per lang) for apples-to-apples BENCH; the real
+    // dedup ops are q_dedup_exact / q_minhash_band / operators.Dedup.
+    "q_dedup_proxy" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .groupBy("lang")
+        .agg(countDistinct(col("text")).as("nd_text"),
+          count(lit(1)).as("cnt"))
+        .orderBy("lang")
+    }),
+
     // L2 — MinHash signatures + LSH banding, cross-engine-checkable via
     // md5-derived permutation hashes: 16 hashes, 4 bands × 4 rows.
     // All 16 min-hashes are computed in ONE aggregation pass (map-side
@@ -230,6 +241,9 @@ object TextOps {
     "q_dedup_exact" ->
       """SELECT sha256(text) AS h, min(doc_id) AS keeper, count(*) AS dups
          FROM documents GROUP BY 1 ORDER BY h""",
+    "q_dedup_proxy" ->
+      """SELECT lang, count(DISTINCT text) AS nd_text, count(*) AS cnt
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q_minhash_band" ->
       """WITH t AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
