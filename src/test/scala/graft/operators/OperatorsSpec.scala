@@ -116,6 +116,54 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("Similarity.lshBuckets: deterministic, collision-friendly for near vectors") {
+    val planes = Similarity.hyperplanes(12, 64)
+    val b1 = Similarity.lshBuckets(spark, emb, "embedding", planes)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    val b2 = Similarity.lshBuckets(spark, emb, "embedding", planes)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(b1 == b2, "bucketing must be deterministic")
+    assert(b1.values.toSet.size > 10, "buckets must actually spread")
+    // identical vectors always collide
+    val dup = emb.limit(5).withColumn("vec_id", col("vec_id") + 100000)
+    val withDup = Similarity.lshBuckets(spark, emb.limit(5).union(dup),
+        "embedding", planes)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    (0 until 5).foreach { i =>
+      val id = emb.orderBy("vec_id").limit(5).collect()(i).getLong(0)
+      assert(withDup(id) == withDup(id + 100000))
+    }
+    // near neighbors agree on more sign bits than random pairs (on avg)
+    val top = graft.SparkEntry.queries("q_embed_neardup")(spark, sf)
+      .select("ia", "ib").as[(Long, Long)].collect()
+    def agree(p: (Long, Long)): Int =
+      64 - java.lang.Long.bitCount(b1(p._1) ^ b1(p._2)) - (64 - planes.size)
+    val nearAgree = top.map(agree).sum.toDouble / top.length
+    val ids = b1.keys.toArray.sorted
+    val randPairs = ids.take(20).flatMap(a => ids.takeRight(20).map(b => (a, b)))
+      .filter(p => p._1 < p._2).take(top.length)
+    val randAgree = randPairs.map(agree).sum.toDouble / randPairs.length
+    assert(nearAgree > randAgree,
+      s"near pairs should agree on more LSH bits: $nearAgree vs $randAgree")
+  }
+
+  test("Similarity.lshCandidates catches exact/near duplicates") {
+    val dup = emb.limit(30).withColumn("vec_id", col("vec_id") + 100000)
+    val cands = Similarity.lshCandidates(spark, emb.limit(30).union(dup),
+        "vec_id", "embedding")
+      .as[(Long, Long, Long)].collect()
+    val ids = emb.orderBy("vec_id").limit(30).collect().map(_.getLong(0))
+    // identical vectors collide in EVERY table
+    ids.foreach { id =>
+      assert(cands.exists(c => c._1 == id && c._2 == id + 100000 &&
+        c._3 == 8), s"planted vec dup $id missing")
+    }
+    // only identical vectors collide in all 8 tables; random pairs
+    // (per-table collision ~ 0.5^8) never reach the full count
+    assert(cands.count(_._3 == 8) == 30, cands.filter(_._3 == 8).mkString(","))
+    assert(cands.length < 300, s"candidate volume sane: ${cands.length}")
+  }
+
   test("Similarity.nearDupPairs respects the block and threshold") {
     val pairs = Similarity.nearDupPairs(spark, emb, "vec_id", "embedding",
       "label", 0.2)
