@@ -79,5 +79,8 @@ object Multimodal {
         col("payload"), step.as("step"))
       .select(col("media_id"), col("frame_no"),
         expr("substring(payload, k * step + 1, step)").as("frame_bytes"))
+      // payloads shorter than n bytes yield empty trailing slices — drop
+      // them rather than hand empty frames to a decoder
+      .filter(octet_length(col("frame_bytes")) > 0)
   }
 }

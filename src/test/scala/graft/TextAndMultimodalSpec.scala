@@ -70,4 +70,14 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(widths.forall(_ == 4))
     assert(frames.filter(octet_length(col("frame_bytes")) === 0).count() == 0)
   }
+
+  test("multimodal: frame sampling on payloads shorter than n frames") {
+    import spark.implicits._
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaFrame(tiny, "doc_id", "text", "tiny")
+    val frames = Multimodal.frameSample(media, 4).collect()
+    // 2 bytes / 4 frames -> step 1: exactly 2 non-empty 1-byte frames
+    assert(frames.length == 2)
+    assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length == 1))
+  }
 }

@@ -64,6 +64,25 @@ class SourcesSpec extends SparkSpec {
     assert(spark.table("s4_view").count() == 1)
   }
 
+  test("insertInto sink: continuous query appends into a catalog table") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val stream = MemoryStream[graft.streaming.CepEvent]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ins_ckpt")
+    spark.sql("DROP TABLE IF EXISTS ins_target")
+    val q = Sources.insertInto(stream.toDF(), "ins_target",
+      ckpt.toString).start()
+    stream.addData(graft.streaming.CepEvent(1,
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    stream.addData(graft.streaming.CepEvent(2,
+      java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 1, "view", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    try assert(spark.table("ins_target").count() == 2)
+    finally spark.sql("DROP TABLE IF EXISTS ins_target")
+  }
+
   test("GraftSession.init exposes the full SQL surface (views + functions)") {
     GraftSession.init(spark, sf)
     val windowed = spark.sql(
