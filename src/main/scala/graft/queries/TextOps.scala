@@ -88,24 +88,12 @@ object TextOps {
     }),
 
     // L2b — SimHash (64-bit) via xxhash64: engine-native hashing, so the
-    // oracle is omitted (rows-only + ScalaTest golden). This is the scale
-    // path: one pass, no explode beyond tokens.
+    // oracle is omitted (rows-only + ScalaTest golden). Delegates to the
+    // operators implementation (one aggregation pass, 64 sign-sum
+    // columns — no per-bit explode).
     "q_simhash" -> ((s, dir) => {
-      val tok = T(s, dir, "documents")
-        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
-        .withColumn("h", xxhash64(col("w")))
-      val bits = tok.select(col("doc_id"), col("h"),
-          explode(sequence(lit(0), lit(63))).as("b"))
-        .withColumn("contrib",
-          when(expr("shiftright(h, cast(b as int)) & 1") === 1, 1)
-            .otherwise(-1))
-        .groupBy("doc_id", "b")
-        .agg(sum("contrib").as("s"))
-      bits.groupBy("doc_id")
-        .agg(sum(when(col("s") > 0,
-          expr("shiftleft(1L, cast(b as int))")).otherwise(0L))
-          .as("simhash"))
-        .orderBy("doc_id")
+      graft.operators.Dedup.simhash(T(s, dir, "documents"),
+        "doc_id", "text").orderBy("doc_id")
     }),
 
     // L2c — n-gram Jaccard near-dup: inverted-index join on word 4-grams,
