@@ -40,7 +40,38 @@ object ScaleProbe {
     println("docs rows: " + docs.count())
     time("minhashLsh candidates x20")(graft.operators.Dedup.minhashLsh(docs,"doc_id","text").count())
     time("simhash x20")(graft.operators.Dedup.simhash(docs,"doc_id","text").count())
+    time("langid corpus classify x20")({
+      // same shape as q_lang_id, over the replicated corpus
+      import org.apache.spark.sql.expressions.Window
+      val tok = docs.select(col("doc_id"), col("lang"), explode(split(col("text")," ")).as("w"))
+      val docwords = tok.select("doc_id","w").distinct()
+      val langtop = tok.groupBy(col("lang").as("cand"), col("w")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(Window.partitionBy("cand").orderBy(desc("cnt"), asc("w"))))
+        .filter(col("rn") <= 50).select("cand","w")
+      docwords.join(langtop, "w").groupBy("doc_id","cand").agg(count(lit(1))).count()
+    })
     docs.unpersist()
+    // embeddings x20 = 40k vectors: blocked near-dup pairs + brute topk
+    val emb = rep("embeddings", 20, "vec_id").persist()
+    println("emb rows: " + emb.count())
+    time("cosine topk brute x20")(graft.operators.Similarity.topK(spark, emb, "vec_id", "embedding", 0L, 10).count())
+    time("blocked neardup pairs x20")({
+      graft.functions.GraftFunctions.register(spark)
+      val a = emb.select(col("vec_id").as("ia"), col("label"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("ib"), col("label").as("lb"), col("embedding").as("vb"))
+      a.join(b, col("label")===col("lb") && col("ia")<col("ib"))
+        .select(expr("cosine_sim(va, vb)").as("cs")).filter(col("cs") > 0.99).count()
+    })
+    emb.unpersist()
+    // orders x20 = 3M: ranking window at scale
+    val ord = rep("orders", 20, "o_orderkey").persist()
+    println("orders rows: " + ord.count())
+    time("window rank top3 x20")({
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      ord.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).count()
+    })
+    ord.unpersist()
     spark.stop()
   }
 }
