@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.Tables
+import graft.streaming._
+
+/** Executable walk-through of the reference's core use-case on graft:
+  * register a live stream, run several continuous queries over it
+  * (windowed SQL, CEP sequence, CEP absence), manage them at runtime.
+  *
+  *   tools/run_class.sh graft.tools.CepExample [sfDir]
+  */
+object CepExample {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    StreamingConf.applyTo(spark) // RocksDB state store
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    // 1. a "live" stream (replay of the events table), registered as a
+    //    stream table — the reference's registerDStreamAsTable
+    val stream = MemoryStream[CepEvent]
+    stream.toDF().createOrReplaceTempView("live_events")
+
+    // 2. continuous queries, submitted and named at runtime
+    ContinuousQueries.submitMemory(spark.sql(
+      """SELECT window.start AS ws, event_type, count(*) AS cnt,
+                round(sum(value), 2) AS sum_value
+         FROM live_events GROUP BY window(ts, '1 hour'), event_type"""),
+      "hourly_by_type")
+    CepSequence.detect(stream.toDS(), "signup", "purchase", 30 * 60 * 1000L)
+      .writeStream.queryName("conversions").format("memory")
+      .outputMode("append").start()
+    AbsenceDetector.detect(stream.toDS(), "signup", "purchase",
+        30 * 60 * 1000L, "0 seconds")
+      .writeStream.queryName("abandonments").format("memory")
+      .outputMode("append").start()
+
+    println("active: " + ContinuousQueries.list(spark).map(_.name)
+      .sorted.mkString(", "))
+
+    // 3. feed the stream in arrival order
+    val replay = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[CepEvent].orderBy("ts", "event_id").collect()
+    replay.grouped(250).foreach { chunk =>
+      stream.addData(chunk.toSeq)
+      ContinuousQueries.awaitAll(spark)
+    }
+
+    println(s"hourly windows: ${spark.table("hourly_by_type").count()}")
+    println(s"signup→purchase conversions: ${spark.table("conversions").count()}")
+    spark.table("conversions").orderBy("s_ts").show(5, truncate = false)
+
+    // 4. runtime management: cancel one query, the others keep running
+    ContinuousQueries.cancel(spark, "hourly_by_type")
+    println("after cancel: " + ContinuousQueries.list(spark).map(_.name)
+      .sorted.mkString(", "))
+    ContinuousQueries.list(spark).foreach(_.stop())
+    spark.stop()
+  }
+}
