@@ -39,6 +39,33 @@ class StreamJoinSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("stream-static enrichment join (stream x dimension table)") {
+    implicit val sq = spark.sqlContext
+    val dim = Tables.table(spark, sf, "customer")
+      .select(col("c_custkey").as("user_key"), col("c_mktsegment"))
+    val stream = MemoryStream[CepEvent]
+    val enriched = stream.toDF()
+      .join(dim, col("user_id") + 1 === col("user_key"), "left")
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+    val q = enriched.writeStream.queryName("enrich_test").format("memory")
+      .outputMode("append").start()
+    val evs = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[CepEvent].orderBy("event_id").limit(100).collect()
+    stream.addData(evs.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_test")
+    assert(got.count() == 100)
+    // every event with a matching dim key is enriched (user_id+1 maps
+    // into c_custkey space at sf0.001: custkeys 1..150, users 0..14)
+    assert(got.filter(col("c_mktsegment").isNull).count() == 0)
+    val seg = dim.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.collect().foreach { r =>
+      assert(r.getString(2) == seg(r.getLong(1) + 1))
+    }
+  }
+
   test("RocksDB state store provider works for stateful streaming") {
     // isolated session state: conf change must not leak to other suites
     val s2 = spark.newSession()
