@@ -68,6 +68,27 @@ object Multimodal {
       }(enc)
   }
 
+  /** STUB resize: deterministic byte-level downsample of the payload
+    * (every `factor`-th byte) with the metadata scaled to match — the
+    * plumbing (binary in, smaller binary + adjusted dims out, pure
+    * column ops) is what a real image resize plugs into. */
+  def stubResize(decoded: Dataset[MediaFeatures], media: DataFrame,
+      factor: Int): DataFrame = {
+    require(factor >= 2, "factor must be >= 2")
+    val small = media.select(col("media_id"), col("payload"))
+      .withColumn("resized",
+        expr(s"""filter(transform(split(hex(payload), '(?<=\\\\G..)'),
+          (h, i) -> IF(i % $factor = 0, h, NULL)), x -> x IS NOT NULL)"""))
+      .select(col("media_id"),
+        expr("unhex(concat_ws('', resized))").as("resized_payload"))
+    decoded.toDF().join(small, "media_id")
+      .select(col("media_id"), col("kind"),
+        (col("width") / factor).cast("int").as("width"),
+        (col("height") / factor).cast("int").as("height"),
+        octet_length(col("resized_payload")).cast("long").as("n_bytes"),
+        col("resized_payload"))
+  }
+
   /** Frame sampling plumbing: split a payload into `n` byte slices
     * (stand-in for video frame extraction) — pure column ops, stays in
     * codegen; returns one row per (media_id, frame_no, frame_bytes). */

@@ -71,6 +71,23 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(frames.filter(octet_length(col("frame_bytes")) === 0).count() == 0)
   }
 
+  test("multimodal: stub resize halves dims and downsamples bytes") {
+    val media = Multimodal.asMediaFrame(docs.limit(8), "doc_id", "text",
+      "image/fake")
+    val decoded = Multimodal.stubDecode(media)
+    val resized = Multimodal.stubResize(decoded, media, 2)
+    val byId = decoded.collect().map(d => d.media_id -> d).toMap
+    resized.collect().foreach { r =>
+      val orig = byId(r.getLong(0))
+      assert(r.getInt(2) == orig.width / 2 && r.getInt(3) == orig.height / 2)
+      val nb = r.getLong(4)
+      assert(nb == (orig.n_bytes + 1) / 2, s"$nb vs ${orig.n_bytes}")
+      // deterministic: byte i of resized == byte 2i of original payload
+      val rp = r.getAs[Array[Byte]]("resized_payload")
+      assert(rp.length == nb)
+    }
+  }
+
   test("multimodal: frame sampling on payloads shorter than n frames") {
     import spark.implicits._
     val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
