@@ -53,6 +53,21 @@ class EdgeSemanticsSpec extends SparkSpec {
     assert(got.toSeq == Seq(None))
   }
 
+  test("interval join with a composite key") {
+    val a = Seq((1L, 7L, "x", ts("2024-01-01 10:00:00")),
+      (2L, 7L, "y", ts("2024-01-01 10:00:00")))
+      .toDF("sid", "k1", "k2", "s_ts")
+    val b = Seq((10L, 7L, "x", ts("2024-01-01 10:10:00")),
+      (11L, 7L, "y", ts("2024-01-01 10:10:00")),
+      (12L, 8L, "x", ts("2024-01-01 10:10:00")))
+      .toDF("pid", "k1", "k2", "p_ts")
+    val got = TemporalJoins.intervalJoin(a, b, Seq("k1", "k2"),
+        "s_ts", "p_ts", "30 MINUTES")
+      .select("sid", "pid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 11L)),
+      "both key columns must participate in the match")
+  }
+
   test("session window: gap == 5 min starts a NEW session; < 5 min merges") {
     def sessions(t2: String): Long = {
       val df = Seq((1L, ts("2024-01-01 10:00:00")), (1L, ts(t2)))

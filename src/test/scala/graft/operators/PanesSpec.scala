@@ -37,6 +37,17 @@ class PanesSpec extends SparkSpec {
       direct.collect().map(_.toSeq).toSet)
   }
 
+  test("degenerate case: window == slide reduces to tumbling") {
+    val e = Tables.table(spark, sf, "events")
+    val tumbling = e.groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("cnt"))
+    val paned = Panes.slidingViaPanes(e, "ts", "1 hour", "1 hour",
+      Seq(("value", "count")))
+    assert(paned.collect().map(_.toSeq).toSet ==
+      tumbling.collect().map(_.toSeq).toSet)
+  }
+
   test("rejects non-mergeable aggregates and non-dividing slides") {
     val e = Tables.table(spark, sf, "events")
     intercept[IllegalArgumentException] {
