@@ -98,15 +98,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * SparkSessionExtensions, so queries call this directly; the extensions
   * hook in [[GraftExtensions]] covers spark.sql.extensions users. */
 object GraftFunctions {
-  val cosineSimBuilder: Seq[Expression] => Expression = { children =>
-    require(children.length == 2, "cosine_sim takes exactly 2 arguments")
-    CosineSimilarity(children.head, children(1))
+  private def binary(name: String, f: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { children =>
+    require(children.length == 2, s"$name takes exactly 2 arguments")
+    f(children.head, children(1))
   }
 
-  private val info = new ExpressionInfo(
-    classOf[CosineSimilarity].getName, "cosine_sim")
+  val cosineSimBuilder: Seq[Expression] => Expression =
+    binary("cosine_sim", CosineSimilarity.apply)
+  val dotProductBuilder: Seq[Expression] => Expression =
+    binary("dot_product", DotProduct.apply)
+  val l2DistanceBuilder: Seq[Expression] => Expression =
+    binary("l2_distance", L2Distance.apply)
+
+  val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", classOf[CosineSimilarity], cosineSimBuilder),
+    ("dot_product", classOf[DotProduct], dotProductBuilder),
+    ("l2_distance", classOf[L2Distance], l2DistanceBuilder))
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("cosine_sim"), info, cosineSimBuilder)
+    all.foreach { case (name, cls, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), new ExpressionInfo(cls.getName, name),
+        builder)
+    }
 }

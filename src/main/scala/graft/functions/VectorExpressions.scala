@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Shared scaffolding for the fused vector kernels (SURVEY §4.2): one
+  * primitive loop over two float/double arrays accumulating in double,
+  * with whole-stage codegen. [[CosineSimilarity]] predates this trait and
+  * keeps its own body; DotProduct / L2Distance are the two other kernels
+  * an embedding pipeline needs (inner-product ANN and euclidean dedup).
+  */
+trait VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  protected def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two arrays of float or double with matching " +
+          s"element types, got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  @inline protected final def isFloat: Boolean =
+    elemType(left).contains(FloatType)
+
+  /** (dot, na, nb) → result. */
+  protected def finish(dot: Double, na: Double, nb: Double): Double
+  /** Java expression over codegen vars (dot, na, nb). */
+  protected def finishCode(dot: String, na: String, nb: String): String
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    if (isFloat) {
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+      }
+    } else {
+      while (i < n) {
+        val xi = x.getDouble(i); val yi = y.getDouble(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+      }
+    }
+    finish(dot, na, nb)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.$get($i);
+         |  double $yi = (double) $b.$get($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = ${finishCode(dot, na, nb)};
+       """.stripMargin
+    })
+  }
+}
+
+/** Inner product ⟨a,b⟩ (MIPS-style similarity). */
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override protected def finish(dot: Double, na: Double, nb: Double) = dot
+  override protected def finishCode(dot: String, na: String, nb: String) = dot
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : DotProduct = copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
+/** Euclidean distance ‖a−b‖₂ = sqrt(na + nb − 2·dot). */
+case class L2Distance(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override protected def finish(dot: Double, na: Double, nb: Double) =
+    math.sqrt(math.max(0.0, na + nb - 2.0 * dot))
+  override protected def finishCode(dot: String, na: String, nb: String) =
+    s"java.lang.Math.sqrt(java.lang.Math.max(0.0, $na + $nb - 2.0 * $dot))"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : L2Distance = copy(left = l, right = r)
+  override def prettyName: String = "l2_distance"
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, GraftFunctions}
+import graft.functions.GraftFunctions
 
 /** SparkSessionExtensions hook: enables
   * `spark.sql.extensions=graft.plans.GraftExtensions` so any session —
@@ -14,10 +14,10 @@ import graft.functions.{CosineSimilarity, GraftFunctions}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      GraftFunctions.cosineSimBuilder))
+    GraftFunctions.all.foreach { case (name, cls, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name), builder))
+    }
     ext.injectOptimizerRule(_ => FoldSelfCosine)
   }
 }

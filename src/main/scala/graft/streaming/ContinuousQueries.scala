@@ -23,6 +23,17 @@ object ContinuousQueries {
       .trigger(Trigger.ProcessingTime(0))
       .start()
 
+  /** Drain everything currently available, then stop (Trigger.AvailableNow)
+    * — the backfill/catch-up mode: process a large backlog with streaming
+    * semantics (state, exactly-once) but batch-job lifecycle. */
+  def submitBackfill(df: DataFrame, name: String, path: String,
+      checkpoint: String): StreamingQuery =
+    df.writeStream.queryName(name).format("parquet")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Submit an append-mode file sink (the INSERT INTO <external> path). */
   def submitParquet(df: DataFrame, name: String, path: String,
       checkpoint: String): StreamingQuery =

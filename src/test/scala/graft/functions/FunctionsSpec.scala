@@ -54,6 +54,19 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("dot_product and l2_distance kernels match reference math") {
+    GraftFunctions.register(spark)
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(3.0f, 0.0f, 4.0f)))
+      .toDF("a", "b")
+    val row = df.select(
+      expr("dot_product(a, b)").as("dp"),
+      expr("l2_distance(a, b)").as("l2"),
+      expr("l2_distance(a, a)").as("self")).head()
+    assert(row.getDouble(0) == 11.0)  // 1*3 + 2*0 + 2*4
+    assert(math.abs(row.getDouble(1) - math.sqrt(12.0)) < 1e-12) // diff (-2,2,-2)
+    assert(row.getDouble(2) == 0.0)
+  }
+
   test("MinHashAgg: identical shingle sets give identical signatures") {
     val agg = new MinHashAgg(64)
     val s1 = Seq("a b c", "b c d", "c d e").foldLeft(agg.zero)(agg.reduce)

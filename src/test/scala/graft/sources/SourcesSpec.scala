@@ -64,6 +64,21 @@ class SourcesSpec extends SparkSpec {
     assert(spark.table("s4_view").count() == 1)
   }
 
+  test("backfill: AvailableNow drains the backlog then terminates") {
+    val in = java.nio.file.Files.createTempDirectory("graft_bf_in")
+    val out = java.nio.file.Files.createTempDirectory("graft_bf_out")
+    val ck = java.nio.file.Files.createTempDirectory("graft_bf_ck")
+    val events = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    events.write.mode("append").parquet(in.toString)
+    val q = graft.streaming.ContinuousQueries.submitBackfill(
+      Sources.fileStream(spark, in.toString, events.schema),
+      "backfill_test", out.toString, ck.toString)
+    q.awaitTermination(60000)
+    assert(!q.isActive, "AvailableNow must self-terminate after draining")
+    assert(spark.read.parquet(out.toString).count() == events.count())
+  }
+
   test("insertInto sink: continuous query appends into a catalog table") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
