@@ -33,8 +33,18 @@ object PatternMatch {
   private def us(t: Timestamp): Long =
     t.getTime / 1000 * 1000000L + t.getNanos / 1000
 
+  /** Type-name steps (the common case). */
   def detect(events: Dataset[CepEvent], steps: Seq[String], withinMs: Long)
       : Dataset[SeqMatch] = {
+    val preds = steps.map(t => (e: CepEvent) => e.event_type == t)
+    detectWhere(events, preds, withinMs)
+  }
+
+  /** Predicate steps — full CEP conditions per step (e.g. "a purchase
+    * over $100 after a signup"). Predicates must be serializable pure
+    * functions of the event. */
+  def detectWhere(events: Dataset[CepEvent],
+      steps: Seq[CepEvent => Boolean], withinMs: Long): Dataset[SeqMatch] = {
     require(steps.length >= 2, "a pattern needs at least 2 steps")
     implicit val matchEnc = Encoders.product[SeqMatch]
     implicit val stateEnc = Encoders.product[PatternState]
@@ -57,7 +67,7 @@ object PatternMatch {
             // the first event matching its next step)
             partials = partials.flatMap { case p @ (ids, st, last) =>
               val next = ids.length // 0-based index of the awaited step
-              if (next < n && e.event_type == steps(next) &&
+              if (next < n && steps(next)(e) &&
                   t > us(last) && t <= us(st) + withinUs) {
                 val ids2 = e.event_id :: ids
                 if (ids2.length == n) {
@@ -67,7 +77,7 @@ object PatternMatch {
               } else List(p)
             }
             // open a new partial on a start event
-            if (e.event_type == steps.head)
+            if (steps.head(e))
               partials = (List(e.event_id), e.ts, e.ts) :: partials
           }
           partials = partials.filter { case (_, st, _) =>

@@ -38,6 +38,30 @@ class PatternMatchSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("predicate steps: signup followed by a HIGH-VALUE purchase") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"pat_pred_${System.nanoTime()}"
+    val q = PatternMatch.detectWhere(stream.toDS(),
+        Seq(e => e.event_type == "signup",
+          e => e.event_type == "purchase" && e.value > 50.0),
+        30 * 60 * 1000L)
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    stream.addData(data.toSeq); q.processAllAvailable(); q.stop()
+    val got = spark.table(name).select("user_id", "step_ids")
+      .as[(Long, Seq[Long])].collect().toSet
+    // subset of the unconditioned matches, and every matched purchase
+    // really is high-value
+    val all = runPattern(Seq("signup", "purchase"), 30 * 60 * 1000L, 1)
+    assert(got.subsetOf(all))
+    val values = eventsDs.collect().map(e => e.event_id -> e.value).toMap
+    got.foreach { case (_, ids) => assert(values(ids(1)) > 50.0) }
+    assert(got.nonEmpty && got.size < all.size,
+      "the value filter must bind without emptying the result")
+  }
+
   test("3-step pattern matches the batch greedy-first formulation") {
     val within = 4L * 3600 * 1000 // 4 hours
     val got = runPattern(Seq("signup", "click", "purchase"), within, 5)
