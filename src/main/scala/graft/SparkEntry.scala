@@ -20,10 +20,10 @@ object SparkEntry {
     Core.queries("q_window_tumbling")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Core.queries ++ Relational.queries ++ Cep.queries ++
-      TextOps.queries ++ VectorOps.queries
+    Core.queries ++ Relational.queries ++ RelationalExt.queries ++
+      Cep.queries ++ TextOps.queries ++ VectorOps.queries
 
   def oracleSql: Map[String, String] =
-    Core.oracles ++ Relational.oracles ++ Cep.oracles ++
-      TextOps.oracles ++ VectorOps.oracles
+    Core.oracles ++ Relational.oracles ++ RelationalExt.oracles ++
+      Cep.oracles ++ TextOps.oracles ++ VectorOps.oracles
 }

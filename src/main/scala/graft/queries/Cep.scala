@@ -136,6 +136,54 @@ object Cep {
       err.join(matched, col("err_id") === col("m_err_id"), "left")
         .select("err_id", "user_id", "err_ts", "click_id", "click_ts")
         .orderBy("err_id")
+    }),
+
+    // C6c — quantified CEP pattern `click{3,} purchase?` per user: maximal
+    // runs of ≥3 consecutive clicks (gaps-and-islands — two row_numbers,
+    // one window sort per user), then the first purchase within 10 min of
+    // the run's end, if any. This is MATCH_RECOGNIZE's A{3,} B? shape as a
+    // single-pass window plan — no self-join over the run itself.
+    "q_cep_times" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+      val wU = Window.partitionBy("user_id")
+        .orderBy(asc("ts"), asc("event_id"))
+      val wUT = Window.partitionBy("user_id", "event_type")
+        .orderBy(asc("ts"), asc("event_id"))
+      val runs = e
+        .withColumn("grp", row_number().over(wU) - row_number().over(wUT))
+        .filter(col("event_type") === "click")
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("run_len"), min("ts").as("run_start"),
+          max("ts").as("run_end"))
+        .filter(col("run_len") >= 3)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("p_ts"))
+      runs.join(p,
+          col("user_id") === col("pu") && col("p_ts") > col("run_end") &&
+          col("p_ts") <= col("run_end") + expr("INTERVAL 10 MINUTES"),
+          "left")
+        .groupBy("user_id", "run_len", "run_start", "run_end")
+        .agg(min("p_ts").as("next_purchase"))
+        .orderBy("user_id", "run_start")
+    }),
+
+    // Time spine + gap fill: the backfill/resample primitive every
+    // event-time pipeline needs (missing hours must exist as zeros before
+    // rate math). The spine generates from the data's own bounds — one
+    // 1-row aggregate, sequence(), explode — then a broadcast-able left
+    // join against the hourly counts.
+    "q_time_spine" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val bounds = e.agg(date_trunc("hour", min("ts")).as("lo"),
+        date_trunc("hour", max("ts")).as("hi"))
+      val spine = bounds
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+      val cnts = e.groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      spine.join(cnts, Seq("h"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .orderBy("h")
     })
   )
 
@@ -197,6 +245,35 @@ object Cep {
          FROM (SELECT * FROM events WHERE event_type = 'error') e
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON e.user_id = c.user_id AND e.ts >= c.ts
-         ORDER BY err_id"""
+         ORDER BY err_id""",
+    "q_cep_times" ->
+      """WITH o AS (
+           SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+           FROM events),
+         runs AS (
+           SELECT user_id, grp, count(*) AS run_len,
+             min(ts) AS run_start, max(ts) AS run_end
+           FROM o WHERE event_type = 'click'
+           GROUP BY user_id, grp HAVING count(*) >= 3)
+         SELECT r.user_id, r.run_len, r.run_start, r.run_end,
+           min(p.ts) AS next_purchase
+         FROM runs r LEFT JOIN events p
+           ON p.user_id = r.user_id AND p.event_type = 'purchase'
+          AND p.ts > r.run_end AND p.ts <= r.run_end + INTERVAL 10 MINUTE
+         GROUP BY 1, 2, 3, 4 ORDER BY r.user_id, run_start""",
+    "q_time_spine" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                           date_trunc('hour', max(ts)) AS hi FROM events),
+         spine AS (
+           SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+           FROM b),
+         c AS (SELECT date_trunc('hour', ts) AS h, count(*) AS cnt
+               FROM events GROUP BY 1)
+         SELECT s.h, coalesce(c.cnt, 0) AS cnt
+         FROM spine s LEFT JOIN c ON s.h = c.h ORDER BY s.h"""
   )
 }

@@ -211,6 +211,24 @@ object TextOps {
         .orderBy("lang", "source")
     }),
 
+    // Deterministic train/val/test split — hash the stable doc key, not
+    // rand(): reproducible across runs/engines/partitionings, and at 100 TB
+    // the assignment streams with the scan (no shuffle, no state). Bucket =
+    // first md5 hex nibble → 16 buckets → 12/2/2 train/val/test.
+    "q_split_hash" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .withColumn("bucket",
+          instr(lit("0123456789abcdef"),
+            substring(md5(col("doc_id").cast("string")), 1, 1))
+            .cast("long"))
+        .withColumn("split",
+          when(col("bucket") <= 12, "train")
+            .when(col("bucket") <= 14, "val")
+            .otherwise("test"))
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")
+    }),
+
     // Multimodal plumbing token: opaque binary column + typed metadata.
     // (The full decode/feature pipeline is graft.multimodal — stubbed decode,
     // real Spark plumbing, ScalaTest-covered; binary payloads aren't
@@ -343,6 +361,17 @@ object TextOps {
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
     "q_multimodal_meta" ->
       """SELECT doc_id, strlen(text) AS nbytes, sha256(text) AS digest
+         FROM documents ORDER BY doc_id""",
+    "q_split_hash" ->
+      """SELECT doc_id,
+           strpos('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS bucket,
+           CASE WHEN strpos('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 12
+                THEN 'train'
+                WHEN strpos('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 14
+                THEN 'val' ELSE 'test' END AS split
          FROM documents ORDER BY doc_id"""
   )
 }

@@ -88,6 +88,23 @@ object VectorOps {
           round(cos("embedding", "qv"), 4).as("cs"))
         .orderBy(desc("cs"), asc("vec_id"))
         .limit(10)
+    }),
+
+    // Per-label centroids (the IVF coarse quantizer as a first-class op,
+    // long form). One explode + one partial-aggregated shuffle on
+    // (label, pos): the map side reduces 64·N element rows down to
+    // 64·|labels| partials — at 100 TB this is the canonical way to
+    // average vectors without any driver materialization.
+    "q_embed_centroid" -> ((s, dir) => {
+      T(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(fround(avg(col("x").cast("double")), 4).as("c"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          col("c"), col("n"))
+        .orderBy("label", "pos")
     })
   )
 
@@ -156,6 +173,13 @@ object VectorOps {
            GROUP BY e.vec_id, e.label)
          SELECT vec_id, CAST(label AS BIGINT) AS label,
            round(dp / (sqrt(na) * sqrt(nb)), 4) AS cs
-         FROM d ORDER BY cs DESC, vec_id LIMIT 10"""
+         FROM d ORDER BY cs DESC, vec_id LIMIT 10""",
+    "q_embed_centroid" ->
+      """SELECT CAST(label AS BIGINT) AS label, i.i AS pos,
+           floor(avg(CAST(embedding[i.i + 1] AS DOUBLE)) * 10000 + 0.5)
+             / 10000 AS c,
+           count(*) AS n
+         FROM embeddings, (SELECT unnest(range(64)) AS i) i
+         GROUP BY label, i.i ORDER BY label, pos"""
   )
 }
