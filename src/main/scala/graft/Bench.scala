@@ -24,10 +24,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      // two timed runs, report the min: sub-second queries at high thread
-      // counts are scheduler-noise-dominated; min-of-n is the stable
-      // estimator of the query's actual cost
-      val times = (1 to 2).map { _ =>
+      // three timed runs, report the min: sub-second queries at high
+      // thread counts are scheduler/GC-noise-dominated; min-of-n is the
+      // stable estimator of the query's actual cost
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

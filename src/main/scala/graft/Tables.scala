@@ -35,11 +35,32 @@ object Tables {
     else df
   }
 
-  /** Load all tables and register each as a temp view (for SQL-surface use). */
-  def load(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
-    names.map { n =>
-      val df = table(spark, sfDir, n)
-      df.createOrReplaceTempView(n)
-      n -> df
-    }.toMap
+  /** Load all tables and register each as a temp view (for SQL-surface use).
+    *
+    * Memoized per (session, dir): SQL-surface queries call this on every
+    * invocation, and re-deriving 10 parquet schemas costs ~0.5 s per call.
+    * The registration is idempotent — the cache only skips redundant
+    * catalog writes, never changes what a view resolves to (last dir wins,
+    * exactly as with un-memoized createOrReplaceTempView).
+    */
+  def load(spark: SparkSession, sfDir: String): Map[String, DataFrame] = {
+    val key = (spark, sfDir)
+    registered.get(key) match {
+      case Some(m) => m
+      case None =>
+        val m = names.map { n =>
+          val df = table(spark, sfDir, n)
+          df.createOrReplaceTempView(n)
+          n -> df
+        }.toMap
+        // a different dir on the same session invalidates other entries
+        registered.filterInPlace { case ((s, _), _) => s ne spark }
+        registered.put(key, m)
+        m
+    }
+  }
+
+  private val registered =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), Map[String, DataFrame]]
 }
