@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A completed quantified-pattern match: a maximal run of >= minLen
+  * consecutive `runType` events, plus the first `followType` event within
+  * the window after the run ended (None if none arrived in time). */
+case class RunMatch(user_id: Long, run_len: Long, run_start: Timestamp,
+    run_end: Timestamp, next_follow: Option[Timestamp])
+
+/** The currently-open run (consecutive `runType` events, nothing between). */
+case class OpenRun(count: Long, start: Timestamp, end: Timestamp)
+
+/** A closed qualifying run awaiting its follow event or window expiry. */
+case class PendingRun(count: Long, start: Timestamp, end: Timestamp)
+
+case class RunDetState(open: Option[OpenRun], pending: List[PendingRun])
+
+/** Quantified CEP pattern `A{minLen,} B?` per key — the streaming twin of
+  * the batch key `q_cep_times` (SURVEY §2.9 C6c): maximal runs of
+  * consecutive `runType` events (any other event breaks the run), emitted
+  * once resolved with the first `followType` within `withinMs` after the
+  * run's end, or with None once an event beyond the window proves no
+  * follow can arrive (event-time clock, so replay-deterministic).
+  *
+  * Semantics match the batch gaps-and-islands formulation exactly under
+  * the same (ts, event_id) total order: a run ends at the first
+  * non-`runType` event; that event itself resolves the run when it is the
+  * follow type and lands inside the window. State per key is one open run
+  * + the pending runs whose window is still live — O(window), not
+  * O(stream), so this runs unbounded (RocksDB state store at scale).
+  */
+object RunDetector {
+  private def us(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  def detect(events: Dataset[CepEvent], runType: String, minLen: Int,
+      followType: String, withinMs: Long): Dataset[RunMatch] = {
+    implicit val matchEnc = Encoders.product[RunMatch]
+    implicit val stateEnc = Encoders.product[RunDetState]
+    implicit val keyEnc = Encoders.scalaLong
+    val withinUs = withinMs * 1000L
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunDetState, RunMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[CepEvent], state: GroupState[RunDetState]) =>
+          var open = state.getOption.flatMap(_.open)
+          var pending = state.getOption.map(_.pending).getOrElse(Nil)
+          val out = List.newBuilder[RunMatch]
+          val batch = it.toArray.sortBy(e => (us(e.ts), e.event_id))
+          batch.foreach { e =>
+            val t = us(e.ts)
+            // 1. a non-run event closes the open run (maximal-run island)
+            if (e.event_type != runType) {
+              open.foreach { o =>
+                if (o.count >= minLen)
+                  pending = PendingRun(o.count, o.start, o.end) :: pending
+              }
+              open = None
+            }
+            // 2. resolve pendings: this event is the follow inside the
+            //    window (events arrive time-ordered, so it's the FIRST),
+            //    or its clock proves a window can no longer be met
+            pending = pending.flatMap { p =>
+              val end = us(p.end)
+              if (e.event_type == followType && t > end && t <= end + withinUs) {
+                out += RunMatch(user, p.count, p.start, p.end, Some(e.ts))
+                Nil
+              } else if (t > end + withinUs) {
+                out += RunMatch(user, p.count, p.start, p.end, None)
+                Nil
+              } else List(p)
+            }
+            // 3. a run event extends or opens the run
+            if (e.event_type == runType) {
+              open = open match {
+                case Some(o) => Some(OpenRun(o.count + 1, o.start, e.ts))
+                case None    => Some(OpenRun(1, e.ts, e.ts))
+              }
+            }
+          }
+          state.update(RunDetState(open, pending))
+          out.result().iterator
+      }
+  }
+}

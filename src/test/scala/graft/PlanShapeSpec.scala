@@ -54,6 +54,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(projLine.contains("*("), s"cosine_sim project not codegen'd: $projLine")
   }
 
+  test("subqueries decorrelate: EXISTS/IN plan as semi joins, no loops") {
+    Seq("q_subquery_exists", "q_subquery_in").foreach { k =>
+      val p = plan(k)
+      assert(p.contains("LeftSemi"), s"$k should plan a semi join:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$k must not fall back to a nested loop")
+    }
+  }
+
+  test("correlated scalar subquery decorrelates to aggregate + join") {
+    val p = plan("q_subquery_scalar")
+    assert(p.contains("HashAggregate") &&
+      (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")),
+      s"expected decorrelated agg+join plan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("LATERAL with per-group LIMIT plans as WindowGroupLimit") {
+    val p = plan("q_lateral")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-group top-N should push into WindowGroupLimit:\n$p")
+  }
+
   test("flagship entry returns rows at sf0.001 (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -104,6 +104,34 @@ class StreamingTwinSpec extends SparkSpec {
     assert(got.count() > 0, "expected at least one signup->purchase match")
   }
 
+  test("quantified run detector == batch q_cep_times") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = "twin_runs"
+    val q = RunDetector.detect(stream.toDS(), "click", 3, "purchase",
+        10L * 60 * 1000)
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(math.max(1, data.length / 5)).foreach { chunk =>
+      stream.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    // per-user sentinel far in the future: closes tail runs and expires
+    // pending windows, so append mode emits the matches batch sees
+    val users = data.map(_.user_id).distinct.toSeq
+    stream.addData(users.map(u => CepEvent(Long.MaxValue,
+      Timestamp.valueOf("2030-01-01 00:00:00"), u, "flush", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).select(col("user_id"), col("run_len"),
+      col("run_start"), col("run_end"),
+      col("next_follow").as("next_purchase"))
+    val want = graft.SparkEntry.queries("q_cep_times")(spark, sf)
+    assert(rows(got) == rows(want))
+    assert(got.count() > 0, "expected at least one click{3,} run")
+  }
+
   test("watermark drops late events (beyond-lateness data is excluded)") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[CepEvent]
