@@ -87,13 +87,27 @@ object TextOps {
         .orderBy("doc_id", "band")
     }),
 
-    // L2b — SimHash (64-bit) via xxhash64: engine-native hashing, so the
-    // oracle is omitted (rows-only + ScalaTest golden). Delegates to the
-    // operators implementation (one aggregation pass, 64 sign-sum
-    // columns — no per-bit explode).
+    // L2b — SimHash, oracle-checked 32-bit variant: token hash = first 8
+    // md5 hex chars parsed as an integer (bit-identical in both engines),
+    // frequency-weighted sign sums per bit, one aggregation pass (32
+    // map-side-combinable sum columns — the shuffle carries one row per
+    // doc). The xxhash64 64-bit scale variant is operators.Dedup.simhash
+    // (ScalaTest-pinned); this declared key proves the algorithm
+    // cross-engine.
     "q_simhash" -> ((s, dir) => {
-      graft.operators.Dedup.simhash(T(s, dir, "documents"),
-        "doc_id", "text").orderBy("doc_id")
+      val tok = T(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10)
+          .cast("long"))
+      val sums = (0 until 32).map(j =>
+        sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1L)
+          .otherwise(-1L)).as(s"s$j"))
+      tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 32).map(j =>
+            when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
+        .orderBy("doc_id")
     }),
 
     // L2c — n-gram Jaccard near-dup: inverted-index join on word 4-grams,
@@ -362,6 +376,22 @@ object TextOps {
     "q_multimodal_meta" ->
       """SELECT doc_id, strlen(text) AS nbytes, sha256(text) AS digest
          FROM documents ORDER BY doc_id""",
+    "q_simhash" -> {
+      val sums = (0 until 32).map(j =>
+        s"sum(CASE WHEN (h & ${1L << j}) <> 0 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(", ")
+      val bits = (0 until 32).map(j =>
+        s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+          h AS (
+            SELECT doc_id,
+              CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT) AS h
+            FROM tok),
+          b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+          SELECT doc_id, $bits AS simhash FROM b ORDER BY doc_id"""
+    },
     "q_split_hash" ->
       """SELECT doc_id,
            strpos('0123456789abcdef',

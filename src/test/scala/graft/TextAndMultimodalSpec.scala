@@ -28,7 +28,7 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(a.length == docs.count() * 4, "4 bands per doc")
   }
 
-  test("simhash: 64-bit signatures, deterministic, near-dup distance sane") {
+  test("simhash: 32-bit signatures, deterministic, near-dup distance sane") {
     val sh = SparkEntry.queries("q_simhash")(spark, sf)
       .as[(Long, Long)].collect().toMap
     assert(sh.size == docs.count())
