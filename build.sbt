@@ -15,6 +15,12 @@ run / fork := true
 // the JSON line from stdout, and sbt's default logger would prefix it
 // with "[info] " (r01's BENCH parsed:null was exactly this).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time: ..." summary so the
+// bench JSON is the LAST stdout line (r01/r02 BENCH parsed:null — the
+// harness reads the final line, which was sbt's summary, not our JSON).
+Global / showSuccess := false
+Global / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
