@@ -21,9 +21,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Relational.queries ++ RelationalExt.queries ++
-      Cep.queries ++ TextOps.queries ++ VectorOps.queries
+      Stats.queries ++ Cep.queries ++ TextOps.queries ++ VectorOps.queries
 
   def oracleSql: Map[String, String] =
     Core.oracles ++ Relational.oracles ++ RelationalExt.oracles ++
-      Cep.oracles ++ TextOps.oracles ++ VectorOps.oracles
+      Stats.oracles ++ Cep.oracles ++ TextOps.oracles ++ VectorOps.oracles
 }

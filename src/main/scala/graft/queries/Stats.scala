@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Statistical aggregate surface (SURVEY §2.4 extension, round 3):
+  * moments (stddev/variance), bivariate statistics (corr/covar), exact
+  * median, linear-regression aggregates (regr_*), boolean aggregates
+  * (bool_and/bool_or) and argmax (max_by), plus NULLS FIRST/LAST ordering
+  * with OFFSET pagination (§2.6 O2).
+  *
+  * All of these are single-pass hash aggregates in Spark (partial on the
+  * map side, final after one shuffle on the group key) — the same shape as
+  * `q_agg_groupby`, so they inherit its 100 TB scaling story. Doubles that
+  * cross the engine boundary are rounded with [[fround]] at a precision
+  * coarse enough that Spark's and DuckDB's different summation orders
+  * (~1e-12 relative drift) can't straddle a rounding boundary.
+  */
+object Stats {
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Moments + bivariate stats + exact median per group. median() is
+    // Catalyst's exact percentile(0.5) — both engines interpolate the
+    // middle pair, and l_quantity's integral doubles interpolate exactly.
+    "q_stats_agg" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("cnt"),
+          fround(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          fround(var_pop(col("l_discount")), 6).as("var_disc"),
+          fround(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("corr_qp"),
+          fround(covar_samp(col("l_quantity"), col("l_tax")), 6)
+            .as("covar_qt"),
+          median(col("l_quantity")).as("med_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Linear-regression aggregates: y = l_extendedprice over
+    // x = l_quantity per line status. One pass; regr_* share the same
+    // sufficient statistics (n, Σx, Σy, Σxx, Σxy) Catalyst computes once.
+    "q_regr_agg" -> ((s, dir) => {
+      val y = col("l_extendedprice"); val x = col("l_quantity")
+      T(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+          regr_count(y, x).as("n"),
+          fround(regr_avgx(y, x), 4).as("avgx"),
+          fround(regr_avgy(y, x), 2).as("avgy"),
+          fround(regr_slope(y, x), 4).as("slope"),
+          fround(regr_intercept(y, x), 2).as("icept"),
+          fround(regr_r2(y, x), 6).as("r2"))
+        .orderBy("l_linestatus")
+    }),
+
+    // Boolean aggregates + argmax. max_by is deterministic here because
+    // max(l_extendedprice) is unique within every l_returnflag group at
+    // sf0.001/0.01/0.1 (verified; a tie would make it engine-defined).
+    "q_bool_agg" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          bool_and(col("l_discount") <= 0.1).as("all_low_disc"),
+          bool_or(col("l_quantity") > 49).as("any_big_qty"),
+          bool_and(col("l_tax") > 0.07).as("all_hi_tax"),
+          max_by(col("l_orderkey"), col("l_extendedprice"))
+            .as("top_price_order"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Multi-key sort with explicit NULLS FIRST + OFFSET pagination.
+    // Synthesizes NULLs (the tables are fully populated) via nullif on a
+    // status predicate; both engines get the same explicit null ordering
+    // (their defaults differ: Spark NULLS FIRST on ASC, DuckDB NULLS LAST).
+    "q_order_nulls" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "O", lit(null).cast("double"))
+            .otherwise(col("o_totalprice")).as("tp"))
+        .orderBy(desc_nulls_first("tp"), asc("o_orderkey"))
+        .offset(100).limit(50)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_stats_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+                floor(stddev_samp(l_quantity)*1e4 + 0.5)/1e4 AS sd_qty,
+                floor(var_pop(l_discount)*1e6 + 0.5)/1e6 AS var_disc,
+                floor(corr(l_quantity, l_extendedprice)*1e6 + 0.5)/1e6
+                  AS corr_qp,
+                floor(covar_samp(l_quantity, l_tax)*1e6 + 0.5)/1e6
+                  AS covar_qt,
+                median(l_quantity) AS med_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_regr_agg" ->
+      """SELECT l_linestatus,
+                regr_count(l_extendedprice, l_quantity) AS n,
+                floor(regr_avgx(l_extendedprice, l_quantity)*1e4 + 0.5)/1e4
+                  AS avgx,
+                floor(regr_avgy(l_extendedprice, l_quantity)*1e2 + 0.5)/1e2
+                  AS avgy,
+                floor(regr_slope(l_extendedprice, l_quantity)*1e4 + 0.5)/1e4
+                  AS slope,
+                floor(regr_intercept(l_extendedprice, l_quantity)*1e2
+                  + 0.5)/1e2 AS icept,
+                floor(regr_r2(l_extendedprice, l_quantity)*1e6 + 0.5)/1e6
+                  AS r2
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q_bool_agg" ->
+      """SELECT l_returnflag,
+                bool_and(l_discount <= 0.1) AS all_low_disc,
+                bool_or(l_quantity > 49) AS any_big_qty,
+                bool_and(l_tax > 0.07) AS all_hi_tax,
+                max_by(l_orderkey, l_extendedprice) AS top_price_order
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_order_nulls" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderstatus = 'O' THEN NULL
+                     ELSE o_totalprice END AS tp
+         FROM orders
+         ORDER BY tp DESC NULLS FIRST, o_orderkey
+         LIMIT 50 OFFSET 100"""
+  )
+}
