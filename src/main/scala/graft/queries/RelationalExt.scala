@@ -123,6 +123,30 @@ object RelationalExt {
                                    AND l_linestatus = 'F') AS big_f
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // F6 — map/struct functions with an oracle: parse events.props into a
+    // map (from_json), read keys/values/size, route fields through a
+    // struct, aggregate. Output is flat so the cross-engine compare sees
+    // plain columns; the map/struct work happens inside the plan (all
+    // codegen — from_json and map ops are native expressions).
+    "q_map_struct" -> ((s, dir) => {
+      T(s, dir, "events")
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)))
+        .withColumn("st",
+          struct(col("event_type").as("et"), col("user_id").as("uid")))
+        .select(
+          col("st").getField("et").as("et"),
+          element_at(map_keys(col("m")), 1).as("k1"),
+          element_at(col("m"), "k").as("kv"),
+          size(col("m")).cast("long").as("nkeys"))
+        .groupBy("et")
+        .agg(count(lit(1)).as("cnt"), sum("kv").as("sum_kv"),
+          max("nkeys").as("max_keys"), min("k1").as("min_key"))
+        .orderBy("et")
+    }),
+
     // Ordered string aggregation (listagg) — deterministic via explicit
     // sort of the collected set; map-side partial collect keeps the
     // shuffle at one row per (lang) group.
@@ -204,6 +228,13 @@ object RelationalExt {
                 count(*) FILTER (WHERE l_quantity >= 25
                                    AND l_linestatus = 'F') AS big_f
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_map_struct" ->
+      """SELECT event_type AS et, count(*) AS cnt,
+                sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                  AS sum_kv,
+                max(CAST(len(json_keys(props)) AS BIGINT)) AS max_keys,
+                min(json_keys(props)[1]) AS min_key
+         FROM events GROUP BY event_type ORDER BY et""",
     "q_string_agg" ->
       """SELECT lang, string_agg(source, ',' ORDER BY source) AS sources,
                 count(*) AS n_src

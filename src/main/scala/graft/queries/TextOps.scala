@@ -136,6 +136,26 @@ object TextOps {
         .limit(50)
     }),
 
+    // TF-IDF — the classic training-data relevance score, fully
+    // distributed: tf and df are two hash aggregations over the token
+    // stream, the corpus size joins in as a broadcast single-row cross
+    // join (no driver-side count()), and the top-50 is TakeOrdered.
+    "q_tfidf" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val tf = d.select(col("doc_id"),
+          explode(toks(lower(col("text")))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val ndocs = d.select(countDistinct("doc_id").as("n"))
+      tf.join(dfreq, "w")
+        .crossJoin(broadcast(ndocs))
+        .withColumn("tfidf", fround(col("tf") *
+          log(col("n").cast("double") / col("df")), 4))
+        .select("doc_id", "w", "tf", "df", "tfidf")
+        .orderBy(desc("tfidf"), asc("w"), asc("doc_id"))
+        .limit(50)
+    }),
+
     // L4 — tokenize + global top-20 word counts.
     "q_text_tokens" -> ((s, dir) => {
       T(s, dir, "documents")
@@ -306,6 +326,17 @@ object TextOps {
          JOIN sizes sa ON sa.doc_id = da
          JOIN sizes sb ON sb.doc_id = db
          ORDER BY jac DESC, da, db LIMIT 50""",
+    "q_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+         SELECT doc_id, w, tf, df,
+           floor(tf * ln(CAST(n AS DOUBLE) / df) * 1e4 + 0.5) / 1e4 AS tfidf
+         FROM tf JOIN dfreq USING (w), nd
+         ORDER BY tfidf DESC, w, doc_id LIMIT 50""",
     "q_text_tokens" ->
       """SELECT w, count(*) AS cnt FROM (
            SELECT unnest(string_split(lower(text), ' ')) AS w

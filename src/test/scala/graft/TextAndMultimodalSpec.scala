@@ -97,4 +97,31 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(frames.length == 2)
     assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length == 1))
   }
+
+  test("q_tfidf: corpus-frequent words score zero, df=1 words score max") {
+    val rows = SparkEntry.queries("q_tfidf")(spark, sf).collect()
+    assert(rows.length === 50)
+    val n = docs.select("doc_id").distinct().count()
+    rows.foreach { r =>
+      val (tf, df, score) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      val expect = tf * math.log(n.toDouble / df)
+      assert(math.abs(score - expect) < 1e-3, s"${r.getString(1)}")
+      assert(df < n, "a word in every doc has idf 0 and can't reach top-50")
+    }
+    // descending by score with full tie-break
+    val scores = rows.map(_.getDouble(4)).toSeq
+    assert(scores === scores.sorted.reverse)
+  }
+
+  test("q_map_struct: every props map has exactly the single key 'k'") {
+    val rows = SparkEntry.queries("q_map_struct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_keys") === 1L)
+      assert(r.getAs[String]("min_key") === "k")
+      assert(r.getAs[Long]("sum_kv") >= 0L)
+    }
+    val total = rows.map(_.getAs[Long]("cnt")).sum
+    assert(total === Tables.table(spark, sf, "events").count())
+  }
 }
