@@ -78,6 +78,39 @@ class PlanShapeSpec extends SparkSpec {
       s"per-group top-N should push into WindowGroupLimit:\n$p")
   }
 
+  test("q_stats_agg / q_regr_agg plan two-phase hash agg, one shuffle") {
+    Seq("q_stats_agg", "q_regr_agg", "q_bool_agg").foreach { k =>
+      val p = plan(k)
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$k: expected partial+final HashAggregate pair:\n$p")
+      // exactly one shuffle for the aggregation (plus the presentation
+      // sort's range exchange) — stats must not add extra passes
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$k: $exchanges hash exchanges, expected <=1")
+    }
+  }
+
+  test("q_tfidf: corpus size joins as broadcast, no cartesian blow-up") {
+    val df = SparkEntry.queries("q_tfidf")(spark, sf)
+    df.collect() // finalize adaptive plan
+    val p = df.queryExecution.executedPlan.toString()
+    // the single-row ndocs side must broadcast (1-row nested loop is the
+    // only legal cartesian here); the tf⋈df join must be a real join
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"),
+      "ndocs must broadcast, not cartesian")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 must not globally sort")
+  }
+
+  test("q_order_nulls pages via a single global sort + limit") {
+    val p = plan("q_order_nulls")
+    // offset+limit over a sort: Spark plans TakeOrderedAndProject with
+    // offset support (no full materialization of the sorted table)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("flagship entry returns rows at sf0.001 (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
