@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream analytics built from the CEP primitives (SURVEY §2.9's
+  * application layer): conversion funnels, cohort retention, event-path
+  * mining, and value histograms. These are the queries a user of the
+  * reference's continuous-SQL engine runs on top of its windows/joins —
+  * declared here as batch keys with DuckDB oracles; the building blocks
+  * (time windows, lag/lead, interval joins) have streaming twins in
+  * graft.streaming.
+  *
+  * Scale notes (100 TB): every query below shuffles on `user_id` (or a
+  * histogram bin) exactly once, then stays co-partitioned — funnel's three
+  * stage-joins reuse the same hash partitioning, and the path trigrams are
+  * computed inside one per-user window pass. Nothing collects to the
+  * driver; outputs are small aggregates (stage counts, cohort matrix,
+  * top-10 paths, fixed-width bins).
+  */
+object Analytics {
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Conversion funnel signup → click → purchase, strictly ordered in
+    // event time per user. Each stage is min-ts of the qualifying event
+    // after the previous stage's timestamp; stage rows count survivors.
+    "q_funnel" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val cl = e.filter(col("event_type") === "click")
+        .join(su, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .join(cl, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      su.agg(count(lit(1)).as("users")).withColumn("stage", lit("1_signup"))
+        .unionByName(cl.agg(count(lit(1)).as("users"))
+          .withColumn("stage", lit("2_click")))
+        .unionByName(pu.agg(count(lit(1)).as("users"))
+          .withColumn("stage", lit("3_purchase")))
+        .select("stage", "users")
+        .orderBy("stage")
+    }),
+
+    // Weekly cohort retention: cohort = user's first-seen week, offset =
+    // weeks since first seen; cell = distinct active users. All-integer
+    // date arithmetic (day-diff div 7) — no engine-specific week
+    // truncation rules in play.
+    "q_cohort" -> ((s, dir) => {
+      val ed = T(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = ed.groupBy("user_id").agg(min("d").as("fd"))
+      ed.join(first, "user_id")
+        .withColumn("cohort_week",
+          expr("datediff(fd, date '2024-01-01') div 7").cast("long"))
+        .withColumn("week_offset",
+          expr("datediff(d, fd) div 7").cast("long"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct("user_id").as("users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Path mining: top-10 event-type trigrams over each user's event-time
+    // ordered stream (ts, event_id total order — deterministic under
+    // timestamp ties). One window pass, one count shuffle, TakeOrdered.
+    "q_event_path" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      T(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .withColumn("e3", lead("event_type", 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("path"))
+        .limit(10)
+    }),
+
+    // Fixed-width histogram of order value: bin floor keeps the key
+    // integral (skew-free single shuffle; bins are a few dozen rows out
+    // regardless of input scale).
+    "q_histogram" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .withColumn("bin",
+          (floor(col("o_totalprice") / 25000) * 25000).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("bin")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH su AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         cl AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN su ON e.user_id = su.user_id
+           WHERE e.event_type = 'click' AND e.ts > su.t1 GROUP BY 1),
+         pu AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN cl ON e.user_id = cl.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > cl.t2 GROUP BY 1)
+         SELECT stage, users FROM (
+           SELECT '1_signup' AS stage, count(*) AS users FROM su
+           UNION ALL SELECT '2_click', count(*) FROM cl
+           UNION ALL SELECT '3_purchase', count(*) FROM pu) t
+         ORDER BY stage""",
+    "q_cohort" ->
+      """WITH ed AS (
+           SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+         f AS (SELECT user_id, min(d) AS fd FROM ed GROUP BY 1)
+         SELECT CAST(date_diff('day', DATE '2024-01-01', fd) // 7 AS BIGINT)
+             AS cohort_week,
+           CAST(date_diff('day', fd, d) // 7 AS BIGINT) AS week_offset,
+           count(DISTINCT ed.user_id) AS users
+         FROM ed JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_event_path" ->
+      """WITH s AS (
+           SELECT event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS cnt
+         FROM s WHERE e3 IS NOT NULL
+         GROUP BY 1 ORDER BY cnt DESC, path LIMIT 10""",
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000) * 25000 AS BIGINT) AS bin,
+           count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY 1 ORDER BY 1""")
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data curation operators beyond TextOps' core set (SURVEY
+  * §2.10): repetition-based quality filtering (Gopher-style signals from
+  * Rae et al. 2021, arXiv:2112.11446 §A1.1 — public), text normalization
+  * for dedup, and deterministic stratified sampling.
+  *
+  * Cross-engine determinism: every fraction is a ratio of exact integers
+  * (bit-identical doubles in IEEE), rounded with the shared fround
+  * formula; every filter flag is computed by pure *integer* comparison
+  * (`top_cnt*100 <= nw*8`, never `top_frac <= 0.08` on a rounded double);
+  * sampling uses md5-derived integers (bit-identical in Spark and DuckDB),
+  * never rand().
+  *
+  * Scale notes (100 TB): quality signals are two chained hash
+  * aggregations ((doc_id, word) then doc_id — both partial+final,
+  * map-side combined); scrub and sampling are pure map-side (zero
+  * shuffle — the sample predicate evaluates in the scan stage, so a
+  * 10% sample reads like a filter pushdown, not a materialization).
+  */
+object PipelineOps {
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gopher-style repetition signals per doc: top-word fraction and
+    // duplicate-word fraction; keep-flag via integer-only thresholds
+    // (top_frac <= 0.08 AND dup_frac <= 0.6 — keeps 54/500 at sf0.01).
+    "q_quality_gopher" -> ((s, dir) => {
+      val wc = T(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      wc.groupBy("doc_id")
+        .agg(sum("c").as("nw"), count(lit(1)).as("uniq"),
+          max("c").as("top_cnt"))
+        .withColumn("top_frac", fround(col("top_cnt") / col("nw"), 4))
+        .withColumn("dup_frac",
+          fround((col("nw") - col("uniq")) / col("nw"), 4))
+        .withColumn("keep",
+          (col("top_cnt") * 100 <= col("nw") * 8 &&
+            (col("nw") - col("uniq")) * 10 <= col("nw") * 6).cast("long"))
+        .select("doc_id", "nw", "uniq", "top_cnt", "top_frac", "dup_frac",
+          "keep")
+        .orderBy("doc_id")
+    }),
+
+    // Normalization for dedup: lowercase, non-alphanumerics → space,
+    // collapse runs, trim; emit the md5 of the canonical form (the join
+    // key an exact-dedup pass would group on) plus its length.
+    "q_text_scrub" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .withColumn("norm",
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+            " +", " ")))
+        .select(col("doc_id"), md5(col("norm")).as("scrub_md5"),
+          length(col("norm")).cast("long").as("scrub_len"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic stratified sampling: per-language keep rates
+    // (en 50%, de 25%, others 10%) decided by an md5-derived uniform
+    // bucket over (doc_id, lang) — reproducible across runs, engines,
+    // and partitionings, and evaluated map-side in the scan stage.
+    "q_sample_strat" -> ((s, dir) => {
+      val bucket = conv(
+        substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("lang"))), 1, 8), 16, 10).cast("long") % 1000
+      val rate = when(col("lang") === "en", 500)
+        .when(col("lang") === "de", 250).otherwise(100)
+      T(s, dir, "documents")
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < rate)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_quality_gopher" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+         d AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw, count(*) AS uniq,
+             max(c) AS top_cnt
+           FROM wc GROUP BY 1)
+         SELECT doc_id, nw, uniq, top_cnt,
+           floor(top_cnt / nw * 10000 + 0.5) / 10000 AS top_frac,
+           floor((nw - uniq) / nw * 10000 + 0.5) / 10000 AS dup_frac,
+           CAST(top_cnt * 100 <= nw * 8
+                AND (nw - uniq) * 10 <= nw * 6 AS BIGINT) AS keep
+         FROM d ORDER BY doc_id""",
+    "q_text_scrub" ->
+      """SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS scrub_md5,
+           length(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS scrub_len
+         FROM documents ORDER BY doc_id""",
+    "q_sample_strat" ->
+      """WITH b AS (
+           SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+               lang), 1, 8)) AS UBIGINT) % 1000 AS bucket
+           FROM documents)
+         SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+         FROM b
+         WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250
+                        ELSE 100 END
+         ORDER BY doc_id""")
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -90,6 +91,30 @@ object VectorOps {
         .limit(10)
     }),
 
+    // k-NN *join* — top-3 neighbors for EVERY query vector (every 50th
+    // vec_id), not just one. The query side broadcasts; the base scan is
+    // never shuffled — per-query ranking happens in a window over the
+    // scored pairs (qid-partitioned: |queries|·k rows survive). At 100 TB
+    // the same plan holds with an LSH/IVF candidate filter replacing the
+    // broadcast cross product (Similarity.ivfTopK); brute force IS the
+    // oracle-checkable baseline SURVEY §2.10 L3 calls for.
+    "q_knn_join" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = T(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cos("embedding", "qv"), 4).as("cs"))
+      val w = Window.partitionBy("qid").orderBy(desc("cs"), asc("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"), col("cs"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")
+    }),
+
     // Per-label centroids (the IVF coarse quantizer as a first-class op,
     // long form). One explode + one partial-aggregated shuffle on
     // (label, pos): the map side reduces 64·N element rows down to
@@ -174,6 +199,31 @@ object VectorOps {
          SELECT vec_id, CAST(label AS BIGINT) AS label,
            round(dp / (sqrt(na) * sqrt(nb)), 4) AS cs
          FROM d ORDER BY cs DESC, vec_id LIMIT 10""",
+    "q_knn_join" ->
+      """WITH q AS (
+           SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id % 50 = 0),
+         d AS (
+           SELECT q.qid, e.vec_id,
+             sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+               * CAST(q.qv[i.i + 1] AS DOUBLE)) AS dp,
+             sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+               * CAST(e.embedding[i.i + 1] AS DOUBLE)) AS na,
+             sum(CAST(q.qv[i.i + 1] AS DOUBLE)
+               * CAST(q.qv[i.i + 1] AS DOUBLE)) AS nb
+           FROM embeddings e, q, (SELECT unnest(range(64)) AS i) i
+           WHERE e.vec_id <> q.qid
+           GROUP BY q.qid, e.vec_id),
+         r AS (
+           SELECT qid, vec_id,
+             round(dp / (sqrt(na) * sqrt(nb)), 4) AS cs
+           FROM d)
+         SELECT qid, vec_id, cs, rn FROM (
+           SELECT qid, vec_id, cs,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cs DESC, vec_id) AS rn
+           FROM r) t
+         WHERE rn <= 3 ORDER BY qid, rn""",
     "q_embed_centroid" ->
       """SELECT CAST(label AS BIGINT) AS label, i.i AS pos,
            floor(avg(CAST(embedding[i.i + 1] AS DOUBLE)) * 10000 + 0.5)
