@@ -22,21 +22,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def r3(v: Double): String =  // 3-decimal, locale-stable ('.' always)
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       // three timed runs, report the min: sub-second queries at high
       // thread counts are scheduler/GC-noise-dominated; min-of-n is the
-      // stable estimator of the query's actual cost
+      // stable estimator of the query's actual cost. A run that throws is
+      // recorded as failed (-1) rather than as its wall time — a broken
+      // query must not look like a fast one.
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       }
-      name -> times.min
+      // GC between queries so one query's garbage doesn't bill the next —
+      // the 83-query sequential run otherwise inflates late-alphabet keys.
+      System.gc()
+      val good = times.filterNot(_.isNaN)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     // BASELINE.md metric names -> our equivalent declared keys, so the
     // per-round bench is directly comparable to the measured baseline.
     val aliases = Map(
@@ -48,9 +57,12 @@ object Bench {
       "minhash_dedup_proxy" -> "q_dedup_proxy",
       "cosine_knn_proxy" -> "q_cosine_topk")
     val rmap = results.toMap
-    val base = aliases.collect { case (a, k) if rmap.contains(k) =>
-      s"\"" + a + "\":" + rmap(k) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"baseline_equivalents":$base,"sf":"$sfDir"}""")
+    val base = aliases.toSeq.sortBy(_._1).collect {
+      case (a, k) if rmap.contains(k) => s"\"" + a + "\":" + r3(rmap(k))
+    }.mkString("{", ",", "}")
+    // headline fields FIRST: the driver's tail buffer may truncate the
+    // per-query map, but total/baseline_equivalents must always survive.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","baseline_equivalents":$base,"queries":$qs}""")
     spark.stop()
   }
 }

