@@ -19,5 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(cls.getName, name), builder))
     }
     ext.injectOptimizerRule(_ => FoldSelfCosine)
+    // EP1: reference-dialect `OVER (WINDOW 'w' SECONDS[, SLIDE 's'
+    // SECONDS])` statements parse directly via spark.sql — the translator
+    // runs in front of the stock parser, everything else passes through.
+    ext.injectParser((session, delegate) =>
+      new graft.streaming.CepSqlParser(session, delegate))
   }
 }

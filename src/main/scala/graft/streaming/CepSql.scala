@@ -3,6 +3,11 @@ package graft.streaming
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Reference-dialect SQL adapter (SURVEY §3.1 EP2): spark-cep queries carry
   * their window in a trailing `OVER (WINDOW 'w' SECONDS, SLIDE 's'
@@ -19,6 +24,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * in MIGRATION.md: the reference windows on arrival time; the rewritten
   * query windows on event time (`tsCol`), which is the deterministic,
   * replayable behavior — and identical in batch and streaming.
+  *
+  * The rewrite is SYNTAX-AWARE, not purely regex: clause positions are
+  * validated against a single-pass lexical scan (string/identifier
+  * literals, `--` and bracketed comments, paren depth), so a GROUP BY
+  * inside a subquery or a keyword inside a string literal is never the
+  * injection target, and a statement with more than one OVER-window
+  * clause (or one nested in a subquery) is rejected loudly rather than
+  * silently mis-rewritten.
+  *
+  * For zero-code-change migration the same translation is available as a
+  * parser extension ([[CepSqlParser]], injected by
+  * [[graft.plans.GraftExtensions]]): with
+  * `spark.sql.extensions=graft.plans.GraftExtensions`, reference-dialect
+  * text runs through plain `spark.sql(...)` directly.
   */
 object CepSql {
   private val over = Pattern.compile(
@@ -28,27 +47,96 @@ object CepSql {
   private val tail = Pattern.compile(
     "\\b(HAVING|ORDER\\s+BY|LIMIT)\\b", Pattern.CASE_INSENSITIVE)
 
+  /** Per-character lexical state from one left-to-right scan:
+    * `lit(i)` — position i is inside a quoted literal ('…', "…", `…`) or
+    * a comment; `depth(i)` — parenthesis nesting depth at position i
+    * (0 = top level of the statement). */
+  private def scan(q: String): (Array[Boolean], Array[Int]) = {
+    val n = q.length
+    val lit = new Array[Boolean](n)
+    val depth = new Array[Int](n)
+    var i = 0; var d = 0
+    var quote: Char = 0     // active quote char, 0 if none
+    var lineC = false        // in -- comment
+    var blockC = false       // in /* */ comment
+    while (i < n) {
+      val c = q.charAt(i)
+      lit(i) = quote != 0 || lineC || blockC
+      depth(i) = d
+      if (lineC) { if (c == '\n') lineC = false }
+      else if (blockC) {
+        if (c == '*' && i + 1 < n && q.charAt(i + 1) == '/') {
+          lit(i + 1) = true; depth(i + 1) = d; i += 1; blockC = false
+        }
+      } else if (quote != 0) {
+        if (c == '\\' && quote != '`' && i + 1 < n) {
+          lit(i + 1) = true; depth(i + 1) = d; i += 1 // backslash escape
+        } else if (c == quote) {
+          if (i + 1 < n && q.charAt(i + 1) == quote) {
+            lit(i + 1) = true; depth(i + 1) = d; i += 1 // doubled quote
+          } else quote = 0
+        }
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; lit(i) = true
+        case '-' if i + 1 < n && q.charAt(i + 1) == '-' => lineC = true; lit(i) = true
+        case '/' if i + 1 < n && q.charAt(i + 1) == '*' => blockC = true; lit(i) = true
+        case '(' => d += 1; depth(i) = d // '(' itself counts as inside
+        case ')' => d -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    (lit, depth)
+  }
+
   /** Rewrite one reference-dialect statement to Spark SQL. Statements
     * without an OVER-window clause pass through unchanged (the relational
-    * dialect is already Spark-compatible). */
+    * dialect is already Spark-compatible). Throws `IllegalArgumentException`
+    * on ambiguous input: multiple OVER-window clauses, or one inside a
+    * subquery (the reference dialect allows exactly one, on the top-level
+    * stream scan). */
   def translate(q: String, tsCol: String = "ts"): String = {
+    val (lit, depth) = scan(q)
     val m = over.matcher(q)
-    if (!m.find()) return q
-    val w = s"${m.group(1)} seconds"
-    val s = Option(m.group(2)).map(x => s"$x seconds").getOrElse(w)
-    val winExpr = s"window($tsCol, '$w', '$s')"
-    val stripped = m.replaceAll("")
-    val gm = groupBy.matcher(stripped)
-    if (gm.find())
-      // prepend the window key to the existing GROUP BY list
-      stripped.substring(0, gm.end()) + s" $winExpr," +
-        stripped.substring(gm.end())
-    else {
-      // no GROUP BY: insert one before HAVING/ORDER BY/LIMIT (or at end)
-      val tm = tail.matcher(stripped)
-      val at = if (tm.find()) tm.start() else stripped.length
-      stripped.substring(0, at).stripTrailing() +
-        s" GROUP BY $winExpr " + stripped.substring(at)
+    var found: Option[(Int, Int, String, String)] = None
+    while (m.find()) {
+      if (!lit(m.start())) { // a match inside a string literal is data
+        if (found.isDefined)
+          throw new IllegalArgumentException(
+            "multiple OVER (WINDOW …) clauses in one statement — the " +
+              "stream dialect allows exactly one, on the outer query")
+        if (depth(m.start()) != 0)
+          throw new IllegalArgumentException(
+            "OVER (WINDOW …) inside a subquery is not supported — window " +
+              "the outer query, or use window()/DataFrame API directly")
+        val w = s"${m.group(1)} seconds"
+        val sl = Option(m.group(2)).map(x => s"$x seconds").getOrElse(w)
+        found = Some((m.start(), m.end(), w, sl))
+      }
+    }
+    found match {
+      case None => q
+      case Some((a, b, w, sl)) =>
+        val winExpr = s"window($tsCol, '$w', '$sl')"
+        val stripped = q.substring(0, a) + q.substring(b)
+        val (slit, sdepth) = scan(stripped)
+        def firstTopLevel(p: Pattern): Option[java.util.regex.Matcher] = {
+          val mm = p.matcher(stripped)
+          while (mm.find())
+            if (!slit(mm.start()) && sdepth(mm.start()) == 0) return Some(mm)
+          None
+        }
+        firstTopLevel(groupBy) match {
+          case Some(gm) =>
+            // prepend the window key to the existing top-level GROUP BY
+            stripped.substring(0, gm.end()) + s" $winExpr," +
+              stripped.substring(gm.end())
+          case None =>
+            // no GROUP BY: insert one before HAVING/ORDER BY/LIMIT (or at end)
+            val at = firstTopLevel(tail).map(_.start()).getOrElse(stripped.length)
+            stripped.substring(0, at).stripTrailing() +
+              s" GROUP BY $winExpr " + stripped.substring(at)
+        }
     }
   }
 
@@ -56,4 +144,37 @@ object CepSql {
     * streaming — the plan is identical either way). */
   def sql(spark: SparkSession, q: String, tsCol: String = "ts"): DataFrame =
     spark.sql(translate(q, tsCol))
+}
+
+/** Parser extension delegating to Spark's parser after the reference-
+  * dialect rewrite — the idiomatic endpoint SURVEY §3.2 names for the
+  * reference's forked-parser EP1 surface. Plan-level entry points get the
+  * rewrite; expression/identifier/type entry points pass straight through
+  * (the dialect only extends full statements). The event-time column is
+  * read per statement from `spark.graft.cep.tsColumn` (default `ts`). */
+class CepSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+  private def ts: String =
+    try session.conf.get("spark.graft.cep.tsColumn", "ts")
+    catch { case _: Throwable => "ts" }
+  private def t(sqlText: String): String = CepSql.translate(sqlText, ts)
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(t(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(t(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
 }

@@ -42,6 +42,25 @@ object ContinuousQueries {
       .outputMode("append")
       .start()
 
+  /** EP3 — the reference's query-service loop: a SQL STRING (reference
+    * dialect or plain Spark SQL) in, a named continuous query out.
+    * The text is rewritten by [[CepSql.translate]] (no-op for plain SQL),
+    * resolved against the session's registered views — any view created
+    * from a streaming DataFrame yields a streaming plan — and started
+    * against an in-memory sink readable as `SELECT * FROM <name>`.
+    * Cancel with [[cancel]], enumerate with [[list]]; many submitted
+    * queries share one session/scheduler, exactly like the reference's
+    * daemon sharing one StreamingContext. */
+  def submitSql(spark: SparkSession, sqlText: String, name: String,
+      outputMode: String = "complete", tsCol: String = "ts"): StreamingQuery = {
+    val df = CepSql.sql(spark, sqlText, tsCol)
+    require(df.isStreaming,
+      s"'$name' resolved to a batch plan — register the source views " +
+        "from readStream/MemoryStream before submitting, or run the " +
+        "statement through spark.sql directly for a one-shot answer")
+    submitMemory(df, name, outputMode)
+  }
+
   def list(spark: SparkSession): Seq[StreamingQuery] =
     spark.streams.active.toSeq
 

@@ -57,4 +57,80 @@ class CepSqlSpec extends SparkSpec {
     assert(got.select("event_type").distinct().collect()
       .map(_.getString(0)).toSeq === Seq("click"))
   }
+
+  test("subquery GROUP BY is not the injection target") {
+    val q = """SELECT COUNT(*) AS cnt
+               FROM (SELECT user_id FROM events GROUP BY user_id) t
+               OVER (WINDOW '60' SECONDS)"""
+    val t = CepSql.translate(q)
+    // inner GROUP BY untouched; a NEW top-level GROUP BY carries the key
+    assert(t.contains("GROUP BY user_id)"))
+    assert(t.indexOf("window(ts,") > t.indexOf("GROUP BY user_id)"))
+  }
+
+  test("keywords inside string literals are ignored") {
+    val q = """SELECT COUNT(*) AS cnt FROM events
+               WHERE event_type = 'order by limit'
+               OVER (WINDOW '60' SECONDS) LIMIT 5"""
+    val t = CepSql.translate(q)
+    // injected GROUP BY lands before the real LIMIT, after the literal
+    assert(t.indexOf("'order by limit'") < t.indexOf("GROUP BY window(ts,"))
+    assert(t.indexOf("GROUP BY window(ts,") < t.lastIndexOf("LIMIT 5"))
+  }
+
+  test("multiple or nested OVER-window clauses are rejected") {
+    intercept[IllegalArgumentException] {
+      CepSql.translate(
+        """SELECT 1 FROM a OVER (WINDOW '60' SECONDS)
+           UNION ALL SELECT 1 FROM b OVER (WINDOW '30' SECONDS)""")
+    }
+    intercept[IllegalArgumentException] {
+      CepSql.translate(
+        """SELECT * FROM (SELECT COUNT(*) FROM events
+           OVER (WINDOW '60' SECONDS)) t""")
+    }
+    // ...but the same text inside a string literal is just data
+    val q = "SELECT \"OVER (WINDOW '60' SECONDS)\" AS s FROM t"
+    assert(CepSql.translate(q) === q)
+  }
+
+  test("parser extension: reference dialect runs via plain spark.sql") {
+    Tables.load(spark, sf) // warm shared context first
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      // spark.sql.extensions is STATIC conf — ignored when the shared
+      // test SparkContext already exists — so inject the same class
+      // programmatically (identical code path post-injection)
+      .withExtensions(ext => new graft.plans.GraftExtensions()(ext))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      assert(s2 ne old)
+      assert(s2.sessionState.sqlParser.isInstanceOf[CepSqlParser])
+      Tables.load(s2, sf)
+      // NO manual translate call — the injected parser does the rewrite
+      val got = s2.sql(
+        """SELECT event_type, COUNT(*) AS cnt FROM events
+           OVER (WINDOW '1800' SECONDS, SLIDE '600' SECONDS)
+           GROUP BY event_type""")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      val want = Tables.table(s2, sf, "events")
+        .groupBy(window(col("ts"), "1800 seconds", "600 seconds"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("event_type"), col("cnt"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(got === want)
+      // non-dialect SQL still parses through the delegate untouched
+      assert(s2.sql("SELECT 1 AS one").collect().head.getInt(0) === 1)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+    }
+  }
 }
