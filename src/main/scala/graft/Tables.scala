@@ -46,15 +46,21 @@ object Tables {
   def load(spark: SparkSession, sfDir: String): Map[String, DataFrame] = {
     val key = (spark, sfDir)
     registered.get(key) match {
-      case Some(m) => m
-      case None =>
+      // a cache hit is only honored if every view is still registered —
+      // a caller dropping a temp view must not leave later SQL-surface
+      // queries resolving against nothing (or a half-stale catalog)
+      case Some(m) if names.forall(spark.catalog.tableExists) => m
+      case _ =>
         val m = names.map { n =>
           val df = table(spark, sfDir, n)
           df.createOrReplaceTempView(n)
           n -> df
         }.toMap
-        // a different dir on the same session invalidates other entries
-        registered.filterInPlace { case ((s, _), _) => s ne spark }
+        // a different dir on the same session invalidates other entries;
+        // entries for stopped sessions are dropped so the map can't pin
+        // dead sessions (and their state) forever
+        registered.filterInPlace { case ((s, _), _) =>
+          (s ne spark) && !s.sparkContext.isStopped }
         registered.put(key, m)
         m
     }

@@ -88,9 +88,12 @@ object Similarity {
     * random vectors) NO bucketing scheme retains recall — that regime
     * needs [[ivfTopK]]-style probing or brute [[topK]]. */
   def lshCandidates(spark: SparkSession, emb: DataFrame, idCol: String,
-      vecCol: String, bitsPerTable: Int = 8, tables: Int = 8,
+      vecCol: String, dim: Int, bitsPerTable: Int = 8, tables: Int = 8,
       seed: Long = 42L): DataFrame = {
-    val dim = emb.select(vecCol).head().getSeq[Float](0).length
+    // dim is a caller-supplied constant (embedding dimensionality is a
+    // corpus-level invariant): inferring it here would run a Spark job at
+    // plan-BUILD time, making the operator eager — see OperatorsSpec's
+    // zero-jobs-at-construction listener assertion.
     val banded = (0 until tables).map { t =>
       val planes = hyperplanes(bitsPerTable, dim, seed + t * 7919)
       lshBuckets(spark, emb, vecCol, planes)

@@ -50,4 +50,40 @@ object TemporalJoins {
     left.join(matched, left(leftId) === matched(s"__$leftId"), "left")
       .drop(s"__$leftId")
   }
+
+  /** Hot-key-safe as-of (backward) join — identical semantics to
+    * [[asofJoinBackward]], different plan: instead of the theta join
+    * (which materializes every (left, earlier-right) pair per key before
+    * the top-1 window — quadratic on a hot key), both sides are UNIONED,
+    * shuffled once on the key, locally sorted by (ts, side, rightId), and
+    * the latest right row is CARRIED FORWARD onto each left row as one
+    * struct via `last(..., ignoreNulls)` over a running frame. Zero join
+    * pairs, O(1) window state per row, one shuffle + one sort per key —
+    * the shape that survives a key holding 1 % of 100 TB.
+    *
+    * Contract (same as the theta variant): non-key column names disjoint
+    * across the sides; ties on `rightTs` break by max `rightId`; left
+    * rows with no earlier right row keep nulls. */
+  def asofJoinBackwardCarry(left: DataFrame, right: DataFrame,
+      key: Seq[String], leftTs: String, rightTs: String, rightId: String)
+      : DataFrame = {
+    val rCols = right.columns.filterNot(key.contains)
+    val lCols = left.columns
+    val l2 = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+    val r2 = right.withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    // right rows (side 0) sort before left rows at equal ts → <= semantics;
+    // among equal-ts right rows, ascending id makes `last` pick the max id
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(asc("__ts"), asc("__side"), asc_nulls_first(rightId))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // carry the whole right row as ONE struct so all carried columns come
+    // from the SAME source row (per-column ignoreNulls carries could mix)
+    val carried = u.withColumn("__carry",
+      last(when(col("__side") === 0, struct(rCols.map(col): _*)),
+        ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 1)
+      .select(lCols.map(col) ++
+        rCols.map(c => col("__carry").getField(c).as(c)): _*)
+  }
 }

@@ -37,53 +37,85 @@ object RunDetector {
   private def us(t: Timestamp): Long =
     t.getTime / 1000 * 1000000L + t.getNanos / 1000
 
+  /** With `watermarkDelay` set (streaming), pending runs also flush via
+    * EVENT-TIME TIMEOUT: once the global watermark proves no on-time
+    * follow can still arrive (wm >= run_end + within), the run emits
+    * `RunMatch(..., None)` even if its key never receives another event —
+    * no per-key sentinel required. Open runs are NOT flushed by timeout:
+    * a maximal run stays extendable until a non-run event closes it, and
+    * emitting it early would under-report `run_len` vs batch. */
   def detect(events: Dataset[CepEvent], runType: String, minLen: Int,
-      followType: String, withinMs: Long): Dataset[RunMatch] = {
+      followType: String, withinMs: Long,
+      watermarkDelay: Option[String] = None): Dataset[RunMatch] = {
     implicit val matchEnc = Encoders.product[RunMatch]
     implicit val stateEnc = Encoders.product[RunDetState]
     implicit val keyEnc = Encoders.scalaLong
     val withinUs = withinMs * 1000L
+    val wmEnabled = watermarkDelay.isDefined && events.isStreaming
+    val src = if (wmEnabled) events.withWatermark("ts", watermarkDelay.get)
+              else events
+    val timeoutConf = if (wmEnabled) GroupStateTimeout.EventTimeTimeout()
+                      else GroupStateTimeout.NoTimeout()
 
-    events.groupByKey(_.user_id)
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[RunDetState, RunMatch](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (user: Long, it: Iterator[CepEvent], state: GroupState[RunDetState]) =>
           var open = state.getOption.flatMap(_.open)
           var pending = state.getOption.map(_.pending).getOrElse(Nil)
           val out = List.newBuilder[RunMatch]
-          val batch = it.toArray.sortBy(e => (us(e.ts), e.event_id))
-          batch.foreach { e =>
-            val t = us(e.ts)
-            // 1. a non-run event closes the open run (maximal-run island)
-            if (e.event_type != runType) {
-              open.foreach { o =>
-                if (o.count >= minLen)
-                  pending = PendingRun(o.count, o.start, o.end) :: pending
-              }
-              open = None
-            }
-            // 2. resolve pendings: this event is the follow inside the
-            //    window (events arrive time-ordered, so it's the FIRST),
-            //    or its clock proves a window can no longer be met
+          if (state.hasTimedOut) {
+            // watermark-driven expiry: no event with ts <= wm can arrive,
+            // so any window ending at/before wm is provably follow-less
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
             pending = pending.flatMap { p =>
-              val end = us(p.end)
-              if (e.event_type == followType && t > end && t <= end + withinUs) {
-                out += RunMatch(user, p.count, p.start, p.end, Some(e.ts))
-                Nil
-              } else if (t > end + withinUs) {
+              if (us(p.end) + withinUs <= wmUs) {
                 out += RunMatch(user, p.count, p.start, p.end, None)
                 Nil
               } else List(p)
             }
-            // 3. a run event extends or opens the run
-            if (e.event_type == runType) {
-              open = open match {
-                case Some(o) => Some(OpenRun(o.count + 1, o.start, e.ts))
-                case None    => Some(OpenRun(1, e.ts, e.ts))
+          } else {
+            val batch = it.toArray.sortBy(e => (us(e.ts), e.event_id))
+            batch.foreach { e =>
+              val t = us(e.ts)
+              // 1. a non-run event closes the open run (maximal-run island)
+              if (e.event_type != runType) {
+                open.foreach { o =>
+                  if (o.count >= minLen)
+                    pending = PendingRun(o.count, o.start, o.end) :: pending
+                }
+                open = None
+              }
+              // 2. resolve pendings: this event is the follow inside the
+              //    window (events arrive time-ordered, so it's the FIRST),
+              //    or its clock proves a window can no longer be met
+              pending = pending.flatMap { p =>
+                val end = us(p.end)
+                if (e.event_type == followType && t > end && t <= end + withinUs) {
+                  out += RunMatch(user, p.count, p.start, p.end, Some(e.ts))
+                  Nil
+                } else if (t > end + withinUs) {
+                  out += RunMatch(user, p.count, p.start, p.end, None)
+                  Nil
+                } else List(p)
+              }
+              // 3. a run event extends or opens the run
+              if (e.event_type == runType) {
+                open = open match {
+                  case Some(o) => Some(OpenRun(o.count + 1, o.start, e.ts))
+                  case None    => Some(OpenRun(1, e.ts, e.ts))
+                }
               }
             }
           }
           state.update(RunDetState(open, pending))
+          if (wmEnabled && pending.nonEmpty) {
+            // arm the timeout for the earliest pending window's expiry
+            // (must be strictly beyond the current watermark)
+            val nextMs = pending.map(p => (us(p.end) + withinUs) / 1000L + 1).min
+            state.setTimeoutTimestamp(
+              math.max(nextMs, state.getCurrentWatermarkMs() + 1))
+          }
           out.result().iterator
       }
   }

@@ -42,6 +42,36 @@ class EdgeSemanticsSpec extends SparkSpec {
     assert(got.toSeq == Seq(Some(21L)))
   }
 
+  test("as-of carry variant: hot key produces NO join pairs") {
+    // one user owning every row — the theta plan would materialize
+    // n_left × n_right = 4M pairs before its top-1 window; the carry
+    // plan materializes ZERO pairs (no Join node at all) and stays
+    // one-shuffle-one-sort regardless of key skew
+    val n = 2000
+    val lefts = (0 until n).map(i =>
+      (i.toLong, 7L, ts(f"2024-01-01 ${i / 3600}%02d:${i / 60 % 60}%02d:${i % 60}%02d.5")))
+      .toDF("err_id", "user_id", "err_ts")
+    val rights = (0 until n).map(i =>
+      (i.toLong + 100000, 7L, ts(f"2024-01-01 ${i / 3600}%02d:${i / 60 % 60}%02d:${i % 60}%02d")))
+      .toDF("click_id", "user_id", "click_ts")
+    val got = TemporalJoins.asofJoinBackwardCarry(lefts, rights,
+      Seq("user_id"), "err_ts", "click_ts", "click_id")
+    assert(!got.queryExecution.executedPlan.toString.contains("Join"),
+      "carry as-of must not contain any join operator")
+    // each left row at second i + 0.5s matches exactly the right row at
+    // second i (the latest ≤ it)
+    val rows = got.select("err_id", "click_id").as[(Long, Long)]
+      .collect().toMap
+    assert(rows.size === n)
+    (0 until n).foreach(i => assert(rows(i.toLong) === i.toLong + 100000))
+    // theta variant agrees (sampled — full product is the slow path)
+    val sampleL = lefts.filter($"err_id" < 50)
+    val theta = TemporalJoins.asofJoinBackward(sampleL, rights,
+        Seq("user_id"), "err_id", "err_ts", "click_ts", "click_id")
+      .select("err_id", "click_id").as[(Long, Long)].collect().toMap
+    theta.foreach { case (l, r) => assert(rows(l) === r) }
+  }
+
   test("as-of join keeps unmatched left rows with nulls") {
     val err = Seq((1L, 7L, ts("2024-01-01 10:00:00")))
       .toDF("err_id", "user_id", "err_ts")

@@ -40,6 +40,13 @@ class OperatorsSpec extends SparkSpec {
       .select("err_id", "click_id")
       .as[(Long, Option[Long])].collect().toSet
     assert(got == want && got.nonEmpty)
+
+    // the hot-key-safe carry variant matches the theta variant exactly
+    val carry = TemporalJoins.asofJoinBackwardCarry(err, clk,
+        Seq("user_id"), "err_ts", "click_ts", "click_id")
+      .select("err_id", "click_id")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(carry == want)
   }
 
   private lazy val docs = Tables.table(spark, sf, "documents")
@@ -149,9 +156,24 @@ class OperatorsSpec extends SparkSpec {
 
   test("Similarity.lshCandidates catches exact/near duplicates") {
     val dup = emb.limit(30).withColumn("vec_id", col("vec_id") + 100000)
-    val cands = Similarity.lshCandidates(spark, emb.limit(30).union(dup),
-        "vec_id", "embedding")
-      .as[(Long, Long, Long)].collect()
+    // plan construction must be LAZY: no Spark job may run until an
+    // action — a build-time job would make every composition eager
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val df = try {
+      val d = Similarity.lshCandidates(spark, emb.limit(30).union(dup),
+        "vec_id", "embedding", dim = 64)
+      Thread.sleep(1000) // listener events post asynchronously
+      assert(jobs.get() === 0,
+        s"lshCandidates ran ${jobs.get()} Spark job(s) at plan-build time")
+      d
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val cands = df.as[(Long, Long, Long)].collect()
     val ids = emb.orderBy("vec_id").limit(30).collect().map(_.getLong(0))
     // identical vectors collide in EVERY table
     ids.foreach { id =>

@@ -132,6 +132,39 @@ class StreamingTwinSpec extends SparkSpec {
     assert(got.count() > 0, "expected at least one click{3,} run")
   }
 
+  test("run detector: watermark timeout flushes pending runs, no sentinel") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = "twin_runs_wm"
+    val q = RunDetector.detect(stream.toDS(), "click", 3, "purchase",
+        10L * 60 * 1000, watermarkDelay = Some("0 seconds"))
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    def ev(id: Long, u: Long, t: String, typ: String) =
+      CepEvent(id, Timestamp.valueOf(t), u, typ, 1.0)
+    // user 7: a qualifying 3-click run, closed by a view, then SILENCE
+    stream.addData(
+      ev(1, 7L, "2024-01-01 10:00:00", "click"),
+      ev(2, 7L, "2024-01-01 10:01:00", "click"),
+      ev(3, 7L, "2024-01-01 10:02:00", "click"),
+      ev(4, 7L, "2024-01-01 10:03:00", "view"))
+    q.processAllAvailable()
+    assert(spark.table(name).count() === 0) // window still live
+    // ONLY user 8 advances the watermark past 10:12 (run_end + 10 min);
+    // user 7's key receives no further event, yet must flush via timeout
+    stream.addData(ev(100, 8L, "2024-01-01 11:00:00", "view"))
+    q.processAllAvailable()
+    // one more batch so the new watermark's timeouts fire
+    stream.addData(ev(101, 8L, "2024-01-01 11:00:01", "view"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name)
+      .select("user_id", "run_len", "next_follow").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(got === Set((7L, 3L, None)),
+      s"pending run should flush as next_follow=None via timeout: ${got.mkString}")
+  }
+
   test("watermark drops late events (beyond-lateness data is excluded)") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[CepEvent]
