@@ -27,6 +27,36 @@ object TemporalJoins {
     left.join(right, cond)
   }
 
+  /** BANDED interval join — identical semantics to [[intervalJoin]],
+    * scale-hardened plan: both sides get a time-bucket column (`bucket`
+    * wide, e.g. the interval itself), the left side EXPLODES to every
+    * bucket its match window overlaps (interval/bucket + 1 rows, a small
+    * constant), and the join becomes an EQUI join on (key…, bucket) with
+    * the exact time predicate as residual. Why it matters at 100 TB: the
+    * plain form shuffles on the key alone, so a hot key lands on one task
+    * and its per-key sort-merge degenerates to a time cross-check over
+    * ALL the key's rows; here the bucket is part of the shuffle key, so a
+    * hot key spreads across tasks and each merge only sees same-bucket
+    * rows. Each (left, right) match appears exactly once (the right row
+    * has ONE bucket). */
+  def intervalJoinBanded(left: DataFrame, right: DataFrame, key: Seq[String],
+      leftTs: String, rightTs: String, interval: String, bucket: String)
+      : DataFrame = {
+    // fixed-duration interval widths in microseconds, resolved at plan
+    // time (timestamp'epoch' + INTERVAL is constant-folded by Catalyst)
+    val bUs = s"unix_micros(timestamp'1970-01-01 00:00:00' + INTERVAL $bucket)"
+    val iUs = s"unix_micros(timestamp'1970-01-01 00:00:00' + INTERVAL $interval)"
+    val l2 = left.withColumn("__b", explode(expr(
+      s"sequence(unix_micros($leftTs) div $bUs, " +
+        s"(unix_micros($leftTs) + $iUs) div $bUs)")))
+    val r2 = right.withColumn("__b", expr(s"unix_micros($rightTs) div $bUs"))
+    val cond = key.map(k => l2(k) === r2(k)).reduce(_ && _) &&
+      l2("__b") === r2("__b") &&
+      r2(rightTs) > l2(leftTs) &&
+      r2(rightTs) <= l2(leftTs) + expr(s"INTERVAL $interval")
+    l2.join(r2, cond).drop(l2("__b")).drop(r2("__b"))
+  }
+
   /** As-of (backward) join: for each `left` row, the single latest `right`
     * row with rightTs <= leftTs on the same key; unmatched left rows are
     * kept with nulls (LEFT ASOF semantics). `leftId` must be a unique

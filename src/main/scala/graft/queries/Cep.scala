@@ -138,6 +138,24 @@ object Cep {
         .orderBy("err_id")
     }),
 
+    // J8b — same as-of semantics through the hot-key-safe CARRY plan
+    // (union + one shuffle on user_id + sorted carry-forward, zero join
+    // pairs — see TemporalJoins.asofJoinBackwardCarry). Checked against
+    // the same DuckDB native ASOF oracle as q_join_asof.
+    "q_join_asof_carry" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val err = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts").as("err_ts"))
+      val clk = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      graft.operators.TemporalJoins.asofJoinBackwardCarry(err, clk,
+          Seq("user_id"), "err_ts", "click_ts", "click_id")
+        .select("err_id", "user_id", "err_ts", "click_id", "click_ts")
+        .orderBy("err_id")
+    }),
+
     // C6c — quantified CEP pattern `click{3,} purchase?` per user: maximal
     // runs of ≥3 consecutive clicks (gaps-and-islands — two row_numbers,
     // one window sort per user), then the first purchase within 10 min of
@@ -240,6 +258,13 @@ object Cep {
              AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE)
          ORDER BY sid""",
     "q_join_asof" ->
+      """SELECT e.event_id AS err_id, e.user_id, e.ts AS err_ts,
+         c.event_id AS click_id, c.ts AS click_ts
+         FROM (SELECT * FROM events WHERE event_type = 'error') e
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON e.user_id = c.user_id AND e.ts >= c.ts
+         ORDER BY err_id""",
+    "q_join_asof_carry" ->
       """SELECT e.event_id AS err_id, e.user_id, e.ts AS err_ts,
          c.event_id AS click_id, c.ts AS click_ts
          FROM (SELECT * FROM events WHERE event_type = 'error') e

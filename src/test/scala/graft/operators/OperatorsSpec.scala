@@ -23,6 +23,15 @@ class OperatorsSpec extends SparkSpec {
     val want = graft.SparkEntry.queries("q_join_interval")(spark, sf)
       .select("sid", "pid").as[(Long, Long)].collect().toSet
     assert(got == want && got.nonEmpty)
+
+    // the banded (equi-join on key+bucket) plan is match-for-match equal,
+    // at several bucket widths incl. non-dividing ones
+    Seq("30 MINUTES", "10 MINUTES", "7 MINUTES").foreach { bkt =>
+      val banded = TemporalJoins.intervalJoinBanded(a, b, Seq("user_id"),
+          "s_ts", "p_ts", "30 MINUTES", bkt)
+        .select(col("sid"), col("pid")).as[(Long, Long)].collect().toSet
+      assert(banded == want, s"banded($bkt) diverged")
+    }
   }
 
   test("TemporalJoins.asofJoinBackward == q_join_asof") {
