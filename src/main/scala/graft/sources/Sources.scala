@@ -37,6 +37,24 @@ object Sources {
     spark.readStream.format("socket")
       .option("host", host).option("port", port).load()
 
+  /** Delimited-text payload → typed rows (the reference's delimited
+    * `MessageToRowConverter` form): split the `value` column on
+    * `delimiter`, cast field i to schema column i. Composes with ANY
+    * single-column text stream — socket, file text, or a Kafka value. */
+  def delimitedToRows(lines: DataFrame, schema: StructType,
+      delimiter: String = ","): DataFrame = {
+    val parts = split(col("value").cast("string"),
+      java.util.regex.Pattern.quote(delimiter))
+    lines.select(schema.fields.zipWithIndex.map { case (f, i) =>
+      parts.getItem(i).cast(f.dataType).as(f.name) }: _*)
+  }
+
+  /** JSON-text payload → typed rows; same contract as [[delimitedToRows]]
+    * for JSON-encoded lines (the `from_json` converter without Kafka). */
+  def jsonToRows(lines: DataFrame, schema: StructType): DataFrame =
+    lines.select(from_json(col("value").cast("string"), schema).as("m"))
+      .select(col("m.*"))
+
   /** Kafka topic → typed rows: JSON payloads parsed against `schema`
     * (the graft form of the reference's MessageToRowConverter). Requires
     * the Kafka connector jar at deployment. */

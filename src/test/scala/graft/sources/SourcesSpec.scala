@@ -45,6 +45,34 @@ class SourcesSpec extends SparkSpec {
     assert(spark.table("rate_smoke").count() > 0)
   }
 
+  test("message→row converters: delimited and JSON payloads type up") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, event_type STRING, value DOUBLE")
+    val lines = Seq("1,click,2.5", "2,view,0.25").toDF("value")
+    val got = Sources.delimitedToRows(lines, schema)
+      .as[(Long, String, Double)].collect().toSet
+    assert(got === Set((1L, "click", 2.5), (2L, "view", 0.25)))
+    // pipe delimiter (regex metachar) must be treated literally
+    val piped = Seq("3|error|1.5").toDF("value")
+    assert(Sources.delimitedToRows(piped, schema, "|")
+      .as[(Long, String, Double)].head() === ((3L, "error", 1.5)))
+    val js = Seq("""{"event_id":4,"event_type":"signup","value":9.0}""")
+      .toDF("value")
+    assert(Sources.jsonToRows(js, schema)
+      .as[(Long, String, Double)].head() === ((4L, "signup", 9.0)))
+    // and the converter composes with a STREAMING text relation
+    implicit val sq = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = Sources.delimitedToRows(stream.toDF().toDF("value"), schema)
+      .writeStream.queryName("conv_stream").format("memory")
+      .outputMode("append").start()
+    stream.addData("5,click,1.0")
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("conv_stream").as[(Long, String, Double)]
+      .collect().toSet === Set((5L, "click", 1.0)))
+  }
+
   test("streaming DF registered as temp view is SQL-queryable (S4)") {
     // the reference's registerDStreamAsTable: attach a name to a live
     // stream, then run SQL against it continuously
