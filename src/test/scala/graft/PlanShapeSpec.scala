@@ -104,6 +104,17 @@ class PlanShapeSpec extends SparkSpec {
       "top-50 must not globally sort")
   }
 
+  test("q_join_asof_carry: Join-free, ONE hash shuffle on the key") {
+    val p = plan("q_join_asof_carry")
+    assert(!p.contains("Join"),
+      s"carry as-of must not contain any join operator:\n$p")
+    assert(p.contains("Window"), p)
+    // exactly one hash repartitioning (user_id for the window); the only
+    // other exchange is the presentation sort's range partitioning
+    val hashEx = "hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, found $hashEx:\n$p")
+  }
+
   test("q_order_nulls pages via a single global sort + limit") {
     val p = plan("q_order_nulls")
     // offset+limit over a sort: Spark plans TakeOrderedAndProject with
