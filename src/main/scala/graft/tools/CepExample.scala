@@ -16,6 +16,9 @@ object CepExample {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[4]")
+      // the production switch is spark.sql.extensions=graft.plans
+      // .GraftExtensions on spark-submit; programmatic here
+      .withExtensions(ext => new graft.plans.GraftExtensions()(ext))
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -29,11 +32,15 @@ object CepExample {
     val stream = MemoryStream[CepEvent]
     stream.toDF().createOrReplaceTempView("live_events")
 
-    // 2. continuous queries, submitted and named at runtime
-    ContinuousQueries.submitMemory(spark.sql(
-      """SELECT window.start AS ws, event_type, count(*) AS cnt,
-                round(sum(value), 2) AS sum_value
-         FROM live_events GROUP BY window(ts, '1 hour'), event_type"""),
+    // 2. continuous queries, submitted and named at runtime — the first
+    //    as a reference-DIALECT SQL string (the injected parser rewrites
+    //    OVER (WINDOW …) before Spark's parser sees it; submitSql is the
+    //    reference's daemon verb: SQL text in, named cancellable query out)
+    ContinuousQueries.submitSql(spark,
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2)
+           AS sum_value
+         FROM live_events OVER (WINDOW '3600' SECONDS)
+         GROUP BY event_type""",
       "hourly_by_type")
     CepSequence.detect(stream.toDS(), "signup", "purchase", 30 * 60 * 1000L)
       .writeStream.queryName("conversions").format("memory")
