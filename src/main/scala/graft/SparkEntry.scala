@@ -21,11 +21,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Relational.queries ++ RelationalExt.queries ++
-      Stats.queries ++ Cep.queries ++ TextOps.queries ++ VectorOps.queries ++
-      Analytics.queries ++ PipelineOps.queries
+      Stats.queries ++ Scalar.queries ++ Cep.queries ++ TextOps.queries ++
+      VectorOps.queries ++ Analytics.queries ++ PipelineOps.queries
 
   def oracleSql: Map[String, String] =
     Core.oracles ++ Relational.oracles ++ RelationalExt.oracles ++
-      Stats.oracles ++ Cep.oracles ++ TextOps.oracles ++ VectorOps.oracles ++
-      Analytics.oracles ++ PipelineOps.oracles
+      Stats.oracles ++ Scalar.oracles ++ Cep.oracles ++ TextOps.oracles ++
+      VectorOps.oracles ++ Analytics.oracles ++ PipelineOps.oracles
 }

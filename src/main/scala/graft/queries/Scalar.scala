@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** T2 scalar/window widening, round 4 (SURVEY §2.7 F-family + §2.5 W):
+  * IGNORE NULLS window navigation, regular-expression functions, null
+  * tri-state surface (try_cast / nullif / null-safe equality), exact
+  * DECIMAL aggregation, and bitwise operators — each with a value-exact
+  * DuckDB oracle. All row-level projections are single-pass codegen
+  * (no shuffle except the presentation sort); the decimal aggregate is
+  * the standard two-phase hash agg. */
+object Scalar {
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W6 — IGNORE NULLS navigation: carry the last non-null metric
+    // forward per user (gap-fill), and the previous non-null via lag.
+    // One window sort; both frames share the WindowExec.
+    "q_window_ignore_nulls" -> ((s, dir) => {
+      val wOrd = Window.partitionBy("user_id")
+        .orderBy(asc("ts"), asc("event_id"))
+      val wRun = wOrd.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "events")
+        .withColumn("v",
+          when(col("event_type") === "view", lit(null)).otherwise(col("value")))
+        .withColumn("lnn", last(col("v"), ignoreNulls = true).over(wRun))
+        .withColumn("pnn", lag(col("v"), 1, null, ignoreNulls = true).over(wOrd))
+        .select("event_id", "lnn", "pnn")
+        .orderBy("event_id")
+    }),
+
+    // F8 — regex surface: extract / global replace / match / extract_all.
+    // Patterns are RE2-and-Java-portable (character classes only).
+    "q_regex_funcs" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "([A-Za-z]+)", 1).as("w"),
+          length(regexp_replace(col("text"), "[aeiou]", ""))
+            .cast("long").as("nl"),
+          col("text").rlike("[0-9]").cast("long").as("hasnum"),
+          expr("size(regexp_extract_all(text, '[A-Za-z]+', 0))")
+            .cast("long").as("nwords"))
+        .orderBy("doc_id")
+    }),
+
+    // F9 — null tri-state: try_cast (error→null), nullif, null-safe
+    // equality (Spark `<=>` == DuckDB IS NOT DISTINCT FROM), coalesce.
+    "q_null_safety" -> ((s, dir) => {
+      T(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr("try_cast(right(c_name, 2) AS INT)").as("tc"),
+          expr("nullif(c_mktsegment, 'BUILDING') <=> " +
+            "nullif(c_mktsegment, 'AUTOMOBILE')").as("ns"),
+          coalesce(expr("nullif(c_mktsegment, 'BUILDING')"), lit("NONE"))
+            .as("co"))
+        .orderBy("c_custkey")
+    }),
+
+    // F10 — exact money aggregation: sum in DECIMAL, not double — the
+    // 100 TB answer to float drift (decimal sums are associative, so
+    // partial aggregation stays exact across any partitioning).
+    "q_decimal_exact" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("decimal(20,2)").as("sd"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
+    // F11 — bitwise operators (&, |, ^, shift, popcount).
+    "q_bitwise" -> ((s, dir) => {
+      T(s, dir, "events")
+        .select(col("event_id"),
+          expr("event_id & 255").as("ba"),
+          expr("event_id | 4096").as("bo"),
+          expr("event_id ^ 255").as("bx"),
+          expr("shiftleft(event_id, 3)").as("bs"),
+          expr("bit_count(event_id)").cast("long").as("bc"))
+        .orderBy("event_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_window_ignore_nulls" ->
+      """SELECT event_id,
+                last_value(CASE WHEN event_type = 'view' THEN NULL
+                                ELSE value END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS lnn,
+                lag(CASE WHEN event_type = 'view' THEN NULL
+                         ELSE value END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pnn
+         FROM events ORDER BY event_id""",
+    "q_regex_funcs" ->
+      """SELECT doc_id,
+                regexp_extract(text, '([A-Za-z]+)', 1) AS w,
+                CAST(length(regexp_replace(text, '[aeiou]', '', 'g'))
+                  AS BIGINT) AS nl,
+                CAST(regexp_matches(text, '[0-9]') AS BIGINT) AS hasnum,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+                  AS nwords
+         FROM documents ORDER BY doc_id""",
+    "q_null_safety" ->
+      """SELECT c_custkey,
+                TRY_CAST(right(c_name, 2) AS INTEGER) AS tc,
+                nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM
+                  nullif(c_mktsegment, 'AUTOMOBILE') AS ns,
+                coalesce(nullif(c_mktsegment, 'BUILDING'), 'NONE') AS co
+         FROM customer ORDER BY c_custkey""",
+    "q_decimal_exact" ->
+      """SELECT l_returnflag,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DECIMAL(20,2)) AS sd,
+                count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_bitwise" ->
+      """SELECT event_id,
+                event_id & 255 AS ba,
+                event_id | 4096 AS bo,
+                xor(event_id, 255) AS bx,
+                event_id << 3 AS bs,
+                CAST(bit_count(event_id) AS BIGINT) AS bc
+         FROM events ORDER BY event_id"""
+  )
+}
