@@ -41,6 +41,25 @@ object Cep {
         .orderBy("sid", "pid")
     }),
 
+    // J7b — same interval-join semantics through the hot-key-safe BANDED
+    // plan (time bucket as part of the equi key — see
+    // TemporalJoins.intervalJoinBanded); same DuckDB oracle as
+    // q_join_interval. A 10-minute band on a 30-minute window = 4-way
+    // left-side expansion, right side unexpanded.
+    "q_join_interval_banded" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val a = e.filter(col("event_type") === "signup")
+        .select(col("event_id").as("sid"), col("user_id"),
+          col("ts").as("s_ts"))
+      val b = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          col("ts").as("p_ts"))
+      graft.operators.TemporalJoins.intervalJoinBanded(a, b, Seq("user_id"),
+          "s_ts", "p_ts", "30 MINUTES", "10 MINUTES")
+        .select(a("sid"), b("pid"), a("user_id"))
+        .orderBy("sid", "pid")
+    }),
+
     // C2 — sliding window (30 min / 10 min): each event lands in exactly 3
     // epoch-aligned panes. At 100 TB, prefer tumbling-pane pre-agg + merge
     // (SURVEY §7.6); at this SF the expand is the faster plan.
@@ -207,6 +226,13 @@ object Cep {
 
   val oracles: Map[String, String] = Map(
     "q_join_interval" ->
+      """SELECT a.event_id AS sid, b.event_id AS pid, a.user_id
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND a.event_type = 'signup' AND b.event_type = 'purchase'
+          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+         ORDER BY sid, pid""",
+    "q_join_interval_banded" ->
       """SELECT a.event_id AS sid, b.event_id AS pid, a.user_id
          FROM events a JOIN events b
            ON a.user_id = b.user_id
