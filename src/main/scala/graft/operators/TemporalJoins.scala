@@ -93,7 +93,9 @@ object TemporalJoins {
     *
     * Contract (same as the theta variant): non-key column names disjoint
     * across the sides; ties on `rightTs` break by max `rightId`; left
-    * rows with no earlier right row keep nulls. */
+    * rows with no earlier right row keep nulls; a NULL key never matches
+    * (SQL equi semantics — `partitionBy` groups NULLs together, so the
+    * carried value is explicitly nulled for null-key rows). */
   def asofJoinBackwardCarry(left: DataFrame, right: DataFrame,
       key: Seq[String], leftTs: String, rightTs: String, rightId: String)
       : DataFrame = {
@@ -112,8 +114,10 @@ object TemporalJoins {
     val carried = u.withColumn("__carry",
       last(when(col("__side") === 0, struct(rCols.map(col): _*)),
         ignoreNulls = true).over(w))
+    val keyOk = key.map(col(_).isNotNull).reduce(_ && _)
     carried.filter(col("__side") === 1)
       .select(lCols.map(col) ++
-        rCols.map(c => col("__carry").getField(c).as(c)): _*)
+        rCols.map(c =>
+          when(keyOk, col("__carry").getField(c)).as(c)): _*)
   }
 }

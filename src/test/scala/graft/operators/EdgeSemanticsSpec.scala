@@ -72,6 +72,25 @@ class EdgeSemanticsSpec extends SparkSpec {
     theta.foreach { case (l, r) => assert(rows(l) === r) }
   }
 
+  test("as-of carry variant: NULL keys never match (SQL equi semantics)") {
+    val lefts = Seq(
+      (1L, Some(7L), ts("2024-01-01 10:00:00")),
+      (2L, None: Option[Long], ts("2024-01-01 10:00:00")))
+      .toDF("err_id", "user_id", "err_ts")
+    val rights = Seq(
+      (10L, Some(7L), ts("2024-01-01 09:00:00")),
+      (11L, None: Option[Long], ts("2024-01-01 09:00:00")))
+      .toDF("click_id", "user_id", "click_ts")
+    val got = TemporalJoins.asofJoinBackwardCarry(lefts, rights,
+        Seq("user_id"), "err_ts", "click_ts", "click_id")
+      .select("err_id", "click_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(got(1L) === Some(10L))
+    // the theta form's equi condition drops NULL = NULL; carry must too
+    assert(got(2L) === None,
+      "null-key left row must stay unmatched, not absorb null-key rights")
+  }
+
   test("as-of join keeps unmatched left rows with nulls") {
     val err = Seq((1L, 7L, ts("2024-01-01 10:00:00")))
       .toDF("err_id", "user_id", "err_ts")
