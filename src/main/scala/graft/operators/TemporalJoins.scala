@@ -42,14 +42,24 @@ object TemporalJoins {
   def intervalJoinBanded(left: DataFrame, right: DataFrame, key: Seq[String],
       leftTs: String, rightTs: String, interval: String, bucket: String)
       : DataFrame = {
-    // fixed-duration interval widths in microseconds, resolved at plan
-    // time (timestamp'epoch' + INTERVAL is constant-folded by Catalyst)
-    val bUs = s"unix_micros(timestamp'1970-01-01 00:00:00' + INTERVAL $bucket)"
-    val iUs = s"unix_micros(timestamp'1970-01-01 00:00:00' + INTERVAL $interval)"
+    // fixed-duration interval widths in microseconds, parsed DRIVER-side:
+    // a `timestamp'epoch' + INTERVAL` formulation would go through the
+    // SESSION TIME ZONE (epoch literal parsed in local time) and produce
+    // wrong widths for any non-UTC session
+    def us(spec: String): Long = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+          .fromString(spec))
+      require(iv.months == 0,
+        s"banded interval join needs a fixed-duration width, got '$spec'")
+      iv.days * 86400000000L + iv.microseconds
+    }
+    val bUs = us(bucket)
+    val iUs = us(interval)
     val l2 = left.withColumn("__b", explode(expr(
-      s"sequence(unix_micros($leftTs) div $bUs, " +
-        s"(unix_micros($leftTs) + $iUs) div $bUs)")))
-    val r2 = right.withColumn("__b", expr(s"unix_micros($rightTs) div $bUs"))
+      s"sequence(unix_micros($leftTs) div ${bUs}L, " +
+        s"(unix_micros($leftTs) + ${iUs}L) div ${bUs}L)")))
+    val r2 = right.withColumn("__b", expr(s"unix_micros($rightTs) div ${bUs}L"))
     val cond = key.map(k => l2(k) === r2(k)).reduce(_ && _) &&
       l2("__b") === r2("__b") &&
       r2(rightTs) > l2(leftTs) &&
@@ -110,9 +120,13 @@ object TemporalJoins {
       .orderBy(asc("__ts"), asc("__side"), asc_nulls_first(rightId))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // carry the whole right row as ONE struct so all carried columns come
-    // from the SAME source row (per-column ignoreNulls carries could mix)
+    // from the SAME source row (per-column ignoreNulls carries could mix).
+    // A NULL rightTs sorts FIRST under asc ordering, so it must be
+    // excluded here — the theta form's `rightTs <= leftTs` is never true
+    // for NULL, and the carry must agree.
     val carried = u.withColumn("__carry",
-      last(when(col("__side") === 0, struct(rCols.map(col): _*)),
+      last(when(col("__side") === 0 && col("__ts").isNotNull,
+          struct(rCols.map(col): _*)),
         ignoreNulls = true).over(w))
     val keyOk = key.map(col(_).isNotNull).reduce(_ && _)
     carried.filter(col("__side") === 1)

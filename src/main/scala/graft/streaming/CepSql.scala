@@ -96,6 +96,9 @@ object CepSql {
     * subquery (the reference dialect allows exactly one, on the top-level
     * stream scan). */
   def translate(q: String, tsCol: String = "ts"): String = {
+    // fast path: the injected parser routes EVERY statement through here,
+    // so don't build the scan arrays unless the clause can possibly match
+    if (!over.matcher(q).find()) return q
     val (lit, depth) = scan(q)
     val m = over.matcher(q)
     var found: Option[(Int, Int, String, String)] = None

@@ -108,13 +108,19 @@ object RunDetector {
               }
             }
           }
-          state.update(RunDetState(open, pending))
-          if (wmEnabled && pending.nonEmpty) {
-            // arm the timeout for the earliest pending window's expiry
-            // (must be strictly beyond the current watermark)
-            val nextMs = pending.map(p => (us(p.end) + withinUs) / 1000L + 1).min
-            state.setTimeoutTimestamp(
-              math.max(nextMs, state.getCurrentWatermarkMs() + 1))
+          if (open.isEmpty && pending.isEmpty)
+            // nothing live for this key: REMOVE the state row so the
+            // store stays O(keys-with-live-runs), not O(keys-ever-seen)
+            state.remove()
+          else {
+            state.update(RunDetState(open, pending))
+            if (wmEnabled && pending.nonEmpty) {
+              // arm the timeout for the earliest pending window's expiry
+              // (must be strictly beyond the current watermark)
+              val nextMs = pending.map(p => (us(p.end) + withinUs) / 1000L + 1).min
+              state.setTimeoutTimestamp(
+                math.max(nextMs, state.getCurrentWatermarkMs() + 1))
+            }
           }
           out.result().iterator
       }

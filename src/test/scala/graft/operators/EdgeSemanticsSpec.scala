@@ -91,6 +91,47 @@ class EdgeSemanticsSpec extends SparkSpec {
       "null-key left row must stay unmatched, not absorb null-key rights")
   }
 
+  test("as-of carry variant: NULL rightTs rows are never carried") {
+    val lefts = Seq((1L, 7L, ts("2024-01-01 10:00:00")))
+      .toDF("err_id", "user_id", "err_ts")
+    val rights = Seq(
+      (99L, 7L, None: Option[Timestamp]),     // null ts — ineligible
+      (10L, 7L, Some(ts("2024-01-01 09:00:00"))))
+      .toDF("click_id", "user_id", "click_ts")
+    val got = TemporalJoins.asofJoinBackwardCarry(lefts, rights,
+        Seq("user_id"), "err_ts", "click_ts", "click_id")
+      .select("click_id").head()
+    assert(got.getLong(0) === 10L,
+      "theta's rightTs <= leftTs is never true for NULL; carry must agree")
+    // and with ONLY a null-ts right row, the left row stays unmatched
+    val gotNone = TemporalJoins.asofJoinBackwardCarry(lefts,
+        rights.filter($"click_id" === 99L),
+        Seq("user_id"), "err_ts", "click_ts", "click_id")
+      .select("click_id").head()
+    assert(gotNone.isNullAt(0))
+  }
+
+  test("banded interval join is session-timezone-independent") {
+    val a = Seq((1L, 7L, ts("2024-01-01 10:00:00")))
+      .toDF("sid", "user_id", "s_ts")
+    val b = Seq(
+      (11L, 7L, ts("2024-01-01 10:07:00")),   // inside window
+      (12L, 7L, ts("2024-01-01 10:30:00")),   // == s_ts+w → included
+      (13L, 7L, ts("2024-01-01 10:31:00")))   // outside
+      .toDF("pid", "user_id", "p_ts")
+    def run(): Set[Long] = TemporalJoins.intervalJoinBanded(a, b,
+        Seq("user_id"), "s_ts", "p_ts", "30 MINUTES", "10 MINUTES")
+      .select("pid").as[Long].collect().toSet
+    val inUtc = run()
+    val tzKey = "spark.sql.session.timeZone"
+    val old = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "Asia/Tokyo") // +09:00, no DST
+      assert(run() === inUtc, "bucket widths must not depend on session tz")
+      assert(inUtc === Set(11L, 12L))
+    } finally spark.conf.set(tzKey, old)
+  }
+
   test("as-of join keeps unmatched left rows with nulls") {
     val err = Seq((1L, 7L, ts("2024-01-01 10:00:00")))
       .toDF("err_id", "user_id", "err_ts")

@@ -177,7 +177,7 @@ class OperatorsSpec extends SparkSpec {
     val df = try {
       val d = Similarity.lshCandidates(spark, emb.limit(30).union(dup),
         "vec_id", "embedding", dim = 64)
-      Thread.sleep(1000) // listener events post asynchronously
+      org.apache.spark.GraftTestAccess.drainListeners(spark.sparkContext)
       assert(jobs.get() === 0,
         s"lshCandidates ran ${jobs.get()} Spark job(s) at plan-build time")
       d
