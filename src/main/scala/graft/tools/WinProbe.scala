@@ -39,14 +39,8 @@ object WinProbe {
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("rnk", rank().over(w).cast("long"))
       .withColumn("pc", count(lit(1)).over(wFull))
-      .withColumn("ntq", expr("pc div 4"))
-      .withColumn("ntr", expr("pc % 4"))
-      .withColumn("nt",
-        when(col("rn") <= col("ntr") * (col("ntq") + 1),
-          expr("(rn + ntq) div (ntq + 1)"))
-        .otherwise(expr(
-          "ntr + (rn - ntr * (ntq + 1) + greatest(ntq, 1L) - 1)" +
-            " div greatest(ntq, 1L)")))
+      // the PRODUCTION formula — probe and query can't drift apart
+      .withColumn("nt", graft.queries.arithNtile(col("rn"), col("pc"), 4))
       .filter(col("rn") <= 3)
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk", "nt")
       .orderBy("o_custkey", "rn")
