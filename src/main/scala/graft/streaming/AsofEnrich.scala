@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A left event enriched with the latest preceding right event (or none). */
+case class AsofMatch(err_id: Long, user_id: Long, err_ts: Timestamp,
+    click_id: Option[Long], click_ts: Option[Timestamp])
+
+/** The latest right event seen so far for a key. */
+case class LatestRight(id: Long, ts: Timestamp)
+
+/** Streaming as-of enrichment (SURVEY §2.3 J8, streaming form): each
+  * `leftType` event is emitted with the LATEST `rightType` event at/before
+  * it for the same key — the streaming twin of
+  * [[graft.operators.TemporalJoins.asofJoinBackwardCarry]], and the CEP
+  * form of "enrich a fact stream with the most recent dimension state".
+  *
+  * Semantics match the batch carry/theta forms exactly under the same
+  * (ts, side, event_id) total order: a right event at the SAME timestamp
+  * as a left event is eligible (<=), ties among rights break by max id.
+  * State per key is ONE (id, ts) pair — O(keys), not O(stream): the
+  * reference kept this in Redis; here it's a state-store row.
+  *
+  * Within-batch disorder is handled by sorting the group's batch;
+  * cross-batch late RIGHT events (older than the retained latest) are
+  * ignored by the monotonic update rule, matching what a watermark-late
+  * event would experience anywhere else in the engine.
+  */
+object AsofEnrich {
+  private def us(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  def enrich(events: Dataset[CepEvent], leftType: String, rightType: String)
+      : Dataset[AsofMatch] = {
+    implicit val outEnc = Encoders.product[AsofMatch]
+    implicit val stateEnc = Encoders.product[LatestRight]
+    implicit val keyEnc = Encoders.scalaLong
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LatestRight, AsofMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[CepEvent], state: GroupState[LatestRight]) =>
+          var latest: Option[LatestRight] = state.getOption
+          val out = List.newBuilder[AsofMatch]
+          // rights sort before lefts at equal ts (<= semantics), matching
+          // the batch carry plan's (__ts, __side, id) ordering
+          val batch = it.toArray.sortBy(e =>
+            (us(e.ts), if (e.event_type == rightType) 0 else 1, e.event_id))
+          batch.foreach { e =>
+            if (e.event_type == rightType) {
+              // monotonic: only a strictly newer (ts, id) replaces state,
+              // so a late-arriving older right can't rewind the carry
+              if (latest.forall(l => us(e.ts) > us(l.ts) ||
+                  (us(e.ts) == us(l.ts) && e.event_id > l.id)))
+                latest = Some(LatestRight(e.event_id, e.ts))
+            } else if (e.event_type == leftType) {
+              out += AsofMatch(e.event_id, user, e.ts,
+                latest.map(_.id), latest.map(_.ts))
+            }
+          }
+          latest.foreach(state.update)
+          out.result().iterator
+      }
+  }
+}

@@ -132,6 +132,28 @@ class StreamingTwinSpec extends SparkSpec {
     assert(got.count() > 0, "expected at least one click{3,} run")
   }
 
+  test("as-of enrichment: streaming state == oracle-checked batch join") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = "twin_asof"
+    val q = AsofEnrich.enrich(stream.toDS(), "error", "click")
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(math.max(1, data.length / 5)).foreach { chunk =>
+      stream.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table(name)
+      .select("err_id", "user_id", "err_ts", "click_id", "click_ts")
+    // the DuckDB-native-ASOF-checked batch key is the reference point —
+    // three formulations agree: theta, carry, streaming state
+    val want = graft.SparkEntry.queries("q_join_asof_carry")(spark, sf)
+    assert(rows(got) == rows(want))
+    assert(got.count() > 0)
+  }
+
   test("run detector: watermark timeout flushes pending runs, no sentinel") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[CepEvent]
