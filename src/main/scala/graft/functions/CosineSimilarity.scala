@@ -2,11 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Native Catalyst expression: cosine similarity of two numeric arrays.
   *
@@ -23,73 +19,15 @@ import org.apache.spark.sql.types._
   * (embedding vectors); returns null if either array is null.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
-
-  override def dataType: DataType = DoubleType
-
-  private def elemType(e: Expression): Option[DataType] = e.dataType match {
-    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
-    case _ => None
-  }
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    (elemType(left), elemType(right)) match {
-      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
-      case _ => TypeCheckResult.TypeCheckFailure(
-        s"cosine_sim expects two arrays of float or double with matching " +
-          s"element types, got ${left.dataType.sql} and ${right.dataType.sql}")
-    }
-
-  @inline private def isFloat: Boolean = elemType(left).contains(FloatType)
-
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    if (isFloat) {
-      while (i < n) {
-        val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
-        dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
-      }
-    } else {
-      while (i < n) {
-        val xi = x.getDouble(i); val yi = y.getDouble(i)
-        dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
-      }
-    }
+    extends VectorBinaryExpression {
+  override protected def finish(dot: Double, na: Double, nb: Double): Double =
     dot / (math.sqrt(na) * math.sqrt(nb))
-  }
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val get = if (isFloat) "getFloat" else "getDouble"
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val dot = ctx.freshName("dot")
-      val na = ctx.freshName("na")
-      val nb = ctx.freshName("nb")
-      val xi = ctx.freshName("xi")
-      val yi = ctx.freshName("yi")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.$get($i);
-         |  double $yi = (double) $b.$get($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
-         |}
-         |${ev.value} = $dot /
-         |  (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
-       """.stripMargin
-    })
-  }
-
+  override protected def finishCode(dot: String, na: String, nb: String)
+      : String =
+    s"$dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb))"
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
-
   override def prettyName: String = "cosine_sim"
 }
 

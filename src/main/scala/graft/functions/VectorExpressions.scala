@@ -8,9 +8,10 @@ import org.apache.spark.sql.types._
 
 /** Shared scaffolding for the fused vector kernels (SURVEY §4.2): one
   * primitive loop over two float/double arrays accumulating in double,
-  * with whole-stage codegen. [[CosineSimilarity]] predates this trait and
-  * keeps its own body; DotProduct / L2Distance are the two other kernels
-  * an embedding pipeline needs (inner-product ANN and euclidean dedup).
+  * with whole-stage codegen. [[CosineSimilarity]], [[DotProduct]] and
+  * [[L2Distance]] are each a two-line `finish` over the same loop — the
+  * three kernels an embedding pipeline needs (angular similarity,
+  * inner-product ANN, euclidean dedup).
   */
 trait VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType

@@ -57,6 +57,12 @@ object Components {
       i += 1
     }
     undirected.unpersist()
+    if (!converged)
+      // returning partially-propagated labels would silently split one
+      // true component into several "groups" — fail loudly instead
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+          "the graph's diameter exceeds the budget; raise maxIter")
     labels
   }
 

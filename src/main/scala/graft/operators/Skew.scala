@@ -18,10 +18,25 @@ object Skew {
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
       salt: Int): DataFrame = {
     require(salt > 1, "salt must be > 1")
-    // deterministic spread: hash the whole left row, not rand() —
-    // retried and speculative tasks must place a row identically
+    // deterministic spread: hash the left row, not rand() — retried and
+    // speculative tasks must place a row identically. Map-typed columns
+    // are excluded (hash() rejects MapType — unordered entries have no
+    // canonical hash); byte-identical duplicate rows therefore share a
+    // salt, which is acceptable: identical-row floods are a dedup
+    // problem, not a join-skew one.
+    def mapFree(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => mapFree(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => mapFree(a.elementType)
+      case _ => true
+    }
+    val hashable = left.schema.fields
+      .filter(f => mapFree(f.dataType)).map(f => col(f.name))
+    require(hashable.nonEmpty,
+      "saltedEquiJoin needs at least one non-map column to derive the salt")
     val l = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(salt)))
+      pmod(hash(hashable.toIndexedSeq: _*), lit(salt)))
     val salts = right.sparkSession.range(salt)
       .select(col("id").cast("int").as("__salt"))
     val r = right.crossJoin(salts)

@@ -8,6 +8,10 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, 
 /** An emitted absence: a `first` event with NO `second` within the window. */
 case class AbsenceMatch(user_id: Long, sid: Long, s_ts: Timestamp)
 
+/** A second-type event retained for late-first cancellation (pruned to
+  * the watermark lateness horizon). */
+case class SeenSecond(ts: Timestamp)
+
 /** CEP negation / absence pattern (streaming twin of `q_cep_absence`):
   * emit each `first` event for which no `second` arrives within
   * `withinMs`. This is the pattern that REQUIRES timers — a match is
@@ -19,33 +23,55 @@ case class AbsenceMatch(user_id: Long, sid: Long, s_ts: Timestamp)
 class AbsenceProcessor(first: String, second: String, withinMs: Long)
     extends StatefulProcessor[Long, CepEvent, AbsenceMatch] {
   @transient private var open: ListState[OpenFirst] = _
+  @transient private var seen: ListState[SeenSecond] = _
 
   private def us(t: Timestamp): Long =
     t.getTime / 1000 * 1000000L + t.getNanos / 1000
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     open = getHandle.getListState[OpenFirst]("absence_open",
       Encoders.product[OpenFirst], TTLConfig.NONE)
+    seen = getHandle.getListState[SeenSecond]("absence_seconds",
+      Encoders.product[SeenSecond], TTLConfig.NONE)
+  }
 
   override def handleInputRows(key: Long, rows: Iterator[CepEvent],
       timers: TimerValues): Iterator[AbsenceMatch] = {
     var opens = if (open.exists()) open.get().toList else Nil
+    // seconds RETAINED across batches: a first may arrive LATE (inside
+    // the watermark lateness) after its cancelling second was already
+    // processed — without this memory it would emit a false absence.
+    // Only seconds beyond the watermark can matter (any future first has
+    // ts > wm, and its cancelling second has ts > that), so the list is
+    // bounded by the lateness horizon.
+    val wmMs = timers.getCurrentWatermarkInMs()
+    var secs = (if (seen.exists()) seen.get().toList else Nil)
+      .filter(_.ts.getTime >= wmMs)
     val batch = rows.toArray.sortBy(e => (us(e.ts), e.event_id))
     batch.foreach { e =>
       val t = us(e.ts)
-      if (e.event_type == second)
+      if (e.event_type == second) {
         // a second cancels every open first whose window covers it
         opens = opens.filterNot(o =>
           t > us(o.ts) && t <= us(o.ts) + withinMs * 1000L)
+        if (e.ts.getTime >= wmMs) secs = SeenSecond(e.ts) :: secs
+      }
       if (e.event_type == first) {
-        opens = OpenFirst(e.event_id, e.ts) :: opens
-        // +1 ms: getTime truncates the microsecond part, so the true
-        // (micro-precision) deadline lies inside the truncated ms — the
-        // timer must fire strictly after it
-        getHandle.registerTimer(e.ts.getTime + withinMs + 1)
+        // an already-seen second inside this first's window means the
+        // absence can never be confirmed — don't open it at all
+        val preCancelled = secs.exists(s =>
+          us(s.ts) > t && us(s.ts) <= t + withinMs * 1000L)
+        if (!preCancelled) {
+          opens = OpenFirst(e.event_id, e.ts) :: opens
+          // +1 ms: getTime truncates the microsecond part, so the true
+          // (micro-precision) deadline lies inside the truncated ms — the
+          // timer must fire strictly after it
+          getHandle.registerTimer(e.ts.getTime + withinMs + 1)
+        }
       }
     }
     if (opens.isEmpty) open.clear() else open.put(opens.toArray)
+    if (secs.isEmpty) seen.clear() else seen.put(secs.toArray)
     Iterator.empty
   }
 

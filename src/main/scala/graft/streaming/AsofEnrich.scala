@@ -57,8 +57,14 @@ object AsofEnrich {
                   (us(e.ts) == us(l.ts) && e.event_id > l.id)))
                 latest = Some(LatestRight(e.event_id, e.ts))
             } else if (e.event_type == leftType) {
+              // the as-of invariant is rightTs <= leftTs: a LATE left
+              // (older than the retained latest) must not be enriched
+              // with that future right — emit unmatched instead (the
+              // older right it would have matched is beyond one-row
+              // state; documented lateness trade-off)
+              val eligible = latest.filter(l => us(l.ts) <= us(e.ts))
               out += AsofMatch(e.event_id, user, e.ts,
-                latest.map(_.id), latest.map(_.ts))
+                eligible.map(_.id), eligible.map(_.ts))
             }
           }
           latest.foreach(state.update)

@@ -71,8 +71,15 @@ object CepSequence {
             }
             if (e.event_type == first) open = (e.event_id, e.ts) :: open
           }
-          // prune firsts that can no longer match (bounded state)
-          open = open.filter { case (_, sTs) => us(sTs) + withinUs >= maxTs }
+          // prune firsts that can no longer match (bounded state). The
+          // horizon is the WATERMARK when one is configured — a late
+          // second with ts < batch-max can still legally arrive, so
+          // pruning by batch-max would drop firsts it could complete;
+          // without a watermark (in-order replay / batch) the batch max
+          // is the contract.
+          val horizon = scala.util.Try(state.getCurrentWatermarkMs() * 1000L)
+            .getOrElse(maxTs)
+          open = open.filter { case (_, sTs) => us(sTs) + withinUs >= horizon }
           state.update(CepState(open))
           out.result().iterator
       }

@@ -45,7 +45,9 @@ object CepSql {
     Pattern.CASE_INSENSITIVE)
   private val groupBy = Pattern.compile("GROUP\\s+BY", Pattern.CASE_INSENSITIVE)
   private val tail = Pattern.compile(
-    "\\b(HAVING|ORDER\\s+BY|LIMIT)\\b", Pattern.CASE_INSENSITIVE)
+    "\\b(HAVING|ORDER\\s+BY|LIMIT)\\b|;", Pattern.CASE_INSENSITIVE)
+  private val setOp = Pattern.compile(
+    "\\b(UNION|INTERSECT|EXCEPT)\\b", Pattern.CASE_INSENSITIVE)
 
   /** Per-character lexical state from one left-to-right scan:
     * `lit(i)` — position i is inside a quoted literal ('…', "…", `…`) or
@@ -129,6 +131,13 @@ object CepSql {
             if (!slit(mm.start()) && sdepth(mm.start()) == 0) return Some(mm)
           None
         }
+        // a top-level set operation makes the injection target ambiguous
+        // (the first top-level GROUP BY may belong to a DIFFERENT branch
+        // than the one carrying the OVER clause) — reject loudly
+        if (firstTopLevel(setOp).isDefined)
+          throw new IllegalArgumentException(
+            "OVER (WINDOW …) in a UNION/INTERSECT/EXCEPT statement is " +
+              "ambiguous — window the branch inside a subquery instead")
         firstTopLevel(groupBy) match {
           case Some(gm) =>
             // prepend the window key to the existing top-level GROUP BY

@@ -80,8 +80,12 @@ object PatternMatch {
             if (steps.head(e))
               partials = (List(e.event_id), e.ts, e.ts) :: partials
           }
+          // watermark horizon when configured (late events can still
+          // advance a partial); batch max otherwise — see CepSequence
+          val horizon = scala.util.Try(state.getCurrentWatermarkMs() * 1000L)
+            .getOrElse(maxTs)
           partials = partials.filter { case (_, st, _) =>
-            us(st) + withinUs >= maxTs
+            us(st) + withinUs >= horizon
           }
           state.update(PatternState(partials))
           out.result().iterator

@@ -75,6 +75,13 @@ object RunDetector {
               } else List(p)
             }
           } else {
+            // with a watermark, a no-follow verdict may only be emitted
+            // once the WATERMARK proves the window closed — a later-batch
+            // follow inside the lateness bound could still resolve it
+            // (Append mode cannot retract). Without one (in-order
+            // replay), the event clock is the contract.
+            val wmUs = if (wmEnabled) state.getCurrentWatermarkMs() * 1000L
+                       else Long.MaxValue
             val batch = it.toArray.sortBy(e => (us(e.ts), e.event_id))
             batch.foreach { e =>
               val t = us(e.ts)
@@ -94,7 +101,8 @@ object RunDetector {
                 if (e.event_type == followType && t > end && t <= end + withinUs) {
                   out += RunMatch(user, p.count, p.start, p.end, Some(e.ts))
                   Nil
-                } else if (t > end + withinUs) {
+                } else if (t > end + withinUs &&
+                    (!wmEnabled || wmUs >= end + withinUs)) {
                   out += RunMatch(user, p.count, p.start, p.end, None)
                   Nil
                 } else List(p)

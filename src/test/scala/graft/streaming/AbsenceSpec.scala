@@ -43,4 +43,39 @@ class AbsenceSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("late first whose second was already processed emits NO absence") {
+    val s2 = spark.newSession()
+    StreamingConf.applyTo(s2)
+    implicit val sq = s2.sqlContext
+    import s2.implicits._
+    val stream = MemoryStream[CepEvent]
+    val name = "absence_late"
+    def ev(id: Long, u: Long, t: String, typ: String) =
+      CepEvent(id, Timestamp.valueOf(t), u, typ, 1.0)
+    val q = AbsenceDetector.detect(stream.toDS(), "signup", "purchase",
+        30L * 60 * 1000, "1 hour")
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    // batch 1: the purchase is processed BEFORE its (late) signup exists
+    stream.addData(ev(1, 7L, "2024-01-01 10:05:00", "purchase"))
+    q.processAllAvailable()
+    // batch 2: the signup arrives late (inside the 1-hour lateness) —
+    // with no memory of batch-1 seconds this would open and later emit a
+    // FALSE absence; user 8's signup is the genuine-absence control
+    stream.addData(ev(2, 7L, "2024-01-01 10:00:00", "signup"),
+      ev(3, 8L, "2024-01-01 10:00:00", "signup"))
+    q.processAllAvailable()
+    // advance the watermark well past both deadlines, then one more
+    // batch so the timers actually fire
+    stream.addData(ev(90, 9L, "2024-01-01 14:00:00", "view"))
+    q.processAllAvailable()
+    stream.addData(ev(91, 9L, "2024-01-01 14:00:01", "view"))
+    q.processAllAvailable()
+    q.stop()
+    val got = s2.table(name).select("user_id", "sid")
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((8L, 3L)),
+      s"only the un-cancelled signup may surface as an absence: $got")
+  }
 }
