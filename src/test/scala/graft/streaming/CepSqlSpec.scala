@@ -78,6 +78,30 @@ class CepSqlSpec extends SparkSpec {
     assert(t.indexOf("GROUP BY window(ts,") < t.lastIndexOf("LIMIT 5"))
   }
 
+  test("trailing semicolon: GROUP BY inserted before the ';'") {
+    val t = CepSql.translate(
+      "SELECT COUNT(*) AS cnt FROM events OVER (WINDOW '60' SECONDS);")
+    assert(t.indexOf("GROUP BY window(ts,") < t.lastIndexOf(";"), t)
+    Tables.load(spark, sf)
+    assert(spark.sql(t).collect().nonEmpty) // and it actually parses
+  }
+
+  test("OVER-window in a top-level set operation is rejected") {
+    intercept[IllegalArgumentException] {
+      CepSql.translate(
+        """SELECT event_type, count(*) FROM a GROUP BY event_type
+           UNION ALL
+           SELECT event_type, count(*) FROM s OVER (WINDOW '60' SECONDS)
+           GROUP BY event_type""")
+    }
+    // ...but UNION inside a subquery is fine (not ambiguous)
+    val ok = CepSql.translate(
+      """SELECT COUNT(*) AS cnt FROM
+         (SELECT 1 AS x UNION ALL SELECT 2 AS x) t
+         OVER (WINDOW '60' SECONDS)""")
+    assert(ok.contains("GROUP BY window(ts,"))
+  }
+
   test("multiple or nested OVER-window clauses are rejected") {
     intercept[IllegalArgumentException] {
       CepSql.translate(
