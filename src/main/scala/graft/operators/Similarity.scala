@@ -93,10 +93,18 @@ object Similarity {
     // dim is a caller-supplied constant (embedding dimensionality is a
     // corpus-level invariant): inferring it here would run a Spark job at
     // plan-BUILD time, making the operator eager — see OperatorsSpec's
-    // zero-jobs-at-construction listener assertion.
+    // zero-jobs-at-construction listener assertion. But a WRONG dim would
+    // silently degrade recall (hyperplane dots over truncated/zero-padded
+    // vectors), so validate it lazily: the guard below is a per-row
+    // codegen'd branch that raises on the FIRST action if any vector's
+    // length disagrees — loud failure, still zero jobs at build time.
+    val checked = emb.withColumn(vecCol,
+      when(size(col(vecCol)) === dim, col(vecCol)).otherwise(raise_error(
+        format_string(s"lshCandidates: size($vecCol)=%d != dim=$dim",
+          size(col(vecCol))))))
     val banded = (0 until tables).map { t =>
       val planes = hyperplanes(bitsPerTable, dim, seed + t * 7919)
-      lshBuckets(spark, emb, vecCol, planes)
+      lshBuckets(spark, checked, vecCol, planes)
         .select(col(idCol), lit(t).as("table"), col("bucket"))
     }.reduce(_ union _)
     banded.as("a").join(banded.as("b"),

@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   * against the same right side, bucket both tables on the key.
   */
 object TemporalJoins {
+  /** The scratch columns an operator adds must not collide with user data:
+    * `withColumn` would silently OVERWRITE the user's column and the final
+    * drop would then delete it. Cheap schema check, loud failure. */
+  private def requireFree(names: Seq[String], dfs: DataFrame*): Unit =
+    for (df <- dfs; n <- names)
+      require(!df.columns.contains(n),
+        s"input column '$n' collides with a reserved scratch column of " +
+          "this operator — rename it before the join")
+
   /** Interval join: rows of `right` within (leftTs, leftTs + interval]
     * of a matching-key `left` row. Column names must be disjoint except
     * for the join key columns given in `key`. */
@@ -54,6 +63,7 @@ object TemporalJoins {
         s"banded interval join needs a fixed-duration width, got '$spec'")
       iv.days * 86400000000L + iv.microseconds
     }
+    requireFree(Seq("__b"), left, right)
     val bUs = us(bucket)
     val iUs = us(interval)
     val l2 = left.withColumn("__b", explode(expr(
@@ -75,6 +85,7 @@ object TemporalJoins {
   def asofJoinBackward(left: DataFrame, right: DataFrame, key: Seq[String],
       leftId: String, leftTs: String, rightTs: String, rightId: String)
       : DataFrame = {
+    requireFree(Seq("__rn", s"__$leftId"), left, right)
     val cond = key.map(k => left(k) === right(k)).reduce(_ && _) &&
       right(rightTs) <= left(leftTs)
     val w = Window.partitionBy(leftId)
@@ -109,6 +120,7 @@ object TemporalJoins {
   def asofJoinBackwardCarry(left: DataFrame, right: DataFrame,
       key: Seq[String], leftTs: String, rightTs: String, rightId: String)
       : DataFrame = {
+    requireFree(Seq("__ts", "__side", "__carry"), left, right)
     val rCols = right.columns.filterNot(key.contains)
     val lCols = left.columns
     val l2 = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))

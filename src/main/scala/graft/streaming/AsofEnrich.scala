@@ -28,21 +28,54 @@ case class LatestRight(id: Long, ts: Timestamp)
   * cross-batch late RIGHT events (older than the retained latest) are
   * ignored by the monotonic update rule, matching what a watermark-late
   * event would experience anywhere else in the engine.
+  *
+  * State retention: by DEFAULT the one-row-per-key state lives forever —
+  * that is the as-of contract (a right event remains the valid enrichment
+  * for every later left, indefinitely), so the store is O(keys-ever-seen).
+  * On a stream with unbounded key cardinality that is itself unbounded;
+  * pass `watermarkDelay` + `stateTtl` to opt into Flink-style state TTL:
+  * once the WATERMARK passes `right.ts + stateTtl`, the key's state row is
+  * REMOVED (event-time timeout, replay-deterministic) and later lefts for
+  * that key emit unmatched until a fresh right arrives. That is a
+  * semantics trade (stale enrichments expire) made explicit by the caller.
   */
 object AsofEnrich {
   private def us(t: Timestamp): Long =
     t.getTime / 1000 * 1000000L + t.getNanos / 1000
 
-  def enrich(events: Dataset[CepEvent], leftType: String, rightType: String)
-      : Dataset[AsofMatch] = {
+  def enrich(events: Dataset[CepEvent], leftType: String, rightType: String,
+      watermarkDelay: Option[String] = None,
+      stateTtl: Option[String] = None): Dataset[AsofMatch] = {
     implicit val outEnc = Encoders.product[AsofMatch]
     implicit val stateEnc = Encoders.product[LatestRight]
     implicit val keyEnc = Encoders.scalaLong
 
-    events.groupByKey(_.user_id)
+    val ttlMs = stateTtl.map(t => org.apache.spark.sql.catalyst.util
+      .IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+      .map { iv =>
+        require(iv.months == 0,
+          s"stateTtl needs a fixed duration, got '${stateTtl.get}'")
+        iv.days * 86400000L + iv.microseconds / 1000L
+      }
+    val ttlEnabled = ttlMs.isDefined && events.isStreaming
+    require(ttlMs.isEmpty || watermarkDelay.isDefined,
+      "stateTtl requires watermarkDelay (expiry is watermark-driven)")
+    val src = if (watermarkDelay.isDefined && events.isStreaming)
+      events.withWatermark("ts", watermarkDelay.get) else events
+    val timeoutConf = if (ttlEnabled) GroupStateTimeout.EventTimeTimeout()
+                      else GroupStateTimeout.NoTimeout()
+
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[LatestRight, AsofMatch](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (user: Long, it: Iterator[CepEvent], state: GroupState[LatestRight]) =>
+          if (state.hasTimedOut) {
+            // the watermark passed latest.ts + ttl: the enrichment is
+            // declared stale — drop the row so the store stays bounded
+            state.remove()
+            Iterator.empty
+          } else {
           var latest: Option[LatestRight] = state.getOption
           val out = List.newBuilder[AsofMatch]
           // rights sort before lefts at equal ts (<= semantics), matching
@@ -67,8 +100,17 @@ object AsofEnrich {
                 eligible.map(_.id), eligible.map(_.ts))
             }
           }
-          latest.foreach(state.update)
+          latest.foreach { l =>
+            state.update(l)
+            if (ttlEnabled)
+              // re-arm on every batch: a newer right extends the lease
+              // (timeout must land strictly beyond the current watermark)
+              state.setTimeoutTimestamp(math.max(
+                us(l.ts) / 1000L + ttlMs.get,
+                state.getCurrentWatermarkMs() + 1))
+          }
           out.result().iterator
+          }
       }
   }
 }

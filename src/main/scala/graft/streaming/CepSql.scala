@@ -131,6 +131,21 @@ object CepSql {
             if (!slit(mm.start()) && sdepth(mm.start()) == 0) return Some(mm)
           None
         }
+        // multi-statement text makes the injection target ambiguous the
+        // same way: the first top-level GROUP BY (or HAVING/ORDER BY/LIMIT
+        // anchor) found in the WHOLE text may belong to a different
+        // ';'-separated statement than the one carrying the OVER clause,
+        // silently windowing the wrong statement — reject loudly. A
+        // trailing ';' (nothing but whitespace after it) stays legal.
+        var si = 0
+        while (si < stripped.length) {
+          if (stripped.charAt(si) == ';' && !slit(si) && sdepth(si) == 0 &&
+              stripped.substring(si + 1).exists(!_.isWhitespace))
+            throw new IllegalArgumentException(
+              "OVER (WINDOW …) in multi-statement text is ambiguous — " +
+                "submit the windowed statement on its own")
+          si += 1
+        }
         // a top-level set operation makes the injection target ambiguous
         // (the first top-level GROUP BY may belong to a DIFFERENT branch
         // than the one carrying the OVER clause) — reject loudly

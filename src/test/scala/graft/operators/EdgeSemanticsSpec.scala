@@ -28,6 +28,28 @@ class EdgeSemanticsSpec extends SparkSpec {
     assert(got == Set(11L))
   }
 
+  test("reserved scratch columns are rejected, not silently overwritten") {
+    val l = Seq((1L, 7L, ts("2024-01-01 10:00:00")))
+      .toDF("sid", "user_id", "s_ts")
+    val r = Seq((10L, 7L, ts("2024-01-01 10:10:00")))
+      .toDF("pid", "user_id", "p_ts")
+    // banded interval join reserves __b on both sides
+    intercept[IllegalArgumentException] {
+      TemporalJoins.intervalJoinBanded(l.withColumn("__b", lit(9)), r,
+        Seq("user_id"), "s_ts", "p_ts", "30 minutes", "30 minutes")
+    }
+    // carry as-of reserves __ts/__side/__carry on both sides
+    intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoinBackwardCarry(l, r.withColumn("__side", lit(9)),
+        Seq("user_id"), "s_ts", "p_ts", "pid")
+    }
+    // theta as-of reserves __rn and the renamed left id
+    intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoinBackward(l.withColumn("__rn", lit(9)), r,
+        Seq("user_id"), "sid", "s_ts", "p_ts", "pid")
+    }
+  }
+
   test("as-of join: <= boundary matches; equal-ts ties break by max id") {
     val err = Seq((1L, 7L, ts("2024-01-01 10:00:00")))
       .toDF("err_id", "user_id", "err_ts")

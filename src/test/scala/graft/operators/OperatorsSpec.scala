@@ -195,6 +195,17 @@ class OperatorsSpec extends SparkSpec {
     assert(cands.length < 300, s"candidate volume sane: ${cands.length}")
   }
 
+  test("Similarity.lshCandidates: wrong dim fails loudly on first action") {
+    // a mismatched dim would silently degrade recall (planes dotted with
+    // truncated/padded vectors) — the lazy guard must raise instead
+    val bad = Similarity.lshCandidates(spark, emb.limit(5), "vec_id",
+      "embedding", dim = 32) // real dim is 64; construction stays lazy
+    val e = intercept[Throwable] { bad.count() }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgs.contains("!= dim=32"), s"expected loud dim failure: $msgs")
+  }
+
   test("Similarity.nearDupPairs respects the block and threshold") {
     val pairs = Similarity.nearDupPairs(spark, emb, "vec_id", "embedding",
       "label", 0.2)

@@ -118,6 +118,25 @@ class CepSqlSpec extends SparkSpec {
     assert(CepSql.translate(q) === q)
   }
 
+  test("multi-statement text with an OVER clause is rejected") {
+    // the GROUP BY anchor search scans the whole text: with a second
+    // ';'-separated statement the injection could land in the WRONG one —
+    // loud rejection instead (the injected parser fronts every statement)
+    intercept[IllegalArgumentException] {
+      CepSql.translate(
+        """SELECT event_type FROM t GROUP BY event_type;
+           SELECT COUNT(*) AS cnt FROM s OVER (WINDOW '60' SECONDS)""")
+    }
+    intercept[IllegalArgumentException] {
+      CepSql.translate(
+        "SELECT COUNT(*) FROM s OVER (WINDOW '60' SECONDS); SELECT 1")
+    }
+    // a ';' inside a string literal is data, not a statement separator
+    val lit = "SELECT ';' AS s, COUNT(*) AS cnt FROM t " +
+      "OVER (WINDOW '60' SECONDS)"
+    assert(CepSql.translate(lit).contains("GROUP BY window(ts,"))
+  }
+
   test("parser extension: reference dialect runs via plain spark.sql") {
     Tables.load(spark, sf) // warm shared context first
     val old = spark

@@ -100,4 +100,33 @@ class LateDataSpec extends SparkSpec {
     assert(got(2L) === None, "future right must not enrich a late left")
     assert(got(3L) === Some(1L))
   }
+
+  test("AsofEnrich: stateTtl expires stale rights once the watermark passes") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = "asof_ttl"
+    val q = AsofEnrich.enrich(stream.toDS(), "error", "click",
+        watermarkDelay = Some("10 minutes"), stateTtl = Some("30 minutes"))
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    // user 7's click is retained; an error inside the TTL is enriched
+    stream.addData(ev(1, 7L, "2024-01-01 10:00:00", "click"))
+    q.processAllAvailable()
+    stream.addData(ev(2, 7L, "2024-01-01 10:20:00", "error"))
+    q.processAllAvailable()
+    // other-user traffic drives the watermark far past 10:00 + 30min
+    stream.addData(ev(3, 99L, "2024-01-01 12:00:00", "view"))
+    q.processAllAvailable()
+    stream.addData(ev(4, 98L, "2024-01-01 12:01:00", "view"))
+    q.processAllAvailable()
+    // the 10:00 click is now expired state: this error goes unmatched
+    stream.addData(ev(5, 7L, "2024-01-01 12:30:00", "error"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).select("err_id", "click_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(got(2L) === Some(1L), "inside the TTL the right must enrich")
+    assert(got(5L) === None,
+      s"beyond the TTL the expired right must not enrich: $got")
+  }
 }
