@@ -29,20 +29,22 @@ object TextOps {
   /** Whitespace tokens (text is clean: no empty tokens at any SF). */
   private def toks(c: Column): Column = split(c, " ")
 
-  /** One row per word n-gram: (doc_id, lang, gram). posexplode + lead()
-    * keeps the whole pipeline inside whole-stage codegen; the only
-    * exchange is the per-doc window shuffle. */
-  private def gramRows(d: DataFrame, n: Int): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val tok = d.select(col("doc_id"), col("lang"),
-      posexplode(toks(col("text"))).as(Seq("pos", "w")))
-    val withLeads = (1 until n).foldLeft(tok)((df, i) =>
-      df.withColumn(s"w$i", lead(col("w"), i).over(w)))
-    withLeads.filter(col(s"w${n - 1}").isNotNull)
-      .select(col("doc_id"), col("lang"),
-        concat_ws(" ", (col("w") +: (1 until n).map(i => col(s"w$i"))): _*)
-          .as("gram"))
-  }
+  /** One row per word n-gram: (doc_id, lang, gram). The grams are built
+    * entirely with array higher-order functions (transform/slice over the
+    * token array) — ZERO exchange and no per-doc sort, vs the previous
+    * posexplode + window-lead() formulation whose partitionBy(doc_id)
+    * shuffle-and-sort dominated every gram-based query. At 100 TB this is
+    * the difference between a map-only gram stage and a full shuffle of
+    * the token stream. */
+  private def gramRows(d: DataFrame, n: Int): DataFrame =
+    d.select(col("doc_id"), col("lang"), toks(col("text")).as("__ws"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        // sequence(0, m) would generate a DESCENDING range for m < 0
+        // (doc shorter than n words) — guard with an empty array
+        s"""CASE WHEN size(__ws) < $n THEN array()
+            ELSE transform(sequence(0, size(__ws) - $n),
+                 i -> array_join(slice(__ws, i + 1, $n), ' ')) END"""))
+        .as("gram"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L1 — exact dedup: content hash → keeper (min doc_id) + group size.
@@ -110,19 +112,33 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
-    // L2c — n-gram Jaccard near-dup: inverted-index join on word 4-grams,
-    // blocked by language (near-dups are same-language; blocking keeps the
-    // candidate join sub-quadratic at corpus scale). Top-50 pairs.
+    // L2c — n-gram Jaccard near-dup via a true inverted index: grams
+    // group per (lang, gram) posting list, UNIQUE grams (the vast
+    // majority of word 4-grams) are dropped before any pair exists —
+    // they can't contribute to an intersection — and the surviving
+    // short lists explode to ordered doc pairs. One shuffle of the gram
+    // frame total, vs two sides of a self-join; the language blocking
+    // keeps posting lists (and so pair counts) sub-quadratic at corpus
+    // scale. Top-50 pairs.
     "q_ngram_jaccard" -> ((s, dir) => {
-      // persist: g feeds three plan branches (both join sides + sizes);
-      // without it Spark recomputes the gram pipeline per branch.
-      val g = gramRows(T(s, dir, "documents"), 4).distinct().persist()
-      val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = g.as("a").join(g.as("b"),
-          col("a.gram") === col("b.gram") &&
-          col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      // collect_set fuses per-doc gram dedup INTO the posting-list
+      // aggregation: the gram frame shuffles exactly ONCE (on
+      // (lang, gram)); doc sizes then derive from the posting lists
+      // themselves (number of lists containing the doc == its distinct
+      // gram count), so no second pass over the token stream. persist:
+      // the postings feed both the sizes branch and the pair branch.
+      val posts = gramRows(T(s, dir, "documents"), 4)
+        .groupBy("lang", "gram")
+        .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+        .persist()
+      val sizes = posts.select(explode(col("ds")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val postings = posts.filter(size(col("ds")) > 1)
+      val pairs = postings.select(explode(expr(
+          """flatten(transform(ds, (x, i) ->
+             transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+               named_struct('da', x, 'db', y))))""")).as("p"))
+        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
         .agg(count(lit(1)).as("inter"))
       pairs
         .join(sizes.withColumnRenamed("doc_id", "da")
@@ -172,9 +188,14 @@ object TextOps {
       val d = T(s, dir, "documents")
       val tok = d.select(col("doc_id"), col("lang"),
         explode(toks(col("text"))).as("w"))
-      val docwords = tok.select("doc_id", "w").distinct()
-      val langtop = tok.groupBy(col("lang").as("cand"), col("w"))
-        .agg(count(lit(1)).as("cnt"))
+      // one aggregation pass over the exploded tokens feeds BOTH branches
+      // (per-doc distinct words AND per-language counts) — the persisted
+      // frame is per-doc word counts, far smaller than the token stream
+      val tokc = tok.groupBy(col("doc_id"), col("lang"), col("w"))
+        .agg(count(lit(1)).as("c")).persist()
+      val docwords = tokc.select("doc_id", "w")
+      val langtop = tokc.groupBy(col("lang").as("cand"), col("w"))
+        .agg(sum("c").as("cnt"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("cand").orderBy(desc("cnt"), asc("w"))))
         .filter(col("rn") <= 50)
