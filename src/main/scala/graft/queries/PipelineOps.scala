@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.{Components, Skew}
 
 /** Training-data curation operators beyond TextOps' core set (SURVEY
   * §2.10): repetition-based quality filtering (Gopher-style signals from
@@ -65,6 +66,37 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Dedup RESOLUTION — the step after candidate generation: MinHash
+    // band collisions form the near-dup graph, connected components
+    // (iterative min-label propagation, O(diameter) rounds of
+    // join+aggregate — graft.operators.Components) turn it into groups,
+    // and every member points at its group's keeper (min doc_id). This is
+    // what a corpus pipeline actually deletes against; the DuckDB oracle
+    // recomputes the same components with a recursive CTE.
+    "q_dedup_resolve" -> ((s, dir) => {
+      val bands = TextOps.bandRows(T(s, dir, "documents"))
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      Components.resolveDuplicates(pairs).orderBy("id")
+    }),
+
+    // Skew-hardened join (SURVEY §7.6): the salted equi-join MUST return
+    // byte-identical results to the plain join it replaces — this key
+    // proves it against the plain-join oracle. The salt spreads each hot
+    // key over 8 shuffle partitions; the per-user dim replicates 8 ways.
+    "q_skew_salted" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val dim = e.groupBy("user_id").agg(count(lit(1)).as("u_events"))
+      Skew.saltedEquiJoin(e, dim, "user_id", 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("u_events").as("sum_ue"))
+        .orderBy("event_type")
+    }),
+
     // Deterministic stratified sampling: per-language keep rates
     // (en 50%, de 25%, others 10%) decided by an md5-derived uniform
     // bucket over (doc_id, lang) — reproducible across runs, engines,
@@ -105,6 +137,43 @@ object PipelineOps {
            length(trim(regexp_replace(regexp_replace(lower(text),
              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS scrub_len
          FROM documents ORDER BY doc_id""",
+    "q_dedup_resolve" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         gi AS (
+           SELECT doc_id, unnest(range(1, greatest(len(w) - 1, 1))) AS i, w
+           FROM t),
+         g AS (
+           SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+           FROM gi),
+         mh AS (
+           SELECT doc_id, s.seed,
+             min(md5(concat(CAST(s.seed AS VARCHAR), ':', gram))) AS mh
+           FROM g, (SELECT unnest(range(16)) AS seed) s
+           GROUP BY doc_id, s.seed),
+         bands AS (
+           SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+           FROM mh GROUP BY doc_id, seed // 4),
+         p0 AS (
+           SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id),
+         e AS (SELECT a, b FROM p0 UNION SELECT b, a FROM p0),
+         reach AS (
+           SELECT DISTINCT a AS id, a AS lbl FROM e
+           UNION
+           SELECT e.a, r.lbl FROM e JOIN reach r ON r.id = e.b)
+         SELECT id, min(lbl) AS keeper FROM reach GROUP BY id ORDER BY id""",
+    "q_skew_salted" ->
+      """WITH dim AS (
+           SELECT user_id, count(*) AS u_events FROM events GROUP BY 1)
+         SELECT event_type, count(*) AS cnt,
+           CAST(sum(u_events) AS BIGINT) AS sum_ue
+         FROM events JOIN dim USING (user_id)
+         GROUP BY event_type ORDER BY event_type""",
     "q_sample_strat" ->
       """WITH b AS (
            SELECT doc_id, lang,

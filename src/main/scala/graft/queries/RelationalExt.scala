@@ -147,6 +147,19 @@ object RelationalExt {
         .orderBy("et")
     }),
 
+    // W7 — distribution window functions: percent_rank + cume_dist per
+    // nation. The ordering key (acctbal, custkey) is unique, so both are
+    // deterministic rank ratios of exact integers; one WindowExec pass.
+    "q_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(asc("c_acctbal"), asc("c_custkey"))
+      T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          fround(percent_rank().over(w), 6).as("pr"),
+          fround(cume_dist().over(w), 6).as("cd"))
+        .orderBy("c_custkey")
+    }),
+
     // Ordered string aggregation (listagg) — deterministic via explicit
     // sort of the collected set; map-side partial collect keeps the
     // shuffle at one row per (lang) group.
@@ -162,6 +175,14 @@ object RelationalExt {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_dist" ->
+      """SELECT c_custkey, c_nationkey,
+           floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pr,
+           floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cd
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey
+                      ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_custkey""",
     "q_subquery_exists" ->
       """SELECT o_orderkey, o_totalprice FROM orders o
          WHERE EXISTS (SELECT 1 FROM lineitem l

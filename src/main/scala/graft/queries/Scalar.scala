@@ -74,6 +74,23 @@ object Scalar {
         .orderBy("l_returnflag")
     }),
 
+    // F12 — array higher-order functions over the embedding column:
+    // transform (cast), aggregate (fold-sum — the 0.0 init is exact, so
+    // the left fold is bit-identical to DuckDB's list_reduce), filter
+    // (count positives), exists (any element past a threshold), zip_with
+    // (elementwise self-product → L2 norm). All map-side, zero shuffle.
+    "q_higher_order" -> ((s, dir) => {
+      val v = transform(col("embedding"), _.cast("double"))
+      T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          fround(aggregate(v, lit(0.0), (a, x) => a + x), 4).as("vsum"),
+          size(filter(col("embedding"), _ > 0)).cast("long").as("n_pos"),
+          exists(col("embedding"), _ > 0.9).cast("long").as("has_big"),
+          fround(sqrt(aggregate(zip_with(v, v, (a, b) => a * b),
+            lit(0.0), (a, x) => a + x)), 4).as("l2"))
+        .orderBy("vec_id")
+    }),
+
     // F11 — bitwise operators (&, |, ^, shift, popcount).
     "q_bitwise" -> ((s, dir) => {
       T(s, dir, "events")
@@ -88,6 +105,22 @@ object Scalar {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_higher_order" ->
+      """WITH v AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+             embedding
+           FROM embeddings)
+         SELECT vec_id,
+           floor(list_reduce(list_prepend(0.0, vd), (a, x) -> a + x)
+                 * 1e4 + 0.5) / 1e4 AS vsum,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           CAST(len(list_filter(embedding, x -> x > 0.9)) > 0 AS BIGINT)
+             AS has_big,
+           floor(sqrt(list_reduce(list_prepend(0.0,
+                 list_transform(vd, x -> x * x)), (a, x) -> a + x))
+                 * 1e4 + 0.5) / 1e4 AS l2
+         FROM v ORDER BY vec_id""",
     "q_window_ignore_nulls" ->
       """SELECT event_id,
                 last_value(CASE WHEN event_type = 'view' THEN NULL

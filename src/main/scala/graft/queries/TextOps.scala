@@ -46,6 +46,25 @@ object TextOps {
                  i -> array_join(slice(__ws, i + 1, $n), ' ')) END"""))
         .as("gram"))
 
+  /** (doc_id, band, band_sig) LSH rows: 16 md5-derived min-hashes per doc
+    * computed in ONE aggregation pass (map-side partial min — the shuffle
+    * carries one row per doc, not per gram), folded into 4 band
+    * signatures of 4 hashes each. Shared by q_minhash_band (the signature
+    * surface) and q_dedup_resolve (the banded candidate graph). */
+  private[queries] def bandRows(d: DataFrame): DataFrame = {
+    val g = gramRows(d, 3).select("doc_id", "gram").distinct()
+    val mins = (0 until 16).map(i =>
+      min(md5(concat(lit(s"$i:"), col("gram")))).as(s"h$i"))
+    val sig = g.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bands = (0 until 4).map(b => struct(
+      lit(b.toLong).as("band"),
+      md5(concat_ws("|", (0 until 4).map(j => col(s"h${4 * b + j}")): _*))
+        .as("band_sig")))
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.band_sig").as("band_sig"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L1 — exact dedup: content hash → keeper (min doc_id) + group size.
     // At 100 TB: single shuffle on the 256-bit hash; skew-free by design.
@@ -73,21 +92,8 @@ object TextOps {
     // All 16 min-hashes are computed in ONE aggregation pass (map-side
     // partial min → the shuffle carries one row per doc, not per gram).
     // Joining on (band, band_sig) yields candidate pairs sub-quadratically.
-    "q_minhash_band" -> ((s, dir) => {
-      val g = gramRows(T(s, dir, "documents"), 3)
-        .select("doc_id", "gram").distinct()
-      val mins = (0 until 16).map(i =>
-        min(md5(concat(lit(s"$i:"), col("gram")))).as(s"h$i"))
-      val sig = g.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      val bands = (0 until 4).map(b => struct(
-        lit(b.toLong).as("band"),
-        md5(concat_ws("|", (0 until 4).map(j => col(s"h${4 * b + j}")): _*))
-          .as("band_sig")))
-      sig.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"),
-          col("bs.band_sig").as("band_sig"))
-        .orderBy("doc_id", "band")
-    }),
+    "q_minhash_band" -> ((s, dir) =>
+      bandRows(T(s, dir, "documents")).orderBy("doc_id", "band")),
 
     // L2b — SimHash, oracle-checked 32-bit variant: token hash = first 8
     // md5 hex chars parsed as an integer (bit-identical in both engines),
@@ -170,6 +176,17 @@ object TextOps {
         .select("doc_id", "w", "tf", "df", "tfidf")
         .orderBy(desc("tfidf"), asc("w"), asc("doc_id"))
         .limit(50)
+    }),
+
+    // L4b — n-gram language-model statistics: top-20 word bigrams per
+    // language by OCCURRENCE count (not per-doc distinct — an LM counts
+    // every occurrence). Map-only gram stage, one partial+final hash agg,
+    // TakeOrdered for the top slice.
+    "q_ngram_freq" -> ((s, dir) => {
+      gramRows(T(s, dir, "documents"), 2)
+        .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("lang"), asc("gram"))
+        .limit(20)
     }),
 
     // L4 — tokenize + global top-20 word counts.
@@ -358,6 +375,19 @@ object TextOps {
            floor(tf * ln(CAST(n AS DOUBLE) / df) * 1e4 + 0.5) / 1e4 AS tfidf
          FROM tf JOIN dfreq USING (w), nd
          ORDER BY tfidf DESC, w, doc_id LIMIT 50""",
+    "q_ngram_freq" ->
+      """WITH t AS (
+           SELECT doc_id, lang, string_split(text, ' ') AS w
+           FROM documents),
+         gi AS (
+           SELECT doc_id, lang, unnest(range(1, greatest(len(w), 1))) AS i, w
+           FROM t),
+         g AS (
+           SELECT doc_id, lang,
+             array_to_string(list_slice(w, i, i + 1), ' ') AS gram
+           FROM gi)
+         SELECT lang, gram, count(*) AS cnt FROM g
+         GROUP BY lang, gram ORDER BY cnt DESC, lang, gram LIMIT 20""",
     "q_text_tokens" ->
       """SELECT w, count(*) AS cnt FROM (
            SELECT unnest(string_split(lower(text), ' ')) AS w
