@@ -44,34 +44,30 @@ object Bench {
   }
 
   /** The final stdout line, guaranteed under [[LineBudget]] chars: headline
-    * fields + baseline_equivalents always present; the per-query map is
-    * included (values in integer milliseconds to save bytes) only if the
-    * whole line still fits, else replaced by a pointer to BENCH_FULL.json. */
-  def renderLine(results: Seq[(String, Double)], sfDir: String): String = {
+    * fields + baseline_equivalents always present; "queries" carries the
+    * full per-query map when the line fits, else just the ten
+    * baseline-equivalent queries — ALWAYS in 3-decimal seconds (the
+    * line's declared unit), with `fullPath` pointing at the complete map
+    * either way. */
+  def renderLine(results: Seq[(String, Double)], sfDir: String,
+      fullPath: String = "BENCH_FULL.json"): String = {
     val rmap = results.toMap
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfNum = """sf([0-9.]+)""".r.findFirstMatchIn(sfDir).map(_.group(1))
       .filter(s => scala.util.Try(s.toDouble).isSuccess).getOrElse("0")
+    def render(qs: Seq[(String, Double)]) = qs
+      .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
     val base = baselineAliases.toSeq.sortBy(_._1).collect {
       case (a, k) if rmap.contains(k) => s"\"$a\":${r3(rmap(k))}"
     }.mkString("{", ",", "}")
     def line(queries: String) =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfNum,""" +
-        s""""n_queries":${results.size},"full":"BENCH_FULL.json",""" +
+        s""""n_queries":${results.size},"full":"$fullPath",""" +
         s""""baseline_equivalents":$base,"queries":$queries}"""
-    // full map, integer milliseconds (a failed query stays -1)
-    val ms = results.map { case (k, v) =>
-      s"\"$k\":${if (v < 0) -1 else math.round(v * 1000)}"
-    }.mkString("{", ",", "}")
-    val withAll = line(ms)
+    val withAll = line(render(results))
     if (withAll.length <= LineBudget) withAll
-    else {
-      // fall back to just the ten baseline-equivalent queries at 3dp
-      val headline = baselineAliases.values.toSeq.sorted.collect {
-        case k if rmap.contains(k) => s"\"$k\":${r3(rmap(k))}"
-      }.mkString("{", ",", "}")
-      line(headline)
-    }
+    else line(render(results.filter(kv =>
+      baselineAliases.values.toSet.contains(kv._1)).sortBy(_._1)))
   }
 
   def main(args: Array[String]): Unit = {
@@ -113,7 +109,7 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       renderFull(results, sfDir).getBytes("UTF-8"))
     catch { case _: Throwable => () } // file is best-effort; the line is the contract
-    println(renderLine(results, sfDir))
+    println(renderLine(results, sfDir, outPath))
     spark.stop()
   }
 }

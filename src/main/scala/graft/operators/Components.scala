@@ -39,6 +39,12 @@ object Components {
       .distinct().withColumn("comp", col("id")).persist()
     var converged = false
     var i = 0
+    // convergence check: labels are MONOTONICALLY non-increasing (each
+    // vertex adopts a min), so the label SUM strictly decreases on any
+    // change — an unchanged sum proves the fixpoint. One scalar aggregate
+    // over the freshly-checkpointed frame, vs the join-and-count diff it
+    // replaces (which re-shuffled both label frames every round).
+    var prevSum = Option.empty[java.math.BigDecimal]
     while (!converged && i < maxIter) {
       // candidate for each vertex: the smallest neighbor label (+ its own)
       val viaNeighbors = undirected
@@ -47,13 +53,14 @@ object Components {
       val next = viaNeighbors.union(labels.select("id", "comp"))
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(true) // truncate lineage every round
-      val changed = next.as("n")
-        .join(labels.as("l"), col("n.id") === col("l.id"))
-        .filter(col("n.comp") =!= col("l.comp"))
-        .count()
+      // decimal sum: exact for any id range/vertex count (a wrapped long
+      // sum could in principle collide across a change on huge graphs)
+      val s = Option(next.agg(sum(col("comp").cast("decimal(38,0)")))
+        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = prevSum.exists(_.compareTo(s) == 0)
+      prevSum = Some(s)
       i += 1
     }
     undirected.unpersist()

@@ -9,13 +9,18 @@ import graft.Tables
 /** T4 — LLM-training-pipeline text operators over `documents`
   * (SURVEY §2.10; mandated by BASELINE.json's north star).
   *
-  * Codegen discipline: Spark's higher-order array functions (transform/
-  * filter/aggregate) are CodegenFallback — interpreted, and they break
-  * whole-stage codegen for the enclosing stage. Every hot path here uses
-  * codegen-capable shapes instead: plain split(), posexplode + window
-  * lead() for n-grams, and multi-column min() aggregation for MinHash.
-  * (documents.text is verified clean single-space-separated at every SF,
-  * so split() alone tokenizes exactly — asserted in ScalaTest.)
+  * Codegen discipline, and its one measured exception: Spark's
+  * higher-order array functions (transform/filter/aggregate) are
+  * CodegenFallback — interpreted — so hot paths prefer codegen-capable
+  * shapes (plain split(), multi-column min() aggregation for MinHash).
+  * n-grams are the exception: the interpreted transform/slice build in
+  * [[gramRows]] is map-only, while the codegen'd alternative (posexplode
+  * + window lead()) shuffles AND sorts the whole token stream — measured
+  * at sf0.1, the shuffle costs more than the interpretation (warm jaccard
+  * 1.39 s → 0.87 s after the switch). Exchange elimination outranks
+  * codegen when the two conflict. (documents.text is verified clean
+  * single-space-separated at every SF, so split() alone tokenizes
+  * exactly — asserted in ScalaTest.)
   *
   * Where the oracle needs cross-engine-identical hashing we use md5
   * (bit-identical in Spark and DuckDB); the xxhash64-based scale variants

@@ -33,11 +33,14 @@ case class LatestRight(id: Long, ts: Timestamp)
   * that is the as-of contract (a right event remains the valid enrichment
   * for every later left, indefinitely), so the store is O(keys-ever-seen).
   * On a stream with unbounded key cardinality that is itself unbounded;
-  * pass `watermarkDelay` + `stateTtl` to opt into Flink-style state TTL:
-  * once the WATERMARK passes `right.ts + stateTtl`, the key's state row is
-  * REMOVED (event-time timeout, replay-deterministic) and later lefts for
-  * that key emit unmatched until a fresh right arrives. That is a
-  * semantics trade (stale enrichments expire) made explicit by the caller.
+  * pass `stateTtl` to opt into Flink-style state TTL. The TTL is a DATA
+  * semantic, enforced in the eligibility check itself: a left enriches
+  * only when `right.ts <= left.ts <= right.ts + ttl`, in batch and
+  * streaming alike, independent of micro-batch boundaries. The state-ROW
+  * removal (streaming only, requires `watermarkDelay`) happens via
+  * event-time timeout once the watermark passes `right.ts + ttl` — that
+  * is purely a store-size optimization; whenever it fires, the row it
+  * drops was already ineligible for every on-time left.
   */
 object AsofEnrich {
   private def us(t: Timestamp): Long =
@@ -59,8 +62,9 @@ object AsofEnrich {
         iv.days * 86400000L + iv.microseconds / 1000L
       }
     val ttlEnabled = ttlMs.isDefined && events.isStreaming
-    require(ttlMs.isEmpty || watermarkDelay.isDefined,
-      "stateTtl requires watermarkDelay (expiry is watermark-driven)")
+    require(ttlMs.isEmpty || !events.isStreaming || watermarkDelay.isDefined,
+      "streaming stateTtl requires watermarkDelay (row removal is " +
+        "watermark-driven)")
     val src = if (watermarkDelay.isDefined && events.isStreaming)
       events.withWatermark("ts", watermarkDelay.get) else events
     val timeoutConf = if (ttlEnabled) GroupStateTimeout.EventTimeTimeout()
@@ -94,8 +98,12 @@ object AsofEnrich {
               // (older than the retained latest) must not be enriched
               // with that future right — emit unmatched instead (the
               // older right it would have matched is beyond one-row
-              // state; documented lateness trade-off)
-              val eligible = latest.filter(l => us(l.ts) <= us(e.ts))
+              // state; documented lateness trade-off). With a TTL the
+              // upper bound leftTs <= rightTs + ttl is enforced HERE, on
+              // the data path — the event-time timeout only bounds the
+              // store, so eligibility must not depend on when it fires.
+              val eligible = latest.filter(l => us(l.ts) <= us(e.ts) &&
+                ttlMs.forall(t => us(e.ts) - us(l.ts) <= t * 1000L))
               out += AsofMatch(e.event_id, user, e.ts,
                 eligible.map(_.id), eligible.map(_.ts))
             }

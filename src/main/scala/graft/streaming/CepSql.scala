@@ -139,8 +139,11 @@ object CepSql {
         // trailing ';' (nothing but whitespace after it) stays legal.
         var si = 0
         while (si < stripped.length) {
+          // "content" = non-whitespace OUTSIDE literals/comments: a
+          // trailing "; -- note" is still a single statement
           if (stripped.charAt(si) == ';' && !slit(si) && sdepth(si) == 0 &&
-              stripped.substring(si + 1).exists(!_.isWhitespace))
+              (si + 1 until stripped.length).exists(j =>
+                !slit(j) && !stripped.charAt(j).isWhitespace))
             throw new IllegalArgumentException(
               "OVER (WINDOW …) in multi-statement text is ambiguous — " +
                 "submit the windowed statement on its own")

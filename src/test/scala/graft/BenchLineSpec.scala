@@ -49,8 +49,21 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.renderLine(rs, "sf0.01")
     val root = mapper.readTree(line)
     assert(root.get("value").asDouble() == 0.5)
-    assert(root.get("queries").get("q_bad").asInt() == -1)
+    assert(root.get("queries").get("q_bad").asDouble() == -1.0)
     assert(mapper.readTree(Bench.renderFull(rs, "sf0.01"))
       .get("queries").get("q_bad").asDouble() == -1.0)
+  }
+
+  test("queries are seconds in BOTH branches; full pointer is honest") {
+    // small set -> full-map branch; values must be seconds, not ms
+    val small = Bench.renderLine(Seq("q_x" -> 1.234), "sf0.01", "/tmp/b.json")
+    val sroot = mapper.readTree(small)
+    assert(sroot.get("queries").get("q_x").asDouble() == 1.234)
+    assert(sroot.get("full").asText() == "/tmp/b.json")
+    // real key set -> whatever branch fires, units must still be seconds
+    val line = mapper.readTree(Bench.renderLine(fakeResults, "sf0.1"))
+    val q = Bench.baselineAliases("agg_groupby")
+    val expect = fakeResults.toMap.apply(q)
+    assert(math.abs(line.get("queries").get(q).asDouble() - expect) < 0.001)
   }
 }

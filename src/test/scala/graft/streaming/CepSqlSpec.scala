@@ -135,6 +135,10 @@ class CepSqlSpec extends SparkSpec {
     val lit = "SELECT ';' AS s, COUNT(*) AS cnt FROM t " +
       "OVER (WINDOW '60' SECONDS)"
     assert(CepSql.translate(lit).contains("GROUP BY window(ts,"))
+    // ...and a trailing COMMENT after the final ';' is still one statement
+    val cmt = CepSql.translate(
+      "SELECT COUNT(*) AS cnt FROM t OVER (WINDOW '60' SECONDS); -- hourly")
+    assert(cmt.contains("GROUP BY window(ts,"), cmt)
   }
 
   test("parser extension: reference dialect runs via plain spark.sql") {

@@ -129,4 +129,28 @@ class LateDataSpec extends SparkSpec {
     assert(got(5L) === None,
       s"beyond the TTL the expired right must not enrich: $got")
   }
+
+  test("AsofEnrich: TTL is a data semantic — enforced even when the key " +
+      "has traffic (no timeout fires) and in a single batch") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = "asof_ttl_data"
+    val q = AsofEnrich.enrich(stream.toDS(), "error", "click",
+        watermarkDelay = Some("10 minutes"), stateTtl = Some("30 minutes"))
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    // ONE batch: click at 10:00, one error inside the TTL, one beyond it
+    // — the key has data, so no event-time timeout is involved at all;
+    // eligibility alone must decide, independent of batch boundaries
+    stream.addData(ev(1, 7L, "2024-01-01 10:00:00", "click"),
+      ev(2, 7L, "2024-01-01 10:29:00", "error"),
+      ev(3, 7L, "2024-01-01 10:31:00", "error"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).select("err_id", "click_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(got(2L) === Some(1L))
+    assert(got(3L) === None,
+      s"left past right.ts + ttl must be unmatched on the data path: $got")
+  }
 }
