@@ -87,6 +87,24 @@ object Analytics {
     // Fixed-width histogram of order value: bin floor keeps the key
     // integral (skew-free single shuffle; bins are a few dozen rows out
     // regardless of input scale).
+    // Gaps-and-islands, the gap side: per-user silences of >= 1 hour in
+    // the event stream (the CEP "absence over a threshold" shape as a
+    // batch key). One window pass over the per-user sort; the gap width
+    // is exact integer microsecond arithmetic (no float minutes).
+    "q_sequence_gap" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("ts"), asc("event_id"))
+      T(s, dir, "events")
+        .withColumn("nxt", lead(col("ts"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .withColumn("gap_min",
+          expr("(unix_micros(nxt) - unix_micros(ts)) div 60000000"))
+        .filter(col("gap_min") >= 60)
+        .select(col("user_id"), col("ts").as("gap_start"),
+          col("nxt").as("gap_end"), col("gap_min"))
+        .orderBy("user_id", "gap_start", "gap_end")
+    }),
+
     "q_histogram" -> ((s, dir) => {
       T(s, dir, "orders")
         .withColumn("bin",
@@ -135,6 +153,18 @@ object Analytics {
          SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS cnt
          FROM s WHERE e3 IS NOT NULL
          GROUP BY 1 ORDER BY cnt DESC, path LIMIT 10""",
+    "q_sequence_gap" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS nxt
+           FROM events)
+         SELECT user_id, ts AS gap_start, nxt AS gap_end,
+           (epoch_us(nxt) - epoch_us(ts)) // 60000000 AS gap_min
+         FROM g
+         WHERE nxt IS NOT NULL
+           AND (epoch_us(nxt) - epoch_us(ts)) // 60000000 >= 60
+         ORDER BY user_id, gap_start, gap_end""",
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 25000) * 25000 AS BIGINT) AS bin,
            count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price

@@ -147,6 +147,22 @@ object RelationalExt {
         .orderBy("et")
     }),
 
+    // A5b — GROUPING()/grouping-id introspection: the bits that tell a
+    // rollup consumer WHICH level a row belongs to (the 'ALL' coalesce
+    // trick is lossy when a real value collides with the sentinel).
+    "q_grouping_id" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          grouping("l_returnflag").cast("long").as("g_rf"),
+          grouping("l_linestatus").cast("long").as("g_ls"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("g_rf"), col("g_ls"),
+          (col("g_rf") * 2 + col("g_ls")).as("gid"), col("cnt"))
+        .orderBy("rf", "ls", "gid")
+    }),
+
     // W7 — distribution window functions: percent_rank + cume_dist per
     // nation. The ordering key (acctbal, custkey) is unique, so both are
     // deterministic rank ratios of exact integers; one WindowExec pass.
@@ -175,6 +191,16 @@ object RelationalExt {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_grouping_id" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           count(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY rf, ls, gid""",
     "q_window_dist" ->
       """SELECT c_custkey, c_nationkey,
            floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pr,

@@ -91,6 +91,24 @@ object Scalar {
         .orderBy("vec_id")
     }),
 
+    // F13 — array SET operations (intersect/union/except) over the head
+    // and tail token windows of each doc. Results are emitted as sorted,
+    // comma-joined SETS: Spark's array_intersect/union/except dedup with
+    // first-argument order and DuckDB's list ops make no dedup promise,
+    // so both sides canonicalize (distinct + sort) before comparing.
+    "q_array_setops" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val a = slice(ws, 1, 8)
+      val b = slice(ws, greatest(size(ws) - 7, lit(1)), lit(8))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(array_sort(array_intersect(a, b)), ",").as("inter"),
+          array_join(array_sort(array_union(a, b)), ",").as("uni"),
+          array_join(array_sort(array_except(a, b)), ",").as("diff"),
+          array_contains(a, "the").cast("long").as("has_the"))
+        .orderBy("doc_id")
+    }),
+
     // F11 — bitwise operators (&, |, ^, shift, popcount).
     "q_bitwise" -> ((s, dir) => {
       T(s, dir, "events")
@@ -105,6 +123,23 @@ object Scalar {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_array_setops" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (
+           SELECT doc_id, list_slice(w, 1, 8) AS a,
+             list_slice(w, greatest(len(w) - 7, 1), len(w)) AS b
+           FROM t)
+         SELECT doc_id,
+           -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+           coalesce(array_to_string(list_sort(list_distinct(
+             list_filter(a, x -> list_contains(b, x)))), ','), '') AS inter,
+           coalesce(array_to_string(list_sort(list_distinct(
+             list_concat(a, b))), ','), '') AS uni,
+           coalesce(array_to_string(list_sort(list_distinct(
+             list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS diff,
+           CAST(list_contains(a, 'the') AS BIGINT) AS has_the
+         FROM s ORDER BY doc_id""",
     "q_higher_order" ->
       """WITH v AS (
            SELECT vec_id,
