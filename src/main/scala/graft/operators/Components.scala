@@ -50,9 +50,11 @@ object Components {
       val viaNeighbors = undirected
         .join(labels, undirected("b") === labels("id"))
         .select(col("a").as("id"), col("comp"))
+      // LAZY checkpoint: the sum action right below materializes it, so
+      // an eager checkpoint would just run a second job per round
       val next = viaNeighbors.union(labels.select("id", "comp"))
         .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint(true) // truncate lineage every round
+        .localCheckpoint(false) // truncate lineage every round
       // decimal sum: exact for any id range/vertex count (a wrapped long
       // sum could in principle collide across a change on huge graphs)
       val s = Option(next.agg(sum(col("comp").cast("decimal(38,0)")))

@@ -41,7 +41,11 @@ object Relational {
       val c = T(s, dir, "customer")
       val n = T(s, dir, "nation")
       val r = T(s, dir, "region")
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
+      // the fact⋈fact leg hints shuffle-hash: both sides still shuffle
+      // once on the order key (the scale-correct shape — orders is NOT
+      // broadcastable at 100 TB), but the hash build on the smaller
+      // orders side skips sort-merge's two full sorts
+      l.join(o.hint("shuffle_hash"), l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))

@@ -56,7 +56,7 @@ object TextOps {
     * carries one row per doc, not per gram), folded into 4 band
     * signatures of 4 hashes each. Shared by q_minhash_band (the signature
     * surface) and q_dedup_resolve (the banded candidate graph). */
-  private[queries] def bandRows(d: DataFrame): DataFrame = {
+  private[graft] def bandRows(d: DataFrame): DataFrame = {
     val g = gramRows(d, 3).select("doc_id", "gram").distinct()
     val mins = (0 until 16).map(i =>
       min(md5(concat(lit(s"$i:"), col("gram")))).as(s"h$i"))
