@@ -17,6 +17,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
     assert(!p.contains("SortMergeJoin"),
       "no dimension join should degrade to sort-merge at this scale")
+    // the fact⋈fact leg: shuffled-hash (one shuffle per side, NO sort of
+    // the 600k-row fact stream); orders must NOT be broadcast — at 100 TB
+    // it is a fact table
+    assert(p.contains("ShuffledHashJoin"),
+      "fact-fact leg should hash-join, not sort-merge")
+  }
+
+  test("gram pipeline is map-only: one shuffle, zero sorts end-to-end") {
+    // the r5 rework: n-grams come from transform/slice on the token
+    // array, so q_ngram_freq must plan as scan → gram explode → partial
+    // agg → ONE exchange → final agg → TakeOrdered. A second exchange or
+    // any SortExec means the token stream is being shuffled/sorted again
+    // (the old posexplode + window-lead shape this replaced).
+    val p = plan("q_ngram_freq")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nEx == 1, s"expected 1 shuffle, got $nEx in:\n$p")
+    assert(!"""\bSort \[""".r.findFirstIn(p).isDefined,
+      s"gram pipeline must not sort the token stream:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
   }
 
   test("q_topk plans TakeOrderedAndProject (no global sort)") {
