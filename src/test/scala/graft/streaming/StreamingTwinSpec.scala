@@ -154,6 +154,26 @@ class StreamingTwinSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("gap detection: streaming silence state == batch lead() key") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = "twin_gaps"
+    val q = GapDetector.detect(stream.toDS(), 60)
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(math.max(1, data.length / 5)).foreach { chunk =>
+      stream.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table(name)
+      .select("user_id", "gap_start", "gap_end", "gap_min")
+    val want = graft.SparkEntry.queries("q_sequence_gap")(spark, sf)
+    assert(rows(got) == rows(want))
+    assert(got.count() > 0, "expected at least one >= 1h gap")
+  }
+
   test("run detector: watermark timeout flushes pending runs, no sentinel") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[CepEvent]
