@@ -57,6 +57,11 @@ object TextOps {
     * signatures of 4 hashes each. Shared by q_minhash_band (the signature
     * surface) and q_dedup_resolve (the banded candidate graph). */
   private[graft] def bandRows(d: DataFrame): DataFrame = {
+    // the distinct looks redundant (min() is idempotent under duplicate
+    // grams) but is kept deliberately: its exchange spreads the 16-way
+    // md5 min aggregation across cores when the scan has few splits
+    // (measured 2× at sf0.1's single parquet file), and it shrinks the
+    // shuffle payload to distinct grams
     val g = gramRows(d, 3).select("doc_id", "gram").distinct()
     val mins = (0 until 16).map(i =>
       min(md5(concat(lit(s"$i:"), col("gram")))).as(s"h$i"))
@@ -169,9 +174,12 @@ object TextOps {
     // join (no driver-side count()), and the top-50 is TakeOrdered.
     "q_tfidf" -> ((s, dir) => {
       val d = T(s, dir, "documents")
+      // persist: tf feeds both the document-frequency branch and the
+      // final join — without it the token explode + aggregation runs twice
       val tf = d.select(col("doc_id"),
           explode(toks(lower(col("text")))).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        .persist()
       val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
       val ndocs = d.select(countDistinct("doc_id").as("n"))
       tf.join(dfreq, "w")
