@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract). Methodology matches BASELINE.md:
   * one warm-up execution per query (absorbs codegen/JIT/scan caching),
-  * then three timed executions, min reported.
+  * then three timed executions, MEDIAN reported (VERDICT r5 §next-3: the
+  * median separates a real plan regression from one-off scheduler/GC
+  * noise, which min-of-n can mask and single-run cannot distinguish).
   *
   * Output contract: the driver keeps only the LAST 2000 characters of
   * stdout and parses the final line as JSON (BENCH_r03/r04 were both
@@ -62,7 +64,7 @@ object Bench {
     }.mkString("{", ",", "}")
     def line(queries: String) =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfNum,""" +
-        s""""n_queries":${results.size},"full":"$fullPath",""" +
+        s""""runs":3,"n_queries":${results.size},"full":"$fullPath",""" +
         s""""baseline_equivalents":$base,"queries":$queries}"""
     val withAll = line(render(results))
     if (withAll.length <= LineBudget) withAll
@@ -87,22 +89,25 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      // three timed runs, report the min: sub-second queries at high
-      // thread counts are scheduler/GC-noise-dominated; min-of-n is the
-      // stable estimator of the query's actual cost. A run that throws is
-      // recorded as failed (-1) rather than as its wall time — a broken
-      // query must not look like a fast one.
+      // three timed runs, report the MEDIAN: robust against a one-off
+      // scheduler/GC hiccup in either direction, unlike min (hides real
+      // regressions behind one lucky run) or single-run (cannot tell
+      // noise from regression). A run that throws is recorded as failed
+      // (-1) rather than as its wall time — a broken query must not look
+      // like a fast one.
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       }
-      // GC between queries so one query's garbage doesn't bill the next —
-      // the 90-query sequential run otherwise inflates late-alphabet keys.
+      // release library-tracked cache entries between queries: keeps the
+      // long sequential run's storage flat and silences repeat-persist
+      // warnings; GC so one query's garbage doesn't bill the next.
+      Caching.releaseAll()
       System.gc()
-      val good = times.filterNot(_.isNaN)
-      name -> (if (good.nonEmpty) good.min else -1.0)
+      val good = times.filterNot(_.isNaN).sorted
+      name -> (if (good.nonEmpty) good((good.size - 1) / 2) else -1.0)
     }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_FULL.json")

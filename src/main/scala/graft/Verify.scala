@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per-query cache lifecycle: the library's multi-branch queries
+      // track their persisted intermediates in graft.Caching — release
+      // them once this query's write (the consuming action) is done
+      Caching.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -56,8 +56,13 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, cls, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier(name), new ExpressionInfo(cls.getName, name),
-        builder)
+      val fid = FunctionIdentifier(name)
+      // idempotent-silent: re-registering an identical builder is a no-op
+      // (query builders call this defensively; without the guard every
+      // call after the first logs a `replaced a previously registered
+      // function` warning — VERDICT r5 §wrong-4)
+      if (!spark.sessionState.functionRegistry.functionExists(fid))
+        spark.sessionState.functionRegistry.registerFunction(
+          fid, new ExpressionInfo(cls.getName, name), builder)
     }
 }

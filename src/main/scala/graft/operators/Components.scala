@@ -39,30 +39,31 @@ object Components {
       .distinct().withColumn("comp", col("id")).persist()
     var converged = false
     var i = 0
-    // convergence check: labels are MONOTONICALLY non-increasing (each
-    // vertex adopts a min), so the label SUM strictly decreases on any
-    // change — an unchanged sum proves the fixpoint. One scalar aggregate
-    // over the freshly-checkpointed frame, vs the join-and-count diff it
-    // replaces (which re-shuffled both label frames every round).
-    var prevSum = Option.empty[java.math.BigDecimal]
     while (!converged && i < maxIter) {
       // candidate for each vertex: the smallest neighbor label (+ its own)
       val viaNeighbors = undirected
         .join(labels, undirected("b") === labels("id"))
         .select(col("a").as("id"), col("comp"))
-      // LAZY checkpoint: the sum action right below materializes it, so
-      // an eager checkpoint would just run a second job per round
-      val next = viaNeighbors.union(labels.select("id", "comp"))
-        .groupBy("id").agg(min("comp").as("comp"))
+      // convergence check IN the propagation round (saves the extra
+      // confirmation round a sum-fixpoint needs): the own-label branch of
+      // the union is tagged with the vertex's PREVIOUS label (`own`);
+      // every id has exactly one tagged row, so after the min-aggregation
+      // `comp < own` ⇔ this round lowered the label. One integer-exact
+      // scalar per round reaches the driver, same as before.
+      val viaSelf = labels.select(col("id"), col("comp"))
+        .withColumn("own", col("comp"))
+      // LAZY checkpoint: the changed-count action right below
+      // materializes it, so an eager checkpoint would run a second job
+      val next = viaNeighbors.withColumn("own", lit(null).cast("long"))
+        .union(viaSelf)
+        .groupBy("id").agg(min("comp").as("comp"), min("own").as("own"))
         .localCheckpoint(false) // truncate lineage every round
-      // decimal sum: exact for any id range/vertex count (a wrapped long
-      // sum could in principle collide across a change on huge graphs)
-      val s = Option(next.agg(sum(col("comp").cast("decimal(38,0)")))
-        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+      val changed = Option(next
+        .agg(sum(when(col("comp") < col("own"), 1L).otherwise(0L)))
+        .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
       labels.unpersist()
-      labels = next
-      converged = prevSum.exists(_.compareTo(s) == 0)
-      prevSum = Some(s)
+      labels = next.select("id", "comp")
+      converged = changed == 0L
       i += 1
     }
     undirected.unpersist()

@@ -75,15 +75,14 @@ object Dedup {
     * [[minhashLsh]]; its output is safe to feed to
     * [[Components.resolveDuplicates]].
     *
-    * Storage note: the shingle frame is `persist`-ed (it feeds the size
-    * aggregate and both pair joins — 3 uses; measured 4.6× on the bench).
-    * Spark's plan-keyed cache shares ONE entry across repeated calls with
-    * the same inputs, so the footprint is one shingle frame per distinct
-    * (df, shingleN), held until the session ends or the caller runs
-    * `spark.sharedState.cacheManager.clearCache()` / uncaches the table. */
+    * Storage note: the shingle frame is cached via [[graft.Caching]] (it
+    * feeds the size aggregate and both pair joins — 3 uses; measured 4.6×
+    * on the bench). The registry shares ONE entry across repeated calls
+    * with the same inputs and `graft.Caching.releaseAll()` drops it —
+    * long-lived hosts call that between queries. */
   def verifyJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
       textCol: String, shingleN: Int, threshold: Double): DataFrame = {
-    val g = shingles(df, idCol, textCol, shingleN).persist()
+    val g = graft.Caching.cache(shingles(df, idCol, textCol, shingleN))
     val sizes = g.groupBy(idCol).agg(count(lit(1)).as("__n"))
     val p = pairs.select(col("id_a"), col("id_b"))
     val inter = p

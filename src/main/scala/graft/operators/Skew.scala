@@ -39,8 +39,16 @@ object Skew {
       pmod(hash(hashable.toIndexedSeq: _*), lit(salt)))
     val salts = right.sparkSession.range(salt)
       .select(col("id").cast("int").as("__salt"))
-    val r = right.crossJoin(salts)
-    l.join(r, l(key) === r(key) && l("__salt") === r("__salt"))
-      .drop(r(key)).drop("__salt")
+    // rename the right key before joining: when `right` derives from
+    // `left` (dim-from-fact self-joins), `l(key) === r(key)` resolves both
+    // sides to the SAME attribute id and Spark falls back to a trivially-
+    // true predicate warning + positional disambiguation; a distinct name
+    // makes the condition reference distinct attributes by construction
+    val rKey = "__rkey"
+    require(!right.columns.contains(rKey) && !left.columns.contains(rKey),
+      s"saltedEquiJoin reserves scratch column $rKey")
+    val r = right.withColumnRenamed(key, rKey).crossJoin(salts)
+    l.join(r, l(key) === r(rKey) && l("__salt") === r("__salt"))
+      .drop(rKey).drop("__salt")
   }
 }

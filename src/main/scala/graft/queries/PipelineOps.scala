@@ -74,10 +74,11 @@ object PipelineOps {
     // what a corpus pipeline actually deletes against; the DuckDB oracle
     // recomputes the same components with a recursive CTE.
     "q_dedup_resolve" -> ((s, dir) => {
-      // persist: the self-join below would otherwise recompute the whole
+      // cache: the self-join below would otherwise recompute the whole
       // gram+minhash pipeline once PER SIDE (measured 4.7 s vs 0.2 s at
-      // sf0.1); the band frame is 4 small rows per doc.
-      val bands = TextOps.bandRows(T(s, dir, "documents")).persist()
+      // sf0.1); the band frame is 4 small rows per doc. Lifecycle via
+      // graft.Caching so a long-lived host can release it.
+      val bands = graft.Caching.cache(TextOps.bandRows(T(s, dir, "documents")))
       val pairs = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") &&
           col("a.band_sig") === col("b.band_sig") &&

@@ -143,10 +143,9 @@ object TextOps {
       // themselves (number of lists containing the doc == its distinct
       // gram count), so no second pass over the token stream. persist:
       // the postings feed both the sizes branch and the pair branch.
-      val posts = gramRows(T(s, dir, "documents"), 4)
+      val posts = graft.Caching.cache(gramRows(T(s, dir, "documents"), 4)
         .groupBy("lang", "gram")
-        .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-        .persist()
+        .agg(sort_array(collect_set(col("doc_id"))).as("ds")))
       val sizes = posts.select(explode(col("ds")).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n"))
       val postings = posts.filter(size(col("ds")) > 1)
@@ -176,10 +175,9 @@ object TextOps {
       val d = T(s, dir, "documents")
       // persist: tf feeds both the document-frequency branch and the
       // final join — without it the token explode + aggregation runs twice
-      val tf = d.select(col("doc_id"),
+      val tf = graft.Caching.cache(d.select(col("doc_id"),
           explode(toks(lower(col("text")))).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        .persist()
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
       val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
       val ndocs = d.select(countDistinct("doc_id").as("n"))
       tf.join(dfreq, "w")
@@ -221,8 +219,9 @@ object TextOps {
       // one aggregation pass over the exploded tokens feeds BOTH branches
       // (per-doc distinct words AND per-language counts) — the persisted
       // frame is per-doc word counts, far smaller than the token stream
-      val tokc = tok.groupBy(col("doc_id"), col("lang"), col("w"))
-        .agg(count(lit(1)).as("c")).persist()
+      val tokc = graft.Caching.cache(
+        tok.groupBy(col("doc_id"), col("lang"), col("w"))
+          .agg(count(lit(1)).as("c")))
       val docwords = tokc.select("doc_id", "w")
       val langtop = tokc.groupBy(col("lang").as("cand"), col("w"))
         .agg(sum("c").as("cnt"))
