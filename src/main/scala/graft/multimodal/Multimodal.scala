@@ -11,10 +11,15 @@ case class MediaFeatures(media_id: Long, kind: String, width: Int,
   * travel as opaque `binary` columns with typed metadata; decode /
   * feature-extract / frame-sample run as partition-local batch transforms.
   *
-  * The DECODE STEP IS A STUB — this container has no image/audio codecs,
-  * so [[stubDecode]] derives deterministic fake dimensions/features from
-  * the payload bytes (documented, test-pinned). Everything around it is
-  * the real Spark shape a production decoder plugs into:
+  * IMAGE DECODE IS REAL: `kind = "image*"` payloads go through JDK
+  * `javax.imageio` (PNG/JPEG/BMP/GIF read offline, no added dependency) —
+  * true pixel dimensions plus an 8-bin normalized luminance histogram as
+  * the feature vector. Undecodable image payloads surface loudly as
+  * `width = height = -1` with empty features (a curation pipeline filters
+  * or quarantines on that flag; silently faking dimensions would poison
+  * downstream stats). Non-image kinds (audio/video — no JDK codec) keep
+  * the DOCUMENTED deterministic stub [[stubFeatures]]. Either way the
+  * Spark shape is the production one:
   *
   *   - schema: `(media_id LONG, kind STRING, payload BINARY)` + metadata;
   *   - execution: `mapPartitions` — partition-local, iterator-to-iterator
@@ -24,7 +29,7 @@ case class MediaFeatures(media_id: Long, kind: String, width: Int,
   *     vectors (small) flow onward, so repartition BEFORE decode by
   *     `media_id` to spread codec CPU, not after.
   *
-  * A real deployment replaces the body of [[decodeBytes]] with the codec
+  * A real deployment swaps [[stubFeatures]] for its audio/video codec
   * call; nothing else changes.
   */
 object Multimodal {
@@ -36,9 +41,10 @@ object Multimodal {
       lit(kind).as("kind"),
       col(payloadCol).cast("binary").as("payload"))
 
-  /** STUB decode: deterministic pseudo-metadata + an 8-dim feature vector
-    * from payload bytes. Replace with a real codec at deployment. */
-  private[multimodal] def decodeBytes(id: Long, kind: String,
+  /** STUB features for kinds with no JDK codec (audio/video):
+    * deterministic pseudo-metadata + an 8-dim feature vector from payload
+    * bytes. Replace with a real codec at deployment. */
+  private[multimodal] def stubFeatures(id: Long, kind: String,
       payload: Array[Byte]): MediaFeatures = {
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -56,8 +62,51 @@ object Multimodal {
     MediaFeatures(id, kind, w, ht, payload.length.toLong, feats)
   }
 
-  /** Batch decode: partition-local, iterator-to-iterator. */
-  def stubDecode(media: DataFrame): Dataset[MediaFeatures] = {
+  /** REAL image decode via JDK ImageIO (PNG/JPEG/BMP/GIF — all available
+    * offline, headless-safe): true width/height plus an 8-bin luminance
+    * histogram (Rec.601 weights, normalized to sum 1) as the feature
+    * vector. Returns `width = height = -1` and empty features when
+    * ImageIO cannot decode the payload — the loud per-row failure shape
+    * (a corrupt image must not crash a 100 TB decode stage OR silently
+    * pass fake dimensions downstream). */
+  private[multimodal] def decodeImage(id: Long, kind: String,
+      payload: Array[Byte]): MediaFeatures = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null } // truncated/hostile bytes → flagged
+    if (img == null)
+      MediaFeatures(id, kind, -1, -1, payload.length.toLong,
+        Array.empty[Float])
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val bins = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)) / 1000 // Rec.601 integer luminance 0..255
+          bins(lum >> 5) += 1L // 8 bins of width 32
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      MediaFeatures(id, kind, w, h, payload.length.toLong,
+        bins.map(b => (b.toDouble / n).toFloat))
+    }
+  }
+
+  private[multimodal] def decodeBytes(id: Long, kind: String,
+      payload: Array[Byte]): MediaFeatures =
+    if (kind != null && kind.startsWith("image")) decodeImage(id, kind, payload)
+    else stubFeatures(id, kind, payload)
+
+  /** Batch decode: partition-local, iterator-to-iterator. Image kinds
+    * decode for real (ImageIO); other kinds take the documented stub. */
+  def decode(media: DataFrame): Dataset[MediaFeatures] = {
     val enc = Encoders.product[MediaFeatures]
     media.select("media_id", "kind", "payload")
       .mapPartitions { rows =>
@@ -67,6 +116,10 @@ object Multimodal {
         }
       }(enc)
   }
+
+  /** Back-compat alias for [[decode]] (the name predates the real image
+    * path; non-image kinds still stub). */
+  def stubDecode(media: DataFrame): Dataset[MediaFeatures] = decode(media)
 
   /** STUB resize: deterministic byte-level downsample of the payload
     * (every `factor`-th byte) with the metadata scaled to match — the

@@ -72,8 +72,10 @@ class TextAndMultimodalSpec extends SparkSpec {
   }
 
   test("multimodal: stub resize halves dims and downsamples bytes") {
+    // non-image kind: resize plumbing composes with the STUB decode path
+    // (image kinds now decode for real and text bytes would flag -1 dims)
     val media = Multimodal.asMediaFrame(docs.limit(8), "doc_id", "text",
-      "image/fake")
+      "video/fake")
     val decoded = Multimodal.stubDecode(media)
     val resized = Multimodal.stubResize(decoded, media, 2)
     val byId = decoded.collect().map(d => d.media_id -> d).toMap
@@ -86,6 +88,43 @@ class TextAndMultimodalSpec extends SparkSpec {
       val rp = r.getAs[Array[Byte]]("resized_payload")
       assert(rp.length == nb)
     }
+  }
+
+  test("multimodal: image kind decodes REAL dimensions via ImageIO") {
+    // synthetic PNGs built in memory: w×h with a known pixel split —
+    // left half black, right half white → luminance histogram puts ~half
+    // the mass in bin 0 and ~half in bin 7
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq((1L, png(64, 48)), (2L, png(10, 200)))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), lit("image/png").as("kind"), col("payload"))
+    val rows = Multimodal.decode(media).collect().sortBy(_.media_id)
+    assert(rows.map(r => (r.width, r.height)).toSeq ==
+      Seq((64, 48), (10, 200)), "ImageIO must report true pixel dims")
+    rows.foreach { r =>
+      assert(r.features.length == 8)
+      assert(math.abs(r.features.sum - 1.0f) < 1e-4, "normalized histogram")
+      assert(r.features(0) === 0.5f, "black half -> bin 0")
+      assert(r.features(7) === 0.5f, "white half -> bin 7")
+    }
+  }
+
+  test("multimodal: undecodable image payload flags -1, does not crash") {
+    val media = Seq((9L, "not an image at all".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), lit("image/png").as("kind"), col("payload"))
+    val r = Multimodal.decode(media).collect().head
+    assert(r.width == -1 && r.height == -1)
+    assert(r.features.isEmpty)
+    assert(r.n_bytes == 19L)
   }
 
   test("multimodal: frame sampling on payloads shorter than n frames") {
