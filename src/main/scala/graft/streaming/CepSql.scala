@@ -18,6 +18,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *  - `OVER (WINDOW 'w' SECONDS, SLIDE 's' SECONDS)` → sliding window
   *  - `OVER (WINDOW 'w' SECONDS)` → tumbling window (window == slide)
+  *  - `MATCH PATTERN (a THEN [NOT] b WITHIN 'n' <unit>) PARTITION BY k` →
+  *    sequence / absence CEP as plain Spark SQL (see [[translatePattern]])
   *
   * The clause is removed and `window(<tsCol>, ...)` is prepended to the
   * GROUP BY (created if absent). Semantics upgrade exactly as documented
@@ -42,6 +44,25 @@ import org.apache.spark.sql.types.{DataType, StructType}
 object CepSql {
   private val over = Pattern.compile(
     """OVER\s*\(\s*WINDOW\s*'(\d+)'\s*SECONDS?\s*(?:,\s*SLIDE\s*'(\d+)'\s*SECONDS?\s*)?\)""",
+    Pattern.CASE_INSENSITIVE)
+  private val matchPat = Pattern.compile("MATCH\\s+PATTERN",
+    Pattern.CASE_INSENSITIVE)
+  /** The full MATCH PATTERN statement grammar (sequence CEP from SQL —
+    * SURVEY EP1/EP3's pattern surface):
+    *
+    * {{{
+    * SELECT * FROM <table>
+    * MATCH PATTERN (<a> THEN [NOT] <b> WITHIN '<n>' SECONDS|MINUTES|HOURS)
+    * PARTITION BY <key>
+    * }}}
+    *
+    * Anchored end-to-end: the pattern statement IS the whole statement
+    * (projection/extra predicates belong in a view over the result). */
+  private val patternStmt = Pattern.compile(
+    "^\\s*SELECT\\s+\\*\\s+FROM\\s+([A-Za-z_][\\w.]*)\\s+" +
+      "MATCH\\s+PATTERN\\s*\\(\\s*'?(\\w+)'?\\s+THEN\\s+(?:(NOT)\\s+)?" +
+      "'?(\\w+)'?\\s+WITHIN\\s+'(\\d+)'\\s+(SECONDS?|MINUTES?|HOURS?)\\s*\\)" +
+      "\\s+PARTITION\\s+BY\\s+([A-Za-z_]\\w*)\\s*;?\\s*$",
     Pattern.CASE_INSENSITIVE)
   private val groupBy = Pattern.compile("GROUP\\s+BY", Pattern.CASE_INSENSITIVE)
   private val tail = Pattern.compile(
@@ -97,11 +118,22 @@ object CepSql {
     * on ambiguous input: multiple OVER-window clauses, or one inside a
     * subquery (the reference dialect allows exactly one, on the top-level
     * stream scan). */
-  def translate(q: String, tsCol: String = "ts"): String = {
+  def translate(q: String, tsCol: String = "ts",
+      typeCol: String = "event_type", idCol: String = "event_id"): String = {
     // fast path: the injected parser routes EVERY statement through here,
-    // so don't build the scan arrays unless the clause can possibly match
-    if (!over.matcher(q).find()) return q
+    // so don't build the scan arrays unless a clause can possibly match
+    val mayOver = over.matcher(q).find()
+    val mayPat = matchPat.matcher(q).find()
+    if (!mayOver && !mayPat) return q
     val (lit, depth) = scan(q)
+    if (mayPat) {
+      // a MATCH PATTERN inside a string literal is data, not a clause
+      val mp = matchPat.matcher(q)
+      var real = false
+      while (mp.find() && !real) if (!lit(mp.start())) real = true
+      if (real) return translatePattern(q, tsCol, typeCol, idCol)
+    }
+    if (!mayOver) return q
     val m = over.matcher(q)
     var found: Option[(Int, Int, String, String)] = None
     while (m.find()) {
@@ -170,10 +202,75 @@ object CepSql {
     }
   }
 
+  /** Rewrite one MATCH PATTERN statement (see [[patternStmt]]) to plain
+    * Spark SQL — the SQL-string surface for sequence CEP, so a reference
+    * user's continuous pattern text runs through `spark.sql` like the
+    * OVER-window dialect does.
+    *
+    *  - `a THEN b WITHIN '<n>' <unit>`: for each `a` event, the FIRST `b`
+    *    event of the same `key` with ts in (a.ts, a.ts + n unit] — AFTER
+    *    MATCH SKIP TO NEXT ROW, exactly the q_cep_seq formulation (equi
+    *    self-join on the key + range predicate + per-a-row top-1). Output:
+    *    (key, sid, pid, s_ts, p_ts), ordered by sid.
+    *  - `a THEN NOT b WITHIN …`: absence — `a` events with NO qualifying
+    *    `b` (left-anti), the q_cep_absence formulation. Output:
+    *    (sid, key, s_ts), ordered by sid.
+    *
+    * Event names compare against `typeCol`; event ids come from `idCol`;
+    * both default to the events-table conventions and are overridable via
+    * `spark.graft.cep.typeColumn` / `spark.graft.cep.idColumn` on the
+    * injected-parser path. Batch/interactive surface: the rewrite uses a
+    * ranking window (sequence) / anti join (absence), which Structured
+    * Streaming does not support incrementally — the streaming twins are
+    * [[CepSequence]] / [[AbsenceDetector]].
+    *
+    * A statement that *mentions* MATCH PATTERN but does not match the
+    * grammar end-to-end is rejected loudly — a silent pass-through would
+    * surface as a confusing Spark parser error on CEP syntax. */
+  private def translatePattern(q: String, tsCol: String, typeCol: String,
+      idCol: String): String = {
+    val m = patternStmt.matcher(q)
+    if (!m.matches())
+      throw new IllegalArgumentException(
+        "malformed MATCH PATTERN statement — expected exactly: SELECT * " +
+          "FROM <table> MATCH PATTERN (<a> THEN [NOT] <b> WITHIN '<n>' " +
+          "SECONDS|MINUTES|HOURS) PARTITION BY <key>")
+    val tbl = m.group(1)
+    val evA = m.group(2)
+    val absent = m.group(3) != null
+    val evB = m.group(4)
+    val n = m.group(5)
+    val unit = m.group(6).toUpperCase(java.util.Locale.ROOT) match {
+      case u if u.startsWith("SEC") => "SECONDS"
+      case u if u.startsWith("MIN") => "MINUTES"
+      case _                        => "HOURS"
+    }
+    val key = m.group(7)
+    def bq(c: String) = s"`$c`"
+    val (k, t, ty, id) = (bq(key), bq(tsCol), bq(typeCol), bq(idCol))
+    val range = s"b.$t > a.$t AND b.$t <= a.$t + INTERVAL $n $unit"
+    if (absent)
+      s"""SELECT a.$id AS sid, a.$k AS $k, a.$t AS s_ts
+         |FROM (SELECT * FROM $tbl WHERE $ty = '$evA') a
+         |LEFT ANTI JOIN (SELECT * FROM $tbl WHERE $ty = '$evB') b
+         |ON a.$k = b.$k AND $range
+         |ORDER BY sid""".stripMargin
+    else
+      s"""SELECT $k, sid, pid, s_ts, p_ts FROM (
+         |  SELECT a.$k AS $k, a.$id AS sid, b.$id AS pid,
+         |         a.$t AS s_ts, b.$t AS p_ts,
+         |         row_number() OVER (PARTITION BY a.$id
+         |                            ORDER BY b.$t, b.$id) AS __rn
+         |  FROM $tbl a JOIN $tbl b
+         |  ON a.$k = b.$k AND a.$ty = '$evA' AND b.$ty = '$evB' AND $range
+         |) WHERE __rn = 1 ORDER BY sid""".stripMargin
+  }
+
   /** Translate and run against the session's registered views (batch or
     * streaming — the plan is identical either way). */
-  def sql(spark: SparkSession, q: String, tsCol: String = "ts"): DataFrame =
-    spark.sql(translate(q, tsCol))
+  def sql(spark: SparkSession, q: String, tsCol: String = "ts",
+      typeCol: String = "event_type", idCol: String = "event_id"): DataFrame =
+    spark.sql(translate(q, tsCol, typeCol, idCol))
 }
 
 /** Parser extension delegating to Spark's parser after the reference-
@@ -184,10 +281,13 @@ object CepSql {
   * read per statement from `spark.graft.cep.tsColumn` (default `ts`). */
 class CepSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
-  private def ts: String =
-    try session.conf.get("spark.graft.cep.tsColumn", "ts")
-    catch { case _: Throwable => "ts" }
-  private def t(sqlText: String): String = CepSql.translate(sqlText, ts)
+  private def conf(key: String, default: String): String =
+    try session.conf.get(key, default)
+    catch { case _: Throwable => default }
+  private def t(sqlText: String): String = CepSql.translate(sqlText,
+    conf("spark.graft.cep.tsColumn", "ts"),
+    conf("spark.graft.cep.typeColumn", "event_type"),
+    conf("spark.graft.cep.idColumn", "event_id"))
 
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(t(sqlText))

@@ -141,6 +141,68 @@ class CepSqlSpec extends SparkSpec {
     assert(cmt.contains("GROUP BY window(ts,"), cmt)
   }
 
+  test("MATCH PATTERN sequence == q_cep_seq (join/window formulation)") {
+    Tables.load(spark, sf)
+    val got = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id""")
+    assert(got.columns.toSeq ===
+      Seq("user_id", "sid", "pid", "s_ts", "p_ts"))
+    val want = graft.SparkEntry.queries("q_cep_seq")(spark, sf)
+    assert(got.collect().map(_.toSeq).toSeq ===
+      want.collect().map(_.toSeq).toSeq)
+  }
+
+  test("MATCH PATTERN THEN NOT == q_cep_absence (left-anti formulation)") {
+    Tables.load(spark, sf)
+    val got = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN NOT purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id""")
+    assert(got.columns.toSeq === Seq("sid", "user_id", "s_ts"))
+    val want = graft.SparkEntry.queries("q_cep_absence")(spark, sf)
+    assert(got.collect().map(_.toSeq).toSeq ===
+      want.collect().map(_.toSeq).toSeq)
+  }
+
+  test("MATCH PATTERN: quoted events, unit variants, trailing ';' accepted") {
+    Tables.load(spark, sf)
+    // '1800' SECONDS ≡ '30' MINUTES; quoted event names; trailing ';'
+    val got = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN ('signup' THEN 'purchase' WITHIN '1800' SECONDS)
+         PARTITION BY user_id;""")
+    val want = graft.SparkEntry.queries("q_cep_seq")(spark, sf)
+    assert(got.collect().map(_.toSeq).toSeq ===
+      want.collect().map(_.toSeq).toSeq)
+  }
+
+  test("malformed MATCH PATTERN is rejected loudly, literal form is data") {
+    // missing PARTITION BY
+    intercept[IllegalArgumentException] {
+      CepSql.translate(
+        "SELECT * FROM events MATCH PATTERN (a THEN b WITHIN '30' MINUTES)")
+    }
+    // projection other than * (the output schema is fixed by the rewrite)
+    intercept[IllegalArgumentException] {
+      CepSql.translate(
+        """SELECT sid FROM events
+           MATCH PATTERN (a THEN b WITHIN '30' MINUTES)
+           PARTITION BY user_id""")
+    }
+    // unsupported quantifier syntax must not silently half-translate
+    intercept[IllegalArgumentException] {
+      CepSql.translate(
+        """SELECT * FROM events
+           MATCH PATTERN (a THEN b{2,} WITHIN '30' MINUTES)
+           PARTITION BY user_id""")
+    }
+    // ...but the keyword inside a string literal is data, untouched
+    val q = "SELECT 'MATCH PATTERN' AS s FROM t"
+    assert(CepSql.translate(q) === q)
+  }
+
   test("parser extension: reference dialect runs via plain spark.sql") {
     Tables.load(spark, sf) // warm shared context first
     val old = spark
@@ -173,6 +235,16 @@ class CepSqlSpec extends SparkSpec {
         .select(col("event_type"), col("cnt"))
         .collect().map(_.toSeq).toSeq.sortBy(_.toString)
       assert(got === want)
+      // MATCH PATTERN flows through the SAME injected parser — sequence
+      // CEP reachable from plain spark.sql, results ≡ the q_cep_seq key
+      val pat = s2.sql(
+        """SELECT * FROM events
+           MATCH PATTERN (signup THEN purchase WITHIN '30' MINUTES)
+           PARTITION BY user_id""")
+        .collect().map(_.toSeq).toSeq
+      val patWant = graft.SparkEntry.queries("q_cep_seq")(s2, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(pat === patWant)
       // non-dialect SQL still parses through the delegate untouched
       assert(s2.sql("SELECT 1 AS one").collect().head.getInt(0) === 1)
     } finally {
