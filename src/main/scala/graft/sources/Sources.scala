@@ -16,7 +16,11 @@ import org.apache.spark.sql.types.StructType
   * NOTE: the Kafka builders compile against core Spark but require the
   * `spark-sql-kafka-0-10` connector on the deployment classpath (not
   * bundled in this container — file/rate/socket sources are the testable
-  * paths here; `SourcesSpec` drives the file source end-to-end).
+  * paths here; `SourcesSpec` drives the file source end-to-end). The
+  * connector-shaped path itself (DDL registration, offsets, schema from
+  * options, delimited converter) IS tested in-process via
+  * [[GraftEventsSource]] (`format("graft-events")`,
+  * GraftEventsSourceSpec).
   */
 object Sources {
   /** File-drop stream: new files under `path` become micro-batches —
