@@ -27,14 +27,19 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * nothing here touches executors until Spark materializes the cache.
   */
 object Caching {
-  private val reg =
-    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, DataFrame]()
+  // key includes the OUTPUT SCHEMA alongside the canonicalized plan:
+  // canonicalization normalizes attribute names away, so two frames
+  // identical up to column naming would otherwise share an entry and the
+  // second caller would compose against wrong names (pinned in CachingSpec)
+  private val reg = new java.util.concurrent.ConcurrentHashMap[
+    (LogicalPlan, org.apache.spark.sql.types.StructType), DataFrame]()
 
   /** Persist `df` (MEMORY_AND_DISK) unless a frame with the same
-    * canonicalized plan is already tracked — in that case return the
-    * tracked frame so the caller composes against the live cache entry. */
+    * canonicalized plan + schema is already tracked — in that case return
+    * the tracked frame so the caller composes against the live cache
+    * entry. */
   def cache(df: DataFrame): DataFrame = {
-    val key = df.queryExecution.analyzed.canonicalized
+    val key = (df.queryExecution.analyzed.canonicalized, df.schema)
     val prev = reg.putIfAbsent(key, df)
     if (prev == null) { df.persist(); df } else prev
   }

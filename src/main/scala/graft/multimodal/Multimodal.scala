@@ -3,9 +3,13 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
-/** Decoded-media record produced by the (stubbed) decoders. */
+/** Decoded-media record produced by the decoders. */
 case class MediaFeatures(media_id: Long, kind: String, width: Int,
     height: Int, n_bytes: Long, features: Array[Float])
+
+/** Resized-media record produced by [[Multimodal.resizeImages]]. */
+case class ResizedMedia(media_id: Long, kind: String, width: Int,
+    height: Int, n_bytes: Long, payload: Array[Byte])
 
 /** Multimodal column plumbing (BASELINE.json north star): image/audio/video
   * travel as opaque `binary` columns with typed metadata; decode /
@@ -140,6 +144,53 @@ object Multimodal {
         (col("height") / factor).cast("int").as("height"),
         octet_length(col("resized_payload")).cast("long").as("n_bytes"),
         col("resized_payload"))
+  }
+
+  /** REAL image resize via ImageIO + Graphics2D (image kinds only):
+    * decode, scale so the longest edge is `maxDim` (never upscale),
+    * re-encode as PNG. Partition-local `mapPartitions`, same shape as
+    * [[decode]] — payloads in, smaller payloads + true new dims out.
+    * Undecodable payloads pass through UNCHANGED with `width = height =
+    * -1` (quarantine flag, consistent with [[decodeImage]]).
+    *
+    * Output: `(media_id LONG, kind STRING, width INT, height INT,
+    * n_bytes LONG, payload BINARY)` — the resized media frame, ready to
+    * feed back into [[decode]] / downstream stages. */
+  def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim >= 1, "maxDim must be >= 1")
+    val enc = org.apache.spark.sql.Encoders.product[ResizedMedia]
+    media.select("media_id", "kind", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (id, kind, payload) =
+            (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+          if (img == null)
+            ResizedMedia(id, kind, -1, -1, payload.length.toLong, payload)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+            val (nw, nh) = (math.max(1, math.round(w * scale).toInt),
+              math.max(1, math.round(h * scale).toInt))
+            val out = new java.awt.image.BufferedImage(nw, nh,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, nw, nh, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            val bytes = bos.toByteArray
+            ResizedMedia(id, kind, nw, nh, bytes.length.toLong, bytes)
+          }
+        }
+      }(enc).toDF()
   }
 
   /** Frame sampling plumbing: split a payload into `n` byte slices

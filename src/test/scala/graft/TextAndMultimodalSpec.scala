@@ -117,6 +117,36 @@ class TextAndMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: resizeImages scales the long edge, round-trips decode") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, 0x808080)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, png(128, 64)),  // downscale: long edge 128 -> 32
+      (2L, png(16, 8)),    // already small: untouched dims
+      (3L, "garbage".getBytes("UTF-8"))) // undecodable: pass-through
+      .toDF("media_id", "payload")
+      .select(col("media_id"), lit("image/png").as("kind"), col("payload"))
+    val resized = Multimodal.resizeImages(media, 32)
+    val byId = resized.collect().map(r => r.getLong(0) -> r).toMap
+    assert((byId(1L).getInt(2), byId(1L).getInt(3)) === ((32, 16)))
+    assert((byId(2L).getInt(2), byId(2L).getInt(3)) === ((16, 8)))
+    assert((byId(3L).getInt(2), byId(3L).getInt(3)) === ((-1, -1)))
+    assert(byId(3L).getAs[Array[Byte]]("payload").toSeq ===
+      "garbage".getBytes("UTF-8").toSeq, "undecodable passes through")
+    // the resized payload is a REAL image: decode reports the new dims
+    val redecoded = Multimodal.decode(
+        resized.filter(col("media_id") === 1L)
+          .select("media_id", "kind", "payload"))
+      .collect().head
+    assert((redecoded.width, redecoded.height) === ((32, 16)))
+  }
+
   test("multimodal: undecodable image payload flags -1, does not crash") {
     val media = Seq((9L, "not an image at all".getBytes("UTF-8")))
       .toDF("media_id", "payload")
