@@ -35,6 +35,62 @@ class CepSqlPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("generated MATCH PATTERN statements translate total on the grammar") {
+    val gen = for {
+      n <- Gen.choose(1, 9999)
+      unit <- Gen.oneOf("SECOND", "SECONDS", "MINUTE", "MINUTES", "HOUR",
+        "HOURS", "seconds", "minutes", "hours")
+      a <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+      b <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+      tbl <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+      key <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+      neg <- Gen.oneOf(true, false)
+      quoted <- Gen.oneOf(true, false)
+      semi <- Gen.oneOf("", ";", " ; ")
+      kw <- Gen.oneOf("MATCH PATTERN", "match pattern", "Match  Pattern")
+    } yield {
+      def ev(e: String) = if (quoted) s"'$e'" else e
+      val thenKw = if (neg) "THEN NOT" else "THEN"
+      (neg, s"SELECT * FROM $tbl $kw (${ev(a)} $thenKw ${ev(b)} " +
+        s"WITHIN '$n' $unit) PARTITION BY $key$semi")
+    }
+    (1L to 300L).foreach { seed =>
+      sample(gen.map(List(_)), seed).foreach { case (neg, q) =>
+        val t = CepSql.translate(q)
+        // rewrites to plain Spark SQL: dialect keyword gone, the right
+        // formulation chosen, exactly one INTERVAL injected
+        assert(!t.toUpperCase.contains("MATCH"), s"$q ->\n$t")
+        assert(t.toUpperCase.contains("LEFT ANTI JOIN") === neg, s"$q ->\n$t")
+        assert(t.toUpperCase.contains("ROW_NUMBER") === !neg, s"$q ->\n$t")
+        val iv = t.toUpperCase.indexOf("INTERVAL")
+        assert(iv >= 0 && iv == t.toUpperCase.lastIndexOf("INTERVAL"), t)
+      }
+    }
+  }
+
+  test("near-miss MATCH PATTERN text is rejected, never half-translated") {
+    val bads = Seq(
+      "SELECT * FROM t MATCH PATTERN (a THEN b WITHIN '5' MINUTES)",
+      "SELECT x FROM t MATCH PATTERN (a THEN b WITHIN '5' MINUTES) " +
+        "PARTITION BY k",
+      "SELECT * FROM t MATCH PATTERN (a THEN b WITHIN 5 MINUTES) " +
+        "PARTITION BY k", // unquoted width
+      "SELECT * FROM t MATCH PATTERN (a THEN b WITHIN '5' DAYS) " +
+        "PARTITION BY k", // unsupported unit
+      "SELECT * FROM t MATCH PATTERN (a THEN b{2,} WITHIN '5' MINUTES) " +
+        "PARTITION BY k", // quantifier
+      "SELECT * FROM t MATCH PATTERN (a THEN b THEN c WITHIN '5' MINUTES) " +
+        "PARTITION BY k", // 3-step
+      "SELECT * FROM t MATCH PATTERN (a THEN b WITHIN '5' MINUTES) " +
+        "PARTITION BY k GROUP BY k") // trailing clause
+    bads.foreach { q =>
+      intercept[IllegalArgumentException](CepSql.translate(q))
+    }
+    // in-literal keyword is data and must return the SAME instance
+    val lit = "SELECT 'MATCH PATTERN (a THEN b)' AS s FROM t"
+    assert(CepSql.translate(lit) eq lit)
+  }
+
   test("generated dialect statements always gain exactly one window()") {
     val gen = for {
       w <- Gen.choose(1, 86400)
