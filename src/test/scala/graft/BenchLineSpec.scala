@@ -33,6 +33,8 @@ class BenchLineSpec extends AnyFunSuite {
     assert(root.get("sf").asDouble() == 0.1)
     assert(root.get("value").isNumber)
     assert(root.get("n_queries").asInt() == SparkEntry.queries.size)
+    assert(root.get("runs").asInt() == 3,
+      "the line must declare its per-query run count (median-of-3)")
     val base = root.get("baseline_equivalents")
     for (a <- Bench.baselineAliases.keys) assert(base.has(a), s"missing $a")
     assert(root.get("queries").size() >= Bench.baselineAliases.size)

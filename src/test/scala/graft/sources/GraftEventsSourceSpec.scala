@@ -125,6 +125,35 @@ class GraftEventsSourceSpec extends SparkSpec {
     } finally GraftEventsBroker.clear(topic)
   }
 
+  test("connector composes with the engine core: windowed agg == batch") {
+    // the reference's actual loop: DDL-shaped source -> event-time window
+    // aggregation -> sink; streamed result must equal the batch run of
+    // the same plan over the same payloads
+    val topic = s"core_${System.nanoTime()}"
+    val out = s"graft_events_win_${System.nanoTime()}"
+    GraftEventsBroker.append(topic,
+      pay(1, "2026-01-01 00:10:00", 7, "click", 1.0),
+      pay(2, "2026-01-01 00:50:00", 7, "click", 2.0),
+      pay(3, "2026-01-01 01:10:00", 8, "view", 3.0))
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamOps.tumblingCounts(df, "1 hour")
+    val q = plan(spark.readStream.format("graft-events")
+        .option("topic", topic).option("fields", fields).load())
+      .writeStream.queryName(out).format("memory").outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(out).collect().map(_.toSeq).toSet
+      val want = plan(spark.read.format("graft-events")
+          .option("topic", topic).option("fields", fields).load())
+        .collect().map(_.toSeq).toSet
+      assert(got === want && got.nonEmpty)
+    } finally {
+      q.stop()
+      GraftEventsBroker.clear(topic)
+    }
+  }
+
   test("stream via DDL-registered view == programmatic stream") {
     // the reference flow end-to-end: DDL registers the stream table, SQL
     // text runs against it continuously (here: the readStream equivalent,
