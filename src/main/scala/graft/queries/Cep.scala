@@ -221,10 +221,50 @@ object Cep {
       spine.join(cnts, Seq("h"), "left")
         .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
         .orderBy("h")
+    }),
+
+    // EP1 — the reference DIALECT ITSELF under the oracle gate: the query
+    // is submitted as reference-dialect TEXT (`OVER (WINDOW …)`) and runs
+    // through CepSql's rewrite; DuckDB recomputes the same epoch-aligned
+    // hour buckets directly. min(event_id) gives the total order (each
+    // event lives in exactly one tumbling bucket, so group minima are
+    // distinct).
+    "q_dialect_window" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT event_type, COUNT(*) AS cnt, MIN(event_id) AS min_id
+           FROM events OVER (WINDOW '3600' SECONDS)
+           GROUP BY event_type ORDER BY min_id""")
+    }),
+
+    // EP1b — sequence CEP from SQL TEXT (`MATCH PATTERN`, r6 dialect):
+    // the statement rewrites to the q_cep_seq join/window formulation;
+    // the oracle is the same DuckDB recomputation q_cep_seq uses.
+    "q_pattern_sql" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * FROM events
+           MATCH PATTERN (signup THEN purchase WITHIN '30' MINUTES)
+           PARTITION BY user_id""")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dialect_window" ->
+      """SELECT event_type, count(*) AS cnt, min(event_id) AS min_id
+         FROM events GROUP BY date_trunc('hour', ts), event_type
+         ORDER BY min_id""",
+    "q_pattern_sql" ->
+      """SELECT user_id, sid, pid, s_ts, p_ts FROM (
+           SELECT a.user_id, a.event_id AS sid, b.event_id AS pid,
+             a.ts AS s_ts, b.ts AS p_ts,
+             row_number() OVER (PARTITION BY a.event_id
+                                ORDER BY b.ts, b.event_id) AS rn
+           FROM events a JOIN events b
+             ON a.user_id = b.user_id
+            AND a.event_type = 'signup' AND b.event_type = 'purchase'
+            AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE) t
+         WHERE rn = 1 ORDER BY sid""",
     "q_join_interval" ->
       """SELECT a.event_id AS sid, b.event_id AS pid, a.user_id
          FROM events a JOIN events b
