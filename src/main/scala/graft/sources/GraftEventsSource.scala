@@ -139,7 +139,12 @@ object GraftEventsSource {
     val topic = opts.getOrElse("topic",
       throw new IllegalArgumentException(
         "graft-events requires a 'topic' option"))
-    Config(schema, topic, typed = opts.contains("fields"),
+    // typed (delimited-converter) mode whenever a row schema was declared
+    // — via the `fields` option OR an explicit DDL column list
+    // (`CREATE TEMPORARY VIEW t (a LONG, …) USING graft-events`); only
+    // the exact raw shape takes the (offset, value) pass-through
+    Config(schema, topic,
+      typed = opts.contains("fields") || schema != rawSchema,
       delimiter = opts.getOrElse("delimiter", ","),
       numPartitions = opts.getOrElse("numpartitions", "4").toInt)
   }

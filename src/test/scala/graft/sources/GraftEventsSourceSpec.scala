@@ -43,6 +43,24 @@ class GraftEventsSourceSpec extends SparkSpec {
     }
   }
 
+  test("DDL with an explicit column list (no fields option) parses typed") {
+    val topic = s"ddlcols_${System.nanoTime()}"
+    GraftEventsBroker.append(topic, "5,hello", "6,world")
+    try {
+      spark.sql(
+        s"""CREATE TEMPORARY VIEW ddl_cols (n LONG, s STRING)
+            USING `graft-events`
+            OPTIONS (topic '$topic')""")
+      val rows = spark.sql("SELECT n, s FROM ddl_cols ORDER BY n")
+        .as[(Long, String)].collect().toSeq
+      assert(rows === Seq((5L, "hello"), (6L, "world")),
+        "an explicit DDL column list engages the delimited converter")
+    } finally {
+      spark.catalog.dropTempView("ddl_cols")
+      GraftEventsBroker.clear(topic)
+    }
+  }
+
   test("batch read: V2 scan, raw shape without fields, typed with") {
     val topic = s"batch_${System.nanoTime()}"
     GraftEventsBroker.append(topic, "a,b", "c,d")
