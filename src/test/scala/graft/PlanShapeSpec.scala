@@ -145,6 +145,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("dialect-text keys plan like their DataFrame twins (no cartesian)") {
+    // q_pattern_sql arrives as MATCH PATTERN text; after the rewrite it
+    // must be a real equi join (key + residual range) with a ranking
+    // window — the same shape q_cep_seq plans — never a cartesian
+    val pp = plan("q_pattern_sql")
+    assert(!pp.contains("CartesianProduct") &&
+      !pp.contains("BroadcastNestedLoopJoin"),
+      s"pattern join must stay an equi join:\n$pp")
+    assert(pp.contains("Window"), pp)
+    // q_dialect_window arrives as OVER (WINDOW …) text; the rewrite must
+    // land a two-phase hash aggregation (map-side combine) like any
+    // native window() groupBy
+    val pw = plan("q_dialect_window")
+    assert("HashAggregate".r.findAllIn(pw).size >= 2,
+      s"dialect window agg should be partial+final:\n$pw")
+  }
+
   test("every oracleSql key has a matching queries key") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")

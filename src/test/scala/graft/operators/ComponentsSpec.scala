@@ -27,6 +27,47 @@ class ComponentsSpec extends SparkSpec {
     assert((1 to n).forall(i => got(i.toLong) == 1L))
   }
 
+  test("random graphs match a driver-side union-find (100 seeds)") {
+    // pins the r6 convergence change (fixpoint detected IN the
+    // propagating round): min-label propagation must agree with an
+    // independent union-find on arbitrary topologies — stars, chains,
+    // cycles, self-loops (dropped), parallel edges, whatever the seed
+    // throws
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // normalize: every member maps to the MIN id of its component
+      val byRoot = ids.groupBy(find)
+      byRoot.valuesIterator.flatMap { members =>
+        val m = members.min
+        members.map(_ -> m)
+      }.toMap
+    }
+    (1 to 100).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 2 + rnd.nextInt(12)            // vertex ids 0..n-1
+      val m = 1 + rnd.nextInt(16)            // edge count
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val real = edges.filter(e => e._1 != e._2)
+      if (real.nonEmpty) {
+        val got = Components
+          .connectedComponents(real.toDF("src", "dst"))
+          .as[(Long, Long)].collect().toMap
+        val want = unionFind(real)
+        assert(got === want, s"seed=$seed edges=$real")
+      }
+    }
+  }
+
   test("end-to-end dedup: LSH pairs on planted dups -> keeper resolution") {
     val docs = Tables.table(spark, sf, "documents")
     val planted = docs.limit(10)

@@ -245,6 +245,15 @@ class CepSqlSpec extends SparkSpec {
       val patWant = graft.SparkEntry.queries("q_cep_seq")(s2, sf)
         .collect().map(_.toSeq).toSeq
       assert(pat === patWant)
+      // absence form through the same parser
+      val abs = s2.sql(
+        """SELECT * FROM events
+           MATCH PATTERN (signup THEN NOT purchase WITHIN '30' MINUTES)
+           PARTITION BY user_id""")
+        .collect().map(_.toSeq).toSeq
+      val absWant = graft.SparkEntry.queries("q_cep_absence")(s2, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(abs === absWant)
       // non-dialect SQL still parses through the delegate untouched
       assert(s2.sql("SELECT 1 AS one").collect().head.getInt(0) === 1)
     } finally {
