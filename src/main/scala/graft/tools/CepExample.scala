@@ -71,6 +71,17 @@ object CepExample {
     println("after cancel: " + ContinuousQueries.list(spark).map(_.name)
       .sorted.mkString(", "))
     ContinuousQueries.list(spark).foreach(_.stop())
+
+    // 5. the same pattern as SQL TEXT (r6 dialect) over the full batch
+    //    history — the injected parser rewrites MATCH PATTERN before
+    //    Spark's parser sees it; results equal the streaming detector's
+    //    full-replay output
+    Tables.load(spark, sf)
+    val patSql = spark.sql(
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id""")
+    println(s"MATCH PATTERN (SQL text) conversions: ${patSql.count()}")
     spark.stop()
   }
 }
