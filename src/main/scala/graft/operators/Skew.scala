@@ -47,7 +47,9 @@ object Skew {
     val rKey = "__rkey"
     require(!right.columns.contains(rKey) && !left.columns.contains(rKey),
       s"saltedEquiJoin reserves scratch column $rKey")
-    val r = right.withColumnRenamed(key, rKey).crossJoin(salts)
+    // the salts side is always exactly `salt` rows — broadcast explicitly
+    // so the replication never shuffles `right`, whatever its size
+    val r = right.withColumnRenamed(key, rKey).crossJoin(broadcast(salts))
     l.join(r, l(key) === r(rKey) && l("__salt") === r("__salt"))
       .drop(rKey).drop("__salt")
   }
