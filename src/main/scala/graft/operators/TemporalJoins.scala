@@ -126,6 +126,36 @@ object TemporalJoins {
       .drop(s"__$leftId")
   }
 
+  /** As-of (forward) join — the mirror of [[asofJoinBackward]]: for each
+    * `left` row, the single EARLIEST `right` row with rightTs >= leftTs
+    * on the same key ("next event at or after" — the other direction a
+    * tick-data/CEP user reaches for); unmatched left rows kept with
+    * nulls. Ties on rightTs break by ASCENDING `rightId` (the first
+    * event). Same plan shape and hot-key caveats as the backward form;
+    * for hot keys, reverse-sort the carry variant's frame analogously. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: Seq[String],
+      leftId: String, leftTs: String, rightTs: String, rightId: String)
+      : DataFrame = {
+    requireFree(Seq("__rn", s"__$leftId") ++ key.map(k => s"__rk_$k"),
+      left, right)
+    val (r2, rk) = renameKeys(right, key)
+    val cond = key.zip(rk).map { case (k, n) => left(k) === r2(n) }
+      .reduce(_ && _) &&
+      r2(rightTs) >= left(leftTs)
+    val w = Window.partitionBy(leftId)
+      .orderBy(asc(rightTs), asc(rightId))
+    val matched = left.select((leftId +: key :+ leftTs).distinct.map(col): _*)
+      .join(r2, cond)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .drop(key ++ rk: _*)
+      .withColumnRenamed(leftId, s"__$leftId")
+      .drop(leftTs)
+    left.join(matched, left(leftId) === matched(s"__$leftId"), "left")
+      .drop(s"__$leftId")
+  }
+
   /** Hot-key-safe as-of (backward) join — identical semantics to
     * [[asofJoinBackward]], different plan: instead of the theta join
     * (which materializes every (left, earlier-right) pair per key before

@@ -175,6 +175,23 @@ object Cep {
         .orderBy("err_id")
     }),
 
+    // J8c — FORWARD as-of: for every error event, the EARLIEST click at
+    // or after it by the same user (the "next event" direction; backward
+    // is q_join_asof). Ties on click_ts break by min click_id.
+    "q_join_asof_fwd" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val err = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts").as("err_ts"))
+      val clk = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      graft.operators.TemporalJoins.asofJoinForward(err, clk,
+          Seq("user_id"), "err_id", "err_ts", "click_ts", "click_id")
+        .select("err_id", "user_id", "err_ts", "click_id", "click_ts")
+        .orderBy("err_id")
+    }),
+
     // C6c — quantified CEP pattern `click{3,} purchase?` per user: maximal
     // runs of ≥3 consecutive clicks (gaps-and-islands — two row_numbers,
     // one window sort per user), then the first purchase within 10 min of
@@ -250,6 +267,21 @@ object Cep {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_join_asof_fwd" ->
+      """WITH err AS (
+           SELECT event_id AS err_id, user_id, ts AS err_ts FROM events
+           WHERE event_type = 'error'),
+         clk AS (
+           SELECT event_id AS click_id, user_id, ts AS click_ts FROM events
+           WHERE event_type = 'click'),
+         j AS (
+           SELECT e.err_id, e.user_id, e.err_ts, c.click_id, c.click_ts,
+             row_number() OVER (PARTITION BY e.err_id
+                                ORDER BY c.click_ts, c.click_id) AS rn
+           FROM err e LEFT JOIN clk c
+             ON e.user_id = c.user_id AND c.click_ts >= e.err_ts)
+         SELECT err_id, user_id, err_ts, click_id, click_ts
+         FROM j WHERE rn = 1 ORDER BY err_id""",
     "q_dialect_window" ->
       """SELECT event_type, count(*) AS cnt, min(event_id) AS min_id
          FROM events GROUP BY date_trunc('hour', ts), event_type

@@ -154,6 +154,27 @@ class EdgeSemanticsSpec extends SparkSpec {
     } finally spark.conf.set(tzKey, old)
   }
 
+  test("forward as-of: >= boundary matches; equal-ts ties break by MIN id") {
+    val err = Seq((1L, 7L, ts("2024-01-01 10:00:00")))
+      .toDF("err_id", "user_id", "err_ts")
+    val clk = Seq(
+      (20L, 7L, ts("2024-01-01 10:00:00")),  // == err_ts, eligible
+      (19L, 7L, ts("2024-01-01 10:00:00")),  // tie: LOWER id wins (first)
+      (18L, 7L, ts("2024-01-01 09:00:00")),  // before -> ineligible
+      (25L, 7L, ts("2024-01-01 11:00:00")))  // later -> not the earliest
+      .toDF("click_id", "user_id", "click_ts")
+    val got = TemporalJoins.asofJoinForward(err, clk, Seq("user_id"),
+        "err_id", "err_ts", "click_ts", "click_id")
+      .select("click_id").as[Option[Long]].collect()
+    assert(got.toSeq == Seq(Some(19L)))
+    // no eligible future row -> kept with nulls
+    val none = TemporalJoins.asofJoinForward(err,
+        clk.filter($"click_ts" < ts("2024-01-01 10:00:00")), Seq("user_id"),
+        "err_id", "err_ts", "click_ts", "click_id")
+      .select("click_id").as[Option[Long]].collect()
+    assert(none.toSeq == Seq(None))
+  }
+
   test("as-of join keeps unmatched left rows with nulls") {
     val err = Seq((1L, 7L, ts("2024-01-01 10:00:00")))
       .toDF("err_id", "user_id", "err_ts")
