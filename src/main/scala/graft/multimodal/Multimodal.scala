@@ -21,9 +21,17 @@ case class ResizedMedia(media_id: Long, kind: String, width: Int,
   * the feature vector. Undecodable image payloads surface loudly as
   * `width = height = -1` with empty features (a curation pipeline filters
   * or quarantines on that flag; silently faking dimensions would poison
-  * downstream stats). Non-image kinds (audio/video — no JDK codec) keep
-  * the DOCUMENTED deterministic stub [[stubFeatures]]. Either way the
-  * Spark shape is the production one:
+  * downstream stats).
+  *
+  * AUDIO DECODE IS REAL TOO: `kind = "audio*"` payloads go through JDK
+  * `javax.sound.sampled` (WAV/AIFF/AU PCM read offline, no added
+  * dependency) — true channel count and sample rate plus an 8-segment
+  * normalized RMS loudness envelope as the feature vector (the standard
+  * cheap audio fingerprint for curation: silence/clipping detection,
+  * coarse near-dup blocking). Same quarantine shape on failure. Only
+  * video keeps the DOCUMENTED deterministic stub [[stubFeatures]] (the
+  * JDK has no video codec). Either way the Spark shape is the production
+  * one:
   *
   *   - schema: `(media_id LONG, kind STRING, payload BINARY)` + metadata;
   *   - execution: `mapPartitions` — partition-local, iterator-to-iterator
@@ -33,8 +41,8 @@ case class ResizedMedia(media_id: Long, kind: String, width: Int,
   *     vectors (small) flow onward, so repartition BEFORE decode by
   *     `media_id` to spread codec CPU, not after.
   *
-  * A real deployment swaps [[stubFeatures]] for its audio/video codec
-  * call; nothing else changes.
+  * A real deployment swaps [[stubFeatures]] for its video codec call;
+  * nothing else changes.
   */
 object Multimodal {
   /** Wrap any table into the canonical media frame (here: text bytes as
@@ -45,7 +53,7 @@ object Multimodal {
       lit(kind).as("kind"),
       col(payloadCol).cast("binary").as("payload"))
 
-  /** STUB features for kinds with no JDK codec (audio/video):
+  /** STUB features for kinds with no JDK codec (video):
     * deterministic pseudo-metadata + an 8-dim feature vector from payload
     * bytes. Replace with a real codec at deployment. */
   private[multimodal] def stubFeatures(id: Long, kind: String,
@@ -103,13 +111,70 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode via JDK javax.sound.sampled (WAV/AIFF/AU — all
+    * available offline): true channel count and sample rate, plus an
+    * 8-segment RMS loudness envelope (each segment's root-mean-square
+    * amplitude over full-scale, so 0 = silence, ~0.7 = full-scale sine)
+    * as the feature vector. Non-PCM encodings are converted to 16-bit
+    * signed PCM first (the JDK converts u-law/a-law/8-bit for free).
+    *
+    * Schema mapping (MediaFeatures is the one decoded-media record all
+    * kinds share): `width = channels`, `height = sample rate (Hz)` —
+    * documented here and in MIGRATION.md. Undecodable payloads return
+    * `width = height = -1` with empty features, the same loud quarantine
+    * flag as [[decodeImage]]. */
+  private[multimodal] def decodeAudio(id: Long, kind: String,
+      payload: Array[Byte]): MediaFeatures = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val quarantine =
+      MediaFeatures(id, kind, -1, -1, payload.length.toLong,
+        Array.empty[Float])
+    try {
+      val raw = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val src = raw.getFormat
+      // normalize to 16-bit signed little-endian PCM at the source rate
+      // so the sample loop below handles every JDK-readable encoding
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels,
+        2 * src.getChannels, src.getSampleRate, false)
+      val in = AudioSystem.getAudioInputStream(fmt, raw)
+      val bytes =
+        try in.readAllBytes()
+        finally { in.close(); raw.close() }
+      val nSamples = bytes.length / 2 // interleaved 16-bit samples
+      if (nSamples == 0) quarantine
+      else {
+        val sums = new Array[Double](8)
+        val counts = new Array[Long](8)
+        var i = 0
+        while (i < nSamples) {
+          val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toDouble
+          val seg = (i * 8L / nSamples).toInt
+          sums(seg) += s * s
+          counts(seg) += 1L
+          i += 1
+        }
+        val feats = Array.tabulate(8) { j =>
+          if (counts(j) == 0L) 0f
+          else (math.sqrt(sums(j) / counts(j)) / 32768.0).toFloat
+        }
+        MediaFeatures(id, kind, fmt.getChannels,
+          math.round(fmt.getSampleRate), payload.length.toLong, feats)
+      }
+    } catch { case _: Exception => quarantine } // truncated/hostile bytes
+  }
+
   private[multimodal] def decodeBytes(id: Long, kind: String,
       payload: Array[Byte]): MediaFeatures =
     if (kind != null && kind.startsWith("image")) decodeImage(id, kind, payload)
+    else if (kind != null && kind.startsWith("audio"))
+      decodeAudio(id, kind, payload)
     else stubFeatures(id, kind, payload)
 
   /** Batch decode: partition-local, iterator-to-iterator. Image kinds
-    * decode for real (ImageIO); other kinds take the documented stub. */
+    * decode for real (ImageIO), audio kinds decode for real
+    * (javax.sound.sampled); video takes the documented stub. */
   def decode(media: DataFrame): Dataset[MediaFeatures] = {
     val enc = Encoders.product[MediaFeatures]
     media.select("media_id", "kind", "payload")

@@ -117,6 +117,51 @@ class TextAndMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: audio kind decodes REAL rate/channels via javax.sound") {
+    // synthetic WAV built in memory: 16-bit signed PCM with a known
+    // loudness shape — first half silence, second half a full-ish-scale
+    // sine → RMS envelope is ~0 in segments 0-3 and ~amp/(fs·√2) in 4-7
+    def wav(rate: Float, channels: Int, nFrames: Int,
+        amp: Short): Array[Byte] = {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+        AudioInputStream, AudioSystem}
+      val bytes = new Array[Byte](nFrames * channels * 2)
+      for (i <- 0 until nFrames; c <- 0 until channels) {
+        val s: Short =
+          if (i < nFrames / 2) 0
+          else (amp * math.sin(2 * math.Pi * 440 * i / rate)).toShort
+        val off = (i * channels + c) * 2
+        bytes(off) = (s & 0xff).toByte
+        bytes(off + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16,
+        channels, 2 * channels, rate, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, wav(8000f, 1, 8000, 30000)),
+      (2L, wav(16000f, 2, 1600, 30000)),
+      (3L, "not a wav".getBytes("UTF-8"))) // undecodable: quarantine flag
+      .toDF("media_id", "payload")
+      .select(col("media_id"), lit("audio/wav").as("kind"), col("payload"))
+    val rows = Multimodal.decode(media).collect().sortBy(_.media_id)
+    // width = channels, height = sample rate (documented mapping)
+    assert(rows.map(r => (r.width, r.height)).toSeq ==
+      Seq((1, 8000), (2, 16000), (-1, -1)))
+    val mono = rows(0)
+    assert(mono.features.length == 8)
+    assert(mono.features.take(4).forall(_ < 0.01f), "leading silence")
+    val expected = (30000.0 / 32768.0 / math.sqrt(2)).toFloat // sine RMS
+    mono.features.drop(4).foreach { f =>
+      assert(math.abs(f - expected) < 0.02f, s"$f vs $expected")
+    }
+    assert(rows(2).features.isEmpty, "undecodable -> empty features")
+  }
+
   test("multimodal: resizeImages scales the long edge, round-trips decode") {
     def png(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
