@@ -263,6 +263,19 @@ object Cep {
         """SELECT * FROM events
            MATCH PATTERN (signup THEN purchase WITHIN '30' MINUTES)
            PARTITION BY user_id""")
+    }),
+
+    // EP1c — N-step chain CEP from SQL TEXT (r6 dialect extension):
+    // signup → first click after it → first purchase after that, whole
+    // chain within 24 h of the signup, one greedy match per signup
+    // (skip-to-next-row). Rewrites to chained rank-1 joins; the oracle
+    // recomputes the identical chain in DuckDB.
+    "q_pattern_chain" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * FROM events
+           MATCH PATTERN (signup THEN click THEN purchase WITHIN '24' HOURS)
+           PARTITION BY user_id""")
     })
   )
 
@@ -388,6 +401,31 @@ object Cep {
            ON p.user_id = r.user_id AND p.event_type = 'purchase'
           AND p.ts > r.run_end AND p.ts <= r.run_end + INTERVAL 10 MINUTE
          GROUP BY 1, 2, 3, 4 ORDER BY r.user_id, run_start""",
+    "q_pattern_chain" ->
+      """WITH s1 AS (
+           SELECT user_id AS k, event_id AS id_1, ts AS ts_1 FROM events
+           WHERE event_type = 'signup'),
+         s2 AS (
+           SELECT k, id_1, id_2, ts_1, ts_2 FROM (
+             SELECT p.k, p.id_1, b.event_id AS id_2, p.ts_1, b.ts AS ts_2,
+               row_number() OVER (PARTITION BY p.id_1
+                                  ORDER BY b.ts, b.event_id) AS rn
+             FROM s1 p JOIN events b
+               ON p.k = b.user_id AND b.event_type = 'click'
+              AND b.ts > p.ts_1 AND b.ts <= p.ts_1 + INTERVAL 24 HOUR)
+           WHERE rn = 1),
+         s3 AS (
+           SELECT k, id_1, id_2, id_3, ts_1, ts_2, ts_3 FROM (
+             SELECT p.k, p.id_1, p.id_2, b.event_id AS id_3,
+               p.ts_1, p.ts_2, b.ts AS ts_3,
+               row_number() OVER (PARTITION BY p.id_1
+                                  ORDER BY b.ts, b.event_id) AS rn
+             FROM s2 p JOIN events b
+               ON p.k = b.user_id AND b.event_type = 'purchase'
+              AND b.ts > p.ts_2 AND b.ts <= p.ts_1 + INTERVAL 24 HOUR)
+           WHERE rn = 1)
+         SELECT k AS user_id, id_1, id_2, id_3, ts_1, ts_2, ts_3
+         FROM s3 ORDER BY id_1""",
     "q_time_spine" ->
       """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
                            date_trunc('hour', max(ts)) AS hi FROM events),

@@ -18,8 +18,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *  - `OVER (WINDOW 'w' SECONDS, SLIDE 's' SECONDS)` → sliding window
   *  - `OVER (WINDOW 'w' SECONDS)` → tumbling window (window == slide)
-  *  - `MATCH PATTERN (a THEN [NOT] b WITHIN 'n' <unit>) PARTITION BY k` →
-  *    sequence / absence CEP as plain Spark SQL (see [[translatePattern]])
+  *  - `MATCH PATTERN (e1 THEN e2 [THEN e3 …] [THEN NOT eN] WITHIN 'n'
+  *    <unit>) PARTITION BY k` → sequence / absence / N-step-chain CEP as
+  *    plain Spark SQL (see [[translatePattern]])
   *
   * The clause is removed and `window(<tsCol>, ...)` is prepended to the
   * GROUP BY (created if absent). Semantics upgrade exactly as documented
@@ -52,18 +53,24 @@ object CepSql {
     *
     * {{{
     * SELECT * FROM <table>
-    * MATCH PATTERN (<a> THEN [NOT] <b> WITHIN '<n>' SECONDS|MINUTES|HOURS)
+    * MATCH PATTERN (<e1> THEN <e2> [THEN <e3> …] [THEN NOT <eN>]
+    *                WITHIN '<n>' SECONDS|MINUTES|HOURS)
     * PARTITION BY <key>
     * }}}
     *
-    * Anchored end-to-end: the pattern statement IS the whole statement
+    * Chains of any length ≥ 2; `NOT` is legal on the FINAL step only
+    * (absence of a completion after a matched prefix). Anchored
+    * end-to-end: the pattern statement IS the whole statement
     * (projection/extra predicates belong in a view over the result). */
   private val patternStmt = Pattern.compile(
     "^\\s*SELECT\\s+\\*\\s+FROM\\s+([A-Za-z_][\\w.]*)\\s+" +
-      "MATCH\\s+PATTERN\\s*\\(\\s*'?(\\w+)'?\\s+THEN\\s+(?:(NOT)\\s+)?" +
-      "'?(\\w+)'?\\s+WITHIN\\s+'(\\d+)'\\s+(SECONDS?|MINUTES?|HOURS?)\\s*\\)" +
+      "MATCH\\s+PATTERN\\s*\\(\\s*('?\\w+'?(?:\\s+THEN\\s+(?:NOT\\s+)?'?\\w+'?)+)" +
+      "\\s+WITHIN\\s+'(\\d+)'\\s+(SECONDS?|MINUTES?|HOURS?)\\s*\\)" +
       "\\s+PARTITION\\s+BY\\s+([A-Za-z_]\\w*)\\s*;?\\s*$",
     Pattern.CASE_INSENSITIVE)
+  private val thenSplit = Pattern.compile("\\s+THEN\\s+",
+    Pattern.CASE_INSENSITIVE)
+  private val stepTok = Pattern.compile("(?i)^(NOT\\s+)?'?(\\w+)'?$")
   private val groupBy = Pattern.compile("GROUP\\s+BY", Pattern.CASE_INSENSITIVE)
   private val tail = Pattern.compile(
     "\\b(HAVING|ORDER\\s+BY|LIMIT)\\b|;", Pattern.CASE_INSENSITIVE)
@@ -215,6 +222,15 @@ object CepSql {
     *  - `a THEN NOT b WITHIN …`: absence — `a` events with NO qualifying
     *    `b` (left-anti), the q_cep_absence formulation. Output:
     *    (sid, key, s_ts), ordered by sid.
+    *  - `e1 THEN e2 THEN e3 [… THEN eN] WITHIN …` (r6): N-step chains.
+    *    Greedy left-to-right: step i is the FIRST `e_i` event of the key
+    *    strictly after the matched `e_{i-1}` and no later than the
+    *    ANCHOR's ts + n unit (the whole chain fits in one window measured
+    *    from step 1 — the standard CEP WITHIN). One match per anchor
+    *    (skip-to-next-row), built as i-1 chained rank-1 joins. Output:
+    *    (key, id_1…id_N, ts_1…ts_N), ordered by id_1. `THEN NOT eN` on
+    *    the final step = matched N-1 prefix with NO completion (anti
+    *    join); `NOT` anywhere else is rejected.
     *
     * Event names compare against `typeCol`; event ids come from `idCol`;
     * both default to the events-table conventions and are overridable via
@@ -222,48 +238,99 @@ object CepSql {
     * injected-parser path. Batch/interactive surface: the rewrite uses a
     * ranking window (sequence) / anti join (absence), which Structured
     * Streaming does not support incrementally — the streaming twins are
-    * [[CepSequence]] / [[AbsenceDetector]].
+    * [[CepSequence]] / [[AbsenceDetector]] (N-step: [[PatternMatch]]).
     *
     * A statement that *mentions* MATCH PATTERN but does not match the
     * grammar end-to-end is rejected loudly — a silent pass-through would
     * surface as a confusing Spark parser error on CEP syntax. */
   private def translatePattern(q: String, tsCol: String, typeCol: String,
       idCol: String): String = {
-    val m = patternStmt.matcher(q)
-    if (!m.matches())
+    def malformed(detail: String): Nothing =
       throw new IllegalArgumentException(
         "malformed MATCH PATTERN statement — expected exactly: SELECT * " +
-          "FROM <table> MATCH PATTERN (<a> THEN [NOT] <b> WITHIN '<n>' " +
-          "SECONDS|MINUTES|HOURS) PARTITION BY <key>")
+          "FROM <table> MATCH PATTERN (<e1> THEN <e2> [THEN <e3> …] " +
+          "[THEN NOT <eN>] WITHIN '<n>' SECONDS|MINUTES|HOURS) " +
+          s"PARTITION BY <key> ($detail)")
+    val m = patternStmt.matcher(q)
+    if (!m.matches()) malformed("statement shape")
     val tbl = m.group(1)
-    val evA = m.group(2)
-    val absent = m.group(3) != null
-    val evB = m.group(4)
-    val n = m.group(5)
-    val unit = m.group(6).toUpperCase(java.util.Locale.ROOT) match {
+    val steps = thenSplit.split(m.group(2).trim).toSeq.map { tok =>
+      val sm = stepTok.matcher(tok.trim)
+      if (!sm.matches()) malformed(s"bad step token '$tok'")
+      (sm.group(1) != null, sm.group(2)) // (negated, event name)
+    }
+    if (steps.head._1) malformed("NOT on the first step")
+    if (steps.init.exists(_._1))
+      malformed("NOT is legal on the final step only")
+    val absent = steps.last._1
+    val n = m.group(3)
+    val unit = m.group(4).toUpperCase(java.util.Locale.ROOT) match {
       case u if u.startsWith("SEC") => "SECONDS"
       case u if u.startsWith("MIN") => "MINUTES"
       case _                        => "HOURS"
     }
-    val key = m.group(7)
+    val key = m.group(5)
     def bq(c: String) = s"`$c`"
     val (k, t, ty, id) = (bq(key), bq(tsCol), bq(typeCol), bq(idCol))
-    val range = s"b.$t > a.$t AND b.$t <= a.$t + INTERVAL $n $unit"
-    if (absent)
-      s"""SELECT a.$id AS sid, a.$k AS $k, a.$t AS s_ts
-         |FROM (SELECT * FROM $tbl WHERE $ty = '$evA') a
-         |LEFT ANTI JOIN (SELECT * FROM $tbl WHERE $ty = '$evB') b
-         |ON a.$k = b.$k AND $range
-         |ORDER BY sid""".stripMargin
-    else
-      s"""SELECT $k, sid, pid, s_ts, p_ts FROM (
-         |  SELECT a.$k AS $k, a.$id AS sid, b.$id AS pid,
-         |         a.$t AS s_ts, b.$t AS p_ts,
-         |         row_number() OVER (PARTITION BY a.$id
-         |                            ORDER BY b.$t, b.$id) AS __rn
-         |  FROM $tbl a JOIN $tbl b
-         |  ON a.$k = b.$k AND a.$ty = '$evA' AND b.$ty = '$evB' AND $range
-         |) WHERE __rn = 1 ORDER BY sid""".stripMargin
+    if (steps.length == 2) {
+      // 2-step keeps the original q_cep_seq / q_cep_absence output shape
+      val (evA, evB) = (steps.head._2, steps.last._2)
+      val range = s"b.$t > a.$t AND b.$t <= a.$t + INTERVAL $n $unit"
+      if (absent)
+        s"""SELECT a.$id AS sid, a.$k AS $k, a.$t AS s_ts
+           |FROM (SELECT * FROM $tbl WHERE $ty = '$evA') a
+           |LEFT ANTI JOIN (SELECT * FROM $tbl WHERE $ty = '$evB') b
+           |ON a.$k = b.$k AND $range
+           |ORDER BY sid""".stripMargin
+      else
+        s"""SELECT $k, sid, pid, s_ts, p_ts FROM (
+           |  SELECT a.$k AS $k, a.$id AS sid, b.$id AS pid,
+           |         a.$t AS s_ts, b.$t AS p_ts,
+           |         row_number() OVER (PARTITION BY a.$id
+           |                            ORDER BY b.$t, b.$id) AS __rn
+           |  FROM $tbl a JOIN $tbl b
+           |  ON a.$k = b.$k AND a.$ty = '$evA' AND b.$ty = '$evB' AND $range
+           |) WHERE __rn = 1 ORDER BY sid""".stripMargin
+    } else {
+      // N ≥ 3: chain of rank-1 joins. `prefix` selects
+      // (__k, id_1…id_i, ts_1…ts_i), one row per surviving anchor id_1.
+      val chainSteps = if (absent) steps.init else steps
+      def cols(i: Int): String =
+        (1 to i).map(j => s"id_$j").mkString(", ") + ", " +
+          (1 to i).map(j => s"ts_$j").mkString(", ")
+      var prefix =
+        s"""(SELECT $k AS __k, $id AS id_1, $t AS ts_1
+           |   FROM $tbl WHERE $ty = '${chainSteps.head._2}')""".stripMargin
+      for (i <- 2 to chainSteps.length) {
+        val ev = chainSteps(i - 1)._2
+        prefix =
+          s"""(SELECT __k, ${cols(i)} FROM (
+             |  SELECT p.__k, ${(1 until i).map(j => s"p.id_$j").mkString(", ")},
+             |         b.$id AS id_$i,
+             |         ${(1 until i).map(j => s"p.ts_$j").mkString(", ")},
+             |         b.$t AS ts_$i,
+             |         row_number() OVER (PARTITION BY p.id_1
+             |                            ORDER BY b.$t, b.$id) AS __rn
+             |  FROM $prefix p JOIN $tbl b
+             |  ON p.__k = b.$k AND b.$ty = '$ev'
+             |     AND b.$t > p.ts_${i - 1}
+             |     AND b.$t <= p.ts_1 + INTERVAL $n $unit
+             |) WHERE __rn = 1)""".stripMargin
+      }
+      val np = chainSteps.length
+      if (absent) {
+        val evN = steps.last._2
+        s"""SELECT __k AS $k, ${cols(np)}
+           |FROM $prefix p
+           |LEFT ANTI JOIN (SELECT * FROM $tbl WHERE $ty = '$evN') b
+           |ON p.__k = b.$k AND b.$t > p.ts_$np
+           |   AND b.$t <= p.ts_1 + INTERVAL $n $unit
+           |ORDER BY id_1""".stripMargin
+      } else
+        s"""SELECT __k AS $k, ${cols(np)}
+           |FROM $prefix
+           |ORDER BY id_1""".stripMargin
+    }
   }
 
   /** Translate and run against the session's registered views (batch or

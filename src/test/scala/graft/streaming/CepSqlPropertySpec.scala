@@ -68,6 +68,39 @@ class CepSqlPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("generated N-step chains translate total on the grammar (r6)") {
+    val gen = for {
+      n <- Gen.choose(1, 9999)
+      unit <- Gen.oneOf("SECONDS", "MINUTES", "HOURS", "minutes")
+      k <- Gen.choose(3, 5) // chain length (2-step covered above)
+      evs <- Gen.listOfN(k, Gen.identifier.map(_.take(8))
+        .suchThat(_.nonEmpty))
+      tbl <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+      key <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+      neg <- Gen.oneOf(true, false)
+    } yield {
+      val chain = evs.init.mkString(" THEN ") +
+        (if (neg) s" THEN NOT ${evs.last}" else s" THEN ${evs.last}")
+      (neg, evs.length,
+        s"SELECT * FROM $tbl MATCH PATTERN ($chain " +
+          s"WITHIN '$n' $unit) PARTITION BY $key")
+    }
+    (1L to 300L).foreach { seed =>
+      sample(gen.map(List(_)), seed).foreach { case (neg, k, q) =>
+        val t = CepSql.translate(q)
+        assert(!t.toUpperCase.contains("MATCH PATTERN"), s"$q ->\n$t")
+        assert(t.toUpperCase.contains("LEFT ANTI JOIN") === neg, s"$q ->\n$t")
+        // one rank-1 join per non-anchor chained step
+        val chained = if (neg) k - 2 else k - 1
+        val rn = "ROW_NUMBER".r.findAllIn(t.toUpperCase).length
+        assert(rn === chained, s"$q ->\n$t")
+        // the final projection carries id_1..id_N for the matched chain
+        val np = if (neg) k - 1 else k
+        assert(t.contains(s"id_$np") && !t.contains(s"id_${np + 1}"), t)
+      }
+    }
+  }
+
   test("near-miss MATCH PATTERN text is rejected, never half-translated") {
     val bads = Seq(
       "SELECT * FROM t MATCH PATTERN (a THEN b WITHIN '5' MINUTES)",
@@ -79,8 +112,10 @@ class CepSqlPropertySpec extends AnyFunSuite {
         "PARTITION BY k", // unsupported unit
       "SELECT * FROM t MATCH PATTERN (a THEN b{2,} WITHIN '5' MINUTES) " +
         "PARTITION BY k", // quantifier
-      "SELECT * FROM t MATCH PATTERN (a THEN b THEN c WITHIN '5' MINUTES) " +
-        "PARTITION BY k", // 3-step
+      "SELECT * FROM t MATCH PATTERN (a THEN NOT b THEN c WITHIN '5' " +
+        "MINUTES) PARTITION BY k", // NOT off the final step
+      "SELECT * FROM t MATCH PATTERN (NOT a THEN b WITHIN '5' MINUTES) " +
+        "PARTITION BY k", // NOT on the first step
       "SELECT * FROM t MATCH PATTERN (a THEN b WITHIN '5' MINUTES) " +
         "PARTITION BY k GROUP BY k") // trailing clause
     bads.foreach { q =>

@@ -166,6 +166,75 @@ class CepSqlSpec extends SparkSpec {
       want.collect().map(_.toSeq).toSeq)
   }
 
+  test("MATCH PATTERN 3-step chain == chained rank-1 joins (r6)") {
+    Tables.load(spark, sf)
+    val got = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click THEN purchase WITHIN '24' HOURS)
+         PARTITION BY user_id""")
+    assert(got.columns.toSeq ===
+      Seq("user_id", "id_1", "id_2", "id_3", "ts_1", "ts_2", "ts_3"))
+    // independent recomputation with the DataFrame API: greedy first
+    // click after each signup, then greedy first purchase after that
+    // click, both within 24h of the SIGNUP (anchor-relative WITHIN)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val e = spark.table("events")
+    val s1 = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("k"), col("event_id").as("id_1"),
+        col("ts").as("ts_1"))
+    def step(prev: org.apache.spark.sql.DataFrame, ev: String, i: Int) = {
+      val b = e.filter(col("event_type") === ev)
+        .select(col("user_id").as("bk"), col("event_id").as(s"id_$i"),
+          col("ts").as(s"ts_$i"))
+      val w = Window.partitionBy("id_1")
+        .orderBy(asc(s"ts_$i"), asc(s"id_$i"))
+      prev.join(b, col("k") === col("bk") &&
+          col(s"ts_$i") > col(s"ts_${i - 1}") &&
+          col(s"ts_$i") <= col("ts_1") + expr("INTERVAL 24 HOURS"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("bk", "rn")
+    }
+    val want = step(step(s1, "click", 2), "purchase", 3)
+      .select(col("k").as("user_id"), col("id_1"), col("id_2"), col("id_3"),
+        col("ts_1"), col("ts_2"), col("ts_3"))
+      .orderBy("id_1")
+    assert(got.count() > 0, "chain must match at least once on sf0.001")
+    assert(got.collect().map(_.toSeq).toSeq ===
+      want.collect().map(_.toSeq).toSeq)
+    // matched chains step strictly forward in time
+    got.collect().foreach { r =>
+      val (t1, t2, t3) = (r.getTimestamp(4), r.getTimestamp(5),
+        r.getTimestamp(6))
+      assert(t1.before(t2) && t2.before(t3))
+    }
+  }
+
+  test("MATCH PATTERN 3-step THEN NOT == anti join after the prefix (r6)") {
+    Tables.load(spark, sf)
+    val got = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click THEN NOT purchase WITHIN '24' HOURS)
+         PARTITION BY user_id""")
+    assert(got.columns.toSeq ===
+      Seq("user_id", "id_1", "id_2", "ts_1", "ts_2"))
+    // prefix chains (signup→click) split exactly into completed (the
+    // 3-step key) and absent (this key) on the anchor id
+    val full = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click THEN purchase WITHIN '24' HOURS)
+         PARTITION BY user_id""")
+    val prefix = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click WITHIN '24' HOURS)
+         PARTITION BY user_id""")
+    val gotIds = got.select("id_1").collect().map(_.getLong(0)).toSet
+    val fullIds = full.select("id_1").collect().map(_.getLong(0)).toSet
+    val prefIds = prefix.select("sid").collect().map(_.getLong(0)).toSet
+    assert(gotIds.intersect(fullIds).isEmpty)
+    assert(gotIds.union(fullIds) === prefIds)
+  }
+
   test("MATCH PATTERN: quoted events, unit variants, trailing ';' accepted") {
     Tables.load(spark, sf)
     // '1800' SECONDS ≡ '30' MINUTES; quoted event names; trailing ';'
