@@ -49,10 +49,38 @@ object GraftFunctions {
   val l2DistanceBuilder: Seq[Expression] => Expression =
     binary("l2_distance", L2Distance.apply)
 
+  // Spark's own bloom-sketch expressions (the pair InjectRuntimeFilter
+  // uses), exposed as SQL functions for the explicit runtime-prefilter
+  // operator (operators/BloomPrune.scala). Catalyst wraps the bare
+  // AggregateFunction returned by the builder in an AggregateExpression
+  // during resolution, same as the built-in registry entries.
+  val bloomAggBuilder: Seq[Expression] => Expression = {
+    case Seq(c) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(c)
+    case Seq(c, n) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(c, n)
+    case Seq(c, n, b) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(c, n, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_bloom_agg takes 1-3 arguments, got ${other.length}")
+  }
+  val mightContainBuilder: Seq[Expression] => Expression =
+    binary("graft_might_contain",
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain.apply)
+
   val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", classOf[CosineSimilarity], cosineSimBuilder),
     ("dot_product", classOf[DotProduct], dotProductBuilder),
-    ("l2_distance", classOf[L2Distance], l2DistanceBuilder))
+    ("l2_distance", classOf[L2Distance], l2DistanceBuilder),
+    ("graft_bloom_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate], bloomAggBuilder),
+    ("graft_might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain], mightContainBuilder))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, cls, builder) =>

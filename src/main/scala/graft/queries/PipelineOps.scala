@@ -101,6 +101,25 @@ object PipelineOps {
         .orderBy("event_type")
     }),
 
+    // Bloom-filter runtime pre-filtered join (operators/BloomPrune): the
+    // BUILDING-segment customers (1/5 of the dim) build a bloom; orders
+    // that can't match never enter the join exchange. False positives are
+    // removed by the exact join, so the oracle is the PLAIN join — the
+    // bloom is pure plan work, invisible in the result. At 100 TB this is
+    // Spark's own runtime-filter pattern made explicit and forceable.
+    "q_join_bloom" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val pruned = graft.operators.BloomPrune.prefilter(
+        T(s, dir, "orders"), "o_custkey", cust, "c_custkey", 200000L)
+      pruned.join(cust, pruned("o_custkey") === cust("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Deterministic stratified sampling: per-language keep rates
     // (en 50%, de 25%, others 10%) decided by an md5-derived uniform
     // bucket over (doc_id, lang) — reproducible across runs, engines,
@@ -178,6 +197,12 @@ object PipelineOps {
            CAST(sum(u_events) AS BIGINT) AS sum_ue
          FROM events JOIN dim USING (user_id)
          GROUP BY event_type ORDER BY event_type""",
+    "q_join_bloom" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_sample_strat" ->
       """WITH b AS (
            SELECT doc_id, lang,

@@ -84,10 +84,36 @@ object Stats {
             .otherwise(col("o_totalprice")).as("tp"))
         .orderBy(desc_nulls_first("tp"), asc("o_orderkey"))
         .offset(100).limit(50)
+    }),
+
+    // O1b — top-k PER GROUP (the per-key companion of the global q_topk):
+    // each customer's 3 priciest orders. One shuffle on the group key,
+    // rank inside the partition, filter — at 100 TB this is the plan you
+    // want ONLY because k is tiny relative to group size; WindowExec's
+    // rank-limit pushdown (WindowGroupLimit, Spark 3.5+) keeps at most k
+    // rows per key per map partition BEFORE the shuffle, so the exchange
+    // carries ~k·|keys| rows, not the full table. Deterministic tie-break
+    // on o_orderkey.
+    "q_topk_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      T(s, dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy("o_custkey", "rk")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q_topk_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders)
+         WHERE rk <= 3 ORDER BY o_custkey, rk""",
     "q_stats_agg" ->
       """SELECT l_returnflag, count(*) AS cnt,
                 floor(stddev_samp(l_quantity)*1e4 + 0.5)/1e4 AS sd_qty,

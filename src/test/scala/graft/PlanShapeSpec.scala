@@ -43,6 +43,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q_join_bloom: bloom prefilter runs BEFORE the join exchange (r6)") {
+    val p = plan("q_join_bloom")
+    // the might_contain filter must sit in the orders scan stage — i.e.
+    // appear as a Filter containing the bloom probe, with the bloom
+    // itself entering as a (reused) scalar subquery, not a join input
+    assert(p.contains("might_contain"),
+      s"bloom probe missing from the physical plan:\n$p")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      s"bloom must enter as a scalar subquery:\n$p")
+    val filterAt = p.indexOf("might_contain")
+    val joinAt = p.indexOf("HashJoin") max p.indexOf("SortMergeJoin")
+    assert(joinAt >= 0 && filterAt > joinAt,
+      // executedPlan prints top-down: the join node appears ABOVE (before)
+      // its child scans, so scan-stage filtering means a LARGER index
+      s"bloom filter must be under the join, in the scan stage:\n$p")
+  }
+
+  test("q_topk_group prunes per-key groups before the shuffle (r6)") {
+    // WindowGroupLimit (Spark 3.5+) keeps <= k rows per key per map
+    // partition BEFORE the exchange — the property that makes per-group
+    // top-k viable at 100 TB (the exchange carries ~k·|keys| rows).
+    val p = plan("q_topk_group")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter must push down as WindowGroupLimit:\n$p")
+  }
+
   test("q_scan_project prunes the lineitem scan to the used columns") {
     val p = plan("q_scan_project")
     val scanLine = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
