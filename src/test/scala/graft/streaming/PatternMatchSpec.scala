@@ -38,6 +38,18 @@ class PatternMatchSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("3-step streamed pattern == q_pattern_chain SQL text (r6)") {
+    // three-way parity closes the loop: MATCH PATTERN text (oracle-gated
+    // q_pattern_chain) == batch chained rank-1 joins == this stateful
+    // streaming replay — same greedy-per-step, anchor-relative WITHIN
+    val got = runPattern(Seq("signup", "click", "purchase"),
+      24 * 3600 * 1000L, 5)
+    val want = graft.SparkEntry.queries("q_pattern_chain")(spark, sf)
+      .select(col("user_id"), array(col("id_1"), col("id_2"), col("id_3")))
+      .as[(Long, Seq[Long])].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("predicate steps: signup followed by a HIGH-VALUE purchase") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[CepEvent]
