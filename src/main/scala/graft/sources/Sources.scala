@@ -20,7 +20,8 @@ import org.apache.spark.sql.types.StructType
   * connector-shaped path itself (DDL registration, offsets, schema from
   * options, delimited converter) IS tested in-process via
   * [[GraftEventsSource]] (`format("graft-events")`,
-  * GraftEventsSourceSpec).
+  * GraftEventsSourceSpec), and the sink half via [[GraftEventsSink]]
+  * (exactly-once INSERT INTO a broker topic, GraftEventsSinkSpec).
   */
 object Sources {
   /** File-drop stream: new files under `path` become micro-batches —
