@@ -109,7 +109,12 @@ object Relational {
     "q_join_theta" -> ((s, dir) => {
       val l = T(s, dir, "lineitem")
       val o = T(s, dir, "orders")
-      l.join(o,
+      // equi key + residual range predicate. shuffle_hash: both sides are
+      // fact tables (nothing broadcastable at scale) and the residual is
+      // evaluated per matched pair either way — hashing the smaller orders
+      // side skips the two sort passes SMJ would spend on 600k+150k rows
+      // (same reasoning as q_join_broadcast's fact⋈fact leg).
+      l.join(o.hint("shuffle_hash"),
           l("l_orderkey") === o("o_orderkey") &&
           l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .groupBy("o_orderpriority")

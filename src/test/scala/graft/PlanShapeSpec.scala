@@ -43,6 +43,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q_join_theta hash-joins the equi key, no sort passes (r6)") {
+    // fact⋈fact equi key + residual range: shuffle_hash on the smaller
+    // orders side — SMJ would sort both 600k/150k streams for nothing
+    // (measured 0.76→0.54 s at sf0.1 under identical conditions)
+    val p = plan("q_join_theta")
+    assert(p.contains("ShuffledHashJoin"), s"expected shuffled hash:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"must not degrade to SMJ:\n$p")
+  }
+
   test("q_join_bloom: bloom prefilter runs BEFORE the join exchange (r6)") {
     val p = plan("q_join_bloom")
     // the might_contain filter must sit in the orders scan stage — i.e.
