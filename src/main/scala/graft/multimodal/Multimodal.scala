@@ -11,6 +11,10 @@ case class MediaFeatures(media_id: Long, kind: String, width: Int,
 case class ResizedMedia(media_id: Long, kind: String, width: Int,
     height: Int, n_bytes: Long, payload: Array[Byte])
 
+/** One sampled frame produced by [[Multimodal.sampleGifFrames]]. */
+case class SampledFrame(media_id: Long, frame_no: Int,
+    frame_bytes: Array[Byte], width: Int, height: Int)
+
 /** Multimodal column plumbing (BASELINE.json north star): image/audio/video
   * travel as opaque `binary` columns with typed metadata; decode /
   * feature-extract / frame-sample run as partition-local batch transforms.
@@ -28,10 +32,14 @@ case class ResizedMedia(media_id: Long, kind: String, width: Int,
   * dependency) — true channel count and sample rate plus an 8-segment
   * normalized RMS loudness envelope as the feature vector (the standard
   * cheap audio fingerprint for curation: silence/clipping detection,
-  * coarse near-dup blocking). Same quarantine shape on failure. Only
-  * video keeps the DOCUMENTED deterministic stub [[stubFeatures]] (the
-  * JDK has no video codec). Either way the Spark shape is the production
-  * one:
+  * coarse near-dup blocking). Same quarantine shape on failure.
+  *
+  * VIDEO: the JDK has no general video codec, so video-kind FEATURES
+  * keep the DOCUMENTED deterministic stub [[stubFeatures]] — but frame
+  * SAMPLING is real for animated GIF ([[sampleGifFrames]]: true
+  * per-frame extraction via ImageIO's multi-frame reader, each sampled
+  * frame re-encoded PNG and decodable by [[decode]]). Either way the
+  * Spark shape is the production one:
   *
   *   - schema: `(media_id LONG, kind STRING, payload BINARY)` + metadata;
   *   - execution: `mapPartitions` — partition-local, iterator-to-iterator
@@ -254,6 +262,56 @@ object Multimodal {
             val bytes = bos.toByteArray
             ResizedMedia(id, kind, nw, nh, bytes.length.toLong, bytes)
           }
+        }
+      }(enc).toDF()
+  }
+
+  /** REAL frame sampling for animated GIF payloads — the one multi-frame
+    * format the JDK decodes offline (ImageIO's GIF reader exposes every
+    * frame). Picks `n` evenly-spaced frames (all of them when the GIF has
+    * ≤ n), re-encodes each as PNG, and emits one row per sampled frame:
+    * `(media_id, frame_no, frame_bytes, width, height)` — `frame_no` is
+    * the ORIGINAL frame index, and each `frame_bytes` feeds straight back
+    * into [[decode]]. Same shape a real video pipeline produces from its
+    * codec; same partition-local `mapPartitions` execution as [[decode]].
+    * Undecodable/single-frame-failed payloads emit ZERO rows plus nothing
+    * else (a corrupt asset must not kill the 100 TB stage; its absence
+    * from the output IS the quarantine signal — count-join against the
+    * input to list casualties). */
+  def sampleGifFrames(media: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val enc = Encoders.product[SampledFrame]
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val (id, payload) = (r.getLong(0), r.getAs[Array[Byte]](1))
+          try {
+            val in = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            val readers = javax.imageio.ImageIO.getImageReaders(in)
+            if (!readers.hasNext) Nil
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(in)
+                val m = reader.getNumImages(true)
+                if (m <= 0) Nil
+                else {
+                  // n evenly spaced original-frame indices, dedup-ordered
+                  val picks =
+                    if (m <= n) 0 until m
+                    else (0 until n).map(k => k * m / n)
+                  picks.distinct.map { fi =>
+                    val img = reader.read(fi)
+                    val bos = new java.io.ByteArrayOutputStream()
+                    javax.imageio.ImageIO.write(img, "png", bos)
+                    SampledFrame(id, fi, bos.toByteArray,
+                      img.getWidth, img.getHeight)
+                  }
+                }
+              } finally { reader.dispose(); in.close() }
+            }
+          } catch { case _: Exception => Nil } // corrupt asset -> no rows
         }
       }(enc).toDF()
   }

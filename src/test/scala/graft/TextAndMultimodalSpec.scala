@@ -117,6 +117,57 @@ class TextAndMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: animated GIF frame sampling extracts REAL frames") {
+    // multi-frame GIF built in memory: 6 frames, each a solid gray level
+    // ramping 0,50,100,150,200,250 — sampled frames must decode to the
+    // RIGHT frame's luminance, proving true per-frame extraction (not
+    // byte slicing)
+    def gif(levels: Seq[Int], w: Int, h: Int): Array[Byte] = {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      levels.foreach { lvl =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (lvl << 16) | (lvl << 8) | lvl
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); out.close(); writer.dispose()
+      bos.toByteArray
+    }
+    val levels = Seq(0, 50, 100, 150, 200, 250)
+    val media = Seq((1L, gif(levels, 16, 12)),
+        (2L, "not a gif".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), lit("video/gif").as("kind"), col("payload"))
+    val frames = Multimodal.sampleGifFrames(media, 3)
+    val rows = frames.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getAs[Array[Byte]](2), r.getInt(3), r.getInt(4)))
+    // corrupt payload contributes zero rows; the GIF yields 3 of 6 frames
+    assert(rows.forall(_._1 == 1L))
+    assert(rows.map(_._2).sorted.toSeq === Seq(0, 2, 4),
+      "evenly spaced original frame indices")
+    assert(rows.forall(r => r._4 == 16 && r._5 == 12))
+    // each sampled frame re-decodes to the ORIGINAL frame's gray level
+    rows.sortBy(_._2).zip(Seq(0, 100, 200)).foreach { case (r, lvl) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r._3))
+      val got = img.getRGB(8, 6) & 0xff
+      assert(math.abs(got - lvl) <= 8, // GIF palette quantization slack
+        s"frame ${r._2}: gray $got vs expected ~$lvl")
+    }
+    // a GIF with fewer frames than requested yields all of them
+    val small = Seq((3L, gif(Seq(10, 240), 8, 8)))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), lit("video/gif").as("kind"), col("payload"))
+    assert(Multimodal.sampleGifFrames(small, 5).count() === 2)
+  }
+
   test("multimodal: audio kind decodes REAL rate/channels via javax.sound") {
     // synthetic WAV built in memory: 16-bit signed PCM with a known
     // loudness shape — first half silence, second half a full-ish-scale
