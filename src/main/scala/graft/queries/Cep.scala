@@ -276,6 +276,19 @@ object Cep {
         """SELECT * FROM events
            MATCH PATTERN (signup THEN click THEN purchase WITHIN '24' HOURS)
            PARTITION BY user_id""")
+    }),
+
+    // EP1d — quantified-run CEP from SQL TEXT (r6 dialect extension):
+    // click{3,} = a maximal run of >= 3 consecutive clicks (q_cep_times'
+    // gaps-and-islands formulation), completed by the first purchase
+    // within 12 hours of the RUN'S END. Inner-completion semantics
+    // (runs without a purchase are the THEN NOT variant).
+    "q_pattern_times" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * FROM events
+           MATCH PATTERN (click{3,} THEN purchase WITHIN '12' HOURS)
+           PARTITION BY user_id""")
     })
   )
 
@@ -400,6 +413,25 @@ object Cep {
          FROM runs r LEFT JOIN events p
            ON p.user_id = r.user_id AND p.event_type = 'purchase'
           AND p.ts > r.run_end AND p.ts <= r.run_end + INTERVAL 10 MINUTE
+         GROUP BY 1, 2, 3, 4 ORDER BY r.user_id, run_start""",
+    "q_pattern_times" ->
+      """WITH o AS (
+           SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+           FROM events),
+         runs AS (
+           SELECT user_id, grp, count(*) AS run_len,
+             min(ts) AS run_start, max(ts) AS run_end
+           FROM o WHERE event_type = 'click'
+           GROUP BY user_id, grp HAVING count(*) >= 3)
+         SELECT r.user_id, r.run_len, r.run_start, r.run_end,
+           min(b.ts) AS b_ts
+         FROM runs r JOIN events b
+           ON b.user_id = r.user_id AND b.event_type = 'purchase'
+          AND b.ts > r.run_end AND b.ts <= r.run_end + INTERVAL 12 HOUR
          GROUP BY 1, 2, 3, 4 ORDER BY r.user_id, run_start""",
     "q_pattern_chain" ->
       """WITH s1 AS (

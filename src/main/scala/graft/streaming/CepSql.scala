@@ -18,9 +18,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *  - `OVER (WINDOW 'w' SECONDS, SLIDE 's' SECONDS)` → sliding window
   *  - `OVER (WINDOW 'w' SECONDS)` → tumbling window (window == slide)
-  *  - `MATCH PATTERN (e1 THEN e2 [THEN e3 …] [THEN NOT eN] WITHIN 'n'
-  *    <unit>) PARTITION BY k` → sequence / absence / N-step-chain CEP as
-  *    plain Spark SQL (see [[translatePattern]])
+  *  - `MATCH PATTERN (e1[{m,}] THEN e2 [THEN e3 …] [THEN NOT eN] WITHIN
+  *    'n' <unit>) PARTITION BY k` → sequence / absence / N-step-chain /
+  *    quantified-run CEP as plain Spark SQL (see [[translatePattern]])
   *
   * The clause is removed and `window(<tsCol>, ...)` is prepended to the
   * GROUP BY (created if absent). Semantics upgrade exactly as documented
@@ -53,24 +53,28 @@ object CepSql {
     *
     * {{{
     * SELECT * FROM <table>
-    * MATCH PATTERN (<e1> THEN <e2> [THEN <e3> …] [THEN NOT <eN>]
+    * MATCH PATTERN (<e1>[{m,}] THEN <e2> [THEN <e3> …] [THEN NOT <eN>]
     *                WITHIN '<n>' SECONDS|MINUTES|HOURS)
     * PARTITION BY <key>
     * }}}
     *
     * Chains of any length ≥ 2; `NOT` is legal on the FINAL step only
-    * (absence of a completion after a matched prefix). Anchored
-    * end-to-end: the pattern statement IS the whole statement
-    * (projection/extra predicates belong in a view over the result). */
+    * (absence of a completion after a matched prefix); `{m,}` on the
+    * FIRST step only quantifies it as a maximal run of ≥ m consecutive
+    * events (then exactly one THEN step). Anchored end-to-end: the
+    * pattern statement IS the whole statement (projection/extra
+    * predicates belong in a view over the result). */
   private val patternStmt = Pattern.compile(
     "^\\s*SELECT\\s+\\*\\s+FROM\\s+([A-Za-z_][\\w.]*)\\s+" +
-      "MATCH\\s+PATTERN\\s*\\(\\s*('?\\w+'?(?:\\s+THEN\\s+(?:NOT\\s+)?'?\\w+'?)+)" +
+      "MATCH\\s+PATTERN\\s*\\(\\s*" +
+      "('?\\w+'?(?:\\{\\d+,\\})?(?:\\s+THEN\\s+(?:NOT\\s+)?'?\\w+'?(?:\\{\\d+,\\})?)+)" +
       "\\s+WITHIN\\s+'(\\d+)'\\s+(SECONDS?|MINUTES?|HOURS?)\\s*\\)" +
       "\\s+PARTITION\\s+BY\\s+([A-Za-z_]\\w*)\\s*;?\\s*$",
     Pattern.CASE_INSENSITIVE)
   private val thenSplit = Pattern.compile("\\s+THEN\\s+",
     Pattern.CASE_INSENSITIVE)
-  private val stepTok = Pattern.compile("(?i)^(NOT\\s+)?'?(\\w+)'?$")
+  private val stepTok =
+    Pattern.compile("(?i)^(NOT\\s+)?'?(\\w+)'?(?:\\{(\\d+),\\})?$")
   private val groupBy = Pattern.compile("GROUP\\s+BY", Pattern.CASE_INSENSITIVE)
   private val tail = Pattern.compile(
     "\\b(HAVING|ORDER\\s+BY|LIMIT)\\b|;", Pattern.CASE_INSENSITIVE)
@@ -248,21 +252,33 @@ object CepSql {
     def malformed(detail: String): Nothing =
       throw new IllegalArgumentException(
         "malformed MATCH PATTERN statement — expected exactly: SELECT * " +
-          "FROM <table> MATCH PATTERN (<e1> THEN <e2> [THEN <e3> …] " +
+          "FROM <table> MATCH PATTERN (<e1>[{m,}] THEN <e2> [THEN <e3> …] " +
           "[THEN NOT <eN>] WITHIN '<n>' SECONDS|MINUTES|HOURS) " +
           s"PARTITION BY <key> ($detail)")
     val m = patternStmt.matcher(q)
     if (!m.matches()) malformed("statement shape")
     val tbl = m.group(1)
+    // (negated, event name, {m,} quantifier)
     val steps = thenSplit.split(m.group(2).trim).toSeq.map { tok =>
       val sm = stepTok.matcher(tok.trim)
       if (!sm.matches()) malformed(s"bad step token '$tok'")
-      (sm.group(1) != null, sm.group(2)) // (negated, event name)
+      (sm.group(1) != null, sm.group(2),
+        Option(sm.group(3)).map(_.toInt))
     }
     if (steps.head._1) malformed("NOT on the first step")
     if (steps.init.exists(_._1))
       malformed("NOT is legal on the final step only")
     val absent = steps.last._1
+    // {m,} is the RUN quantifier: first step only, 2-step pattern only —
+    // `a{m,} THEN [NOT] b` = a maximal run of >= m consecutive a's,
+    // completed (or not) by a b within the window of the RUN'S END
+    if (steps.tail.exists(_._3.isDefined))
+      malformed("a {m,} quantifier is legal on the first step only")
+    if (steps.head._3.isDefined && steps.length != 2)
+      malformed("a quantified first step takes exactly one THEN step")
+    steps.head._3.foreach { mt =>
+      if (mt < 1) malformed("quantifier minimum must be >= 1")
+    }
     val n = m.group(3)
     val unit = m.group(4).toUpperCase(java.util.Locale.ROOT) match {
       case u if u.startsWith("SEC") => "SECONDS"
@@ -272,7 +288,43 @@ object CepSql {
     val key = m.group(5)
     def bq(c: String) = s"`$c`"
     val (k, t, ty, id) = (bq(key), bq(tsCol), bq(typeCol), bq(idCol))
-    if (steps.length == 2) {
+    if (steps.head._3.isDefined) {
+      // quantified run: the q_cep_times formulation — maximal runs of
+      // consecutive evA per key (gaps-and-islands: difference of two
+      // row_numbers), length >= mt, then the first evB strictly after the
+      // run's END and within the window of it. Sequence output:
+      // (key, run_len, run_start, run_end, b_ts); absence output drops
+      // b_ts and keeps runs with NO qualifying completion.
+      val mt = steps.head._3.get
+      val (evA, evB) = (steps.head._2, steps.last._2)
+      val runs =
+        s"""(SELECT $k AS __k, count(*) AS run_len,
+           |   min($t) AS run_start, max($t) AS run_end
+           | FROM (SELECT $k, $ty, $t, $id,
+           |         row_number() OVER (PARTITION BY $k
+           |                            ORDER BY $t, $id)
+           |       - row_number() OVER (PARTITION BY $k, $ty
+           |                            ORDER BY $t, $id) AS __grp
+           |       FROM $tbl) o
+           | WHERE $ty = '$evA'
+           | GROUP BY $k, __grp HAVING count(*) >= $mt)""".stripMargin
+      val range = s"b.$t > r.run_end AND b.$t <= r.run_end + " +
+        s"INTERVAL $n $unit"
+      if (absent)
+        s"""SELECT r.__k AS $k, r.run_len, r.run_start, r.run_end
+           |FROM $runs r
+           |LEFT ANTI JOIN (SELECT * FROM $tbl WHERE $ty = '$evB') b
+           |ON r.__k = b.$k AND $range
+           |ORDER BY $k, run_start""".stripMargin
+      else
+        s"""SELECT r.__k AS $k, r.run_len, r.run_start, r.run_end,
+           |  min(b.$t) AS b_ts
+           |FROM $runs r
+           |JOIN (SELECT * FROM $tbl WHERE $ty = '$evB') b
+           |ON r.__k = b.$k AND $range
+           |GROUP BY r.__k, r.run_len, r.run_start, r.run_end
+           |ORDER BY $k, run_start""".stripMargin
+    } else if (steps.length == 2) {
       // 2-step keeps the original q_cep_seq / q_cep_absence output shape
       val (evA, evB) = (steps.head._2, steps.last._2)
       val range = s"b.$t > a.$t AND b.$t <= a.$t + INTERVAL $n $unit"

@@ -101,6 +101,33 @@ class CepSqlPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("generated quantified-run patterns translate total (r6)") {
+    val gen = for {
+      mt <- Gen.choose(1, 99)
+      n <- Gen.choose(1, 9999)
+      unit <- Gen.oneOf("SECONDS", "MINUTES", "HOURS")
+      a <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+      b <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+      tbl <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+      key <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+      neg <- Gen.oneOf(true, false)
+    } yield {
+      val thenKw = if (neg) "THEN NOT" else "THEN"
+      (neg, mt, s"SELECT * FROM $tbl MATCH PATTERN ($a{$mt,} $thenKw $b " +
+        s"WITHIN '$n' $unit) PARTITION BY $key")
+    }
+    (1L to 300L).foreach { seed =>
+      sample(gen.map(List(_)), seed).foreach { case (neg, mt, q) =>
+        val t = CepSql.translate(q)
+        assert(!t.toUpperCase.contains("MATCH PATTERN"), s"$q ->\n$t")
+        // runs formulation: gaps-and-islands (2 row_numbers) + HAVING
+        assert("ROW_NUMBER".r.findAllIn(t.toUpperCase).length === 2, t)
+        assert(t.contains(s">= $mt"), t)
+        assert(t.toUpperCase.contains("LEFT ANTI JOIN") === neg, t)
+      }
+    }
+  }
+
   test("near-miss MATCH PATTERN text is rejected, never half-translated") {
     val bads = Seq(
       "SELECT * FROM t MATCH PATTERN (a THEN b WITHIN '5' MINUTES)",
@@ -111,7 +138,13 @@ class CepSqlPropertySpec extends AnyFunSuite {
       "SELECT * FROM t MATCH PATTERN (a THEN b WITHIN '5' DAYS) " +
         "PARTITION BY k", // unsupported unit
       "SELECT * FROM t MATCH PATTERN (a THEN b{2,} WITHIN '5' MINUTES) " +
-        "PARTITION BY k", // quantifier
+        "PARTITION BY k", // quantifier off the first step
+      "SELECT * FROM t MATCH PATTERN (a{2,} THEN b THEN c WITHIN '5' " +
+        "MINUTES) PARTITION BY k", // quantified anchor with a 3-step chain
+      "SELECT * FROM t MATCH PATTERN (a{0,} THEN b WITHIN '5' MINUTES) " +
+        "PARTITION BY k", // zero minimum
+      "SELECT * FROM t MATCH PATTERN (a{2} THEN b WITHIN '5' MINUTES) " +
+        "PARTITION BY k", // exact-count form is not the grammar
       "SELECT * FROM t MATCH PATTERN (a THEN NOT b THEN c WITHIN '5' " +
         "MINUTES) PARTITION BY k", // NOT off the final step
       "SELECT * FROM t MATCH PATTERN (NOT a THEN b WITHIN '5' MINUTES) " +

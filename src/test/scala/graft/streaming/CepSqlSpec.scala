@@ -235,6 +235,54 @@ class CepSqlSpec extends SparkSpec {
     assert(gotIds.union(fullIds) === prefIds)
   }
 
+  test("MATCH PATTERN quantified run == gaps-and-islands recomputation (r6)") {
+    Tables.load(spark, sf)
+    val got = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (click{3,} THEN purchase WITHIN '12' HOURS)
+         PARTITION BY user_id""")
+    assert(got.columns.toSeq ===
+      Seq("user_id", "run_len", "run_start", "run_end", "b_ts"))
+    // independent DataFrame recomputation of the q_cep_times formulation
+    // at this window: maximal click runs >= 3, first purchase within 12h
+    // of the run end (left join keeps uncompleted runs for the complement)
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.table("events")
+      .select("event_id", "user_id", "event_type", "ts")
+    val wU = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val wUT = Window.partitionBy("user_id", "event_type")
+      .orderBy(asc("ts"), asc("event_id"))
+    val allRuns = e
+      .withColumn("grp", row_number().over(wU) - row_number().over(wUT))
+      .filter(col("event_type") === "click")
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("run_len"), min("ts").as("run_start"),
+        max("ts").as("run_end"))
+      .filter(col("run_len") >= 3)
+      .join(e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("ts").as("p_ts")),
+        col("user_id") === col("pu") && col("p_ts") > col("run_end") &&
+          col("p_ts") <= col("run_end") + expr("INTERVAL 12 HOURS"),
+        "left")
+      .groupBy("user_id", "run_len", "run_start", "run_end")
+      .agg(min("p_ts").as("b_ts"))
+    val want = allRuns.filter(col("b_ts").isNotNull)
+      .orderBy("user_id", "run_start")
+    assert(got.collect().map(_.toSeq).toSeq ===
+      want.collect().map(_.toSeq).toSeq)
+    assert(got.count() > 0, "completed runs must exist at this sf")
+    // ...and the THEN NOT variant is exactly the uncompleted complement
+    val gotNot = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (click{3,} THEN NOT purchase WITHIN '12' HOURS)
+         PARTITION BY user_id""")
+    val wantNot = allRuns.filter(col("b_ts").isNull)
+      .select("user_id", "run_len", "run_start", "run_end")
+      .orderBy("user_id", "run_start")
+    assert(gotNot.collect().map(_.toSeq).toSeq ===
+      wantNot.collect().map(_.toSeq).toSeq)
+  }
+
   test("MATCH PATTERN: quoted events, unit variants, trailing ';' accepted") {
     Tables.load(spark, sf)
     // '1800' SECONDS ≡ '30' MINUTES; quoted event names; trailing ';'
