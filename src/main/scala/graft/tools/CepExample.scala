@@ -82,6 +82,19 @@ object CepExample {
          MATCH PATTERN (signup THEN purchase WITHIN '30' MINUTES)
          PARTITION BY user_id""")
     println(s"MATCH PATTERN (SQL text) conversions: ${patSql.count()}")
+
+    // 6. the r6 dialect extensions, same TEXT surface: an N-step chain
+    //    and a quantified run
+    val chainSql = spark.sql(
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click THEN purchase WITHIN '24' HOURS)
+         PARTITION BY user_id""")
+    println(s"MATCH PATTERN 3-step chains: ${chainSql.count()}")
+    val runSql = spark.sql(
+      """SELECT * FROM events
+         MATCH PATTERN (click{3,} THEN purchase WITHIN '12' HOURS)
+         PARTITION BY user_id""")
+    println(s"MATCH PATTERN click{3,} completed runs: ${runSql.count()}")
     spark.stop()
   }
 }
