@@ -83,6 +83,24 @@ object Cep {
         .orderBy("user_id", "s_start")
     }),
 
+    // C3b — DYNAMIC-gap session window (r6): the gap is a per-event
+    // expression (clicks close fast at 5 min; other activity keeps the
+    // session alive 15 min) — Spark's session_window(gapDuration: Column)
+    // surface, which the fixed-gap form can't express. Same single
+    // shuffle on the group key as C3; sessions merge by overlapping
+    // [ts, ts+gap) windows, so the oracle recomputes them as a running
+    // max of window ends (gaps-and-islands, variable width).
+    "q_session_dynamic" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(session_window(col("ts"),
+          when(col("event_type") === "click", "5 minutes")
+            .otherwise("15 minutes")), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), col("cnt"))
+        .orderBy("user_id", "s_start")
+    }),
+
     // C5 — dedup (batch equivalent of dropDuplicates on the key columns).
     "q_dedup_events" -> ((s, dir) => {
       T(s, dir, "events")
@@ -358,6 +376,27 @@ object Cep {
            FROM g)
          SELECT user_id, min(ts) AS s_start,
            max(ts) + INTERVAL 5 MINUTE AS s_end, count(*) AS cnt
+         FROM s GROUP BY user_id, sess ORDER BY user_id, s_start""",
+    "q_session_dynamic" ->
+      """WITH w AS (
+           SELECT user_id, ts, event_id,
+             ts + CASE WHEN event_type = 'click' THEN INTERVAL 5 MINUTE
+                       ELSE INTERVAL 15 MINUTE END AS e
+           FROM events),
+         b AS (
+           SELECT user_id, ts, e, event_id,
+             CASE WHEN max(e) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= ts
+               THEN 0 ELSE 1 END AS new_s
+           FROM w),
+         s AS (
+           SELECT user_id, ts, e,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           FROM b)
+         SELECT user_id, min(ts) AS s_start, max(e) AS s_end,
+           count(*) AS cnt
          FROM s GROUP BY user_id, sess ORDER BY user_id, s_start""",
     "q_dedup_events" ->
       """SELECT DISTINCT user_id, event_type FROM events
