@@ -51,6 +51,19 @@ object StreamOps {
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("cnt"))
 
+  /** Session windows with a PER-EVENT gap expression (r6): the dynamic
+    * form of [[sessionCounts]] — Structured Streaming merges the
+    * variable-width [ts, ts+gap) windows in the state store exactly as
+    * batch does (twin-tested against the oracle-gated
+    * `q_session_dynamic`). */
+  def sessionCountsDynamic(events: DataFrame,
+      gapExpr: org.apache.spark.sql.Column): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gapExpr), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("cnt"))
+
   /** Streaming dedup on key columns. On a stream with a watermark, prefer
     * [[dedupWithinWatermark]] so state is bounded. */
   def dedup(events: DataFrame, keys: Seq[String]): DataFrame =

@@ -83,6 +83,30 @@ class StreamingTwinSpec extends SparkSpec {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("dynamic-gap session windows: streaming == oracle-gated batch (r6)") {
+    // same sentinel-flush shape as the fixed-gap twin; the gap is a
+    // per-event expression (click 5 min, else 15 min) — q_session_dynamic
+    implicit val sq = spark.sqlContext
+    val gap = when(col("event_type") === "click", "5 minutes")
+      .otherwise("15 minutes")
+    val stream = MemoryStream[CepEvent]
+    val name = "twin_session_dyn"
+    val q = StreamOps.sessionCountsDynamic(
+        stream.toDF().withWatermark("ts", "0 seconds"), gap)
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    stream.addData(data.toSeq)
+    q.processAllAvailable()
+    stream.addData(CepEvent(-1L, Timestamp.valueOf("2030-01-01 00:00:00"),
+      -1L, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamedRows = spark.table(name).filter(col("user_id") =!= -1L)
+    val batch = graft.SparkEntry.queries("q_session_dynamic")(spark, sf)
+    assert(rows(streamedRows) == rows(batch) && rows(batch).nonEmpty)
+  }
+
   test("CEP sequence state machine == batch q_cep_seq") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[CepEvent]
