@@ -285,33 +285,43 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val (id, payload) = (r.getLong(0), r.getAs[Array[Byte]](1))
+          // the input stream must close on EVERY path (no-reader, corrupt
+          // payload, mid-read exception): with ImageIO's default
+          // file-backed cache each leaked stream pins an fd + temp file,
+          // and the corrupt-asset path is exactly the one a long-lived
+          // executor hits millions of times
+          var in: javax.imageio.stream.ImageInputStream = null
+          var reader: javax.imageio.ImageReader = null
           try {
-            val in = javax.imageio.ImageIO.createImageInputStream(
+            in = javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(payload))
             val readers = javax.imageio.ImageIO.getImageReaders(in)
             if (!readers.hasNext) Nil
             else {
-              val reader = readers.next()
-              try {
-                reader.setInput(in)
-                val m = reader.getNumImages(true)
-                if (m <= 0) Nil
-                else {
-                  // n evenly spaced original-frame indices, dedup-ordered
-                  val picks =
-                    if (m <= n) 0 until m
-                    else (0 until n).map(k => k * m / n)
-                  picks.distinct.map { fi =>
-                    val img = reader.read(fi)
-                    val bos = new java.io.ByteArrayOutputStream()
-                    javax.imageio.ImageIO.write(img, "png", bos)
-                    SampledFrame(id, fi, bos.toByteArray,
-                      img.getWidth, img.getHeight)
-                  }
+              reader = readers.next()
+              reader.setInput(in)
+              val m = reader.getNumImages(true)
+              if (m <= 0) Nil
+              else {
+                // n evenly spaced original-frame indices, dedup-ordered
+                val picks =
+                  if (m <= n) 0 until m
+                  else (0 until n).map(k => k * m / n)
+                picks.distinct.map { fi =>
+                  val img = reader.read(fi)
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(img, "png", bos)
+                  SampledFrame(id, fi, bos.toByteArray,
+                    img.getWidth, img.getHeight)
                 }
-              } finally { reader.dispose(); in.close() }
+              }
             }
           } catch { case _: Exception => Nil } // corrupt asset -> no rows
+          finally {
+            if (reader != null) reader.dispose()
+            if (in != null)
+              try in.close() catch { case _: Exception => () }
+          }
         }
       }(enc).toDF()
   }

@@ -33,6 +33,17 @@ object BloomPrune {
   def prefilter(fact: DataFrame, factKey: String, dim: DataFrame,
       dimKey: String, expectedItems: Long): DataFrame = {
     require(expectedItems > 0, "expectedItems must be positive")
+    // xxhash64 hashes by PHYSICAL type (an INT 7 and a BIGINT 7 hash
+    // differently), so a type mismatch between the two keys would build
+    // and probe DISJOINT hash spaces — the prefilter would silently drop
+    // true matches, the one thing it must never do. Fail loudly instead;
+    // the caller casts one side explicitly (the exact join they follow
+    // with would have coerced, hiding the corruption).
+    val (ft, dt) = (fact.schema(factKey).dataType, dim.schema(dimKey).dataType)
+    require(ft == dt,
+      s"bloom prefilter key types must match exactly: $factKey is $ft, " +
+        s"$dimKey is $dt — cast one side before calling (xxhash64 is " +
+        "physical-type-sensitive, a mismatch silently drops real matches)")
     graft.functions.GraftFunctions.register(fact.sparkSession)
     val bf = dim.agg(
       expr(s"graft_bloom_agg(xxhash64($dimKey), ${expectedItems}L)")

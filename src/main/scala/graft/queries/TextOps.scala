@@ -315,9 +315,10 @@ object TextOps {
 
     // Multimodal plumbing token: opaque binary column + typed metadata.
     // (The full decode/feature pipeline is graft.multimodal — REAL ImageIO
-    // decode for image kinds, documented stub for audio/video,
-    // ScalaTest-covered; binary payloads aren't SQL-portable beyond byte
-    // length + digest, checked here.)
+    // decode for image kinds, REAL javax.sound decode for audio kinds,
+    // REAL GIF frame sampling; only video features keep the documented
+    // stub. ScalaTest-covered; binary payloads aren't SQL-portable beyond
+    // byte length + digest, checked here.)
     "q_multimodal_meta" -> ((s, dir) => {
       T(s, dir, "documents")
         .withColumn("payload", col("text").cast("binary"))

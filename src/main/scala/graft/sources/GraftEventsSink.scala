@@ -67,7 +67,12 @@ object GraftEventsSink {
         () // discard: foreachBatch wants Unit
       }
 
-  /** Forget a writer's high-water mark (test isolation). */
-  private[sources] def reset(topic: String, writerKey: String): Unit =
+  /** Forget a writer's high-water mark. PUBLIC because the mark is
+    * process-global and outlives the checkpoint: if you delete (or
+    * repoint) a query's checkpoint dir to reprocess from scratch but
+    * keep the same `writerKey`, the new query's batchIds restart at 0
+    * and EVERY batch would be skipped as a replay — call reset for that
+    * (topic, writerKey) whenever you discard its checkpoint. */
+  def reset(topic: String, writerKey: String): Unit =
     committed.remove((topic, writerKey))
 }

@@ -41,4 +41,17 @@ class BloomPruneSpec extends SparkSpec {
       BloomPrune.prefilter(df, "o_custkey", df, "o_custkey", 0L)
     }
   }
+
+  test("prefilter rejects mismatched key types loudly (xxhash64 hazard)") {
+    // an INT dim key against a BIGINT fact key would build and probe
+    // disjoint hash spaces — every real match silently dropped; the
+    // operator must fail loudly instead
+    val orders = Tables.table(spark, sf, "orders")
+    val dimInt = Tables.table(spark, sf, "customer")
+      .select(col("c_custkey").cast("int").as("c_custkey"))
+    val e = intercept[IllegalArgumentException] {
+      BloomPrune.prefilter(orders, "o_custkey", dimInt, "c_custkey", 100L)
+    }
+    assert(e.getMessage.contains("types must match"))
+  }
 }
