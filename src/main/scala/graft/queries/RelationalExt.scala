@@ -147,6 +147,25 @@ object RelationalExt {
         .orderBy("et")
     }),
 
+    // F6b — VARIANT (Spark 4's binary semi-structured type, r6): parse
+    // the JSON props into a VARIANT once, then typed-path extraction with
+    // variant_get / null-safe try_variant_get. Same answers as string
+    // json_extract, but at 100 TB VARIANT is the right column type: the
+    // binary encoding parses once at ingest (not per expression), presses
+    // into shredded parquet storage, and keeps extraction in codegen.
+    "q_variant_extract" -> ((s, dir) => {
+      T(s, dir, "events")
+        .withColumn("v", expr("parse_json(props)"))
+        .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum("k").as("sum_k"),
+          max("k").as("max_k"),
+          count(expr("try_variant_get(v, '$.missing', 'int')"))
+            .as("n_missing"))
+        .orderBy("event_type")
+    }),
+
     // A5b — GROUPING()/grouping-id introspection: the bits that tell a
     // rollup consumer WHICH level a row belongs to (the 'ALL' coalesce
     // trick is lossy when a real value collides with the sentinel).
@@ -275,6 +294,13 @@ object RelationalExt {
                 count(*) FILTER (WHERE l_quantity >= 25
                                    AND l_linestatus = 'F') AS big_f
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_variant_extract" ->
+      """SELECT event_type, count(*) AS cnt,
+           CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+           max(CAST(props->>'k' AS INT)) AS max_k,
+           CAST(count(json_extract(props, '$.missing')) AS BIGINT)
+             AS n_missing
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_map_struct" ->
       """SELECT event_type AS et, count(*) AS cnt,
                 CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
