@@ -247,8 +247,26 @@ object CepSql {
     * A statement that *mentions* MATCH PATTERN but does not match the
     * grammar end-to-end is rejected loudly — a silent pass-through would
     * surface as a confusing Spark parser error on CEP syntax. */
-  private def translatePattern(q: String, tsCol: String, typeCol: String,
-      idCol: String): String = {
+  /** One parsed pattern step: `NOT`? event name, `{m,}` quantifier? */
+  case class PatternStep(negated: Boolean, event: String,
+      minTimes: Option[Int])
+
+  /** A fully parsed-and-validated MATCH PATTERN statement — the shared
+    * front half of [[translatePattern]] (batch SQL rewrite) and
+    * [[ContinuousQueries.submitPattern]] (streaming detector dispatch). */
+  case class PatternSpec(table: String, steps: Seq[PatternStep],
+      n: Long, unit: String, key: String) {
+    def absent: Boolean = steps.last.negated
+    def withinMs: Long = unit match {
+      case "SECONDS" => n * 1000L
+      case "MINUTES" => n * 60L * 1000L
+      case _         => n * 3600L * 1000L
+    }
+  }
+
+  /** Parse + validate one MATCH PATTERN statement (loud on every
+    * near-miss — see [[patternStmt]] for the grammar). */
+  def parsePattern(q: String): PatternSpec = {
     def malformed(detail: String): Nothing =
       throw new IllegalArgumentException(
         "malformed MATCH PATTERN statement — expected exactly: SELECT * " +
@@ -257,35 +275,42 @@ object CepSql {
           s"PARTITION BY <key> ($detail)")
     val m = patternStmt.matcher(q)
     if (!m.matches()) malformed("statement shape")
-    val tbl = m.group(1)
-    // (negated, event name, {m,} quantifier)
     val steps = thenSplit.split(m.group(2).trim).toSeq.map { tok =>
       val sm = stepTok.matcher(tok.trim)
       if (!sm.matches()) malformed(s"bad step token '$tok'")
-      (sm.group(1) != null, sm.group(2),
+      PatternStep(sm.group(1) != null, sm.group(2),
         Option(sm.group(3)).map(_.toInt))
     }
-    if (steps.head._1) malformed("NOT on the first step")
-    if (steps.init.exists(_._1))
+    if (steps.head.negated) malformed("NOT on the first step")
+    if (steps.init.exists(_.negated))
       malformed("NOT is legal on the final step only")
-    val absent = steps.last._1
     // {m,} is the RUN quantifier: first step only, 2-step pattern only —
     // `a{m,} THEN [NOT] b` = a maximal run of >= m consecutive a's,
     // completed (or not) by a b within the window of the RUN'S END
-    if (steps.tail.exists(_._3.isDefined))
+    if (steps.tail.exists(_.minTimes.isDefined))
       malformed("a {m,} quantifier is legal on the first step only")
-    if (steps.head._3.isDefined && steps.length != 2)
+    if (steps.head.minTimes.isDefined && steps.length != 2)
       malformed("a quantified first step takes exactly one THEN step")
-    steps.head._3.foreach { mt =>
+    steps.head.minTimes.foreach { mt =>
       if (mt < 1) malformed("quantifier minimum must be >= 1")
     }
-    val n = m.group(3)
     val unit = m.group(4).toUpperCase(java.util.Locale.ROOT) match {
       case u if u.startsWith("SEC") => "SECONDS"
       case u if u.startsWith("MIN") => "MINUTES"
       case _                        => "HOURS"
     }
-    val key = m.group(5)
+    PatternSpec(m.group(1), steps, m.group(3).toLong, unit, m.group(5))
+  }
+
+  private def translatePattern(q: String, tsCol: String, typeCol: String,
+      idCol: String): String = {
+    val spec = parsePattern(q)
+    val tbl = spec.table
+    val steps = spec.steps.map(s => (s.negated, s.event, s.minTimes))
+    val absent = spec.absent
+    val n = spec.n.toString
+    val unit = spec.unit
+    val key = spec.key
     def bq(c: String) = s"`$c`"
     val (k, t, ty, id) = (bq(key), bq(tsCol), bq(typeCol), bq(idCol))
     if (steps.head._3.isDefined) {

@@ -61,6 +61,63 @@ object ContinuousQueries {
     submitMemory(df, name, outputMode)
   }
 
+  /** EP3 for CEP pattern TEXT on a LIVE stream: the batch MATCH PATTERN
+    * rewrite (ranking window / anti join) cannot run incrementally, so a
+    * pattern statement submitted here dispatches to the STREAMING
+    * detector with the same proven semantics instead:
+    *
+    *  - `a THEN b`            → [[CepSequence]]      (≡ q_cep_seq)
+    *  - `a THEN NOT b`        → [[AbsenceDetector]]  (≡ q_cep_absence)
+    *  - `a THEN b THEN c …`   → [[PatternMatch]]     (≡ q_pattern_chain)
+    *  - `a{m,} THEN [NOT] b`  → [[RunDetector]]      (≡ q_pattern_times,
+    *    completed runs; the NOT form keeps only timed-out runs)
+    *
+    * The source view must be a STREAMING view with the events-table
+    * converter schema `(event_id, ts, user_id, event_type, value)` and
+    * the pattern must partition by `user_id` (the convention every
+    * streaming detector keys on) — both violations fail loudly.
+    * `lateness` bounds state for the timer-driven forms. */
+  def submitPattern(spark: SparkSession, patternText: String, name: String,
+      lateness: String = "0 seconds"): StreamingQuery = {
+    val spec = CepSql.parsePattern(patternText)
+    require(spec.key == "user_id",
+      s"streaming pattern queries partition by user_id (got '${spec.key}')" +
+        " — the detectors key on the events-table convention")
+    val src0 = spark.table(spec.table)
+    require(src0.isStreaming,
+      s"'${spec.table}' resolved to a batch view — submitPattern runs " +
+        "patterns CONTINUOUSLY; for a one-shot answer use CepSql.sql")
+    import org.apache.spark.sql.functions.col
+    implicit val enc = org.apache.spark.sql.Encoders.product[CepEvent]
+    val src = src0.select(col("event_id").cast("long"), col("ts"),
+      col("user_id").cast("long"), col("event_type"),
+      col("value").cast("double")).as[CepEvent]
+    val names = spec.steps.map(_.event)
+    val out: DataFrame = spec.steps.head.minTimes match {
+      case Some(mt) =>
+        val runs = RunDetector.detect(src, names.head, mt, names.last,
+          spec.withinMs, Some(lateness))
+        // completed runs for the THEN form; timed-out runs for THEN NOT
+        val wanted =
+          if (spec.absent) runs.filter(_.next_follow.isEmpty)
+          else runs.filter(_.next_follow.isDefined)
+        wanted.toDF()
+      case None if spec.steps.length == 2 && spec.absent =>
+        AbsenceDetector.detect(src, names.head, names.last, spec.withinMs,
+          lateness).toDF()
+      case None if spec.steps.length == 2 =>
+        CepSequence.detect(src, names.head, names.last, spec.withinMs).toDF()
+      case None if spec.absent =>
+        throw new IllegalArgumentException(
+          "THEN NOT after a multi-step chain has no streaming detector " +
+            "yet — compose PatternMatch with AbsenceDetector on the " +
+            "prefix, or run the batch rewrite via CepSql.sql")
+      case None =>
+        PatternMatch.detect(src, names, spec.withinMs).toDF()
+    }
+    submitMemory(out, name, "append")
+  }
+
   def list(spark: SparkSession): Seq[StreamingQuery] =
     spark.streams.active.toSeq
 

@@ -65,4 +65,78 @@ class SubmitSqlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("batch plan"))
   }
+
+  test("submitPattern: pattern TEXT runs CONTINUOUSLY via the detectors") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    stream.toDF().createOrReplaceTempView("pat_events")
+    // sequence form → CepSequence; results land in the memory sink
+    val q = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_events
+         MATCH PATTERN (signup THEN purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id""", "svc_pat")
+    try {
+      stream.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "signup", 0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:10:00"), 7, "purchase", 0),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:50:00"), 7, "purchase", 0),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 01:00:00"), 8, "signup", 0))
+      q.processAllAvailable()
+      // one completed match: signup 1 -> FIRST purchase 2 (3 is outside
+      // nothing: it is within 50 min — outside the 30-min window)
+      val got = spark.table("svc_pat")
+        .select("user_id", "sid", "pid").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === Set((7L, 1L, 2L)))
+      // and a later purchase by user 8 completes the open signup 4
+      stream.addData(
+        CepEvent(5, Timestamp.valueOf("2026-01-01 01:20:00"), 8, "purchase", 0))
+      q.processAllAvailable()
+      assert(spark.table("svc_pat").count() === 2)
+    } finally {
+      if (q.isActive) q.stop()
+      spark.catalog.dropTempView("pat_events")
+    }
+  }
+
+  test("submitPattern: chain and quantified forms dispatch; misuse is loud") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    stream.toDF().createOrReplaceTempView("pat_events2")
+    // 3-step chain → PatternMatch
+    val q = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_events2
+         MATCH PATTERN (signup THEN click THEN purchase WITHIN '2' HOURS)
+         PARTITION BY user_id""", "svc_chain")
+    try {
+      stream.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "signup", 0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:10:00"), 7, "click", 0),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:20:00"), 7, "purchase", 0))
+      q.processAllAvailable()
+      val got = spark.table("svc_chain").select("step_ids").collect()
+        .map(_.getSeq[Long](0)).toSet
+      assert(got === Set(Seq(1L, 2L, 3L)))
+    } finally {
+      if (q.isActive) q.stop()
+    }
+    // wrong partition key → loud
+    val e1 = intercept[IllegalArgumentException] {
+      ContinuousQueries.submitPattern(spark,
+        """SELECT * FROM pat_events2
+           MATCH PATTERN (a THEN b WITHIN '1' MINUTES)
+           PARTITION BY other_key""", "svc_bad")
+    }
+    assert(e1.getMessage.contains("user_id"))
+    // batch view → loud
+    graft.Tables.load(spark, sf)
+    val e2 = intercept[IllegalArgumentException] {
+      ContinuousQueries.submitPattern(spark,
+        """SELECT * FROM events
+           MATCH PATTERN (a THEN b WITHIN '1' MINUTES)
+           PARTITION BY user_id""", "svc_bad2")
+    }
+    assert(e2.getMessage.contains("batch view"))
+    spark.catalog.dropTempView("pat_events2")
+  }
 }
