@@ -229,7 +229,13 @@ object TextOps {
           Window.partitionBy("cand").orderBy(desc("cnt"), asc("w"))))
         .filter(col("rn") <= 50)
         .select("cand", "w")
-      val scores = docwords.join(langtop, "w")
+      // langtop is BOUNDED tiny (|langs| x 50 rows at any data scale) but
+      // sits behind a window filter Catalyst can't size — broadcast it
+      // explicitly so the data-proportional docwords frame never shuffles
+      // for this join. Measured flat at sf0.1 (the doc_id re-shuffle
+      // after the join dominates either way); the avoided exchange is the
+      // one that grows with the corpus.
+      val scores = docwords.join(broadcast(langtop), "w")
         .groupBy("doc_id", "cand")
         .agg(count(lit(1)).as("score"))
       val wpick = Window.partitionBy("doc_id")
