@@ -67,6 +67,37 @@ object Panes {
       .agg(merge(aggs.head), aggs.tail.map(merge): _*)
   }
 
+  /** Sliding-window DISTINCT counting via mergeable HLL pane sketches —
+    * the case the plain pane algebra can't do (the scaladoc's "use
+    * sketches"; the hard half of the reference's incremental-agg story).
+    * Each tumbling pane aggregates once into a DataSketches HLL state
+    * (`hll_sketch_agg`); each sliding window unions its panes' sketches
+    * (`hll_union_agg` — register-wise max, the same merge a 1000-executor
+    * partial agg does) and estimates. The fact table is scanned and
+    * shuffled ONCE; only pane-sized sketch blobs replicate into windows.
+    * Estimates carry HLL error (~1.6% at default lgK 12) — PanesSpec pins
+    * them within 5% of exact and within 1% of the direct
+    * `window()`-expand sketch. */
+  def slidingDistinctViaPanes(df: DataFrame, tsCol: String, window_ : String,
+      slide: String, distinctCol: String, keys: Seq[String] = Nil)
+      : DataFrame = {
+    val panes = (parseDuration(window_) / parseDuration(slide)).toInt
+    require(panes.toLong * parseDuration(slide) == parseDuration(window_),
+      s"slide must divide window ($window_ / $slide)")
+    val paneAgg = df
+      .groupBy((window(col(tsCol), slide).getField("start").as("ps") +:
+        keys.map(col)): _*)
+      .agg(expr(s"hll_sketch_agg($distinctCol)").as("__sk"))
+    paneAgg
+      .select((col("*") +: Seq(
+        explode(sequence(lit(0), lit(panes - 1))).as("k"))): _*)
+      .select((col("ps") - col("k") * expr(s"INTERVAL $slide")).as("ws") +:
+        (keys.map(col) :+ col("__sk")): _*)
+      .groupBy(("ws" +: keys).map(col): _*)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(__sk))")
+        .as(s"approx_distinct_$distinctCol"))
+  }
+
   /** Duration string → microseconds (delegates to Catalyst's parser). */
   private def parseDuration(d: String): Long = {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils

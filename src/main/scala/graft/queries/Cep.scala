@@ -73,6 +73,20 @@ object Cep {
         .orderBy("ws", "event_type")
     }),
 
+    // C2b — sliding-window DISTINCT count (r6): exact here (oracle-able);
+    // the scale path is operators/Panes.slidingDistinctViaPanes — HLL
+    // pane sketches unioned per window, one fact shuffle total — pinned
+    // within 5% of this exact key in PanesSpec. Distinct is the aggregate
+    // the plain pane algebra can't merge, i.e. the hard half of the
+    // reference's incremental sliding-agg story.
+    "q_sliding_distinct" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(window(col("ts"), "30 minutes", "10 minutes"))
+        .agg(countDistinct("user_id").as("nd_users"))
+        .select(col("window.start").as("ws"), col("nd_users"))
+        .orderBy("ws")
+    }),
+
     // C3 — session window, 5-minute gap, keyed by user.
     "q_window_session" -> ((s, dir) => {
       T(s, dir, "events")
@@ -361,6 +375,12 @@ object Cep {
          event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
          FROM events, (SELECT unnest(range(3)) AS i) i
          GROUP BY 1, 2 ORDER BY ws, event_type""",
+    "q_sliding_distinct" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts)
+                - i.i * INTERVAL '10 minutes' AS ws,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS nd_users
+         FROM events, (SELECT unnest(range(3)) AS i) i
+         GROUP BY 1 ORDER BY ws""",
     "q_window_session" ->
       """WITH g AS (
            SELECT user_id, ts,

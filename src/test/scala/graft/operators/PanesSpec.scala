@@ -37,6 +37,36 @@ class PanesSpec extends SparkSpec {
       direct.collect().map(_.toSeq).toSet)
   }
 
+  test("slidingDistinctViaPanes: HLL pane union tracks exact + direct (r6)") {
+    val e = Tables.table(spark, sf, "events")
+    // exact distinct users per sliding window (the q_sliding_distinct
+    // oracle semantics)
+    val exact = e
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"))
+      .agg(countDistinct("user_id").as("nd"))
+      .select(col("window.start").as("ws"), col("nd"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    // direct sketch over the window()-expanded rows
+    val direct = e
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+      .select(col("window.start").as("ws"), col("est"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val paned = Panes.slidingDistinctViaPanes(e, "ts", "30 minutes",
+        "10 minutes", "user_id")
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(paned.keySet == exact.keySet && paned.nonEmpty)
+    paned.foreach { case (ws, est) =>
+      val ex = exact(ws)
+      assert(math.abs(est - ex) <= math.max(1L, ex / 20),
+        s"$ws: pane-merged $est vs exact $ex exceeds 5%")
+      val dr = direct(ws)
+      assert(math.abs(est - dr) <= math.max(1L, dr / 100),
+        s"$ws: pane-merged $est vs direct sketch $dr exceeds 1% — " +
+          "the union should be register-equivalent")
+    }
+  }
+
   test("degenerate case: window == slide reduces to tumbling") {
     val e = Tables.table(spark, sf, "events")
     val tumbling = e.groupBy(window(col("ts"), "1 hour"))
