@@ -88,12 +88,16 @@ object StreamOps {
     * Column names must be disjoint except the key columns. */
   def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
       key: Seq[String], leftTs: String, rightTs: String, interval: String,
-      lateness: String): DataFrame = {
+      lateness: String, joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
     val cond = key.map(k => l(k) === r(k)).reduce(_ && _) &&
       r(rightTs) > l(leftTs) &&
       r(rightTs) <= l(leftTs) + expr(s"INTERVAL $interval")
-    l.join(r, cond)
+    // outer types are legal here BECAUSE both sides carry watermarks and
+    // the condition bounds event time both ways: the engine emits the
+    // null-padded row once the watermark proves no match can still
+    // arrive (twin-tested against the batch outer join in StreamJoinSpec)
+    l.join(r, cond, joinType)
   }
 }

@@ -39,6 +39,64 @@ class StreamJoinSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER interval join == batch left join (r6)") {
+    // outer emission is watermark-driven: an unmatched signup emits its
+    // null-padded row only once the watermark proves no on-time purchase
+    // can still arrive — a far-future sentinel on BOTH streams closes
+    // every pending row, then the replay must equal the batch left join
+    implicit val sq = spark.sqlContext
+    val signups = MemoryStream[CepEvent]
+    val purchases = MemoryStream[CepEvent]
+    def shape(df: org.apache.spark.sql.DataFrame, idAs: String,
+        tsAs: String) =
+      df.select(col("event_id").as(idAs), col("user_id"),
+        col("ts").as(tsAs))
+    val joined = StreamOps.streamStreamIntervalJoin(
+        shape(signups.toDF(), "sid", "s_ts"),
+        shape(purchases.toDF(), "pid", "p_ts"),
+        Seq("user_id"), "s_ts", "p_ts", "30 MINUTES", "10 minutes",
+        "left_outer")
+      .select(col("sid"), col("pid"))
+    val name = "ssj_outer_test"
+    val q = joined.writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val ev = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[CepEvent].orderBy("ts", "event_id").collect()
+    ev.grouped(300).foreach { chunk =>
+      signups.addData(chunk.filter(_.event_type == "signup").toSeq)
+      purchases.addData(chunk.filter(_.event_type == "purchase").toSeq)
+      q.processAllAvailable()
+    }
+    val flush = CepEvent(-1L, Timestamp.valueOf("2030-01-01 00:00:00"),
+      -1L, "flush", 0.0)
+    signups.addData(flush); purchases.addData(flush)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).filter(col("sid") =!= -1L)
+      .select(col("sid"), col("pid")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    // batch recomputation: every signup, left-joined to qualifying
+    // purchases under the identical condition
+    val e = Tables.table(spark, sf, "events")
+    val bl = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("sid"), col("user_id"),
+        col("ts").as("s_ts"))
+    val br = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("uid_r"),
+        col("ts").as("p_ts"))
+    val want = bl.join(br,
+        col("user_id") === col("uid_r") && col("p_ts") > col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES"),
+        "left")
+      .select(col("sid"), col("pid")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(got == want && got.nonEmpty)
+    assert(got.exists(_._2 == -1L), "unmatched signups must emit nulls")
+  }
+
   test("stream-static enrichment join (stream x dimension table)") {
     implicit val sq = spark.sqlContext
     val dim = Tables.table(spark, sf, "customer")
