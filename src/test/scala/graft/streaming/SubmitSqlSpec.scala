@@ -120,6 +120,40 @@ class SubmitSqlSpec extends SparkSpec {
     } finally {
       if (q.isActive) q.stop()
     }
+    // quantified run → RunDetector, completed runs only
+    val stream3 = MemoryStream[CepEvent]
+    stream3.toDF().createOrReplaceTempView("pat_events3")
+    val q3 = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_events3
+         MATCH PATTERN (click{3,} THEN purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id""", "svc_runs")
+    try {
+      stream3.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "click", 0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:01:00"), 7, "click", 0),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:02:00"), 7, "click", 0),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 00:10:00"), 7, "purchase", 0),
+        // a 2-click run by user 8 must NOT match
+        CepEvent(5, Timestamp.valueOf("2026-01-01 00:00:00"), 8, "click", 0),
+        CepEvent(6, Timestamp.valueOf("2026-01-01 00:01:00"), 8, "click", 0),
+        CepEvent(7, Timestamp.valueOf("2026-01-01 00:05:00"), 8, "purchase", 0))
+      q3.processAllAvailable()
+      val runs = spark.table("svc_runs")
+        .select("user_id", "run_len").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(runs.toSeq === Seq((7L, 3L)))
+    } finally {
+      if (q3.isActive) q3.stop()
+      spark.catalog.dropTempView("pat_events3")
+    }
+    // NOT after a multi-step chain has no streaming detector → loud
+    val e0 = intercept[IllegalArgumentException] {
+      ContinuousQueries.submitPattern(spark,
+        """SELECT * FROM pat_events2
+           MATCH PATTERN (a THEN b THEN NOT c WITHIN '1' MINUTES)
+           PARTITION BY user_id""", "svc_bad0")
+    }
+    assert(e0.getMessage.contains("no streaming detector"))
     // wrong partition key → loud
     val e1 = intercept[IllegalArgumentException] {
       ContinuousQueries.submitPattern(spark,
