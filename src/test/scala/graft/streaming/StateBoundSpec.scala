@@ -36,4 +36,33 @@ class StateBoundSpec extends SparkSpec {
       s"state rows $maxStateRows exceeded user count $users")
     assert(maxStateRows > 0, "state metrics should have been recorded")
   }
+
+  test("PatternMatch chain state rows stay bounded by key count (r6)") {
+    // the N-step detector keeps a LIST of open partials per key but only
+    // ONE state row per key; partials prune once their window can no
+    // longer complete — same O(open matches) bound as the 2-step machine
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val q = PatternMatch.detect(stream.toDS(),
+        Seq("signup", "click", "purchase"), 24L * 3600 * 1000)
+      .writeStream.queryName("state_bound_chain").format("memory")
+      .outputMode("append").start()
+    val data = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[CepEvent].orderBy("ts", "event_id").collect()
+    val users = data.map(_.user_id).distinct.length
+    var maxStateRows = 0L
+    data.grouped(100).foreach { c =>
+      stream.addData(c.toSeq)
+      q.processAllAvailable()
+      val p = q.lastProgress
+      if (p != null && p.stateOperators.nonEmpty)
+        maxStateRows = math.max(maxStateRows,
+          p.stateOperators.map(_.numRowsTotal).max)
+    }
+    q.stop()
+    assert(maxStateRows <= users,
+      s"state rows $maxStateRows exceeded user count $users")
+    assert(maxStateRows > 0, "state metrics should have been recorded")
+  }
 }
