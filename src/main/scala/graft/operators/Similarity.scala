@@ -119,7 +119,9 @@ object Similarity {
     * cosine), exact top-k within it. `cellCol` is the coarse-quantizer
     * assignment (k-means cell, or any deterministic proxy). */
   def ivfTopK(spark: SparkSession, emb: DataFrame, idCol: String,
-      vecCol: String, cellCol: String, queryId: Long, k: Int): DataFrame = {
+      vecCol: String, cellCol: String, queryId: Long, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
     GraftFunctions.register(spark)
     val asD = emb.select(col(idCol), col(cellCol),
       transform(col(vecCol), _.cast("double")).as("__v"))
@@ -130,10 +132,13 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("__p"), col("__cx")))),
         s => s.getField("__cx")).as("__cv"))
     val q = asD.filter(col(idCol) === queryId).select(col("__v").as("__qv"))
+    // nprobe is THE recall knob: probe the nprobe nearest coarse cells
+    // instead of one — scan cost grows ~linearly in nprobe, recall
+    // approaches exact as nprobe → |cells| (pinned in OperatorsSpec)
     val best = cents.crossJoin(broadcast(q))
       .select(col(cellCol), cs("__cv", "__qv").as("__ccs"))
       .orderBy(desc("__ccs"), asc(cellCol))
-      .limit(1).select(col(cellCol).as("__best"))
+      .limit(nprobe).select(col(cellCol).as("__best"))
     asD.filter(col(idCol) =!= queryId)
       .join(broadcast(best), col(cellCol) === col("__best"))
       .crossJoin(broadcast(q))

@@ -132,6 +132,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ivfTopK nprobe: recall is monotone, exhaustive probe == exact (r6)") {
+    val exact = Similarity.topK(spark, emb, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val nCells = emb.select("label").distinct().count().toInt
+    def recall(np: Int): Double = {
+      val got = Similarity.ivfTopK(spark, emb, "vec_id", "embedding",
+          "label", 0L, 10, np)
+        .select("vec_id").as[Long].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    val rAll = recall(nCells)
+    assert(r2 >= r1, s"recall must not drop as nprobe grows ($r1 -> $r2)")
+    assert(rAll == 1.0,
+      s"probing every cell must recover the exact top-k (got $rAll)")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(spark, emb, "vec_id", "embedding", "label",
+        0L, 10, 0)
+    }
+  }
+
   test("Similarity.lshBuckets: deterministic, collision-friendly for near vectors") {
     val planes = Similarity.hyperplanes(12, 64)
     val b1 = Similarity.lshBuckets(spark, emb, "embedding", planes)
