@@ -54,17 +54,29 @@ object Panes {
       case "max" => max(name(c)).as(name(c))
     }
 
+    paneExpand(df, tsCol, slide, panes, keys,
+      aggs.map(partial), aggs.map(name), aggs.map(merge))
+  }
+
+  /** The shared pane-expansion skeleton both sliding operators ride:
+    * aggregate once per tumbling pane (`partialAggs`), replicate each
+    * pane row into the `panes` windows containing it (carrying
+    * `carryCols`), merge per window (`mergeAggs`). Any fix to the
+    * pane/window alignment lives HERE once. */
+  private def paneExpand(df: DataFrame, tsCol: String, slide: String,
+      panes: Int, keys: Seq[String], partialAggs: Seq[Column],
+      carryCols: Seq[String], mergeAggs: Seq[Column]): DataFrame = {
     val paneAgg = df
       .groupBy((window(col(tsCol), slide).getField("start").as("ps") +:
         keys.map(col)): _*)
-      .agg(partial(aggs.head), aggs.tail.map(partial): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
     paneAgg
       .select((col("*") +: Seq(
         explode(sequence(lit(0), lit(panes - 1))).as("k"))): _*)
       .select((col("ps") - col("k") * expr(s"INTERVAL $slide")).as("ws") +:
-        (keys.map(col) ++ aggs.map(c => col(name(c)))): _*)
+        (keys.map(col) ++ carryCols.map(col)): _*)
       .groupBy(("ws" +: keys).map(col): _*)
-      .agg(merge(aggs.head), aggs.tail.map(merge): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
   }
 
   /** Sliding-window DISTINCT counting via mergeable HLL pane sketches —
@@ -84,18 +96,11 @@ object Panes {
     val panes = (parseDuration(window_) / parseDuration(slide)).toInt
     require(panes.toLong * parseDuration(slide) == parseDuration(window_),
       s"slide must divide window ($window_ / $slide)")
-    val paneAgg = df
-      .groupBy((window(col(tsCol), slide).getField("start").as("ps") +:
-        keys.map(col)): _*)
-      .agg(expr(s"hll_sketch_agg($distinctCol)").as("__sk"))
-    paneAgg
-      .select((col("*") +: Seq(
-        explode(sequence(lit(0), lit(panes - 1))).as("k"))): _*)
-      .select((col("ps") - col("k") * expr(s"INTERVAL $slide")).as("ws") +:
-        (keys.map(col) :+ col("__sk")): _*)
-      .groupBy(("ws" +: keys).map(col): _*)
-      .agg(expr("hll_sketch_estimate(hll_union_agg(__sk))")
-        .as(s"approx_distinct_$distinctCol"))
+    paneExpand(df, tsCol, slide, panes, keys,
+      Seq(expr(s"hll_sketch_agg($distinctCol)").as("__sk")),
+      Seq("__sk"),
+      Seq(expr("hll_sketch_estimate(hll_union_agg(__sk))")
+        .as(s"approx_distinct_$distinctCol")))
   }
 
   /** Duration string → microseconds (delegates to Catalyst's parser). */

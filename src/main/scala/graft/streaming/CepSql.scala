@@ -213,40 +213,6 @@ object CepSql {
     }
   }
 
-  /** Rewrite one MATCH PATTERN statement (see [[patternStmt]]) to plain
-    * Spark SQL — the SQL-string surface for sequence CEP, so a reference
-    * user's continuous pattern text runs through `spark.sql` like the
-    * OVER-window dialect does.
-    *
-    *  - `a THEN b WITHIN '<n>' <unit>`: for each `a` event, the FIRST `b`
-    *    event of the same `key` with ts in (a.ts, a.ts + n unit] — AFTER
-    *    MATCH SKIP TO NEXT ROW, exactly the q_cep_seq formulation (equi
-    *    self-join on the key + range predicate + per-a-row top-1). Output:
-    *    (key, sid, pid, s_ts, p_ts), ordered by sid.
-    *  - `a THEN NOT b WITHIN …`: absence — `a` events with NO qualifying
-    *    `b` (left-anti), the q_cep_absence formulation. Output:
-    *    (sid, key, s_ts), ordered by sid.
-    *  - `e1 THEN e2 THEN e3 [… THEN eN] WITHIN …` (r6): N-step chains.
-    *    Greedy left-to-right: step i is the FIRST `e_i` event of the key
-    *    strictly after the matched `e_{i-1}` and no later than the
-    *    ANCHOR's ts + n unit (the whole chain fits in one window measured
-    *    from step 1 — the standard CEP WITHIN). One match per anchor
-    *    (skip-to-next-row), built as i-1 chained rank-1 joins. Output:
-    *    (key, id_1…id_N, ts_1…ts_N), ordered by id_1. `THEN NOT eN` on
-    *    the final step = matched N-1 prefix with NO completion (anti
-    *    join); `NOT` anywhere else is rejected.
-    *
-    * Event names compare against `typeCol`; event ids come from `idCol`;
-    * both default to the events-table conventions and are overridable via
-    * `spark.graft.cep.typeColumn` / `spark.graft.cep.idColumn` on the
-    * injected-parser path. Batch/interactive surface: the rewrite uses a
-    * ranking window (sequence) / anti join (absence), which Structured
-    * Streaming does not support incrementally — the streaming twins are
-    * [[CepSequence]] / [[AbsenceDetector]] (N-step: [[PatternMatch]]).
-    *
-    * A statement that *mentions* MATCH PATTERN but does not match the
-    * grammar end-to-end is rejected loudly — a silent pass-through would
-    * surface as a confusing Spark parser error on CEP syntax. */
   /** One parsed pattern step: `NOT`? event name, `{m,}` quantifier? */
   case class PatternStep(negated: Boolean, event: String,
       minTimes: Option[Int])
@@ -299,29 +265,67 @@ object CepSql {
       case u if u.startsWith("MIN") => "MINUTES"
       case _                        => "HOURS"
     }
-    PatternSpec(m.group(1), steps, m.group(3).toLong, unit, m.group(5))
+    val n =
+      try m.group(3).toLong
+      catch { case _: NumberFormatException =>
+        malformed(s"WITHIN numeral '${m.group(3)}' out of range") }
+    PatternSpec(m.group(1), steps, n, unit, m.group(5))
   }
 
+  /** Rewrite one MATCH PATTERN statement (see [[patternStmt]]) to plain
+    * Spark SQL — the SQL-string surface for sequence CEP, so a reference
+    * user's continuous pattern text runs through `spark.sql` like the
+    * OVER-window dialect does.
+    *
+    *  - `a THEN b WITHIN '<n>' <unit>`: for each `a` event, the FIRST `b`
+    *    event of the same `key` with ts in (a.ts, a.ts + n unit] — AFTER
+    *    MATCH SKIP TO NEXT ROW, exactly the q_cep_seq formulation (equi
+    *    self-join on the key + range predicate + per-a-row top-1). Output:
+    *    (key, sid, pid, s_ts, p_ts), ordered by sid.
+    *  - `a THEN NOT b WITHIN …`: absence — `a` events with NO qualifying
+    *    `b` (left-anti), the q_cep_absence formulation. Output:
+    *    (sid, key, s_ts), ordered by sid.
+    *  - `e1 THEN e2 THEN e3 [… THEN eN] WITHIN …` (r6): N-step chains.
+    *    Greedy left-to-right: step i is the FIRST `e_i` event of the key
+    *    strictly after the matched `e_{i-1}` and no later than the
+    *    ANCHOR's ts + n unit (the whole chain fits in one window measured
+    *    from step 1 — the standard CEP WITHIN). One match per anchor
+    *    (skip-to-next-row), built as i-1 chained rank-1 joins. Output:
+    *    (key, id_1…id_N, ts_1…ts_N), ordered by id_1. `THEN NOT eN` on
+    *    the final step = matched N-1 prefix with NO completion (anti
+    *    join); `NOT` anywhere else is rejected.
+    *
+    * Event names compare against `typeCol`; event ids come from `idCol`;
+    * both default to the events-table conventions and are overridable via
+    * `spark.graft.cep.typeColumn` / `spark.graft.cep.idColumn` on the
+    * injected-parser path. Batch/interactive surface: the rewrite uses a
+    * ranking window (sequence) / anti join (absence), which Structured
+    * Streaming does not support incrementally — the streaming twins are
+    * [[CepSequence]] / [[AbsenceDetector]] (N-step: [[PatternMatch]]).
+    *
+    * A statement that *mentions* MATCH PATTERN but does not match the
+    * grammar end-to-end is rejected loudly — a silent pass-through would
+    * surface as a confusing Spark parser error on CEP syntax. */
   private def translatePattern(q: String, tsCol: String, typeCol: String,
       idCol: String): String = {
     val spec = parsePattern(q)
     val tbl = spec.table
-    val steps = spec.steps.map(s => (s.negated, s.event, s.minTimes))
+    val steps = spec.steps
     val absent = spec.absent
     val n = spec.n.toString
     val unit = spec.unit
     val key = spec.key
     def bq(c: String) = s"`$c`"
     val (k, t, ty, id) = (bq(key), bq(tsCol), bq(typeCol), bq(idCol))
-    if (steps.head._3.isDefined) {
+    if (steps.head.minTimes.isDefined) {
       // quantified run: the q_cep_times formulation — maximal runs of
       // consecutive evA per key (gaps-and-islands: difference of two
       // row_numbers), length >= mt, then the first evB strictly after the
       // run's END and within the window of it. Sequence output:
       // (key, run_len, run_start, run_end, b_ts); absence output drops
       // b_ts and keeps runs with NO qualifying completion.
-      val mt = steps.head._3.get
-      val (evA, evB) = (steps.head._2, steps.last._2)
+      val mt = steps.head.minTimes.get
+      val (evA, evB) = (steps.head.event, steps.last.event)
       val runs =
         s"""(SELECT $k AS __k, count(*) AS run_len,
            |   min($t) AS run_start, max($t) AS run_end
@@ -351,7 +355,7 @@ object CepSql {
            |ORDER BY $k, run_start""".stripMargin
     } else if (steps.length == 2) {
       // 2-step keeps the original q_cep_seq / q_cep_absence output shape
-      val (evA, evB) = (steps.head._2, steps.last._2)
+      val (evA, evB) = (steps.head.event, steps.last.event)
       val range = s"b.$t > a.$t AND b.$t <= a.$t + INTERVAL $n $unit"
       if (absent)
         s"""SELECT a.$id AS sid, a.$k AS $k, a.$t AS s_ts
@@ -377,9 +381,9 @@ object CepSql {
           (1 to i).map(j => s"ts_$j").mkString(", ")
       var prefix =
         s"""(SELECT $k AS __k, $id AS id_1, $t AS ts_1
-           |   FROM $tbl WHERE $ty = '${chainSteps.head._2}')""".stripMargin
+           |   FROM $tbl WHERE $ty = '${chainSteps.head.event}')""".stripMargin
       for (i <- 2 to chainSteps.length) {
-        val ev = chainSteps(i - 1)._2
+        val ev = chainSteps(i - 1).event
         prefix =
           s"""(SELECT __k, ${cols(i)} FROM (
              |  SELECT p.__k, ${(1 until i).map(j => s"p.id_$j").mkString(", ")},
@@ -396,7 +400,7 @@ object CepSql {
       }
       val np = chainSteps.length
       if (absent) {
-        val evN = steps.last._2
+        val evN = steps.last.event
         s"""SELECT __k AS $k, ${cols(np)}
            |FROM $prefix p
            |LEFT ANTI JOIN (SELECT * FROM $tbl WHERE $ty = '$evN') b

@@ -80,7 +80,7 @@ object ContinuousQueries {
   def submitPattern(spark: SparkSession, patternText: String, name: String,
       lateness: String = "0 seconds"): StreamingQuery = {
     val spec = CepSql.parsePattern(patternText)
-    require(spec.key == "user_id",
+    require(spec.key.equalsIgnoreCase("user_id"),
       s"streaming pattern queries partition by user_id (got '${spec.key}')" +
         " — the detectors key on the events-table convention")
     val src0 = spark.table(spec.table)
@@ -92,6 +92,13 @@ object ContinuousQueries {
     val src = src0.select(col("event_id").cast("long"), col("ts"),
       col("user_id").cast("long"), col("event_type"),
       col("value").cast("double")).as[CepEvent]
+    // `lateness` reaches every arm: the absence/run detectors apply the
+    // watermark themselves (a second upstream one would be a disallowed
+    // redefinition), while the sequence/chain detectors take it via an
+    // explicitly watermarked input — their state pruning reads the
+    // WATERMARK (not the per-batch max), so an out-of-order completion
+    // inside the bound still matches (SubmitSqlSpec pins it).
+    lazy val srcWm = src.withWatermark("ts", lateness)
     val names = spec.steps.map(_.event)
     val out: DataFrame = spec.steps.head.minTimes match {
       case Some(mt) =>
@@ -106,14 +113,14 @@ object ContinuousQueries {
         AbsenceDetector.detect(src, names.head, names.last, spec.withinMs,
           lateness).toDF()
       case None if spec.steps.length == 2 =>
-        CepSequence.detect(src, names.head, names.last, spec.withinMs).toDF()
+        CepSequence.detect(srcWm, names.head, names.last, spec.withinMs).toDF()
       case None if spec.absent =>
         throw new IllegalArgumentException(
           "THEN NOT after a multi-step chain has no streaming detector " +
             "yet — compose PatternMatch with AbsenceDetector on the " +
             "prefix, or run the batch rewrite via CepSql.sql")
       case None =>
-        PatternMatch.detect(src, names, spec.withinMs).toDF()
+        PatternMatch.detect(srcWm, names, spec.withinMs).toDF()
     }
     submitMemory(out, name, "append")
   }

@@ -145,6 +145,8 @@ class CepSqlPropertySpec extends AnyFunSuite {
         "PARTITION BY k", // zero minimum
       "SELECT * FROM t MATCH PATTERN (a{2} THEN b WITHIN '5' MINUTES) " +
         "PARTITION BY k", // exact-count form is not the grammar
+      "SELECT * FROM t MATCH PATTERN (a THEN b WITHIN " +
+        "'99999999999999999999' SECONDS) PARTITION BY k", // numeral > Long
       "SELECT * FROM t MATCH PATTERN (a THEN NOT b THEN c WITHIN '5' " +
         "MINUTES) PARTITION BY k", // NOT off the final step
       "SELECT * FROM t MATCH PATTERN (NOT a THEN b WITHIN '5' MINUTES) " +

@@ -99,6 +99,37 @@ class SubmitSqlSpec extends SparkSpec {
     }
   }
 
+  test("submitPattern honors lateness: out-of-order completion matches") {
+    // batch 1 advances event time to 00:40; batch 2 delivers the
+    // purchase LATE (ts 00:20). With lateness 30m the watermark after
+    // batch 1 is 00:10, so the purchase is on time and the open signup —
+    // pruned only against the WATERMARK, not the batch max — completes.
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    stream.toDF().createOrReplaceTempView("pat_late")
+    val q = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_late
+         MATCH PATTERN (signup THEN purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id""", "svc_late", lateness = "30 minutes")
+    try {
+      stream.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "signup", 0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:40:00"), 9, "view", 0))
+      q.processAllAvailable()
+      assert(spark.table("svc_late").count() === 0)
+      stream.addData( // late but inside the lateness bound
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:20:00"), 7, "purchase", 0))
+      q.processAllAvailable()
+      val got = spark.table("svc_late").select("sid", "pid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 3L)),
+        "a completion inside the lateness bound must still match")
+    } finally {
+      if (q.isActive) q.stop()
+      spark.catalog.dropTempView("pat_late")
+    }
+  }
+
   test("submitPattern: chain and quantified forms dispatch; misuse is loud") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[CepEvent]
