@@ -115,6 +115,35 @@ object Cep {
         .orderBy("user_id", "s_start")
     }),
 
+    // J7c — RANGE-OVERLAP join (r6): ranges × ranges, the temporal shape
+    // the point-in-window interval join can't express — which users were
+    // active AT THE SAME TIME? Sessions (5-min gap) joined on the
+    // half-open overlap predicate (a.start < b.end AND b.start < a.end).
+    // Plan: BANDED — each session explodes into the hour buckets it
+    // touches (span/1h + 1 rows, ~1-2 here) and the join is EQUI on the
+    // bucket, so no cartesian ever forms; a session pair meeting in
+    // several buckets is deduped by counting distinct session identities.
+    // The oracle recomputes sessions + the plain overlap join in DuckDB.
+    "q_join_overlap" -> ((s, dir) => {
+      val sess = T(s, dir, "events")
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"))
+      def banded(u: String) = sess
+        .select(col("user_id").as(u), col("s_start").as(s"${u}_s"),
+          col("s_end").as(s"${u}_e"))
+        .withColumn("h", explode(sequence(
+          date_trunc("hour", col(s"${u}_s")),
+          date_trunc("hour", col(s"${u}_e")), expr("INTERVAL 1 HOUR"))))
+      banded("ua").join(banded("ub"), Seq("h"))
+        .filter(col("ua") < col("ub") &&
+          col("ua_s") < col("ub_e") && col("ub_s") < col("ua_e"))
+        .groupBy("ua", "ub")
+        .agg(countDistinct(struct(col("ua_s"), col("ub_s"))).as("novl"))
+        .orderBy("ua", "ub")
+    }),
+
     // C5 — dedup (batch equivalent of dropDuplicates on the key columns).
     "q_dedup_events" -> ((s, dir) => {
       T(s, dir, "events")
@@ -375,6 +404,29 @@ object Cep {
          event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
          FROM events, (SELECT unnest(range(3)) AS i) i
          GROUP BY 1, 2 ORDER BY ws, event_type""",
+    "q_join_overlap" ->
+      """WITH g AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts) > INTERVAL 5 MINUTE
+               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (
+           SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           FROM g),
+         sess AS (
+           SELECT user_id, min(ts) AS s_start,
+             max(ts) + INTERVAL 5 MINUTE AS s_end
+           FROM s GROUP BY user_id, sess)
+         SELECT a.user_id AS ua, b.user_id AS ub,
+           CAST(count(*) AS BIGINT) AS novl
+         FROM sess a JOIN sess b
+           ON a.user_id < b.user_id
+          AND a.s_start < b.s_end AND b.s_start < a.s_end
+         GROUP BY 1, 2 ORDER BY ua, ub""",
     "q_sliding_distinct" ->
       """SELECT time_bucket(INTERVAL '10 minutes', ts)
                 - i.i * INTERVAL '10 minutes' AS ws,
