@@ -119,23 +119,32 @@ object Cep {
     // the point-in-window interval join can't express — which users were
     // active AT THE SAME TIME? Sessions (5-min gap) joined on the
     // half-open overlap predicate (a.start < b.end AND b.start < a.end).
-    // Plan: BANDED — each session explodes into the hour buckets it
-    // touches (span/1h + 1 rows, ~1-2 here) and the join is EQUI on the
-    // bucket, so no cartesian ever forms; a session pair meeting in
-    // several buckets is deduped by counting distinct session identities.
+    // Plan: BANDED — each session explodes into the 15-min buckets it
+    // touches (span/band + 1 rows, ~1-2 here: sessions span minutes) and
+    // the join is EQUI on the bucket, so no cartesian ever forms. Band
+    // width tunes candidate density (pair candidates grow with
+    // per-bucket density²): measured at sf0.1, hour buckets 1.33 s vs
+    // 15-min bands 0.90 s, both with the session frame cached (without
+    // the cache sessionization runs once PER SIDE: 1.57 s). A session
+    // pair meeting in several buckets is deduped by counting distinct
+    // session identities.
     // The oracle recomputes sessions + the plain overlap join in DuckDB.
     "q_join_overlap" -> ((s, dir) => {
-      val sess = T(s, dir, "events")
+      // both join sides derive from the SAME session frame — cache it so
+      // the sessionization (shuffle + sort) runs once, not per side
+      val sess = graft.Caching.cache(T(s, dir, "events")
         .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("user_id"), col("session_window.start").as("s_start"),
-          col("session_window.end").as("s_end"))
+          col("session_window.end").as("s_end")))
       def banded(u: String) = sess
         .select(col("user_id").as(u), col("s_start").as(s"${u}_s"),
           col("s_end").as(s"${u}_e"))
         .withColumn("h", explode(sequence(
-          date_trunc("hour", col(s"${u}_s")),
-          date_trunc("hour", col(s"${u}_e")), expr("INTERVAL 1 HOUR"))))
+          timestamp_seconds(floor(unix_timestamp(col(s"${u}_s")) / 900)
+            .cast("long") * 900),
+          timestamp_seconds(floor(unix_timestamp(col(s"${u}_e")) / 900)
+            .cast("long") * 900), expr("INTERVAL 15 MINUTES"))))
       banded("ua").join(banded("ub"), Seq("h"))
         .filter(col("ua") < col("ub") &&
           col("ua_s") < col("ub_e") && col("ub_s") < col("ua_e"))
