@@ -83,6 +83,19 @@ class StreamingTwinSpec extends SparkSpec {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("windowed approx-distinct: streaming sketch merge == batch (r6)") {
+    // HLL partials merge in the state store exactly as in a batch
+    // shuffle (register-wise max, order-independent) — the streamed
+    // sliding approx-distinct must equal the batch plan bit-for-bit
+    def op(df: DataFrame): DataFrame = df
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"))
+      .agg(approx_count_distinct("user_id").as("nd"))
+      .select(col("window.start").as("ws"), col("nd"))
+    val batch = op(eventsDf)
+    val stream = streamed(op, "complete")
+    assert(rows(stream) == rows(batch) && rows(batch).nonEmpty)
+  }
+
   test("dynamic-gap session windows: streaming == oracle-gated batch (r6)") {
     // same sentinel-flush shape as the fixed-gap twin; the gap is a
     // per-event expression (click 5 min, else 15 min) — q_session_dynamic
