@@ -128,6 +128,43 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // L2b2 — simhash NEAR-DUP PAIRS via pigeonhole blocking (r6): the
+    // signature alone (q_simhash) doesn't find duplicates — this key
+    // extracts the pairs within Hamming distance 3, SUB-QUADRATICALLY.
+    // Pigeonhole: split the 32-bit simhash into 4 byte chunks; any pair
+    // within distance 3 must agree on >= 1 whole chunk, so candidates
+    // come from 4 chunk-equality joins (one equi shuffle on (chunk#,
+    // value)) — never all pairs. bit_count(a XOR b) then filters exactly;
+    // the DuckDB oracle recomputes with the O(n²) predicate directly.
+    "q_simhash_pairs" -> ((s, dir) => {
+      val tok = T(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10)
+          .cast("long"))
+      val sums = (0 until 32).map(j =>
+        sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1L)
+          .otherwise(-1L)).as(s"s$j"))
+      val sh = graft.Caching.cache(
+        tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+          .select(col("doc_id"),
+            (0 until 32).map(j =>
+              when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+              .reduce(_ + _).as("simhash")))
+      def chunked(id: String, hc: String) = sh
+        .select(col("doc_id").as(id), col("simhash").as(hc),
+          posexplode(array((0 until 4).map(c =>
+            shiftright(col("simhash"), 8 * c).bitwiseAND(lit(255L))): _*))
+            .as(Seq("c", "v")))
+      chunked("a", "ha").join(chunked("b", "hb"), Seq("c", "v"))
+        .filter(col("a") < col("b"))
+        .select("a", "b", "ha", "hb").distinct() // pairs agree on 2+ chunks
+        .withColumn("dist",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .filter(col("dist") <= 3)
+        .select("a", "b", "dist")
+        .orderBy("a", "b")
+    }),
+
     // L2c — n-gram Jaccard near-dup via a true inverted index: grams
     // group per (lang, gram) posting list, UNIQUE grams (the vast
     // majority of word 4-grams) are dropped before any pair exists —
@@ -478,6 +515,27 @@ object TextOps {
     "q_multimodal_meta" ->
       """SELECT doc_id, strlen(text) AS nbytes, sha256(text) AS digest
          FROM documents ORDER BY doc_id""",
+    "q_simhash_pairs" -> {
+      val sums = (0 until 32).map(j =>
+        s"sum(CASE WHEN (h & ${1L << j}) <> 0 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(", ")
+      val bits = (0 until 32).map(j =>
+        s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+          h AS (
+            SELECT doc_id,
+              CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT) AS h
+            FROM tok),
+          b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+          sh AS (SELECT doc_id, $bits AS simhash FROM b)
+          SELECT a.doc_id AS a, b.doc_id AS b,
+            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            AND bit_count(xor(a.simhash, b.simhash)) <= 3
+          ORDER BY a, b"""
+    },
     "q_simhash" -> {
       val sums = (0 until 32).map(j =>
         s"sum(CASE WHEN (h & ${1L << j}) <> 0 THEN 1 ELSE -1 END) AS s$j")
