@@ -78,6 +78,20 @@ class PlanShapeSpec extends SparkSpec {
       s"rank filter must push down as WindowGroupLimit:\n$p")
   }
 
+  test("banded/blocked pair keys never plan a cartesian product (r6)") {
+    // the whole point of the banded overlap join and the pigeonhole
+    // simhash blocking is that candidates come from EQUI joins — a
+    // cartesian (or broadcast nested loop) anywhere means the blocking
+    // regressed to all-pairs
+    Seq("q_join_overlap", "q_simhash_pairs").foreach { k =>
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"),
+        s"$k must not plan a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$k must not plan a nested-loop join:\n$p")
+    }
+  }
+
   test("q_scan_project prunes the lineitem scan to the used columns") {
     val p = plan("q_scan_project")
     val scanLine = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
