@@ -65,6 +65,24 @@ class PanesSpec extends SparkSpec {
         s"$ws: pane-merged $est vs direct sketch $dr exceeds 1% — " +
           "the union should be register-equivalent")
     }
+    // keyed form: per-(window, event_type) distinct users, same bound
+    val exactKeyed = e
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"),
+        col("event_type"))
+      .agg(countDistinct("user_id").as("nd"))
+      .select(col("window.start").as("ws"), col("event_type"), col("nd"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val panedKeyed = Panes.slidingDistinctViaPanes(e, "ts", "30 minutes",
+        "10 minutes", "user_id", Seq("event_type"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(panedKeyed.keySet == exactKeyed.keySet && panedKeyed.nonEmpty)
+    panedKeyed.foreach { case (k, est) =>
+      val ex = exactKeyed(k)
+      assert(math.abs(est - ex) <= math.max(1L, ex / 20),
+        s"$k: keyed pane-merged $est vs exact $ex exceeds 5%")
+    }
   }
 
   test("degenerate case: window == slide reduces to tumbling") {
