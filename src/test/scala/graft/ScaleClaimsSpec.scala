@@ -14,10 +14,10 @@ class ScaleClaimsSpec extends SparkSpec {
     val wh = Files.createTempDirectory("graft_bucketed").toFile.getAbsolutePath
     val o = Tables.table(spark, sf, "orders")
     val l = Tables.table(spark, sf, "lineitem")
-    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
-    l.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$wh/lineitem_b").saveAsTable("lineitem_b")
+    graft.sources.Layout.writeBucketed(o, "orders_b", s"$wh/orders_b",
+      "o_orderkey")
+    graft.sources.Layout.writeBucketed(l, "lineitem_b", s"$wh/lineitem_b",
+      "l_orderkey")
     try {
       val j = spark.table("orders_b").join(spark.table("lineitem_b"),
         col("o_orderkey") === col("l_orderkey"))
@@ -41,10 +41,9 @@ class ScaleClaimsSpec extends SparkSpec {
 
   test("date-partitioned events layout prunes time-window scans") {
     val dir = Files.createTempDirectory("graft_part").toFile.getAbsolutePath
-    val e = Tables.table(spark, sf, "events")
-      .withColumn("date", to_date(col("ts")))
-    e.write.mode("overwrite").partitionBy("date").parquet(dir)
-    val filtered = spark.read.parquet(dir)
+    graft.sources.Layout.writeDatePartitioned(
+      Tables.table(spark, sf, "events"), dir)
+    val filtered = graft.sources.Layout.readDatePartitioned(spark, dir)
       .filter(col("date") === "2024-01-05")
     filtered.collect()
     val p = filtered.queryExecution.executedPlan.toString()
@@ -53,7 +52,7 @@ class ScaleClaimsSpec extends SparkSpec {
       scanLine.contains("2024-01-05"),
       s"partition filter must reach the scan: $scanLine")
     // pruning is real: the pruned scan reads exactly the one partition
-    val allDates = spark.read.parquet(dir)
+    val allDates = graft.sources.Layout.readDatePartitioned(spark, dir)
     assert(filtered.count() ==
       allDates.filter(col("date") === "2024-01-05").count())
     val prunedFiles = filtered.queryExecution.executedPlan.collectLeaves()
