@@ -86,6 +86,19 @@ object StreamOps {
     * rows once the watermark passes leftTs + interval) — the property the
     * reference obtained by windowing both streams before joining.
     * Column names must be disjoint except the key columns. */
+  /** Attach named per-batch metrics to a stream (the engine-monitoring
+    * surface; the reference exposed engine counters — Structured
+    * Streaming's `observe` is the native form): every micro-batch's
+    * progress carries `rows`, `max_ts`, and `null_keys` under `name` in
+    * `StreamingQueryProgress.observedMetrics`, with zero effect on the
+    * query's results (pinned in StreamingTwinSpec). Works on batch
+    * frames too (read via QueryExecutionListener). */
+  def withMetrics(df: DataFrame, name: String,
+      tsCol: String = "ts", keyCol: String = "user_id"): DataFrame =
+    df.observe(name, count(lit(1)).as("rows"),
+      max(col(tsCol)).as("max_ts"),
+      count(when(col(keyCol).isNull, 1)).as("null_keys"))
+
   def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
       key: Seq[String], leftTs: String, rightTs: String, interval: String,
       lateness: String, joinType: String = "inner"): DataFrame = {

@@ -83,6 +83,31 @@ class StreamingTwinSpec extends SparkSpec {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("observe metrics ride the stream without changing results (r6)") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = "twin_observed"
+    val q = StreamOps.tumblingCounts(
+        StreamOps.withMetrics(stream.toDF(), "ingest"), "1 hour")
+      .writeStream.queryName(name).format("memory")
+      .outputMode("complete").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    var seenRows = 0L
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq)
+      q.processAllAvailable()
+      val om = q.lastProgress.observedMetrics
+      if (om.containsKey("ingest"))
+        seenRows += om.get("ingest").getAs[Long]("rows")
+    }
+    q.stop()
+    assert(seenRows == data.length,
+      s"per-batch observed rows must sum to the input ($seenRows)")
+    // and the metrics are a pure tap: results equal the unobserved twin
+    val want = rows(StreamOps.tumblingCounts(eventsDf, "1 hour"))
+    assert(rows(spark.table(name)) == want)
+  }
+
   test("windowed approx-distinct: streaming sketch merge == batch (r6)") {
     // HLL partials merge in the state store exactly as in a batch
     // shuffle (register-wise max, order-independent) — the streamed
