@@ -335,6 +335,17 @@ object Cep {
            PARTITION BY user_id""")
     }),
 
+    // EP1b2 — absence CEP from SQL TEXT (the fourth and last pattern
+    // form under the oracle gate): THEN NOT rewrites to the left-anti
+    // q_cep_absence formulation; the oracle is that key's recomputation.
+    "q_pattern_absence" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * FROM events
+           MATCH PATTERN (signup THEN NOT purchase WITHIN '30' MINUTES)
+           PARTITION BY user_id""")
+    }),
+
     // EP1c — N-step chain CEP from SQL TEXT (r6 dialect extension):
     // signup → first click after it → first purchase after that, whole
     // chain within 24 h of the signup, one greedy match per signup
@@ -494,6 +505,14 @@ object Cep {
             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE) t
          WHERE rn = 1 ORDER BY sid""",
     "q_cep_absence" ->
+      """SELECT a.event_id AS sid, a.user_id, a.ts AS s_ts
+         FROM events a
+         WHERE a.event_type = 'signup' AND NOT EXISTS (
+           SELECT 1 FROM events b
+           WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE)
+         ORDER BY sid""",
+    "q_pattern_absence" ->
       """SELECT a.event_id AS sid, a.user_id, a.ts AS s_ts
          FROM events a
          WHERE a.event_type = 'signup' AND NOT EXISTS (
