@@ -13,7 +13,8 @@ object PlanDump {
     Files.createDirectories(Paths.get("docs/plans"))
     val keys = Seq("q_window_tumbling", "q_join_broadcast", "q_topk",
       "q_agg_groupby", "q_cosine_topk", "q_minhash_band", "q_join_asof",
-      "q_join_bloom", "q_topk_group", "q_join_theta", "q_pattern_chain")
+      "q_join_bloom", "q_topk_group", "q_join_theta", "q_pattern_chain",
+      "q_join_overlap", "q_simhash_pairs", "q_sliding_distinct")
     keys.foreach { k =>
       val df = graft.SparkEntry.queries(k)(spark, dir)
       df.collect() // finalize AQE so the committed plan is the real one
