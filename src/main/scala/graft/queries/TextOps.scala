@@ -75,6 +75,45 @@ object TextOps {
         col("bs.band_sig").as("band_sig"))
   }
 
+
+  /** (doc_id, simhash) — the 32-bit md5-based simhash signature frame
+    * shared by q_simhash (the signature surface) and q_simhash_pairs
+    * (pigeonhole near-dup extraction): token hash = first 8 md5 hex chars
+    * as an integer (bit-identical in DuckDB), frequency-weighted sign
+    * sums per bit, one aggregation pass. */
+  private[graft] def simhashFrame(d: DataFrame): DataFrame = {
+    val tok = d.select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10)
+        .cast("long"))
+    val sums = (0 until 32).map(j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1L)
+        .otherwise(-1L)).as(s"s$j"))
+    tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** The matching DuckDB SQL for [[simhashFrame]] — a CTE chain ending in
+    * `sh(doc_id, simhash)`, shared by both simhash oracles. */
+  private def simhashOracleCtes: String = {
+    val sums = (0 until 32).map(j =>
+      s"sum(CASE WHEN (h & ${1L << j}) <> 0 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val bits = (0 until 32).map(j =>
+      s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+            CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT) AS h
+          FROM tok),
+        b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+        sh AS (SELECT doc_id, $bits AS simhash FROM b)"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L1 — exact dedup: content hash → keeper (min doc_id) + group size.
     // At 100 TB: single shuffle on the 256-bit hash; skew-free by design.
@@ -112,21 +151,8 @@ object TextOps {
     // doc). The xxhash64 64-bit scale variant is operators.Dedup.simhash
     // (ScalaTest-pinned); this declared key proves the algorithm
     // cross-engine.
-    "q_simhash" -> ((s, dir) => {
-      val tok = T(s, dir, "documents")
-        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
-        .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10)
-          .cast("long"))
-      val sums = (0 until 32).map(j =>
-        sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1L)
-          .otherwise(-1L)).as(s"s$j"))
-      tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"),
-          (0 until 32).map(j =>
-            when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
-            .reduce(_ + _).as("simhash"))
-        .orderBy("doc_id")
-    }),
+    "q_simhash" -> ((s, dir) =>
+      simhashFrame(T(s, dir, "documents")).orderBy("doc_id")),
 
     // L2b2 — simhash NEAR-DUP PAIRS via pigeonhole blocking (r6): the
     // signature alone (q_simhash) doesn't find duplicates — this key
@@ -137,19 +163,7 @@ object TextOps {
     // value)) — never all pairs. bit_count(a XOR b) then filters exactly;
     // the DuckDB oracle recomputes with the O(n²) predicate directly.
     "q_simhash_pairs" -> ((s, dir) => {
-      val tok = T(s, dir, "documents")
-        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
-        .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10)
-          .cast("long"))
-      val sums = (0 until 32).map(j =>
-        sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1L)
-          .otherwise(-1L)).as(s"s$j"))
-      val sh = graft.Caching.cache(
-        tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-          .select(col("doc_id"),
-            (0 until 32).map(j =>
-              when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
-              .reduce(_ + _).as("simhash")))
+      val sh = graft.Caching.cache(simhashFrame(T(s, dir, "documents")))
       def chunked(id: String, hc: String) = sh
         .select(col("doc_id").as(id), col("simhash").as(hc),
           posexplode(array((0 until 4).map(c =>
@@ -515,43 +529,16 @@ object TextOps {
     "q_multimodal_meta" ->
       """SELECT doc_id, strlen(text) AS nbytes, sha256(text) AS digest
          FROM documents ORDER BY doc_id""",
-    "q_simhash_pairs" -> {
-      val sums = (0 until 32).map(j =>
-        s"sum(CASE WHEN (h & ${1L << j}) <> 0 THEN 1 ELSE -1 END) AS s$j")
-        .mkString(", ")
-      val bits = (0 until 32).map(j =>
-        s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-      s"""WITH tok AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS w
-            FROM documents),
-          h AS (
-            SELECT doc_id,
-              CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT) AS h
-            FROM tok),
-          b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
-          sh AS (SELECT doc_id, $bits AS simhash FROM b)
+    "q_simhash_pairs" ->
+      s"""$simhashOracleCtes
           SELECT a.doc_id AS a, b.doc_id AS b,
             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             AND bit_count(xor(a.simhash, b.simhash)) <= 3
-          ORDER BY a, b"""
-    },
-    "q_simhash" -> {
-      val sums = (0 until 32).map(j =>
-        s"sum(CASE WHEN (h & ${1L << j}) <> 0 THEN 1 ELSE -1 END) AS s$j")
-        .mkString(", ")
-      val bits = (0 until 32).map(j =>
-        s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-      s"""WITH tok AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS w
-            FROM documents),
-          h AS (
-            SELECT doc_id,
-              CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT) AS h
-            FROM tok),
-          b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
-          SELECT doc_id, $bits AS simhash FROM b ORDER BY doc_id"""
-    },
+          ORDER BY a, b""",
+    "q_simhash" ->
+      s"""$simhashOracleCtes
+          SELECT doc_id, simhash FROM sh ORDER BY doc_id""",
     "q_split_hash" ->
       """SELECT doc_id,
            strpos('0123456789abcdef',

@@ -32,9 +32,14 @@ object Layout {
   /** Write `df` partitioned by the DATE of `tsCol` at `path` — the
     * event-data layout whose time filters prune at planning time. */
   def writeDatePartitioned(df: DataFrame, path: String,
-      tsCol: String = "ts"): Unit =
+      tsCol: String = "ts"): Unit = {
+    require(!df.columns.contains("date"),
+      "the frame already has a 'date' column — the layout derives its " +
+        "partition column from " + tsCol + " and would silently replace " +
+        "yours; rename it first")
     df.withColumn("date", to_date(col(tsCol)))
       .write.mode("overwrite").partitionBy("date").parquet(path)
+  }
 
   /** Read a [[writeDatePartitioned]] layout; filter on `date` to prune. */
   def readDatePartitioned(spark: SparkSession, path: String): DataFrame =

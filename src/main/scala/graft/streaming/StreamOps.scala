@@ -79,13 +79,6 @@ object StreamOps {
   def withLateness(events: DataFrame, delay: String): DataFrame =
     events.withWatermark("ts", delay)
 
-  /** Stream–stream interval join (SURVEY §2.3 J9): rows of `right` within
-    * (leftTs, leftTs + interval] of a matching-key `left` row, both sides
-    * unbounded streams. The watermarks + the time-range condition bound
-    * the join state on both sides (StreamingSymmetricHashJoinExec evicts
-    * rows once the watermark passes leftTs + interval) — the property the
-    * reference obtained by windowing both streams before joining.
-    * Column names must be disjoint except the key columns. */
   /** Attach named per-batch metrics to a stream (the engine-monitoring
     * surface; the reference exposed engine counters — Structured
     * Streaming's `observe` is the native form): every micro-batch's
@@ -99,6 +92,13 @@ object StreamOps {
       max(col(tsCol)).as("max_ts"),
       count(when(col(keyCol).isNull, 1)).as("null_keys"))
 
+  /** Stream–stream interval join (SURVEY §2.3 J9): rows of `right` within
+    * (leftTs, leftTs + interval] of a matching-key `left` row, both sides
+    * unbounded streams. The watermarks + the time-range condition bound
+    * the join state on both sides (StreamingSymmetricHashJoinExec evicts
+    * rows once the watermark passes leftTs + interval) — the property the
+    * reference obtained by windowing both streams before joining.
+    * Column names must be disjoint except the key columns. */
   def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
       key: Seq[String], leftTs: String, rightTs: String, interval: String,
       lateness: String, joinType: String = "inner"): DataFrame = {

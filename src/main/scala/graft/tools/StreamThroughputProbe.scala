@@ -29,6 +29,8 @@ object StreamThroughputProbe {
       .writeStream.queryName("tp").format("memory")
       .outputMode("complete").start()
     // warm one micro-batch, then time the remaining replay
+    require(data.length >= 2 && chunks >= 2,
+      s"need >= 2 events and >= 2 chunks (got ${data.length} / $chunks)")
     val groups = data.grouped(math.max(1, data.length / chunks)).toSeq
     stream.addData(groups.head.toSeq); q.processAllAvailable()
     val n = groups.tail.map(_.length).sum
