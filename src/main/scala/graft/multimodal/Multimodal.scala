@@ -34,12 +34,18 @@ case class SampledFrame(media_id: Long, frame_no: Int,
   * cheap audio fingerprint for curation: silence/clipping detection,
   * coarse near-dup blocking). Same quarantine shape on failure.
   *
-  * VIDEO: the JDK has no general video codec, so video-kind FEATURES
-  * keep the DOCUMENTED deterministic stub [[stubFeatures]] — but frame
-  * SAMPLING is real for animated GIF ([[sampleGifFrames]]: true
-  * per-frame extraction via ImageIO's multi-frame reader, each sampled
-  * frame re-encoded PNG and decodable by [[decode]]). Either way the
-  * Spark shape is the production one:
+  * VIDEO CONTAINER METADATA IS REAL (r7): `kind = "video*"` payloads go
+  * through [[VideoMeta]] — a pure-JVM MP4 box walk (`moov/trak/tkhd`
+  * dims, `mvhd` duration) and AVI RIFF `avih` header parse, public
+  * format specs, no codec — true width/height plus duration-seconds as
+  * the feature. The JDK has no general video codec, so frame PIXELS
+  * remain out of reach; unparseable video quarantines as `-1` like every
+  * other kind, and frame SAMPLING is real for animated GIF
+  * ([[sampleGifFrames]]: true per-frame extraction via ImageIO's
+  * multi-frame reader, each sampled frame re-encoded PNG and decodable
+  * by [[decode]]). [[stubFeatures]] now covers only kinds that are
+  * neither image, audio, nor video. Either way the Spark shape is the
+  * production one:
   *
   *   - schema: `(media_id LONG, kind STRING, payload BINARY)` + metadata;
   *   - execution: `mapPartitions` — partition-local, iterator-to-iterator
@@ -49,8 +55,9 @@ case class SampledFrame(media_id: Long, frame_no: Int,
   *     vectors (small) flow onward, so repartition BEFORE decode by
   *     `media_id` to spread codec CPU, not after.
   *
-  * A real deployment swaps [[stubFeatures]] for its video codec call;
-  * nothing else changes.
+  * A real deployment swaps [[stubFeatures]] for whatever decoder its
+  * leftover kinds need, and extends [[decodeVideo]]'s features with a
+  * codec's frame-level signal; nothing else changes.
   */
 object Multimodal {
   /** Wrap any table into the canonical media frame (here: text bytes as
@@ -61,9 +68,10 @@ object Multimodal {
       lit(kind).as("kind"),
       col(payloadCol).cast("binary").as("payload"))
 
-  /** STUB features for kinds with no JDK codec (video):
+  /** STUB features for kinds outside image/audio/video (no decoder OF
+    * ANY KIND applies — e.g. ad-hoc binary blobs in the media frame):
     * deterministic pseudo-metadata + an 8-dim feature vector from payload
-    * bytes. Replace with a real codec at deployment. */
+    * bytes. Replace with a real decoder at deployment. */
   private[multimodal] def stubFeatures(id: Long, kind: String,
       payload: Array[Byte]): MediaFeatures = {
     var h = 0xcbf29ce484222325L
@@ -173,16 +181,38 @@ object Multimodal {
     } catch { case _: Exception => quarantine } // truncated/hostile bytes
   }
 
+  /** REAL video container metadata via [[VideoMeta]] (MP4 box walk /
+    * AVI RIFF header — pure JVM, public specs, no codec): true
+    * width/height plus duration (seconds) as a 1-element feature vector.
+    * Frame pixels still need a codec the JDK lacks, so that is the
+    * feature surface a container can honestly provide. Unparseable
+    * payloads return the `width = height = -1` quarantine, the same loud
+    * flag as [[decodeImage]] — never hash-derived fake dims. */
+  private[multimodal] def decodeVideo(id: Long, kind: String,
+      payload: Array[Byte]): MediaFeatures =
+    VideoMeta.parse(payload) match {
+      case Some(v) =>
+        MediaFeatures(id, kind, v.width, v.height, payload.length.toLong,
+          Array((v.durationMs / 1000.0).toFloat))
+      case None =>
+        MediaFeatures(id, kind, -1, -1, payload.length.toLong,
+          Array.empty[Float])
+    }
+
   private[multimodal] def decodeBytes(id: Long, kind: String,
       payload: Array[Byte]): MediaFeatures =
     if (kind != null && kind.startsWith("image")) decodeImage(id, kind, payload)
     else if (kind != null && kind.startsWith("audio"))
       decodeAudio(id, kind, payload)
+    else if (kind != null && kind.startsWith("video"))
+      decodeVideo(id, kind, payload)
     else stubFeatures(id, kind, payload)
 
   /** Batch decode: partition-local, iterator-to-iterator. Image kinds
     * decode for real (ImageIO), audio kinds decode for real
-    * (javax.sound.sampled); video takes the documented stub. */
+    * (javax.sound.sampled), video kinds parse REAL container metadata
+    * (MP4/AVI headers — [[decodeVideo]]); only kinds outside
+    * image/audio/video take the documented stub. */
   def decode(media: DataFrame): Dataset[MediaFeatures] = {
     val enc = Encoders.product[MediaFeatures]
     media.select("media_id", "kind", "payload")
@@ -274,6 +304,14 @@ object Multimodal {
     * the ORIGINAL frame index, and each `frame_bytes` feeds straight back
     * into [[decode]]. Same shape a real video pipeline produces from its
     * codec; same partition-local `mapPartitions` execution as [[decode]].
+    *
+    * FRAME SEMANTICS: frames are the RAW STORED frames as
+    * `ImageReader.read(i)` returns them. For delta-optimized GIFs
+    * (frames stored as sub-rectangles over a disposal canvas) a sampled
+    * frame may be a partial rect, not the composited visible frame —
+    * compositing would need the IIOMetadata offsets/disposal chain. The
+    * dims reported are the stored frame's, which is exactly what
+    * [[decode]] will re-report when fed `frame_bytes`.
     * Undecodable/single-frame-failed payloads emit ZERO rows plus nothing
     * else (a corrupt asset must not kill the 100 TB stage; its absence
     * from the output IS the quarantine signal — count-join against the

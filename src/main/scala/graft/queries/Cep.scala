@@ -370,6 +370,48 @@ object Cep {
         """SELECT * FROM events
            MATCH PATTERN (click{3,} THEN purchase WITHIN '12' HOURS)
            PARTITION BY user_id""")
+    }),
+
+    // EP1e — ALTERNATION from SQL TEXT (r7 dialect extension): a step may
+    // name several event types (`click|purchase` matches either); the
+    // rewrite widens the type predicate to IN. Same greedy rank-1
+    // semantics and output shape as q_pattern_sql.
+    "q_pattern_alt" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * FROM events
+           MATCH PATTERN (signup THEN click|purchase WITHIN '30' MINUTES)
+           PARTITION BY user_id""")
+    }),
+
+    // EP1f — MID-CHAIN {m,} QUANTIFIER from SQL TEXT (r7): a quantified
+    // step anywhere in the chain matches the FIRST maximal run of >= m
+    // consecutive events of its class that starts after the previous
+    // step and ends inside the anchor window (whole-run semantics). A
+    // quantified step contributes (len_i, ts_i = run end) to the output.
+    "q_pattern_mid_times" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * FROM events
+           MATCH PATTERN (signup THEN click{2,} THEN purchase WITHIN '24' HOURS)
+           PARTITION BY user_id""")
+    }),
+
+    // EP1g — AFTER MATCH SKIP PAST LAST ROW from SQL TEXT (r7): greedy
+    // NON-overlapping matches (the next match anchors strictly after the
+    // previous match's last row; a failed anchor consumes nothing).
+    // CepSql.sql dispatches to the SkipMatch linear-scan operator (one
+    // shuffle, no recursion); CepSql.translate emits an equivalent
+    // recursive CTE for the pure-text path — SkipMatchSpec pins the two
+    // equal, and the oracle below recomputes the greedy recursion in
+    // DuckDB independently.
+    "q_pattern_skip" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * FROM events
+           MATCH PATTERN (signup THEN purchase WITHIN '30' MINUTES)
+           PARTITION BY user_id
+           AFTER MATCH SKIP PAST LAST ROW""")
     })
   )
 
@@ -572,6 +614,85 @@ object Cep {
            ON b.user_id = r.user_id AND b.event_type = 'purchase'
           AND b.ts > r.run_end AND b.ts <= r.run_end + INTERVAL 12 HOUR
          GROUP BY 1, 2, 3, 4 ORDER BY r.user_id, run_start""",
+    "q_pattern_alt" ->
+      """SELECT user_id, sid, pid, s_ts, p_ts FROM (
+           SELECT a.user_id, a.event_id AS sid, b.event_id AS pid,
+             a.ts AS s_ts, b.ts AS p_ts,
+             row_number() OVER (PARTITION BY a.event_id
+                                ORDER BY b.ts, b.event_id) AS rn
+           FROM events a JOIN events b
+             ON a.user_id = b.user_id
+            AND a.event_type = 'signup'
+            AND b.event_type IN ('click', 'purchase')
+            AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE) t
+         WHERE rn = 1 ORDER BY sid""",
+    "q_pattern_mid_times" ->
+      """WITH o AS (
+           SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS grp
+           FROM events),
+         runs AS (
+           SELECT user_id, grp, count(*) AS run_len,
+             min(ts) AS run_start, max(ts) AS run_end
+           FROM o WHERE event_type = 'click'
+           GROUP BY user_id, grp HAVING count(*) >= 2),
+         s1 AS (
+           SELECT user_id AS k, event_id AS id_1, ts AS ts_1 FROM events
+           WHERE event_type = 'signup'),
+         s2 AS (
+           SELECT k, id_1, run_len AS len_2, ts_1, run_end AS ts_2 FROM (
+             SELECT p.k, p.id_1, r.run_len, p.ts_1, r.run_end,
+               row_number() OVER (PARTITION BY p.id_1
+                                  ORDER BY r.run_start, r.run_end) AS rn
+             FROM s1 p JOIN runs r
+               ON p.k = r.user_id AND r.run_start > p.ts_1
+              AND r.run_end <= p.ts_1 + INTERVAL 24 HOUR) WHERE rn = 1),
+         s3 AS (
+           SELECT k, id_1, len_2, id_3, ts_1, ts_2, ts_3 FROM (
+             SELECT p.k, p.id_1, p.len_2, b.event_id AS id_3,
+               p.ts_1, p.ts_2, b.ts AS ts_3,
+               row_number() OVER (PARTITION BY p.id_1
+                                  ORDER BY b.ts, b.event_id) AS rn
+             FROM s2 p JOIN events b
+               ON p.k = b.user_id AND b.event_type = 'purchase'
+              AND b.ts > p.ts_2 AND b.ts <= p.ts_1 + INTERVAL 24 HOUR)
+           WHERE rn = 1)
+         SELECT k AS user_id, id_1, len_2, id_3, ts_1, ts_2, ts_3
+         FROM s3 ORDER BY id_1""",
+    "q_pattern_skip" ->
+      """WITH RECURSIVE
+         s AS (SELECT user_id AS k, event_id AS sid, ts AS s_ts
+               FROM events WHERE event_type = 'signup'),
+         p AS (SELECT user_id AS k, event_id AS pid, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+         m AS (
+           SELECT k, sid, s_ts, pid, p_ts FROM (
+             SELECT s.k, s.sid, s.s_ts, p.pid, p.p_ts,
+               row_number() OVER (PARTITION BY s.k
+                 ORDER BY s.s_ts, s.sid, p.p_ts, p.pid) AS rn
+             FROM s JOIN p ON s.k = p.k AND p.p_ts > s.s_ts
+              AND p.p_ts <= s.s_ts + INTERVAL 30 MINUTE
+             QUALIFY row_number() OVER (PARTITION BY s.k, s.sid
+                       ORDER BY p.p_ts, p.pid) = 1
+           ) t WHERE rn = 1
+           UNION ALL
+           SELECT nxt.k, nxt.sid, nxt.s_ts, nxt.pid, nxt.p_ts FROM m,
+           LATERAL (
+             SELECT s.k, s.sid, s.s_ts, p.pid, p.p_ts
+             FROM s JOIN p ON s.k = p.k AND p.p_ts > s.s_ts
+              AND p.p_ts <= s.s_ts + INTERVAL 30 MINUTE
+             WHERE s.k = m.k AND (s.s_ts > m.p_ts
+               OR (s.s_ts = m.p_ts AND s.sid > m.pid))
+             ORDER BY s.s_ts, s.sid, p.p_ts, p.pid
+             LIMIT 1
+           ) nxt
+         )
+         SELECT k AS user_id, sid AS id_1, pid AS id_2,
+           s_ts AS ts_1, p_ts AS ts_2
+         FROM m ORDER BY id_1""",
     "q_pattern_chain" ->
       """WITH s1 AS (
            SELECT user_id AS k, event_id AS id_1, ts AS ts_1 FROM events

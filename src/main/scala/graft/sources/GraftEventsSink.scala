@@ -16,15 +16,24 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * high-water BATCH mark: a replayed batchId ≤ the mark is skipped
   * whole. A batch's payloads land in one atomic `addAll` (the broker's
   * CopyOnWriteArrayList), so a batch is either fully applied or not at
-  * all — the two together give exactly-once topic contents, the same
-  * contract the Kafka sink gets from transactional producers.
+  * all — the two together give exactly-once topic contents. SCOPE: the
+  * mark lives in a JVM-static map, like the broker itself — the
+  * guarantee covers SAME-JVM restarts (stop/start a query, new query
+  * over an existing checkpoint). Cross-process durability would need
+  * the mark persisted alongside the checkpoint; transactional Kafka
+  * producers get that from the broker side, this test/DDL-coverage
+  * infra deliberately does not.
   *
   * Rows are serialized as JSON objects (the Kafka-sink value
   * convention, [[Sources.toKafka]]); `orderCols` fixes the intra-batch
   * offset order (a replayed-then-skipped batch must not depend on
   * partition arrival order). Driver-side collect per batch is the
   * in-process analogue of the driver-coordinated transactional commit —
-  * the broker is explicitly single-JVM (see [[GraftEventsBroker]]).
+  * the broker is explicitly single-JVM (see [[GraftEventsBroker]]), so
+  * every batch ROW lands on the driver. That shape must never be
+  * pointed at a real high-volume stream: `maxBatchRows` (default
+  * 1 000 000) fails the query loudly before a large batch can silently
+  * OOM the driver or turn the sink into a scale bottleneck.
   */
 object GraftEventsSink {
   private val committed =
@@ -50,13 +59,24 @@ object GraftEventsSink {
 
   /** Continuous `INSERT INTO topic`: start with `.start()`, stop via the
     * returned query. `writerKey` identifies this writer across restarts
-    * (pair it 1:1 with the checkpoint dir, like a Kafka transactional id). */
+    * (pair it 1:1 with the checkpoint dir, like a Kafka transactional id).
+    * `maxBatchRows` is the driver-collect guard described above: a batch
+    * larger than it fails the query loudly instead of collecting. */
   def toTopic(df: DataFrame, topic: String, writerKey: String,
-      checkpoint: String, orderCols: Seq[String] = Nil)
+      checkpoint: String, orderCols: Seq[String] = Nil,
+      maxBatchRows: Long = 1000000L)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rows = batch.count()
+        if (rows > maxBatchRows)
+          throw new IllegalStateException(
+            s"GraftEventsSink batch $batchId has $rows rows > " +
+              s"maxBatchRows=$maxBatchRows — this sink collects each " +
+              "batch to the driver (in-process broker); route large " +
+              "streams to a distributed sink (parquet/Kafka connector) " +
+              "or raise the guard deliberately")
         val ordered =
           if (orderCols.nonEmpty) batch.orderBy(orderCols.map(col): _*)
           else batch

@@ -20,8 +20,11 @@ case class SeenSecond(ts: Timestamp)
   * (The reference's processing-time engine could only approximate this;
   * event-time timers make it exact.) Requires the RocksDB provider.
   */
-class AbsenceProcessor(first: String, second: String, withinMs: Long)
+class AbsenceProcessor(firsts: Set[String], seconds: Set[String],
+    withinMs: Long)
     extends StatefulProcessor[Long, CepEvent, AbsenceMatch] {
+  def this(first: String, second: String, withinMs: Long) =
+    this(Set(first), Set(second), withinMs)
   @transient private var open: ListState[OpenFirst] = _
   @transient private var seen: ListState[SeenSecond] = _
 
@@ -50,13 +53,13 @@ class AbsenceProcessor(first: String, second: String, withinMs: Long)
     val batch = rows.toArray.sortBy(e => (us(e.ts), e.event_id))
     batch.foreach { e =>
       val t = us(e.ts)
-      if (e.event_type == second) {
+      if (seconds.contains(e.event_type)) {
         // a second cancels every open first whose window covers it
         opens = opens.filterNot(o =>
           t > us(o.ts) && t <= us(o.ts) + withinMs * 1000L)
         if (e.ts.getTime >= wmMs) secs = SeenSecond(e.ts) :: secs
       }
-      if (e.event_type == first) {
+      if (firsts.contains(e.event_type)) {
         // an already-seen second inside this first's window means the
         // absence can never be confirmed — don't open it at all
         val preCancelled = secs.exists(s =>
@@ -92,12 +95,18 @@ class AbsenceProcessor(first: String, second: String, withinMs: Long)
 
 object AbsenceDetector {
   def detect(events: Dataset[CepEvent], first: String, second: String,
-      withinMs: Long, lateness: String): Dataset[AbsenceMatch] = {
+      withinMs: Long, lateness: String): Dataset[AbsenceMatch] =
+    detect(events, Set(first), Set(second), withinMs, lateness)
+
+  /** Alternation form (r7): event-type classes per step. */
+  def detect(events: Dataset[CepEvent], firsts: Set[String],
+      seconds: Set[String], withinMs: Long, lateness: String)
+      : Dataset[AbsenceMatch] = {
     implicit val enc = Encoders.product[AbsenceMatch]
     implicit val keyEnc = Encoders.scalaLong
     events.withWatermark("ts", lateness)
       .groupByKey(_.user_id)
-      .transformWithState(new AbsenceProcessor(first, second, withinMs),
+      .transformWithState(new AbsenceProcessor(firsts, seconds, withinMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

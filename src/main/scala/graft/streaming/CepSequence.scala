@@ -42,7 +42,13 @@ object CepSequence {
     t.getTime / 1000 * 1000000L + t.getNanos / 1000
 
   def detect(events: Dataset[CepEvent], first: String, second: String,
-      withinMs: Long): Dataset[CepMatch] = {
+      withinMs: Long): Dataset[CepMatch] =
+    detect(events, Set(first), Set(second), withinMs)
+
+  /** Alternation form (r7): `firsts`/`seconds` are event-type classes —
+    * a step matches any member (the `click|view` dialect surface). */
+  def detect(events: Dataset[CepEvent], firsts: Set[String],
+      seconds: Set[String], withinMs: Long): Dataset[CepMatch] = {
     implicit val matchEnc = Encoders.product[CepMatch]
     implicit val stateEnc = Encoders.product[CepState]
     implicit val keyEnc = Encoders.scalaLong
@@ -60,7 +66,7 @@ object CepSequence {
           batch.foreach { e =>
             val t = us(e.ts)
             if (t > maxTs) maxTs = t
-            if (e.event_type == second) {
+            if (seconds.contains(e.event_type)) {
               val (hit, miss) = open.partition { case (_, sTs) =>
                 t > us(sTs) && t <= us(sTs) + withinUs
               }
@@ -69,7 +75,7 @@ object CepSequence {
               }
               open = miss
             }
-            if (e.event_type == first) open = (e.event_id, e.ts) :: open
+            if (firsts.contains(e.event_type)) open = (e.event_id, e.ts) :: open
           }
           // prune firsts that can no longer match (bounded state). The
           // horizon is the WATERMARK when one is configured — a late

@@ -49,32 +49,45 @@ object CepSql {
   private val matchPat = Pattern.compile("MATCH\\s+PATTERN",
     Pattern.CASE_INSENSITIVE)
   /** The full MATCH PATTERN statement grammar (sequence CEP from SQL —
-    * SURVEY EP1/EP3's pattern surface):
+    * SURVEY EP1/EP3's pattern surface; r7 extends it toward
+    * MATCH_RECOGNIZE-lite):
     *
     * {{{
     * SELECT * FROM <table>
-    * MATCH PATTERN (<e1>[{m,}] THEN <e2> [THEN <e3> …] [THEN NOT <eN>]
+    * MATCH PATTERN (<step1> THEN <step2> [THEN <step3> …] [THEN NOT <stepN>]
     *                WITHIN '<n>' SECONDS|MINUTES|HOURS)
     * PARTITION BY <key>
+    * [AFTER MATCH SKIP TO NEXT ROW | AFTER MATCH SKIP PAST LAST ROW]
     * }}}
     *
-    * Chains of any length ≥ 2; `NOT` is legal on the FINAL step only
-    * (absence of a completion after a matched prefix); `{m,}` on the
-    * FIRST step only quantifies it as a maximal run of ≥ m consecutive
-    * events (then exactly one THEN step). Anchored end-to-end: the
-    * pattern statement IS the whole statement (projection/extra
-    * predicates belong in a view over the result). */
+    * where each `<step>` is `<ev>[|<ev>…][{m,}]` — an event name, an
+    * alternation of event names (`click|view` matches either), and an
+    * optional `{m,}` quantifier on ANY step (a maximal run of ≥ m
+    * consecutive events of the step's class). Chains of any length ≥ 2;
+    * `NOT` is legal on the FINAL step only (absence of a completion after
+    * a matched prefix) and cannot itself be quantified. The default match
+    * mode is AFTER MATCH SKIP TO NEXT ROW (every event may anchor a
+    * match); SKIP PAST LAST ROW keeps matches non-overlapping (the next
+    * match may only begin strictly after the last row of the previous
+    * one) and is defined for plain sequence chains — no NOT, no
+    * quantifiers. Anchored end-to-end: the pattern statement IS the whole
+    * statement (projection/extra predicates belong in a view over the
+    * result). */
+  private val evAlt = "'?\\w+'?(?:\\s*\\|\\s*'?\\w+'?)*"
   private val patternStmt = Pattern.compile(
     "^\\s*SELECT\\s+\\*\\s+FROM\\s+([A-Za-z_][\\w.]*)\\s+" +
       "MATCH\\s+PATTERN\\s*\\(\\s*" +
-      "('?\\w+'?(?:\\{\\d+,\\})?(?:\\s+THEN\\s+(?:NOT\\s+)?'?\\w+'?(?:\\{\\d+,\\})?)+)" +
+      s"($evAlt(?:\\{\\d+,\\})?(?:\\s+THEN\\s+(?:NOT\\s+)?$evAlt(?:\\{\\d+,\\})?)+)" +
       "\\s+WITHIN\\s+'(\\d+)'\\s+(SECONDS?|MINUTES?|HOURS?)\\s*\\)" +
-      "\\s+PARTITION\\s+BY\\s+([A-Za-z_]\\w*)\\s*;?\\s*$",
+      "\\s+PARTITION\\s+BY\\s+([A-Za-z_]\\w*)" +
+      "(?:\\s+AFTER\\s+MATCH\\s+SKIP\\s+(TO\\s+NEXT\\s+ROW|PAST\\s+LAST\\s+ROW))?" +
+      "\\s*;?\\s*$",
     Pattern.CASE_INSENSITIVE)
   private val thenSplit = Pattern.compile("\\s+THEN\\s+",
     Pattern.CASE_INSENSITIVE)
-  private val stepTok =
-    Pattern.compile("(?i)^(NOT\\s+)?'?(\\w+)'?(?:\\{(\\d+),\\})?$")
+  private val stepTok = Pattern.compile(
+    "(?i)^(NOT\\s+)?('?\\w+'?(?:\\s*\\|\\s*'?\\w+'?)*)(?:\\{(\\d+),\\})?$")
+  private val altSplit = Pattern.compile("\\s*\\|\\s*")
   private val groupBy = Pattern.compile("GROUP\\s+BY", Pattern.CASE_INSENSITIVE)
   private val tail = Pattern.compile(
     "\\b(HAVING|ORDER\\s+BY|LIMIT)\\b|;", Pattern.CASE_INSENSITIVE)
@@ -213,20 +226,32 @@ object CepSql {
     }
   }
 
-  /** One parsed pattern step: `NOT`? event name, `{m,}` quantifier? */
-  case class PatternStep(negated: Boolean, event: String,
-      minTimes: Option[Int])
+  /** One parsed pattern step: `NOT`?, event-name alternation (size 1 for
+    * a plain event), `{m,}` quantifier? */
+  case class PatternStep(negated: Boolean, events: Seq[String],
+      minTimes: Option[Int]) {
+    /** The single event name of an unalternated step (the common case —
+      * streaming detectors and the legacy rewrite paths use it). */
+    def event: String = events.head
+  }
 
   /** A fully parsed-and-validated MATCH PATTERN statement — the shared
     * front half of [[translatePattern]] (batch SQL rewrite) and
     * [[ContinuousQueries.submitPattern]] (streaming detector dispatch). */
   case class PatternSpec(table: String, steps: Seq[PatternStep],
-      n: Long, unit: String, key: String) {
+      n: Long, unit: String, key: String, skipPast: Boolean = false) {
     def absent: Boolean = steps.last.negated
-    def withinMs: Long = unit match {
-      case "SECONDS" => n * 1000L
-      case "MINUTES" => n * 60L * 1000L
-      case _         => n * 3600L * 1000L
+    /** Window in milliseconds. Overflow-checked: a huge-but-valid WITHIN
+      * numeral must fail loudly like every other parse near-miss, not
+      * silently wrap to a negative window that matches nothing
+      * ([[parsePattern]] pre-validates, so callers never see the throw). */
+    def withinMs: Long = {
+      val factor = unit match {
+        case "SECONDS" => 1000L
+        case "MINUTES" => 60L * 1000L
+        case _         => 3600L * 1000L
+      }
+      Math.multiplyExact(n, factor)
     }
   }
 
@@ -236,28 +261,26 @@ object CepSql {
     def malformed(detail: String): Nothing =
       throw new IllegalArgumentException(
         "malformed MATCH PATTERN statement — expected exactly: SELECT * " +
-          "FROM <table> MATCH PATTERN (<e1>[{m,}] THEN <e2> [THEN <e3> …] " +
-          "[THEN NOT <eN>] WITHIN '<n>' SECONDS|MINUTES|HOURS) " +
-          s"PARTITION BY <key> ($detail)")
+          "FROM <table> MATCH PATTERN (<step1> THEN <step2> [THEN <step3> " +
+          "…] [THEN NOT <stepN>] WITHIN '<n>' SECONDS|MINUTES|HOURS) " +
+          "PARTITION BY <key> [AFTER MATCH SKIP TO NEXT ROW|PAST LAST " +
+          s"ROW], each step <ev>[|<ev>…][{m,}] ($detail)")
     val m = patternStmt.matcher(q)
     if (!m.matches()) malformed("statement shape")
     val steps = thenSplit.split(m.group(2).trim).toSeq.map { tok =>
       val sm = stepTok.matcher(tok.trim)
       if (!sm.matches()) malformed(s"bad step token '$tok'")
-      PatternStep(sm.group(1) != null, sm.group(2),
+      val evs = altSplit.split(sm.group(2)).toSeq
+        .map(_.stripPrefix("'").stripSuffix("'")).distinct
+      PatternStep(sm.group(1) != null, evs,
         Option(sm.group(3)).map(_.toInt))
     }
     if (steps.head.negated) malformed("NOT on the first step")
     if (steps.init.exists(_.negated))
       malformed("NOT is legal on the final step only")
-    // {m,} is the RUN quantifier: first step only, 2-step pattern only —
-    // `a{m,} THEN [NOT] b` = a maximal run of >= m consecutive a's,
-    // completed (or not) by a b within the window of the RUN'S END
-    if (steps.tail.exists(_.minTimes.isDefined))
-      malformed("a {m,} quantifier is legal on the first step only")
-    if (steps.head.minTimes.isDefined && steps.length != 2)
-      malformed("a quantified first step takes exactly one THEN step")
-    steps.head.minTimes.foreach { mt =>
+    if (steps.last.negated && steps.last.minTimes.isDefined)
+      malformed("a NOT step cannot take a {m,} quantifier")
+    steps.flatMap(_.minTimes).foreach { mt =>
       if (mt < 1) malformed("quantifier minimum must be >= 1")
     }
     val unit = m.group(4).toUpperCase(java.util.Locale.ROOT) match {
@@ -269,7 +292,19 @@ object CepSql {
       try m.group(3).toLong
       catch { case _: NumberFormatException =>
         malformed(s"WITHIN numeral '${m.group(3)}' out of range") }
-    PatternSpec(m.group(1), steps, n, unit, m.group(5))
+    val skipPast = Option(m.group(6))
+      .exists(_.toUpperCase(java.util.Locale.ROOT).startsWith("PAST"))
+    if (skipPast && steps.last.negated)
+      malformed("AFTER MATCH SKIP PAST LAST ROW does not combine with " +
+        "THEN NOT — an absence match consumes only its anchor row")
+    if (skipPast && steps.exists(_.minTimes.isDefined))
+      malformed("AFTER MATCH SKIP PAST LAST ROW is defined for plain " +
+        "sequence chains (no {m,} quantifiers)")
+    val spec = PatternSpec(m.group(1), steps, n, unit, m.group(5), skipPast)
+    try spec.withinMs
+    catch { case _: ArithmeticException =>
+      malformed(s"WITHIN window '${spec.n} ${spec.unit}' overflows") }
+    spec
   }
 
   /** Rewrite one MATCH PATTERN statement (see [[patternStmt]]) to plain
@@ -317,6 +352,16 @@ object CepSql {
     val key = spec.key
     def bq(c: String) = s"`$c`"
     val (k, t, ty, id) = (bq(key), bq(tsCol), bq(typeCol), bq(idCol))
+    /** Type predicate for a step: `=` for a single event, `IN` for an
+      * alternation (`click|view`). `alias` empty → bare column. */
+    def inPred(alias: String, events: Seq[String]): String = {
+      val c = if (alias.isEmpty) ty else s"$alias.$ty"
+      if (events.size == 1) s"$c = '${events.head}'"
+      else s"$c IN (${events.map(e => s"'$e'").mkString(", ")})"
+    }
+    if (spec.skipPast) return translateSkip(spec, tsCol, typeCol, idCol)
+    if (steps.length > 2 || steps.tail.exists(_.minTimes.isDefined))
+      return translateChain(spec, tsCol, typeCol, idCol)
     if (steps.head.minTimes.isDefined) {
       // quantified run: the q_cep_times formulation — maximal runs of
       // consecutive evA per key (gaps-and-islands: difference of two
@@ -325,42 +370,31 @@ object CepSql {
       // (key, run_len, run_start, run_end, b_ts); absence output drops
       // b_ts and keeps runs with NO qualifying completion.
       val mt = steps.head.minTimes.get
-      val (evA, evB) = (steps.head.event, steps.last.event)
-      val runs =
-        s"""(SELECT $k AS __k, count(*) AS run_len,
-           |   min($t) AS run_start, max($t) AS run_end
-           | FROM (SELECT $k, $ty, $t, $id,
-           |         row_number() OVER (PARTITION BY $k
-           |                            ORDER BY $t, $id)
-           |       - row_number() OVER (PARTITION BY $k, $ty
-           |                            ORDER BY $t, $id) AS __grp
-           |       FROM $tbl) o
-           | WHERE $ty = '$evA'
-           | GROUP BY $k, __grp HAVING count(*) >= $mt)""".stripMargin
+      val runs = runsSub(steps.head.events, mt, key, tsCol, typeCol, idCol,
+        tbl)
       val range = s"b.$t > r.run_end AND b.$t <= r.run_end + " +
         s"INTERVAL $n $unit"
       if (absent)
         s"""SELECT r.__k AS $k, r.run_len, r.run_start, r.run_end
            |FROM $runs r
-           |LEFT ANTI JOIN (SELECT * FROM $tbl WHERE $ty = '$evB') b
+           |LEFT ANTI JOIN (SELECT * FROM $tbl WHERE ${inPred("", steps.last.events)}) b
            |ON r.__k = b.$k AND $range
            |ORDER BY $k, run_start""".stripMargin
       else
         s"""SELECT r.__k AS $k, r.run_len, r.run_start, r.run_end,
            |  min(b.$t) AS b_ts
            |FROM $runs r
-           |JOIN (SELECT * FROM $tbl WHERE $ty = '$evB') b
+           |JOIN (SELECT * FROM $tbl WHERE ${inPred("", steps.last.events)}) b
            |ON r.__k = b.$k AND $range
            |GROUP BY r.__k, r.run_len, r.run_start, r.run_end
            |ORDER BY $k, run_start""".stripMargin
-    } else if (steps.length == 2) {
+    } else {
       // 2-step keeps the original q_cep_seq / q_cep_absence output shape
-      val (evA, evB) = (steps.head.event, steps.last.event)
       val range = s"b.$t > a.$t AND b.$t <= a.$t + INTERVAL $n $unit"
       if (absent)
         s"""SELECT a.$id AS sid, a.$k AS $k, a.$t AS s_ts
-           |FROM (SELECT * FROM $tbl WHERE $ty = '$evA') a
-           |LEFT ANTI JOIN (SELECT * FROM $tbl WHERE $ty = '$evB') b
+           |FROM (SELECT * FROM $tbl WHERE ${inPred("", steps.head.events)}) a
+           |LEFT ANTI JOIN (SELECT * FROM $tbl WHERE ${inPred("", steps.last.events)}) b
            |ON a.$k = b.$k AND $range
            |ORDER BY sid""".stripMargin
       else
@@ -370,55 +404,226 @@ object CepSql {
            |         row_number() OVER (PARTITION BY a.$id
            |                            ORDER BY b.$t, b.$id) AS __rn
            |  FROM $tbl a JOIN $tbl b
-           |  ON a.$k = b.$k AND a.$ty = '$evA' AND b.$ty = '$evB' AND $range
+           |  ON a.$k = b.$k AND ${inPred("a", steps.head.events)}
+           |     AND ${inPred("b", steps.last.events)} AND $range
            |) WHERE __rn = 1 ORDER BY sid""".stripMargin
-    } else {
-      // N ≥ 3: chain of rank-1 joins. `prefix` selects
-      // (__k, id_1…id_i, ts_1…ts_i), one row per surviving anchor id_1.
-      val chainSteps = if (absent) steps.init else steps
-      def cols(i: Int): String =
-        (1 to i).map(j => s"id_$j").mkString(", ") + ", " +
-          (1 to i).map(j => s"ts_$j").mkString(", ")
-      var prefix =
+    }
+  }
+
+  /** Gaps-and-islands runs subquery: maximal runs of ≥ `minLen`
+    * CONSECUTIVE events of the step's class per key (a run is broken by
+    * any event outside the class — consecutive rows in the key's (ts, id)
+    * order). The class indicator generalizes the original per-type
+    * formulation to alternations: for a single event name, partitioning
+    * by the indicator is exactly partitioning by the type over the
+    * surviving rows. Selects (__k, run_len, run_start, run_end). */
+  private def runsSub(events: Seq[String], minLen: Int, key: String,
+      tsCol: String, typeCol: String, idCol: String, tbl: String): String = {
+    def bq(c: String) = s"`$c`"
+    val (k, t, ty, id) = (bq(key), bq(tsCol), bq(typeCol), bq(idCol))
+    val cls =
+      if (events.size == 1) s"$ty = '${events.head}'"
+      else s"$ty IN (${events.map(e => s"'$e'").mkString(", ")})"
+    s"""(SELECT $k AS __k, count(*) AS run_len,
+       |   min($t) AS run_start, max($t) AS run_end
+       | FROM (SELECT $k, $t, $id,
+       |         CASE WHEN $cls THEN 1 ELSE 0 END AS __c,
+       |         row_number() OVER (PARTITION BY $k
+       |                            ORDER BY $t, $id)
+       |       - row_number() OVER (PARTITION BY $k,
+       |                              CASE WHEN $cls THEN 1 ELSE 0 END
+       |                            ORDER BY $t, $id) AS __grp
+       |       FROM $tbl) o
+       | WHERE __c = 1
+       | GROUP BY $k, __grp HAVING count(*) >= $minLen)""".stripMargin
+  }
+
+  /** Generalized chain rewrite (N ≥ 2 steps, alternation on any step,
+    * `{m,}` on any non-NOT step): a chain of rank-1 joins, one greedy
+    * match per anchor (AFTER MATCH SKIP TO NEXT ROW).
+    *
+    * Step semantics: an unquantified step i matches the FIRST event of
+    * its class strictly after step i-1's match time and within the
+    * anchor's window; a quantified step i matches the FIRST maximal run
+    * of ≥ m consecutive class events whose start is strictly after step
+    * i-1's match time and whose END still fits the window (whole-run
+    * semantics — a run that overflows the window does not match). A
+    * quantified step contributes `len_i` (run length) + `ts_i` (run end)
+    * to the output; an unquantified step contributes `id_i` + `ts_i`.
+    * The window is measured from ts_1 — for a quantified FIRST step that
+    * is the run's end, consistent with the 2-step quantified form. */
+  private def translateChain(spec: PatternSpec, tsCol: String,
+      typeCol: String, idCol: String): String = {
+    val steps = spec.steps
+    val tbl = spec.table
+    val (n, unit) = (spec.n.toString, spec.unit)
+    def bq(c: String) = s"`$c`"
+    val (k, t, ty, id) = (bq(spec.key), bq(tsCol), bq(typeCol), bq(idCol))
+    def inPred(alias: String, events: Seq[String]): String = {
+      val c = if (alias.isEmpty) ty else s"$alias.$ty"
+      if (events.size == 1) s"$c = '${events.head}'"
+      else s"$c IN (${events.map(e => s"'$e'").mkString(", ")})"
+    }
+    val chainSteps = if (spec.absent) steps.init else steps
+    def lbl(i: Int): String =
+      if (chainSteps(i - 1).minTimes.isDefined) s"len_$i" else s"id_$i"
+    def cols(i: Int): String =
+      (1 to i).map(lbl).mkString(", ") + ", " +
+        (1 to i).map(j => s"ts_$j").mkString(", ")
+    // rank-1 partition: the anchor. An unquantified first step has a
+    // globally unique id_1; a quantified first step has no single id —
+    // runs are disjoint per key, so (__k, ts_1) is unique.
+    val anchor =
+      if (chainSteps.head.minTimes.isDefined) "p.__k, p.ts_1" else "p.id_1"
+    var prefix = chainSteps.head.minTimes match {
+      case Some(mt) =>
+        val runs = runsSub(chainSteps.head.events, mt, spec.key, tsCol,
+          typeCol, idCol, tbl)
+        s"(SELECT __k, run_len AS len_1, run_end AS ts_1 FROM $runs r0)"
+      case None =>
         s"""(SELECT $k AS __k, $id AS id_1, $t AS ts_1
-           |   FROM $tbl WHERE $ty = '${chainSteps.head.event}')""".stripMargin
-      for (i <- 2 to chainSteps.length) {
-        val ev = chainSteps(i - 1).event
-        prefix =
+           |   FROM $tbl WHERE ${inPred("", chainSteps.head.events)})""".stripMargin
+    }
+    for (i <- 2 to chainSteps.length) {
+      val st = chainSteps(i - 1)
+      val prevLbls = (1 until i).map(j => s"p.${lbl(j)}").mkString(", ")
+      val prevTs = (1 until i).map(j => s"p.ts_$j").mkString(", ")
+      prefix = st.minTimes match {
+        case Some(mt) =>
+          val runs = runsSub(st.events, mt, spec.key, tsCol, typeCol,
+            idCol, tbl)
           s"""(SELECT __k, ${cols(i)} FROM (
-             |  SELECT p.__k, ${(1 until i).map(j => s"p.id_$j").mkString(", ")},
+             |  SELECT p.__k, $prevLbls,
+             |         r.run_len AS len_$i,
+             |         $prevTs,
+             |         r.run_end AS ts_$i,
+             |         row_number() OVER (PARTITION BY $anchor
+             |                            ORDER BY r.run_start, r.run_end) AS __rn
+             |  FROM $prefix p JOIN $runs r
+             |  ON p.__k = r.__k
+             |     AND r.run_start > p.ts_${i - 1}
+             |     AND r.run_end <= p.ts_1 + INTERVAL $n $unit
+             |) WHERE __rn = 1)""".stripMargin
+        case None =>
+          s"""(SELECT __k, ${cols(i)} FROM (
+             |  SELECT p.__k, $prevLbls,
              |         b.$id AS id_$i,
-             |         ${(1 until i).map(j => s"p.ts_$j").mkString(", ")},
+             |         $prevTs,
              |         b.$t AS ts_$i,
-             |         row_number() OVER (PARTITION BY p.id_1
+             |         row_number() OVER (PARTITION BY $anchor
              |                            ORDER BY b.$t, b.$id) AS __rn
              |  FROM $prefix p JOIN $tbl b
-             |  ON p.__k = b.$k AND b.$ty = '$ev'
+             |  ON p.__k = b.$k AND ${inPred("b", st.events)}
              |     AND b.$t > p.ts_${i - 1}
              |     AND b.$t <= p.ts_1 + INTERVAL $n $unit
              |) WHERE __rn = 1)""".stripMargin
       }
-      val np = chainSteps.length
-      if (absent) {
-        val evN = steps.last.event
-        s"""SELECT __k AS $k, ${cols(np)}
-           |FROM $prefix p
-           |LEFT ANTI JOIN (SELECT * FROM $tbl WHERE $ty = '$evN') b
-           |ON p.__k = b.$k AND b.$t > p.ts_$np
-           |   AND b.$t <= p.ts_1 + INTERVAL $n $unit
-           |ORDER BY id_1""".stripMargin
-      } else
-        s"""SELECT __k AS $k, ${cols(np)}
-           |FROM $prefix
-           |ORDER BY id_1""".stripMargin
     }
+    val np = chainSteps.length
+    val order =
+      if (chainSteps.head.minTimes.isDefined) s"$k, ts_1" else "id_1"
+    if (spec.absent)
+      s"""SELECT __k AS $k, ${cols(np)}
+         |FROM $prefix p
+         |LEFT ANTI JOIN (SELECT * FROM $tbl WHERE ${inPred("", steps.last.events)}) b
+         |ON p.__k = b.$k AND b.$t > p.ts_$np
+         |   AND b.$t <= p.ts_1 + INTERVAL $n $unit
+         |ORDER BY $order""".stripMargin
+    else
+      s"""SELECT __k AS $k, ${cols(np)}
+         |FROM $prefix
+         |ORDER BY $order""".stripMargin
+  }
+
+  /** AFTER MATCH SKIP PAST LAST ROW rewrite: greedy NON-OVERLAPPING
+    * matching as a recursive CTE (Spark ≥ 4.0). Per key, the first match
+    * is the lexicographically smallest valid chain — greedy stepwise
+    * minimization and lexicographic (ts_1, id_1, ts_2, id_2, …) order
+    * coincide, because the valid completions of a fixed prefix do not
+    * depend on later choices — and each next match is the smallest valid
+    * chain anchored strictly after the previous match's last row.
+    *
+    * Scale note: this is the pure-SQL-TEXT surface. The `chains`
+    * subquery enumerates every valid chain (combinatorial for dense
+    * windows) and recursion depth is the max match count per key
+    * (`spark.sql.cteRecursionLevelLimit`, default 100). The scale path
+    * is [[graft.operators.SkipMatch]] — one shuffle, a linear per-key
+    * scan, no recursion — which [[sql]] dispatches to; both are pinned
+    * equivalent by SkipMatchSpec. */
+  private def translateSkip(spec: PatternSpec, tsCol: String,
+      typeCol: String, idCol: String): String = {
+    val steps = spec.steps
+    val tbl = spec.table
+    val (n, unit) = (spec.n.toString, spec.unit)
+    def bq(c: String) = s"`$c`"
+    val (k, t, ty, id) = (bq(spec.key), bq(tsCol), bq(typeCol), bq(idCol))
+    def inPred(alias: String, events: Seq[String]): String = {
+      val c = s"$alias.$ty"
+      if (events.size == 1) s"$c = '${events.head}'"
+      else s"$c IN (${events.map(e => s"'$e'").mkString(", ")})"
+    }
+    val np = steps.length
+    def alias(i: Int): String = if (i == 1) "a" else s"b$i"
+    val selCols = (s"a.$k AS __k" +:
+      (1 to np).map(i => s"${alias(i)}.$id AS id_$i")) ++
+      (1 to np).map(i => s"${alias(i)}.$t AS ts_$i")
+    val joins = (2 to np).map { i =>
+      s"""JOIN $tbl b$i ON b$i.$k = a.$k AND ${inPred(s"b$i", steps(i - 1).events)}
+         |  AND b$i.$t > ${alias(i - 1)}.$t
+         |  AND b$i.$t <= a.$t + INTERVAL $n $unit""".stripMargin
+    }.mkString("\n")
+    val chains =
+      s"""(SELECT ${selCols.mkString(", ")}
+         | FROM $tbl a
+         | $joins
+         | WHERE ${inPred("a", steps.head.events)})""".stripMargin
+    val lex = (1 to np).map(i => s"ts_$i, id_$i").mkString(", ")
+    val outCols = (1 to np).map(i => s"id_$i").mkString(", ") + ", " +
+      (1 to np).map(i => s"ts_$i").mkString(", ")
+    s"""WITH RECURSIVE m AS (
+       |  SELECT __k, $outCols FROM (
+       |    SELECT c.*, row_number() OVER (PARTITION BY __k
+       |                                   ORDER BY $lex) AS __rn
+       |    FROM $chains c) WHERE __rn = 1
+       |  UNION ALL
+       |  SELECT nxt.__k, ${(1 to np).map(i => s"nxt.id_$i").mkString(", ")},
+       |         ${(1 to np).map(i => s"nxt.ts_$i").mkString(", ")}
+       |  FROM m,
+       |  LATERAL (
+       |    SELECT c.* FROM $chains c
+       |    WHERE c.__k = m.__k AND (c.ts_1 > m.ts_$np
+       |                             OR (c.ts_1 = m.ts_$np
+       |                                 AND c.id_1 > m.id_$np))
+       |    ORDER BY $lex LIMIT 1
+       |  ) nxt
+       |)
+       |SELECT __k AS $k, $outCols FROM m ORDER BY id_1""".stripMargin
+  }
+
+  /** True when the text contains MATCH PATTERN outside string literals
+    * and comments — i.e. it is a pattern statement, not data. */
+  private def realMatchPattern(q: String): Boolean = {
+    if (!matchPat.matcher(q).find()) return false
+    val (lit, _) = scan(q)
+    val mp = matchPat.matcher(q)
+    while (mp.find()) if (!lit(mp.start())) return true
+    false
   }
 
   /** Translate and run against the session's registered views (batch or
-    * streaming — the plan is identical either way). */
+    * streaming — the plan is identical either way). One special case: an
+    * AFTER MATCH SKIP PAST LAST ROW pattern dispatches to the
+    * [[graft.operators.SkipMatch]] linear-scan operator instead of the
+    * recursive-CTE text [[translate]] emits — same result (pinned by
+    * SkipMatchSpec), no recursion-depth ceiling, one shuffle. */
   def sql(spark: SparkSession, q: String, tsCol: String = "ts",
       typeCol: String = "event_type", idCol: String = "event_id"): DataFrame =
-    spark.sql(translate(q, tsCol, typeCol, idCol))
+    if (realMatchPattern(q) && parsePattern(q).skipPast) {
+      val spec = parsePattern(q)
+      graft.operators.SkipMatch.matchChain(spark.table(spec.table),
+        spec.steps.map(_.events), spec.withinMs, spec.key, tsCol, typeCol,
+        idCol)
+    } else spark.sql(translate(q, tsCol, typeCol, idCol))
 }
 
 /** Parser extension delegating to Spark's parser after the reference-

@@ -71,6 +71,13 @@ object ContinuousQueries {
     *  - `a THEN b THEN c …`   → [[PatternMatch]]     (≡ q_pattern_chain)
     *  - `a{m,} THEN [NOT] b`  → [[RunDetector]]      (≡ q_pattern_times,
     *    completed runs; the NOT form keeps only timed-out runs)
+    *  - `… AFTER MATCH SKIP PAST LAST ROW` → [[SkipDetector]]
+    *    (≡ q_pattern_skip — greedy non-overlapping, watermark-finalized)
+    *
+    * Alternation steps (`click|view`, r7) dispatch through every arm —
+    * the detectors take event-type classes. A `{m,}` quantifier anywhere
+    * but the head of a 2-step pattern has no streaming detector yet and
+    * is rejected loudly (the batch rewrite via [[CepSql.sql]] covers it).
     *
     * The source view must be a STREAMING view with the events-table
     * converter schema `(event_id, ts, user_id, event_type, value)` and
@@ -99,29 +106,41 @@ object ContinuousQueries {
     // WATERMARK (not the per-batch max), so an out-of-order completion
     // inside the bound still matches (SubmitSqlSpec pins it).
     lazy val srcWm = src.withWatermark("ts", lateness)
-    val names = spec.steps.map(_.event)
-    val out: DataFrame = spec.steps.head.minTimes match {
-      case Some(mt) =>
-        val runs = RunDetector.detect(src, names.head, mt, names.last,
-          spec.withinMs, Some(lateness))
-        // completed runs for the THEN form; timed-out runs for THEN NOT
-        val wanted =
-          if (spec.absent) runs.filter(_.next_follow.isEmpty)
-          else runs.filter(_.next_follow.isDefined)
-        wanted.toDF()
-      case None if spec.steps.length == 2 && spec.absent =>
-        AbsenceDetector.detect(src, names.head, names.last, spec.withinMs,
-          lateness).toDF()
-      case None if spec.steps.length == 2 =>
-        CepSequence.detect(srcWm, names.head, names.last, spec.withinMs).toDF()
-      case None if spec.absent =>
+    val classes = spec.steps.map(_.events.toSet)
+    val quantifiedTail = spec.steps.tail.exists(_.minTimes.isDefined)
+    val out: DataFrame =
+      if (spec.skipPast)
+        SkipDetector.detect(src, classes, spec.withinMs, Some(lateness))
+      else if (quantifiedTail ||
+          (spec.steps.head.minTimes.isDefined && spec.steps.length != 2))
         throw new IllegalArgumentException(
-          "THEN NOT after a multi-step chain has no streaming detector " +
-            "yet — compose PatternMatch with AbsenceDetector on the " +
-            "prefix, or run the batch rewrite via CepSql.sql")
-      case None =>
-        PatternMatch.detect(srcWm, names, spec.withinMs).toDF()
-    }
+          "a {m,} quantifier beyond the head of a 2-step pattern has no " +
+            "streaming detector yet — run the batch rewrite via " +
+            "CepSql.sql, or compose RunDetector with PatternMatch")
+      else spec.steps.head.minTimes match {
+        case Some(mt) =>
+          val runs = RunDetector.detect(src, classes.head, mt, classes.last,
+            spec.withinMs, Some(lateness))
+          // completed runs for the THEN form; timed-out runs for THEN NOT
+          val wanted =
+            if (spec.absent) runs.filter(_.next_follow.isEmpty)
+            else runs.filter(_.next_follow.isDefined)
+          wanted.toDF()
+        case None if spec.steps.length == 2 && spec.absent =>
+          AbsenceDetector.detect(src, classes.head, classes.last,
+            spec.withinMs, lateness).toDF()
+        case None if spec.steps.length == 2 =>
+          CepSequence.detect(srcWm, classes.head, classes.last,
+            spec.withinMs).toDF()
+        case None if spec.absent =>
+          throw new IllegalArgumentException(
+            "THEN NOT after a multi-step chain has no streaming detector " +
+              "yet — compose PatternMatch with AbsenceDetector on the " +
+              "prefix, or run the batch rewrite via CepSql.sql")
+        case None =>
+          val preds = classes.map(c => (e: CepEvent) => c.contains(e.event_type))
+          PatternMatch.detectWhere(srcWm, preds, spec.withinMs).toDF()
+      }
     submitMemory(out, name, "append")
   }
 

@@ -46,7 +46,16 @@ object RunDetector {
     * emitting it early would under-report `run_len` vs batch. */
   def detect(events: Dataset[CepEvent], runType: String, minLen: Int,
       followType: String, withinMs: Long,
-      watermarkDelay: Option[String] = None): Dataset[RunMatch] = {
+      watermarkDelay: Option[String] = None): Dataset[RunMatch] =
+    detect(events, Set(runType), minLen, Set(followType), withinMs,
+      watermarkDelay)
+
+  /** Alternation form (r7): `runTypes`/`followTypes` are event-type
+    * classes — a run is a maximal stretch of consecutive events whose
+    * type is any member of `runTypes`. */
+  def detect(events: Dataset[CepEvent], runTypes: Set[String], minLen: Int,
+      followTypes: Set[String], withinMs: Long,
+      watermarkDelay: Option[String]): Dataset[RunMatch] = {
     implicit val matchEnc = Encoders.product[RunMatch]
     implicit val stateEnc = Encoders.product[RunDetState]
     implicit val keyEnc = Encoders.scalaLong
@@ -86,7 +95,7 @@ object RunDetector {
             batch.foreach { e =>
               val t = us(e.ts)
               // 1. a non-run event closes the open run (maximal-run island)
-              if (e.event_type != runType) {
+              if (!runTypes.contains(e.event_type)) {
                 open.foreach { o =>
                   if (o.count >= minLen)
                     pending = PendingRun(o.count, o.start, o.end) :: pending
@@ -98,7 +107,8 @@ object RunDetector {
               //    or its clock proves a window can no longer be met
               pending = pending.flatMap { p =>
                 val end = us(p.end)
-                if (e.event_type == followType && t > end && t <= end + withinUs) {
+                if (followTypes.contains(e.event_type) && t > end &&
+                    t <= end + withinUs) {
                   out += RunMatch(user, p.count, p.start, p.end, Some(e.ts))
                   Nil
                 } else if (t > end + withinUs &&
@@ -108,7 +118,7 @@ object RunDetector {
                 } else List(p)
               }
               // 3. a run event extends or opens the run
-              if (e.event_type == runType) {
+              if (runTypes.contains(e.event_type)) {
                 open = open match {
                   case Some(o) => Some(OpenRun(o.count + 1, o.start, e.ts))
                   case None    => Some(OpenRun(1, e.ts, e.ts))

@@ -72,10 +72,11 @@ class TextAndMultimodalSpec extends SparkSpec {
   }
 
   test("multimodal: stub resize halves dims and downsamples bytes") {
-    // non-image kind: resize plumbing composes with the STUB decode path
-    // (image kinds now decode for real and text bytes would flag -1 dims)
+    // stub-only kind (outside image/audio/video): resize plumbing
+    // composes with the STUB decode path (decoder kinds decode for real
+    // and text bytes would flag -1 dims)
     val media = Multimodal.asMediaFrame(docs.limit(8), "doc_id", "text",
-      "video/fake")
+      "blob/fake")
     val decoded = Multimodal.stubDecode(media)
     val resized = Multimodal.stubResize(decoded, media, 2)
     val byId = decoded.collect().map(d => d.media_id -> d).toMap
@@ -261,6 +262,98 @@ class TextAndMultimodalSpec extends SparkSpec {
     // 2 bytes / 4 frames -> step 1: exactly 2 non-empty 1-byte frames
     assert(frames.length == 2)
     assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length == 1))
+  }
+
+  // ---- r7: real video container metadata (MP4 box walk / AVI header)
+
+  /** Minimal-but-valid MP4: ftyp + moov(mvhd + audio trak(0×0) +
+    * video trak(tkhd 640×360)), timescale 1000, duration 5000 → 5 s.
+    * The audio track comes FIRST to prove the walker skips 0×0 tracks. */
+  private def mp4Bytes(v1Tkhd: Boolean = false): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length)
+      bb.put(typ.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", "isomiso2".getBytes("US-ASCII"))
+    val mvhdP = java.nio.ByteBuffer.allocate(100)
+    mvhdP.putInt(0)            // version 0 + flags
+    mvhdP.putInt(0).putInt(0)  // ctime, mtime
+    mvhdP.putInt(1000)         // timescale
+    mvhdP.putInt(5000)         // duration -> 5 s
+    val mvhd = box("mvhd", mvhdP.array())
+    def tkhd(w: Int, h: Int): Array[Byte] =
+      if (v1Tkhd) {
+        val p = java.nio.ByteBuffer.allocate(96)
+        p.putInt(0x01000000)   // version 1 + flags
+        p.position(88)
+        p.putInt(w << 16).putInt(h << 16)
+        box("tkhd", p.array())
+      } else {
+        val p = java.nio.ByteBuffer.allocate(84)
+        p.putInt(0)            // version 0 + flags
+        p.position(76)
+        p.putInt(w << 16).putInt(h << 16)
+        box("tkhd", p.array())
+      }
+    val audioTrak = box("trak", tkhd(0, 0))
+    val videoTrak = box("trak", tkhd(640, 360))
+    val moov = box("moov", mvhd ++ audioTrak ++ videoTrak)
+    ftyp ++ moov
+  }
+
+  /** Minimal-but-valid AVI: RIFF('AVI ' LIST('hdrl' avih)) —
+    * 320×240, 300 frames × 33333 µs ≈ 10 s. */
+  private def aviBytes(): Array[Byte] = {
+    val avihP = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avihP.putInt(33333)        // dwMicroSecPerFrame
+    avihP.position(16)
+    avihP.putInt(300)          // dwTotalFrames
+    avihP.position(32)
+    avihP.putInt(320).putInt(240)
+    val bb = java.nio.ByteBuffer.allocate(12 + 12 + 8 + 56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 12 + 8 + 56)
+    bb.put("AVI ".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(4 + 8 + 56)
+    bb.put("hdrl".getBytes("US-ASCII"))
+    bb.put("avih".getBytes("US-ASCII")).putInt(56).put(avihP.array())
+    bb.array()
+  }
+
+  test("multimodal: video kinds parse REAL container metadata (r7)") {
+    import graft.multimodal.VideoMeta
+    // pure parser: MP4 v0 + v1 tkhd, AVI, hostile inputs
+    assert(VideoMeta.parse(mp4Bytes()) ===
+      Some(VideoMeta.VideoInfo(640, 360, 5000L)))
+    assert(VideoMeta.parse(mp4Bytes(v1Tkhd = true)) ===
+      Some(VideoMeta.VideoInfo(640, 360, 5000L)))
+    assert(VideoMeta.parse(aviBytes()) ===
+      Some(VideoMeta.VideoInfo(320, 240, 9999900L / 1000L)))
+    assert(VideoMeta.parse("not a video at all".getBytes) === None)
+    assert(VideoMeta.parse(Array.empty[Byte]) === None)
+    assert(VideoMeta.parse(mp4Bytes().take(20)) === None) // truncated moov
+    // a hostile size field must not crash or loop
+    val hostile = mp4Bytes()
+    hostile(0) = 0x7f.toByte // absurd first-box length
+    assert(VideoMeta.parse(hostile) === None)
+
+    // through the decode() pipeline: real dims + duration feature,
+    // quarantine for unparseable video payloads
+    val media = spark.createDataFrame(Seq(
+      (1L, "video/mp4", mp4Bytes()),
+      (2L, "video/avi", aviBytes()),
+      (3L, "video/mp4", "garbage payload".getBytes))).toDF(
+      "media_id", "kind", "payload")
+    val out = Multimodal.decode(media).collect().sortBy(_.media_id)
+    assert(out(0).width === 640 && out(0).height === 360)
+    assert(out(0).features.toSeq === Seq(5.0f))
+    assert(out(1).width === 320 && out(1).height === 240)
+    assert(math.abs(out(1).features.head - 9.9999) < 0.01)
+    assert(out(2).width === -1 && out(2).height === -1)
+    assert(out(2).features.isEmpty)
   }
 
   test("q_tfidf: corpus-frequent words score zero, df=1 words score max") {

@@ -108,4 +108,37 @@ class GraftEventsSinkSpec extends SparkSpec {
       GraftEventsSink.reset(outT, key)
     }
   }
+
+  test("maxBatchRows guard fails a too-large batch loudly (r7)") {
+    val in = s"sink_guard_in_${System.nanoTime()}"
+    val outT = s"sink_guard_out_${System.nanoTime()}"
+    val key = s"wk_${System.nanoTime()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sink_ckpt3").toString
+    GraftEventsBroker.append(in,
+      pay(1, "2026-01-01 00:10:00", 7, "click", 1.0),
+      pay(2, "2026-01-01 00:20:00", 7, "view", 2.0),
+      pay(3, "2026-01-01 00:30:00", 7, "view", 3.0))
+    val src = spark.readStream.format("graft-events")
+      .option("topic", in).option("fields", fields).load()
+      .select("event_id", "event_type")
+    val q = GraftEventsSink.toTopic(src, outT, key, ckpt,
+      orderCols = Seq("event_id"), maxBatchRows = 2L).start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: chain(t.getCause)
+      assert(chain(e).exists(_.contains("maxBatchRows")),
+        s"the failure must name the guard: ${chain(e)}")
+      assert(GraftEventsBroker.size(outT) === 0L,
+        "a guarded batch must not partially append")
+    } finally {
+      if (q.isActive) q.stop()
+      GraftEventsBroker.clear(in)
+      GraftEventsBroker.clear(outT)
+      GraftEventsSink.reset(outT, key)
+    }
+  }
 }

@@ -128,6 +128,48 @@ class CepSqlPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("generated alternation/mid-quantifier/skip patterns translate total (r7)") {
+    val ident = Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+    val gen = for {
+      n <- Gen.choose(1, 9999)
+      unit <- Gen.oneOf("SECONDS", "MINUTES", "HOURS")
+      k <- Gen.choose(2, 4)
+      steps <- Gen.listOfN(k, for {
+        nAlt <- Gen.choose(1, 3)
+        evs <- Gen.listOfN(nAlt, ident)
+        mt <- Gen.option(Gen.choose(1, 99))
+      } yield (evs.distinct, mt))
+      tbl <- ident
+      key <- ident
+      quantified = steps.exists(_._2.isDefined)
+      skip <- if (quantified) Gen.const(false) else Gen.oneOf(true, false)
+    } yield {
+      val stepTxt = steps.map { case (evs, mt) =>
+        evs.mkString("|") + mt.map(m => s"{$m,}").getOrElse("")
+      }.mkString(" THEN ")
+      val skipTxt = if (skip) " AFTER MATCH SKIP PAST LAST ROW" else ""
+      (steps, skip,
+        s"SELECT * FROM $tbl MATCH PATTERN ($stepTxt WITHIN '$n' $unit) " +
+          s"PARTITION BY $key$skipTxt")
+    }
+    (1L to 300L).foreach { seed =>
+      sample(gen.map(List(_)), seed).foreach { case (steps, skip, q) =>
+        val t = CepSql.translate(q)
+        assert(!t.toUpperCase.contains("MATCH PATTERN"), s"$q ->\n$t")
+        assert(t.toUpperCase.contains("WITH RECURSIVE") === skip, s"$q ->\n$t")
+        // every multi-event step widens to an IN (...) type predicate
+        steps.filter(_._1.size > 1).foreach { case (evs, _) =>
+          assert(t.contains(evs.map(e => s"'$e'").mkString("(", ", ", ")")),
+            s"$q ->\n$t")
+        }
+        // every quantifier surfaces as a HAVING >= bound
+        steps.flatMap(_._2).foreach { mt =>
+          assert(t.contains(s">= $mt"), s"$q ->\n$t")
+        }
+      }
+    }
+  }
+
   test("near-miss MATCH PATTERN text is rejected, never half-translated") {
     val bads = Seq(
       "SELECT * FROM t MATCH PATTERN (a THEN b WITHIN '5' MINUTES)",
@@ -137,10 +179,14 @@ class CepSqlPropertySpec extends AnyFunSuite {
         "PARTITION BY k", // unquoted width
       "SELECT * FROM t MATCH PATTERN (a THEN b WITHIN '5' DAYS) " +
         "PARTITION BY k", // unsupported unit
-      "SELECT * FROM t MATCH PATTERN (a THEN b{2,} WITHIN '5' MINUTES) " +
-        "PARTITION BY k", // quantifier off the first step
-      "SELECT * FROM t MATCH PATTERN (a{2,} THEN b THEN c WITHIN '5' " +
-        "MINUTES) PARTITION BY k", // quantified anchor with a 3-step chain
+      "SELECT * FROM t MATCH PATTERN (a THEN NOT b{2,} WITHIN '5' " +
+        "MINUTES) PARTITION BY k", // a NOT step cannot be quantified (r7)
+      "SELECT * FROM t MATCH PATTERN (a{2,} THEN b WITHIN '5' MINUTES) " +
+        "PARTITION BY k AFTER MATCH SKIP PAST LAST ROW", // skip+quantifier
+      "SELECT * FROM t MATCH PATTERN (a THEN NOT b WITHIN '5' MINUTES) " +
+        "PARTITION BY k AFTER MATCH SKIP PAST LAST ROW", // skip+absence
+      "SELECT * FROM t MATCH PATTERN (a THEN b WITHIN '5' MINUTES) " +
+        "PARTITION BY k AFTER MATCH SKIP HALF WAY", // bad skip mode
       "SELECT * FROM t MATCH PATTERN (a{0,} THEN b WITHIN '5' MINUTES) " +
         "PARTITION BY k", // zero minimum
       "SELECT * FROM t MATCH PATTERN (a{2} THEN b WITHIN '5' MINUTES) " +

@@ -308,16 +308,126 @@ class CepSqlSpec extends SparkSpec {
            MATCH PATTERN (a THEN b WITHIN '30' MINUTES)
            PARTITION BY user_id""")
     }
-    // unsupported quantifier syntax must not silently half-translate
+    // a NOT step cannot be quantified
     intercept[IllegalArgumentException] {
       CepSql.translate(
         """SELECT * FROM events
-           MATCH PATTERN (a THEN b{2,} WITHIN '30' MINUTES)
+           MATCH PATTERN (a THEN NOT b{2,} WITHIN '30' MINUTES)
+           PARTITION BY user_id""")
+    }
+    // SKIP PAST LAST ROW does not combine with absence or quantifiers
+    intercept[IllegalArgumentException] {
+      CepSql.translate(
+        """SELECT * FROM events
+           MATCH PATTERN (a THEN NOT b WITHIN '30' MINUTES)
+           PARTITION BY user_id AFTER MATCH SKIP PAST LAST ROW""")
+    }
+    intercept[IllegalArgumentException] {
+      CepSql.translate(
+        """SELECT * FROM events
+           MATCH PATTERN (a{2,} THEN b WITHIN '30' MINUTES)
+           PARTITION BY user_id AFTER MATCH SKIP PAST LAST ROW""")
+    }
+    // a huge-but-valid WITHIN numeral overflows loudly, not to a
+    // negative window that silently matches nothing
+    intercept[IllegalArgumentException] {
+      CepSql.translate(
+        """SELECT * FROM events
+           MATCH PATTERN (a THEN b WITHIN '9999999999999999' HOURS)
            PARTITION BY user_id""")
     }
     // ...but the keyword inside a string literal is data, untouched
     val q = "SELECT 'MATCH PATTERN' AS s FROM t"
     assert(CepSql.translate(q) === q)
+  }
+
+  test("alternation step == IN-predicate recomputation (r7)") {
+    Tables.load(spark, sf)
+    val got = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click|purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id""")
+    val want = spark.sql(
+      """SELECT user_id, sid, pid, s_ts, p_ts FROM (
+           SELECT a.user_id, a.event_id AS sid, b.event_id AS pid,
+             a.ts AS s_ts, b.ts AS p_ts,
+             row_number() OVER (PARTITION BY a.event_id
+                                ORDER BY b.ts, b.event_id) AS rn
+           FROM events a JOIN events b
+             ON a.user_id = b.user_id AND a.event_type = 'signup'
+            AND b.event_type IN ('click', 'purchase')
+            AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTES) t
+         WHERE rn = 1 ORDER BY sid""")
+    assert(got.collect().map(_.toSeq).toSeq ===
+      want.collect().map(_.toSeq).toSeq)
+    assert(got.collect().nonEmpty)
+  }
+
+  test("AFTER MATCH SKIP TO NEXT ROW is accepted and is the default") {
+    Tables.load(spark, sf)
+    val explicit = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id AFTER MATCH SKIP TO NEXT ROW""")
+    val default = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id""")
+    assert(explicit.collect().map(_.toSeq).toSeq ===
+      default.collect().map(_.toSeq).toSeq)
+  }
+
+  test("mid-chain {m,} quantifier == brute-force greedy recomputation (r7)") {
+    Tables.load(spark, sf)
+    val got = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click{2,} THEN purchase WITHIN '24' HOURS)
+         PARTITION BY user_id""")
+    assert(got.columns.toSeq ===
+      Seq("user_id", "id_1", "len_2", "id_3", "ts_1", "ts_2", "ts_3"))
+
+    // independent Scala recomputation: per user, sort the FULL stream by
+    // (ts, id); runs = maximal stretches of consecutive clicks; for each
+    // signup anchor pick the first (run_start, run_end) run of len >= 2
+    // with run_start > ts_1 and run_end <= ts_1 + 24h, then the first
+    // purchase in (ts_2, ts_1 + 24h]
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val H24 = 24L * 3600 * 1000000L
+    val evs = Tables.table(spark, sf, "events")
+      .select("user_id", "event_id", "ts", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+      .groupBy(_._1)
+    val expected = evs.toSeq.flatMap { case (u, rows0) =>
+      val rows = rows0.sortBy(r => (us(r._3), r._2))
+      // runs of consecutive clicks: (len, startUs, endUs, endTs)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var i = 0
+      while (i < rows.length) {
+        if (rows(i)._4 == "click") {
+          var j = i
+          while (j + 1 < rows.length && rows(j + 1)._4 == "click") j += 1
+          if (j - i + 1 >= 2) runs += ((j - i + 1L, us(rows(i)._3), us(rows(j)._3)))
+          i = j + 1
+        } else i += 1
+      }
+      rows.filter(_._4 == "signup").flatMap { a =>
+        val t1 = us(a._3)
+        runs.filter(r => r._2 > t1 && r._3 <= t1 + H24)
+          .sortBy(r => (r._2, r._3)).headOption.flatMap { r =>
+            rows.filter(e => e._4 == "purchase" && us(e._3) > r._3 &&
+                us(e._3) <= t1 + H24)
+              .sortBy(e => (us(e._3), e._2)).headOption
+              .map(p => (u, a._2, r._1, p._2, us(a._3), r._3, us(p._3)))
+          }
+      }
+    }.sortBy(_._2)
+    val gotRows = got.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), us(r.getTimestamp(4)),
+      us(r.getTimestamp(5)), us(r.getTimestamp(6)))).toSeq
+    assert(gotRows === expected)
+    assert(gotRows.nonEmpty)
   }
 
   test("parser extension: reference dialect runs via plain spark.sql") {

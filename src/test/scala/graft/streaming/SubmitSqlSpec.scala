@@ -177,6 +177,14 @@ class SubmitSqlSpec extends SparkSpec {
       if (q3.isActive) q3.stop()
       spark.catalog.dropTempView("pat_events3")
     }
+    // mid-chain quantifier has no streaming detector → loud (r7)
+    val eMid = intercept[IllegalArgumentException] {
+      ContinuousQueries.submitPattern(spark,
+        """SELECT * FROM pat_events2
+           MATCH PATTERN (a THEN b{2,} THEN c WITHIN '1' MINUTES)
+           PARTITION BY user_id""", "svc_badmid")
+    }
+    assert(eMid.getMessage.contains("no streaming detector"))
     // NOT after a multi-step chain has no streaming detector → loud
     val e0 = intercept[IllegalArgumentException] {
       ContinuousQueries.submitPattern(spark,
@@ -203,5 +211,63 @@ class SubmitSqlSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("batch view"))
     spark.catalog.dropTempView("pat_events2")
+  }
+
+  test("submitPattern: alternation steps dispatch through the detectors (r7)") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    stream.toDF().createOrReplaceTempView("pat_alt")
+    val q = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_alt
+         MATCH PATTERN (signup THEN click|purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id""", "svc_alt")
+    try {
+      stream.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "signup", 0),
+        // the FIRST of either class completes — here a click
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:05:00"), 7, "click", 0),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:10:00"), 7, "purchase", 0),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 01:00:00"), 8, "signup", 0),
+        CepEvent(5, Timestamp.valueOf("2026-01-01 01:20:00"), 8, "purchase", 0))
+      q.processAllAvailable()
+      val got = spark.table("svc_alt").select("sid", "pid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 2L), (4L, 5L)))
+    } finally {
+      if (q.isActive) q.stop()
+      spark.catalog.dropTempView("pat_alt")
+    }
+  }
+
+  test("submitPattern: SKIP PAST LAST ROW dispatches to SkipDetector (r7)") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    stream.toDF().createOrReplaceTempView("pat_skip")
+    val q = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_skip
+         MATCH PATTERN (signup THEN purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id
+         AFTER MATCH SKIP PAST LAST ROW""", "svc_skip")
+    try {
+      stream.addData(
+        // two signups share the first purchase's window; skip-past
+        // consumes it for the first match only → exactly ONE match here
+        // (skip-to-next-row would emit two)
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "signup", 0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:05:00"), 7, "signup", 0),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:10:00"), 7, "purchase", 0))
+      q.processAllAvailable()
+      // advance the watermark far past every window so matches finalize
+      stream.addData(
+        CepEvent(9, Timestamp.valueOf("2026-01-02 00:00:00"), 9, "signup", 0))
+      q.processAllAvailable()
+      val got = spark.table("svc_skip").select("id_1", "id_2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 3L)),
+        "skip-past must consume the purchase: signup 2 stays unmatched")
+    } finally {
+      if (q.isActive) q.stop()
+      spark.catalog.dropTempView("pat_skip")
+    }
   }
 }
