@@ -27,7 +27,13 @@ object Components {
     *              not emitted.
     * @return (id, component) where component = min id in the component.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 64): DataFrame =
+    minLabelWithRounds(edges, maxIter)._1
+
+  /** Internal: min-label propagation, also reporting the round count
+    * (the scale probes compare algorithms by rounds, not just wall). */
+  private[graft] def minLabelWithRounds(edges: DataFrame,
+      maxIter: Int = 64): (DataFrame, Int) = {
     val Array(sc, dc) = edges.columns
     val e = edges.select(col(sc).cast("long").as("a"),
         col(dc).cast("long").as("b"))
@@ -73,7 +79,87 @@ object Components {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds — " +
           "the graph's diameter exceeds the budget; raise maxIter")
-    labels
+    (labels, i)
+  }
+
+  /** Alternating large-star/small-star connected components (the
+    * two-phase MapReduce algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14 — public literature):
+    * min-label propagation above costs O(diameter) rounds, so a
+    * chain-heavy graph (near-dup docs often chain A~B~C~… through
+    * borderline pairs) pays the chain length; star alternation contracts
+    * components to stars centered at their minimum in O(log n) rounds
+    * regardless of diameter.
+    *
+    * Per round, each one distinct + aggregation + join (same shuffle
+    * class as a min-label round):
+    *  - LARGE-STAR: every node's strictly-larger neighbors re-attach to
+    *    `m = min(Γ⁺(u))` — long tails fold toward minima;
+    *  - SMALL-STAR: every node's smaller-or-equal neighbors (plus the
+    *    node) re-attach to that minimum — stars flatten.
+    *
+    * Fixpoint = every edge is (v, component-min), read off directly as
+    * the label frame. Same API and output contract as
+    * [[connectedComponents]] (ComponentsSpec property-pins equivalence
+    * on random graphs); same lazy `localCheckpoint` lineage hygiene; the
+    * only driver-side values per round are two counts. Measured
+    * head-to-head on the SCALE.md corpora — star wins on chains
+    * (rounds ~log n vs ~n), min-label wins slightly on the star-like
+    * duplicate clusters real corpora produce, which is why min-label
+    * stays the [[resolveDuplicates]] default. */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 32)
+      : DataFrame =
+    starWithRounds(edges, maxIter)._1
+
+  private[graft] def starWithRounds(edges: DataFrame, maxIter: Int = 32)
+      : (DataFrame, Int) = {
+    val Array(sc, dc) = edges.columns
+    var e = edges.select(col(sc).cast("long").as("x"),
+        col(dc).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("hi"),
+        least(col("x"), col("y")).as("lo"))
+      .distinct().persist()
+    var eCount = e.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // LARGE-STAR: for each node u, strictly-larger neighbors v attach
+      // to m = min(Γ(u) ∪ {u}). Each canonical edge is emitted exactly
+      // once (by its smaller endpoint's group), so no distinct blowup.
+      val nbrs = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = nbrs.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // SMALL-STAR: keyed on the larger endpoint; its smaller neighbors
+      // (and itself) attach to their minimum.
+      val smallN = large.select(col("hi").as("u"), col("lo").as("v"))
+      val mins2 = smallN.groupBy("u").agg(min("v").as("m"))
+      val next = smallN.join(mins2, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .union(mins2.select(col("u").as("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint(false) // truncate lineage every round
+        .persist()
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.except(e).isEmpty
+      e.unpersist()
+      e = next
+      eCount = nextCount
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within $maxIter " +
+          "rounds — raise maxIter (O(log n) expected)")
+    // fixpoint: e is a star forest (v, component-min); centers label
+    // themselves
+    val labels = e.select(col("hi").as("id"), col("lo").as("comp"))
+      .union(e.select(col("lo").as("id"), col("lo").as("comp")).distinct())
+    (labels, i)
   }
 
   /** Full dedup resolution: candidate pairs → per-document verdict.

@@ -119,16 +119,26 @@ object Cep {
     // the point-in-window interval join can't express — which users were
     // active AT THE SAME TIME? Sessions (5-min gap) joined on the
     // half-open overlap predicate (a.start < b.end AND b.start < a.end).
-    // Plan: BANDED — each session explodes into the 15-min buckets it
-    // touches (span/band + 1 rows, ~1-2 here: sessions span minutes) and
-    // the join is EQUI on the bucket, so no cartesian ever forms. Band
-    // width tunes candidate density (pair candidates grow with
-    // per-bucket density²): measured at sf0.1, hour buckets 1.33 s vs
-    // 15-min bands 0.90 s, both with the session frame cached (without
-    // the cache sessionization runs once PER SIDE: 1.57 s). A session
-    // pair meeting in several buckets is deduped by counting distinct
-    // session identities.
-    // The oracle recomputes sessions + the plain overlap join in DuckDB.
+    // Plan: BANDED — each session explodes into the time buckets it
+    // touches (span/band + 1 rows) and the join is EQUI on the bucket,
+    // so no cartesian ever forms.
+    //
+    // BAND WIDTH IS DERIVED, NOT HAND-TUNED (r7): candidate pairs per
+    // bucket grow with per-bucket session density² while the explode
+    // factor grows as span/band + 1, so the optimum tracks the session-
+    // span distribution — band ≈ p95(span)/2 keeps the explode factor
+    // ≈ 3 for almost every session while shrinking buckets exactly when
+    // sessions (and thus concurrency) are dense. One approx_percentile
+    // scalar on the already-cached session frame reaches the driver
+    // (same scalar-only pattern as Components' convergence check),
+    // clamped to [1 min, 1 h]. At sf0.1 the formula lands in the band
+    // the r6 A/B measured as best (hour buckets 1.33 s vs 15-min bands
+    // 0.90 s); at a 100 TB peak hour with 10⁵ concurrent short sessions
+    // it narrows automatically instead of needing this comment edited.
+    // A session pair meeting in several buckets is deduped by counting
+    // distinct session identities.
+    // The oracle recomputes sessions + the plain overlap join in DuckDB
+    // (band width never changes the result, only the plan).
     "q_join_overlap" -> ((s, dir) => {
       // both join sides derive from the SAME session frame — cache it so
       // the sessionization (shuffle + sort) runs once, not per side
@@ -137,14 +147,20 @@ object Cep {
         .agg(count(lit(1)).as("cnt"))
         .select(col("user_id"), col("session_window.start").as("s_start"),
           col("session_window.end").as("s_end")))
+      val p95Sec = Option(sess
+        .agg(expr("approx_percentile(unix_micros(s_end) - " +
+          "unix_micros(s_start), 0.95)")).head.get(0))
+        .map(_.asInstanceOf[Long] / 1000000.0).getOrElse(1800.0)
+      val band = math.min(3600L,
+        math.max(60L, (math.ceil(p95Sec / 2 / 60) * 60).toLong))
       def banded(u: String) = sess
         .select(col("user_id").as(u), col("s_start").as(s"${u}_s"),
           col("s_end").as(s"${u}_e"))
         .withColumn("h", explode(sequence(
-          timestamp_seconds(floor(unix_timestamp(col(s"${u}_s")) / 900)
-            .cast("long") * 900),
-          timestamp_seconds(floor(unix_timestamp(col(s"${u}_e")) / 900)
-            .cast("long") * 900), expr("INTERVAL 15 MINUTES"))))
+          timestamp_seconds(floor(unix_timestamp(col(s"${u}_s")) / band)
+            .cast("long") * band),
+          timestamp_seconds(floor(unix_timestamp(col(s"${u}_e")) / band)
+            .cast("long") * band), expr(s"INTERVAL $band SECONDS"))))
       banded("ua").join(banded("ub"), Seq("h"))
         .filter(col("ua") < col("ub") &&
           col("ua_s") < col("ub_e") && col("ub_s") < col("ua_e"))

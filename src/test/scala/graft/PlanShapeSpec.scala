@@ -90,6 +90,11 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$k must not plan a nested-loop join:\n$p")
     }
+    // r7: the overlap band is DERIVED from the session-span p95 (not the
+    // old 900 s constant) — the banding explode must still be in the
+    // plan (band growth can never silently degrade to a plain key join)
+    assert(plan("q_join_overlap").contains("sequence("),
+      "q_join_overlap must keep the banded explode with the derived band")
   }
 
   test("q_scan_project prunes the lineitem scan to the used columns") {

@@ -68,6 +68,46 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("star alternation == min-label on random graphs (40 seeds, r7)") {
+    // the O(log n) large-star/small-star variant must produce the exact
+    // (id, comp=min) frame min-label does, on arbitrary topologies
+    // (40 seeds: each seed runs BOTH iterative algorithms — topology
+    // coverage saturates well before the union-find test's 100)
+    (1 to 40).foreach { seed =>
+      val rnd = new scala.util.Random(seed + 7000)
+      val n = 2 + rnd.nextInt(12)
+      val m = 1 + rnd.nextInt(16)
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val star = Components.connectedComponentsStar(df)
+          .as[(Long, Long)].collect().toMap
+        val minl = Components.connectedComponents(df)
+          .as[(Long, Long)].collect().toMap
+        assert(star === minl, s"seed=$seed edges=$edges")
+      }
+    }
+  }
+
+  test("star alternation beats min-label round count on a long chain (r7)") {
+    // a 60-vertex chain: min-label needs O(diameter) rounds; star
+    // alternation contracts it in O(log n)
+    val n = 60
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("src", "dst")
+    val (starLabels, starRounds) = Components.starWithRounds(edges)
+    val (minLabels, minRounds) = Components.minLabelWithRounds(edges)
+    assert(starLabels.as[(Long, Long)].collect().toMap ===
+      minLabels.as[(Long, Long)].collect().toMap)
+    assert((1 to n).forall(i =>
+      starLabels.as[(Long, Long)].collect().toMap.apply(i.toLong) == 1L))
+    assert(starRounds < minRounds,
+      s"star=$starRounds rounds vs min-label=$minRounds on a chain")
+    assert(starRounds <= 10, s"O(log n) expected, got $starRounds")
+  }
+
   test("end-to-end dedup: LSH pairs on planted dups -> keeper resolution") {
     val docs = Tables.table(spark, sf, "documents")
     val planted = docs.limit(10)
