@@ -92,15 +92,48 @@ object Panes {
     * `window()`-expand sketch. */
   def slidingDistinctViaPanes(df: DataFrame, tsCol: String, window_ : String,
       slide: String, distinctCol: String, keys: Seq[String] = Nil)
+      : DataFrame =
+    mergeDistinctPanes(
+      distinctPaneSketches(df, tsCol, slide, distinctCol, keys),
+      window_, slide, distinctCol, keys)
+
+  /** The PANE half of [[slidingDistinctViaPanes]], exposed separately
+    * because it is the STREAMING-maintainable piece (r7): one HLL sketch
+    * per tumbling pane [+ keys], via `hll_sketch_agg`. On a batch frame
+    * it is a plain aggregation; on a STREAMING frame it is a standard
+    * streaming aggregation whose state is the per-pane sketch —
+    * continuously updated registers, exactly the reference's Redis pane
+    * state re-expressed as Structured Streaming agg state. Maintain it
+    * with a complete-mode memory sink (small pane table) or a
+    * foreachBatch upsert into a keyed store at scale; serve sliding
+    * windows by running [[mergeDistinctPanes]] over the pane table —
+    * StreamingTwinSpec pins replay ≡ batch. */
+  def distinctPaneSketches(df: DataFrame, tsCol: String, slide: String,
+      distinctCol: String, keys: Seq[String] = Nil): DataFrame =
+    df.groupBy((window(col(tsCol), slide).getField("start").as("ps") +:
+        keys.map(col)): _*)
+      .agg(expr(s"hll_sketch_agg($distinctCol)").as("__sk"))
+
+  /** The MERGE half of [[slidingDistinctViaPanes]]: replicate each pane
+    * sketch into the w/s windows containing it and union per window
+    * (`hll_union_agg` — register-wise max, order-insensitive, so
+    * streaming-built and batch-built pane sketches merge identically).
+    * Input must be a [[distinctPaneSketches]] frame (`ps`, keys,
+    * `__sk`). */
+  def mergeDistinctPanes(paneRows: DataFrame, window_ : String,
+      slide: String, distinctCol: String, keys: Seq[String] = Nil)
       : DataFrame = {
     val panes = (parseDuration(window_) / parseDuration(slide)).toInt
     require(panes.toLong * parseDuration(slide) == parseDuration(window_),
       s"slide must divide window ($window_ / $slide)")
-    paneExpand(df, tsCol, slide, panes, keys,
-      Seq(expr(s"hll_sketch_agg($distinctCol)").as("__sk")),
-      Seq("__sk"),
-      Seq(expr("hll_sketch_estimate(hll_union_agg(__sk))")
-        .as(s"approx_distinct_$distinctCol")))
+    paneRows
+      .select((col("*") +: Seq(
+        explode(sequence(lit(0), lit(panes - 1))).as("k"))): _*)
+      .select((col("ps") - col("k") * expr(s"INTERVAL $slide")).as("ws") +:
+        (keys.map(col) :+ col("__sk")): _*)
+      .groupBy(("ws" +: keys).map(col): _*)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(__sk))")
+        .as(s"approx_distinct_$distinctCol"))
   }
 
   /** Duration string → microseconds (delegates to Catalyst's parser). */

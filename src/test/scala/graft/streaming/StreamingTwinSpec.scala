@@ -83,6 +83,51 @@ class StreamingTwinSpec extends SparkSpec {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("sliding distinct: streaming HLL pane sketches == batch panes (r7)") {
+    // the hard half of the pane story, streamed: per-pane HLL sketch
+    // state maintained incrementally (the reference's Redis pane state
+    // as streaming agg state), sliding windows served by merging the
+    // pane table on read. hll_union_agg is register-wise max —
+    // order-insensitive — so the replay-built sketches must merge to
+    // the SAME estimates the batch pane operator produces.
+    import graft.operators.Panes
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"twin_panes_${System.nanoTime}"
+    val q = Panes.distinctPaneSketches(stream.toDF(), "ts", "10 minutes",
+        "user_id")
+      .writeStream.queryName(name).format("memory")
+      .outputMode("complete").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = Panes.mergeDistinctPanes(spark.table(name),
+        "30 minutes", "10 minutes", "user_id")
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val batch = Panes.slidingDistinctViaPanes(eventsDf, "ts",
+        "30 minutes", "10 minutes", "user_id")
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(streamed.keySet == batch.keySet)
+    // same registers → same estimates (not merely "close")
+    streamed.foreach { case (ws, est) =>
+      assert(est === batch(ws), s"window $ws: streamed $est vs batch")
+    }
+    // and both sit within the pinned 5% of exact
+    val exact = eventsDf
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes")
+        .getField("start").as("ws"))
+      .agg(countDistinct("user_id").as("nd"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    streamed.foreach { case (ws, est) =>
+      val ex = exact(ws).toDouble
+      assert(math.abs(est - ex) / ex <= 0.05,
+        s"window $ws: estimate $est vs exact $ex beyond 5%")
+    }
+  }
+
   test("observe metrics ride the stream without changing results (r6)") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[CepEvent]
