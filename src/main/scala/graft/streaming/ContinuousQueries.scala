@@ -69,6 +69,8 @@ object ContinuousQueries {
     *  - `a THEN b`            → [[CepSequence]]      (≡ q_cep_seq)
     *  - `a THEN NOT b`        → [[AbsenceDetector]]  (≡ q_cep_absence)
     *  - `a THEN b THEN c …`   → [[PatternMatch]]     (≡ q_pattern_chain)
+    *  - `a THEN b THEN NOT c` → [[ChainAbsenceDetector]] (r7 — absence
+    *    after a matched prefix, watermark-timer emission)
     *  - `a{m,} THEN [NOT] b`  → [[RunDetector]]      (≡ q_pattern_times,
     *    completed runs; the NOT form keeps only timed-out runs)
     *  - `… AFTER MATCH SKIP PAST LAST ROW` → [[SkipDetector]]
@@ -133,10 +135,8 @@ object ContinuousQueries {
           CepSequence.detect(srcWm, classes.head, classes.last,
             spec.withinMs).toDF()
         case None if spec.absent =>
-          throw new IllegalArgumentException(
-            "THEN NOT after a multi-step chain has no streaming detector " +
-              "yet — compose PatternMatch with AbsenceDetector on the " +
-              "prefix, or run the batch rewrite via CepSql.sql")
+          ChainAbsenceDetector.detect(src, classes, spec.withinMs,
+            lateness).toDF()
         case None =>
           val preds = classes.map(c => (e: CepEvent) => c.contains(e.event_type))
           PatternMatch.detectWhere(srcWm, preds, spec.withinMs).toDF()

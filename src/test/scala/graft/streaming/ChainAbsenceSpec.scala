@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.{SparkSpec, Tables}
+
+/** Streaming chain absence (e1 THEN e2 THEN NOT e3) must reproduce the
+  * batch MATCH PATTERN rewrite (anti join after the chained rank-1
+  * prefix) exactly on replay. */
+class ChainAbsenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def us(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  private lazy val eventsDs: Dataset[CepEvent] =
+    Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[CepEvent]
+
+  test("replay == batch MATCH PATTERN chain-absence rewrite") {
+    Tables.load(spark, sf)
+    val batch = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click THEN NOT purchase WITHIN '24' HOURS)
+         PARTITION BY user_id""")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        us(r.getTimestamp(3)), us(r.getTimestamp(4)))).toSet
+    assert(batch.nonEmpty, "fixture must exercise the absence path")
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"chain_abs_${System.nanoTime}"
+    val q = ChainAbsenceDetector.detect(stream.toDS(),
+        Seq(Set("signup"), Set("click"), Set("purchase")),
+        24L * 3600 * 1000, "0 seconds")
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq)
+      q.processAllAvailable()
+    }
+    // far-future prefix-type sentinel closes every window
+    stream.addData(CepEvent(-1L,
+      Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "signup", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name)
+      .filter($"user_id" =!= -1L)
+      .collect()
+      .map { r =>
+        val ids = r.getSeq[Long](1)
+        (r.getLong(0), ids.head, ids(1),
+          us(r.getTimestamp(2)), us(r.getTimestamp(3)))
+      }.toSet
+    assert(streamed === batch)
+  }
+}

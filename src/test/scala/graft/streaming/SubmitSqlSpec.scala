@@ -185,14 +185,35 @@ class SubmitSqlSpec extends SparkSpec {
            PARTITION BY user_id""", "svc_badmid")
     }
     assert(eMid.getMessage.contains("no streaming detector"))
-    // NOT after a multi-step chain has no streaming detector → loud
-    val e0 = intercept[IllegalArgumentException] {
-      ContinuousQueries.submitPattern(spark,
-        """SELECT * FROM pat_events2
-           MATCH PATTERN (a THEN b THEN NOT c WITHIN '1' MINUTES)
-           PARTITION BY user_id""", "svc_bad0")
+    // NOT after a multi-step chain → ChainAbsenceDetector (r7): the
+    // matched signup→click prefix with no purchase emits once the
+    // watermark proves the window empty
+    val streamAbs = MemoryStream[CepEvent]
+    streamAbs.toDF().createOrReplaceTempView("pat_chain_abs")
+    val qAbs = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_chain_abs
+         MATCH PATTERN (signup THEN click THEN NOT purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id""", "svc_chain_abs", lateness = "0 seconds")
+    try {
+      streamAbs.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "signup", 0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:05:00"), 7, "click", 0),
+        // user 8's prefix IS completed by a purchase → no absence
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:00:00"), 8, "signup", 0),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 00:05:00"), 8, "click", 0),
+        CepEvent(5, Timestamp.valueOf("2026-01-01 00:10:00"), 8, "purchase", 0))
+      qAbs.processAllAvailable()
+      streamAbs.addData( // advance the watermark past every window
+        CepEvent(9, Timestamp.valueOf("2026-01-02 00:00:00"), 9, "signup", 0))
+      qAbs.processAllAvailable()
+      val gotAbs = spark.table("svc_chain_abs")
+        .select("user_id", "step_ids").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+      assert(gotAbs === Set((7L, Seq(1L, 2L))))
+    } finally {
+      if (qAbs.isActive) qAbs.stop()
+      spark.catalog.dropTempView("pat_chain_abs")
     }
-    assert(e0.getMessage.contains("no streaming detector"))
     // wrong partition key → loud
     val e1 = intercept[IllegalArgumentException] {
       ContinuousQueries.submitPattern(spark,
