@@ -126,15 +126,21 @@ object Cep {
     // BAND WIDTH IS DERIVED, NOT HAND-TUNED (r7): candidate pairs per
     // bucket grow with per-bucket session density² while the explode
     // factor grows as span/band + 1, so the optimum tracks the session-
-    // span distribution — band ≈ p95(span)/2 keeps the explode factor
-    // ≈ 3 for almost every session while shrinking buckets exactly when
-    // sessions (and thus concurrency) are dense. One approx_percentile
-    // scalar on the already-cached session frame reaches the driver
-    // (same scalar-only pattern as Components' convergence check),
-    // clamped to [1 min, 1 h]. At sf0.1 the formula lands in the band
-    // the r6 A/B measured as best (hour buckets 1.33 s vs 15-min bands
-    // 0.90 s); at a 100 TB peak hour with 10⁵ concurrent short sessions
-    // it narrows automatically instead of needing this comment edited.
+    // span distribution — band = p95(span) keeps the explode factor
+    // ≤ 2 for ~95% of sessions while the bucket narrows exactly when
+    // sessions (and thus per-bucket concurrency) shorten. The /2 and ×2
+    // variants were A/B-measured at sf0.1 (p95 = 300 s there): band
+    // 150 s → 0.66 s, 300 s → 0.47 s, 600 s → 0.73 s — p95 itself is
+    // the sweet spot and reproduces the best hand-tuned r6 number. One
+    // approx_percentile scalar on the already-cached session frame
+    // reaches the driver (same scalar-only pattern as Components'
+    // convergence check), clamped to [1 min, 1 h]. The derivation pass
+    // costs ~0.2 s of job overhead at sf0.1 (BENCH q_join_overlap
+    // 0.47 → ~0.65 s end-to-end) — the honest price of adaptivity,
+    // amortized to noise at the scale where the band choice actually
+    // matters. At a 100 TB peak hour with 10⁵ concurrent short
+    // sessions the band narrows automatically instead of needing this
+    // comment edited.
     // A session pair meeting in several buckets is deduped by counting
     // distinct session identities.
     // The oracle recomputes sessions + the plain overlap join in DuckDB
@@ -152,7 +158,7 @@ object Cep {
           "unix_micros(s_start), 0.95)")).head.get(0))
         .map(_.asInstanceOf[Long] / 1000000.0).getOrElse(1800.0)
       val band = math.min(3600L,
-        math.max(60L, (math.ceil(p95Sec / 2 / 60) * 60).toLong))
+        math.max(60L, (math.ceil(p95Sec / 60) * 60).toLong))
       def banded(u: String) = sess
         .select(col("user_id").as(u), col("s_start").as(s"${u}_s"),
           col("s_end").as(s"${u}_e"))
