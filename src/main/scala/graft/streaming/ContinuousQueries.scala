@@ -77,9 +77,11 @@ object ContinuousQueries {
     *    (≡ q_pattern_skip — greedy non-overlapping, watermark-finalized)
     *
     * Alternation steps (`click|view`, r7) dispatch through every arm —
-    * the detectors take event-type classes. A `{m,}` quantifier anywhere
-    * but the head of a 2-step pattern has no streaming detector yet and
-    * is rejected loudly (the batch rewrite via [[CepSql.sql]] covers it).
+    * the detectors take event-type classes. Quantified chains (`{m,}`
+    * beyond the 2-step head form) dispatch to [[RunChainDetector]];
+    * the two remaining batch-only forms — absence after a quantified
+    * chain, and a quantified step overlapping its predecessor's class —
+    * are rejected loudly with a pointer to [[CepSql.sql]].
     *
     * The source view must be a STREAMING view with the events-table
     * converter schema `(event_id, ts, user_id, event_type, value)` and
@@ -114,12 +116,30 @@ object ContinuousQueries {
       if (spec.skipPast)
         SkipDetector.detect(src, classes, spec.withinMs, Some(lateness))
       else if (quantifiedTail ||
-          (spec.steps.head.minTimes.isDefined && spec.steps.length != 2))
-        throw new IllegalArgumentException(
-          "a {m,} quantifier beyond the head of a 2-step pattern has no " +
-            "streaming detector yet — run the batch rewrite via " +
-            "CepSql.sql, or compose RunDetector with PatternMatch")
-      else spec.steps.head.minTimes match {
+          (spec.steps.head.minTimes.isDefined && spec.steps.length != 2)) {
+        // generalized quantified chain (r7) → RunChainDetector. Two
+        // batch-only carve-outs, rejected loudly: absence after a
+        // quantified chain, and a quantified step whose class overlaps
+        // its predecessor's (the predecessor's matched event would
+        // belong to the run in the batch's GLOBAL gaps-and-islands,
+        // which a per-partial streaming tracker cannot see).
+        if (spec.absent)
+          throw new IllegalArgumentException(
+            "THEN NOT after a quantified chain has no streaming " +
+              "detector — run the batch rewrite via CepSql.sql")
+        spec.steps.sliding(2).foreach { pair =>
+          if (pair.length == 2 && pair.last.minTimes.isDefined &&
+              pair.head.events.toSet.intersect(
+                pair.last.events.toSet).nonEmpty)
+            throw new IllegalArgumentException(
+              "a {m,} step whose class overlaps the previous step's " +
+                "has no streaming detector (run maximality differs) — " +
+                "run the batch rewrite via CepSql.sql")
+        }
+        RunChainDetector.detect(src,
+          spec.steps.map(s => (s.events.toSet, s.minTimes)),
+          spec.withinMs).toDF()
+      } else spec.steps.head.minTimes match {
         case Some(mt) =>
           val runs = RunDetector.detect(src, classes.head, mt, classes.last,
             spec.withinMs, Some(lateness))

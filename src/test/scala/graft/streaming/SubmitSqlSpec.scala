@@ -177,14 +177,46 @@ class SubmitSqlSpec extends SparkSpec {
       if (q3.isActive) q3.stop()
       spark.catalog.dropTempView("pat_events3")
     }
-    // mid-chain quantifier has no streaming detector → loud (r7)
-    val eMid = intercept[IllegalArgumentException] {
+    // mid-chain quantifier → RunChainDetector (r7): signup, a 2-run of
+    // clicks closed by the purchase, which completes the chain itself
+    val streamMid = MemoryStream[CepEvent]
+    streamMid.toDF().createOrReplaceTempView("pat_mid")
+    val qMid = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_mid
+         MATCH PATTERN (signup THEN click{2,} THEN purchase WITHIN '2' HOURS)
+         PARTITION BY user_id""", "svc_mid")
+    try {
+      streamMid.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "signup", 0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:05:00"), 7, "click", 0),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:10:00"), 7, "click", 0),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 00:20:00"), 7, "purchase", 0))
+      qMid.processAllAvailable()
+      val got = spark.table("svc_mid").select("step_vals").collect()
+        .map(_.getSeq[Long](0)).toSet
+      assert(got === Set(Seq(1L, 2L, 4L)),
+        "(signup id, run len, purchase id) expected")
+    } finally {
+      if (qMid.isActive) qMid.stop()
+      spark.catalog.dropTempView("pat_mid")
+    }
+    // ...but a quantified step overlapping its predecessor's class is
+    // batch-only (global run maximality) → loud
+    val eOvl = intercept[IllegalArgumentException] {
       ContinuousQueries.submitPattern(spark,
         """SELECT * FROM pat_events2
-           MATCH PATTERN (a THEN b{2,} THEN c WITHIN '1' MINUTES)
-           PARTITION BY user_id""", "svc_badmid")
+           MATCH PATTERN (b THEN b{2,} THEN c WITHIN '1' MINUTES)
+           PARTITION BY user_id""", "svc_badovl")
     }
-    assert(eMid.getMessage.contains("no streaming detector"))
+    assert(eOvl.getMessage.contains("overlaps"))
+    // ...and absence after a quantified chain is batch-only → loud
+    val eQAbs = intercept[IllegalArgumentException] {
+      ContinuousQueries.submitPattern(spark,
+        """SELECT * FROM pat_events2
+           MATCH PATTERN (a THEN b{2,} THEN NOT c WITHIN '1' MINUTES)
+           PARTITION BY user_id""", "svc_badqabs")
+    }
+    assert(eQAbs.getMessage.contains("quantified chain"))
     // NOT after a multi-step chain → ChainAbsenceDetector (r7): the
     // matched signup→click prefix with no purchase emits once the
     // watermark proves the window empty
