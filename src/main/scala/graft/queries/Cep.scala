@@ -434,6 +434,19 @@ object Cep {
            MATCH PATTERN (signup THEN purchase WITHIN '30' MINUTES)
            PARTITION BY user_id
            AFTER MATCH SKIP PAST LAST ROW""")
+    }),
+
+    // EP1h — STEP CONDITIONS from SQL TEXT (r7, DEFINE-lite): a step may
+    // carry one numeric comparison (`purchase(value > 50)`); the rewrite
+    // widens the step predicate. Grammar-validated fragments only —
+    // identifier, fixed operator set, numeric literal — so the embedding
+    // is injection-safe by construction.
+    "q_pattern_pred" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * FROM events
+           MATCH PATTERN (signup THEN purchase(value > 50) WITHIN '30' MINUTES)
+           PARTITION BY user_id""")
     })
   )
 
@@ -715,6 +728,18 @@ object Cep {
          SELECT k AS user_id, sid AS id_1, pid AS id_2,
            s_ts AS ts_1, p_ts AS ts_2
          FROM m ORDER BY id_1""",
+    "q_pattern_pred" ->
+      """SELECT user_id, sid, pid, s_ts, p_ts FROM (
+           SELECT a.user_id, a.event_id AS sid, b.event_id AS pid,
+             a.ts AS s_ts, b.ts AS p_ts,
+             row_number() OVER (PARTITION BY a.event_id
+                                ORDER BY b.ts, b.event_id) AS rn
+           FROM events a JOIN events b
+             ON a.user_id = b.user_id
+            AND a.event_type = 'signup'
+            AND b.event_type = 'purchase' AND b.value > 50
+            AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE) t
+         WHERE rn = 1 ORDER BY sid""",
     "q_pattern_chain" ->
       """WITH s1 AS (
            SELECT user_id AS k, event_id AS id_1, ts AS ts_1 FROM events

@@ -60,10 +60,13 @@ object CepSql {
     * [AFTER MATCH SKIP TO NEXT ROW | AFTER MATCH SKIP PAST LAST ROW]
     * }}}
     *
-    * where each `<step>` is `<ev>[|<ev>…][{m,}]` — an event name, an
-    * alternation of event names (`click|view` matches either), and an
-    * optional `{m,}` quantifier on ANY step (a maximal run of ≥ m
-    * consecutive events of the step's class). Chains of any length ≥ 2;
+    * where each `<step>` is `<ev>[|<ev>…][(col op num)][{m,}]` — an
+    * event name, an alternation of event names (`click|view` matches
+    * either), an optional single numeric condition (DEFINE-lite, e.g.
+    * `purchase(value > 100)` — the step's class is then "type AND
+    * condition"), and an optional `{m,}` quantifier on ANY step (a
+    * maximal run of ≥ m consecutive events of the step's class).
+    * Chains of any length ≥ 2;
     * `NOT` is legal on the FINAL step only (absence of a completion after
     * a matched prefix) and cannot itself be quantified. The default match
     * mode is AFTER MATCH SKIP TO NEXT ROW (every event may anchor a
@@ -74,10 +77,17 @@ object CepSql {
     * statement (projection/extra predicates belong in a view over the
     * result). */
   private val evAlt = "'?\\w+'?(?:\\s*\\|\\s*'?\\w+'?)*"
+  // optional step condition `(col op number)` — MATCH_RECOGNIZE
+  // DEFINE-lite, deliberately restricted to one numeric comparison so
+  // the rewrite embeds it without a SQL-expression parser (injection-safe
+  // by construction)
+  private val cond = "(?:\\(\\s*[A-Za-z_]\\w*\\s*(?:<=|>=|!=|=|<|>)\\s*" +
+    "-?\\d+(?:\\.\\d+)?\\s*\\))?"
+  private val stepPat = s"$evAlt$cond(?:\\{\\d+,\\})?"
   private val patternStmt = Pattern.compile(
     "^\\s*SELECT\\s+\\*\\s+FROM\\s+([A-Za-z_][\\w.]*)\\s+" +
       "MATCH\\s+PATTERN\\s*\\(\\s*" +
-      s"($evAlt(?:\\{\\d+,\\})?(?:\\s+THEN\\s+(?:NOT\\s+)?$evAlt(?:\\{\\d+,\\})?)+)" +
+      s"($stepPat(?:\\s+THEN\\s+(?:NOT\\s+)?$stepPat)+)" +
       "\\s+WITHIN\\s+'(\\d+)'\\s+(SECONDS?|MINUTES?|HOURS?)\\s*\\)" +
       "\\s+PARTITION\\s+BY\\s+([A-Za-z_]\\w*)" +
       "(?:\\s+AFTER\\s+MATCH\\s+SKIP\\s+(TO\\s+NEXT\\s+ROW|PAST\\s+LAST\\s+ROW))?" +
@@ -86,7 +96,9 @@ object CepSql {
   private val thenSplit = Pattern.compile("\\s+THEN\\s+",
     Pattern.CASE_INSENSITIVE)
   private val stepTok = Pattern.compile(
-    "(?i)^(NOT\\s+)?('?\\w+'?(?:\\s*\\|\\s*'?\\w+'?)*)(?:\\{(\\d+),\\})?$")
+    "(?i)^(NOT\\s+)?('?\\w+'?(?:\\s*\\|\\s*'?\\w+'?)*)" +
+      "(?:\\(\\s*([A-Za-z_]\\w*)\\s*(<=|>=|!=|=|<|>)\\s*" +
+      "(-?\\d+(?:\\.\\d+)?)\\s*\\))?(?:\\{(\\d+),\\})?$")
   private val altSplit = Pattern.compile("\\s*\\|\\s*")
   private val groupBy = Pattern.compile("GROUP\\s+BY", Pattern.CASE_INSENSITIVE)
   private val tail = Pattern.compile(
@@ -226,10 +238,14 @@ object CepSql {
     }
   }
 
+  /** One parsed step condition: `(col op number)` — e.g.
+    * `purchase(value > 100)`. */
+  case class StepCond(col: String, op: String, num: String)
+
   /** One parsed pattern step: `NOT`?, event-name alternation (size 1 for
-    * a plain event), `{m,}` quantifier? */
+    * a plain event), condition?, `{m,}` quantifier? */
   case class PatternStep(negated: Boolean, events: Seq[String],
-      minTimes: Option[Int]) {
+      minTimes: Option[Int], cond: Option[StepCond] = None) {
     /** The single event name of an unalternated step (the common case —
       * streaming detectors and the legacy rewrite paths use it). */
     def event: String = events.head
@@ -272,8 +288,10 @@ object CepSql {
       if (!sm.matches()) malformed(s"bad step token '$tok'")
       val evs = altSplit.split(sm.group(2)).toSeq
         .map(_.stripPrefix("'").stripSuffix("'")).distinct
+      val c = Option(sm.group(3)).map(col =>
+        StepCond(col, sm.group(4), sm.group(5)))
       PatternStep(sm.group(1) != null, evs,
-        Option(sm.group(3)).map(_.toInt))
+        Option(sm.group(6)).map(_.toInt), c)
     }
     if (steps.head.negated) malformed("NOT on the first step")
     if (steps.init.exists(_.negated))
@@ -352,13 +370,8 @@ object CepSql {
     val key = spec.key
     def bq(c: String) = s"`$c`"
     val (k, t, ty, id) = (bq(key), bq(tsCol), bq(typeCol), bq(idCol))
-    /** Type predicate for a step: `=` for a single event, `IN` for an
-      * alternation (`click|view`). `alias` empty → bare column. */
-    def inPred(alias: String, events: Seq[String]): String = {
-      val c = if (alias.isEmpty) ty else s"$alias.$ty"
-      if (events.size == 1) s"$c = '${events.head}'"
-      else s"$c IN (${events.map(e => s"'$e'").mkString(", ")})"
-    }
+    def inPred(alias: String, st: PatternStep): String =
+      stepPredSql(alias, st, typeCol)
     if (spec.skipPast) return translateSkip(spec, tsCol, typeCol, idCol)
     if (steps.length > 2 || steps.tail.exists(_.minTimes.isDefined))
       return translateChain(spec, tsCol, typeCol, idCol)
@@ -370,21 +383,21 @@ object CepSql {
       // (key, run_len, run_start, run_end, b_ts); absence output drops
       // b_ts and keeps runs with NO qualifying completion.
       val mt = steps.head.minTimes.get
-      val runs = runsSub(steps.head.events, mt, key, tsCol, typeCol, idCol,
+      val runs = runsSub(steps.head, mt, key, tsCol, typeCol, idCol,
         tbl)
       val range = s"b.$t > r.run_end AND b.$t <= r.run_end + " +
         s"INTERVAL $n $unit"
       if (absent)
         s"""SELECT r.__k AS $k, r.run_len, r.run_start, r.run_end
            |FROM $runs r
-           |LEFT ANTI JOIN (SELECT * FROM $tbl WHERE ${inPred("", steps.last.events)}) b
+           |LEFT ANTI JOIN (SELECT * FROM $tbl WHERE ${inPred("", steps.last)}) b
            |ON r.__k = b.$k AND $range
            |ORDER BY $k, run_start""".stripMargin
       else
         s"""SELECT r.__k AS $k, r.run_len, r.run_start, r.run_end,
            |  min(b.$t) AS b_ts
            |FROM $runs r
-           |JOIN (SELECT * FROM $tbl WHERE ${inPred("", steps.last.events)}) b
+           |JOIN (SELECT * FROM $tbl WHERE ${inPred("", steps.last)}) b
            |ON r.__k = b.$k AND $range
            |GROUP BY r.__k, r.run_len, r.run_start, r.run_end
            |ORDER BY $k, run_start""".stripMargin
@@ -393,8 +406,8 @@ object CepSql {
       val range = s"b.$t > a.$t AND b.$t <= a.$t + INTERVAL $n $unit"
       if (absent)
         s"""SELECT a.$id AS sid, a.$k AS $k, a.$t AS s_ts
-           |FROM (SELECT * FROM $tbl WHERE ${inPred("", steps.head.events)}) a
-           |LEFT ANTI JOIN (SELECT * FROM $tbl WHERE ${inPred("", steps.last.events)}) b
+           |FROM (SELECT * FROM $tbl WHERE ${inPred("", steps.head)}) a
+           |LEFT ANTI JOIN (SELECT * FROM $tbl WHERE ${inPred("", steps.last)}) b
            |ON a.$k = b.$k AND $range
            |ORDER BY sid""".stripMargin
       else
@@ -404,8 +417,8 @@ object CepSql {
            |         row_number() OVER (PARTITION BY a.$id
            |                            ORDER BY b.$t, b.$id) AS __rn
            |  FROM $tbl a JOIN $tbl b
-           |  ON a.$k = b.$k AND ${inPred("a", steps.head.events)}
-           |     AND ${inPred("b", steps.last.events)} AND $range
+           |  ON a.$k = b.$k AND ${inPred("a", steps.head)}
+           |     AND ${inPred("b", steps.last)} AND $range
            |) WHERE __rn = 1 ORDER BY sid""".stripMargin
     }
   }
@@ -417,13 +430,11 @@ object CepSql {
     * formulation to alternations: for a single event name, partitioning
     * by the indicator is exactly partitioning by the type over the
     * surviving rows. Selects (__k, run_len, run_start, run_end). */
-  private def runsSub(events: Seq[String], minLen: Int, key: String,
+  private def runsSub(st: PatternStep, minLen: Int, key: String,
       tsCol: String, typeCol: String, idCol: String, tbl: String): String = {
     def bq(c: String) = s"`$c`"
-    val (k, t, ty, id) = (bq(key), bq(tsCol), bq(typeCol), bq(idCol))
-    val cls =
-      if (events.size == 1) s"$ty = '${events.head}'"
-      else s"$ty IN (${events.map(e => s"'$e'").mkString(", ")})"
+    val (k, t, id) = (bq(key), bq(tsCol), bq(idCol))
+    val cls = stepPredSql("", st, typeCol)
     s"""(SELECT $k AS __k, count(*) AS run_len,
        |   min($t) AS run_start, max($t) AS run_end
        | FROM (SELECT $k, $t, $id,
@@ -436,6 +447,27 @@ object CepSql {
        |       FROM $tbl) o
        | WHERE __c = 1
        | GROUP BY $k, __grp HAVING count(*) >= $minLen)""".stripMargin
+  }
+
+  /** Shared step predicate: type test (`=` / `IN` for an alternation)
+    * plus the optional `(col op num)` condition (r7 DEFINE-lite).
+    * `alias` empty → bare columns. Every fragment comes from tightly
+    * validated grammar groups (identifiers, a fixed operator set, a
+    * numeric literal), so embedding is injection-safe. */
+  private def stepPredSql(alias: String, st: PatternStep,
+      typeCol: String): String = {
+    def bq(c: String) = s"`$c`"
+    def qual(c: String) = if (alias.isEmpty) bq(c) else s"$alias.${bq(c)}"
+    val ty = qual(typeCol)
+    val tp =
+      if (st.events.size == 1) s"$ty = '${st.events.head}'"
+      else s"$ty IN (${st.events.map(e => s"'$e'").mkString(", ")})"
+    st.cond match {
+      case Some(StepCond(col, op, num)) =>
+        val sqlOp = if (op == "!=") "<>" else op
+        s"($tp AND ${qual(col)} $sqlOp $num)"
+      case None => tp
+    }
   }
 
   /** Generalized chain rewrite (N ≥ 2 steps, alternation on any step,
@@ -459,11 +491,8 @@ object CepSql {
     val (n, unit) = (spec.n.toString, spec.unit)
     def bq(c: String) = s"`$c`"
     val (k, t, ty, id) = (bq(spec.key), bq(tsCol), bq(typeCol), bq(idCol))
-    def inPred(alias: String, events: Seq[String]): String = {
-      val c = if (alias.isEmpty) ty else s"$alias.$ty"
-      if (events.size == 1) s"$c = '${events.head}'"
-      else s"$c IN (${events.map(e => s"'$e'").mkString(", ")})"
-    }
+    def inPred(alias: String, st: PatternStep): String =
+      stepPredSql(alias, st, typeCol)
     val chainSteps = if (spec.absent) steps.init else steps
     def lbl(i: Int): String =
       if (chainSteps(i - 1).minTimes.isDefined) s"len_$i" else s"id_$i"
@@ -477,12 +506,12 @@ object CepSql {
       if (chainSteps.head.minTimes.isDefined) "p.__k, p.ts_1" else "p.id_1"
     var prefix = chainSteps.head.minTimes match {
       case Some(mt) =>
-        val runs = runsSub(chainSteps.head.events, mt, spec.key, tsCol,
+        val runs = runsSub(chainSteps.head, mt, spec.key, tsCol,
           typeCol, idCol, tbl)
         s"(SELECT __k, run_len AS len_1, run_end AS ts_1 FROM $runs r0)"
       case None =>
         s"""(SELECT $k AS __k, $id AS id_1, $t AS ts_1
-           |   FROM $tbl WHERE ${inPred("", chainSteps.head.events)})""".stripMargin
+           |   FROM $tbl WHERE ${inPred("", chainSteps.head)})""".stripMargin
     }
     for (i <- 2 to chainSteps.length) {
       val st = chainSteps(i - 1)
@@ -490,7 +519,7 @@ object CepSql {
       val prevTs = (1 until i).map(j => s"p.ts_$j").mkString(", ")
       prefix = st.minTimes match {
         case Some(mt) =>
-          val runs = runsSub(st.events, mt, spec.key, tsCol, typeCol,
+          val runs = runsSub(st, mt, spec.key, tsCol, typeCol,
             idCol, tbl)
           s"""(SELECT __k, ${cols(i)} FROM (
              |  SELECT p.__k, $prevLbls,
@@ -513,7 +542,7 @@ object CepSql {
              |         row_number() OVER (PARTITION BY $anchor
              |                            ORDER BY b.$t, b.$id) AS __rn
              |  FROM $prefix p JOIN $tbl b
-             |  ON p.__k = b.$k AND ${inPred("b", st.events)}
+             |  ON p.__k = b.$k AND ${inPred("b", st)}
              |     AND b.$t > p.ts_${i - 1}
              |     AND b.$t <= p.ts_1 + INTERVAL $n $unit
              |) WHERE __rn = 1)""".stripMargin
@@ -525,7 +554,7 @@ object CepSql {
     if (spec.absent)
       s"""SELECT __k AS $k, ${cols(np)}
          |FROM $prefix p
-         |LEFT ANTI JOIN (SELECT * FROM $tbl WHERE ${inPred("", steps.last.events)}) b
+         |LEFT ANTI JOIN (SELECT * FROM $tbl WHERE ${inPred("", steps.last)}) b
          |ON p.__k = b.$k AND b.$t > p.ts_$np
          |   AND b.$t <= p.ts_1 + INTERVAL $n $unit
          |ORDER BY $order""".stripMargin
@@ -557,18 +586,15 @@ object CepSql {
     val (n, unit) = (spec.n.toString, spec.unit)
     def bq(c: String) = s"`$c`"
     val (k, t, ty, id) = (bq(spec.key), bq(tsCol), bq(typeCol), bq(idCol))
-    def inPred(alias: String, events: Seq[String]): String = {
-      val c = s"$alias.$ty"
-      if (events.size == 1) s"$c = '${events.head}'"
-      else s"$c IN (${events.map(e => s"'$e'").mkString(", ")})"
-    }
+    def inPred(alias: String, st: PatternStep): String =
+      stepPredSql(alias, st, typeCol)
     val np = steps.length
     def alias(i: Int): String = if (i == 1) "a" else s"b$i"
     val selCols = (s"a.$k AS __k" +:
       (1 to np).map(i => s"${alias(i)}.$id AS id_$i")) ++
       (1 to np).map(i => s"${alias(i)}.$t AS ts_$i")
     val joins = (2 to np).map { i =>
-      s"""JOIN $tbl b$i ON b$i.$k = a.$k AND ${inPred(s"b$i", steps(i - 1).events)}
+      s"""JOIN $tbl b$i ON b$i.$k = a.$k AND ${inPred(s"b$i", steps(i - 1))}
          |  AND b$i.$t > ${alias(i - 1)}.$t
          |  AND b$i.$t <= a.$t + INTERVAL $n $unit""".stripMargin
     }.mkString("\n")
@@ -576,7 +602,7 @@ object CepSql {
       s"""(SELECT ${selCols.mkString(", ")}
          | FROM $tbl a
          | $joins
-         | WHERE ${inPred("a", steps.head.events)})""".stripMargin
+         | WHERE ${inPred("a", steps.head)})""".stripMargin
     val lex = (1 to np).map(i => s"ts_$i, id_$i").mkString(", ")
     val outCols = (1 to np).map(i => s"id_$i").mkString(", ") + ", " +
       (1 to np).map(i => s"ts_$i").mkString(", ")
@@ -618,7 +644,11 @@ object CepSql {
     * SkipMatchSpec), no recursion-depth ceiling, one shuffle. */
   def sql(spark: SparkSession, q: String, tsCol: String = "ts",
       typeCol: String = "event_type", idCol: String = "event_id"): DataFrame =
-    if (realMatchPattern(q) && parsePattern(q).skipPast) {
+    if (realMatchPattern(q) && parsePattern(q).skipPast &&
+        parsePattern(q).steps.forall(_.cond.isEmpty)) {
+      // cond-free skip-past → the linear-scan operator; with step
+      // conditions the recursive-CTE text (which embeds them) runs
+      // instead — same greedy semantics either way
       val spec = parsePattern(q)
       graft.operators.SkipMatch.matchChain(spark.table(spec.table),
         spec.steps.map(_.events), spec.withinMs, spec.key, tsCol, typeCol,

@@ -112,10 +112,43 @@ object ContinuousQueries {
     lazy val srcWm = src.withWatermark("ts", lateness)
     val classes = spec.steps.map(_.events.toSet)
     val quantifiedTail = spec.steps.tail.exists(_.minTimes.isDefined)
+    // step conditions (r7 DEFINE-lite): streaming evaluates them on the
+    // converter schema, so only the `value` column is available; the
+    // plain-chain arms take them via predicate dispatch, the stateful
+    // set-based arms (absence/runs/skip) stay batch-only with conditions
+    val hasCond = spec.steps.exists(_.cond.isDefined)
+    spec.steps.flatMap(_.cond).foreach { c =>
+      if (!c.col.equalsIgnoreCase("value"))
+        throw new IllegalArgumentException(
+          s"streaming step conditions support the value column only " +
+            s"(got '${c.col}') — run the batch rewrite via CepSql.sql")
+    }
+    def stepPred(st: CepSql.PatternStep): CepEvent => Boolean = {
+      val cls = st.events.toSet
+      st.cond match {
+        case None => e => cls.contains(e.event_type)
+        case Some(c) =>
+          val n = c.num.toDouble
+          val cmp: Double => Boolean = c.op match {
+            case "<"  => _ < n
+            case "<=" => _ <= n
+            case ">"  => _ > n
+            case ">=" => _ >= n
+            case "="  => _ == n
+            case _    => _ != n
+          }
+          e => cls.contains(e.event_type) && cmp(e.value)
+      }
+    }
+    def requireCondFree(arm: String): Unit =
+      if (hasCond) throw new IllegalArgumentException(
+        s"step conditions on the $arm form have no streaming detector " +
+          "— run the batch rewrite via CepSql.sql")
     val out: DataFrame =
-      if (spec.skipPast)
+      if (spec.skipPast) {
+        requireCondFree("SKIP PAST LAST ROW")
         SkipDetector.detect(src, classes, spec.withinMs, Some(lateness))
-      else if (quantifiedTail ||
+      } else if (quantifiedTail ||
           (spec.steps.head.minTimes.isDefined && spec.steps.length != 2)) {
         // generalized quantified chain (r7) → RunChainDetector. Two
         // batch-only carve-outs, rejected loudly: absence after a
@@ -136,11 +169,13 @@ object ContinuousQueries {
                 "has no streaming detector (run maximality differs) — " +
                 "run the batch rewrite via CepSql.sql")
         }
+        requireCondFree("quantified-chain")
         RunChainDetector.detect(src,
           spec.steps.map(s => (s.events.toSet, s.minTimes)),
           spec.withinMs).toDF()
       } else spec.steps.head.minTimes match {
         case Some(mt) =>
+          requireCondFree("quantified-run")
           val runs = RunDetector.detect(src, classes.head, mt, classes.last,
             spec.withinMs, Some(lateness))
           // completed runs for the THEN form; timed-out runs for THEN NOT
@@ -149,17 +184,21 @@ object ContinuousQueries {
             else runs.filter(_.next_follow.isDefined)
           wanted.toDF()
         case None if spec.steps.length == 2 && spec.absent =>
+          requireCondFree("absence")
           AbsenceDetector.detect(src, classes.head, classes.last,
             spec.withinMs, lateness).toDF()
-        case None if spec.steps.length == 2 =>
+        case None if spec.steps.length == 2 && !hasCond =>
           CepSequence.detect(srcWm, classes.head, classes.last,
             spec.withinMs).toDF()
         case None if spec.absent =>
+          requireCondFree("chain-absence")
           ChainAbsenceDetector.detect(src, classes, spec.withinMs,
             lateness).toDF()
         case None =>
-          val preds = classes.map(c => (e: CepEvent) => c.contains(e.event_type))
-          PatternMatch.detectWhere(srcWm, preds, spec.withinMs).toDF()
+          // plain chains (incl. conditioned 2-step, r7): predicate
+          // dispatch — PatternMatch is CepSequence for 2 steps
+          PatternMatch.detectWhere(srcWm, spec.steps.map(stepPred),
+            spec.withinMs).toDF()
       }
     submitMemory(out, name, "append")
   }

@@ -187,6 +187,12 @@ class CepSqlPropertySpec extends AnyFunSuite {
         "PARTITION BY k AFTER MATCH SKIP PAST LAST ROW", // skip+absence
       "SELECT * FROM t MATCH PATTERN (a THEN b WITHIN '5' MINUTES) " +
         "PARTITION BY k AFTER MATCH SKIP HALF WAY", // bad skip mode
+      "SELECT * FROM t MATCH PATTERN (a THEN b(value >) WITHIN '5' " +
+        "MINUTES) PARTITION BY k", // incomplete condition (r7)
+      "SELECT * FROM t MATCH PATTERN (a THEN b(value > 1 OR 1=1) " +
+        "WITHIN '5' MINUTES) PARTITION BY k", // compound condition (r7)
+      "SELECT * FROM t MATCH PATTERN (a THEN b(value > x) WITHIN '5' " +
+        "MINUTES) PARTITION BY k", // non-numeric bound (r7)
       "SELECT * FROM t MATCH PATTERN (a{0,} THEN b WITHIN '5' MINUTES) " +
         "PARTITION BY k", // zero minimum
       "SELECT * FROM t MATCH PATTERN (a{2} THEN b WITHIN '5' MINUTES) " +

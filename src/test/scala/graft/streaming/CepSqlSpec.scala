@@ -363,6 +363,58 @@ class CepSqlSpec extends SparkSpec {
     assert(got.collect().nonEmpty)
   }
 
+  test("step condition (DEFINE-lite) == widened-predicate recomputation (r7)") {
+    Tables.load(spark, sf)
+    val got = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN purchase(value > 50) WITHIN '30' MINUTES)
+         PARTITION BY user_id""")
+    val want = spark.sql(
+      """SELECT user_id, sid, pid, s_ts, p_ts FROM (
+           SELECT a.user_id, a.event_id AS sid, b.event_id AS pid,
+             a.ts AS s_ts, b.ts AS p_ts,
+             row_number() OVER (PARTITION BY a.event_id
+                                ORDER BY b.ts, b.event_id) AS rn
+           FROM events a JOIN events b
+             ON a.user_id = b.user_id AND a.event_type = 'signup'
+            AND b.event_type = 'purchase' AND b.value > 50
+            AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTES) t
+         WHERE rn = 1 ORDER BY sid""")
+    assert(got.collect().map(_.toSeq).toSeq ===
+      want.collect().map(_.toSeq).toSeq)
+    // the condition must bite: strictly fewer matches than unconditioned
+    val base = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id""").count()
+    assert(got.count() < base && got.count() > 0)
+
+    // condition on a NOT step: absence of a QUALIFYING completion —
+    // supersets the unconditioned absence (harder to cancel)
+    val absCond = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN NOT purchase(value > 50) WITHIN '30' MINUTES)
+         PARTITION BY user_id""").count()
+    val absBase = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN NOT purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id""").count()
+    assert(absCond >= absBase)
+
+    // condition inside a quantified class: runs of high-value clicks
+    val runCond = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (click(value >= 0){2,} THEN purchase WITHIN '12' HOURS)
+         PARTITION BY user_id""")
+    val runBase = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (click{2,} THEN purchase WITHIN '12' HOURS)
+         PARTITION BY user_id""")
+    // value >= 0 is vacuously true on the fixture -> identical result
+    assert(runCond.collect().map(_.toSeq).toSeq ===
+      runBase.collect().map(_.toSeq).toSeq)
+  }
+
   test("AFTER MATCH SKIP TO NEXT ROW is accepted and is the default") {
     Tables.load(spark, sf)
     val explicit = CepSql.sql(spark,

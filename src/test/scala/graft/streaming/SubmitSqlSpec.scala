@@ -292,6 +292,51 @@ class SubmitSqlSpec extends SparkSpec {
     }
   }
 
+  test("submitPattern: step conditions dispatch via predicates (r7)") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    stream.toDF().createOrReplaceTempView("pat_cond")
+    val q = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_cond
+         MATCH PATTERN (signup THEN purchase(value > 100) WITHIN '30' MINUTES)
+         PARTITION BY user_id""", "svc_cond")
+    try {
+      stream.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "signup", 0),
+        // a cheap purchase does NOT complete; the expensive one does
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:05:00"), 7, "purchase", 20),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:10:00"), 7, "purchase", 150))
+      q.processAllAvailable()
+      val got = spark.table("svc_cond").select("step_ids").collect()
+        .map(_.getSeq[Long](0)).toSet
+      assert(got === Set(Seq(1L, 3L)),
+        "the condition must skip the below-threshold completion")
+    } finally {
+      if (q.isActive) q.stop()
+      spark.catalog.dropTempView("pat_cond")
+    }
+    // non-value columns are batch-only for streaming conditions → loud
+    val stream2 = MemoryStream[CepEvent]
+    stream2.toDF().createOrReplaceTempView("pat_cond2")
+    try {
+      val eCol = intercept[IllegalArgumentException] {
+        ContinuousQueries.submitPattern(spark,
+          """SELECT * FROM pat_cond2
+             MATCH PATTERN (a THEN b(other_col > 1) WITHIN '1' MINUTES)
+             PARTITION BY user_id""", "svc_badcol")
+      }
+      assert(eCol.getMessage.contains("value column only"))
+      // conditions on the absence arm are batch-only → loud
+      val eAbsCond = intercept[IllegalArgumentException] {
+        ContinuousQueries.submitPattern(spark,
+          """SELECT * FROM pat_cond2
+             MATCH PATTERN (a THEN NOT b(value > 1) WITHIN '1' MINUTES)
+             PARTITION BY user_id""", "svc_badabscond")
+      }
+      assert(eAbsCond.getMessage.contains("no streaming detector"))
+    } finally spark.catalog.dropTempView("pat_cond2")
+  }
+
   test("submitPattern: SKIP PAST LAST ROW dispatches to SkipDetector (r7)") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[CepEvent]
