@@ -66,7 +66,7 @@ object Components {
         .localCheckpoint(false) // truncate lineage every round
       val changed = Option(next
         .agg(sum(when(col("comp") < col("own"), 1L).otherwise(0L)))
-        .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+        .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
       labels.unpersist()
       labels = next.select("id", "comp")
       converged = changed == 0L

@@ -155,7 +155,7 @@ object Cep {
           col("session_window.end").as("s_end")))
       val p95Sec = Option(sess
         .agg(expr("approx_percentile(unix_micros(s_end) - " +
-          "unix_micros(s_start), 0.95)")).head.get(0))
+          "unix_micros(s_start), 0.95)")).head().get(0))
         .map(_.asInstanceOf[Long] / 1000000.0).getOrElse(1800.0)
       val band = math.min(3600L,
         math.max(60L, (math.ceil(p95Sec / 60) * 60).toLong))

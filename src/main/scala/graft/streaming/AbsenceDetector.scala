@@ -80,7 +80,7 @@ class AbsenceProcessor(firsts: Set[String], seconds: Set[String],
 
   override def handleExpiredTimer(key: Long, timers: TimerValues,
       info: ExpiredTimerInfo): Iterator[AbsenceMatch] = {
-    val expiryMs = info.getExpiryTimeInMs
+    val expiryMs = info.getExpiryTimeInMs()
     val opens = if (open.exists()) open.get().toList else Nil
     // every open first whose window has fully elapsed is a confirmed
     // absence (its second never arrived — else it would have been
