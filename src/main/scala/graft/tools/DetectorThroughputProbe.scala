@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.streaming._
+
+/** Dev probe (r7): replay throughput of the three new CEP detectors —
+  * SkipDetector (greedy non-overlap), RunChainDetector (quantified
+  * chains), ChainAbsenceDetector (absence after a prefix) — same
+  * method as StreamThroughputProbe: one warm micro-batch, then the
+  * timed remainder of the sf0.1 events replay. Numbers land in
+  * VERIFICATION.md. */
+object DetectorThroughputProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val chunks = args.drop(1).headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val data = Tables.table(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[CepEvent].orderBy("ts", "event_id").collect()
+
+    def run(tag: String, op: org.apache.spark.sql.Dataset[CepEvent]
+        => DataFrame): Unit = {
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[CepEvent]
+      val q = op(stream.toDS()).writeStream
+        .queryName(s"tp_$tag").format("memory").outputMode("append").start()
+      val groups = data.grouped(math.max(1, data.length / chunks)).toSeq
+      stream.addData(groups.head.toSeq); q.processAllAvailable()
+      val n = groups.tail.map(_.length).sum
+      val t0 = System.nanoTime()
+      groups.tail.foreach { c => stream.addData(c.toSeq)
+        q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rows = spark.table(s"tp_$tag").count()
+      q.stop()
+      println(f"$tag%-12s events=$n batches=${groups.length - 1} " +
+        f"wall=$secs%5.2fs rate=${n / secs}%6.0f ev/s matches=$rows")
+    }
+
+    run("skip", ds => SkipDetector.detect(ds,
+      Seq(Set("signup"), Set("purchase")), 30L * 60 * 1000,
+      Some("0 seconds")))
+    run("runchain", ds => RunChainDetector.detect(ds,
+      Seq((Set("signup"), None), (Set("click"), Some(2)),
+        (Set("purchase"), None)), 24L * 3600 * 1000).toDF())
+    run("chainabs", ds => ChainAbsenceDetector.detect(ds,
+      Seq(Set("signup"), Set("click"), Set("purchase")),
+      24L * 3600 * 1000, "0 seconds").toDF())
+    spark.stop()
+  }
+}
