@@ -137,36 +137,70 @@ object SkipMatch {
   }
 
   /** `steps`: one Seq of event names per pattern step (size > 1 =
-    * alternation). Output: (keyCol, id_1…id_n, ts_1…ts_n) ordered by
-    * id_1, one row per match. `keyCol` must be integral (the events-table
+    * alternation). `conds` (r7, optional): per-step numeric condition
+    * `(column, op, bound)` with op ∈ <, <=, >, >=, =, != — the step's
+    * class becomes "type AND condition" (NULL column values fail the
+    * condition, matching SQL three-valued logic collapsing to false in
+    * a WHERE). Output: (keyCol, id_1…id_n, ts_1…ts_n) ordered by id_1,
+    * one row per match. `keyCol` must be integral (the events-table
     * convention — user/session ids). */
   def matchChain(events: DataFrame, steps: Seq[Seq[String]], withinMs: Long,
       keyCol: String = "user_id", tsCol: String = "ts",
-      typeCol: String = "event_type", idCol: String = "event_id")
+      typeCol: String = "event_type", idCol: String = "event_id",
+      conds: Seq[Option[(String, String, Double)]] = Nil)
       : DataFrame = {
     require(steps.length >= 2, "a pattern needs at least 2 steps")
+    require(conds.isEmpty || conds.length == steps.length,
+      "conds must be empty or align 1:1 with steps")
     val n = steps.length
     val classes: Array[Set[String]] = steps.map(_.toSet).toArray
     val allTypes = classes.flatten.distinct.toSeq
     val withinUs = withinMs * 1000L
+    val condArr: Array[Option[(String, String, Double)]] =
+      if (conds.isEmpty) Array.fill(n)(None) else conds.toArray
+    val condCols = condArr.flatten.map(_._1).distinct
+    // cond column positions in the narrowed row: after (key, id, ts, type)
+    val condIdx: Map[String, Int] =
+      condCols.zipWithIndex.map { case (c, i) => c -> (4 + i) }.toMap
 
-    val spark = events.sparkSession
-    import spark.implicits._
+    implicit val keyEnc = org.apache.spark.sql.Encoders.scalaLong
+    implicit val rowEnc = Encoders.row(outSchema(keyCol, n))
     val src = events
       .filter(col(typeCol).isin(allTypes: _*))
-      .select(col(keyCol).cast("long"), col(idCol).cast("long"),
-        col(tsCol).cast("timestamp"), col(typeCol).cast("string"))
-      .as[(Long, Long, Timestamp, String)]
+      .select((Seq(col(keyCol).cast("long"), col(idCol).cast("long"),
+        col(tsCol).cast("timestamp"), col(typeCol).cast("string")) ++
+        condCols.map(c => col(c).cast("double"))): _*)
 
-    implicit val rowEnc = Encoders.row(outSchema(keyCol, n))
+    def cmp(op: String, v: Double, bound: Double): Boolean = op match {
+      case "<"  => v < bound
+      case "<=" => v <= bound
+      case ">"  => v > bound
+      case ">=" => v >= bound
+      case "="  => v == bound
+      case _    => v != bound
+    }
 
-    src.groupByKey(_._1).flatMapGroups { (key, it) =>
-      val evs = it.map { case (_, id, ts, tpe) =>
-        Ev(us(ts), id, ts, classMask(classes, tpe))
-      }.toArray.sortBy(e => (e.tsUs, e.id))
-      val (matches, _, _, _) = greedyScan(evs, n, withinUs,
-        Long.MinValue, Long.MinValue, Long.MaxValue)
-      matches.iterator.map(picks => toRow(key, picks))
+    src.groupByKey((r: Row) => r.getLong(0)).flatMapGroups {
+      (key: Long, it: Iterator[Row]) =>
+        val evs = it.map { r =>
+          val tpe = r.getString(3)
+          var mask = 0
+          var j = 0
+          while (j < n) {
+            val inClass = classes(j).contains(tpe) && (condArr(j) match {
+              case None => true
+              case Some((c, op, bound)) =>
+                val i = condIdx(c)
+                !r.isNullAt(i) && cmp(op, r.getDouble(i), bound)
+            })
+            if (inClass) mask |= 1 << j
+            j += 1
+          }
+          Ev(us(r.getTimestamp(2)), r.getLong(1), r.getTimestamp(2), mask)
+        }.toArray.sortBy(e => (e.tsUs, e.id))
+        val (matches, _, _, _) = greedyScan(evs, n, withinUs,
+          Long.MinValue, Long.MinValue, Long.MaxValue)
+        matches.iterator.map(picks => toRow(key, picks))
     }.orderBy("id_1")
   }
 }

@@ -644,15 +644,12 @@ object CepSql {
     * SkipMatchSpec), no recursion-depth ceiling, one shuffle. */
   def sql(spark: SparkSession, q: String, tsCol: String = "ts",
       typeCol: String = "event_type", idCol: String = "event_id"): DataFrame =
-    if (realMatchPattern(q) && parsePattern(q).skipPast &&
-        parsePattern(q).steps.forall(_.cond.isEmpty)) {
-      // cond-free skip-past → the linear-scan operator; with step
-      // conditions the recursive-CTE text (which embeds them) runs
-      // instead — same greedy semantics either way
+    if (realMatchPattern(q) && parsePattern(q).skipPast) {
       val spec = parsePattern(q)
       graft.operators.SkipMatch.matchChain(spark.table(spec.table),
         spec.steps.map(_.events), spec.withinMs, spec.key, tsCol, typeCol,
-        idCol)
+        idCol,
+        spec.steps.map(_.cond.map(c => (c.col, c.op, c.num.toDouble))))
     } else spark.sql(translate(q, tsCol, typeCol, idCol))
 }
 

@@ -103,6 +103,27 @@ class SkipMatchSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("conditioned skip-past: operator == recursive CTE (r7)") {
+    Tables.load(spark, sf)
+    val text =
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN purchase(value > 20) WITHIN '2' HOURS)
+         PARTITION BY user_id
+         AFTER MATCH SKIP PAST LAST ROW"""
+    val viaOp = CepSql.sql(spark, text) // operator evaluates the condition
+    val viaCte = spark.sql(CepSql.translate(text))
+    assert(viaOp.collect().map(_.toSeq).toSeq ===
+      viaCte.collect().map(_.toSeq).toSeq)
+    assert(viaOp.count() > 0)
+    // the condition must bite vs the unconditioned pattern
+    val base = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN purchase WITHIN '2' HOURS)
+         PARTITION BY user_id
+         AFTER MATCH SKIP PAST LAST ROW""").count()
+    assert(viaOp.count() <= base)
+  }
+
   test("skip-past consumes: fewer or equal matches than skip-to-next-row") {
     Tables.load(spark, sf)
     val skip = CepSql.sql(spark,
