@@ -447,6 +447,20 @@ object Cep {
         """SELECT * FROM events
            MATCH PATTERN (signup THEN purchase(value > 50) WITHIN '30' MINUTES)
            PARTITION BY user_id""")
+    }),
+
+    // EP1i — BOUNDED QUANTIFIER from SQL TEXT (r7, {m,n} / {m}):
+    // click{2,4} matches a maximal run of consecutive clicks whose
+    // length lands in [2, 4] — whole-run semantics, so a 5-click run is
+    // NOT a match (it is a different, bigger run; the rewrite caps the
+    // gaps-and-islands HAVING, it never truncates). {m} is shorthand for
+    // {m,m}. Completion semantics as q_pattern_times.
+    "q_pattern_bounded" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * FROM events
+           MATCH PATTERN (click{2,4} THEN purchase WITHIN '12' HOURS)
+           PARTITION BY user_id""")
     })
   )
 
@@ -728,6 +742,26 @@ object Cep {
          SELECT k AS user_id, sid AS id_1, pid AS id_2,
            s_ts AS ts_1, p_ts AS ts_2
          FROM m ORDER BY id_1""",
+    "q_pattern_bounded" ->
+      """WITH o AS (
+           SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+           FROM events),
+         runs AS (
+           SELECT user_id, grp, count(*) AS run_len,
+             min(ts) AS run_start, max(ts) AS run_end
+           FROM o WHERE event_type = 'click'
+           GROUP BY user_id, grp
+           HAVING count(*) >= 2 AND count(*) <= 4)
+         SELECT r.user_id, r.run_len, r.run_start, r.run_end,
+           min(b.ts) AS b_ts
+         FROM runs r JOIN events b
+           ON b.user_id = r.user_id AND b.event_type = 'purchase'
+          AND b.ts > r.run_end AND b.ts <= r.run_end + INTERVAL 12 HOUR
+         GROUP BY 1, 2, 3, 4 ORDER BY r.user_id, run_start""",
     "q_pattern_pred" ->
       """SELECT user_id, sid, pid, s_ts, p_ts FROM (
            SELECT a.user_id, a.event_id AS sid, b.event_id AS pid,

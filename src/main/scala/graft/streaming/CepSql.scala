@@ -60,12 +60,15 @@ object CepSql {
     * [AFTER MATCH SKIP TO NEXT ROW | AFTER MATCH SKIP PAST LAST ROW]
     * }}}
     *
-    * where each `<step>` is `<ev>[|<ev>…][(col op num)][{m,}]` — an
+    * where each `<step>` is `<ev>[|<ev>…][(col op num)][{m[,[n]]}]` — an
     * event name, an alternation of event names (`click|view` matches
     * either), an optional single numeric condition (DEFINE-lite, e.g.
     * `purchase(value > 100)` — the step's class is then "type AND
-    * condition"), and an optional `{m,}` quantifier on ANY step (a
-    * maximal run of ≥ m consecutive events of the step's class).
+    * condition"), and an optional quantifier on ANY step: `{m,}` (a
+    * maximal run of ≥ m consecutive events of the step's class), `{m,n}`
+    * (a maximal run whose length lands in [m, n] — whole-run semantics: a
+    * maximal run LONGER than n does not match, it is a different, bigger
+    * run), or `{m}` (exactly m: shorthand for `{m,m}`).
     * Chains of any length ≥ 2;
     * `NOT` is legal on the FINAL step only (absence of a completion after
     * a matched prefix) and cannot itself be quantified. The default match
@@ -83,7 +86,7 @@ object CepSql {
   // by construction)
   private val cond = "(?:\\(\\s*[A-Za-z_]\\w*\\s*(?:<=|>=|!=|=|<|>)\\s*" +
     "-?\\d+(?:\\.\\d+)?\\s*\\))?"
-  private val stepPat = s"$evAlt$cond(?:\\{\\d+,\\})?"
+  private val stepPat = s"$evAlt$cond(?:\\{\\d+(?:,\\d*)?\\})?"
   private val patternStmt = Pattern.compile(
     "^\\s*SELECT\\s+\\*\\s+FROM\\s+([A-Za-z_][\\w.]*)\\s+" +
       "MATCH\\s+PATTERN\\s*\\(\\s*" +
@@ -98,7 +101,7 @@ object CepSql {
   private val stepTok = Pattern.compile(
     "(?i)^(NOT\\s+)?('?\\w+'?(?:\\s*\\|\\s*'?\\w+'?)*)" +
       "(?:\\(\\s*([A-Za-z_]\\w*)\\s*(<=|>=|!=|=|<|>)\\s*" +
-      "(-?\\d+(?:\\.\\d+)?)\\s*\\))?(?:\\{(\\d+),\\})?$")
+      "(-?\\d+(?:\\.\\d+)?)\\s*\\))?(?:\\{(\\d+)(?:(,)(\\d*))?\\})?$")
   private val altSplit = Pattern.compile("\\s*\\|\\s*")
   private val groupBy = Pattern.compile("GROUP\\s+BY", Pattern.CASE_INSENSITIVE)
   private val tail = Pattern.compile(
@@ -243,9 +246,11 @@ object CepSql {
   case class StepCond(col: String, op: String, num: String)
 
   /** One parsed pattern step: `NOT`?, event-name alternation (size 1 for
-    * a plain event), condition?, `{m,}` quantifier? */
+    * a plain event), condition?, quantifier? (`{m,}` → minTimes=m,
+    * maxTimes=None; `{m,n}` → both; `{m}` → minTimes=maxTimes=m). */
   case class PatternStep(negated: Boolean, events: Seq[String],
-      minTimes: Option[Int], cond: Option[StepCond] = None) {
+      minTimes: Option[Int], cond: Option[StepCond] = None,
+      maxTimes: Option[Int] = None) {
     /** The single event name of an unalternated step (the common case —
       * streaming detectors and the legacy rewrite paths use it). */
     def event: String = events.head
@@ -280,7 +285,7 @@ object CepSql {
           "FROM <table> MATCH PATTERN (<step1> THEN <step2> [THEN <step3> " +
           "…] [THEN NOT <stepN>] WITHIN '<n>' SECONDS|MINUTES|HOURS) " +
           "PARTITION BY <key> [AFTER MATCH SKIP TO NEXT ROW|PAST LAST " +
-          s"ROW], each step <ev>[|<ev>…][{m,}] ($detail)")
+          s"ROW], each step <ev>[|<ev>…][{m[,[n]]}] ($detail)")
     val m = patternStmt.matcher(q)
     if (!m.matches()) malformed("statement shape")
     val steps = thenSplit.split(m.group(2).trim).toSeq.map { tok =>
@@ -290,8 +295,14 @@ object CepSql {
         .map(_.stripPrefix("'").stripSuffix("'")).distinct
       val c = Option(sm.group(3)).map(col =>
         StepCond(col, sm.group(4), sm.group(5)))
-      PatternStep(sm.group(1) != null, evs,
-        Option(sm.group(6)).map(_.toInt), c)
+      val mn = Option(sm.group(6)).map(_.toInt)
+      // {m} = exactly m; {m,} = unbounded; {m,n} = bounded
+      val mx = mn.flatMap { m =>
+        if (sm.group(7) == null) Some(m)
+        else if (sm.group(8).isEmpty) None
+        else Some(sm.group(8).toInt)
+      }
+      PatternStep(sm.group(1) != null, evs, mn, c, mx)
     }
     if (steps.head.negated) malformed("NOT on the first step")
     if (steps.init.exists(_.negated))
@@ -300,6 +311,10 @@ object CepSql {
       malformed("a NOT step cannot take a {m,} quantifier")
     steps.flatMap(_.minTimes).foreach { mt =>
       if (mt < 1) malformed("quantifier minimum must be >= 1")
+    }
+    steps.foreach { st =>
+      for (m <- st.minTimes; n <- st.maxTimes)
+        if (n < m) malformed(s"quantifier {$m,$n} has max < min")
     }
     val unit = m.group(4).toUpperCase(java.util.Locale.ROOT) match {
       case u if u.startsWith("SEC") => "SECONDS"
@@ -317,7 +332,7 @@ object CepSql {
         "THEN NOT — an absence match consumes only its anchor row")
     if (skipPast && steps.exists(_.minTimes.isDefined))
       malformed("AFTER MATCH SKIP PAST LAST ROW is defined for plain " +
-        "sequence chains (no {m,} quantifiers)")
+        "sequence chains (no quantifiers)")
     val spec = PatternSpec(m.group(1), steps, n, unit, m.group(5), skipPast)
     try spec.withinMs
     catch { case _: ArithmeticException =>
@@ -384,7 +399,7 @@ object CepSql {
       // b_ts and keeps runs with NO qualifying completion.
       val mt = steps.head.minTimes.get
       val runs = runsSub(steps.head, mt, key, tsCol, typeCol, idCol,
-        tbl)
+        tbl, steps.head.maxTimes)
       val range = s"b.$t > r.run_end AND b.$t <= r.run_end + " +
         s"INTERVAL $n $unit"
       if (absent)
@@ -426,15 +441,20 @@ object CepSql {
   /** Gaps-and-islands runs subquery: maximal runs of ≥ `minLen`
     * CONSECUTIVE events of the step's class per key (a run is broken by
     * any event outside the class — consecutive rows in the key's (ts, id)
-    * order). The class indicator generalizes the original per-type
-    * formulation to alternations: for a single event name, partitioning
-    * by the indicator is exactly partitioning by the type over the
-    * surviving rows. Selects (__k, run_len, run_start, run_end). */
+    * order). `maxLen` (r7, `{m,n}`/`{m}`) caps the accepted length with
+    * whole-run semantics: a MAXIMAL run longer than the cap is simply not
+    * a match — it never contributes a truncated sub-run. The class
+    * indicator generalizes the original per-type formulation to
+    * alternations: for a single event name, partitioning by the indicator
+    * is exactly partitioning by the type over the surviving rows.
+    * Selects (__k, run_len, run_start, run_end). */
   private def runsSub(st: PatternStep, minLen: Int, key: String,
-      tsCol: String, typeCol: String, idCol: String, tbl: String): String = {
+      tsCol: String, typeCol: String, idCol: String, tbl: String,
+      maxLen: Option[Int] = None): String = {
     def bq(c: String) = s"`$c`"
     val (k, t, id) = (bq(key), bq(tsCol), bq(idCol))
     val cls = stepPredSql("", st, typeCol)
+    val cap = maxLen.map(n => s" AND count(*) <= $n").getOrElse("")
     s"""(SELECT $k AS __k, count(*) AS run_len,
        |   min($t) AS run_start, max($t) AS run_end
        | FROM (SELECT $k, $t, $id,
@@ -446,7 +466,7 @@ object CepSql {
        |                            ORDER BY $t, $id) AS __grp
        |       FROM $tbl) o
        | WHERE __c = 1
-       | GROUP BY $k, __grp HAVING count(*) >= $minLen)""".stripMargin
+       | GROUP BY $k, __grp HAVING count(*) >= $minLen$cap)""".stripMargin
   }
 
   /** Shared step predicate: type test (`=` / `IN` for an alternation)
@@ -471,15 +491,16 @@ object CepSql {
   }
 
   /** Generalized chain rewrite (N ≥ 2 steps, alternation on any step,
-    * `{m,}` on any non-NOT step): a chain of rank-1 joins, one greedy
-    * match per anchor (AFTER MATCH SKIP TO NEXT ROW).
+    * `{m,}`/`{m,n}`/`{m}` on any non-NOT step): a chain of rank-1 joins,
+    * one greedy match per anchor (AFTER MATCH SKIP TO NEXT ROW).
     *
     * Step semantics: an unquantified step i matches the FIRST event of
     * its class strictly after step i-1's match time and within the
     * anchor's window; a quantified step i matches the FIRST maximal run
-    * of ≥ m consecutive class events whose start is strictly after step
-    * i-1's match time and whose END still fits the window (whole-run
-    * semantics — a run that overflows the window does not match). A
+    * of ≥ m (and ≤ n when bounded) consecutive class events whose start
+    * is strictly after step i-1's match time and whose END still fits
+    * the window (whole-run semantics — a run that overflows the window
+    * or the length cap does not match). A
     * quantified step contributes `len_i` (run length) + `ts_i` (run end)
     * to the output; an unquantified step contributes `id_i` + `ts_i`.
     * The window is measured from ts_1 — for a quantified FIRST step that
@@ -507,7 +528,7 @@ object CepSql {
     var prefix = chainSteps.head.minTimes match {
       case Some(mt) =>
         val runs = runsSub(chainSteps.head, mt, spec.key, tsCol,
-          typeCol, idCol, tbl)
+          typeCol, idCol, tbl, chainSteps.head.maxTimes)
         s"(SELECT __k, run_len AS len_1, run_end AS ts_1 FROM $runs r0)"
       case None =>
         s"""(SELECT $k AS __k, $id AS id_1, $t AS ts_1
@@ -520,7 +541,7 @@ object CepSql {
       prefix = st.minTimes match {
         case Some(mt) =>
           val runs = runsSub(st, mt, spec.key, tsCol, typeCol,
-            idCol, tbl)
+            idCol, tbl, st.maxTimes)
           s"""(SELECT __k, ${cols(i)} FROM (
              |  SELECT p.__k, $prevLbls,
              |         r.run_len AS len_$i,

@@ -172,12 +172,12 @@ object ContinuousQueries {
         requireCondFree("quantified-chain")
         RunChainDetector.detect(src,
           spec.steps.map(s => (s.events.toSet, s.minTimes)),
-          spec.withinMs).toDF()
+          spec.withinMs, spec.steps.map(_.maxTimes)).toDF()
       } else spec.steps.head.minTimes match {
         case Some(mt) =>
           requireCondFree("quantified-run")
           val runs = RunDetector.detect(src, classes.head, mt, classes.last,
-            spec.withinMs, Some(lateness))
+            spec.withinMs, Some(lateness), spec.steps.head.maxTimes)
           // completed runs for the THEN form; timed-out runs for THEN NOT
           val wanted =
             if (spec.absent) runs.filter(_.next_follow.isEmpty)

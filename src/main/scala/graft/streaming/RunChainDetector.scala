@@ -54,7 +54,19 @@ object RunChainDetector {
   /** One (classes, minTimes) spec per step; minTimes None = plain step. */
   def detect(events: Dataset[CepEvent],
       steps: Seq[(Set[String], Option[Int])], withinMs: Long)
+      : Dataset[RunChainMatch] =
+    detect(events, steps, withinMs, steps.map(_ => None))
+
+  /** Bounded-quantifier form (r7, `{m,n}`/`{m}`): `maxTimes(i)` caps step
+    * i's accepted run length with whole-run semantics — a maximal run
+    * longer than the cap does not qualify (the tracker waits for the
+    * next run instead), mirroring the batch HAVING bound exactly. */
+  def detect(events: Dataset[CepEvent],
+      steps: Seq[(Set[String], Option[Int])], withinMs: Long,
+      maxTimes: Seq[Option[Int]])
       : Dataset[RunChainMatch] = {
+    require(maxTimes.length == steps.length,
+      "one maxTimes entry per step (None = uncapped)")
     require(steps.length >= 2, "a pattern needs at least 2 steps")
     require(steps.exists(_._2.isDefined),
       "no quantifier — use PatternMatch/CepSequence for plain chains")
@@ -121,6 +133,7 @@ object RunChainDetector {
                   } else if (p.runStart != null) {
                     // a non-class event CLOSES the open run: qualify it
                     val qualifies = p.runLen >= m &&
+                      maxTimes(step).forall(p.runLen <= _) &&
                       us(p.runStart) > us(p.prevTs) &&
                       (step == 0 || us(p.runLast) <= windowEnd(p))
                     if (qualifies) {

@@ -52,10 +52,20 @@ object RunDetector {
 
   /** Alternation form (r7): `runTypes`/`followTypes` are event-type
     * classes — a run is a maximal stretch of consecutive events whose
-    * type is any member of `runTypes`. */
+    * type is any member of `runTypes`. `maxLen` (r7, `{m,n}`/`{m}`) caps
+    * the accepted run length with whole-run semantics: a maximal run
+    * longer than the cap never qualifies (it is not truncated). */
   def detect(events: Dataset[CepEvent], runTypes: Set[String], minLen: Int,
       followTypes: Set[String], withinMs: Long,
-      watermarkDelay: Option[String]): Dataset[RunMatch] = {
+      watermarkDelay: Option[String]): Dataset[RunMatch] =
+    detect(events, runTypes, minLen, followTypes, withinMs, watermarkDelay,
+      None)
+
+  /** Bounded form: see `maxLen` note above. */
+  def detect(events: Dataset[CepEvent], runTypes: Set[String], minLen: Int,
+      followTypes: Set[String], withinMs: Long,
+      watermarkDelay: Option[String],
+      maxLen: Option[Int]): Dataset[RunMatch] = {
     implicit val matchEnc = Encoders.product[RunMatch]
     implicit val stateEnc = Encoders.product[RunDetState]
     implicit val keyEnc = Encoders.scalaLong
@@ -97,7 +107,7 @@ object RunDetector {
               // 1. a non-run event closes the open run (maximal-run island)
               if (!runTypes.contains(e.event_type)) {
                 open.foreach { o =>
-                  if (o.count >= minLen)
+                  if (o.count >= minLen && maxLen.forall(o.count <= _))
                     pending = PendingRun(o.count, o.start, o.end) :: pending
                 }
                 open = None

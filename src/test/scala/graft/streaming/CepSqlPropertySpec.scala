@@ -138,14 +138,28 @@ class CepSqlPropertySpec extends AnyFunSuite {
         nAlt <- Gen.choose(1, 3)
         evs <- Gen.listOfN(nAlt, ident)
         mt <- Gen.option(Gen.choose(1, 99))
-      } yield (evs.distinct, mt))
+        // quantifier form (r7): 0 = {m,}, 1 = {m,n}, 2 = {m}
+        form <- Gen.choose(0, 2)
+        span <- Gen.choose(0, 50)
+      } yield (evs.distinct, mt,
+        mt.flatMap(m => form match {
+          case 0 => None
+          case 1 => Some(m + span)
+          case _ => Some(m)
+        }), form))
       tbl <- ident
       key <- ident
       quantified = steps.exists(_._2.isDefined)
       skip <- if (quantified) Gen.const(false) else Gen.oneOf(true, false)
     } yield {
-      val stepTxt = steps.map { case (evs, mt) =>
-        evs.mkString("|") + mt.map(m => s"{$m,}").getOrElse("")
+      val stepTxt = steps.map { case (evs, mt, mx, form) =>
+        evs.mkString("|") + mt.map { m =>
+          form match {
+            case 0 => s"{$m,}"
+            case 1 => s"{$m,${mx.get}}"
+            case _ => s"{$m}"
+          }
+        }.getOrElse("")
       }.mkString(" THEN ")
       val skipTxt = if (skip) " AFTER MATCH SKIP PAST LAST ROW" else ""
       (steps, skip,
@@ -158,13 +172,15 @@ class CepSqlPropertySpec extends AnyFunSuite {
         assert(!t.toUpperCase.contains("MATCH PATTERN"), s"$q ->\n$t")
         assert(t.toUpperCase.contains("WITH RECURSIVE") === skip, s"$q ->\n$t")
         // every multi-event step widens to an IN (...) type predicate
-        steps.filter(_._1.size > 1).foreach { case (evs, _) =>
+        steps.filter(_._1.size > 1).foreach { case (evs, _, _, _) =>
           assert(t.contains(evs.map(e => s"'$e'").mkString("(", ", ", ")")),
             s"$q ->\n$t")
         }
-        // every quantifier surfaces as a HAVING >= bound
-        steps.flatMap(_._2).foreach { mt =>
-          assert(t.contains(s">= $mt"), s"$q ->\n$t")
+        // every quantifier surfaces as a HAVING >= bound; a bounded one
+        // (r7 {m,n} / {m}) also as the <= cap
+        steps.foreach { case (_, mt, mx, _) =>
+          mt.foreach(m => assert(t.contains(s">= $m"), s"$q ->\n$t"))
+          mx.foreach(x => assert(t.contains(s"<= $x"), s"$q ->\n$t"))
         }
       }
     }
@@ -195,8 +211,12 @@ class CepSqlPropertySpec extends AnyFunSuite {
         "MINUTES) PARTITION BY k", // non-numeric bound (r7)
       "SELECT * FROM t MATCH PATTERN (a{0,} THEN b WITHIN '5' MINUTES) " +
         "PARTITION BY k", // zero minimum
-      "SELECT * FROM t MATCH PATTERN (a{2} THEN b WITHIN '5' MINUTES) " +
-        "PARTITION BY k", // exact-count form is not the grammar
+      "SELECT * FROM t MATCH PATTERN (a{3,2} THEN b WITHIN '5' MINUTES) " +
+        "PARTITION BY k", // bounded quantifier with max < min (r7)
+      "SELECT * FROM t MATCH PATTERN (a{2,x} THEN b WITHIN '5' MINUTES) " +
+        "PARTITION BY k", // non-numeric quantifier bound (r7)
+      "SELECT * FROM t MATCH PATTERN (a{,3} THEN b WITHIN '5' MINUTES) " +
+        "PARTITION BY k", // missing quantifier minimum (r7)
       "SELECT * FROM t MATCH PATTERN (a THEN b WITHIN " +
         "'99999999999999999999' SECONDS) PARTITION BY k", // numeral > Long
       "SELECT * FROM t MATCH PATTERN (a THEN NOT b THEN c WITHIN '5' " +

@@ -283,6 +283,69 @@ class CepSqlSpec extends SparkSpec {
       wantNot.collect().map(_.toSeq).toSeq)
   }
 
+  test("bounded quantifier {m,n} / {m}: capped runs, whole-run semantics (r7)") {
+    Tables.load(spark, sf)
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.table("events")
+      .select("event_id", "user_id", "event_type", "ts")
+    val wU = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val wUT = Window.partitionBy("user_id", "event_type")
+      .orderBy(asc("ts"), asc("event_id"))
+    val allRuns = e
+      .withColumn("grp", row_number().over(wU) - row_number().over(wUT))
+      .filter(col("event_type") === "click")
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("run_len"), min("ts").as("run_start"),
+        max("ts").as("run_end"))
+      .drop("grp")
+    // the fixture must contain maximal runs LONGER than the cap, so the
+    // cap is observable (whole-run semantics: those runs simply vanish,
+    // they are never truncated to their first 3 events)
+    assert(allRuns.filter(col("run_len") > 3).count() > 0,
+      "fixture needs a maximal click run longer than the cap")
+    val got = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (click{2,3} THEN purchase WITHIN '12' HOURS)
+         PARTITION BY user_id""")
+    val want = allRuns
+      .filter(col("run_len") >= 2 && col("run_len") <= 3)
+      .join(e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("ts").as("p_ts")),
+        col("user_id") === col("pu") && col("p_ts") > col("run_end") &&
+          col("p_ts") <= col("run_end") + expr("INTERVAL 12 HOURS"))
+      .groupBy("user_id", "run_len", "run_start", "run_end")
+      .agg(min("p_ts").as("b_ts"))
+      .orderBy("user_id", "run_start")
+    assert(got.collect().map(_.toSeq).toSeq ===
+      want.collect().map(_.toSeq).toSeq)
+    assert(got.count() > 0, "capped runs must exist at this sf")
+    // {m} is exactly {m,m}
+    val exact = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (click{3} THEN purchase WITHIN '12' HOURS)
+         PARTITION BY user_id""").collect().map(_.toSeq).toSeq
+    val pair = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (click{3,3} THEN purchase WITHIN '12' HOURS)
+         PARTITION BY user_id""").collect().map(_.toSeq).toSeq
+    assert(exact === pair)
+    assert(exact.forall(_(1) == 3L), "{3} admits length-3 runs only")
+    // bad bounds are parse errors, not silent surprises
+    val eRev = intercept[IllegalArgumentException] {
+      CepSql.parsePattern(
+        """SELECT * FROM events
+           MATCH PATTERN (click{4,2} THEN purchase WITHIN '1' HOURS)
+           PARTITION BY user_id""")
+    }
+    assert(eRev.getMessage.contains("max < min"))
+    intercept[IllegalArgumentException] {
+      CepSql.parsePattern(
+        """SELECT * FROM events
+           MATCH PATTERN (click{0,2} THEN purchase WITHIN '1' HOURS)
+           PARTITION BY user_id""")
+    }
+  }
+
   test("MATCH PATTERN: quoted events, unit variants, trailing ';' accepted") {
     Tables.load(spark, sf)
     // '1800' SECONDS ≡ '30' MINUTES; quoted event names; trailing ';'

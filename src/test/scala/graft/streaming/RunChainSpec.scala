@@ -23,11 +23,13 @@ class RunChainSpec extends SparkSpec {
       .as[CepEvent]
 
   private def replay(steps: Seq[(Set[String], Option[Int])],
-      withinMs: Long): Set[(Long, Seq[Long], Seq[Long])] = {
+      withinMs: Long, maxs: Seq[Option[Int]] = Nil)
+      : Set[(Long, Seq[Long], Seq[Long])] = {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[CepEvent]
     val name = s"runchain_${System.nanoTime}"
-    val q = RunChainDetector.detect(stream.toDS(), steps, withinMs)
+    val caps = if (maxs.isEmpty) steps.map(_ => None) else maxs
+    val q = RunChainDetector.detect(stream.toDS(), steps, withinMs, caps)
       .writeStream.queryName(name).format("memory").outputMode("append")
       .start()
     val data = eventsDs.orderBy("ts", "event_id").collect()
@@ -84,6 +86,28 @@ class RunChainSpec extends SparkSpec {
       Seq((Set("click"), Some(2)), (Set("purchase"), None),
         (Set("view"), None)),
       24L * 3600 * 1000)
+    assert(streamed === batch)
+  }
+
+  test("bounded mid-chain {m,n}: replay == batch rewrite (r7)") {
+    Tables.load(spark, sf)
+    val batch = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click{2,3} THEN purchase WITHIN '24' HOURS)
+         PARTITION BY user_id""")
+      .collect()
+      .map(r => (r.getLong(0),
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3)),
+        Seq(us(r.getTimestamp(4)), us(r.getTimestamp(5)),
+          us(r.getTimestamp(6))))).toSet
+    assert(batch.nonEmpty, "fixture must exercise the bounded chain")
+    assert(batch.forall { case (_, vals, _) =>
+      vals(1) >= 2 && vals(1) <= 3 }, "run lengths must respect the cap")
+    val streamed = replay(
+      Seq((Set("signup"), None), (Set("click"), Some(2)),
+        (Set("purchase"), None)),
+      24L * 3600 * 1000,
+      maxs = Seq(None, Some(3), None))
     assert(streamed === batch)
   }
 

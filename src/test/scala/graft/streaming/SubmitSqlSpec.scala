@@ -177,6 +177,35 @@ class SubmitSqlSpec extends SparkSpec {
       if (q3.isActive) q3.stop()
       spark.catalog.dropTempView("pat_events3")
     }
+    // bounded run {m,n} → RunDetector with a length cap (r7): a 4-click
+    // maximal run must NOT match {2,3} — whole-run semantics, the run is
+    // skipped, never truncated
+    val streamB = MemoryStream[CepEvent]
+    streamB.toDF().createOrReplaceTempView("pat_bnd")
+    val qB = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_bnd
+         MATCH PATTERN (click{2,3} THEN purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id""", "svc_bnd")
+    try {
+      streamB.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "click", 0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:01:00"), 7, "click", 0),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:05:00"), 7, "purchase", 0),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 00:00:00"), 8, "click", 0),
+        CepEvent(5, Timestamp.valueOf("2026-01-01 00:01:00"), 8, "click", 0),
+        CepEvent(6, Timestamp.valueOf("2026-01-01 00:02:00"), 8, "click", 0),
+        CepEvent(7, Timestamp.valueOf("2026-01-01 00:03:00"), 8, "click", 0),
+        CepEvent(8, Timestamp.valueOf("2026-01-01 00:10:00"), 8, "purchase", 0))
+      qB.processAllAvailable()
+      val got = spark.table("svc_bnd")
+        .select("user_id", "run_len").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq === Seq((7L, 2L)),
+        "the 4-run must vanish under {2,3}, not truncate")
+    } finally {
+      if (qB.isActive) qB.stop()
+      spark.catalog.dropTempView("pat_bnd")
+    }
     // mid-chain quantifier → RunChainDetector (r7): signup, a 2-run of
     // clicks closed by the purchase, which completes the chain itself
     val streamMid = MemoryStream[CepEvent]
