@@ -461,6 +461,20 @@ object Cep {
         """SELECT * FROM events
            MATCH PATTERN (click{2,4} THEN purchase WITHIN '12' HOURS)
            PARTITION BY user_id""")
+    }),
+
+    // EP1j — OPTIONAL STEP from SQL TEXT (r7, `ev?`): signup, optionally
+    // a click, then a purchase — all within 12 hours of the signup.
+    // Regex-scan greedy semantics: the FIRST click-or-purchase after the
+    // signup decides the skip (click → the optional step takes it and
+    // the purchase is sought after it; purchase → the optional step is
+    // skipped, NULL id_2/ts_2, and that purchase completes the match).
+    "q_pattern_opt" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * FROM events
+           MATCH PATTERN (signup THEN click? THEN purchase WITHIN '12' HOURS)
+           PARTITION BY user_id""")
     })
   )
 
@@ -762,6 +776,43 @@ object Cep {
            ON b.user_id = r.user_id AND b.event_type = 'purchase'
           AND b.ts > r.run_end AND b.ts <= r.run_end + INTERVAL 12 HOUR
          GROUP BY 1, 2, 3, 4 ORDER BY r.user_id, run_start""",
+    "q_pattern_opt" ->
+      """WITH s1 AS (
+           SELECT user_id AS k, event_id AS id_1, ts AS ts_1 FROM events
+           WHERE event_type = 'signup'),
+         pv AS (
+           SELECT * FROM (
+             SELECT p.k, p.id_1, p.ts_1, b.event_id AS pv_id,
+               b.ts AS pv_ts,
+               CASE WHEN b.event_type = 'click' THEN 1 ELSE 0 END AS pv_b,
+               row_number() OVER (PARTITION BY p.id_1
+                                  ORDER BY b.ts, b.event_id) AS rn
+             FROM s1 p JOIN events b
+               ON p.k = b.user_id
+              AND b.event_type IN ('click', 'purchase')
+              AND b.ts > p.ts_1
+              AND b.ts <= p.ts_1 + INTERVAL 12 HOUR) t
+           WHERE rn = 1),
+         took AS (
+           SELECT k, id_1, id_2, id_3, ts_1, ts_2, ts_3 FROM (
+             SELECT w.k, w.id_1, w.pv_id AS id_2, b.event_id AS id_3,
+               w.ts_1, w.pv_ts AS ts_2, b.ts AS ts_3,
+               row_number() OVER (PARTITION BY w.id_1
+                                  ORDER BY b.ts, b.event_id) AS rn2
+             FROM pv w JOIN events b
+               ON w.k = b.user_id AND b.event_type = 'purchase'
+              AND b.ts > w.pv_ts
+              AND b.ts <= w.ts_1 + INTERVAL 12 HOUR
+             WHERE w.pv_b = 1) t
+           WHERE rn2 = 1),
+         skipped AS (
+           SELECT k, id_1, CAST(NULL AS BIGINT) AS id_2,
+             pv_id AS id_3, ts_1, CAST(NULL AS TIMESTAMP) AS ts_2,
+             pv_ts AS ts_3
+           FROM pv WHERE pv_b = 0)
+         SELECT k AS user_id, id_1, id_2, id_3, ts_1, ts_2, ts_3
+         FROM (SELECT * FROM took UNION ALL SELECT * FROM skipped)
+         ORDER BY id_1""",
     "q_pattern_pred" ->
       """SELECT user_id, sid, pid, s_ts, p_ts FROM (
            SELECT a.user_id, a.event_id AS sid, b.event_id AS pid,

@@ -86,7 +86,7 @@ object CepSql {
   // by construction)
   private val cond = "(?:\\(\\s*[A-Za-z_]\\w*\\s*(?:<=|>=|!=|=|<|>)\\s*" +
     "-?\\d+(?:\\.\\d+)?\\s*\\))?"
-  private val stepPat = s"$evAlt$cond(?:\\{\\d+(?:,\\d*)?\\})?"
+  private val stepPat = s"$evAlt$cond(?:\\{\\d+(?:,\\d*)?\\})?\\??"
   private val patternStmt = Pattern.compile(
     "^\\s*SELECT\\s+\\*\\s+FROM\\s+([A-Za-z_][\\w.]*)\\s+" +
       "MATCH\\s+PATTERN\\s*\\(\\s*" +
@@ -101,7 +101,7 @@ object CepSql {
   private val stepTok = Pattern.compile(
     "(?i)^(NOT\\s+)?('?\\w+'?(?:\\s*\\|\\s*'?\\w+'?)*)" +
       "(?:\\(\\s*([A-Za-z_]\\w*)\\s*(<=|>=|!=|=|<|>)\\s*" +
-      "(-?\\d+(?:\\.\\d+)?)\\s*\\))?(?:\\{(\\d+)(?:(,)(\\d*))?\\})?$")
+      "(-?\\d+(?:\\.\\d+)?)\\s*\\))?(?:\\{(\\d+)(?:(,)(\\d*))?\\})?(\\?)?$")
   private val altSplit = Pattern.compile("\\s*\\|\\s*")
   private val groupBy = Pattern.compile("GROUP\\s+BY", Pattern.CASE_INSENSITIVE)
   private val tail = Pattern.compile(
@@ -247,10 +247,11 @@ object CepSql {
 
   /** One parsed pattern step: `NOT`?, event-name alternation (size 1 for
     * a plain event), condition?, quantifier? (`{m,}` → minTimes=m,
-    * maxTimes=None; `{m,n}` → both; `{m}` → minTimes=maxTimes=m). */
+    * maxTimes=None; `{m,n}` → both; `{m}` → minTimes=maxTimes=m),
+    * `?` optional marker (r7 — the step may be absent from a match). */
   case class PatternStep(negated: Boolean, events: Seq[String],
       minTimes: Option[Int], cond: Option[StepCond] = None,
-      maxTimes: Option[Int] = None) {
+      maxTimes: Option[Int] = None, optional: Boolean = false) {
     /** The single event name of an unalternated step (the common case —
       * streaming detectors and the legacy rewrite paths use it). */
     def event: String = events.head
@@ -302,7 +303,10 @@ object CepSql {
         else if (sm.group(8).isEmpty) None
         else Some(sm.group(8).toInt)
       }
-      PatternStep(sm.group(1) != null, evs, mn, c, mx)
+      val opt = sm.group(9) != null
+      if (opt && mn.isDefined)
+        malformed("a step cannot be both quantified and optional")
+      PatternStep(sm.group(1) != null, evs, mn, c, mx, opt)
     }
     if (steps.head.negated) malformed("NOT on the first step")
     if (steps.init.exists(_.negated))
@@ -315,6 +319,26 @@ object CepSql {
     steps.foreach { st =>
       for (m <- st.minTimes; n <- st.maxTimes)
         if (n < m) malformed(s"quantifier {$m,$n} has max < min")
+    }
+    // optional steps (r7): mid-chain only, one at a time, plain chains.
+    // The anchor (first step) and the pattern's end must be concrete so a
+    // match is well-defined; the step after an optional one decides the
+    // skip (regex-scan greedy semantics), so it must itself be concrete.
+    if (steps.exists(_.optional)) {
+      if (steps.head.optional)
+        malformed("an optional step cannot open the pattern — the match " +
+          "anchor must be concrete")
+      if (steps.last.optional || (steps.last.negated &&
+          steps.init.nonEmpty && steps.init.last.optional))
+        malformed("an optional step must be followed by a concrete " +
+          "(non-NOT) step")
+      steps.sliding(2).foreach { pair =>
+        if (pair.length == 2 && pair.head.optional && pair.last.optional)
+          malformed("consecutive optional steps are not supported")
+      }
+      if (steps.exists(_.minTimes.isDefined))
+        malformed("optional steps do not combine with quantifiers in one " +
+          "pattern")
     }
     val unit = m.group(4).toUpperCase(java.util.Locale.ROOT) match {
       case u if u.startsWith("SEC") => "SECONDS"
@@ -330,9 +354,9 @@ object CepSql {
     if (skipPast && steps.last.negated)
       malformed("AFTER MATCH SKIP PAST LAST ROW does not combine with " +
         "THEN NOT — an absence match consumes only its anchor row")
-    if (skipPast && steps.exists(_.minTimes.isDefined))
+    if (skipPast && steps.exists(st => st.minTimes.isDefined || st.optional))
       malformed("AFTER MATCH SKIP PAST LAST ROW is defined for plain " +
-        "sequence chains (no quantifiers)")
+        "sequence chains (no quantifiers, no optional steps)")
     val spec = PatternSpec(m.group(1), steps, n, unit, m.group(5), skipPast)
     try spec.withinMs
     catch { case _: ArithmeticException =>
@@ -504,7 +528,16 @@ object CepSql {
     * quantified step contributes `len_i` (run length) + `ts_i` (run end)
     * to the output; an unquantified step contributes `id_i` + `ts_i`.
     * The window is measured from ts_1 — for a quantified FIRST step that
-    * is the run's end, consistent with the 2-step quantified form. */
+    * is the run's end, consistent with the 2-step quantified form.
+    *
+    * Optional steps (r7, `ev?` — plain chains only): the step after an
+    * optional one decides the skip, regex-scan style. The FIRST event of
+    * either class (optional's or successor's) after the previous step is
+    * the pivot: if it belongs to the optional class (greedy — an event in
+    * both classes counts as the optional match), the optional step takes
+    * it and the successor seeks onward from it; otherwise the optional
+    * step is skipped (NULL id_i/ts_i) and the pivot IS the successor's
+    * match. Deterministic, and identical to the streaming scan. */
   private def translateChain(spec: PatternSpec, tsCol: String,
       typeCol: String, idCol: String): String = {
     val steps = spec.steps
@@ -534,7 +567,56 @@ object CepSql {
         s"""(SELECT $k AS __k, $id AS id_1, $t AS ts_1
            |   FROM $tbl WHERE ${inPred("", chainSteps.head)})""".stripMargin
     }
-    for (i <- 2 to chainSteps.length) {
+    // composite stage for an optional step i and its concrete successor
+    // i+1 (plain chains only, so the anchor is always p.id_1): pivot =
+    // rank-1 over the UNION of both classes; the pivot's class decides
+    // take vs skip (see the scaladoc above)
+    def compositeOpt(i: Int): String = {
+      val stOpt = chainSteps(i - 1)
+      val stNxt = chainSteps(i)
+      val bPred = inPred("b", stOpt)
+      val cPred = inPred("b", stNxt)
+      val pLbls = (1 until i).map(j => s"p.${lbl(j)}").mkString(", ")
+      val pTs = (1 until i).map(j => s"p.ts_$j").mkString(", ")
+      val pivot =
+        s"""(SELECT * FROM (
+           |  SELECT p.__k, $pLbls, $pTs,
+           |         b.$id AS pv_id, b.$t AS pv_ts,
+           |         CASE WHEN $bPred THEN 1 ELSE 0 END AS pv_b,
+           |         row_number() OVER (PARTITION BY p.id_1
+           |                            ORDER BY b.$t, b.$id) AS __rn
+           |  FROM $prefix p JOIN $tbl b
+           |  ON p.__k = b.$k AND ($bPred OR $cPred)
+           |     AND b.$t > p.ts_${i - 1}
+           |     AND b.$t <= p.ts_1 + INTERVAL $n $unit
+           |) WHERE __rn = 1)""".stripMargin
+      val wLbls = (1 until i).map(j => s"w.${lbl(j)}").mkString(", ")
+      val wTs = (1 until i).map(j => s"w.ts_$j").mkString(", ")
+      val skipLbls = (Seq(s"CAST(NULL AS BIGINT) AS id_$i",
+        s"w.pv_id AS id_${i + 1}")).mkString(", ")
+      val skipTs = (Seq(s"CAST(NULL AS TIMESTAMP) AS ts_$i",
+        s"w.pv_ts AS ts_${i + 1}")).mkString(", ")
+      s"""(SELECT __k, ${cols(i + 1)} FROM (
+         |  SELECT w.__k, $wLbls, w.pv_id AS id_$i,
+         |         b.$id AS id_${i + 1},
+         |         $wTs, w.pv_ts AS ts_$i, b.$t AS ts_${i + 1},
+         |         row_number() OVER (PARTITION BY w.id_1
+         |                            ORDER BY b.$t, b.$id) AS __rn2
+         |  FROM $pivot w JOIN $tbl b
+         |  ON w.__k = b.$k AND $cPred AND b.$t > w.pv_ts
+         |     AND b.$t <= w.ts_1 + INTERVAL $n $unit
+         |  WHERE w.pv_b = 1
+         |) WHERE __rn2 = 1
+         |UNION ALL
+         |SELECT w.__k, $wLbls, $skipLbls, $wTs, $skipTs
+         |FROM $pivot w WHERE w.pv_b = 0)""".stripMargin
+    }
+    var i = 2
+    while (i <= chainSteps.length) {
+      if (chainSteps(i - 1).optional) {
+        prefix = compositeOpt(i)
+        i += 2
+      } else {
       val st = chainSteps(i - 1)
       val prevLbls = (1 until i).map(j => s"p.${lbl(j)}").mkString(", ")
       val prevTs = (1 until i).map(j => s"p.ts_$j").mkString(", ")
@@ -567,6 +649,8 @@ object CepSql {
              |     AND b.$t > p.ts_${i - 1}
              |     AND b.$t <= p.ts_1 + INTERVAL $n $unit
              |) WHERE __rn = 1)""".stripMargin
+      }
+      i += 1
       }
     }
     val np = chainSteps.length

@@ -75,6 +75,9 @@ object ContinuousQueries {
     *    completed runs; the NOT form keeps only timed-out runs)
     *  - `… AFTER MATCH SKIP PAST LAST ROW` → [[SkipDetector]]
     *    (≡ q_pattern_skip — greedy non-overlapping, watermark-finalized)
+    *  - `a THEN b? THEN c …`  → [[PatternMatch.detectOpt]] (r7 —
+    *    optional mid-chain steps, per-event skip decision; the absence
+    *    combination routes to batch loudly)
     *
     * Alternation steps (`click|view`, r7) dispatch through every arm —
     * the detectors take event-type classes. Quantified chains (`{m,}`
@@ -191,9 +194,19 @@ object ContinuousQueries {
           CepSequence.detect(srcWm, classes.head, classes.last,
             spec.withinMs).toDF()
         case None if spec.absent =>
+          if (spec.steps.exists(_.optional))
+            throw new IllegalArgumentException(
+              "optional steps in an absence pattern have no streaming " +
+                "detector — run the batch rewrite via CepSql.sql")
           requireCondFree("chain-absence")
           ChainAbsenceDetector.detect(src, classes, spec.withinMs,
             lateness).toDF()
+        case None if spec.steps.exists(_.optional) =>
+          // optional-step chains (r7): per-event skip decision, so the
+          // same predicate dispatch streams them (value-col conditions
+          // included, like plain chains)
+          PatternMatch.detectOpt(srcWm, spec.steps.map(stepPred),
+            spec.steps.map(_.optional), spec.withinMs).toDF()
         case None =>
           // plain chains (incl. conditioned 2-step, r7): predicate
           // dispatch — PatternMatch is CepSequence for 2 steps

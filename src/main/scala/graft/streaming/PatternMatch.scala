@@ -13,6 +13,18 @@ case class SeqMatch(user_id: Long, step_ids: Seq[Long],
   * the timestamps of the first and last matched events. */
 case class PatternState(partials: List[(List[Long], Timestamp, Timestamp)])
 
+/** An N-step match whose optional steps may be absent: one entry per
+  * step — the matched event id/ts, or None for a skipped optional step
+  * (r7, the streaming twin of the batch composite-pivot rewrite). */
+case class OptSeqMatch(user_id: Long, step_ids: Seq[Option[Long]],
+    step_ts: Seq[Option[Timestamp]], start_ts: Timestamp, end_ts: Timestamp)
+
+/** One open partial for the optional-step scan (ids/tss reversed). */
+case class OptPartial(ids: List[Option[Long]], tss: List[Option[Timestamp]],
+    start: Timestamp, last: Timestamp)
+
+case class OptPatternState(partials: List[OptPartial])
+
 /** N-step CEP pattern detection (MATCH_RECOGNIZE-lite; SURVEY §2.9 C6
   * generalized): detect `steps.head → steps(1) → … → steps.last` per key
   * within a time budget, events in between allowed.
@@ -88,6 +100,76 @@ object PatternMatch {
             us(st) + withinUs >= horizon
           }
           state.update(PatternState(partials))
+          out.result().iterator
+      }
+  }
+
+  /** Optional-step chains (r7, `ev?` — plain chains only): the scan
+    * rules of [[detectWhere]] plus, when the awaited step is optional,
+    * the NEXT step's class may claim the event instead, skipping the
+    * optional step (regex-scan greedy: the optional class is tried
+    * first, so an event in both classes counts as the optional match).
+    * This decides per event — no waiting on window expiry — and matches
+    * the batch composite-pivot rewrite exactly (OptChainSpec pins it).
+    *
+    * `optional(i)` marks step i optional. Callers guarantee the
+    * [[CepSql.parsePattern]] shape: never on the first or last step,
+    * never consecutive (so a skipped step's successor is concrete). */
+  def detectOpt(events: Dataset[CepEvent],
+      steps: Seq[CepEvent => Boolean], optional: Seq[Boolean],
+      withinMs: Long): Dataset[OptSeqMatch] = {
+    require(steps.length >= 2, "a pattern needs at least 2 steps")
+    require(optional.length == steps.length,
+      "one optional flag per step")
+    require(!optional.head && !optional.last,
+      "optional steps are mid-chain only")
+    require(!optional.sliding(2).exists(p => p.forall(identity)),
+      "consecutive optional steps are not supported")
+    implicit val matchEnc = Encoders.product[OptSeqMatch]
+    implicit val stateEnc = Encoders.product[OptPatternState]
+    implicit val keyEnc = Encoders.scalaLong
+    val withinUs = withinMs * 1000L
+    val n = steps.length
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OptPatternState, OptSeqMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[CepEvent], state: GroupState[OptPatternState]) =>
+          var partials = state.getOption.map(_.partials).getOrElse(Nil)
+          val out = List.newBuilder[OptSeqMatch]
+          val batch = it.toArray.sortBy(e => (us(e.ts), e.event_id))
+          var maxTs = 0L
+          batch.foreach { e =>
+            val t = us(e.ts)
+            if (t > maxTs) maxTs = t
+            partials = partials.flatMap { p =>
+              val next = p.ids.length
+              val inWin = t > us(p.last) && t <= us(p.start) + withinUs
+              def adv(p2: OptPartial): List[OptPartial] =
+                if (p2.ids.length == n) {
+                  out += OptSeqMatch(user, p2.ids.reverse, p2.tss.reverse,
+                    p2.start, e.ts)
+                  Nil
+                } else List(p2)
+              if (!inWin || next >= n) List(p)
+              else if (steps(next)(e))
+                adv(OptPartial(Some(e.event_id) :: p.ids,
+                  Some(e.ts) :: p.tss, p.start, e.ts))
+              else if (optional(next) && steps(next + 1)(e))
+                // skip the optional step: this event IS the successor's
+                adv(OptPartial(Some(e.event_id) :: None :: p.ids,
+                  Some(e.ts) :: None :: p.tss, p.start, e.ts))
+              else List(p)
+            }
+            if (steps.head(e))
+              partials = OptPartial(List(Some(e.event_id)),
+                List(Some(e.ts)), e.ts, e.ts) :: partials
+          }
+          val horizon = scala.util.Try(state.getCurrentWatermarkMs() * 1000L)
+            .getOrElse(maxTs)
+          partials = partials.filter(p => us(p.start) + withinUs >= horizon)
+          if (partials.isEmpty) state.remove()
+          else state.update(OptPatternState(partials))
           out.result().iterator
       }
   }

@@ -346,6 +346,69 @@ class CepSqlSpec extends SparkSpec {
     }
   }
 
+  test("optional step ev?: pivot decides take vs skip, greedy (r7)") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val rows = Seq(
+      // user 1: signup, click, purchase → take branch (click matched)
+      (1L, "2026-01-01 00:00:00", 1L, "signup"),
+      (2L, "2026-01-01 00:05:00", 1L, "click"),
+      (3L, "2026-01-01 00:10:00", 1L, "purchase"),
+      // user 2: signup, purchase (no click) → skip branch (NULL step 2)
+      (4L, "2026-01-01 00:00:00", 2L, "signup"),
+      (5L, "2026-01-01 00:07:00", 2L, "purchase"),
+      // user 3: purchase BEFORE the click → the pivot is the purchase,
+      // so the optional step is skipped even though a later click+
+      // purchase pair exists (greedy scan, not global search)
+      (6L, "2026-01-01 00:00:00", 3L, "signup"),
+      (7L, "2026-01-01 00:05:00", 3L, "purchase"),
+      (8L, "2026-01-01 00:06:00", 3L, "click"),
+      (9L, "2026-01-01 00:08:00", 3L, "purchase"),
+      // user 4: click inside the window but its purchase beyond it →
+      // the taken optional consumes the pivot, completion fails
+      (10L, "2026-01-01 00:00:00", 4L, "signup"),
+      (11L, "2026-01-01 00:25:00", 4L, "click"),
+      (12L, "2026-01-01 00:40:00", 4L, "purchase"))
+    rows.map { case (id, ts, u, ty) =>
+      (id, Timestamp.valueOf(ts), u, ty, 0.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .createOrReplaceTempView("ev_opt")
+    val got = CepSql.sql(spark,
+      """SELECT * FROM ev_opt
+         MATCH PATTERN (signup THEN click? THEN purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id""")
+    assert(got.columns.toSeq ===
+      Seq("user_id", "id_1", "id_2", "id_3", "ts_1", "ts_2", "ts_3"))
+    val ids = got.select("user_id", "id_1", "id_2", "id_3").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+    assert(ids.toSeq === Seq(
+      (1L, 1L, Some(2L), 3L),
+      (2L, 4L, None, 5L),
+      (3L, 6L, None, 7L)))
+    spark.catalog.dropTempView("ev_opt")
+    // shape violations are parse errors
+    Seq(
+      """SELECT * FROM t MATCH PATTERN (a? THEN b WITHIN '5' MINUTES)
+         PARTITION BY k""", // optional anchor
+      """SELECT * FROM t MATCH PATTERN (a THEN b? WITHIN '5' MINUTES)
+         PARTITION BY k""", // optional last step
+      """SELECT * FROM t MATCH PATTERN (a THEN b? THEN c? THEN d
+         WITHIN '5' MINUTES) PARTITION BY k""", // consecutive optionals
+      """SELECT * FROM t MATCH PATTERN (a THEN b? THEN NOT c
+         WITHIN '5' MINUTES) PARTITION BY k""", // optional before NOT
+      """SELECT * FROM t MATCH PATTERN (a THEN b{2,}? THEN c
+         WITHIN '5' MINUTES) PARTITION BY k""", // quantified + optional
+      """SELECT * FROM t MATCH PATTERN (a{2,} THEN b? THEN c
+         WITHIN '5' MINUTES) PARTITION BY k""", // mixed in one pattern
+      """SELECT * FROM t MATCH PATTERN (a THEN b? THEN c
+         WITHIN '5' MINUTES) PARTITION BY k
+         AFTER MATCH SKIP PAST LAST ROW""" // skip-past + optional
+    ).foreach { q =>
+      intercept[IllegalArgumentException](CepSql.parsePattern(q))
+    }
+  }
+
   test("MATCH PATTERN: quoted events, unit variants, trailing ';' accepted") {
     Tables.load(spark, sf)
     // '1800' SECONDS ≡ '30' MINUTES; quoted event names; trailing ';'

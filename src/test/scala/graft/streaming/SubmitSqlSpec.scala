@@ -177,6 +177,40 @@ class SubmitSqlSpec extends SparkSpec {
       if (q3.isActive) q3.stop()
       spark.catalog.dropTempView("pat_events3")
     }
+    // optional step → PatternMatch.detectOpt (r7): user 7 skips the
+    // click (purchase arrives first), user 8 takes it
+    val streamO = MemoryStream[CepEvent]
+    streamO.toDF().createOrReplaceTempView("pat_opt")
+    val qO = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_opt
+         MATCH PATTERN (signup THEN click? THEN purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id""", "svc_opt")
+    try {
+      streamO.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "signup", 0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:05:00"), 7, "purchase", 0),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:00:00"), 8, "signup", 0),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 00:05:00"), 8, "click", 0),
+        CepEvent(5, Timestamp.valueOf("2026-01-01 00:10:00"), 8, "purchase", 0))
+      qO.processAllAvailable()
+      val got = spark.table("svc_opt").select("user_id", "step_ids")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Any](1).map(Option(_)))).toSet
+      assert(got === Set(
+        (7L, Seq(Some(1L), None, Some(2L))),
+        (8L, Seq(Some(3L), Some(4L), Some(5L)))))
+    } finally {
+      if (qO.isActive) qO.stop()
+      spark.catalog.dropTempView("pat_opt")
+    }
+    // ...optional + absence is batch-only → loud
+    val eOptAbs = intercept[IllegalArgumentException] {
+      ContinuousQueries.submitPattern(spark,
+        """SELECT * FROM pat_events2
+           MATCH PATTERN (a THEN b? THEN c THEN NOT d WITHIN '1' MINUTES)
+           PARTITION BY user_id""", "svc_badopt")
+    }
+    assert(eOptAbs.getMessage.contains("optional steps in an absence"))
     // bounded run {m,n} → RunDetector with a length cap (r7): a 4-click
     // maximal run must NOT match {2,3} — whole-run semantics, the run is
     // skipped, never truncated
