@@ -146,4 +146,40 @@ object Similarity {
       .orderBy(desc("similarity"), asc(idCol))
       .limit(k)
   }
+
+  /** Per-vector int8 scalar quantization (r7): `codesCol` = the vector
+    * scaled to [-127, 127] and rounded half-up (array<tinyint>, 4× less
+    * memory/scan bandwidth than float32), `scaleCol` = max |x| / 127
+    * (one double per vector; x̂_i = code_i · scale reconstructs).
+    *
+    * This is the standard first compression rung for vector search at
+    * 100 TB — store codes+scale, search with [[dequantizeInt8]]'d vectors
+    * (asymmetric: full-precision query against quantized base), keep the
+    * float column only for a final re-rank of the shortlist. Map-only,
+    * no shuffle. An all-zero vector quantizes to scale 0 / all-zero
+    * codes (guarded — no NaN division).
+    *
+    * Per-VECTOR max-abs scaling (not a global or per-dimension grid)
+    * keeps the quantization error of every vector proportional to its
+    * own magnitude and needs no training pass; the relative
+    * reconstruction error is bounded by 1/254 per element. */
+  def quantizeInt8(emb: DataFrame, vecCol: String,
+      codesCol: String = "codes", scaleCol: String = "scale"): DataFrame =
+    emb
+      .withColumn(scaleCol, expr(
+        s"aggregate($vecCol, CAST(0.0 AS DOUBLE), " +
+          "(m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0D"))
+      .withColumn(codesCol, expr(
+        s"CASE WHEN $scaleCol = 0.0D " +
+          s"THEN transform($vecCol, x -> CAST(0 AS TINYINT)) " +
+          s"ELSE transform($vecCol, x -> " +
+          s"CAST(floor(CAST(x AS DOUBLE) / $scaleCol + 0.5D) AS TINYINT)) " +
+          "END"))
+
+  /** Reconstruction expression for [[quantizeInt8]] output:
+    * `transform(codes, c -> c · scale)` — an array<double> usable
+    * directly by `cosine_sim` (asymmetric distance). */
+  def dequantizeInt8(codesCol: String, scaleCol: String)
+      : org.apache.spark.sql.Column =
+    expr(s"transform($codesCol, c -> CAST(c AS DOUBLE) * $scaleCol)")
 }

@@ -115,6 +115,46 @@ object VectorOps {
         .orderBy("qid", "rn")
     }),
 
+    // L3c — int8 scalar quantization (r7): per-vector max-abs codes +
+    // scale (Similarity.quantizeInt8, map-only). The key pins the full
+    // numeric contract: the scale, the exact code checksum (integer —
+    // engine-portable), and the max reconstruction error. 4× smaller
+    // vectors is the first compression rung of a 100 TB vector store.
+    "q_embed_quant" -> ((s, dir) => {
+      val q = graft.operators.Similarity.quantizeInt8(
+        T(s, dir, "embeddings"), "embedding")
+      q.select(col("vec_id"),
+        fround(col("scale"), 6).as("scale6"),
+        expr("aggregate(codes, 0L, (a, c) -> a + CAST(c AS BIGINT))")
+          .as("code_sum"),
+        fround(expr(
+          "aggregate(zip_with(embedding, codes, (x, c) -> " +
+            "abs(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) * scale)), " +
+            "CAST(0.0 AS DOUBLE), (m, e) -> greatest(m, e))"), 6)
+          .as("max_err6"))
+        .orderBy("vec_id")
+    }),
+
+    // L3d — asymmetric quantized search (r7): full-precision query
+    // against the int8-reconstructed base, top-10 by cosine. The
+    // shortlist a production pipeline would re-rank with float vectors;
+    // here the whole point is that the quantized scan alone already
+    // agrees with the oracle at 4 dp.
+    "q_quant_topk" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = graft.operators.Similarity.quantizeInt8(
+        T(s, dir, "embeddings"), "embedding")
+      val q = e.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), _.cast("double")).as("qv"))
+      e.filter(col("vec_id") =!= 0)
+        .withColumn("recon",
+          graft.operators.Similarity.dequantizeInt8("codes", "scale"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), round(cos("recon", "qv"), 4).as("cs"))
+        .orderBy(desc("cs"), asc("vec_id"))
+        .limit(10)
+    }),
+
     // Per-label centroids (the IVF coarse quantizer as a first-class op,
     // long form). One explode + one partial-aggregated shuffle on
     // (label, pos): the map side reduces 64·N element rows down to
@@ -224,6 +264,53 @@ object VectorOps {
                                 ORDER BY cs DESC, vec_id) AS rn
            FROM r) t
          WHERE rn <= 3 ORDER BY qid, rn""",
+    "q_embed_quant" ->
+      """WITH m AS (
+           SELECT e.vec_id,
+             max(abs(CAST(e.embedding[i.i + 1] AS DOUBLE))) / 127.0 AS s
+           FROM embeddings e, (SELECT unnest(range(64)) AS i) i
+           GROUP BY e.vec_id),
+         c AS (
+           SELECT e.vec_id, m.s,
+             CASE WHEN m.s = 0.0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(floor(CAST(e.embedding[i.i + 1] AS DOUBLE) / m.s
+                               + 0.5) AS BIGINT) END AS code,
+             CAST(e.embedding[i.i + 1] AS DOUBLE) AS x
+           FROM embeddings e
+           JOIN m ON e.vec_id = m.vec_id,
+           (SELECT unnest(range(64)) AS i) i)
+         SELECT vec_id, floor(s * 1000000 + 0.5) / 1000000 AS scale6,
+           sum(code) AS code_sum,
+           floor(max(abs(x - code * s)) * 1000000 + 0.5) / 1000000
+             AS max_err6
+         FROM c GROUP BY vec_id, s ORDER BY vec_id""",
+    "q_quant_topk" ->
+      """WITH m AS (
+           SELECT e.vec_id,
+             max(abs(CAST(e.embedding[i.i + 1] AS DOUBLE))) / 127.0 AS s
+           FROM embeddings e, (SELECT unnest(range(64)) AS i) i
+           GROUP BY e.vec_id),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         d AS (
+           SELECT e.vec_id,
+             sum((CASE WHEN m.s = 0.0 THEN 0.0
+                  ELSE floor(CAST(e.embedding[i.i + 1] AS DOUBLE) / m.s
+                             + 0.5) * m.s END)
+               * CAST(q.qe[i.i + 1] AS DOUBLE)) AS dp,
+             sum((CASE WHEN m.s = 0.0 THEN 0.0
+                  ELSE floor(CAST(e.embedding[i.i + 1] AS DOUBLE) / m.s
+                             + 0.5) * m.s END)
+               * (CASE WHEN m.s = 0.0 THEN 0.0
+                  ELSE floor(CAST(e.embedding[i.i + 1] AS DOUBLE) / m.s
+                             + 0.5) * m.s END)) AS na,
+             sum(CAST(q.qe[i.i + 1] AS DOUBLE)
+               * CAST(q.qe[i.i + 1] AS DOUBLE)) AS nb
+           FROM embeddings e JOIN m ON e.vec_id = m.vec_id,
+             q, (SELECT unnest(range(64)) AS i) i
+           WHERE e.vec_id <> 0
+           GROUP BY e.vec_id)
+         SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cs
+         FROM d ORDER BY cs DESC, vec_id LIMIT 10""",
     "q_embed_centroid" ->
       """SELECT CAST(label AS BIGINT) AS label, i.i AS pos,
            floor(avg(CAST(embedding[i.i + 1] AS DOUBLE)) * 10000 + 0.5)

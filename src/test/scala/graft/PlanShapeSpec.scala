@@ -127,6 +127,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(projLine.contains("*("), s"cosine_sim project not codegen'd: $projLine")
   }
 
+  test("q_quant_topk: quantize is map-only, base never shuffles (r7)") {
+    val df = SparkEntry.queries("q_quant_topk")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // broadcast query side + TakeOrdered — the quantize+dequantize+score
+    // pipeline must add NO exchange over the base scan (map-only codes)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    val shuffles = "ShuffleExchange".r.findAllIn(p).length
+    assert(shuffles === 0, s"quantized scan must not shuffle the base:\n$p")
+  }
+
   test("subqueries decorrelate: EXISTS/IN plan as semi joins, no loops") {
     Seq("q_subquery_exists", "q_subquery_in").foreach { k =>
       val p = plan(k)

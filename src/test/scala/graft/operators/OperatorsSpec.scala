@@ -132,6 +132,48 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("Similarity.quantizeInt8: bounds, error cap, zero guard (r7)") {
+    val q = Similarity.quantizeInt8(emb, "embedding")
+    // every code within int8 symmetric range; at least one element per
+    // vector hits ±127 (the max-abs element by construction)
+    val stats = q.select(
+      expr("aggregate(codes, 127, (m, c) -> least(m, CAST(abs(c) AS INT)))")
+        .as("minabs"),
+      expr("aggregate(codes, 0, (m, c) -> greatest(m, CAST(abs(c) AS INT)))")
+        .as("maxabs"),
+      col("scale"),
+      expr("aggregate(zip_with(embedding, codes, (x, c) -> " +
+        "abs(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) * scale)), " +
+        "CAST(0.0 AS DOUBLE), (m, e) -> greatest(m, e))").as("max_err"))
+      .as[(Int, Int, Double, Double)].collect()
+    assert(stats.nonEmpty)
+    stats.foreach { case (_, maxAbs, scale, maxErr) =>
+      assert(maxAbs === 127, "the max-abs element must map to ±127")
+      // half-up rounding error is at most scale/2 (plus float slop)
+      assert(maxErr <= scale / 2 + 1e-12,
+        s"reconstruction error $maxErr exceeds scale/2 = ${scale / 2}")
+    }
+    // zero vector: scale 0, all-zero codes, no NaN
+    val z = Similarity.quantizeInt8(
+      Seq((1L, Seq.fill(4)(0.0f))).toDF("vec_id", "embedding"), "embedding")
+      .select(col("scale"),
+        expr("aggregate(codes, 0L, (a, c) -> a + abs(CAST(c AS BIGINT)))")
+          .as("sumabs"))
+      .as[(Double, Long)].head()
+    assert(z === ((0.0, 0L)))
+    // quantize → dequantize → quantize is a fixed point on the codes
+    // (idempotence: codes survive one reconstruction round-trip)
+    val rt = q.select(col("vec_id"), col("codes"),
+        Similarity.dequantizeInt8("codes", "scale").as("recon"))
+    val rq = Similarity.quantizeInt8(
+        rt.select(col("vec_id"), col("codes").as("c0"), col("recon")),
+        "recon", codesCol = "c1")
+      .select(expr("aggregate(zip_with(c0, c1, (a, b) -> " +
+        "CASE WHEN a = b THEN 0 ELSE 1 END), 0, (s, d) -> s + d)"))
+      .as[Int].collect()
+    assert(rq.forall(_ === 0), "codes must be a quantization fixed point")
+  }
+
   test("ivfTopK nprobe: recall is monotone, exhaustive probe == exact (r6)") {
     val exact = Similarity.topK(spark, emb, "vec_id", "embedding", 0L, 10)
       .select("vec_id").as[Long].collect().toSet
