@@ -251,6 +251,57 @@ object TextOps {
         .limit(20)
     }),
 
+    // L4c — train/test CONTAMINATION detection (r7): for every training
+    // document, how many of its distinct word 4-grams also occur in the
+    // benchmark set (here: doc_id % 25 == 0 — the held-out split a real
+    // pipeline would read from a second table). The contaminated-doc
+    // report is THE standard pre-training hygiene check before a dataset
+    // ships. Scale shape: the benchmark gram set is small by
+    // construction (benchmarks are ~thousands of docs, not billions) —
+    // it broadcasts; the training side is one map-only gram stage + one
+    // distinct agg; no all-pairs anything.
+    "q_contamination" -> ((s, dir) => {
+      val g = graft.Caching.cache(
+        gramRows(T(s, dir, "documents"), 4)
+          .select("doc_id", "gram").distinct())
+      val bench = g.filter(col("doc_id") % 25 === 0)
+        .select("gram").distinct()
+      val train = g.filter(col("doc_id") % 25 =!= 0)
+      val sizes = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      train.join(broadcast(bench), "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+        .join(sizes, "doc_id")
+        .withColumn("frac", fround(col("n_contaminated").cast("double") /
+          col("n_grams"), 4))
+        .select("doc_id", "n_contaminated", "n_grams", "frac")
+        .orderBy(desc("frac"), asc("doc_id"))
+    }),
+
+    // L4d — bigram-LM document scoring (r7): the perplexity-proxy
+    // quality filter. Train a per-language bigram MLE on the corpus
+    // (P(w2|w1) = count(w1 w2) / count(w1 ·)), then score every doc by
+    // its mean log-probability — low scorers are the repetitive/garbled
+    // docs a quality gate drops. Two hash aggs build the model; scoring
+    // joins the doc's bigram occurrences back (model side is
+    // vocab²-bounded — the small side at 100 TB).
+    "q_lm_score" -> ((s, dir) => {
+      val bg = graft.Caching.cache(
+        gramRows(T(s, dir, "documents"), 2)
+          .select(col("doc_id"), col("lang"), col("gram")))
+      val big = bg.groupBy("lang", "gram").agg(count(lit(1)).as("bc"))
+      val uni = bg
+        .withColumn("w1", expr("split(gram, ' ')[0]"))
+        .groupBy("lang", "w1").agg(count(lit(1)).as("uc"))
+      bg.join(big, Seq("lang", "gram"))
+        .withColumn("w1", expr("split(gram, ' ')[0]"))
+        .join(uni, Seq("lang", "w1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          fround(avg(log(col("bc").cast("double") / col("uc"))), 4)
+            .as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
     // L4 — tokenize + global top-20 word counts.
     "q_text_tokens" -> ((s, dir) => {
       T(s, dir, "documents")
@@ -435,6 +486,53 @@ object TextOps {
          JOIN sizes sa ON sa.doc_id = da
          JOIN sizes sb ON sb.doc_id = db
          ORDER BY jac DESC, da, db LIMIT 50""",
+    "q_contamination" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         gi AS (
+           SELECT doc_id, unnest(range(1, greatest(len(w) - 2, 1))) AS i, w
+           FROM t),
+         g AS (
+           SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 3), ' ') AS gram
+           FROM gi),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 25 = 0),
+         train AS (SELECT * FROM g WHERE doc_id % 25 <> 0),
+         sizes AS (SELECT doc_id, count(*) AS n_grams FROM train
+                   GROUP BY doc_id),
+         hits AS (
+           SELECT doc_id, count(*) AS n_contaminated
+           FROM train JOIN bench USING (gram) GROUP BY doc_id)
+         SELECT h.doc_id, h.n_contaminated, s.n_grams,
+           floor(CAST(h.n_contaminated AS DOUBLE) / s.n_grams * 10000
+                 + 0.5) / 10000 AS frac
+         FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+         ORDER BY frac DESC, h.doc_id""",
+    "q_lm_score" ->
+      """WITH t AS (
+           SELECT doc_id, lang, string_split(text, ' ') AS w
+           FROM documents),
+         gi AS (
+           SELECT doc_id, lang,
+             unnest(range(1, greatest(len(w), 1))) AS i, w
+           FROM t),
+         bg AS (
+           SELECT doc_id, lang,
+             array_to_string(list_slice(w, i, i + 1), ' ') AS gram
+           FROM gi),
+         big AS (SELECT lang, gram, count(*) AS bc FROM bg
+                 GROUP BY lang, gram),
+         uni AS (
+           SELECT lang, string_split(gram, ' ')[1] AS w1, count(*) AS uc
+           FROM bg GROUP BY 1, 2)
+         SELECT b.doc_id, count(*) AS n_bigrams,
+           floor(avg(ln(CAST(big.bc AS DOUBLE) / uni.uc)) * 10000 + 0.5)
+             / 10000 AS avg_logp
+         FROM bg b
+         JOIN big ON big.lang = b.lang AND big.gram = b.gram
+         JOIN uni ON uni.lang = b.lang
+                 AND uni.w1 = string_split(b.gram, ' ')[1]
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
     "q_tfidf" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
