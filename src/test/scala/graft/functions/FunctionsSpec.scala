@@ -54,6 +54,44 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("mixed-type kernels: int8 codes score directly, scale cancels (r7)") {
+    GraftFunctions.register(spark)
+    val e = graft.Tables.table(spark, sf, "embeddings").limit(50)
+    val q = graft.operators.Similarity.quantizeInt8(e, "embedding")
+      .select(col("vec_id"), col("embedding"), col("codes"), col("scale"),
+        graft.operators.Similarity.dequantizeInt8("codes", "scale")
+          .as("recon"))
+    // tinyint × float: codes against the raw float query — accepted and
+    // EQUAL (1e-9) to the reconstruction's cosine: the per-vector scale
+    // cancels in dot/(|a||b|), so the no-dequantize path is exact
+    val both = q.as("x").crossJoin(q.as("y"))
+      .filter(col("x.vec_id") < col("y.vec_id")).limit(200)
+      .select(
+        expr("cosine_sim(x.codes, y.embedding)").as("direct"),
+        expr("cosine_sim(x.recon, y.embedding)").as("recon_cs"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (d, r) =>
+      assert(math.abs(d - r) < 1e-9, s"direct $d vs recon $r")
+    }
+    // tinyint × tinyint: code-vs-code cosine equals the float cosine of
+    // the reconstructions (both scales cancel)
+    val cc = q.as("x").crossJoin(q.as("y"))
+      .filter(col("x.vec_id") < col("y.vec_id")).limit(200)
+      .select(expr("cosine_sim(x.codes, y.codes)").as("d"),
+        expr("cosine_sim(x.recon, y.recon)").as("r"))
+      .as[(Double, Double)].collect()
+    cc.foreach { case (d, r) =>
+      assert(math.abs(d - r) < 1e-9, s"code-code $d vs recon-recon $r")
+    }
+    // non-numeric arrays are still rejected loudly
+    val err = intercept[Exception] {
+      Seq((Seq("a"), Seq(1.0))).toDF("a", "b")
+        .select(expr("cosine_sim(a, b)")).collect()
+    }
+    assert(err.getMessage.contains("cosine_sim"))
+  }
+
   test("dot_product and l2_distance kernels match reference math") {
     GraftFunctions.register(spark)
     val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(3.0f, 0.0f, 4.0f)))
