@@ -475,6 +475,18 @@ object Cep {
         """SELECT * FROM events
            MATCH PATTERN (signup THEN click? THEN purchase WITHIN '12' HOURS)
            PARTITION BY user_id""")
+    }),
+
+    // EP1k — PERMUTE from SQL TEXT (r7): the order-free pair. Every
+    // signup or purchase anchors; the match is the first event of the
+    // OPPOSITE class within 30 minutes after it. Union of the two
+    // directional q_cep_seq formulations; first_ev names the anchor.
+    "q_pattern_permute" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * FROM events
+           MATCH PATTERN (PERMUTE(signup, purchase) WITHIN '30' MINUTES)
+           PARTITION BY user_id""")
     })
   )
 
@@ -776,6 +788,35 @@ object Cep {
            ON b.user_id = r.user_id AND b.event_type = 'purchase'
           AND b.ts > r.run_end AND b.ts <= r.run_end + INTERVAL 12 HOUR
          GROUP BY 1, 2, 3, 4 ORDER BY r.user_id, run_start""",
+    "q_pattern_permute" ->
+      """WITH d1 AS (
+           SELECT user_id, first_ev, first_id, second_id,
+             first_ts, second_ts FROM (
+             SELECT a.user_id, 'signup' AS first_ev,
+               a.event_id AS first_id, b.event_id AS second_id,
+               a.ts AS first_ts, b.ts AS second_ts,
+               row_number() OVER (PARTITION BY a.event_id
+                                  ORDER BY b.ts, b.event_id) AS rn
+             FROM events a JOIN events b
+               ON a.user_id = b.user_id
+              AND a.event_type = 'signup' AND b.event_type = 'purchase'
+              AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE) t
+           WHERE rn = 1),
+         d2 AS (
+           SELECT user_id, first_ev, first_id, second_id,
+             first_ts, second_ts FROM (
+             SELECT a.user_id, 'purchase' AS first_ev,
+               a.event_id AS first_id, b.event_id AS second_id,
+               a.ts AS first_ts, b.ts AS second_ts,
+               row_number() OVER (PARTITION BY a.event_id
+                                  ORDER BY b.ts, b.event_id) AS rn
+             FROM events a JOIN events b
+               ON a.user_id = b.user_id
+              AND a.event_type = 'purchase' AND b.event_type = 'signup'
+              AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE) t
+           WHERE rn = 1)
+         SELECT * FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+         ORDER BY first_id""",
     "q_pattern_opt" ->
       """WITH s1 AS (
            SELECT user_id AS k, event_id AS id_1, ts AS ts_1 FROM events

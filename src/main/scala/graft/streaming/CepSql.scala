@@ -96,6 +96,17 @@ object CepSql {
       "(?:\\s+AFTER\\s+MATCH\\s+SKIP\\s+(TO\\s+NEXT\\s+ROW|PAST\\s+LAST\\s+ROW))?" +
       "\\s*;?\\s*$",
     Pattern.CASE_INSENSITIVE)
+  /** `PERMUTE(a, b)` (r7): the order-free pair — `a THEN b` OR
+    * `b THEN a`, whichever order the stream presents. Two plain event
+    * names (no alternation/condition/quantifier — each would be
+    * well-defined but explodes the surface; extend on demand). */
+  private val permuteStmt = Pattern.compile(
+    "^\\s*SELECT\\s+\\*\\s+FROM\\s+([A-Za-z_][\\w.]*)\\s+" +
+      "MATCH\\s+PATTERN\\s*\\(\\s*PERMUTE\\s*\\(\\s*('?\\w+'?)\\s*,\\s*" +
+      "('?\\w+'?)\\s*\\)" +
+      "\\s+WITHIN\\s+'(\\d+)'\\s+(SECONDS?|MINUTES?|HOURS?)\\s*\\)" +
+      "\\s+PARTITION\\s+BY\\s+([A-Za-z_]\\w*)\\s*;?\\s*$",
+    Pattern.CASE_INSENSITIVE)
   private val thenSplit = Pattern.compile("\\s+THEN\\s+",
     Pattern.CASE_INSENSITIVE)
   private val stepTok = Pattern.compile(
@@ -261,7 +272,8 @@ object CepSql {
     * front half of [[translatePattern]] (batch SQL rewrite) and
     * [[ContinuousQueries.submitPattern]] (streaming detector dispatch). */
   case class PatternSpec(table: String, steps: Seq[PatternStep],
-      n: Long, unit: String, key: String, skipPast: Boolean = false) {
+      n: Long, unit: String, key: String, skipPast: Boolean = false,
+      permute: Boolean = false) {
     def absent: Boolean = steps.last.negated
     /** Window in milliseconds. Overflow-checked: a huge-but-valid WITHIN
       * numeral must fail loudly like every other parse near-miss, not
@@ -286,7 +298,32 @@ object CepSql {
           "FROM <table> MATCH PATTERN (<step1> THEN <step2> [THEN <step3> " +
           "…] [THEN NOT <stepN>] WITHIN '<n>' SECONDS|MINUTES|HOURS) " +
           "PARTITION BY <key> [AFTER MATCH SKIP TO NEXT ROW|PAST LAST " +
-          s"ROW], each step <ev>[|<ev>…][{m[,[n]]}] ($detail)")
+          s"ROW] — or MATCH PATTERN (PERMUTE(<ev>, <ev>) WITHIN …) — " +
+          s"each step <ev>[|<ev>…][{m[,[n]]}] ($detail)")
+    val pm = permuteStmt.matcher(q)
+    if (pm.matches()) {
+      val (a, b) = (pm.group(2).stripPrefix("'").stripSuffix("'"),
+        pm.group(3).stripPrefix("'").stripSuffix("'"))
+      if (a == b)
+        malformed("PERMUTE needs two distinct event names")
+      val unit = pm.group(5).toUpperCase(java.util.Locale.ROOT) match {
+        case u if u.startsWith("SEC") => "SECONDS"
+        case u if u.startsWith("MIN") => "MINUTES"
+        case _                        => "HOURS"
+      }
+      val n =
+        try pm.group(4).toLong
+        catch { case _: NumberFormatException =>
+          malformed(s"WITHIN numeral '${pm.group(4)}' out of range") }
+      val spec = PatternSpec(pm.group(1),
+        Seq(PatternStep(negated = false, Seq(a), None),
+          PatternStep(negated = false, Seq(b), None)),
+        n, unit, pm.group(6), permute = true)
+      try spec.withinMs
+      catch { case _: ArithmeticException =>
+        malformed(s"WITHIN window '${spec.n} ${spec.unit}' overflows") }
+      return spec
+    }
     val m = patternStmt.matcher(q)
     if (!m.matches()) malformed("statement shape")
     val steps = thenSplit.split(m.group(2).trim).toSeq.map { tok =>
@@ -411,6 +448,7 @@ object CepSql {
     val (k, t, ty, id) = (bq(key), bq(tsCol), bq(typeCol), bq(idCol))
     def inPred(alias: String, st: PatternStep): String =
       stepPredSql(alias, st, typeCol)
+    if (spec.permute) return translatePermute(spec, tsCol, typeCol, idCol)
     if (spec.skipPast) return translateSkip(spec, tsCol, typeCol, idCol)
     if (steps.length > 2 || steps.tail.exists(_.minTimes.isDefined))
       return translateChain(spec, tsCol, typeCol, idCol)
@@ -667,6 +705,41 @@ object CepSql {
       s"""SELECT __k AS $k, ${cols(np)}
          |FROM $prefix
          |ORDER BY $order""".stripMargin
+  }
+
+  /** `PERMUTE(a, b)` rewrite (r7): the order-free pair — every `a` or
+    * `b` event anchors (skip-to-next-row), and the match is the FIRST
+    * event of the OPPOSITE class strictly after the anchor within the
+    * window. Emitted as the UNION of the two directional 2-step rank-1
+    * formulations (each identical to the proven q_cep_seq shape), with
+    * `first_ev` carrying the anchor's event name. An anchor's direction
+    * is fixed by its own type, so every output row has a unique
+    * `first_id` — the deterministic sort key. */
+  private def translatePermute(spec: PatternSpec, tsCol: String,
+      typeCol: String, idCol: String): String = {
+    val tbl = spec.table
+    val (n, unit) = (spec.n.toString, spec.unit)
+    def bq(c: String) = s"`$c`"
+    val (k, t, id) = (bq(spec.key), bq(tsCol), bq(idCol))
+    def dir(first: PatternStep, second: PatternStep): String =
+      s"""SELECT $k, first_ev, first_id, second_id, first_ts, second_ts
+         |FROM (
+         |  SELECT a.$k AS $k, '${first.event}' AS first_ev,
+         |         a.$id AS first_id, b.$id AS second_id,
+         |         a.$t AS first_ts, b.$t AS second_ts,
+         |         row_number() OVER (PARTITION BY a.$id
+         |                            ORDER BY b.$t, b.$id) AS __rn
+         |  FROM $tbl a JOIN $tbl b
+         |  ON a.$k = b.$k AND ${stepPredSql("a", first, typeCol)}
+         |     AND ${stepPredSql("b", second, typeCol)}
+         |     AND b.$t > a.$t AND b.$t <= a.$t + INTERVAL $n $unit
+         |) WHERE __rn = 1""".stripMargin
+    val Seq(sa, sb) = spec.steps
+    s"""SELECT * FROM (
+       |${dir(sa, sb)}
+       |UNION ALL
+       |${dir(sb, sa)}
+       |) ORDER BY first_id""".stripMargin
   }
 
   /** AFTER MATCH SKIP PAST LAST ROW rewrite: greedy NON-OVERLAPPING

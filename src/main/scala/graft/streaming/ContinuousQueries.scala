@@ -78,6 +78,8 @@ object ContinuousQueries {
     *  - `a THEN b? THEN c …`  → [[PatternMatch.detectOpt]] (r7 —
     *    optional mid-chain steps, per-event skip decision; the absence
     *    combination routes to batch loudly)
+    *  - `PERMUTE(a, b)`       → two directional [[CepSequence]]
+    *    detectors unioned, tagged by the anchor's event name (r7)
     *
     * Alternation steps (`click|view`, r7) dispatch through every arm —
     * the detectors take event-type classes. Quantified chains (`{m,}`
@@ -148,7 +150,20 @@ object ContinuousQueries {
         s"step conditions on the $arm form have no streaming detector " +
           "— run the batch rewrite via CepSql.sql")
     val out: DataFrame =
-      if (spec.skipPast) {
+      if (spec.permute) {
+        // PERMUTE(a, b) (r7): union of the two directional CepSequence
+        // detectors, tagged with the anchor's event name — the exact
+        // streaming twin of the batch union-of-rank-1 rewrite
+        val Seq(ca, cb) = classes
+        def leg(firsts: Set[String], seconds: Set[String], ev: String) =
+          CepSequence.detect(srcWm, firsts, seconds, spec.withinMs).toDF()
+            .select(col("user_id"),
+              org.apache.spark.sql.functions.lit(ev).as("first_ev"),
+              col("sid").as("first_id"), col("pid").as("second_id"),
+              col("s_ts").as("first_ts"), col("p_ts").as("second_ts"))
+        leg(ca, cb, spec.steps.head.event)
+          .union(leg(cb, ca, spec.steps.last.event))
+      } else if (spec.skipPast) {
         requireCondFree("SKIP PAST LAST ROW")
         SkipDetector.detect(src, classes, spec.withinMs, Some(lateness))
       } else if (quantifiedTail ||

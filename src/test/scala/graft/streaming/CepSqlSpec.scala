@@ -409,6 +409,53 @@ class CepSqlSpec extends SparkSpec {
     }
   }
 
+  test("PERMUTE(a, b): union of the two directional rewrites (r7)") {
+    Tables.load(spark, sf)
+    val got = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (PERMUTE(signup, purchase) WITHIN '30' MINUTES)
+         PARTITION BY user_id""")
+    assert(got.columns.toSeq === Seq("user_id", "first_ev", "first_id",
+      "second_id", "first_ts", "second_ts"))
+    // independent recomputation: the two directional 2-step rewrites
+    val fwd = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id""")
+      .select(col("user_id"), lit("signup").as("first_ev"),
+        col("sid").as("first_id"), col("pid").as("second_id"),
+        col("s_ts").as("first_ts"), col("p_ts").as("second_ts"))
+    val bwd = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (purchase THEN signup WITHIN '30' MINUTES)
+         PARTITION BY user_id""")
+      .select(col("user_id"), lit("purchase").as("first_ev"),
+        col("sid").as("first_id"), col("pid").as("second_id"),
+        col("s_ts").as("first_ts"), col("p_ts").as("second_ts"))
+    val want = fwd.union(bwd).orderBy("first_id")
+    assert(got.collect().map(_.toSeq).toSeq ===
+      want.collect().map(_.toSeq).toSeq)
+    assert(got.count() > 0)
+    assert(got.select("first_ev").distinct().count() === 2,
+      "both directions must occur at this sf")
+    // near-misses are loud
+    intercept[IllegalArgumentException] {
+      CepSql.parsePattern(
+        """SELECT * FROM t MATCH PATTERN (PERMUTE(a, a) WITHIN '5' MINUTES)
+           PARTITION BY k""")
+    }
+    intercept[IllegalArgumentException] {
+      CepSql.parsePattern(
+        """SELECT * FROM t MATCH PATTERN (PERMUTE(a, b, c) WITHIN '5'
+           MINUTES) PARTITION BY k""")
+    }
+    intercept[IllegalArgumentException] {
+      CepSql.parsePattern(
+        """SELECT * FROM t MATCH PATTERN (PERMUTE(a, b) WITHIN '5' MINUTES)
+           PARTITION BY k AFTER MATCH SKIP PAST LAST ROW""")
+    }
+  }
+
   test("MATCH PATTERN: quoted events, unit variants, trailing ';' accepted") {
     Tables.load(spark, sf)
     // '1800' SECONDS ≡ '30' MINUTES; quoted event names; trailing ';'

@@ -177,6 +177,32 @@ class SubmitSqlSpec extends SparkSpec {
       if (q3.isActive) q3.stop()
       spark.catalog.dropTempView("pat_events3")
     }
+    // PERMUTE(a, b) → two directional CepSequence legs unioned (r7):
+    // user 7 matches signup→purchase, user 8 purchase→signup
+    val streamP = MemoryStream[CepEvent]
+    streamP.toDF().createOrReplaceTempView("pat_perm")
+    val qP = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_perm
+         MATCH PATTERN (PERMUTE(signup, purchase) WITHIN '30' MINUTES)
+         PARTITION BY user_id""", "svc_perm")
+    try {
+      streamP.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "signup", 0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:05:00"), 7, "purchase", 0),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:00:00"), 8, "purchase", 0),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 00:05:00"), 8, "signup", 0))
+      qP.processAllAvailable()
+      val got = spark.table("svc_perm")
+        .select("user_id", "first_ev", "first_id", "second_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got === Set(
+        (7L, "signup", 1L, 2L),
+        (8L, "purchase", 3L, 4L)))
+    } finally {
+      if (qP.isActive) qP.stop()
+      spark.catalog.dropTempView("pat_perm")
+    }
     // optional step → PatternMatch.detectOpt (r7): user 7 skips the
     // click (purchase arrives first), user 8 takes it
     val streamO = MemoryStream[CepEvent]
