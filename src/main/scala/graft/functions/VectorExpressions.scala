@@ -46,13 +46,17 @@ trait VectorBinaryExpression extends BinaryExpression {
     case FloatType => (a, i) => a.getFloat(i).toDouble
     case _         => (a, i) => a.getDouble(i)
   }
+  // resolved once per expression instance, not per row — the interpreted
+  // path stays allocation-free in the loop
+  @transient private lazy val readLeft = reader(elemType(left).get)
+  @transient private lazy val readRight = reader(elemType(right).get)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val gx = reader(elemType(left).get)
-    val gy = reader(elemType(right).get)
+    val gx = readLeft
+    val gy = readRight
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {

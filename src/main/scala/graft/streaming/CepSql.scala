@@ -630,9 +630,12 @@ object CepSql {
            |) WHERE __rn = 1)""".stripMargin
       val wLbls = (1 until i).map(j => s"w.${lbl(j)}").mkString(", ")
       val wTs = (1 until i).map(j => s"w.ts_$j").mkString(", ")
-      val skipLbls = (Seq(s"CAST(NULL AS BIGINT) AS id_$i",
+      // typed NULLs for the skipped step: CASE WHEN FALSE folds to a null
+      // of the PIVOT column's own type, so a non-bigint idColumn (the
+      // spark.graft.cep.idColumn surface) unions cleanly with the take arm
+      val skipLbls = (Seq(s"CASE WHEN FALSE THEN w.pv_id END AS id_$i",
         s"w.pv_id AS id_${i + 1}")).mkString(", ")
-      val skipTs = (Seq(s"CAST(NULL AS TIMESTAMP) AS ts_$i",
+      val skipTs = (Seq(s"CASE WHEN FALSE THEN w.pv_ts END AS ts_$i",
         s"w.pv_ts AS ts_${i + 1}")).mkString(", ")
       s"""(SELECT __k, ${cols(i + 1)} FROM (
          |  SELECT w.__k, $wLbls, w.pv_id AS id_$i,

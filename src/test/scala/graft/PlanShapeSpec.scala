@@ -135,7 +135,7 @@ class PlanShapeSpec extends SparkSpec {
     // pipeline must add NO exchange over the base scan (map-only codes)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("BroadcastExchange"), p)
-    val shuffles = "ShuffleExchange".r.findAllIn(p).length
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(shuffles === 0, s"quantized scan must not shuffle the base:\n$p")
   }
 
