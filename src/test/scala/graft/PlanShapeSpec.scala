@@ -226,6 +226,16 @@ class PlanShapeSpec extends SparkSpec {
     val pw = plan("q_dialect_window")
     assert("HashAggregate".r.findAllIn(pw).size >= 2,
       s"dialect window agg should be partial+final:\n$pw")
+    // the r7 grammar forms must keep the same no-cartesian discipline:
+    // optional's composite pivot, the bounded-run join, and PERMUTE's
+    // union legs are all equi joins with residual range predicates
+    Seq("q_pattern_opt", "q_pattern_bounded", "q_pattern_permute")
+      .foreach { k =>
+        val p = plan(k)
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"$k must stay an equi join:\n$p")
+      }
   }
 
   test("every oracleSql key has a matching queries key") {

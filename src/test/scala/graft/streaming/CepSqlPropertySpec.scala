@@ -150,27 +150,35 @@ class CepSqlPropertySpec extends AnyFunSuite {
       tbl <- ident
       key <- ident
       quantified = steps.exists(_._2.isDefined)
-      skip <- if (quantified) Gen.const(false) else Gen.oneOf(true, false)
+      // a mid-chain optional step (r7): only on quantifier-free chains of
+      // length >= 3, never first/last — the validated grammar shape
+      optIdx <- if (k >= 3 && !quantified) Gen.option(Gen.choose(1, k - 2))
+                else Gen.const(None: Option[Int])
+      skip <- if (quantified || optIdx.isDefined) Gen.const(false)
+              else Gen.oneOf(true, false)
     } yield {
-      val stepTxt = steps.map { case (evs, mt, mx, form) =>
+      val stepTxt = steps.zipWithIndex.map { case ((evs, mt, mx, form), i) =>
         evs.mkString("|") + mt.map { m =>
           form match {
             case 0 => s"{$m,}"
             case 1 => s"{$m,${mx.get}}"
             case _ => s"{$m}"
           }
-        }.getOrElse("")
+        }.getOrElse("") + (if (optIdx.contains(i)) "?" else "")
       }.mkString(" THEN ")
       val skipTxt = if (skip) " AFTER MATCH SKIP PAST LAST ROW" else ""
-      (steps, skip,
+      (steps, skip, optIdx,
         s"SELECT * FROM $tbl MATCH PATTERN ($stepTxt WITHIN '$n' $unit) " +
           s"PARTITION BY $key$skipTxt")
     }
     (1L to 300L).foreach { seed =>
-      sample(gen.map(List(_)), seed).foreach { case (steps, skip, q) =>
+      sample(gen.map(List(_)), seed).foreach { case (steps, skip, optIdx, q) =>
         val t = CepSql.translate(q)
         assert(!t.toUpperCase.contains("MATCH PATTERN"), s"$q ->\n$t")
         assert(t.toUpperCase.contains("WITH RECURSIVE") === skip, s"$q ->\n$t")
+        // an optional step surfaces as the composite pivot's branch union
+        assert(t.toUpperCase.contains("UNION ALL") === optIdx.isDefined,
+          s"$q ->\n$t")
         // every multi-event step widens to an IN (...) type predicate
         steps.filter(_._1.size > 1).foreach { case (evs, _, _, _) =>
           assert(t.contains(evs.map(e => s"'$e'").mkString("(", ", ", ")")),
