@@ -487,6 +487,21 @@ object Cep {
         """SELECT * FROM events
            MATCH PATTERN (PERMUTE(signup, purchase) WITHIN '30' MINUTES)
            PARTITION BY user_id""")
+    }),
+
+    // EP1l — MEASURES from SQL TEXT (r7, MEASURES-lite): one aggregate
+    // over the matched SPAN — every event of the key between the
+    // match's first and last rows ((ts, id) lexicographic, inclusive),
+    // any type. COUNT(*) here keeps the oracle integer-exact; the
+    // SUM/AVG/MIN/MAX forms are spec-pinned against a DataFrame
+    // recomputation (CepSqlSpec).
+    "q_pattern_measure" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * FROM events
+           MATCH PATTERN (signup THEN purchase WITHIN '30' MINUTES)
+           PARTITION BY user_id
+           MEASURES COUNT(*)""")
     })
   )
 
@@ -788,6 +803,26 @@ object Cep {
            ON b.user_id = r.user_id AND b.event_type = 'purchase'
           AND b.ts > r.run_end AND b.ts <= r.run_end + INTERVAL 12 HOUR
          GROUP BY 1, 2, 3, 4 ORDER BY r.user_id, run_start""",
+    "q_pattern_measure" ->
+      """WITH m AS (
+           SELECT user_id, id_1, id_2, ts_1, ts_2 FROM (
+             SELECT a.user_id, a.event_id AS id_1, b.event_id AS id_2,
+               a.ts AS ts_1, b.ts AS ts_2,
+               row_number() OVER (PARTITION BY a.event_id
+                                  ORDER BY b.ts, b.event_id) AS rn
+             FROM events a JOIN events b
+               ON a.user_id = b.user_id
+              AND a.event_type = 'signup' AND b.event_type = 'purchase'
+              AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE) t
+           WHERE rn = 1)
+         SELECT m.user_id, m.id_1, m.id_2, m.ts_1, m.ts_2,
+           count(*) AS measure
+         FROM m JOIN events e
+           ON m.user_id = e.user_id
+          AND (e.ts > m.ts_1 OR (e.ts = m.ts_1 AND e.event_id >= m.id_1))
+          AND (e.ts < m.ts_2 OR (e.ts = m.ts_2 AND e.event_id <= m.id_2))
+         GROUP BY m.user_id, m.id_1, m.id_2, m.ts_1, m.ts_2
+         ORDER BY id_1""",
     "q_pattern_permute" ->
       """WITH d1 AS (
            SELECT user_id, first_ev, first_id, second_id,

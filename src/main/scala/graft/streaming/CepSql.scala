@@ -94,6 +94,9 @@ object CepSql {
       "\\s+WITHIN\\s+'(\\d+)'\\s+(SECONDS?|MINUTES?|HOURS?)\\s*\\)" +
       "\\s+PARTITION\\s+BY\\s+([A-Za-z_]\\w*)" +
       "(?:\\s+AFTER\\s+MATCH\\s+SKIP\\s+(TO\\s+NEXT\\s+ROW|PAST\\s+LAST\\s+ROW))?" +
+      // MEASURES-lite (r7): ONE aggregate over the matched span
+      "(?:\\s+MEASURES\\s+(SUM|AVG|MIN|MAX|COUNT)\\s*\\(\\s*" +
+      "(\\*|[A-Za-z_]\\w*)\\s*\\))?" +
       "\\s*;?\\s*$",
     Pattern.CASE_INSENSITIVE)
   /** `PERMUTE(a, b)` (r7): the order-free pair — `a THEN b` OR
@@ -271,9 +274,15 @@ object CepSql {
   /** A fully parsed-and-validated MATCH PATTERN statement — the shared
     * front half of [[translatePattern]] (batch SQL rewrite) and
     * [[ContinuousQueries.submitPattern]] (streaming detector dispatch). */
+  /** MEASURES-lite (r7): one aggregate over the matched SPAN — every
+    * event of the key whose (ts, id) lies lexicographically between the
+    * match's first and last matched rows, inclusive, regardless of
+    * type. `col` is `*` for COUNT only. */
+  case class MeasureSpec(fn: String, col: String)
+
   case class PatternSpec(table: String, steps: Seq[PatternStep],
       n: Long, unit: String, key: String, skipPast: Boolean = false,
-      permute: Boolean = false) {
+      permute: Boolean = false, measure: Option[MeasureSpec] = None) {
     def absent: Boolean = steps.last.negated
     /** Window in milliseconds. Overflow-checked: a huge-but-valid WITHIN
       * numeral must fail loudly like every other parse near-miss, not
@@ -394,7 +403,18 @@ object CepSql {
     if (skipPast && steps.exists(st => st.minTimes.isDefined || st.optional))
       malformed("AFTER MATCH SKIP PAST LAST ROW is defined for plain " +
         "sequence chains (no quantifiers, no optional steps)")
-    val spec = PatternSpec(m.group(1), steps, n, unit, m.group(5), skipPast)
+    val measure = Option(m.group(7)).map { fn0 =>
+      val fn = fn0.toUpperCase(java.util.Locale.ROOT)
+      if (m.group(8) == "*" && fn != "COUNT")
+        malformed(s"$fn(*) — only COUNT takes *")
+      MeasureSpec(fn, m.group(8))
+    }
+    if (measure.isDefined && (skipPast || steps.exists(st =>
+        st.negated || st.minTimes.isDefined || st.optional)))
+      malformed("MEASURES is defined for plain sequence chains — no " +
+        "NOT, quantifiers, optional steps, or SKIP PAST LAST ROW")
+    val spec = PatternSpec(m.group(1), steps, n, unit, m.group(5), skipPast,
+      measure = measure)
     try spec.withinMs
     catch { case _: ArithmeticException =>
       malformed(s"WITHIN window '${spec.n} ${spec.unit}' overflows") }
@@ -450,7 +470,8 @@ object CepSql {
       stepPredSql(alias, st, typeCol)
     if (spec.permute) return translatePermute(spec, tsCol, typeCol, idCol)
     if (spec.skipPast) return translateSkip(spec, tsCol, typeCol, idCol)
-    if (steps.length > 2 || steps.tail.exists(_.minTimes.isDefined))
+    if (steps.length > 2 || steps.tail.exists(_.minTimes.isDefined) ||
+        spec.measure.isDefined)
       return translateChain(spec, tsCol, typeCol, idCol)
     if (steps.head.minTimes.isDefined) {
       // quantified run: the q_cep_times formulation — maximal runs of
@@ -704,10 +725,29 @@ object CepSql {
          |ON p.__k = b.$k AND b.$t > p.ts_$np
          |   AND b.$t <= p.ts_1 + INTERVAL $n $unit
          |ORDER BY $order""".stripMargin
-    else
-      s"""SELECT __k AS $k, ${cols(np)}
-         |FROM $prefix
-         |ORDER BY $order""".stripMargin
+    else spec.measure match {
+      case Some(MeasureSpec(fn, mcol)) =>
+        // MEASURES-lite (r7): aggregate over the matched SPAN — every
+        // event of the key between the match's first and last rows in
+        // (ts, id) lexicographic order, inclusive, regardless of type.
+        // Plain chains only (validated), so labels are id_1..id_np and
+        // the span bounds are concrete.
+        val agg =
+          if (mcol == "*") "count(*)"
+          else s"${fn.toLowerCase(java.util.Locale.ROOT)}(e.${bq(mcol)})"
+        s"""SELECT __k AS $k, ${cols(np)}, $agg AS measure
+           |FROM $prefix p JOIN $tbl e
+           |ON p.__k = e.$k
+           |   AND (e.$t > p.ts_1 OR (e.$t = p.ts_1 AND e.$id >= p.id_1))
+           |   AND (e.$t < p.ts_$np
+           |        OR (e.$t = p.ts_$np AND e.$id <= p.id_$np))
+           |GROUP BY __k, ${cols(np)}
+           |ORDER BY $order""".stripMargin
+      case None =>
+        s"""SELECT __k AS $k, ${cols(np)}
+           |FROM $prefix
+           |ORDER BY $order""".stripMargin
+    }
   }
 
   /** `PERMUTE(a, b)` rewrite (r7): the order-free pair — every `a` or

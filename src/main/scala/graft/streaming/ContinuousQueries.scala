@@ -80,6 +80,8 @@ object ContinuousQueries {
     *    combination routes to batch loudly)
     *  - `PERMUTE(a, b)`       → two directional [[CepSequence]]
     *    detectors unioned, tagged by the anchor's event name (r7)
+    *  - `… MEASURES fn(value)` → [[PatternMatch.detectMeasure]] (r7 —
+    *    span aggregate carried per open partial; value column only)
     *
     * Alternation steps (`click|view`, r7) dispatch through every arm —
     * the detectors take event-type classes. Quantified chains (`{m,}`
@@ -201,6 +203,17 @@ object ContinuousQueries {
             if (spec.absent) runs.filter(_.next_follow.isEmpty)
             else runs.filter(_.next_follow.isDefined)
           wanted.toDF()
+        case None if spec.measure.isDefined =>
+          // MEASURES-lite (r7): plain chains only (parse-validated);
+          // streaming aggregates the converter schema's value column
+          val ms = spec.measure.get
+          if (ms.col != "*" && !ms.col.equalsIgnoreCase("value"))
+            throw new IllegalArgumentException(
+              s"streaming MEASURES supports the value column (or " +
+                s"COUNT(*)) only — got '${ms.col}'; run the batch " +
+                "rewrite via CepSql.sql")
+          PatternMatch.detectMeasure(srcWm, spec.steps.map(stepPred),
+            spec.withinMs, ms.fn).toDF()
         case None if spec.steps.length == 2 && spec.absent =>
           requireCondFree("absence")
           AbsenceDetector.detect(src, classes.head, classes.last,

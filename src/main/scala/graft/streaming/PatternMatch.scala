@@ -13,6 +13,19 @@ case class SeqMatch(user_id: Long, step_ids: Seq[Long],
   * the timestamps of the first and last matched events. */
 case class PatternState(partials: List[(List[Long], Timestamp, Timestamp)])
 
+/** A measured N-step match (r7 MEASURES-lite): the matched ids plus ONE
+  * aggregate over the span — every event of the key between the match's
+  * first and last rows in (ts, id) order, inclusive, any type. */
+case class MeasureMatch(user_id: Long, step_ids: Seq[Long],
+    start_ts: Timestamp, end_ts: Timestamp, measure: Double)
+
+/** One open measured partial: ids so far (reversed), anchor/last ts+id,
+  * and the span accumulators (sum/cnt/min/max over `value`). */
+case class MeasurePartial(ids: List[Long], start: Timestamp,
+    last: Timestamp, sum: Double, cnt: Long, mn: Double, mx: Double)
+
+case class MeasureState(partials: List[MeasurePartial])
+
 /** An N-step match whose optional steps may be absent: one entry per
   * step — the matched event id/ts, or None for a skipped optional step
   * (r7, the streaming twin of the batch composite-pivot rewrite). */
@@ -100,6 +113,76 @@ object PatternMatch {
             us(st) + withinUs >= horizon
           }
           state.update(PatternState(partials))
+          out.result().iterator
+      }
+  }
+
+  /** MEASURES-lite chains (r7): [[detectWhere]] scan rules plus one
+    * span aggregate — while a partial is open, EVERY event of the key
+    * (any type, conditions aside) folds into its accumulators; the
+    * completing event is included, and the anchor seeds them. `fn` ∈
+    * SUM|AVG|MIN|MAX|COUNT over the converter schema's `value` column
+    * (COUNT counts span events). Matches the batch lexicographic-span
+    * join exactly on in-order replay (MeasureSpec law in
+    * CepSqlSpec/SubmitSqlSpec); out-of-order span events inside the
+    * lateness bound still advance STEPS but cannot retro-enter an
+    * already-accumulated span — batch is authoritative there. */
+  def detectMeasure(events: Dataset[CepEvent],
+      steps: Seq[CepEvent => Boolean], withinMs: Long, fn: String)
+      : Dataset[MeasureMatch] = {
+    require(steps.length >= 2, "a pattern needs at least 2 steps")
+    val fnU = fn.toUpperCase(java.util.Locale.ROOT)
+    require(Set("SUM", "AVG", "MIN", "MAX", "COUNT")(fnU),
+      s"unsupported measure fn '$fn'")
+    implicit val matchEnc = Encoders.product[MeasureMatch]
+    implicit val stateEnc = Encoders.product[MeasureState]
+    implicit val keyEnc = Encoders.scalaLong
+    val withinUs = withinMs * 1000L
+    val n = steps.length
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[MeasureState, MeasureMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[CepEvent], state: GroupState[MeasureState]) =>
+          var partials = state.getOption.map(_.partials).getOrElse(Nil)
+          val out = List.newBuilder[MeasureMatch]
+          val batch = it.toArray.sortBy(e => (us(e.ts), e.event_id))
+          var maxTs = 0L
+          def result(p: MeasurePartial): Double = fnU match {
+            case "SUM"   => p.sum
+            case "AVG"   => p.sum / p.cnt
+            case "MIN"   => p.mn
+            case "MAX"   => p.mx
+            case _       => p.cnt.toDouble
+          }
+          batch.foreach { e =>
+            val t = us(e.ts)
+            if (t > maxTs) maxTs = t
+            partials = partials.flatMap { p =>
+              // every event inside the open span accumulates first
+              val acc = p.copy(sum = p.sum + e.value, cnt = p.cnt + 1,
+                mn = math.min(p.mn, e.value), mx = math.max(p.mx, e.value))
+              val next = p.ids.length
+              if (next < n && steps(next)(e) &&
+                  t > us(p.last) && t <= us(p.start) + withinUs) {
+                val ids2 = e.event_id :: acc.ids
+                if (ids2.length == n) {
+                  out += MeasureMatch(user, ids2.reverse, acc.start, e.ts,
+                    result(acc))
+                  Nil
+                } else List(acc.copy(ids = ids2, last = e.ts))
+              } else List(acc)
+            }
+            if (steps.head(e))
+              // the anchor event seeds its own partial's accumulators
+              partials = MeasurePartial(List(e.event_id), e.ts, e.ts,
+                e.value, 1L, e.value, e.value) :: partials
+          }
+          val horizon = scala.util.Try(state.getCurrentWatermarkMs() * 1000L)
+            .getOrElse(maxTs)
+          partials = partials.filter(p => us(p.start) + withinUs >= horizon)
+          if (partials.isEmpty) state.remove()
+          else state.update(MeasureState(partials))
           out.result().iterator
       }
   }

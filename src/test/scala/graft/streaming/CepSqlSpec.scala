@@ -456,6 +456,70 @@ class CepSqlSpec extends SparkSpec {
     }
   }
 
+  test("MEASURES fn(col): span aggregate over the matched rows (r7)") {
+    Tables.load(spark, sf)
+    // reference spans from the unmeasured rewrite, aggregated directly
+    val spans = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN purchase WITHIN '12' HOURS)
+         PARTITION BY user_id""")
+      .select(col("user_id").as("k"), col("sid"), col("pid"),
+        col("s_ts"), col("p_ts"))
+    val e = spark.table("events")
+    val want = spans.join(e, col("k") === col("user_id") &&
+        (col("ts") > col("s_ts") ||
+          (col("ts") === col("s_ts") && col("event_id") >= col("sid"))) &&
+        (col("ts") < col("p_ts") ||
+          (col("ts") === col("p_ts") && col("event_id") <= col("pid"))))
+      .groupBy("k", "sid")
+      .agg(sum("value").as("w_sum"), count(lit(1)).as("w_cnt"),
+        min("value").as("w_min"), max("value").as("w_max"),
+        avg("value").as("w_avg"))
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    assert(want.nonEmpty)
+    assert(want.values.exists(_._2 > 2),
+      "some span must contain events beyond the two matched rows")
+    def measured(fnTxt: String): Map[Long, Double] =
+      CepSql.sql(spark,
+        s"""SELECT * FROM events
+           |MATCH PATTERN (signup THEN purchase WITHIN '12' HOURS)
+           |PARTITION BY user_id
+           |MEASURES $fnTxt""".stripMargin)
+        .select(col("id_1"), col("measure").cast("double"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sums = measured("SUM(value)")
+    val cnts = measured("COUNT(*)")
+    val mins = measured("MIN(value)")
+    val maxs = measured("MAX(value)")
+    val avgs = measured("AVG(value)")
+    assert(sums.keySet === want.keySet)
+    want.foreach { case (sid, (s, c, mn, mx, av)) =>
+      assert(math.abs(sums(sid) - s) < 1e-9, s"sum@$sid")
+      assert(cnts(sid) === c.toDouble, s"count@$sid")
+      assert(mins(sid) === mn, s"min@$sid")
+      assert(maxs(sid) === mx, s"max@$sid")
+      assert(math.abs(avgs(sid) - av) < 1e-9, s"avg@$sid")
+    }
+    // measure is defined for plain chains only; SUM(*) is nonsense
+    Seq(
+      "MATCH PATTERN (a THEN NOT b WITHIN '5' MINUTES) PARTITION BY k " +
+        "MEASURES COUNT(*)",
+      "MATCH PATTERN (a{2,} THEN b WITHIN '5' MINUTES) PARTITION BY k " +
+        "MEASURES COUNT(*)",
+      "MATCH PATTERN (a THEN b? THEN c WITHIN '5' MINUTES) PARTITION " +
+        "BY k MEASURES COUNT(*)",
+      "MATCH PATTERN (a THEN b WITHIN '5' MINUTES) PARTITION BY k " +
+        "AFTER MATCH SKIP PAST LAST ROW MEASURES COUNT(*)",
+      "MATCH PATTERN (a THEN b WITHIN '5' MINUTES) PARTITION BY k " +
+        "MEASURES SUM(*)"
+    ).foreach { frag =>
+      intercept[IllegalArgumentException](
+        CepSql.parsePattern(s"SELECT * FROM t $frag"))
+    }
+  }
+
   test("MATCH PATTERN: quoted events, unit variants, trailing ';' accepted") {
     Tables.load(spark, sf)
     // '1800' SECONDS ≡ '30' MINUTES; quoted event names; trailing ';'

@@ -177,6 +177,38 @@ class SubmitSqlSpec extends SparkSpec {
       if (q3.isActive) q3.stop()
       spark.catalog.dropTempView("pat_events3")
     }
+    // MEASURES → PatternMatch.detectMeasure (r7): the click between the
+    // matched rows is part of the span (COUNT 3, SUM 8.0)
+    val streamM = MemoryStream[CepEvent]
+    streamM.toDF().createOrReplaceTempView("pat_meas")
+    val qM = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_meas
+         MATCH PATTERN (signup THEN purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id
+         MEASURES SUM(value)""", "svc_meas")
+    try {
+      streamM.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "signup", 1.0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:02:00"), 7, "click", 5.0),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:05:00"), 7, "purchase", 2.0))
+      qM.processAllAvailable()
+      val got = spark.table("svc_meas")
+        .select("user_id", "step_ids", "measure").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+      assert(got.toSeq === Seq((7L, Seq(1L, 3L), 8.0)),
+        "the span must include the unmatched click")
+    } finally {
+      if (qM.isActive) qM.stop()
+      spark.catalog.dropTempView("pat_meas")
+    }
+    // ...a non-value measure column is batch-only → loud
+    val eMeas = intercept[IllegalArgumentException] {
+      ContinuousQueries.submitPattern(spark,
+        """SELECT * FROM pat_events2
+           MATCH PATTERN (a THEN b WITHIN '5' MINUTES) PARTITION BY user_id
+           MEASURES SUM(other_col)""", "svc_badmeas")
+    }
+    assert(eMeas.getMessage.contains("value column"))
     // PERMUTE(a, b) → two directional CepSequence legs unioned (r7):
     // user 7 matches signup→purchase, user 8 purchase→signup
     val streamP = MemoryStream[CepEvent]
