@@ -285,19 +285,24 @@ object TextOps {
     // joins the doc's bigram occurrences back (model side is
     // vocab²-bounded — the small side at 100 TB).
     "q_lm_score" -> ((s, dir) => {
+      // per-doc (gram, tf) counts FIRST: the model joins then touch one
+      // row per distinct doc-gram instead of one per occurrence, and the
+      // occurrence-average falls out as Σ tf·logp / Σ tf (same real
+      // value, 4-dp-safe)
       val bg = graft.Caching.cache(
         gramRows(T(s, dir, "documents"), 2)
-          .select(col("doc_id"), col("lang"), col("gram")))
-      val big = bg.groupBy("lang", "gram").agg(count(lit(1)).as("bc"))
+          .groupBy("doc_id", "lang", "gram").agg(count(lit(1)).as("tf")))
+      val big = bg.groupBy("lang", "gram").agg(sum("tf").as("bc"))
       val uni = bg
         .withColumn("w1", expr("split(gram, ' ')[0]"))
-        .groupBy("lang", "w1").agg(count(lit(1)).as("uc"))
+        .groupBy("lang", "w1").agg(sum("tf").as("uc"))
       bg.join(big, Seq("lang", "gram"))
         .withColumn("w1", expr("split(gram, ' ')[0]"))
         .join(uni, Seq("lang", "w1"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          fround(avg(log(col("bc").cast("double") / col("uc"))), 4)
+        .agg(sum("tf").as("n_bigrams"),
+          fround(sum(col("tf") *
+              log(col("bc").cast("double") / col("uc"))) / sum("tf"), 4)
             .as("avg_logp"))
         .orderBy("doc_id")
     }),

@@ -54,6 +54,15 @@ object DetectorThroughputProbe {
     run("chainabs", ds => ChainAbsenceDetector.detect(ds,
       Seq(Set("signup"), Set("click"), Set("purchase")),
       24L * 3600 * 1000, "0 seconds").toDF())
+    run("optchain", ds => PatternMatch.detectOpt(ds,
+      Seq((e: CepEvent) => e.event_type == "signup",
+        (e: CepEvent) => e.event_type == "click",
+        (e: CepEvent) => e.event_type == "purchase"),
+      Seq(false, true, false), 12L * 3600 * 1000).toDF())
+    run("measure", ds => PatternMatch.detectMeasure(ds,
+      Seq((e: CepEvent) => e.event_type == "signup",
+        (e: CepEvent) => e.event_type == "purchase"),
+      30L * 60 * 1000, "SUM").toDF())
     spark.stop()
   }
 }

@@ -229,7 +229,8 @@ class PlanShapeSpec extends SparkSpec {
     // the r7 grammar forms must keep the same no-cartesian discipline:
     // optional's composite pivot, the bounded-run join, and PERMUTE's
     // union legs are all equi joins with residual range predicates
-    Seq("q_pattern_opt", "q_pattern_bounded", "q_pattern_permute")
+    Seq("q_pattern_opt", "q_pattern_bounded", "q_pattern_permute",
+      "q_pattern_measure")
       .foreach { k =>
         val p = plan(k)
         assert(!p.contains("CartesianProduct") &&
