@@ -232,7 +232,15 @@ class CepSqlPropertySpec extends AnyFunSuite {
       "SELECT * FROM t MATCH PATTERN (NOT a THEN b WITHIN '5' MINUTES) " +
         "PARTITION BY k", // NOT on the first step
       "SELECT * FROM t MATCH PATTERN (a THEN b WITHIN '5' MINUTES) " +
-        "PARTITION BY k GROUP BY k") // trailing clause
+        "PARTITION BY k GROUP BY k", // trailing clause
+      "SELECT * FROM t MATCH PATTERN (PERMUTE(a, b) WITHIN '5' MINUTES) " +
+        "PARTITION BY k MEASURES COUNT(*)", // permute takes no measure (r7)
+      "SELECT * FROM t MATCH PATTERN (PERMUTE(a|c, b) WITHIN '5' " +
+        "MINUTES) PARTITION BY k", // permute takes plain events only (r7)
+      "SELECT * FROM t MATCH PATTERN (a THEN b WITHIN '5' MINUTES) " +
+        "PARTITION BY k MEASURES MEDIAN(value)", // unsupported measure fn
+      "SELECT * FROM t MATCH PATTERN (a THEN b WITHIN '5' MINUTES) " +
+        "PARTITION BY k MEASURES SUM(value) MEASURES COUNT(*)") // two measures
     bads.foreach { q =>
       intercept[IllegalArgumentException](CepSql.translate(q))
     }

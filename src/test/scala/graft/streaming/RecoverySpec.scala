@@ -130,4 +130,57 @@ class RecoverySpec extends SparkSpec {
       Set(407L, 415L),
       "straddling chains must complete from restored partial state")
   }
+
+  test("measured detector resumes from checkpoint: accumulators survive (r7)") {
+    // detectMeasure partials carry span ACCUMULATORS (sum/cnt/min/max),
+    // not just matched ids — a restart mid-span must restore them or the
+    // measure under-counts the phase-1 events. The cut splits user 12's
+    // two matches (anchors 981/984 → completion 992, spans holding 6 and
+    // 4 events) so their counts can only be right via restored state.
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_meas_in").toFile
+    val outDir = Files.createTempDirectory("graft_meas_out").toFile
+    val ckpt = Files.createTempDirectory("graft_meas_ckpt").toFile
+    val events = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val schema = events.schema
+    def startQuery() =
+      PatternMatch.detectMeasure(
+          Sources.fileStream(spark, in.getAbsolutePath, schema)
+            .as[CepEvent],
+          Seq((e: CepEvent) => e.event_type == "signup",
+            (e: CepEvent) => e.event_type == "purchase"),
+          12L * 3600 * 1000, "COUNT")
+        .writeStream.format("parquet")
+        .option("path", outDir.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append").start()
+    val cut = "2024-01-30 14:00:00"
+    events.filter(col("ts") < lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    events.filter(col("ts") >= lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(outDir.getAbsolutePath)
+      .select("user_id", "step_ids", "measure")
+      .as[(Long, Seq[Long], Double)].collect()
+    assert(got.length == got.toSet.size, "no duplicate matches")
+    Tables.load(spark, sf)
+    val want = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN purchase WITHIN '12' HOURS)
+         PARTITION BY user_id
+         MEASURES COUNT(*)""")
+      .select(col("user_id"), array(col("id_1"), col("id_2")),
+        col("measure").cast("double"))
+      .as[(Long, Seq[Long], Double)].collect().toSet
+    assert(got.toSet === want && want.nonEmpty)
+    // THE recovery assertion: the straddling matches' span counts are
+    // only correct if the phase-1 accumulators were restored
+    val straddlers = got.filter(g => Set(981L, 984L)(g._2.head)).toSet
+    assert(straddlers.map(g => (g._2.head, g._3)) ===
+      Set((981L, 6.0), (984L, 4.0)),
+      "straddling spans must keep their pre-restart event counts")
+  }
 }
