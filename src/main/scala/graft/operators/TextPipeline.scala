@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Parameterized text-pipeline verbs (r7) behind the oracle-gated
+  * q_contamination / q_lm_score query keys — the same plans with the
+  * benchmark set, n-gram size, and grouping column as API parameters
+  * instead of fixture constants (OperatorsSpec pins verb ≡ key).
+  *
+  * Inputs follow the documents-table convention: a `doc_id` column, a
+  * `text` column of space-separated tokens, and (for [[lmScore]]) a
+  * grouping column for per-group language models.
+  */
+object TextPipeline {
+  /** Train/test contamination report: for every document of `train`,
+    * how many of its distinct word `n`-grams occur anywhere in `bench`.
+    * Returns (doc_id, n_contaminated, n_grams, frac) for contaminated
+    * docs only, worst first.
+    *
+    * 100 TB shape: benchmark suites are ~thousands of documents — the
+    * distinct bench gram set broadcasts; the training side is one
+    * map-only gram stage + one distinct aggregation; nothing all-pairs.
+    * Pass the two frames pre-projected to (doc_id, text). */
+  def contamination(train: DataFrame, bench: DataFrame, n: Int = 4)
+      : DataFrame = {
+    val tg = graft.queries.TextOps.gramRows(
+        train.select(col("doc_id"), lit("").as("lang"), col("text")), n)
+      .select("doc_id", "gram").distinct()
+    val bg = graft.queries.TextOps.gramRows(
+        bench.select(col("doc_id"), lit("").as("lang"), col("text")), n)
+      .select("gram").distinct()
+    val sizes = tg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    tg.join(broadcast(bg), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+      .join(sizes, "doc_id")
+      .withColumn("frac", col("n_contaminated").cast("double") /
+        col("n_grams"))
+      .select("doc_id", "n_contaminated", "n_grams", "frac")
+      .orderBy(desc("frac"), asc("doc_id"))
+  }
+
+  /** Bigram-LM document scoring: train a per-`groupCol` bigram MLE on
+    * the corpus (P(w2|w1) = count(w1 w2) / count(w1 ·)) and score every
+    * document by its mean log-probability — the perplexity-proxy
+    * quality filter. Returns (doc_id, n_bigrams, avg_logp), unrounded.
+    *
+    * 100 TB shape: per-doc (gram, tf) counts first, so the model joins
+    * touch one row per distinct doc-gram; the model tables are
+    * vocab²-bounded — the small side. */
+  def lmScore(docs: DataFrame, groupCol: String = "lang"): DataFrame = {
+    val bg = graft.queries.TextOps.gramRows(
+        docs.select(col("doc_id"), col(groupCol).as("lang"), col("text")), 2)
+      .groupBy("doc_id", "lang", "gram").agg(count(lit(1)).as("tf"))
+    val big = bg.groupBy("lang", "gram").agg(sum("tf").as("bc"))
+    val uni = bg
+      .withColumn("w1", expr("split(gram, ' ')[0]"))
+      .groupBy("lang", "w1").agg(sum("tf").as("uc"))
+    bg.join(big, Seq("lang", "gram"))
+      .withColumn("w1", expr("split(gram, ' ')[0]"))
+      .join(uni, Seq("lang", "w1"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        (sum(col("tf") * log(col("bc").cast("double") / col("uc"))) /
+          sum("tf")).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+}

@@ -41,7 +41,7 @@ object TextOps {
     * shuffle-and-sort dominated every gram-based query. At 100 TB this is
     * the difference between a map-only gram stage and a full shuffle of
     * the token stream. */
-  private def gramRows(d: DataFrame, n: Int): DataFrame =
+  private[graft] def gramRows(d: DataFrame, n: Int): DataFrame =
     d.select(col("doc_id"), col("lang"), toks(col("text")).as("__ws"))
       .select(col("doc_id"), col("lang"), explode(expr(
         // sequence(0, m) would generate a DESCENDING range for m < 0

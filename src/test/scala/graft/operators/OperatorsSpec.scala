@@ -174,6 +174,30 @@ class OperatorsSpec extends SparkSpec {
     assert(rq.forall(_ === 0), "codes must be a quantization fixed point")
   }
 
+  test("TextPipeline.contamination / lmScore == their oracle keys (r7)") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "lang", "text")
+    // contamination: the key's split is doc_id % 25 — the verb takes it
+    // as two frames
+    val got = TextPipeline.contamination(
+        docs.filter(col("doc_id") % 25 =!= 0).select("doc_id", "text"),
+        docs.filter(col("doc_id") % 25 === 0).select("doc_id", "text"))
+      .select(col("doc_id"), col("n_contaminated"), col("n_grams"),
+        (floor(col("frac") * 10000 + 0.5) / 10000).as("frac"))
+      .collect().map(_.toSeq).toSeq
+    val want = graft.SparkEntry.queries("q_contamination")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got === want && want.nonEmpty)
+    // lmScore: same rows at the key's 4-dp rounding
+    val gotLm = TextPipeline.lmScore(docs)
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(col("avg_logp") * 10000 + 0.5) / 10000).as("avg_logp"))
+      .collect().map(_.toSeq).toSeq
+    val wantLm = graft.SparkEntry.queries("q_lm_score")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(gotLm === wantLm && wantLm.nonEmpty)
+  }
+
   test("ivfTopK nprobe: recall is monotone, exhaustive probe == exact (r6)") {
     val exact = Similarity.topK(spark, emb, "vec_id", "embedding", 0L, 10)
       .select("vec_id").as[Long].collect().toSet
