@@ -24,9 +24,12 @@ object TextPipeline {
     * Pass the two frames pre-projected to (doc_id, text). */
   def contamination(train: DataFrame, bench: DataFrame, n: Int = 4)
       : DataFrame = {
-    val tg = graft.queries.TextOps.gramRows(
+    // cache: the train gram frame feeds both the hit join and the sizes
+    // branch (same lifecycle discipline as the oracle keys — released
+    // per query by Verify/Bench via Caching.releaseAll)
+    val tg = graft.Caching.cache(graft.queries.TextOps.gramRows(
         train.select(col("doc_id"), lit("").as("lang"), col("text")), n)
-      .select("doc_id", "gram").distinct()
+      .select("doc_id", "gram").distinct())
     val bg = graft.queries.TextOps.gramRows(
         bench.select(col("doc_id"), lit("").as("lang"), col("text")), n)
       .select("gram").distinct()
@@ -49,9 +52,10 @@ object TextPipeline {
     * touch one row per distinct doc-gram; the model tables are
     * vocab²-bounded — the small side. */
   def lmScore(docs: DataFrame, groupCol: String = "lang"): DataFrame = {
-    val bg = graft.queries.TextOps.gramRows(
+    // cache: bg feeds the score join AND both model aggregations
+    val bg = graft.Caching.cache(graft.queries.TextOps.gramRows(
         docs.select(col("doc_id"), col(groupCol).as("lang"), col("text")), 2)
-      .groupBy("doc_id", "lang", "gram").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "lang", "gram").agg(count(lit(1)).as("tf")))
     val big = bg.groupBy("lang", "gram").agg(sum("tf").as("bc"))
     val uni = bg
       .withColumn("w1", expr("split(gram, ' ')[0]"))

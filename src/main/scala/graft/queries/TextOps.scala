@@ -261,19 +261,14 @@ object TextOps {
     // it broadcasts; the training side is one map-only gram stage + one
     // distinct agg; no all-pairs anything.
     "q_contamination" -> ((s, dir) => {
-      val g = graft.Caching.cache(
-        gramRows(T(s, dir, "documents"), 4)
-          .select("doc_id", "gram").distinct())
-      val bench = g.filter(col("doc_id") % 25 === 0)
-        .select("gram").distinct()
-      val train = g.filter(col("doc_id") % 25 =!= 0)
-      val sizes = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      train.join(broadcast(bench), "gram")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
-        .join(sizes, "doc_id")
-        .withColumn("frac", fround(col("n_contaminated").cast("double") /
-          col("n_grams"), 4))
-        .select("doc_id", "n_contaminated", "n_grams", "frac")
+      // delegates to the parameterized verb (one plan, two surfaces);
+      // the key adds the fixture's doc_id%25 split, the 4-dp round, and
+      // re-sorts on the ROUNDED frac so the order is oracle-deterministic
+      val d = T(s, dir, "documents").select("doc_id", "text")
+      graft.operators.TextPipeline.contamination(
+          d.filter(col("doc_id") % 25 =!= 0),
+          d.filter(col("doc_id") % 25 === 0), 4)
+        .withColumn("frac", fround(col("frac"), 4))
         .orderBy(desc("frac"), asc("doc_id"))
     }),
 
@@ -285,25 +280,12 @@ object TextOps {
     // joins the doc's bigram occurrences back (model side is
     // vocab²-bounded — the small side at 100 TB).
     "q_lm_score" -> ((s, dir) => {
-      // per-doc (gram, tf) counts FIRST: the model joins then touch one
-      // row per distinct doc-gram instead of one per occurrence, and the
-      // occurrence-average falls out as Σ tf·logp / Σ tf (same real
-      // value, 4-dp-safe)
-      val bg = graft.Caching.cache(
-        gramRows(T(s, dir, "documents"), 2)
-          .groupBy("doc_id", "lang", "gram").agg(count(lit(1)).as("tf")))
-      val big = bg.groupBy("lang", "gram").agg(sum("tf").as("bc"))
-      val uni = bg
-        .withColumn("w1", expr("split(gram, ' ')[0]"))
-        .groupBy("lang", "w1").agg(sum("tf").as("uc"))
-      bg.join(big, Seq("lang", "gram"))
-        .withColumn("w1", expr("split(gram, ' ')[0]"))
-        .join(uni, Seq("lang", "w1"))
-        .groupBy("doc_id")
-        .agg(sum("tf").as("n_bigrams"),
-          fround(sum(col("tf") *
-              log(col("bc").cast("double") / col("uc"))) / sum("tf"), 4)
-            .as("avg_logp"))
+      // delegates to the parameterized verb (one plan, two surfaces);
+      // the key adds the 4-dp round for the oracle hash
+      graft.operators.TextPipeline.lmScore(
+          T(s, dir, "documents").select("doc_id", "lang", "text"))
+        .select(col("doc_id"), col("n_bigrams"),
+          fround(col("avg_logp"), 4).as("avg_logp"))
         .orderBy("doc_id")
     }),
 

@@ -5,12 +5,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
 import graft.streaming._
 
-/** Dev probe (r7): replay throughput of the three new CEP detectors —
+/** Dev probe (r7): replay throughput of the five new CEP detectors —
   * SkipDetector (greedy non-overlap), RunChainDetector (quantified
-  * chains), ChainAbsenceDetector (absence after a prefix) — same
-  * method as StreamThroughputProbe: one warm micro-batch, then the
-  * timed remainder of the sf0.1 events replay. Numbers land in
-  * VERIFICATION.md. */
+  * chains), ChainAbsenceDetector (absence after a prefix),
+  * PatternMatch.detectOpt (optional steps), PatternMatch.detectMeasure
+  * (span aggregates) — same method as StreamThroughputProbe: one warm
+  * micro-batch, then the timed remainder of the sf0.1 events replay.
+  * Numbers land in VERIFICATION.md. */
 object DetectorThroughputProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -179,14 +179,17 @@ class OperatorsSpec extends SparkSpec {
       .select("doc_id", "lang", "text")
     // contamination: the key's split is doc_id % 25 — the verb takes it
     // as two frames
+    // compared in doc_id order: the key sorts by ROUNDED frac, the verb
+    // by raw frac — rounding ties would make a frac-ordered comparison
+    // data-dependent
     val got = TextPipeline.contamination(
         docs.filter(col("doc_id") % 25 =!= 0).select("doc_id", "text"),
         docs.filter(col("doc_id") % 25 === 0).select("doc_id", "text"))
       .select(col("doc_id"), col("n_contaminated"), col("n_grams"),
         (floor(col("frac") * 10000 + 0.5) / 10000).as("frac"))
-      .collect().map(_.toSeq).toSeq
+      .collect().map(_.toSeq).sortBy(_.head.toString)
     val want = graft.SparkEntry.queries("q_contamination")(spark, sf)
-      .collect().map(_.toSeq).toSeq
+      .collect().map(_.toSeq).sortBy(_.head.toString)
     assert(got === want && want.nonEmpty)
     // lmScore: same rows at the key's 4-dp rounding
     val gotLm = TextPipeline.lmScore(docs)

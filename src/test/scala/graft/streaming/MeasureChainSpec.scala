@@ -35,8 +35,12 @@ class MeasureChainSpec extends SparkSpec {
       q.processAllAvailable()
     }
     q.stop()
-    spark.table(name).collect()
-      .map(r => r.getSeq[Long](1) -> r.getDouble(4)).toMap
+    val rows = spark.table(name).collect()
+      .map(r => r.getSeq[Long](1) -> r.getDouble(4))
+    val m = rows.toMap
+    assert(rows.length === m.size,
+      "duplicate emissions must not hide behind the map collapse")
+    m
   }
 
   test("measured replay == batch span join for every aggregate (r7)") {
