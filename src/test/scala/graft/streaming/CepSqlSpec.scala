@@ -520,6 +520,56 @@ class CepSqlSpec extends SparkSpec {
     }
   }
 
+  test("custom ts/type/id columns: STRING ids survive every r7 form") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // the review-found hazard: the optional-step skip arm must emit a
+    // NULL of the ID COLUMN'S OWN TYPE (string here), not a hardcoded
+    // bigint — and the other new forms must take custom columns too
+    val rows = Seq(
+      ("e1", "2026-01-01 00:00:00", 7L, "signup", 1.0),
+      ("e2", "2026-01-01 00:05:00", 7L, "purchase", 2.0),
+      ("e3", "2026-01-01 00:00:00", 8L, "signup", 1.0),
+      ("e4", "2026-01-01 00:03:00", 8L, "click", 0.0),
+      ("e5", "2026-01-01 00:06:00", 8L, "purchase", 3.0))
+    rows.map { case (id, ts, u, ty, v) =>
+      (id, Timestamp.valueOf(ts), u, ty, v)
+    }.toDF("my_id", "my_ts", "user_id", "my_type", "value")
+      .createOrReplaceTempView("ev_custom")
+    def run(text: String) = CepSql.sql(spark, text,
+      tsCol = "my_ts", typeCol = "my_type", idCol = "my_id")
+    // optional step: user 7 skips (string NULL), user 8 takes
+    val opt = run(
+      """SELECT * FROM ev_custom
+         MATCH PATTERN (signup THEN click? THEN purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id""")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), r.getString(3))).toSet
+    assert(opt === Set(
+      (7L, "e1", None, "e2"),
+      (8L, "e3", Some("e4"), "e5")))
+    // bounded quantifier parses and runs on the custom columns
+    val bounded = run(
+      """SELECT * FROM ev_custom
+         MATCH PATTERN (click{1,2} THEN purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id""").collect()
+    assert(bounded.length === 1 && bounded.head.getLong(1) === 1L)
+    // PERMUTE and MEASURES run on the custom columns too
+    val perm = run(
+      """SELECT * FROM ev_custom
+         MATCH PATTERN (PERMUTE(signup, purchase) WITHIN '30' MINUTES)
+         PARTITION BY user_id""").collect()
+    assert(perm.length === 2)
+    val meas = run(
+      """SELECT * FROM ev_custom
+         MATCH PATTERN (signup THEN purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id
+         MEASURES SUM(value)""")
+      .collect().map(r => r.getString(1) -> r.getDouble(5)).toMap
+    assert(meas === Map("e1" -> 3.0, "e3" -> 4.0))
+    spark.catalog.dropTempView("ev_custom")
+  }
+
   test("MATCH PATTERN: quoted events, unit variants, trailing ';' accepted") {
     Tables.load(spark, sf)
     // '1800' SECONDS ≡ '30' MINUTES; quoted event names; trailing ';'
