@@ -39,14 +39,27 @@ object SkipMatch {
     * scan `evs` (sorted by (tsUs, id)) for non-overlapping chain matches
     * starting strictly after (lastTs0, lastId0).
     *
-    * `horizonUs` is the finalization horizon (the event-time watermark in
-    * streaming; Long.MaxValue in batch): a completed chain commits only
-    * when its anchor and every pick are at or below the horizon (no
-    * future event — all of which have ts > horizon — can displace a
-    * pick); a failed anchor is discarded only once its whole window is
-    * below the horizon (no future completion possible). The first anchor
-    * that can do neither blocks the scan — greedy matching is
-    * order-dependent — and is returned as `pendingIdx` (-1 when none).
+    * `horizonUs` is the INCLUSIVE finalization horizon (the event-time
+    * watermark in streaming; Long.MaxValue in batch): events with
+    * `tsUs <= horizonUs` are final. Inclusive is safe against exact-
+    * boundary late arrivals because Spark DROPS late rows at
+    * `ts <= watermark`: the stateful late-row predicate is
+    * `LessThanOrEqual(eventTime, watermark)` (verified against the
+    * Spark 4.1.2 bytecode — `WatermarkSupport$.watermarkExpression`
+    * builds LessThanOrEqual, and `FlatMapGroupsWithStateExec` filters
+    * input with `watermarkPredicateForDataForLateEvents`, whose
+    * watermark for batch N is batch N-1's eviction watermark = the
+    * value `GroupState.getCurrentWatermarkMs` returned when batch N-1's
+    * decisions were made). So no event with ts equal to the horizon can
+    * ever arrive in a later batch — an equal-ts pick is immutable
+    * (investigated for ADVICE r7; SkipDetectorSpec's exact-boundary
+    * test pins Spark's drop behavior so a change there surfaces here).
+    * A completed chain commits only when its anchor and every pick are
+    * at or below the horizon; a failed anchor is discarded only once
+    * its whole window is below the horizon (no future completion
+    * possible). The first anchor that can do neither blocks the scan —
+    * greedy matching is order-dependent — and is returned as
+    * `pendingIdx` (-1 when none).
     *
     * Returns (matches — one Array[Ev] of picks per match, in order;
     * last consumed tsUs; last consumed id; pendingIdx). */
@@ -93,7 +106,9 @@ object SkipMatch {
           lastId = picks(n - 1).id
         } else if (limit > horizonUs) {
           // neither committable nor provably failed: the window is still
-          // open (or a pick sits above the horizon) — block here
+          // open (a future event, all of which have ts strictly greater
+          // than the horizon, can land inside it) or a pick sits above
+          // the horizon — block here
           pendingIdx = ai
         }
         // else: window fully below the horizon and incomplete — the

@@ -33,8 +33,12 @@ object Relational {
     }),
 
     // J2 — star join: fact lineitem against three dimension tables.
-    // Explicit broadcast() on the dims — at 100 TB the fact side never
-    // shuffles for dimension joins; only the final groupBy shuffles 25 rows.
+    // Explicit broadcast() on the TRUE dims (nation=25, region=5 rows at
+    // EVERY scale factor) — the fact side never shuffles for those joins;
+    // only the final groupBy shuffles 25 rows. Customer is NOT a true
+    // dim: it scales with SF (~15 B rows at 100 TB) and is therefore
+    // joined shuffle-hash like the fact⋈fact leg, not broadcast (r8;
+    // the r7 comment overstated the broadcast claim).
     "q_join_broadcast" -> ((s, dir) => {
       val l = T(s, dir, "lineitem")
       val o = T(s, dir, "orders")
@@ -46,7 +50,7 @@ object Relational {
       // broadcastable at 100 TB), but the hash build on the smaller
       // orders side skips sort-merge's two full sorts
       l.join(o.hint("shuffle_hash"), l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c.hint("shuffle_hash"), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("r_name", "n_name")

@@ -280,7 +280,7 @@ object VectorOps {
            JOIN m ON e.vec_id = m.vec_id,
            (SELECT unnest(range(64)) AS i) i)
          SELECT vec_id, floor(s * 1000000 + 0.5) / 1000000 AS scale6,
-           sum(code) AS code_sum,
+           CAST(sum(code) AS BIGINT) AS code_sum,
            floor(max(abs(x - code * s)) * 1000000 + 0.5) / 1000000
              AS max_err6
          FROM c GROUP BY vec_id, s ORDER BY vec_id""",

@@ -867,7 +867,28 @@ object CepSql {
       typeCol: String = "event_type", idCol: String = "event_id"): DataFrame =
     if (realMatchPattern(q) && parsePattern(q).skipPast) {
       val spec = parsePattern(q)
-      graft.operators.SkipMatch.matchChain(spark.table(spec.table),
+      val tbl = spark.table(spec.table)
+      // SkipMatch keys on a long — a non-integral PARTITION BY column
+      // would cast to null and collapse every key into one group; fail
+      // loudly here instead (ADVICE r7)
+      val keyType = tbl.schema.fields
+        .find(_.name.equalsIgnoreCase(spec.key))
+        .getOrElse(throw new IllegalArgumentException(
+          s"PARTITION BY column '${spec.key}' not found in " +
+            s"'${spec.table}' (${tbl.schema.fieldNames.mkString(", ")})"))
+        .dataType
+      keyType match {
+        case _: org.apache.spark.sql.types.ByteType |
+            _: org.apache.spark.sql.types.ShortType |
+            _: org.apache.spark.sql.types.IntegerType |
+            _: org.apache.spark.sql.types.LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"AFTER MATCH SKIP PAST LAST ROW partitions by an integral " +
+            s"key (got '${spec.key}': ${other.simpleString}) — the " +
+            "SkipMatch operator keys on a long; cast the column or " +
+            "partition by an integral id")
+      }
+      graft.operators.SkipMatch.matchChain(tbl,
         spec.steps.map(_.events), spec.withinMs, spec.key, tsCol, typeCol,
         idCol,
         spec.steps.map(_.cond.map(c => (c.col, c.op, c.num.toDouble))))

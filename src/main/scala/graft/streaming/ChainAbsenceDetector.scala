@@ -117,6 +117,15 @@ object ChainAbsenceDetector {
           // watermark-proven absences emit (timer-driven or piggybacked
           // on an input batch — whichever sees the watermark first)
           val wmUs = wmMs * 1000L
+          // inclusive <=: a completion must have ts <= st+within, and
+          // Spark drops stateful late rows at ts <= watermark
+          // (LessThanOrEqual predicate, verified against the 4.1.2
+          // bytecode — see SkipMatch.greedyScan's scaladoc), so once
+          // wm >= st+within no admissible completion can still arrive.
+          // ADVICE r7 asked for strict < on the premise that rows AT
+          // the watermark are kept; that premise is false. The timer
+          // path's +1ms is merely conservative (one extra tick), kept
+          // as is.
           val (due, keep) = pending.partition { case (_, st, _) =>
             us(st) + withinUs <= wmUs
           }

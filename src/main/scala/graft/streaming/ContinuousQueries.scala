@@ -190,7 +190,11 @@ object ContinuousQueries {
                 "run the batch rewrite via CepSql.sql")
         }
         requireCondFree("quantified-chain")
-        RunChainDetector.detect(src,
+        // watermarked input (r8): the detector's pruning horizon reads
+        // getCurrentWatermarkMs — un-watermarked it fell back to the
+        // per-batch max and an in-bound out-of-order event could find
+        // its partial already pruned (ADVICE r7)
+        RunChainDetector.detect(srcWm,
           spec.steps.map(s => (s.events.toSet, s.minTimes)),
           spec.withinMs, spec.steps.map(_.maxTimes)).toDF()
       } else spec.steps.head.minTimes match {

@@ -77,6 +77,13 @@ object SkipDetector {
             SkipBufEvent(e.event_id, e.ts,
               SkipMatch.classMask(classes, e.event_type))
           }.toList
+          // INCLUSIVE horizon: greedyScan finalizes tsUs <= horizon.
+          // Safe at the exact boundary because Spark drops late rows at
+          // ts <= watermark (LessThanOrEqual predicate, verified against
+          // the 4.1.2 bytecode — see greedyScan's scaladoc), so no event
+          // with ts equal to the current watermark can arrive in a later
+          // batch (ADVICE r7 investigated: its premise that rows at the
+          // watermark are kept is false for stateful operators).
           val horizon =
             if (wmEnabled) state.getCurrentWatermarkMs() * 1000L
             else batchMax

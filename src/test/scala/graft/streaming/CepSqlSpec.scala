@@ -456,6 +456,30 @@ class CepSqlSpec extends SparkSpec {
     }
   }
 
+  test("skip-past dispatch rejects a non-integral PARTITION BY key (r8)") {
+    // SkipMatch keys on a long; a string key would cast to null and
+    // collapse every group — the dispatch must fail loudly instead
+    import java.sql.Timestamp
+    import spark.implicits._
+    Seq(("u1", 1L, Timestamp.valueOf("2026-01-01 00:00:00"), "signup"))
+      .toDF("name", "event_id", "ts", "event_type")
+      .createOrReplaceTempView("skip_strkey_events")
+    val e = intercept[IllegalArgumentException] {
+      CepSql.sql(spark,
+        """SELECT * FROM skip_strkey_events
+           MATCH PATTERN (signup THEN purchase WITHIN '5' MINUTES)
+           PARTITION BY name AFTER MATCH SKIP PAST LAST ROW""")
+    }
+    assert(e.getMessage.contains("integral"))
+    val missing = intercept[IllegalArgumentException] {
+      CepSql.sql(spark,
+        """SELECT * FROM skip_strkey_events
+           MATCH PATTERN (signup THEN purchase WITHIN '5' MINUTES)
+           PARTITION BY nope AFTER MATCH SKIP PAST LAST ROW""")
+    }
+    assert(missing.getMessage.contains("not found"))
+  }
+
   test("MEASURES fn(col): span aggregate over the matched rows (r7)") {
     Tables.load(spark, sf)
     // reference spans from the unmeasured rewrite, aggregated directly

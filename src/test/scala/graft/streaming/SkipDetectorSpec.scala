@@ -73,6 +73,60 @@ class SkipDetectorSpec extends SparkSpec {
       batchWant.sortBy(_.toString))
   }
 
+  test("exact-boundary pick is immutable: Spark drops late rows at ts <= wm") {
+    // The inclusive finalization horizon (commit picks with ts <= wm)
+    // is safe ONLY because Spark's stateful late-row predicate drops
+    // rows at ts <= watermark (LessThanOrEqual — verified against the
+    // 4.1.2 bytecode, see SkipMatch.greedyScan's scaladoc). This test
+    // pins that contract end-to-end: an equal-ts smaller-id purchase
+    // fed AFTER the watermark reached its ts must be DROPPED by Spark,
+    // never displacing the already-committable pick. If a Spark upgrade
+    // ever starts admitting rows at ts == wm, this test fails and the
+    // horizon must become exclusive (ADVICE r7 investigation, r8).
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"skip_boundary_${System.nanoTime}"
+    val q = SkipDetector.detect(stream.toDS(), steps, withinMs,
+        Some("0 seconds"))
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    try {
+      // batch 1: anchor + a purchase at what will become the watermark
+      stream.addData(
+        CepEvent(10, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "signup", 0),
+        CepEvent(20, Timestamp.valueOf("2026-01-01 00:10:00"), 7, "purchase", 0))
+      q.processAllAvailable()
+      // batch 2 runs with wm = 00:10 == pick 20's ts: (10, 20) is final
+      // under the inclusive horizon and must commit NOW. The driver
+      // event must itself be admissible (ts STRICTLY above the
+      // watermark — an equal-ts row is dropped and the handler would
+      // never even run, which is itself the semantics under test).
+      stream.addData(
+        CepEvent(30, Timestamp.valueOf("2026-01-01 00:20:00"), 7, "signup", 0))
+      q.processAllAvailable()
+      val afterB2 = spark.table(name).select("id_1", "id_2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterB2 === Set((10L, 20L)),
+        "a pick at ts == watermark is immutable (late rows at <= wm are " +
+          "dropped) and must commit without waiting for another tick")
+      // an equal-ts smaller-id purchase arrives late: Spark must drop it
+      // (ts 00:10 <= wm 00:10) — the committed match must stand alone
+      stream.addData(
+        CepEvent(15, Timestamp.valueOf("2026-01-01 00:10:00"), 7, "purchase", 0))
+      q.processAllAvailable()
+      stream.addData(sentinel)
+      q.processAllAvailable()
+      val got = spark.table(name).filter($"user_id" =!= -1L)
+        .select("id_1", "id_2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // oracle over the ADMITTED rows {10, 20, 30}: (10, 20); anchor 30
+      // has no purchase strictly after 00:20 → fails. Row 15 was late.
+      assert(got === Set((10L, 20L)))
+    } finally {
+      if (q.isActive) q.stop()
+    }
+  }
+
   test("matches emit incrementally behind the watermark, not only at shutdown") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[CepEvent]

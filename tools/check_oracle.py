@@ -60,6 +60,19 @@ def compare(name, sql, con):
         return f"FAIL {name}: rows {len(got)} vs {len(want)}"
     for c in got.columns:
         a, b = got[c], want[c]
+        # Dtype-family gate (the r7 lesson): DuckDB sum(BIGINT) yields
+        # HUGEINT which pandas materializes as float64 while Spark writes
+        # int64 — values compare equal but the driver's TYPED hash differs.
+        # np.allclose alone is blind to that, so assert families match
+        # before any value comparison. Families: integer {i,u}, float {f},
+        # everything else compared exactly by its own kind.
+        fam = lambda k: "i" if k in "iu" else k
+        ka, kb = fam(a.dtype.kind), fam(b.dtype.kind)
+        if {ka, kb} == {"i", "f"}:
+            return (f"FAIL {name}: col {c} dtype family mismatch "
+                    f"{a.dtype} (spark) vs {b.dtype} (oracle) — "
+                    f"likely an uncast DuckDB integer sum (HUGEINT); "
+                    f"CAST(... AS BIGINT) in the oracle SQL")
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             av, bv = a.astype(float).values, b.astype(float).values
             ok = (np.isnan(av) & np.isnan(bv)) | (av == bv)
