@@ -87,7 +87,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only subset filter (comma-separated keys) for targeted
+    // re-measures; the driver never sets it, so the contract run is
+    // always the full sorted suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1))).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       // three timed runs, report the MEDIAN: robust against a one-off
       // scheduler/GC hiccup in either direction, unlike min (hides real

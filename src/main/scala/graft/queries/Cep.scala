@@ -502,6 +502,28 @@ object Cep {
            MATCH PATTERN (signup THEN purchase WITHIN '30' MINUTES)
            PARTITION BY user_id
            MEASURES COUNT(*)""")
+    }),
+
+    // EP1m — multi-measure MEASURES (r8): a span aggregate, per-class
+    // references (each step of a plain chain maps exactly one row, so
+    // `purchase.value` is that row's value — MATCH_RECOGNIZE's
+    // per-variable reference), and MATCH_NUMBER() (the match's 1-based
+    // ordinal within its partition in (ts_1, id_1) order), all in one
+    // statement. COUNT keeps the oracle integer-exact; the SUM/AVG span
+    // forms are spec-pinned against a DataFrame recomputation
+    // (CepSqlSpec) like r7's single-aggregate form. Scale shape: the
+    // class references join the (small) match set back to a type-pruned
+    // column-pruned events scan on the matched row id; MATCH_NUMBER is
+    // a per-key window over match rows (thousands per key at most), not
+    // over raw events.
+    "q_measure_multi" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * FROM events
+           MATCH PATTERN (signup THEN purchase WITHIN '30' MINUTES)
+           PARTITION BY user_id
+           MEASURES COUNT(*) AS span_events, signup.value AS s_value,
+                    purchase.value AS p_value, MATCH_NUMBER() AS mno""")
     })
   )
 
@@ -822,6 +844,30 @@ object Cep {
           AND (e.ts > m.ts_1 OR (e.ts = m.ts_1 AND e.event_id >= m.id_1))
           AND (e.ts < m.ts_2 OR (e.ts = m.ts_2 AND e.event_id <= m.id_2))
          GROUP BY m.user_id, m.id_1, m.id_2, m.ts_1, m.ts_2
+         ORDER BY id_1""",
+    "q_measure_multi" ->
+      """WITH m AS (
+           SELECT user_id, id_1, id_2, ts_1, ts_2, s_value, p_value FROM (
+             SELECT a.user_id, a.event_id AS id_1, b.event_id AS id_2,
+               a.ts AS ts_1, b.ts AS ts_2,
+               a.value AS s_value, b.value AS p_value,
+               row_number() OVER (PARTITION BY a.event_id
+                                  ORDER BY b.ts, b.event_id) AS rn
+             FROM events a JOIN events b
+               ON a.user_id = b.user_id
+              AND a.event_type = 'signup' AND b.event_type = 'purchase'
+              AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE) t
+           WHERE rn = 1)
+         SELECT m.user_id, m.id_1, m.id_2, m.ts_1, m.ts_2,
+           count(*) AS span_events, m.s_value, m.p_value,
+           row_number() OVER (PARTITION BY m.user_id
+                              ORDER BY m.ts_1, m.id_1) AS mno
+         FROM m JOIN events e
+           ON m.user_id = e.user_id
+          AND (e.ts > m.ts_1 OR (e.ts = m.ts_1 AND e.event_id >= m.id_1))
+          AND (e.ts < m.ts_2 OR (e.ts = m.ts_2 AND e.event_id <= m.id_2))
+         GROUP BY m.user_id, m.id_1, m.id_2, m.ts_1, m.ts_2,
+                  m.s_value, m.p_value
          ORDER BY id_1""",
     "q_pattern_permute" ->
       """WITH d1 AS (

@@ -33,12 +33,16 @@ object Relational {
     }),
 
     // J2 — star join: fact lineitem against three dimension tables.
-    // Explicit broadcast() on the TRUE dims (nation=25, region=5 rows at
-    // EVERY scale factor) — the fact side never shuffles for those joins;
-    // only the final groupBy shuffles 25 rows. Customer is NOT a true
-    // dim: it scales with SF (~15 B rows at 100 TB) and is therefore
-    // joined shuffle-hash like the fact⋈fact leg, not broadcast (r8;
-    // the r7 comment overstated the broadcast claim).
+    // Explicit broadcast() ONLY on the true dims (nation=25, region=5
+    // rows at EVERY scale factor) — the fact side never shuffles for
+    // those joins; only the final groupBy shuffles 25 rows. Customer is
+    // NOT a true dim: it scales with SF (~15 B rows at 100 TB), so its
+    // leg carries no hint — Catalyst/AQE auto-broadcasts it at bench
+    // scale (sf0.1 customer ≈ 2 MB < autoBroadcastJoinThreshold) and
+    // falls back to a shuffle join once its stats outgrow the threshold,
+    // which is exactly the scale-dependent choice a forced hint would
+    // get wrong at one end or the other (r8; the r7 comment claimed the
+    // broadcast held at 100 TB — it does not).
     "q_join_broadcast" -> ((s, dir) => {
       val l = T(s, dir, "lineitem")
       val o = T(s, dir, "orders")
@@ -50,7 +54,7 @@ object Relational {
       // broadcastable at 100 TB), but the hash build on the smaller
       // orders side skips sort-merge's two full sorts
       l.join(o.hint("shuffle_hash"), l("l_orderkey") === o("o_orderkey"))
-        .join(c.hint("shuffle_hash"), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("r_name", "n_name")

@@ -94,11 +94,18 @@ object CepSql {
       "\\s+WITHIN\\s+'(\\d+)'\\s+(SECONDS?|MINUTES?|HOURS?)\\s*\\)" +
       "\\s+PARTITION\\s+BY\\s+([A-Za-z_]\\w*)" +
       "(?:\\s+AFTER\\s+MATCH\\s+SKIP\\s+(TO\\s+NEXT\\s+ROW|PAST\\s+LAST\\s+ROW))?" +
-      // MEASURES-lite (r7): ONE aggregate over the matched span
-      "(?:\\s+MEASURES\\s+(SUM|AVG|MIN|MAX|COUNT)\\s*\\(\\s*" +
-      "(\\*|[A-Za-z_]\\w*)\\s*\\))?" +
+      // MEASURES (r7, list since r8): comma-separated measures, each
+      // parsed by measureTok below — captured raw here
+      "(?:\\s+MEASURES\\s+([^;]+?))?" +
       "\\s*;?\\s*$",
     Pattern.CASE_INSENSITIVE)
+  /** One measure: `FN(col|*)`, `event.col`, or `MATCH_NUMBER()`, each
+    * with an optional `AS alias` ([[Measure]]). */
+  private val measureTok = Pattern.compile(
+    "(?i)^(?:(SUM|AVG|MIN|MAX|COUNT)\\s*\\(\\s*(\\*|[A-Za-z_]\\w*)\\s*\\)" +
+      "|([A-Za-z_]\\w*)\\s*\\.\\s*([A-Za-z_]\\w*)" +
+      "|(MATCH_NUMBER)\\s*\\(\\s*\\))" +
+      "(?:\\s+AS\\s+([A-Za-z_]\\w*))?\\s*$")
   /** `PERMUTE(a, b)` (r7): the order-free pair — `a THEN b` OR
     * `b THEN a`, whichever order the stream presents. Two plain event
     * names (no alternation/condition/quantifier — each would be
@@ -274,15 +281,36 @@ object CepSql {
   /** A fully parsed-and-validated MATCH PATTERN statement — the shared
     * front half of [[translatePattern]] (batch SQL rewrite) and
     * [[ContinuousQueries.submitPattern]] (streaming detector dispatch). */
-  /** MEASURES-lite (r7): one aggregate over the matched SPAN — every
-    * event of the key whose (ts, id) lies lexicographically between the
-    * match's first and last matched rows, inclusive, regardless of
-    * type. `col` is `*` for COUNT only. */
-  case class MeasureSpec(fn: String, col: String)
+  /** MEASURES (r7 single-aggregate, generalized r8 to a list): each
+    * measure is one of
+    *
+    *  - [[SpanAgg]] `FN(col|*)` — one aggregate over the matched SPAN:
+    *    every event of the key whose (ts, id) lies lexicographically
+    *    between the match's first and last matched rows, inclusive,
+    *    regardless of type (`*` for COUNT only) — the r7 semantics;
+    *  - [[ClassRef]] `event.col` — the matched row's column for the
+    *    (unique) step whose class contains `event`. A plain chain maps
+    *    exactly one row per step, so this is MATCH_RECOGNIZE's
+    *    per-variable reference in its rank-1 flavor (`FIRST`/`LAST`
+    *    collapse to the same row and are deliberately not spelled);
+    *  - [[MatchNum]] `MATCH_NUMBER()` — the 1-based ordinal of the
+    *    match within its partition, in (ts_1, id_1) order.
+    *
+    * `alias` names the output column: explicit `AS a`, else `measure`
+    * for the single-measure r7 back-compat form, else `m1`, `m2`, …
+    * Aliases must be unique and must not collide with the chain's own
+    * output columns. */
+  sealed trait Measure { def alias: String }
+  case class SpanAgg(fn: String, col: String, alias: String) extends Measure
+  /** `step` is 1-based (the chain's id_i/ts_i numbering), resolved at
+    * parse time from the event name. */
+  case class ClassRef(ev: String, col: String, step: Int, alias: String)
+      extends Measure
+  case class MatchNum(alias: String) extends Measure
 
   case class PatternSpec(table: String, steps: Seq[PatternStep],
       n: Long, unit: String, key: String, skipPast: Boolean = false,
-      permute: Boolean = false, measure: Option[MeasureSpec] = None) {
+      permute: Boolean = false, measures: Seq[Measure] = Nil) {
     def absent: Boolean = steps.last.negated
     /** Window in milliseconds. Overflow-checked: a huge-but-valid WITHIN
       * numeral must fail loudly like every other parse near-miss, not
@@ -403,18 +431,56 @@ object CepSql {
     if (skipPast && steps.exists(st => st.minTimes.isDefined || st.optional))
       malformed("AFTER MATCH SKIP PAST LAST ROW is defined for plain " +
         "sequence chains (no quantifiers, no optional steps)")
-    val measure = Option(m.group(7)).map { fn0 =>
-      val fn = fn0.toUpperCase(java.util.Locale.ROOT)
-      if (m.group(8) == "*" && fn != "COUNT")
-        malformed(s"$fn(*) — only COUNT takes *")
-      MeasureSpec(fn, m.group(8))
+    val measures: Seq[Measure] = Option(m.group(7)).map { txt =>
+      val parts = txt.split(",").map(_.trim).filter(_.nonEmpty)
+      if (parts.isEmpty) malformed("empty MEASURES list")
+      val single = parts.length == 1
+      parts.toIndexedSeq.zipWithIndex.map { case (p, i) =>
+        val mm = measureTok.matcher(p)
+        if (!mm.matches()) malformed(s"unrecognized measure '$p' — " +
+          "expected FN(col|*), event.col, or MATCH_NUMBER()")
+        // r7 back-compat: a lone unaliased aggregate keeps the column
+        // name `measure`; everything else defaults to m1, m2, …
+        val alias = Option(mm.group(6)).getOrElse(
+          if (single && mm.group(1) != null) "measure" else s"m${i + 1}")
+        if (mm.group(1) != null) {
+          val fn = mm.group(1).toUpperCase(java.util.Locale.ROOT)
+          if (mm.group(2) == "*" && fn != "COUNT")
+            malformed(s"$fn(*) — only COUNT takes *")
+          SpanAgg(fn, mm.group(2), alias)
+        } else if (mm.group(3) != null) {
+          val ev = mm.group(3)
+          val hits = steps.zipWithIndex.filter { case (st, _) =>
+            !st.negated && st.events.exists(_.equalsIgnoreCase(ev))
+          }
+          if (hits.isEmpty)
+            malformed(s"measure '$p' references '$ev', which no step " +
+              "matches")
+          if (hits.length > 1)
+            malformed(s"measure '$p' is ambiguous — '$ev' appears in " +
+              s"${hits.length} steps")
+          ClassRef(ev, mm.group(4), hits.head._2 + 1, alias)
+        } else MatchNum(alias)
+      }
+    }.getOrElse(Nil)
+    if (measures.nonEmpty) {
+      if (skipPast || steps.exists(st =>
+          st.negated || st.minTimes.isDefined || st.optional))
+        malformed("MEASURES is defined for plain sequence chains — no " +
+          "NOT, quantifiers, optional steps, or SKIP PAST LAST ROW")
+      val aliases = measures.map(_.alias.toLowerCase(java.util.Locale.ROOT))
+      if (aliases.distinct.length != aliases.length)
+        malformed(s"duplicate measure aliases: ${aliases.mkString(", ")}")
+      val reserved = ("""(?:id|ts|len)_\d+""").r
+      aliases.foreach { a =>
+        if (a == m.group(5).toLowerCase(java.util.Locale.ROOT) ||
+            reserved.matches(a))
+          malformed(s"measure alias '$a' collides with a chain output " +
+            "column")
+      }
     }
-    if (measure.isDefined && (skipPast || steps.exists(st =>
-        st.negated || st.minTimes.isDefined || st.optional)))
-      malformed("MEASURES is defined for plain sequence chains — no " +
-        "NOT, quantifiers, optional steps, or SKIP PAST LAST ROW")
     val spec = PatternSpec(m.group(1), steps, n, unit, m.group(5), skipPast,
-      measure = measure)
+      measures = measures)
     try spec.withinMs
     catch { case _: ArithmeticException =>
       malformed(s"WITHIN window '${spec.n} ${spec.unit}' overflows") }
@@ -471,7 +537,7 @@ object CepSql {
     if (spec.permute) return translatePermute(spec, tsCol, typeCol, idCol)
     if (spec.skipPast) return translateSkip(spec, tsCol, typeCol, idCol)
     if (steps.length > 2 || steps.tail.exists(_.minTimes.isDefined) ||
-        spec.measure.isDefined)
+        spec.measures.nonEmpty)
       return translateChain(spec, tsCol, typeCol, idCol)
     if (steps.head.minTimes.isDefined) {
       // quantified run: the q_cep_times formulation — maximal runs of
@@ -725,29 +791,62 @@ object CepSql {
          |ON p.__k = b.$k AND b.$t > p.ts_$np
          |   AND b.$t <= p.ts_1 + INTERVAL $n $unit
          |ORDER BY $order""".stripMargin
-    else spec.measure match {
-      case Some(MeasureSpec(fn, mcol)) =>
-        // MEASURES-lite (r7): aggregate over the matched SPAN — every
-        // event of the key between the match's first and last rows in
-        // (ts, id) lexicographic order, inclusive, regardless of type.
-        // Plain chains only (validated), so labels are id_1..id_np and
-        // the span bounds are concrete.
-        val agg =
-          if (mcol == "*") "count(*)"
-          else s"${fn.toLowerCase(java.util.Locale.ROOT)}(e.${bq(mcol)})"
-        s"""SELECT __k AS $k, ${cols(np)}, $agg AS measure
-           |FROM $prefix p JOIN $tbl e
-           |ON p.__k = e.$k
-           |   AND (e.$t > p.ts_1 OR (e.$t = p.ts_1 AND e.$id >= p.id_1))
-           |   AND (e.$t < p.ts_$np
-           |        OR (e.$t = p.ts_$np AND e.$id <= p.id_$np))
-           |GROUP BY __k, ${cols(np)}
-           |ORDER BY $order""".stripMargin
-      case None =>
-        s"""SELECT __k AS $k, ${cols(np)}
-           |FROM $prefix
-           |ORDER BY $order""".stripMargin
-    }
+    else if (spec.measures.nonEmpty) {
+      // MEASURES (r7, list since r8). Plain chains only (validated), so
+      // labels are id_1..id_np and the span bounds are concrete.
+      //  - span aggregates share ONE span join (every event of the key
+      //    between the match's first and last rows in (ts, id)
+      //    lexicographic order, inclusive, regardless of type) + the
+      //    GROUP BY over the chain columns;
+      //  - class references join the events table once per referenced
+      //    step on the matched row's id — at scale that is a
+      //    broadcast-able join of matches (small) against a type-pruned
+      //    scan, and Catalyst prunes the scan to the referenced column;
+      //  - match_number() is a row_number window over the (grouped)
+      //    match rows — windows evaluate after GROUP BY, so one SELECT
+      //    level serves both engines identically.
+      val ms = spec.measures
+      val spanAggs = ms.collect { case s: SpanAgg => s }
+      val refSteps = ms.collect { case c: ClassRef => c.step }.distinct.sorted
+      val spanJoin =
+        if (spanAggs.isEmpty) ""
+        else
+          s"""|JOIN $tbl e
+              |ON p.__k = e.$k
+              |   AND (e.$t > p.ts_1 OR (e.$t = p.ts_1 AND e.$id >= p.id_1))
+              |   AND (e.$t < p.ts_$np
+              |        OR (e.$t = p.ts_$np AND e.$id <= p.id_$np))
+              |""".stripMargin
+      val refJoins = refSteps.map(i =>
+        s"JOIN $tbl s$i ON s$i.$k = p.__k AND s$i.$id = p.id_$i").mkString("\n")
+      def sel(mea: Measure): String = mea match {
+        case SpanAgg(fn, c, a) =>
+          val ex =
+            if (c == "*") "count(*)"
+            else s"${fn.toLowerCase(java.util.Locale.ROOT)}(e.${bq(c)})"
+          s"$ex AS ${bq(a)}"
+        case ClassRef(_, c, i, a) => s"s$i.${bq(c)} AS ${bq(a)}"
+        case MatchNum(a) =>
+          // CAST: Spark's row_number is INT, DuckDB's BIGINT — emit
+          // BIGINT so both engines (and the driver's schema check) agree
+          s"CAST(row_number() OVER (PARTITION BY __k ORDER BY ts_1, id_1)" +
+            s" AS BIGINT) AS ${bq(a)}"
+      }
+      val refCols = ms.collect { case ClassRef(_, c, i, _) => s"s$i.${bq(c)}" }
+        .distinct
+      val groupBy =
+        if (spanAggs.isEmpty) ""
+        else ("GROUP BY __k, " + cols(np) +
+          (if (refCols.isEmpty) "" else refCols.mkString(", ", ", ", "")))
+      s"""SELECT __k AS $k, ${cols(np)}, ${ms.map(sel).mkString(", ")}
+         |FROM $prefix p
+         |$spanJoin$refJoins
+         |$groupBy
+         |ORDER BY $order""".stripMargin
+    } else
+      s"""SELECT __k AS $k, ${cols(np)}
+         |FROM $prefix
+         |ORDER BY $order""".stripMargin
   }
 
   /** `PERMUTE(a, b)` rewrite (r7): the order-free pair — every `a` or

@@ -207,17 +207,43 @@ object ContinuousQueries {
             if (spec.absent) runs.filter(_.next_follow.isEmpty)
             else runs.filter(_.next_follow.isDefined)
           wanted.toDF()
-        case None if spec.measure.isDefined =>
-          // MEASURES-lite (r7): plain chains only (parse-validated);
-          // streaming aggregates the converter schema's value column
-          val ms = spec.measure.get
-          if (ms.col != "*" && !ms.col.equalsIgnoreCase("value"))
-            throw new IllegalArgumentException(
-              s"streaming MEASURES supports the value column (or " +
-                s"COUNT(*)) only — got '${ms.col}'; run the batch " +
-                "rewrite via CepSql.sql")
-          PatternMatch.detectMeasure(srcWm, spec.steps.map(stepPred),
-            spec.withinMs, ms.fn).toDF()
+        case None if spec.measures.nonEmpty =>
+          // MEASURES (r7, list since r8): plain chains only
+          // (parse-validated); streaming reads the converter schema, so
+          // span aggregates and class references are value-column only
+          spec.measures.foreach {
+            case CepSql.SpanAgg(_, c, _)
+                if c != "*" && !c.equalsIgnoreCase("value") =>
+              throw new IllegalArgumentException(
+                s"streaming MEASURES aggregates the value column (or " +
+                  s"COUNT(*)) only — got '$c'; run the batch rewrite " +
+                  "via CepSql.sql")
+            case CepSql.ClassRef(ev, c, _, _)
+                if !c.equalsIgnoreCase("value") =>
+              throw new IllegalArgumentException(
+                s"streaming MEASURES class references read the value " +
+                  s"column only — got '$ev.$c'; run the batch rewrite " +
+                  "via CepSql.sql")
+            case _ => ()
+          }
+          val det = PatternMatch.detectMeasures(srcWm,
+            spec.steps.map(stepPred), spec.withinMs, spec.measures)
+          // project the vals vector onto the declared aliases, casting
+          // the integer-valued measures (COUNT, MATCH_NUMBER) back to
+          // long so the streaming schema matches the batch rewrite's
+          val mcols = spec.measures.zipWithIndex.map {
+            case (m, i) =>
+              val c = col("vals").getItem(i)
+              val typed = m match {
+                case CepSql.SpanAgg("COUNT", _, _) => c.cast("long")
+                case _: CepSql.MatchNum            => c.cast("long")
+                case _                             => c
+              }
+              typed.as(m.alias)
+          }
+          det.toDF().select(
+            (Seq(col("user_id"), col("step_ids"), col("start_ts"),
+              col("end_ts")) ++ mcols): _*)
         case None if spec.steps.length == 2 && spec.absent =>
           requireCondFree("absence")
           AbsenceDetector.detect(src, classes.head, classes.last,

@@ -26,6 +26,29 @@ case class MeasurePartial(ids: List[Long], start: Timestamp,
 
 case class MeasureState(partials: List[MeasurePartial])
 
+/** A multi-measured N-step match (r8): `vals(i)` is measure i's value in
+  * the declared MEASURES order (MATCH_NUMBER as a double — exact for any
+  * realistic count; [[ContinuousQueries]] casts it back to long). */
+case class MeasureNMatch(user_id: Long, step_ids: Seq[Long],
+    start_ts: Timestamp, end_ts: Timestamp, vals: Seq[Double])
+
+/** One open multi-measured partial: ids AND per-step captured `value`s
+  * (both reversed), anchor/last ts, and the shared span accumulators. */
+case class MeasureNPartial(ids: List[Long], cvals: List[Double],
+    start: Timestamp, last: Timestamp,
+    sum: Double, cnt: Long, mn: Double, mx: Double)
+
+/** A completed match held back for MATCH_NUMBER ordering (ids/cvals in
+  * chain order). */
+case class MeasureNDone(ids: List[Long], cvals: List[Double],
+    start: Timestamp, end: Timestamp,
+    sum: Double, cnt: Long, mn: Double, mx: Double)
+
+/** `counter` is the last assigned match number — it must survive even
+  * when no partials/done remain, or numbering would restart. */
+case class MeasureNState(partials: List[MeasureNPartial],
+    done: List[MeasureNDone], counter: Long)
+
 /** An N-step match whose optional steps may be absent: one entry per
   * step — the matched event id/ts, or None for a skipped optional step
   * (r7, the streaming twin of the batch composite-pivot rewrite). */
@@ -130,31 +153,89 @@ object PatternMatch {
   def detectMeasure(events: Dataset[CepEvent],
       steps: Seq[CepEvent => Boolean], withinMs: Long, fn: String)
       : Dataset[MeasureMatch] = {
-    require(steps.length >= 2, "a pattern needs at least 2 steps")
     val fnU = fn.toUpperCase(java.util.Locale.ROOT)
     require(Set("SUM", "AVG", "MIN", "MAX", "COUNT")(fnU),
       s"unsupported measure fn '$fn'")
     implicit val matchEnc = Encoders.product[MeasureMatch]
-    implicit val stateEnc = Encoders.product[MeasureState]
+    detectMeasures(events, steps, withinMs,
+      Seq(CepSql.SpanAgg(fnU, if (fnU == "COUNT") "*" else "value",
+        "measure")))
+      .map(m => MeasureMatch(m.user_id, m.step_ids, m.start_ts, m.end_ts,
+        m.vals.head))
+  }
+
+  /** Multi-measure chains (r8): [[detectMeasure]]'s scan generalized to
+    * the full [[CepSql.Measure]] list — several span aggregates (they
+    * share one set of accumulators), per-class references (step i's
+    * matched `value` is captured as the chain advances), and
+    * `MATCH_NUMBER()`.
+    *
+    * MATCH_NUMBER changes the emission discipline: batch numbers matches
+    * in (ts_1, id_1) order per key, so a match may only take its number
+    * once no earlier-anchored match can still appear. A completed match
+    * is therefore HELD until (a) its own window has closed behind the
+    * watermark (no later completion for an earlier anchor can beat it —
+    * any still-open earlier anchor's window closes no later than this
+    * one's) and (b) no still-open partial is anchored before it. Numbered
+    * release is watermark-driven via an event-time timer, so it needs a
+    * WATERMARKED input ([[ContinuousQueries.submitPattern]] provides
+    * one); without MATCH_NUMBER the r7 behavior is unchanged — matches
+    * emit the moment they complete, watermark optional (batch-max
+    * fallback). The per-key state with MATCH_NUMBER keeps the counter
+    * alive forever (one long — numbering must not restart); partials and
+    * held matches stay bounded by the window as before. */
+  def detectMeasures(events: Dataset[CepEvent],
+      steps: Seq[CepEvent => Boolean], withinMs: Long,
+      measures: Seq[CepSql.Measure]): Dataset[MeasureNMatch] = {
+    require(steps.length >= 2, "a pattern needs at least 2 steps")
+    require(measures.nonEmpty, "at least one measure")
+    val n = steps.length
+    measures.foreach {
+      case CepSql.SpanAgg(fn, c, _) =>
+        require(Set("SUM", "AVG", "MIN", "MAX", "COUNT")(fn),
+          s"unsupported measure fn '$fn'")
+        require(c == "*" || c.equalsIgnoreCase("value"),
+          s"streaming span aggregates read the value column only — '$c'")
+      case CepSql.ClassRef(_, c, step, _) =>
+        require(c.equalsIgnoreCase("value"),
+          s"streaming class references read the value column only — '$c'")
+        require(step >= 1 && step <= n, s"class-ref step $step out of range")
+      case CepSql.MatchNum(_) => ()
+    }
+    val hasNum = measures.exists(_.isInstanceOf[CepSql.MatchNum])
+    implicit val matchEnc = Encoders.product[MeasureNMatch]
+    implicit val stateEnc = Encoders.product[MeasureNState]
     implicit val keyEnc = Encoders.scalaLong
     val withinUs = withinMs * 1000L
-    val n = steps.length
+    val timeoutConf =
+      if (hasNum) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+
+    def vals(d: MeasureNDone, no: Long): Seq[Double] = measures.map {
+      case CepSql.SpanAgg(fn, _, _) => fn match {
+        case "SUM" => d.sum
+        case "AVG" => d.sum / d.cnt
+        case "MIN" => d.mn
+        case "MAX" => d.mx
+        case _     => d.cnt.toDouble
+      }
+      case CepSql.ClassRef(_, _, step, _) => d.cvals(step - 1)
+      case CepSql.MatchNum(_)             => no.toDouble
+    }
 
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[MeasureState, MeasureMatch](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (user: Long, it: Iterator[CepEvent], state: GroupState[MeasureState]) =>
-          var partials = state.getOption.map(_.partials).getOrElse(Nil)
-          val out = List.newBuilder[MeasureMatch]
-          val batch = it.toArray.sortBy(e => (us(e.ts), e.event_id))
+      .flatMapGroupsWithState[MeasureNState, MeasureNMatch](
+        OutputMode.Append(), timeoutConf) {
+        (user: Long, it: Iterator[CepEvent], state: GroupState[MeasureNState]) =>
+          val prev = state.getOption.getOrElse(MeasureNState(Nil, Nil, 0L))
+          var partials = prev.partials
+          var done = prev.done
+          var counter = prev.counter
+          val out = List.newBuilder[MeasureNMatch]
+          val batch =
+            if (state.hasTimedOut) Array.empty[CepEvent]
+            else it.toArray.sortBy(e => (us(e.ts), e.event_id))
           var maxTs = 0L
-          def result(p: MeasurePartial): Double = fnU match {
-            case "SUM"   => p.sum
-            case "AVG"   => p.sum / p.cnt
-            case "MIN"   => p.mn
-            case "MAX"   => p.mx
-            case _       => p.cnt.toDouble
-          }
           batch.foreach { e =>
             val t = us(e.ts)
             if (t > maxTs) maxTs = t
@@ -166,23 +247,57 @@ object PatternMatch {
               if (next < n && steps(next)(e) &&
                   t > us(p.last) && t <= us(p.start) + withinUs) {
                 val ids2 = e.event_id :: acc.ids
+                val cv2 = e.value :: acc.cvals
                 if (ids2.length == n) {
-                  out += MeasureMatch(user, ids2.reverse, acc.start, e.ts,
-                    result(acc))
+                  val d = MeasureNDone(ids2.reverse, cv2.reverse,
+                    acc.start, e.ts, acc.sum, acc.cnt, acc.mn, acc.mx)
+                  if (hasNum) done = d :: done
+                  else out += MeasureNMatch(user, d.ids, d.start, d.end,
+                    vals(d, 0L))
                   Nil
-                } else List(acc.copy(ids = ids2, last = e.ts))
+                } else List(acc.copy(ids = ids2, cvals = cv2, last = e.ts))
               } else List(acc)
             }
             if (steps.head(e))
               // the anchor event seeds its own partial's accumulators
-              partials = MeasurePartial(List(e.event_id), e.ts, e.ts,
-                e.value, 1L, e.value, e.value) :: partials
+              partials = MeasureNPartial(List(e.event_id), List(e.value),
+                e.ts, e.ts, e.value, 1L, e.value, e.value) :: partials
           }
           val horizon = scala.util.Try(state.getCurrentWatermarkMs() * 1000L)
             .getOrElse(maxTs)
           partials = partials.filter(p => us(p.start) + withinUs >= horizon)
-          if (partials.isEmpty) state.remove()
-          else state.update(MeasureState(partials))
+          if (hasNum) {
+            // numbered release: window closed AND no open partial is
+            // anchored before it ((ts, id_1) order — such a partial
+            // could still complete into an earlier-numbered match)
+            val minOpen = partials
+              .map(p => (us(p.start), p.ids.last))
+              .minOption
+            val releasable = (d: MeasureNDone) =>
+              us(d.start) + withinUs <= horizon &&
+                minOpen.forall(o =>
+                  Ordering[(Long, Long)].gt(o, (us(d.start), d.ids.head)))
+            val (rel, keep) = done.partition(releasable)
+            rel.sortBy(d => (us(d.start), d.ids.head)).foreach { d =>
+              counter += 1
+              out += MeasureNMatch(user, d.ids, d.start, d.end,
+                vals(d, counter))
+            }
+            done = keep
+          }
+          if (partials.isEmpty && done.isEmpty && counter == 0L)
+            state.remove()
+          else {
+            state.update(MeasureNState(partials, done, counter))
+            if (hasNum && (done.nonEmpty || partials.nonEmpty)) {
+              // wake when the earliest still-relevant window closes
+              val targetMs = (done.map(d => us(d.start)) ++
+                partials.map(p => us(p.start)))
+                .map(_ / 1000L + withinMs + 1).min
+              state.setTimeoutTimestamp(
+                math.max(targetMs, state.getCurrentWatermarkMs() + 1))
+            }
+          }
           out.result().iterator
       }
   }

@@ -544,6 +544,62 @@ class CepSqlSpec extends SparkSpec {
     }
   }
 
+  test("multi-measure MEASURES: span aggs + class refs + match_number (r8)") {
+    Tables.load(spark, sf)
+    val got = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN purchase WITHIN '12' HOURS)
+         PARTITION BY user_id
+         MEASURES COUNT(*) AS c, SUM(value) AS sv,
+                  signup.value AS s_v, purchase.value AS p_v,
+                  MATCH_NUMBER() AS mno""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(5), r.getDouble(6), r.getDouble(7), r.getDouble(8),
+        r.getLong(9), r.getTimestamp(3).getTime))
+    assert(got.nonEmpty)
+    // class refs recompute from the raw table by matched id
+    val byId = spark.table("events")
+      .select("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (_, id1, id2, _, _, sv, pv, _, _) =>
+      assert(sv === byId(id1), s"signup.value@$id1")
+      assert(pv === byId(id2), s"purchase.value@$id2")
+    }
+    // match_number: per key, exactly 1..k in (ts_1, id_1) order
+    got.groupBy(_._1).foreach { case (k, rows) =>
+      assert(rows.sortBy(r => (r._9, r._2)).map(_._8).toSeq ===
+        (1L to rows.length).toSeq,
+        s"match_number sequence for key $k")
+    }
+    // span aggs agree with the r7 single-measure form
+    val single = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN purchase WITHIN '12' HOURS)
+         PARTITION BY user_id
+         MEASURES COUNT(*)""")
+      .select(col("id_1"), col("measure").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (_, id1, _, c, _, _, _, _, _) =>
+      assert(c === single(id1), s"span count@$id1")
+    }
+    // near-misses are loud
+    Seq(
+      "MEASURES nosuch.value",                       // unknown event
+      "MEASURES SUM(value) AS a, COUNT(*) AS a",     // duplicate alias
+      "MEASURES COUNT(*) AS id_1",                   // column collision
+      "MEASURES COUNT(*) AS k",                      // key collision
+      "MEASURES AVG(*)"                              // * is COUNT-only
+    ).foreach { frag =>
+      intercept[IllegalArgumentException](CepSql.parsePattern(
+        "SELECT * FROM t MATCH PATTERN (a THEN b WITHIN '5' MINUTES) " +
+          s"PARTITION BY k $frag"))
+    }
+    // an event appearing in two steps is ambiguous as a reference
+    intercept[IllegalArgumentException](CepSql.parsePattern(
+      "SELECT * FROM t MATCH PATTERN (a THEN a WITHIN '5' MINUTES) " +
+        "PARTITION BY k MEASURES a.value"))
+  }
+
   test("custom ts/type/id columns: STRING ids survive every r7 form") {
     import java.sql.Timestamp
     import spark.implicits._

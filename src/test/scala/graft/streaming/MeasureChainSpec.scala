@@ -66,4 +66,59 @@ class MeasureChainSpec extends SparkSpec {
       }
     }
   }
+
+  test("multi-measure replay == batch: class refs + match_number (r8)") {
+    // MATCH_NUMBER forces the held-release discipline: a completed match
+    // may only take its number once the watermark closes its window and
+    // no earlier-anchored partial is still open — the full-fixture law
+    // that the streaming numbering equals the batch (ts_1, id_1)
+    // row_number, not emission order.
+    import org.apache.spark.sql.functions.col
+    Tables.load(spark, sf)
+    val want = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN purchase WITHIN '12' HOURS)
+         PARTITION BY user_id
+         MEASURES COUNT(*) AS c, signup.value AS s_v,
+                  purchase.value AS p_v, MATCH_NUMBER() AS mno""")
+      .collect().map(r => Seq(r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(5), r.getDouble(6), r.getDouble(7), r.getLong(8))))
+      .toMap
+    assert(want.nonEmpty)
+    assert(want.values.exists(_._4 > 1L),
+      "some key must have several matches or the numbering law is vacuous")
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"measure_multi_${System.nanoTime}"
+    val measures = Seq(
+      CepSql.SpanAgg("COUNT", "*", "c"),
+      CepSql.ClassRef("signup", "value", 1, "s_v"),
+      CepSql.ClassRef("purchase", "value", 2, "p_v"),
+      CepSql.MatchNum("mno"))
+    val q = PatternMatch.detectMeasures(
+        stream.toDS().withWatermark("ts", "0 seconds"),
+        Seq((e: CepEvent) => e.event_type == "signup",
+          (e: CepEvent) => e.event_type == "purchase"),
+        12L * 3600 * 1000, measures)
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq)
+      q.processAllAvailable()
+    }
+    // far-future sentinel: advances the watermark past every window so
+    // the event-time timers release the held tail
+    stream.addData(CepEvent(-1L,
+      java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).filter(col("user_id") =!= -1L).collect()
+      .map { r =>
+        val v = r.getSeq[Double](4)
+        r.getSeq[Long](1) -> ((v(0).toLong, v(1), v(2), v(3).toLong))
+      }.toMap
+    assert(got === want)
+  }
 }

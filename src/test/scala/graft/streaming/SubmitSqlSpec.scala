@@ -201,6 +201,40 @@ class SubmitSqlSpec extends SparkSpec {
       if (qM.isActive) qM.stop()
       spark.catalog.dropTempView("pat_meas")
     }
+    // multi-measure dispatch (r8): aliases become columns, COUNT and
+    // MATCH_NUMBER() come back as longs, class refs as doubles
+    val streamN = MemoryStream[CepEvent]
+    streamN.toDF().createOrReplaceTempView("pat_measn")
+    val qN = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_measn
+         MATCH PATTERN (signup THEN purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id
+         MEASURES COUNT(*) AS c, purchase.value AS p_v,
+                  MATCH_NUMBER() AS mno""", "svc_measn")
+    try {
+      streamN.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "signup", 1.0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:02:00"), 7, "click", 5.0),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:05:00"), 7, "purchase", 2.0),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 01:00:00"), 7, "signup", 3.0),
+        CepEvent(5, Timestamp.valueOf("2026-01-01 01:10:00"), 7, "purchase", 4.0))
+      qN.processAllAvailable()
+      // advance the watermark past both windows so the numbered matches
+      // release (MATCH_NUMBER holds until the window closes)
+      streamN.addData(
+        CepEvent(9, Timestamp.valueOf("2026-01-02 00:00:00"), 99, "click", 0.0))
+      qN.processAllAvailable()
+      val got = spark.table("svc_measn")
+        .select("user_id", "step_ids", "c", "p_v", "mno").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2),
+          r.getDouble(3), r.getLong(4))).sortBy(_._5)
+      assert(got.toSeq === Seq(
+        (7L, Seq(1L, 3L), 3L, 2.0, 1L),
+        (7L, Seq(4L, 5L), 2L, 4.0, 2L)))
+    } finally {
+      if (qN.isActive) qN.stop()
+      spark.catalog.dropTempView("pat_measn")
+    }
     // ...a non-value measure column is batch-only → loud
     val eMeas = intercept[IllegalArgumentException] {
       ContinuousQueries.submitPattern(spark,
