@@ -524,6 +524,27 @@ object Cep {
            PARTITION BY user_id
            MEASURES COUNT(*) AS span_events, signup.value AS s_value,
                     purchase.value AS p_value, MATCH_NUMBER() AS mno""")
+    }),
+
+    // EP1n — ABSENCE AFTER A QUANTIFIED CHAIN (r8): a signup followed
+    // by a qualifying click run (>= 2 consecutive clicks, whole-run
+    // semantics) with NO purchase in the remainder of the window — the
+    // "engaged but never converted" funnel. The rewrite builds the
+    // quantified prefix exactly like q_pattern_mid_times (gaps-and-
+    // islands runs + rank-1 join) and replaces the completion's rank-1
+    // join with a LEFT ANTI JOIN — both pieces already existed; this
+    // key pins their combination. Streaming stays loudly batch-routed
+    // (a run's maximality plus an absence verdict would need two
+    // nested watermark horizons). Scale shape: the runs subquery is one
+    // window pass + one agg; the anti join shuffles on the key like
+    // every absence form.
+    "q_pattern_qabs" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * FROM events
+           MATCH PATTERN (signup THEN click{2,} THEN NOT purchase
+           WITHIN '24' HOURS)
+           PARTITION BY user_id""")
     })
   )
 
@@ -774,6 +795,37 @@ object Cep {
            WHERE rn = 1)
          SELECT k AS user_id, id_1, len_2, id_3, ts_1, ts_2, ts_3
          FROM s3 ORDER BY id_1""",
+    "q_pattern_qabs" ->
+      """WITH o AS (
+           SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS grp
+           FROM events),
+         runs AS (
+           SELECT user_id, grp, count(*) AS run_len,
+             min(ts) AS run_start, max(ts) AS run_end
+           FROM o WHERE event_type = 'click'
+           GROUP BY user_id, grp HAVING count(*) >= 2),
+         s1 AS (
+           SELECT user_id AS k, event_id AS id_1, ts AS ts_1 FROM events
+           WHERE event_type = 'signup'),
+         s2 AS (
+           SELECT k, id_1, run_len AS len_2, ts_1, run_end AS ts_2 FROM (
+             SELECT p.k, p.id_1, r.run_len, p.ts_1, r.run_end,
+               row_number() OVER (PARTITION BY p.id_1
+                                  ORDER BY r.run_start, r.run_end) AS rn
+             FROM s1 p JOIN runs r
+               ON p.k = r.user_id AND r.run_start > p.ts_1
+              AND r.run_end <= p.ts_1 + INTERVAL 24 HOUR) WHERE rn = 1)
+         SELECT k AS user_id, id_1, len_2, ts_1, ts_2
+         FROM s2 p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM events b
+           WHERE b.user_id = p.k AND b.event_type = 'purchase'
+             AND b.ts > p.ts_2 AND b.ts <= p.ts_1 + INTERVAL 24 HOUR)
+         ORDER BY id_1""",
     "q_pattern_skip" ->
       """WITH RECURSIVE
          s AS (SELECT user_id AS k, event_id AS sid, ts AS s_ts

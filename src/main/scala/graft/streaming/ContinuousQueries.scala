@@ -120,9 +120,13 @@ object ContinuousQueries {
     val classes = spec.steps.map(_.events.toSet)
     val quantifiedTail = spec.steps.tail.exists(_.minTimes.isDefined)
     // step conditions (r7 DEFINE-lite): streaming evaluates them on the
-    // converter schema, so only the `value` column is available; the
-    // plain-chain arms take them via predicate dispatch, the stateful
-    // set-based arms (absence/runs/skip) stay batch-only with conditions
+    // converter schema, so only the `value` column is available. The
+    // plain-chain arms take them via predicate dispatch, and since r8 so
+    // do the quantified-run and quantified-chain arms (a
+    // condition-failing event of the run's class BREAKS the run, exactly
+    // like the batch gaps-and-islands indicator); the remaining
+    // set-based arms (absence/chain-absence/skip) stay batch-only with
+    // conditions
     val hasCond = spec.steps.exists(_.cond.isDefined)
     spec.steps.flatMap(_.cond).foreach { c =>
       if (!c.col.equalsIgnoreCase("value"))
@@ -189,18 +193,23 @@ object ContinuousQueries {
                 "has no streaming detector (run maximality differs) — " +
                 "run the batch rewrite via CepSql.sql")
         }
-        requireCondFree("quantified-chain")
         // watermarked input (r8): the detector's pruning horizon reads
         // getCurrentWatermarkMs — un-watermarked it fell back to the
         // per-batch max and an in-bound out-of-order event could find
-        // its partial already pruned (ADVICE r7)
-        RunChainDetector.detect(srcWm,
-          spec.steps.map(s => (s.events.toSet, s.minTimes)),
+        // its partial already pruned (ADVICE r7). Step conditions (r8)
+        // ride the same predicate dispatch as plain chains: a
+        // condition-failing event of the run's class BREAKS the run,
+        // exactly like the batch gaps-and-islands indicator.
+        RunChainDetector.detectWhere(srcWm,
+          spec.steps.map(s => (stepPred(s), s.minTimes)),
           spec.withinMs, spec.steps.map(_.maxTimes)).toDF()
       } else spec.steps.head.minTimes match {
         case Some(mt) =>
-          requireCondFree("quantified-run")
-          val runs = RunDetector.detect(src, classes.head, mt, classes.last,
+          // conditions (r8) ride predicate dispatch — see the
+          // quantified-chain arm; RunDetector applies the watermark
+          // itself (timer-driven absence verdicts)
+          val runs = RunDetector.detectWhere(src, stepPred(spec.steps.head),
+            mt, stepPred(spec.steps.last),
             spec.withinMs, Some(lateness), spec.steps.head.maxTimes)
           // completed runs for the THEN form; timed-out runs for THEN NOT
           val wanted =

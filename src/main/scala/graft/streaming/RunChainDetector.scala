@@ -64,6 +64,24 @@ object RunChainDetector {
   def detect(events: Dataset[CepEvent],
       steps: Seq[(Set[String], Option[Int])], withinMs: Long,
       maxTimes: Seq[Option[Int]])
+      : Dataset[RunChainMatch] =
+    detectWhere(events,
+      steps.map { case (cls, mt) =>
+        ((e: CepEvent) => cls.contains(e.event_type), mt)
+      }, withinMs, maxTimes)
+
+  /** Predicate form (r8, DEFINE-lite conditions on quantified chains):
+    * each step is (predicate, minTimes). The predicate REPLACES the class
+    * test everywhere the class test appeared — so for a quantified step,
+    * an event that fails the predicate (wrong type OR failed condition)
+    * BREAKS the open run, exactly like the batch gaps-and-islands
+    * indicator `CASE WHEN <type AND cond> THEN 1 ELSE 0 END`: runs are
+    * maximal stretches of consecutive predicate-satisfying events, and a
+    * same-class event outside the condition is a run breaker, not a
+    * bystander. */
+  def detectWhere(events: Dataset[CepEvent],
+      steps: Seq[(CepEvent => Boolean, Option[Int])], withinMs: Long,
+      maxTimes: Seq[Option[Int]])
       : Dataset[RunChainMatch] = {
     require(maxTimes.length == steps.length,
       "one maxTimes entry per step (None = uncapped)")
@@ -109,8 +127,8 @@ object RunChainDetector {
             if (t > maxTs) maxTs = t
             partials = partials.flatMap { p =>
               val step = p.vals.length // 0-based index of the awaited step
-              val (classes, mt) = steps(step)
-              val inClass = classes.contains(e.event_type)
+              val (pred, mt) = steps(step)
+              val inClass = pred(e)
               mt match {
                 case None =>
                   // plain step: first class event strictly after prevTs
@@ -142,12 +160,11 @@ object RunChainDetector {
                       // the closing event may itself serve the NEXT step
                       adv match {
                         case Some(p2) =>
-                          val (cls2, mt2) = steps(p2.vals.length)
-                          if (mt2.isEmpty && cls2.contains(e.event_type) &&
+                          val (pred2, mt2) = steps(p2.vals.length)
+                          if (mt2.isEmpty && pred2(e) &&
                               t > us(p2.prevTs) && t <= windowEnd(p2))
                             advance(p2, e.event_id, e.ts).toList
-                          else if (mt2.isDefined &&
-                              cls2.contains(e.event_type) &&
+                          else if (mt2.isDefined && pred2(e) &&
                               t <= windowEnd(p2))
                             List(p2.copy(runStart = e.ts, runLast = e.ts,
                               runLen = 1L))
@@ -159,9 +176,9 @@ object RunChainDetector {
                   } else List(p)
               }
             }
-            // every head-class event anchors a new partial
-            val (headCls, headMt) = steps.head
-            if (headCls.contains(e.event_type)) {
+            // every head-predicate event anchors a new partial
+            val (headPred, headMt) = steps.head
+            if (headPred(e)) {
               val anchored = RunChainPartial(Nil, Nil, e.ts, e.ts,
                 null, null, 0L)
               headMt match {

@@ -65,6 +65,23 @@ object RunDetector {
   def detect(events: Dataset[CepEvent], runTypes: Set[String], minLen: Int,
       followTypes: Set[String], withinMs: Long,
       watermarkDelay: Option[String],
+      maxLen: Option[Int]): Dataset[RunMatch] =
+    detectWhere(events, e => runTypes.contains(e.event_type), minLen,
+      e => followTypes.contains(e.event_type), withinMs, watermarkDelay,
+      maxLen)
+
+  /** Predicate form (r8, DEFINE-lite conditions on the quantified-run
+    * arm): `runPred`/`followPred` replace the class tests everywhere the
+    * class tests appeared. For the run that means an event failing
+    * `runPred` (wrong type OR failed condition) BREAKS the open run —
+    * exactly the batch gaps-and-islands indicator, where the run
+    * partition is `CASE WHEN <type AND cond> THEN 1 ELSE 0 END`; for the
+    * follow it means a completion event outside the condition does not
+    * resolve the run (but, failing `runPred` too, it still closes it). */
+  def detectWhere(events: Dataset[CepEvent],
+      runPred: CepEvent => Boolean, minLen: Int,
+      followPred: CepEvent => Boolean, withinMs: Long,
+      watermarkDelay: Option[String],
       maxLen: Option[Int]): Dataset[RunMatch] = {
     implicit val matchEnc = Encoders.product[RunMatch]
     implicit val stateEnc = Encoders.product[RunDetState]
@@ -105,7 +122,7 @@ object RunDetector {
             batch.foreach { e =>
               val t = us(e.ts)
               // 1. a non-run event closes the open run (maximal-run island)
-              if (!runTypes.contains(e.event_type)) {
+              if (!runPred(e)) {
                 open.foreach { o =>
                   if (o.count >= minLen && maxLen.forall(o.count <= _))
                     pending = PendingRun(o.count, o.start, o.end) :: pending
@@ -117,7 +134,7 @@ object RunDetector {
               //    or its clock proves a window can no longer be met
               pending = pending.flatMap { p =>
                 val end = us(p.end)
-                if (followTypes.contains(e.event_type) && t > end &&
+                if (followPred(e) && t > end &&
                     t <= end + withinUs) {
                   out += RunMatch(user, p.count, p.start, p.end, Some(e.ts))
                   Nil
@@ -128,7 +145,7 @@ object RunDetector {
                 } else List(p)
               }
               // 3. a run event extends or opens the run
-              if (runTypes.contains(e.event_type)) {
+              if (runPred(e)) {
                 open = open match {
                   case Some(o) => Some(OpenRun(o.count + 1, o.start, e.ts))
                   case None    => Some(OpenRun(1, e.ts, e.ts))

@@ -849,6 +849,45 @@ class CepSqlSpec extends SparkSpec {
     assert(gotRows.nonEmpty)
   }
 
+  test("absence after a quantified chain == anti join on the run prefix (r8)") {
+    Tables.load(spark, sf)
+    val got = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click{2,} THEN NOT purchase
+         WITHIN '24' HOURS)
+         PARTITION BY user_id""")
+    assert(got.columns.toSeq ===
+      Seq("user_id", "id_1", "len_2", "ts_1", "ts_2"))
+    // the quantified prefixes (signup → first qualifying click run)
+    // split EXACTLY into completed (the mid-times key's statement) and
+    // absent (this one) on the anchor id — same identity the r6 plain
+    // 3-step absence test pins, now over a quantified prefix
+    val full = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click{2,} THEN purchase
+         WITHIN '24' HOURS)
+         PARTITION BY user_id""")
+    val prefix = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click{2,} WITHIN '24' HOURS)
+         PARTITION BY user_id""")
+    val gotIds = got.select("id_1").collect().map(_.getLong(0)).toSet
+    val fullIds = full.select("id_1").collect().map(_.getLong(0)).toSet
+    val prefIds = prefix.select("id_1").collect().map(_.getLong(0)).toSet
+    assert(gotIds.intersect(fullIds).isEmpty)
+    assert(gotIds.union(fullIds) === prefIds)
+    assert(gotIds.nonEmpty, "fixture must produce unconverted prefixes")
+    // and the prefix rows carried into the absence output are unchanged
+    val gotPref = got.collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    val prefRows = prefix.collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    gotPref.foreach { case (id1, len2) =>
+      assert(prefRows(id1) === len2,
+        s"absence row for anchor $id1 must carry the prefix run length")
+    }
+  }
+
   test("parser extension: reference dialect runs via plain spark.sql") {
     Tables.load(spark, sf) // warm shared context first
     val old = spark

@@ -24,12 +24,20 @@ class RunChainSpec extends SparkSpec {
 
   private def replay(steps: Seq[(Set[String], Option[Int])],
       withinMs: Long, maxs: Seq[Option[Int]] = Nil)
+      : Set[(Long, Seq[Long], Seq[Long])] =
+    replayWhere(steps.map { case (cls, mt) =>
+      ((e: CepEvent) => cls.contains(e.event_type), mt)
+    }, withinMs, maxs)
+
+  private def replayWhere(steps: Seq[(CepEvent => Boolean, Option[Int])],
+      withinMs: Long, maxs: Seq[Option[Int]] = Nil)
       : Set[(Long, Seq[Long], Seq[Long])] = {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[CepEvent]
     val name = s"runchain_${System.nanoTime}"
     val caps = if (maxs.isEmpty) steps.map(_ => None) else maxs
-    val q = RunChainDetector.detect(stream.toDS(), steps, withinMs, caps)
+    val q = RunChainDetector.detectWhere(stream.toDS(), steps, withinMs,
+      caps)
       .writeStream.queryName(name).format("memory").outputMode("append")
       .start()
     val data = eventsDs.orderBy("ts", "event_id").collect()
@@ -109,6 +117,73 @@ class RunChainSpec extends SparkSpec {
       24L * 3600 * 1000,
       maxs = Seq(None, Some(3), None))
     assert(streamed === batch)
+  }
+
+  test("conditioned quantified step: replay == batch rewrite (r8)") {
+    // DEFINE-lite on the {m,} step: a click with value <= 20 BREAKS the
+    // run (batch's gaps-and-islands indicator is type AND condition), so
+    // batch and streaming must agree on the resulting split runs. The
+    // parquet fixture is too sparse at test scale to split a run, so the
+    // SAME crafted rows feed both engines: user 1's cheap click splits
+    // an otherwise-4-run into 1+2 (the 2-suffix matches); user 2's split
+    // leaves two 1-runs (no match); user 3's run holds intact.
+    import spark.implicits._
+    def ev(id: Long, t: String, u: Long, typ: String, v: Double) =
+      CepEvent(id, Timestamp.valueOf(t), u, typ, v)
+    val rows = Seq(
+      ev(1, "2026-01-01 00:00:00", 1, "signup", 0),
+      ev(2, "2026-01-01 00:05:00", 1, "click", 50),
+      ev(3, "2026-01-01 00:06:00", 1, "click", 5),
+      ev(4, "2026-01-01 00:07:00", 1, "click", 50),
+      ev(5, "2026-01-01 00:08:00", 1, "click", 50),
+      ev(6, "2026-01-01 00:20:00", 1, "purchase", 0),
+      ev(11, "2026-01-01 00:00:00", 2, "signup", 0),
+      ev(12, "2026-01-01 00:05:00", 2, "click", 50),
+      ev(13, "2026-01-01 00:06:00", 2, "click", 5),
+      ev(14, "2026-01-01 00:07:00", 2, "click", 50),
+      ev(15, "2026-01-01 00:20:00", 2, "purchase", 0),
+      ev(21, "2026-01-01 00:00:00", 3, "signup", 0),
+      ev(22, "2026-01-01 00:05:00", 3, "click", 30),
+      ev(23, "2026-01-01 00:06:00", 3, "click", 40),
+      ev(24, "2026-01-01 00:20:00", 3, "purchase", 0))
+    rows.toDS().createOrReplaceTempView("cond_events")
+    val pattern =
+      """SELECT * FROM cond_events
+         MATCH PATTERN (signup THEN click(value > 20){2,} THEN purchase
+         WITHIN '24' HOURS)
+         PARTITION BY user_id"""
+    val batch = CepSql.sql(spark, pattern).collect()
+      .map(r => (r.getLong(0),
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3)),
+        Seq(us(r.getTimestamp(4)), us(r.getTimestamp(5)),
+          us(r.getTimestamp(6))))).toSet
+    // users 1 (split run, 2-suffix) and 3 (intact run) — NOT user 2
+    assert(batch.map(_._1) === Set(1L, 3L),
+      s"batch must see the split-run semantics: $batch")
+    val steps = Seq(
+      ((e: CepEvent) => e.event_type == "signup", None),
+      ((e: CepEvent) => e.event_type == "click" && e.value > 20,
+        Some(2): Option[Int]),
+      ((e: CepEvent) => e.event_type == "purchase", None))
+    // replay the same rows (not the parquet fixture)
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val q = RunChainDetector.detectWhere(stream.toDS(), steps,
+        24L * 3600 * 1000, steps.map(_ => None))
+      .writeStream.queryName("cond_chain").format("memory")
+      .outputMode("append").start()
+    rows.sortBy(e => (us(e.ts), e.event_id)).grouped(4).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    stream.addData(Seq(1L, 2L, 3L).map(u => ev(-u,
+      "2031-01-01 00:00:00", u, "zz_flush", 0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cond_chain").collect().map { r =>
+      (r.getLong(0), r.getSeq[Long](1), r.getSeq[Timestamp](2).map(us))
+    }.toSet
+    assert(streamed === batch)
+    spark.catalog.dropTempView("cond_events")
   }
 
   test("alternation inside a quantified step: replay == batch rewrite") {

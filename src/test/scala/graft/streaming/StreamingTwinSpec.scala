@@ -239,6 +239,62 @@ class StreamingTwinSpec extends SparkSpec {
     assert(got.count() > 0, "expected at least one click{3,} run")
   }
 
+  test("conditioned quantified run == batch rewrite (r8)") {
+    // DEFINE-lite on a {m,} head: a click with value <= 20 BREAKS the
+    // run (the batch indicator is type AND condition), and a purchase
+    // must satisfy ITS condition to resolve a pending run. The parquet
+    // fixture is too sparse at test scale to split a run, so the SAME
+    // crafted rows feed both engines: user 1's cheap purchase closes
+    // but does not resolve (the expensive one does); user 2's cheap
+    // click splits the run into two non-qualifying 1-runs; user 3's
+    // follow lands outside the window (no row in the non-absent form).
+    implicit val sq = spark.sqlContext
+    def ev(id: Long, t: String, u: Long, typ: String, v: Double) =
+      CepEvent(id, Timestamp.valueOf(t), u, typ, v)
+    val data = Seq(
+      ev(1, "2026-01-01 00:00:00", 1, "click", 50),
+      ev(2, "2026-01-01 00:01:00", 1, "click", 50),
+      ev(3, "2026-01-01 00:02:00", 1, "purchase", 5),
+      ev(4, "2026-01-01 00:05:00", 1, "purchase", 50),
+      ev(11, "2026-01-01 00:00:00", 2, "click", 50),
+      ev(12, "2026-01-01 00:01:00", 2, "click", 5),
+      ev(13, "2026-01-01 00:02:00", 2, "click", 50),
+      ev(14, "2026-01-01 00:05:00", 2, "purchase", 50),
+      ev(21, "2026-01-01 00:00:00", 3, "click", 30),
+      ev(22, "2026-01-01 00:01:00", 3, "click", 30),
+      ev(23, "2026-01-01 00:30:00", 3, "purchase", 50))
+    data.toDS().createOrReplaceTempView("cond_run_events")
+    val stream = MemoryStream[CepEvent]
+    val name = "twin_cond_runs"
+    val q = RunDetector.detectWhere(stream.toDS(),
+        e => e.event_type == "click" && e.value > 20, 2,
+        e => e.event_type == "purchase" && e.value > 20,
+        10L * 60 * 1000, None, None)
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    data.grouped(4).foreach { chunk =>
+      stream.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    stream.addData(Seq(1L, 2L, 3L).map(u => CepEvent(-u,
+      Timestamp.valueOf("2030-01-01 00:00:00"), u, "flush", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name)
+      .filter(col("next_follow").isNotNull)
+      .select(col("user_id"), col("run_len"), col("run_start"),
+        col("run_end"), col("next_follow").as("b_ts"))
+    val want = CepSql.sql(spark,
+      """SELECT * FROM cond_run_events
+         MATCH PATTERN (click(value > 20){2,} THEN purchase(value > 20)
+         WITHIN '10' MINUTES)
+         PARTITION BY user_id""")
+    assert(rows(got) == rows(want))
+    // exactly user 1's run resolves — proves the crafted semantics bit
+    assert(rows(want).map(_.head) == Set(1L))
+    spark.catalog.dropTempView("cond_run_events")
+  }
+
   test("as-of enrichment: streaming state == oracle-checked batch join") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[CepEvent]

@@ -470,6 +470,65 @@ class SubmitSqlSpec extends SparkSpec {
       if (q.isActive) q.stop()
       spark.catalog.dropTempView("pat_cond")
     }
+    // conditioned QUANTIFIED run (r8, previously rejected): the cheap
+    // click mid-run BREAKS it (batch gaps-and-islands indicator is type
+    // AND condition), so user 7 never accumulates a 3-run; user 8 does
+    val streamQ = MemoryStream[CepEvent]
+    streamQ.toDF().createOrReplaceTempView("pat_condq")
+    val qQ = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_condq
+         MATCH PATTERN (click(value > 10){3,} THEN purchase
+         WITHIN '30' MINUTES)
+         PARTITION BY user_id""", "svc_condq")
+    try {
+      streamQ.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "click", 50),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:01:00"), 7, "click", 5),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:02:00"), 7, "click", 50),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 00:03:00"), 7, "click", 50),
+        CepEvent(5, Timestamp.valueOf("2026-01-01 00:10:00"), 7, "purchase", 50),
+        CepEvent(6, Timestamp.valueOf("2026-01-01 00:00:00"), 8, "click", 50),
+        CepEvent(7, Timestamp.valueOf("2026-01-01 00:01:00"), 8, "click", 50),
+        CepEvent(8, Timestamp.valueOf("2026-01-01 00:02:00"), 8, "click", 50),
+        CepEvent(9, Timestamp.valueOf("2026-01-01 00:10:00"), 8, "purchase", 50))
+      qQ.processAllAvailable()
+      val gotQ = spark.table("svc_condq")
+        .select("user_id", "run_len").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(gotQ.toSeq === Seq((8L, 3L)),
+        "the below-threshold click must BREAK user 7's run")
+    } finally {
+      if (qQ.isActive) qQ.stop()
+      spark.catalog.dropTempView("pat_condq")
+    }
+    // conditioned MID-CHAIN quantifier (r8, previously rejected) →
+    // RunChainDetector predicate dispatch
+    val streamQC = MemoryStream[CepEvent]
+    streamQC.toDF().createOrReplaceTempView("pat_condqc")
+    val qQC = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_condqc
+         MATCH PATTERN (signup THEN click(value > 10){2,} THEN purchase
+         WITHIN '2' HOURS)
+         PARTITION BY user_id""", "svc_condqc")
+    try {
+      streamQC.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "signup", 0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:05:00"), 7, "click", 50),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:06:00"), 7, "click", 5),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 00:07:00"), 7, "click", 50),
+        CepEvent(5, Timestamp.valueOf("2026-01-01 00:08:00"), 7, "click", 50),
+        CepEvent(6, Timestamp.valueOf("2026-01-01 00:20:00"), 7, "purchase", 0))
+      qQC.processAllAvailable()
+      val gotQC = spark.table("svc_condqc").select("step_vals").collect()
+        .map(_.getSeq[Long](0)).toSet
+      // the cheap click 3 breaks the first run; the qualifying run is
+      // clicks 4-5 (len 2), closed and completed by the purchase
+      assert(gotQC === Set(Seq(1L, 2L, 6L)),
+        "(signup id, run len 2, purchase id) expected")
+    } finally {
+      if (qQC.isActive) qQC.stop()
+      spark.catalog.dropTempView("pat_condqc")
+    }
     // non-value columns are batch-only for streaming conditions → loud
     val stream2 = MemoryStream[CepEvent]
     stream2.toDF().createOrReplaceTempView("pat_cond2")
