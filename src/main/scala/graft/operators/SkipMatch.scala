@@ -140,17 +140,6 @@ object SkipMatch {
     Row.fromSeq(vals.toSeq)
   }
 
-  private[graft] def classMask(classes: Array[Set[String]], tpe: String)
-      : Int = {
-    var mask = 0
-    var j = 0
-    while (j < classes.length) {
-      if (classes(j).contains(tpe)) mask |= 1 << j
-      j += 1
-    }
-    mask
-  }
-
   /** `steps`: one Seq of event names per pattern step (size > 1 =
     * alternation). `conds` (r7, optional): per-step numeric condition
     * `(column, op, bound)` with op ∈ <, <=, >, >=, =, != — the step's

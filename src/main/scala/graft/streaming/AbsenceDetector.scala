@@ -20,9 +20,12 @@ case class SeenSecond(ts: Timestamp)
   * (The reference's processing-time engine could only approximate this;
   * event-time timers make it exact.) Requires the RocksDB provider.
   */
-class AbsenceProcessor(firsts: Set[String], seconds: Set[String],
-    withinMs: Long)
+class AbsenceProcessor(firstP: CepEvent => Boolean,
+    secondP: CepEvent => Boolean, withinMs: Long)
     extends StatefulProcessor[Long, CepEvent, AbsenceMatch] {
+  def this(firsts: Set[String], seconds: Set[String], withinMs: Long) =
+    this((e: CepEvent) => firsts.contains(e.event_type),
+      (e: CepEvent) => seconds.contains(e.event_type), withinMs)
   def this(first: String, second: String, withinMs: Long) =
     this(Set(first), Set(second), withinMs)
   @transient private var open: ListState[OpenFirst] = _
@@ -53,13 +56,13 @@ class AbsenceProcessor(firsts: Set[String], seconds: Set[String],
     val batch = rows.toArray.sortBy(e => (us(e.ts), e.event_id))
     batch.foreach { e =>
       val t = us(e.ts)
-      if (seconds.contains(e.event_type)) {
+      if (secondP(e)) {
         // a second cancels every open first whose window covers it
         opens = opens.filterNot(o =>
           t > us(o.ts) && t <= us(o.ts) + withinMs * 1000L)
         if (e.ts.getTime >= wmMs) secs = SeenSecond(e.ts) :: secs
       }
-      if (firsts.contains(e.event_type)) {
+      if (firstP(e)) {
         // an already-seen second inside this first's window means the
         // absence can never be confirmed — don't open it at all
         val preCancelled = secs.exists(s =>
@@ -101,12 +104,24 @@ object AbsenceDetector {
   /** Alternation form (r7): event-type classes per step. */
   def detect(events: Dataset[CepEvent], firsts: Set[String],
       seconds: Set[String], withinMs: Long, lateness: String)
+      : Dataset[AbsenceMatch] =
+    detectWhere(events, e => firsts.contains(e.event_type),
+      e => seconds.contains(e.event_type), withinMs, lateness)
+
+  /** Predicate form (r8, DEFINE-lite conditions on the absence arm):
+    * the predicates replace the class tests — only a CONDITION-SATISFYING
+    * second cancels an open first (a same-class event outside its
+    * condition is invisible, exactly like the batch anti join's
+    * `type AND cond` predicate), and only a condition-satisfying first
+    * opens a window. */
+  def detectWhere(events: Dataset[CepEvent], firstP: CepEvent => Boolean,
+      secondP: CepEvent => Boolean, withinMs: Long, lateness: String)
       : Dataset[AbsenceMatch] = {
     implicit val enc = Encoders.product[AbsenceMatch]
     implicit val keyEnc = Encoders.scalaLong
     events.withWatermark("ts", lateness)
       .groupByKey(_.user_id)
-      .transformWithState(new AbsenceProcessor(firsts, seconds, withinMs),
+      .transformWithState(new AbsenceProcessor(firstP, secondP, withinMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -50,22 +50,36 @@ object ChainAbsenceDetector {
   /** `steps`: N event-type classes; the first N-1 form the prefix chain,
     * the LAST is the absent completion. */
   def detect(events: Dataset[CepEvent], steps: Seq[Set[String]],
-      withinMs: Long, lateness: String): Dataset[ChainAbsence] = {
-    require(steps.length >= 3,
+      withinMs: Long, lateness: String): Dataset[ChainAbsence] =
+    detectWhere(events,
+      steps.map(cls => (e: CepEvent) => cls.contains(e.event_type)),
+      withinMs, lateness)
+
+  /** Predicate form (r8, DEFINE-lite conditions on the chain-absence
+    * arm): the predicates replace the class tests — a prefix step only
+    * takes a condition-satisfying event, and only a condition-satisfying
+    * completion cancels a pending prefix (a same-class event outside its
+    * condition is invisible, exactly like the batch anti join's
+    * `type AND cond` predicate). */
+  def detectWhere(events: Dataset[CepEvent],
+      preds: Seq[CepEvent => Boolean], withinMs: Long, lateness: String)
+      : Dataset[ChainAbsence] = {
+    require(preds.length >= 3,
       "chain absence needs >= 2 prefix steps + the absent step " +
         "(2-step absence is AbsenceDetector)")
-    val prefix = steps.init
-    val absent = steps.last
+    val prefix = preds.init
+    val absent = preds.last
     val n = prefix.length
     val withinUs = withinMs * 1000L
     implicit val matchEnc = Encoders.product[ChainAbsence]
     implicit val stateEnc = Encoders.product[ChainAbsState]
     implicit val keyEnc = Encoders.scalaLong
 
-    // type-pruned before the shuffle: only pattern-relevant events carry
-    // state (the filter pushes to the source in a real deployment)
-    val allTypes = steps.flatten.toSet
-    events.filter(e => allTypes.contains(e.event_type))
+    // pattern-pruned before the shuffle: only events some step predicate
+    // accepts carry state. Safe for PLAIN chains (non-matching events
+    // are skipped over, never run-breakers) — quantified chains, where
+    // any event breaks a run, never route here.
+    events.filter(e => preds.exists(_(e)))
       .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[ChainAbsState, ChainAbsence](
@@ -85,7 +99,7 @@ object ChainAbsenceDetector {
             val batch = it.toArray.sortBy(e => (us(e.ts), e.event_id))
             batch.foreach { e =>
               val t = us(e.ts)
-              if (absent.contains(e.event_type)) {
+              if (absent(e)) {
                 // a completion cancels every pending prefix whose tail
                 // precedes it inside the window
                 pending = pending.filterNot { case (_, st, last) =>
@@ -96,7 +110,7 @@ object ChainAbsenceDetector {
               // advance prefix partials (greedy-first, PatternMatch rules)
               partials = partials.flatMap { case p @ (ids, st, last) =>
                 val next = ids.length
-                if (next < n && prefix(next).contains(e.event_type) &&
+                if (next < n && prefix(next)(e) &&
                     t > us(last) && t <= us(st) + withinUs) {
                   val ids2 = e.event_id :: ids
                   if (ids2.length == n) {
@@ -109,7 +123,7 @@ object ChainAbsenceDetector {
                   } else List((ids2, st, e.ts))
                 } else List(p)
               }
-              if (prefix.head.contains(e.event_type))
+              if (prefix.head(e))
                 partials = (List(e.event_id), e.ts, e.ts) :: partials
             }
           }

@@ -120,13 +120,14 @@ object ContinuousQueries {
     val classes = spec.steps.map(_.events.toSet)
     val quantifiedTail = spec.steps.tail.exists(_.minTimes.isDefined)
     // step conditions (r7 DEFINE-lite): streaming evaluates them on the
-    // converter schema, so only the `value` column is available. The
-    // plain-chain arms take them via predicate dispatch, and since r8 so
-    // do the quantified-run and quantified-chain arms (a
-    // condition-failing event of the run's class BREAKS the run, exactly
-    // like the batch gaps-and-islands indicator); the remaining
-    // set-based arms (absence/chain-absence/skip) stay batch-only with
-    // conditions
+    // converter schema, so only the `value` column is available. Since
+    // r8 EVERY arm takes them via predicate dispatch — each detector's
+    // class test generalized to the full step predicate: on quantified
+    // arms a condition-failing event of the run's class BREAKS the run
+    // (the batch gaps-and-islands indicator); on absence/skip arms a
+    // same-class event outside its condition is invisible (the batch
+    // `type AND cond` anti-join/mask predicate). PERMUTE steps carry no
+    // conditions by grammar.
     val hasCond = spec.steps.exists(_.cond.isDefined)
     spec.steps.flatMap(_.cond).foreach { c =>
       if (!c.col.equalsIgnoreCase("value"))
@@ -151,10 +152,6 @@ object ContinuousQueries {
           e => cls.contains(e.event_type) && cmp(e.value)
       }
     }
-    def requireCondFree(arm: String): Unit =
-      if (hasCond) throw new IllegalArgumentException(
-        s"step conditions on the $arm form have no streaming detector " +
-          "— run the batch rewrite via CepSql.sql")
     val out: DataFrame =
       if (spec.permute) {
         // PERMUTE(a, b) (r7): union of the two directional CepSequence
@@ -170,8 +167,8 @@ object ContinuousQueries {
         leg(ca, cb, spec.steps.head.event)
           .union(leg(cb, ca, spec.steps.last.event))
       } else if (spec.skipPast) {
-        requireCondFree("SKIP PAST LAST ROW")
-        SkipDetector.detect(src, classes, spec.withinMs, Some(lateness))
+        SkipDetector.detectWhere(src, spec.steps.map(stepPred),
+          spec.withinMs, Some(lateness))
       } else if (quantifiedTail ||
           (spec.steps.head.minTimes.isDefined && spec.steps.length != 2)) {
         // generalized quantified chain (r7) → RunChainDetector. Two
@@ -254,9 +251,8 @@ object ContinuousQueries {
             (Seq(col("user_id"), col("step_ids"), col("start_ts"),
               col("end_ts")) ++ mcols): _*)
         case None if spec.steps.length == 2 && spec.absent =>
-          requireCondFree("absence")
-          AbsenceDetector.detect(src, classes.head, classes.last,
-            spec.withinMs, lateness).toDF()
+          AbsenceDetector.detectWhere(src, stepPred(spec.steps.head),
+            stepPred(spec.steps.last), spec.withinMs, lateness).toDF()
         case None if spec.steps.length == 2 && !hasCond =>
           CepSequence.detect(srcWm, classes.head, classes.last,
             spec.withinMs).toDF()
@@ -265,9 +261,8 @@ object ContinuousQueries {
             throw new IllegalArgumentException(
               "optional steps in an absence pattern have no streaming " +
                 "detector — run the batch rewrite via CepSql.sql")
-          requireCondFree("chain-absence")
-          ChainAbsenceDetector.detect(src, classes, spec.withinMs,
-            lateness).toDF()
+          ChainAbsenceDetector.detectWhere(src, spec.steps.map(stepPred),
+            spec.withinMs, lateness).toDF()
         case None if spec.steps.exists(_.optional) =>
           // optional-step chains (r7): per-event skip decision, so the
           // same predicate dispatch streams them (value-col conditions

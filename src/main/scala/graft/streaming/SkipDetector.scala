@@ -46,11 +46,31 @@ object SkipDetector {
     * Output rows: (user_id, id_1…id_n, ts_1…ts_n), the
     * [[graft.operators.SkipMatch]] schema. */
   def detect(events: Dataset[CepEvent], steps: Seq[Set[String]],
-      withinMs: Long, watermarkDelay: Option[String] = None): DataFrame = {
-    require(steps.length >= 2, "a pattern needs at least 2 steps")
-    val n = steps.length
-    val classes = steps.toArray
-    val allTypes = classes.flatten.toSet
+      withinMs: Long, watermarkDelay: Option[String] = None): DataFrame =
+    detectWhere(events,
+      steps.map(cls => (e: CepEvent) => cls.contains(e.event_type)),
+      withinMs, watermarkDelay)
+
+  /** Predicate form (r8, DEFINE-lite conditions on the skip-past arm):
+    * the step bitmask is computed from the predicates (bit j = predicate
+    * j accepts the event), so a same-class event outside its condition
+    * is invisible to step j — exactly [[SkipMatch.matchChain]]'s
+    * `type AND cond` mask; the greedy core is shared unchanged. */
+  def detectWhere(events: Dataset[CepEvent],
+      preds: Seq[CepEvent => Boolean], withinMs: Long,
+      watermarkDelay: Option[String] = None): DataFrame = {
+    require(preds.length >= 2, "a pattern needs at least 2 steps")
+    val n = preds.length
+    val predArr = preds.toArray
+    def maskOf(e: CepEvent): Int = {
+      var mask = 0
+      var j = 0
+      while (j < n) {
+        if (predArr(j)(e)) mask |= 1 << j
+        j += 1
+      }
+      mask
+    }
     val withinUs = withinMs * 1000L
     val wmEnabled = watermarkDelay.isDefined && events.isStreaming
 
@@ -58,7 +78,9 @@ object SkipDetector {
     implicit val rowEnc = Encoders.row(SkipMatch.outSchema("user_id", n))
     implicit val keyEnc = Encoders.scalaLong
 
-    val src0 = events.filter(e => allTypes.contains(e.event_type))
+    // mask-0 events are skipped by every greedyScan check — pruning them
+    // before the shuffle is semantics-free, like matchChain's type filter
+    val src0 = events.filter(e => maskOf(e) != 0)
     val src = if (wmEnabled) src0.withWatermark("ts", watermarkDelay.get)
               else src0
     val timeoutConf = if (wmEnabled) GroupStateTimeout.EventTimeTimeout()
@@ -74,8 +96,7 @@ object SkipDetector {
           val fresh = if (state.hasTimedOut) Nil else it.map { e =>
             val t = us(e.ts)
             if (t > batchMax) batchMax = t
-            SkipBufEvent(e.event_id, e.ts,
-              SkipMatch.classMask(classes, e.event_type))
+            SkipBufEvent(e.event_id, e.ts, maskOf(e))
           }.toList
           // INCLUSIVE horizon: greedyScan finalizes tsUs <= horizon.
           // Safe at the exact boundary because Spark drops late rows at

@@ -44,6 +44,52 @@ class AbsenceSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("conditioned absence == batch conditioned anti join (r8)") {
+    // DEFINE-lite on the cancelling step: only a purchase above 50
+    // cancels — a cheap purchase is invisible, exactly the batch anti
+    // join's `type AND cond` predicate
+    val s2 = spark.newSession()
+    StreamingConf.applyTo(s2)
+    implicit val sq = s2.sqlContext
+    import s2.implicits._
+    val stream = MemoryStream[CepEvent]
+    val name = "absence_cond"
+    val q = AbsenceDetector.detectWhere(stream.toDS(),
+        e => e.event_type == "signup",
+        e => e.event_type == "purchase" && e.value > 50,
+        30L * 60 * 1000, "0 seconds")
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    val data = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as(org.apache.spark.sql.Encoders.product[CepEvent])
+      .orderBy("ts", "event_id").collect()
+    data.grouped(math.max(1, data.length / 5)).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    stream.addData(CepEvent(-1L, Timestamp.valueOf("2030-01-01 00:00:00"),
+      -1L, "flush", 0.0))
+    q.processAllAvailable()
+    stream.addData(CepEvent(-2L, Timestamp.valueOf("2030-01-02 00:00:00"),
+      -1L, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = s2.table(name).select("user_id", "sid", "s_ts")
+      .collect().map(_.toSeq).toSet
+    Tables.load(spark, sf)
+    val wantDf = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN NOT purchase(value > 50)
+         WITHIN '30' MINUTES)
+         PARTITION BY user_id""")
+    val want = wantDf.select("user_id", "sid", "s_ts")
+      .collect().map(_.toSeq).toSet
+    // the condition must bite: more absences than the unconditioned form
+    val uncond = graft.SparkEntry.queries("q_cep_absence")(spark, sf).count()
+    assert(want.size > uncond, "conditioned absences must be a superset")
+    assert(got == want && got.nonEmpty)
+  }
+
   test("late first whose second was already processed emits NO absence") {
     val s2 = spark.newSession()
     StreamingConf.applyTo(s2)

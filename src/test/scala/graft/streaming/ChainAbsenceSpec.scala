@@ -60,4 +60,58 @@ class ChainAbsenceSpec extends SparkSpec {
       }.toSet
     assert(streamed === batch)
   }
+
+  test("conditioned replay == batch chain-absence rewrite (r8)") {
+    // DEFINE-lite on prefix AND absent steps: only a click above 20
+    // advances the prefix, and only a purchase above 50 cancels — a
+    // cheap purchase is invisible, exactly the batch anti join's
+    // `type AND cond` predicate
+    Tables.load(spark, sf)
+    val batch = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click(value > 20)
+         THEN NOT purchase(value > 50) WITHIN '24' HOURS)
+         PARTITION BY user_id""")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        us(r.getTimestamp(3)), us(r.getTimestamp(4)))).toSet
+    assert(batch.nonEmpty, "fixture must exercise the conditioned path")
+    // the conditions must change the answer vs the unconditioned form
+    val uncond = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click THEN NOT purchase
+         WITHIN '24' HOURS)
+         PARTITION BY user_id""").count()
+    assert(uncond != batch.size,
+      "conditions must bite on the fixture or this test proves nothing")
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"chain_abs_cond_${System.nanoTime}"
+    val q = ChainAbsenceDetector.detectWhere(stream.toDS(),
+        Seq((e: CepEvent) => e.event_type == "signup",
+          (e: CepEvent) => e.event_type == "click" && e.value > 20,
+          (e: CepEvent) => e.event_type == "purchase" && e.value > 50),
+        24L * 3600 * 1000, "0 seconds")
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq)
+      q.processAllAvailable()
+    }
+    stream.addData(CepEvent(-1L,
+      Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "signup", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name)
+      .filter($"user_id" =!= -1L)
+      .collect()
+      .map { r =>
+        val ids = r.getSeq[Long](1)
+        (r.getLong(0), ids.head, ids(1),
+          us(r.getTimestamp(2)), us(r.getTimestamp(3)))
+      }.toSet
+    assert(streamed === batch)
+  }
 }

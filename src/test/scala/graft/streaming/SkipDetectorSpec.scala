@@ -73,6 +73,38 @@ class SkipDetectorSpec extends SparkSpec {
       batchWant.sortBy(_.toString))
   }
 
+  test("conditioned replay == batch operator with conds (r8)") {
+    // DEFINE-lite on the pick step: a purchase at or below 50 is
+    // invisible to step 2 (the batch matchChain mask is type AND cond),
+    // which shifts greedy consumption — parity must hold exactly
+    val conds = Seq(None, Some(("value", ">", 50.0)))
+    val want = SkipMatch.matchChain(Tables.table(spark, sf, "events"),
+        steps.map(_.toSeq), withinMs, conds = conds)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty, "fixture must produce conditioned matches")
+    assert(want.length != batchWant.length,
+      "the condition must bite on the fixture")
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"skip_cond_${System.nanoTime}"
+    val q = SkipDetector.detectWhere(stream.toDS(),
+        Seq((e: CepEvent) => e.event_type == "signup",
+          (e: CepEvent) => e.event_type == "purchase" && e.value > 50),
+        withinMs, Some("0 seconds"))
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    eventsDs.orderBy("ts", "event_id").collect().grouped(200).foreach { c =>
+      stream.addData(c.toSeq)
+      q.processAllAvailable()
+    }
+    stream.addData(sentinel)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).filter($"user_id" =!= -1L)
+    assert(got.collect().map(_.toSeq).toSeq.sortBy(_.toString) ===
+      want.sortBy(_.toString))
+  }
+
   test("exact-boundary pick is immutable: Spark drops late rows at ts <= wm") {
     // The inclusive finalization horizon (commit picks with ts <= wm)
     // is safe ONLY because Spark's stateful late-row predicate drops

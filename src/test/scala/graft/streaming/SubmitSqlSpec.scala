@@ -529,6 +529,76 @@ class SubmitSqlSpec extends SparkSpec {
       if (qQC.isActive) qQC.stop()
       spark.catalog.dropTempView("pat_condqc")
     }
+    // conditioned ABSENCE (r8, previously rejected): only a purchase
+    // satisfying the condition cancels — user 7's cheap purchase is
+    // invisible, so the absence still emits; user 8's expensive one
+    // cancels. The absence arm rides transformWithState, which needs
+    // the RocksDB provider → own session (like AbsenceSpec).
+    locally {
+      val sA = spark.newSession()
+      StreamingConf.applyTo(sA)
+      val streamA = MemoryStream[CepEvent](
+        org.apache.spark.sql.Encoders.product[CepEvent], sA.sqlContext)
+      streamA.toDF().createOrReplaceTempView("pat_conda")
+      val qA = ContinuousQueries.submitPattern(sA,
+        """SELECT * FROM pat_conda
+           MATCH PATTERN (signup THEN NOT purchase(value > 100)
+           WITHIN '30' MINUTES)
+           PARTITION BY user_id""", "svc_conda")
+      try {
+        streamA.addData(
+          CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "signup", 0),
+          CepEvent(2, Timestamp.valueOf("2026-01-01 00:05:00"), 7, "purchase", 20),
+          CepEvent(3, Timestamp.valueOf("2026-01-01 00:00:00"), 8, "signup", 0),
+          CepEvent(4, Timestamp.valueOf("2026-01-01 00:05:00"), 8, "purchase", 150))
+        qA.processAllAvailable()
+        // two far-future rounds: advance the watermark, then fire timers
+        streamA.addData(
+          CepEvent(9, Timestamp.valueOf("2026-01-02 00:00:00"), 99, "view", 0))
+        qA.processAllAvailable()
+        streamA.addData(
+          CepEvent(10, Timestamp.valueOf("2026-01-02 00:00:01"), 99, "view", 0))
+        qA.processAllAvailable()
+        val gotA = sA.table("svc_conda").select("user_id", "sid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(gotA === Set((7L, 1L)),
+          "a below-threshold purchase must NOT cancel the absence")
+      } finally {
+        if (qA.isActive) qA.stop()
+        sA.catalog.dropTempView("pat_conda")
+      }
+    }
+    // conditioned SKIP PAST LAST ROW (r8, previously rejected): the
+    // cheap purchase is invisible to step 2, so the greedy match takes
+    // the expensive one and consumes it
+    val streamS = MemoryStream[CepEvent]
+    streamS.toDF().createOrReplaceTempView("pat_conds")
+    val qS = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_conds
+         MATCH PATTERN (signup THEN purchase(value > 100)
+         WITHIN '30' MINUTES)
+         PARTITION BY user_id
+         AFTER MATCH SKIP PAST LAST ROW""", "svc_conds")
+    try {
+      streamS.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "signup", 0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:05:00"), 7, "purchase", 20),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:10:00"), 7, "purchase", 150),
+        // pattern-TYPE sentinel: the predicate pre-filter drops foreign
+        // types before the watermark, so the sentinel must pass step 1
+        CepEvent(9, Timestamp.valueOf("2026-01-02 00:00:00"), 99, "signup", 0))
+      qS.processAllAvailable()
+      streamS.addData(
+        CepEvent(10, Timestamp.valueOf("2026-01-02 00:00:01"), 99, "signup", 0))
+      qS.processAllAvailable()
+      val gotS = spark.table("svc_conds").select("id_1", "id_2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotS === Set((1L, 3L)),
+        "the conditioned pick must skip the cheap purchase")
+    } finally {
+      if (qS.isActive) qS.stop()
+      spark.catalog.dropTempView("pat_conds")
+    }
     // non-value columns are batch-only for streaming conditions → loud
     val stream2 = MemoryStream[CepEvent]
     stream2.toDF().createOrReplaceTempView("pat_cond2")
@@ -540,14 +610,6 @@ class SubmitSqlSpec extends SparkSpec {
              PARTITION BY user_id""", "svc_badcol")
       }
       assert(eCol.getMessage.contains("value column only"))
-      // conditions on the absence arm are batch-only → loud
-      val eAbsCond = intercept[IllegalArgumentException] {
-        ContinuousQueries.submitPattern(spark,
-          """SELECT * FROM pat_cond2
-             MATCH PATTERN (a THEN NOT b(value > 1) WITHIN '1' MINUTES)
-             PARTITION BY user_id""", "svc_badabscond")
-      }
-      assert(eAbsCond.getMessage.contains("no streaming detector"))
     } finally spark.catalog.dropTempView("pat_cond2")
   }
 
