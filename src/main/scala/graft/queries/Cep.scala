@@ -533,11 +533,12 @@ object Cep {
     // quantified prefix exactly like q_pattern_mid_times (gaps-and-
     // islands runs + rank-1 join) and replaces the completion's rank-1
     // join with a LEFT ANTI JOIN — both pieces already existed; this
-    // key pins their combination. Streaming stays loudly batch-routed
-    // (a run's maximality plus an absence verdict would need two
-    // nested watermark horizons). Scale shape: the runs subquery is one
-    // window pass + one agg; the anti join shuffles on the key like
-    // every absence form.
+    // key pins their combination. The statement also STREAMS via
+    // submitPattern → RunChainDetector.detectAbsent (run tracking +
+    // watermark-timer verdicts; RunChainSpec pins replay ≡ this
+    // batch rewrite). Scale shape: the runs subquery is one window
+    // pass + one agg; the anti join shuffles on the key like every
+    // absence form.
     "q_pattern_qabs" -> ((s, dir) => {
       graft.Tables.load(s, dir)
       graft.streaming.CepSql.sql(s,

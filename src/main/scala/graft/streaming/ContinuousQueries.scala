@@ -85,10 +85,11 @@ object ContinuousQueries {
     *
     * Alternation steps (`click|view`, r7) dispatch through every arm —
     * the detectors take event-type classes. Quantified chains (`{m,}`
-    * beyond the 2-step head form) dispatch to [[RunChainDetector]];
-    * the two remaining batch-only forms — absence after a quantified
-    * chain, and a quantified step overlapping its predecessor's class —
-    * are rejected loudly with a pointer to [[CepSql.sql]].
+    * beyond the 2-step head form) dispatch to [[RunChainDetector]], and
+    * since r8 `THEN NOT` after a quantified prefix dispatches to
+    * [[RunChainDetector.detectAbsent]]; the one remaining batch-only
+    * form — a quantified step overlapping its predecessor's class — is
+    * rejected loudly with a pointer to [[CepSql.sql]].
     *
     * The source view must be a STREAMING view with the events-table
     * converter schema `(event_id, ts, user_id, event_type, value)` and
@@ -171,16 +172,12 @@ object ContinuousQueries {
           spec.withinMs, Some(lateness))
       } else if (quantifiedTail ||
           (spec.steps.head.minTimes.isDefined && spec.steps.length != 2)) {
-        // generalized quantified chain (r7) → RunChainDetector. Two
-        // batch-only carve-outs, rejected loudly: absence after a
-        // quantified chain, and a quantified step whose class overlaps
-        // its predecessor's (the predecessor's matched event would
-        // belong to the run in the batch's GLOBAL gaps-and-islands,
-        // which a per-partial streaming tracker cannot see).
-        if (spec.absent)
-          throw new IllegalArgumentException(
-            "THEN NOT after a quantified chain has no streaming " +
-              "detector — run the batch rewrite via CepSql.sql")
+        // generalized quantified chain (r7) → RunChainDetector. One
+        // batch-only carve-out, rejected loudly: a quantified step whose
+        // class overlaps its predecessor's (the predecessor's matched
+        // event would belong to the run in the batch's GLOBAL
+        // gaps-and-islands, which a per-partial streaming tracker
+        // cannot see).
         spec.steps.sliding(2).foreach { pair =>
           if (pair.length == 2 && pair.last.minTimes.isDefined &&
               pair.head.events.toSet.intersect(
@@ -197,9 +194,17 @@ object ContinuousQueries {
         // ride the same predicate dispatch as plain chains: a
         // condition-failing event of the run's class BREAKS the run,
         // exactly like the batch gaps-and-islands indicator.
-        RunChainDetector.detectWhere(srcWm,
-          spec.steps.map(s => (stepPred(s), s.minTimes)),
-          spec.withinMs, spec.steps.map(_.maxTimes)).toDF()
+        if (spec.absent)
+          // THEN NOT after the quantified prefix (r8): the detector
+          // watermarks the input itself (timer-driven verdicts)
+          RunChainDetector.detectAbsent(src,
+            spec.steps.init.map(s => (stepPred(s), s.minTimes)),
+            spec.withinMs, spec.steps.init.map(_.maxTimes),
+            stepPred(spec.steps.last), lateness).toDF()
+        else
+          RunChainDetector.detectWhere(srcWm,
+            spec.steps.map(s => (stepPred(s), s.minTimes)),
+            spec.withinMs, spec.steps.map(_.maxTimes)).toDF()
       } else spec.steps.head.minTimes match {
         case Some(mt) =>
           // conditions (r8) ride predicate dispatch — see the

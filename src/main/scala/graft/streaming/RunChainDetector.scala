@@ -20,7 +20,20 @@ case class RunChainPartial(vals: List[Long], tss: List[Timestamp],
     anchorTs: Timestamp, prevTs: Timestamp,
     runStart: Timestamp, runLast: Timestamp, runLen: Long)
 
-case class RunChainState(partials: List[RunChainPartial])
+/** A completed prefix awaiting its absence verdict (absent mode only):
+  * vals/tss in chain order; `start` = ts_1 (window anchor), `end` =
+  * the prefix's last matched time (cancellers must be strictly after). */
+case class RunChainPending(vals: List[Long], tss: List[Timestamp],
+    start: Timestamp, end: Timestamp)
+
+/** `pending`/`cancels` are used by the absent mode only (empty lists
+  * otherwise): completed prefixes held for the watermark verdict, and
+  * completion-class events retained for late-completing prefixes
+  * (pruned to the lateness horizon, [[ChainAbsenceDetector]]'s
+  * discipline). */
+case class RunChainState(partials: List[RunChainPartial],
+    pending: List[RunChainPending] = Nil,
+    cancels: List[Timestamp] = Nil)
 
 /** Streaming quantified chains (r7): `MATCH PATTERN` chains with `{m,}`
   * on any step — the last pattern form [[ContinuousQueries.submitPattern]]
@@ -45,8 +58,8 @@ case class RunChainState(partials: List[RunChainPartial])
   * run could yet qualify. State per key is O(open partials), each
   * carrying one open run at most — bounded for unbounded streams.
   *
-  * Scope: non-absent chains (`THEN NOT` + quantifiers elsewhere remains
-  * batch-only). RunChainSpec pins replay ≡ the batch rewrite. */
+  * `THEN NOT` after a quantified prefix streams via [[detectAbsent]]
+  * (r8). RunChainSpec pins replay ≡ the batch rewrite for both. */
 object RunChainDetector {
   private def us(t: Timestamp): Long =
     t.getTime / 1000 * 1000000L + t.getNanos / 1000
@@ -82,6 +95,37 @@ object RunChainDetector {
   def detectWhere(events: Dataset[CepEvent],
       steps: Seq[(CepEvent => Boolean, Option[Int])], withinMs: Long,
       maxTimes: Seq[Option[Int]])
+      : Dataset[RunChainMatch] =
+    core(events, steps, withinMs, maxTimes, None)
+
+  /** Absence after a quantified chain (r8): `steps` is the PREFIX
+    * (>= 2 steps, >= 1 quantifier, predicate form); a match is a fully
+    * completed prefix with NO `absentP` event in
+    * `(prefix end, ts_1 + within]` — the batch `translateChain` absent
+    * rewrite's anti join after the quantified rank-1 prefix.
+    *
+    * Composes the quantified-prefix machinery above with
+    * [[ChainAbsenceDetector]]'s verdict discipline: a completed prefix
+    * is held PENDING; a condition-satisfying completion cancels it; the
+    * verdict "nothing arrived" is only provable by the WATERMARK
+    * crossing `ts_1 + within`, so emission is timer-driven
+    * (EventTimeTimeout) and the input is watermarked here with
+    * `lateness`. Completion-class events at or above the watermark are
+    * retained so a prefix that COMPLETES late (its run's closing event
+    * arrives within the lateness bound) is pre-cancelled by a
+    * completion processed earlier. The same event may close a run,
+    * complete the prefix, and cancel it — handled by checking the
+    * staged completions against the current event before they pend. */
+  def detectAbsent(events: Dataset[CepEvent],
+      steps: Seq[(CepEvent => Boolean, Option[Int])], withinMs: Long,
+      maxTimes: Seq[Option[Int]], absentP: CepEvent => Boolean,
+      lateness: String): Dataset[RunChainMatch] =
+    core(events.withWatermark("ts", lateness), steps, withinMs, maxTimes,
+      Some(absentP))
+
+  private def core(events: Dataset[CepEvent],
+      steps: Seq[(CepEvent => Boolean, Option[Int])], withinMs: Long,
+      maxTimes: Seq[Option[Int]], absentP: Option[CepEvent => Boolean])
       : Dataset[RunChainMatch] = {
     require(maxTimes.length == steps.length,
       "one maxTimes entry per step (None = uncapped)")
@@ -93,14 +137,28 @@ object RunChainDetector {
     implicit val matchEnc = Encoders.product[RunChainMatch]
     implicit val stateEnc = Encoders.product[RunChainState]
     implicit val keyEnc = Encoders.scalaLong
+    val timeoutConf =
+      if (absentP.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
 
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[RunChainState, RunChainMatch](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (user: Long, it: Iterator[CepEvent], state: GroupState[RunChainState]) =>
-          var partials = state.getOption.map(_.partials).getOrElse(Nil)
+          val prev = state.getOption.getOrElse(RunChainState(Nil))
+          var partials = prev.partials
+          var pending = prev.pending
+          val wmMsOpt =
+            scala.util.Try(state.getCurrentWatermarkMs()).toOption
+          val wmMs = wmMsOpt.getOrElse(0L)
+          // cancels bounded by the lateness horizon: any future prefix
+          // completion ends above the watermark, and its cancellers sit
+          // beyond that
+          var cancels = prev.cancels.filter(_.getTime >= wmMs)
           val out = List.newBuilder[RunChainMatch]
-          val batch = it.toArray.sortBy(e => (us(e.ts), e.event_id))
+          val batch =
+            if (state.hasTimedOut) Array.empty[CepEvent]
+            else it.toArray.sortBy(e => (us(e.ts), e.event_id))
           var maxTs = 0L
 
           def windowEnd(p: RunChainPartial): Long =
@@ -108,15 +166,25 @@ object RunChainDetector {
             // end = ts_1, which is tss.last once step 1 is matched
             us(if (p.tss.isEmpty) p.anchorTs else p.tss.last) + withinUs
 
+          // prefixes completed while processing the CURRENT event
+          // (absent mode only) — staged so the event's own cancel check
+          // runs before they pend
+          var completedNow: List[RunChainPending] = Nil
+
           // advance `p` with a completed QUALIFYING run (or plain event):
-          // returns the advanced partial, emitting when the chain is done
+          // returns the advanced partial; a finished chain emits (stages,
+          // in absent mode)
           def advance(p: RunChainPartial, v: Long, ts: Timestamp)
               : Option[RunChainPartial] = {
             val vals2 = v :: p.vals
             val tss2 = ts :: p.tss
             if (vals2.length == n) {
-              out += RunChainMatch(user, vals2.reverse, tss2.reverse,
-                tss2.last, ts)
+              if (absentP.isDefined)
+                completedNow = RunChainPending(vals2.reverse, tss2.reverse,
+                  tss2.last, ts) :: completedNow
+              else
+                out += RunChainMatch(user, vals2.reverse, tss2.reverse,
+                  tss2.last, ts)
               None
             } else Some(RunChainPartial(vals2, tss2, p.anchorTs, ts,
               null, null, 0L))
@@ -124,6 +192,17 @@ object RunChainDetector {
 
           batch.foreach { e =>
             val t = us(e.ts)
+            completedNow = Nil
+            // absent mode: a completion-class event cancels every pending
+            // prefix whose window covers it (strictly after the prefix
+            // end, like the batch anti join's b.ts > ts_np)
+            absentP.foreach { ap =>
+              if (ap(e)) {
+                pending = pending.filterNot(p =>
+                  t > us(p.end) && t <= us(p.start) + withinUs)
+                if (e.ts.getTime >= wmMs) cancels = e.ts :: cancels
+              }
+            }
             if (t > maxTs) maxTs = t
             partials = partials.flatMap { p =>
               val step = p.vals.length // 0-based index of the awaited step
@@ -201,6 +280,19 @@ object RunChainDetector {
                       prevTs = new Timestamp(0L)) :: partials
               }
             }
+            // absent mode: stage the prefixes completed AT this event —
+            // dead on arrival when the current event or a remembered
+            // completion already cancels them (a run-closing canceller
+            // completes the prefix and kills it in one stroke; the
+            // cancels memory covers prefixes completing late)
+            absentP.foreach { ap =>
+              val live = completedNow.filterNot { p =>
+                (ap(e) && t > us(p.end) && t <= us(p.start) + withinUs) ||
+                  cancels.exists(c => us(c) > us(p.end) &&
+                    us(c) <= us(p.start) + withinUs)
+              }
+              pending = live ::: pending
+            }
           }
 
           // prune: a partial whose window the horizon has passed can only
@@ -214,8 +306,30 @@ object RunChainDetector {
             p.runStart != null ||
               (p.tss.nonEmpty && windowEnd(p) >= horizon)
           }
-          if (partials.isEmpty) state.remove()
-          else state.update(RunChainState(partials))
+          // absent mode: watermark-proven absences emit (timer-driven or
+          // piggybacked on an input batch). Inclusive <=: Spark drops
+          // stateful late rows at ts <= watermark, so once wm >=
+          // ts_1+within no admissible canceller can still arrive (see
+          // ChainAbsenceDetector's boundary note).
+          absentP.foreach { _ =>
+            val wmUs = wmMs * 1000L
+            val (due, keep) = pending.partition(p =>
+              us(p.start) + withinUs <= wmUs)
+            due.sortBy(p => (us(p.start), p.vals.head)).foreach { p =>
+              out += RunChainMatch(user, p.vals, p.tss, p.start, p.end)
+            }
+            pending = keep
+          }
+          if (partials.isEmpty && pending.isEmpty && cancels.isEmpty)
+            state.remove()
+          else {
+            state.update(RunChainState(partials, pending, cancels))
+            if (absentP.isDefined && pending.nonEmpty) {
+              val nextMs = pending
+                .map(p => (us(p.start) + withinUs) / 1000L + 1).min
+              state.setTimeoutTimestamp(math.max(nextMs, wmMs + 1))
+            }
+          }
           out.result().iterator
       }
   }

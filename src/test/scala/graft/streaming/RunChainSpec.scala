@@ -186,6 +186,53 @@ class RunChainSpec extends SparkSpec {
     spark.catalog.dropTempView("cond_events")
   }
 
+  test("absence after a quantified chain: replay == batch q_pattern_qabs (r8)") {
+    // the q_pattern_qabs statement (oracle-checked in batch) replayed
+    // through detectAbsent must produce the identical absence set
+    Tables.load(spark, sf)
+    val batch = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click{2,} THEN NOT purchase
+         WITHIN '24' HOURS)
+         PARTITION BY user_id""")
+      .collect()
+      .map(r => (r.getLong(0), Seq(r.getLong(1), r.getLong(2)),
+        Seq(us(r.getTimestamp(3)), us(r.getTimestamp(4))))).toSet
+    assert(batch.nonEmpty, "fixture must produce unconverted prefixes")
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"runchain_abs_${System.nanoTime}"
+    val q = RunChainDetector.detectAbsent(stream.toDS(),
+        Seq(((e: CepEvent) => e.event_type == "signup", None),
+          ((e: CepEvent) => e.event_type == "click", Some(2): Option[Int])),
+        24L * 3600 * 1000, Seq(None, None),
+        (e: CepEvent) => e.event_type == "purchase", "0 seconds")
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq)
+      q.processAllAvailable()
+    }
+    // two far-future rounds: the first closes every run and advances
+    // the watermark, the second fires the verdict timers it armed
+    stream.addData(CepEvent(-1L,
+      Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "zz_flush", 0.0))
+    q.processAllAvailable()
+    stream.addData(CepEvent(-2L,
+      Timestamp.valueOf("2031-01-02 00:00:00"), -1L, "zz_flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name)
+      .filter(org.apache.spark.sql.functions.col("user_id") =!= -1L)
+      .collect().map { r =>
+        (r.getLong(0), r.getSeq[Long](1),
+          r.getSeq[Timestamp](2).map(us))
+      }.toSet
+    assert(streamed === batch)
+  }
+
   test("alternation inside a quantified step: replay == batch rewrite") {
     Tables.load(spark, sf)
     val batch = CepSql.sql(spark,

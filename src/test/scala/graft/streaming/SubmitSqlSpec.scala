@@ -364,14 +364,45 @@ class SubmitSqlSpec extends SparkSpec {
            PARTITION BY user_id""", "svc_badovl")
     }
     assert(eOvl.getMessage.contains("overlaps"))
-    // ...and absence after a quantified chain is batch-only → loud
-    val eQAbs = intercept[IllegalArgumentException] {
-      ContinuousQueries.submitPattern(spark,
-        """SELECT * FROM pat_events2
-           MATCH PATTERN (a THEN b{2,} THEN NOT c WITHIN '1' MINUTES)
-           PARTITION BY user_id""", "svc_badqabs")
+    // absence after a quantified chain (r8, previously rejected) →
+    // RunChainDetector.detectAbsent: user 7's completed signup→2-click
+    // prefix has no purchase → absence once the watermark proves it;
+    // user 8's identical prefix is cancelled by its purchase
+    val streamQA = MemoryStream[CepEvent]
+    streamQA.toDF().createOrReplaceTempView("pat_qabs")
+    val qQA = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_qabs
+         MATCH PATTERN (signup THEN click{2,} THEN NOT purchase
+         WITHIN '2' HOURS)
+         PARTITION BY user_id""", "svc_qabs")
+    try {
+      streamQA.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "signup", 0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:05:00"), 7, "click", 0),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:10:00"), 7, "click", 0),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 00:20:00"), 7, "view", 0),
+        CepEvent(5, Timestamp.valueOf("2026-01-01 00:00:00"), 8, "signup", 0),
+        CepEvent(6, Timestamp.valueOf("2026-01-01 00:05:00"), 8, "click", 0),
+        CepEvent(7, Timestamp.valueOf("2026-01-01 00:10:00"), 8, "click", 0),
+        CepEvent(8, Timestamp.valueOf("2026-01-01 00:20:00"), 8, "view", 0),
+        CepEvent(9, Timestamp.valueOf("2026-01-01 00:30:00"), 8, "purchase", 0))
+      qQA.processAllAvailable()
+      // two far-future rounds: advance the watermark, then fire timers
+      streamQA.addData(
+        CepEvent(20, Timestamp.valueOf("2026-01-02 00:00:00"), 99, "view", 0))
+      qQA.processAllAvailable()
+      streamQA.addData(
+        CepEvent(21, Timestamp.valueOf("2026-01-02 00:00:01"), 99, "view", 0))
+      qQA.processAllAvailable()
+      val gotQA = spark.table("svc_qabs")
+        .select("user_id", "step_vals").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+      assert(gotQA === Set((7L, Seq(1L, 2L))),
+        "(signup id, run len) for the unconverted prefix only")
+    } finally {
+      if (qQA.isActive) qQA.stop()
+      spark.catalog.dropTempView("pat_qabs")
     }
-    assert(eQAbs.getMessage.contains("quantified chain"))
     // NOT after a multi-step chain → ChainAbsenceDetector (r7): the
     // matched signup→click prefix with no purchase emits once the
     // watermark proves the window empty
