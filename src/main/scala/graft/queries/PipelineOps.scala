@@ -120,6 +120,44 @@ object PipelineOps {
         .orderBy("o_orderpriority")
     }),
 
+    // DSIR-style importance weight (Xie et al. 2023, arXiv:2302.03169 —
+    // public): rank raw docs by how target-like their unigram
+    // distribution is. Target = the 'en' slice (the curated side); raw
+    // = the whole corpus. log w(x) = Σ_w c_w(x)·(log p_t(w) − log
+    // p_r(w)) with add-1 smoothing over the SHARED vocabulary, so every
+    // raw word has a finite target probability. Cross-engine float
+    // discipline = q_lm_score's: logs of exact-integer ratios, the sum
+    // rounded at 4 dp. Scale: the model is vocab-bounded (two hash aggs
+    // over the token stream + one scalar-stats row broadcast); scoring
+    // is one join of per-doc word counts against the broadcast-sized
+    // model — no all-pairs, no collect.
+    "q_dsir_weight" -> ((s, dir) => {
+      // cache: wc feeds the raw model, the target model, AND the scorer
+      val wc = graft.Caching.cache(
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(toks(col("text"))).as("w"))
+          .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("c")))
+      val raw = wc.groupBy("w").agg(sum("c").as("rc"))
+      val tgt = wc.filter(col("lang") === "en")
+        .groupBy("w").agg(sum("c").as("tc"))
+      val m0 = raw.join(tgt, Seq("w"), "left")
+        .select(col("w"), col("rc"),
+          coalesce(col("tc"), lit(0L)).as("tc"))
+      val stats = m0.agg(sum("rc").as("nr"), sum("tc").as("nt"),
+        count(lit(1)).as("v"))
+      val model = m0.crossJoin(broadcast(stats))
+        .select(col("w"),
+          (log((col("tc") + 1).cast("double") / (col("nt") + col("v"))) -
+            log((col("rc") + 1).cast("double") / (col("nr") + col("v"))))
+            .as("llr"))
+      wc.join(model, Seq("w"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"),
+          fround(sum(col("c") * col("llr")), 4).as("log_weight"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sampling: per-language keep rates
     // (en 50%, de 25%, others 10%) decided by an md5-derived uniform
     // bucket over (doc_id, lang) — reproducible across runs, engines,
@@ -203,6 +241,28 @@ object PipelineOps {
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_dsir_weight" ->
+      """WITH tok AS (
+           SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         wc AS (
+           SELECT doc_id, lang, w, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+         raw AS (SELECT w, sum(c) AS rc FROM wc GROUP BY 1),
+         tgt AS (SELECT w, sum(c) AS tc FROM wc WHERE lang = 'en'
+                 GROUP BY 1),
+         m0 AS (
+           SELECT raw.w, rc, coalesce(tc, 0) AS tc
+           FROM raw LEFT JOIN tgt ON raw.w = tgt.w),
+         st AS (SELECT sum(rc) AS nr, sum(tc) AS nt, count(*) AS v
+                FROM m0),
+         model AS (
+           SELECT w, ln((tc + 1.0) / (nt + v)) - ln((rc + 1.0) / (nr + v))
+             AS llr
+           FROM m0, st)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           floor(sum(c * llr) * 10000 + 0.5) / 10000 AS log_weight
+         FROM wc JOIN model USING (w)
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_sample_strat" ->
       """WITH b AS (
            SELECT doc_id, lang,

@@ -170,6 +170,40 @@ object VectorOps {
         .select(col("label"), col("pos").cast("long").as("pos"),
           col("c"), col("n"))
         .orderBy("label", "pos")
+    }),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public): semantic
+    // dedup INSIDE coarse clusters. Cluster = label (the deterministic
+    // coarse-quantizer stand-in q_ann_ivf established); within each
+    // cluster, pairs whose 4-dp-rounded cosine clears the threshold
+    // form the semantic-dup graph; connected components name each
+    // group's min-id representative, and every vector reports its
+    // representative + a keep flag — the frame a curation pass deletes
+    // against. The threshold (0.35) sits at the fixture's 99.9th
+    // within-cluster percentile so real groups form; rounding BEFORE
+    // the comparison keeps the boundary decision bit-identical across
+    // engines (the shared fround discipline). Scale: clustering first
+    // bounds the all-pairs term per cluster — the paper's own argument
+    // — and components is the same O(diameter) loop as q_dedup_resolve.
+    "q_semdedup" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = T(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("ia"), col("label"),
+        col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("ib"), col("label").as("lb"),
+        col("embedding").as("vb"))
+      val pairs = a.join(b, col("label") === col("lb") &&
+          col("ia") < col("ib"))
+        .filter(fround(cos("va", "vb"), 4) >= 0.35)
+        .select(col("ia"), col("ib"))
+      val res = graft.operators.Components.resolveDuplicates(pairs)
+      e.select(col("vec_id"))
+        .join(res, col("vec_id") === col("id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("keeper"), col("vec_id")).as("rep_id"))
+        .withColumn("keep",
+          (col("rep_id") === col("vec_id")).cast("long"))
+        .orderBy("vec_id")
     })
   )
 
@@ -317,6 +351,37 @@ object VectorOps {
              / 10000 AS c,
            count(*) AS n
          FROM embeddings, (SELECT unnest(range(64)) AS i) i
-         GROUP BY label, i.i ORDER BY label, pos"""
+         GROUP BY label, i.i ORDER BY label, pos""",
+    "q_semdedup" ->
+      """WITH RECURSIVE p AS (
+           SELECT a.vec_id AS ia, b.vec_id AS ib,
+             a.embedding AS va, b.embedding AS vb
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id),
+         d AS (
+           SELECT ia, ib,
+             sum(CAST(va[i.i + 1] AS DOUBLE) * CAST(vb[i.i + 1] AS DOUBLE))
+               AS dp,
+             sum(CAST(va[i.i + 1] AS DOUBLE) * CAST(va[i.i + 1] AS DOUBLE))
+               AS na,
+             sum(CAST(vb[i.i + 1] AS DOUBLE) * CAST(vb[i.i + 1] AS DOUBLE))
+               AS nb
+           FROM p, (SELECT unnest(range(64)) AS i) i
+           GROUP BY ia, ib),
+         ed AS (
+           SELECT ia, ib FROM d
+           WHERE floor(dp / (sqrt(na) * sqrt(nb)) * 10000 + 0.5) / 10000
+                 >= 0.35),
+         e AS (SELECT ia AS a, ib AS b FROM ed
+               UNION SELECT ib, ia FROM ed),
+         reach AS (
+           SELECT DISTINCT a AS id, a AS lbl FROM e
+           UNION
+           SELECT e.a, r.lbl FROM e JOIN reach r ON r.id = e.b),
+         cc AS (SELECT id, min(lbl) AS keeper FROM reach GROUP BY id)
+         SELECT v.vec_id, coalesce(cc.keeper, v.vec_id) AS rep_id,
+           CAST(coalesce(cc.keeper, v.vec_id) = v.vec_id AS BIGINT) AS keep
+         FROM embeddings v LEFT JOIN cc ON cc.id = v.vec_id
+         ORDER BY v.vec_id"""
   )
 }

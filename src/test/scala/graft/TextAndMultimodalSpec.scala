@@ -42,6 +42,36 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(out.count() == docs.select("text").distinct().count())
   }
 
+  test("semdedup: representatives are group minima, keeps are closed (r8)") {
+    val res = SparkEntry.queries("q_semdedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(res.length === Tables.table(spark, sf, "embeddings").count(),
+      "every vector must report a representative")
+    // a representative never exceeds its member (min-id convention),
+    // keeps are exactly the self-representatives, and every named
+    // representative is itself kept (the keep-set is closed — deleting
+    // keep=0 rows never strands a group)
+    res.foreach { case (v, rep, keep) =>
+      assert(rep <= v)
+      assert((keep == 1L) === (rep == v))
+    }
+    val keeps = res.filter(_._3 == 1L).map(_._1).toSet
+    res.foreach { case (_, rep, _) => assert(keeps.contains(rep)) }
+    assert(res.exists(_._3 == 0L),
+      "fixture must produce at least one pruned semantic duplicate")
+  }
+
+  test("dsir weight ranks target-language docs above the rest (r8)") {
+    val w = SparkEntry.queries("q_dsir_weight")(spark, sf)
+    val byLang = w.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg(avg("log_weight").as("aw"))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1))).toMap
+    assert(byLang(true) > byLang(false),
+      s"en docs must average a higher importance weight: $byLang")
+    assert(w.count() === docs.count(), "every doc must be scored")
+  }
+
   test("multimodal: stub decode is partition-local, deterministic, typed") {
     val media = Multimodal.asMediaFrame(docs, "doc_id", "text", "text/plain")
     assert(media.schema.map(f => (f.name, f.dataType.typeName)) ==
