@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Components, Skew}
+import graft.operators.{Components, Packing, Skew}
 
 /** Training-data curation operators beyond TextOps' core set (SURVEY
   * §2.10): repetition-based quality filtering (Gopher-style signals from
@@ -158,6 +158,24 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Greedy sequence packing (operators/Packing.scala): whole docs
+    // first-fit into 256-token context windows, sharded lang × (doc_id
+    // mod 4) so the per-shard linear scan distributes. bin_id is the
+    // 1-based per-shard bin; the token count is the whitespace count
+    // q_token_count established. Exact integer semantics end to end —
+    // the oracle replays the same scan as a recursive CTE (rn + 1
+    // frontier join per shard), the same oracle shape q_dedup_resolve
+    // uses for its fixpoint.
+    "q_pack_greedy" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          pmod(col("doc_id"), lit(4)).cast("long").as("shard"),
+          size(toks(col("text"))).cast("long").as("n_tokens"))
+      Packing.packGreedy(d, Seq("lang", "shard"), "doc_id", "n_tokens",
+          capacity = 256L)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sampling: per-language keep rates
     // (en 50%, de 25%, others 10%) decided by an md5-derived uniform
     // bucket over (doc_id, lang) — reproducible across runs, engines,
@@ -263,6 +281,25 @@ object PipelineOps {
            floor(sum(c * llr) * 10000 + 0.5) / 10000 AS log_weight
          FROM wc JOIN model USING (w)
          GROUP BY doc_id ORDER BY doc_id""",
+    "q_pack_greedy" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, lang, doc_id % 4 AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY lang, doc_id % 4
+                                ORDER BY doc_id) AS rn
+           FROM documents),
+         p AS (
+           SELECT doc_id, lang, shard, n, rn, CAST(1 AS BIGINT) AS bin,
+             n AS fill
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.doc_id, d.lang, d.shard, d.n, d.rn,
+             CASE WHEN p.fill + d.n > 256 THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.fill + d.n > 256 THEN d.n ELSE p.fill + d.n END
+           FROM d JOIN p ON d.lang = p.lang AND d.shard = p.shard
+                        AND d.rn = p.rn + 1)
+         SELECT doc_id, lang, shard, n AS n_tokens, bin AS bin_id
+         FROM p ORDER BY doc_id""",
     "q_sample_strat" ->
       """WITH b AS (
            SELECT doc_id, lang,

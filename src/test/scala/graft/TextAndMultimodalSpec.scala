@@ -72,6 +72,39 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(w.count() === docs.count(), "every doc must be scored")
   }
 
+  test("pack_greedy: bins respect capacity, number contiguously, " +
+      "and are maximal (r8)") {
+    val out = SparkEntry.queries("q_pack_greedy")(spark, sf)
+      .select("lang", "shard", "doc_id", "n_tokens", "bin_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.length === docs.count(), "every doc must be placed")
+    out.groupBy(t => (t._1, t._2)).foreach { case (shard, rows) =>
+      val scan = rows.sortBy(_._3) // doc_id order = the visit order
+      // bins number 1..k contiguously within the shard
+      val bins = scan.map(_._5)
+      assert(bins.head == 1L && bins.zip(bins.tail).forall {
+        case (a, b) => b == a || b == a + 1 }, s"$shard: $bins")
+      val fills = scan.groupBy(_._5).toSeq.sortBy(_._1)
+        .map { case (b, rs) => (b, rs.map(_._4).sum, rs.length) }
+      fills.foreach { case (b, fill, n) =>
+        // a bin over capacity can only be a single oversized doc
+        assert(fill <= 256L || n == 1, s"$shard bin $b: fill=$fill n=$n")
+      }
+      // greedy maximality: the doc that OPENED bin b+1 must not have
+      // fit into bin b (otherwise the packing left capacity unused)
+      scan.zip(scan.tail).foreach { case (prev, cur) =>
+        if (cur._5 == prev._5 + 1) {
+          val prevFill = scan.filter(_._5 == prev._5).map(_._4).sum
+          assert(prevFill + cur._4 > 256L,
+            s"$shard: doc ${cur._3} fit in bin ${prev._5} but opened a new one")
+        }
+      }
+    }
+    assert(out.map(_._5).max > 1L, "fixture must need more than one bin")
+  }
+
   test("multimodal: stub decode is partition-local, deterministic, typed") {
     val media = Multimodal.asMediaFrame(docs, "doc_id", "text", "text/plain")
     assert(media.schema.map(f => (f.name, f.dataType.typeName)) ==

@@ -308,4 +308,26 @@ class OperatorsSpec extends SparkSpec {
         assert(a < b)
     }
   }
+
+  test("Packing.packGreedy: reset on group change, oversized doc alone, " +
+      "loud on non-long tokens (r8)") {
+    // g=a: 100+150 fill bin 1 (250<=256), 200 opens bin 2, the 300
+    // oversized doc opens bin 3 ALONE, 10 opens bin 4 (300+10 > 256).
+    // g=b: ordinals restart at 1 even when b lands in the same partition.
+    val df = Seq(
+      ("a", 1L, 100L), ("a", 2L, 150L), ("a", 3L, 200L),
+      ("a", 4L, 300L), ("a", 5L, 10L),
+      ("b", 1L, 256L), ("b", 2L, 1L)
+    ).toDF("g", "id", "n").repartition(1)
+    val got = Packing.packGreedy(df, Seq("g"), "id", "n", 256L)
+      .select("g", "id", "bin_id").as[(String, Long, Long)]
+      .collect().toSet
+    assert(got == Set(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 2L),
+      ("a", 4L, 3L), ("a", 5L, 4L), ("b", 1L, 1L), ("b", 2L, 2L)))
+    val e = intercept[IllegalArgumentException] {
+      Packing.packGreedy(df.withColumn("n", col("n").cast("int")),
+        Seq("g"), "id", "n", 256L)
+    }
+    assert(e.getMessage.contains("LongType"))
+  }
 }
