@@ -239,6 +239,38 @@ class PlanShapeSpec extends SparkSpec {
       }
   }
 
+  test("q_pack_greedy: one hash shuffle, pruned scan, no group buffering " +
+      "(r8)") {
+    val p = plan("q_pack_greedy")
+    // the ONE hashpartitioning exchange is the shard repartition; the
+    // only other exchange is the presentation orderBy's range partition
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nEx == 1, s"expected exactly 1 hash shuffle, got $nEx:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"packing must run as the O(1)-state partition scan:\n$p")
+    // column pruning must reach the scan: the key needs only
+    // doc_id/lang/text, never the full documents row
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!read.contains("n_chars") && !read.contains("quality"),
+      s"scan must prune unused document columns: $read")
+  }
+
+  test("q_semdedup pairs stay an equi join on the cluster label (r8)") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cluster pairing must join on label, never all-pairs:\n$p")
+  }
+
+  test("q_dsir_weight reuses the cached word-count frame (r8)") {
+    // wc feeds the raw model, the target model, and the scorer — without
+    // the cache the token explode + first agg would run three times
+    val p = plan("q_dsir_weight")
+    assert(p.contains("InMemoryTableScan"),
+      s"word counts must come from the cached frame:\n$p")
+    graft.Caching.releaseAll()
+  }
+
   test("every oracleSql key has a matching queries key") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
