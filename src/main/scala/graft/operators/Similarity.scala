@@ -60,6 +60,25 @@ object Similarity {
       }
     }
 
+  /** Cross-engine-derivable integer hyperplanes: component (p, j) =
+    * (first-8-hex-chars of md5("p:j") as unsigned int) mod 7 − 3, i.e.
+    * small ints in [−3, 3]. Any engine with md5 over strings rebuilds the
+    * exact planes (DuckDB: `('0x' || substr(md5(p||':'||j),1,8))::UBIGINT
+    * % 7 - 3`), which makes an LSH bucketing ORACLE-CHECKABLE — the
+    * splitmix64 float planes of [[hyperplanes]] have no SQL twin. Small
+    * integer weights lose nothing for sign-pattern LSH: only the dot's
+    * SIGN matters, and the md5 derivation is as direction-uniform as a
+    * 7-level quantization allows. */
+  def md5Planes(nPlanes: Int, dim: Int): Seq[Seq[Int]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { j =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$j".getBytes("UTF-8"))
+        val hex = d.take(4).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex, 16) % 7 - 3).toInt
+      }
+    }
+
   /** Random-hyperplane LSH bucketing: `bucket` = the sign pattern of the
     * vector against `planes` (cosine-LSH). Vectors with high cosine agree
     * on most signs, so near neighbors collide with high probability —

@@ -204,6 +204,36 @@ object VectorOps {
         .withColumn("keep",
           (col("rep_id") === col("vec_id")).cast("long"))
         .orderBy("vec_id")
+    }),
+
+    // Hyperplane-LSH bucketing, oracle-checkable twin of
+    // Similarity.lshBuckets/lshCandidates (which use splitmix64 float
+    // planes — no SQL twin): 2 tables × 8 md5-derived integer planes
+    // (Similarity.md5Planes), bucket = the 8-bit sign pattern, plus the
+    // bucket occupancy. This is the L3 scale path when no coarse
+    // quantizer exists: bucketing is pure map-side (16 codegen'd
+    // dot_products per row, one scan via stack), and the only shuffle
+    // is the occupancy count — at 100 TB candidates come from a
+    // bucket-equi self-join exactly like q_minhash_band's. The sign
+    // decision rounds the dot at 4 dp first (shared fround discipline)
+    // so the boundary bit is identical across engines.
+    "q_lsh_bucket" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val tables = 2; val bits = 8
+      val planes = graft.operators.Similarity.md5Planes(tables * bits, 64)
+      def bucket(t: Int): Column = (0 until bits).map { b =>
+        val w = planes(t * bits + b)
+        when(fround(expr(s"dot_product(embedding, " +
+          s"array(${w.mkString("D,")}D))"), 4) >= 0, lit(1L << b))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      T(s, dir, "embeddings")
+        .select(col("vec_id"), bucket(0).as("b0"), bucket(1).as("b1"))
+        .selectExpr("vec_id",
+          "stack(2, 0L, b0, 1L, b1) AS (tbl, bucket)")
+        .withColumn("n_bucket", count(lit(1))
+          .over(Window.partitionBy("tbl", "bucket")))
+        .orderBy("vec_id", "tbl")
     })
   )
 
@@ -382,6 +412,28 @@ object VectorOps {
          SELECT v.vec_id, coalesce(cc.keeper, v.vec_id) AS rep_id,
            CAST(coalesce(cc.keeper, v.vec_id) = v.vec_id AS BIGINT) AS keep
          FROM embeddings v LEFT JOIN cc ON cc.id = v.vec_id
-         ORDER BY v.vec_id"""
+         ORDER BY v.vec_id""",
+    "q_lsh_bucket" ->
+      """WITH w AS (
+           SELECT t.t, b.b, j.j,
+             CAST(CAST(('0x' || substr(md5((t.t * 8 + b.b) || ':' || j.j),
+               1, 8)) AS UBIGINT) % 7 AS BIGINT) - 3 AS wt
+           FROM (SELECT unnest(range(2)) AS t) t,
+                (SELECT unnest(range(8)) AS b) b,
+                (SELECT unnest(range(64)) AS j) j),
+         d AS (
+           SELECT e.vec_id, w.t, w.b,
+             floor(sum(CAST(e.embedding[w.j + 1] AS DOUBLE) * w.wt)
+                   * 10000 + 0.5) / 10000 AS dot
+           FROM embeddings e, w
+           GROUP BY 1, 2, 3),
+         bk AS (
+           SELECT vec_id, t,
+             CAST(sum(CASE WHEN dot >= 0 THEN 1 << b ELSE 0 END)
+               AS BIGINT) AS bucket
+           FROM d GROUP BY 1, 2)
+         SELECT vec_id, t AS tbl, bucket,
+           count(*) OVER (PARTITION BY t, bucket) AS n_bucket
+         FROM bk ORDER BY vec_id, tbl"""
   )
 }

@@ -271,6 +271,17 @@ class PlanShapeSpec extends SparkSpec {
     graft.Caching.releaseAll()
   }
 
+  test("q_lsh_bucket: bucketing is map-side — one shuffle, no join (r8)") {
+    // 16 codegen'd dot_products compute both sign patterns in the scan
+    // stage; the ONLY exchange is the occupancy window's hashpartitioning
+    // on (tbl, bucket). A join or a second hash exchange means the
+    // bucketing itself started shuffling vectors — wrong at 100 TB.
+    val p = plan("q_lsh_bucket")
+    assert(!p.contains("Join"), s"bucketing must not join:\n$p")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nEx == 1, s"expected 1 hash shuffle (occupancy), got $nEx:\n$p")
+  }
+
   test("every oracleSql key has a matching queries key") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")

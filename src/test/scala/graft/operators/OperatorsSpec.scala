@@ -254,6 +254,17 @@ class OperatorsSpec extends SparkSpec {
       s"near pairs should agree on more LSH bits: $nearAgree vs $randAgree")
   }
 
+  test("Similarity.md5Planes: deterministic small-int planes, ±3 bounded") {
+    val p1 = Similarity.md5Planes(16, 64)
+    val p2 = Similarity.md5Planes(16, 64)
+    assert(p1 == p2, "md5 planes must be deterministic")
+    assert(p1.flatten.forall(w => w >= -3 && w <= 3))
+    // the 7-level quantization must still be direction-diverse: no two
+    // planes identical, and every residue appears (md5 is uniform)
+    assert(p1.distinct.size == 16, "planes must be pairwise distinct")
+    assert(p1.flatten.toSet.size == 7, "all 7 weight levels must occur")
+  }
+
   test("Similarity.lshCandidates catches exact/near duplicates") {
     val dup = emb.limit(30).withColumn("vec_id", col("vec_id") + 100000)
     // plan construction must be LAZY: no Spark job may run until an
