@@ -176,6 +176,44 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style cross-document span dedup (Wenzek et al. 2020,
+    // arXiv:1911.00359 — public): the corpus-level twin of
+    // q_quality_gopher's WITHIN-doc repetition signals. The fixture's
+    // documents carry no newlines, so the "paragraph" unit is a fixed
+    // 10-token chunk (chunk j = tokens [10j, 10j+9], tail kept); a chunk
+    // is corpus-duplicated when its md5 occurs in MORE THAN ONE doc.
+    // Per doc: chunk count, duplicated-chunk count, 4-dp dup fraction,
+    // and the keep flag at the 30% threshold (pure integer comparison —
+    // no float boundary). Scale: chunking is map-side (slice over the
+    // split array — chunk rows, never single-token rows); the corpus
+    // side is two map-combined hash aggs + one equi-join on the chunk
+    // hash — exact dedup's sub-quadratic shape, no all-pairs anywhere.
+    "q_chunk_dedup" -> ((s, dir) => {
+      // cache: ch feeds BOTH the per-hash doc count and the per-doc
+      // rollup — uncached, each side re-reads and re-hashes the whole
+      // corpus (the q_dedup_resolve lesson; chunk rows are ~n_tokens/10
+      // per doc, far smaller than the text they replace)
+      val ch = graft.Caching.cache(T(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("w"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0),
+            floor((size(col("w")) + 9) / 10).cast("int") - 1)).as("chunk"),
+          col("w"))
+        .select(col("doc_id"), col("chunk").cast("long").as("chunk"),
+          md5(array_join(
+            slice(col("w"), col("chunk") * 10 + 1, lit(10)), " ")).as("h")))
+      val nd = ch.groupBy("h").agg(countDistinct("doc_id").as("ndocs"))
+      ch.join(nd, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("ndocs") > 1, 1)).as("dup_chunks"))
+        .withColumn("dup_frac",
+          fround(col("dup_chunks") / col("n_chunks"), 4))
+        .withColumn("keep",
+          (col("dup_chunks") * 10 <= col("n_chunks") * 3).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sampling: per-language keep rates
     // (en 50%, de 25%, others 10%) decided by an md5-derived uniform
     // bucket over (doc_id, lang) — reproducible across runs, engines,
@@ -300,6 +338,26 @@ object PipelineOps {
                         AND d.rn = p.rn + 1)
          SELECT doc_id, lang, shard, n AS n_tokens, bin AS bin_id
          FROM p ORDER BY doc_id""",
+    "q_chunk_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         ci AS (
+           SELECT doc_id, w, unnest(range((len(w) + 9) // 10)) AS chunk
+           FROM t),
+         ch AS (
+           SELECT doc_id, chunk,
+             md5(array_to_string(
+               list_slice(w, chunk * 10 + 1, chunk * 10 + 10), ' ')) AS h
+           FROM ci),
+         nd AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY 1),
+         d AS (
+           SELECT ch.doc_id, count(*) AS n_chunks,
+             count(*) FILTER (WHERE nd.ndocs > 1) AS dup_chunks
+           FROM ch JOIN nd USING (h) GROUP BY 1)
+         SELECT doc_id, n_chunks, dup_chunks,
+           floor(dup_chunks / n_chunks * 10000 + 0.5) / 10000 AS dup_frac,
+           CAST(dup_chunks * 10 <= n_chunks * 3 AS BIGINT) AS keep
+         FROM d ORDER BY doc_id""",
     "q_sample_strat" ->
       """WITH b AS (
            SELECT doc_id, lang,

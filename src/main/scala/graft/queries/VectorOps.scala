@@ -234,6 +234,57 @@ object VectorOps {
         .withColumn("n_bucket", count(lit(1))
           .over(Window.partitionBy("tbl", "bucket")))
         .orderBy("vec_id", "tbl")
+    }),
+
+    // Lloyd's k-means over the embedding column (k=4, two assignment
+    // rounds), fully deterministic: the seeds ARE vectors 0..3 (exact
+    // float values — identical in any engine), and the recomputed means
+    // are rounded at 4 dp BEFORE round 2, so the second round's inputs
+    // are bit-identical across engines. Each round collects the k×64
+    // centroid scalars to the driver (the same bounded per-round driver
+    // traffic Spark MLlib's KMeans accepts) and re-broadcasts them as
+    // LITERALS, so assignment is pure map-side: k codegen'd dot_product
+    // calls per row in the scan stage, argmin via least() over
+    // (d2, cluster) structs — the base table is never shuffled for
+    // assignment. Mean recompute is q_embed_centroid's shape: one
+    // posexplode + a map-combined (cluster, pos) aggregation. This is
+    // the coarse quantizer q_ann_ivf stubbed with labels, now as a real
+    // trained stage — and the clustering rung under SemDeDup/mixture
+    // curation at 100 TB (k and dim bounded, data side linear scans).
+    "q_kmeans" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val k = 4
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("xd"))
+      def collectCents(df: DataFrame): Seq[(Long, Seq[Double])] =
+        df.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+          .toSeq.sortBy(_._1)
+      def assign(cents: Seq[(Long, Seq[Double])]): DataFrame = {
+        val best = cents.map { case (c, cv) =>
+          val cc = cv.map(x => x * x).sum // sequential, = the kernel's order
+          struct(
+            fround(call_function("dot_product", col("xd"), col("xd"))
+              - lit(2.0) * call_function("dot_product", col("xd"), typedLit(cv))
+              + lit(cc), 4).as("d2"),
+            lit(c).as("cluster"))
+        }.reduce(least(_, _)) // struct order = (d2, cluster): min-id tiebreak
+        e.select(col("vec_id"), col("xd"),
+          best.getField("cluster").as("cluster"), best.getField("d2").as("d2"))
+      }
+      val c0 = collectCents(e.filter(col("vec_id") < k)
+        .select(col("vec_id"), col("xd")))
+      val c1 = collectCents(assign(c0)
+        .select(col("cluster"), posexplode(col("xd")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(fround(avg("x"), 4).as("cx"))
+        .groupBy("cluster")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cx")))),
+          p => p.getField("cx")).as("cv")))
+      assign(c1)
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("cluster")))
+        .select(col("vec_id"), col("cluster"), col("d2"), col("n"))
+        .orderBy("vec_id")
     })
   )
 
@@ -434,6 +485,48 @@ object VectorOps {
            FROM d GROUP BY 1, 2)
          SELECT vec_id, t AS tbl, bucket,
            count(*) OVER (PARTITION BY t, bucket) AS n_bucket
-         FROM bk ORDER BY vec_id, tbl"""
+         FROM bk ORDER BY vec_id, tbl""",
+    "q_kmeans" ->
+      """WITH i AS (SELECT unnest(range(64)) AS i),
+         c0 AS (SELECT vec_id AS c, embedding AS cv FROM embeddings
+                WHERE vec_id < 4),
+         d1 AS (
+           SELECT e.vec_id, c0.c,
+             floor((sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                      * CAST(e.embedding[i.i + 1] AS DOUBLE))
+               - 2 * sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                       * CAST(c0.cv[i.i + 1] AS DOUBLE))
+               + sum(CAST(c0.cv[i.i + 1] AS DOUBLE)
+                   * CAST(c0.cv[i.i + 1] AS DOUBLE))) * 10000 + 0.5)
+               / 10000 AS d2
+           FROM embeddings e, c0, i GROUP BY 1, 2),
+         a1 AS (
+           SELECT vec_id, c AS cluster FROM (
+             SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+             FROM d1) t WHERE rn = 1),
+         c1 AS (
+           SELECT a1.cluster AS c, i.i AS pos,
+             floor(avg(CAST(e.embedding[i.i + 1] AS DOUBLE)) * 10000 + 0.5)
+               / 10000 AS cx
+           FROM embeddings e JOIN a1 USING (vec_id) CROSS JOIN i
+           GROUP BY 1, 2),
+         cn AS (SELECT c, sum(cx * cx) AS cc FROM c1 GROUP BY 1),
+         d2r AS (
+           SELECT e.vec_id, c1.c,
+             floor((sum(CAST(e.embedding[c1.pos + 1] AS DOUBLE)
+                      * CAST(e.embedding[c1.pos + 1] AS DOUBLE))
+               - 2 * sum(CAST(e.embedding[c1.pos + 1] AS DOUBLE) * c1.cx)
+               + min(cn.cc)) * 10000 + 0.5) / 10000 AS d2
+           FROM embeddings e CROSS JOIN c1 JOIN cn ON cn.c = c1.c
+           GROUP BY 1, 2),
+         a2 AS (
+           SELECT vec_id, cluster, d2 FROM (
+             SELECT vec_id, c AS cluster, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+             FROM d2r) t WHERE rn = 1)
+         SELECT vec_id, cluster, d2,
+           count(*) OVER (PARTITION BY cluster) AS n
+         FROM a2 ORDER BY vec_id"""
   )
 }

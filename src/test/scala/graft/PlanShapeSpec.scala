@@ -282,6 +282,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(nEx == 1, s"expected 1 hash shuffle (occupancy), got $nEx:\n$p")
   }
 
+  test("q_kmeans: assignment is map-side — no join, centroids as literals " +
+    "(r8)") {
+    // both Lloyd rounds broadcast the k×64 centroids as literals, so the
+    // FINAL plan must be scan → project(least over dot_products) →
+    // window(cluster occupancy) → sort. Any Join/Generate in the returned
+    // plan means assignment started shuffling or exploding the base
+    // table — wrong at 100 TB (the recompute step's explode+agg runs in
+    // the eager per-round jobs, not here).
+    val p = plan("q_kmeans")
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+    assert(!p.contains("Generate"), s"assignment must not explode:\n$p")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nEx == 1, s"expected 1 hash shuffle (occupancy window), got " +
+      s"$nEx:\n$p")
+    graft.Caching.releaseAll()
+  }
+
+  test("q_chunk_dedup: chunk frame is cached and scanned once (r8)") {
+    // ch feeds both join sides; uncached each side re-reads and
+    // re-hashes the whole corpus. The pin: BOTH consumers read the
+    // cached chunk frame (two InMemoryTableScans — the embedded
+    // InMemoryRelation description still prints its one-time parquet
+    // build plan, which is not a second live scan), no cartesian.
+    val p = plan("q_chunk_dedup")
+    val nMem = "InMemoryTableScan".r.findAllIn(p).size
+    assert(nMem == 2, s"expected both sides on the cached chunk frame, " +
+      s"got $nMem InMemoryTableScans:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+    graft.Caching.releaseAll()
+  }
+
   test("every oracleSql key has a matching queries key") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
