@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Parameterized text-pipeline verbs (r7) behind the oracle-gated
@@ -68,5 +69,46 @@ object TextPipeline {
         (sum(col("tf") * log(col("bc").cast("double") / col("uc"))) /
           sum("tf")).as("avg_logp"))
       .orderBy("doc_id")
+  }
+
+  /** CCNet-style perplexity partition (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3 — public): score every document with the
+    * per-`groupCol` bigram LM ([[lmScore]]) and split each group into
+    * `parts` equal buckets by score — bucket 1 (CCNet's "head") holds
+    * the best-scoring docs, the last ("tail") the worst; the recipe
+    * trains on head+middle and drops tail.
+    *
+    * Ranking happens on the 4-dp ROUNDED score, so cross-engine fp
+    * summation noise collapses into ties and ties break on doc_id —
+    * the partition is deterministic. Docs with no bigrams (< 2 tokens)
+    * have no score and are excluded, as in [[lmScore]].
+    *
+    * 100 TB shape: scoring is [[lmScore]]'s plan (model tables are the
+    * vocab²-bounded small side); the split adds ONE window rank
+    * partitioned by `groupCol` — a single hash exchange, no global
+    * sort — and the arithmetic ntile shares the WindowExec pass with
+    * row_number (the builtin ntile would force a second buffer pass;
+    * measured on q_window_rank). Per-group skew note: a group is one
+    * window partition, so a 100 TB monolingual corpus should pre-split
+    * `groupCol` (e.g. lang × shard) and merge tiles arithmetically.
+    *
+    * Returns (doc_id, `groupCol`, avg_logp, bucket_id) with bucket_id
+    * in 1..parts. */
+  def ccnetSplit(docs: DataFrame, groupCol: String = "lang",
+      parts: Int = 3): DataFrame = {
+    require(parts >= 2, s"ccnetSplit needs >= 2 buckets, got $parts")
+    val scored = lmScore(docs, groupCol)
+      .select(col("doc_id"),
+        graft.queries.fround(col("avg_logp"), 4).as("avg_logp"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(desc("avg_logp"), asc("doc_id"))
+    val wFull =
+      w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored.join(docs.select("doc_id", groupCol), "doc_id")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("pc", count(lit(1)).over(wFull))
+      .withColumn("bucket_id",
+        graft.queries.arithNtile(col("rn"), col("pc"), parts))
+      .select("doc_id", groupCol, "avg_logp", "bucket_id")
   }
 }

@@ -289,6 +289,26 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // L4e — CCNet perplexity split (r8): partition each language's
+    // corpus into head/middle/tail thirds by the bigram-LM mean
+    // log-prob (q_lm_score's scorer; Wenzek et al. 2020) — the CCNet
+    // curation recipe keeps head+middle for training and drops the
+    // tail. Ranking is on the 4-dp ROUNDED score (fp noise collapses
+    // into ties, ties break on doc_id) so the partition is
+    // deterministic cross-engine; one window rank per language on top
+    // of the LM plan, ntile computed arithmetically in the same
+    // WindowExec pass.
+    "q_ccnet_split" -> ((s, dir) => {
+      graft.operators.TextPipeline.ccnetSplit(
+          T(s, dir, "documents").select("doc_id", "lang", "text"))
+        .withColumn("bucket",
+          when(col("bucket_id") === 1, "head")
+            .when(col("bucket_id") === 2, "middle")
+            .otherwise("tail"))
+        .select("doc_id", "lang", "avg_logp", "bucket_id", "bucket")
+        .orderBy("doc_id")
+    }),
+
     // L4 — tokenize + global top-20 word counts.
     "q_text_tokens" -> ((s, dir) => {
       T(s, dir, "documents")
@@ -520,6 +540,41 @@ object TextOps {
          JOIN uni ON uni.lang = b.lang
                  AND uni.w1 = string_split(b.gram, ' ')[1]
          GROUP BY b.doc_id ORDER BY b.doc_id""",
+    "q_ccnet_split" ->
+      """WITH t AS (
+           SELECT doc_id, lang, string_split(text, ' ') AS w
+           FROM documents),
+         gi AS (
+           SELECT doc_id, lang,
+             unnest(range(1, greatest(len(w), 1))) AS i, w
+           FROM t),
+         bg AS (
+           SELECT doc_id, lang,
+             array_to_string(list_slice(w, i, i + 1), ' ') AS gram
+           FROM gi),
+         big AS (SELECT lang, gram, count(*) AS bc FROM bg
+                 GROUP BY lang, gram),
+         uni AS (
+           SELECT lang, string_split(gram, ' ')[1] AS w1, count(*) AS uc
+           FROM bg GROUP BY 1, 2),
+         scored AS (
+           SELECT b.doc_id, any_value(b.lang) AS lang,
+             floor(avg(ln(CAST(big.bc AS DOUBLE) / uni.uc)) * 10000 + 0.5)
+               / 10000 AS avg_logp
+           FROM bg b
+           JOIN big ON big.lang = b.lang AND big.gram = b.gram
+           JOIN uni ON uni.lang = b.lang
+                   AND uni.w1 = string_split(b.gram, ' ')[1]
+           GROUP BY b.doc_id),
+         tiled AS (
+           SELECT doc_id, lang, avg_logp,
+             ntile(3) OVER (PARTITION BY lang
+                            ORDER BY avg_logp DESC, doc_id) AS bucket_id
+           FROM scored)
+         SELECT doc_id, lang, avg_logp, bucket_id,
+           CASE bucket_id WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+             ELSE 'tail' END AS bucket
+         FROM tiled ORDER BY doc_id""",
     "q_tfidf" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w

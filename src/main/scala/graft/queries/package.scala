@@ -13,7 +13,7 @@ package object queries {
     * averages of ints, count ratios), this formulation is bit-deterministic.
     * Every oracle uses the same floor(x*s + 0.5)/s expression.
     */
-  private[queries] def fround(c: Column, n: Int): Column = {
+  private[graft] def fround(c: Column, n: Int): Column = {
     val s = math.pow(10, n)
     floor(c * s + lit(0.5)) / s
   }

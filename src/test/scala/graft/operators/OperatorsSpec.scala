@@ -201,6 +201,41 @@ class OperatorsSpec extends SparkSpec {
     assert(gotLm === wantLm && wantLm.nonEmpty)
   }
 
+  test("TextPipeline.ccnetSplit == q_ccnet_split; parts generalize (r8)") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "lang", "text")
+    val got = TextPipeline.ccnetSplit(docs)
+      .select("doc_id", "lang", "avg_logp", "bucket_id")
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val want = graft.SparkEntry.queries("q_ccnet_split")(spark, sf)
+      .select("doc_id", "lang", "avg_logp", "bucket_id")
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(got === want && want.nonEmpty)
+
+    // ntile contract at any parts: per-group bucket sizes differ by at
+    // most 1 and earlier buckets are never smaller; and within a group
+    // every head score >= every tail score (the whole point)
+    val five = TextPipeline.ccnetSplit(docs, parts = 5)
+      .groupBy("lang", "bucket_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    five.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length == 5, s"$lang missing buckets")
+      val sizes = rows.sortBy(_._2).map(_._3)
+      assert(sizes.max - sizes.min <= 1 && sizes.sameElements(
+        sizes.sortBy(-_)), s"$lang sizes ${sizes.toSeq}")
+    }
+    val span = TextPipeline.ccnetSplit(docs)
+      .groupBy("lang", "bucket_id").agg(min("avg_logp").as("lo"),
+        max("avg_logp").as("hi"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    span.keys.map(_._1).foreach { lang =>
+      assert(span((lang, 1L))._1 >= span((lang, 2L))._2 - 1e-12 &&
+        span((lang, 2L))._1 >= span((lang, 3L))._2 - 1e-12,
+        s"$lang buckets out of order")
+    }
+  }
+
   test("ivfTopK nprobe: recall is monotone, exhaustive probe == exact (r6)") {
     val exact = Similarity.topK(spark, emb, "vec_id", "embedding", 0L, 10)
       .select("vec_id").as[Long].collect().toSet
