@@ -21,17 +21,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one table, applying the events nanos→micros fix. */
+  /** Read one table, normalizing `events.ts` to session-zoned TIMESTAMP.
+    *
+    * The driver has shipped `events.ts` in two physical forms across
+    * rounds: INT64 TIMESTAMP(NANOS) (reads as bigint under nanosAsLong;
+    * truncate to micros with INTEGER division — a double division would
+    * exceed 2^53 for 2024-era nanos and be off by 1µs on ~12% of rows vs
+    * DuckDB's truncating read) and plain TIMESTAMP(MICROS) (reads as
+    * TIMESTAMP_NTZ; reinterpret the wall clock in the UTC session zone,
+    * which is exactly DuckDB's naive read). Dispatch on the arrived type
+    * so either vintage of testdata works unchanged.
+    */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Verify/Bench create the session without this conf; runtime-set works
-    // (verified in SURVEY §7.1 M0). Harmless to set repeatedly.
+    // (verified in SURVEY §7.1 M0). Harmless to set repeatedly, and inert
+    // when the file is not NANOS-typed.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
-      // ts arrives as bigint nanos; truncate to micros with INTEGER division
-      // (`div`). A double division would exceed 2^53 for 2024-era nanos and
-      // be off by 1µs on ~12% of rows vs DuckDB's native truncating read.
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampType => df
+        case _ => // TIMESTAMP_NTZ: NTZ→TZ cast reads the wall clock in the
+          // session zone (UTC), matching DuckDB's naive timestamp read.
+          df.withColumn("ts", col("ts").cast("timestamp"))
+      }
     else df
   }
 
