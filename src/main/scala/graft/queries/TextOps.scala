@@ -441,6 +441,64 @@ object TextOps {
           octet_length(col("payload")).cast("long").as("nbytes"),
           sha2(col("payload"), 256).as("digest"))
         .orderBy("doc_id")
+    }),
+
+    // L4d — Okapi BM25 (Lucene-style +1 idf; k1=1.2, b=0.75): the
+    // retrieval scorer a curation pipeline uses for query-based corpus
+    // slicing, where q_tfidf is the raw relevance signal. Same plan
+    // shape as q_tfidf: tf and df are two hash aggregations over the
+    // token stream, doc length joins back per-doc, the corpus constants
+    // (N, avgdl) broadcast as a single row — no driver-side count(),
+    // top-50 is TakeOrdered. Every float derives from exact integer
+    // counts, so the 4-dp half-up round is cross-engine-deterministic.
+    "q_bm25" -> ((s, dir) => {
+      val (k1, b) = (1.2, 0.75)
+      val d = T(s, dir, "documents")
+      // cache: tf feeds the df branch, the dl branch, AND the final join
+      val tf = graft.Caching.cache(d.select(col("doc_id"),
+          explode(toks(lower(col("text")))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val corpus = dl.select(count(lit(1)).as("n"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val idf = log(lit(1.0) +
+        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val tfPart = col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+      tf.join(dfreq, "w").join(dl, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .withColumn("bm25", fround(idf * tfPart, 4))
+        .select("doc_id", "w", "tf", "df", "dl", "bm25")
+        .orderBy(desc("bm25"), asc("w"), asc("doc_id"))
+        .limit(50)
+    }),
+
+    // L4e — token-entropy quality filter: Shannon entropy of the
+    // per-doc token distribution, H = ln(nw) - sum(c·ln c)/nw — the
+    // low-diversity screen (boilerplate, keyword stuffing) that
+    // complements q_quality_gopher's repetition fractions. One token
+    // explode + two hash aggs, fully map-combined; the keep flag
+    // compares the ROUNDED entropy (identical in both engines) so the
+    // threshold is not a float boundary. norm_ent = H/ln(uniq) ∈ [0,1]
+    // (0 when the doc is a single repeated token).
+    "q_entropy_filter" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(lower(col("text")))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("nw"), count(lit(1)).as("uniq"),
+          sum(col("c") * log(col("c"))).as("slog"))
+        .withColumn("entropy",
+          fround(log(col("nw")) - col("slog") / col("nw"), 4))
+        .withColumn("norm_ent",
+          when(col("uniq") > 1,
+            fround(col("entropy") / log(col("uniq")), 4))
+            .otherwise(lit(0.0)))
+        .withColumn("keep", (col("entropy") >= 3.5).cast("long"))
+        .select("doc_id", "nw", "uniq", "entropy", "norm_ent", "keep")
+        .orderBy("doc_id")
     })
   )
 
@@ -689,6 +747,40 @@ object TextOps {
                 WHEN strpos('0123456789abcdef',
                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 14
                 THEN 'val' ELSE 'test' END AS split
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q_bm25" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         corpus AS (SELECT count(*) AS n,
+                      CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl)
+         SELECT tf.doc_id, tf.w, tf.tf, dfreq.df, dl.dl,
+           floor(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                 * 1e4 + 0.5) / 1e4 AS bm25
+         FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id), corpus
+         ORDER BY bm25 DESC, w, doc_id LIMIT 50""",
+    "q_entropy_filter" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           FROM documents),
+         wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw, count(*) AS uniq,
+             sum(c * ln(c)) AS slog
+           FROM wc GROUP BY 1),
+         ent AS (
+           SELECT doc_id, nw, uniq,
+             floor((ln(nw) - slog / nw) * 1e4 + 0.5) / 1e4 AS entropy
+           FROM agg)
+         SELECT doc_id, nw, uniq, entropy,
+           CASE WHEN uniq > 1
+             THEN floor(entropy / ln(uniq) * 1e4 + 0.5) / 1e4
+             ELSE 0.0 END AS norm_ent,
+           CAST(entropy >= 3.5 AS BIGINT) AS keep
+         FROM ent ORDER BY doc_id"""
   )
 }

@@ -313,6 +313,33 @@ class PlanShapeSpec extends SparkSpec {
     graft.Caching.releaseAll()
   }
 
+  test("q_bm25: cached tf feeds all three consumers; corpus broadcasts; " +
+    "top-50 is TakeOrdered (r8)") {
+    // tf feeds df, dl AND the final join — every consumer must read the
+    // cached frame, the 1-row corpus constants must broadcast (never
+    // cartesian), and the top-50 must not globally sort.
+    val p = plan("q_bm25")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      s"tf must be cached and reused by df/dl/join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus constants must broadcast, not cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must not globally sort:\n$p")
+    graft.Caching.releaseAll()
+  }
+
+  test("q_entropy_filter: two hash-agg pairs, pruned scan, no join (r8)") {
+    // explode → (doc,w) agg → per-doc agg: map-side partials on both
+    // levels, no join anywhere, and the scan reads only doc_id/text.
+    val p = plan("q_entropy_filter")
+    assert(!p.contains("Join"), s"entropy is pure aggregation:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final pairs for both agg levels:\n$p")
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!read.contains("lang") && !read.contains("url"),
+      s"scan must prune unused document columns: $read")
+  }
+
   test("every oracleSql key has a matching queries key") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
