@@ -285,6 +285,88 @@ object VectorOps {
         .withColumn("n", count(lit(1)).over(Window.partitionBy("cluster")))
         .select(col("vec_id"), col("cluster"), col("d2"), col("n"))
         .orderBy("vec_id")
+    }),
+
+    // L3e — product quantization + asymmetric distance (Jégou et al.,
+    // TPAMI 2011 — public; the FAISS IVF-PQ rung): the 64-dim vector
+    // splits into M=4 subspaces of 16 dims, each with its own K=4
+    // codebook (seeds = vectors 0..3's subvectors, one deterministic
+    // Lloyd refinement exactly like q_kmeans: means rounded at 4 dp,
+    // 4-dp-rounded d2 with min-k tiebreak). Codes are 4 small ints —
+    // 64× smaller than the float vector — and query scoring is ADC:
+    // the M×K lookup table ||q_m - c_mk||² is computed ONCE per query
+    // on the driver (256 scalars) and baked into the plan as a literal
+    // when-chain, so the scan does M lookups + adds per vector instead
+    // of 64 multiplies. Codebook training collects M×K×16 = 256 scalars
+    // per round (the same bounded driver traffic q_kmeans accepts);
+    // assignment and scoring never shuffle the base table — at 100 TB
+    // this rides an IVF cell restriction (q_ann_ivf) in front, which is
+    // exactly the billion-scale layout. Output pins codes AND the 4-dp
+    // ADC for every vector.
+    "q_ann_pq" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val M = 4; val K = 4L; val sub = 16
+      val e = graft.Caching.cache(
+        T(s, dir, "embeddings").select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("xd")))
+      // argmin-code column for subspace m against a (k → centroid) book
+      def codeCol(m: Int, book: Seq[(Long, Seq[Double])]): Column = {
+        val sl = slice(col("xd"), m * sub + 1, sub)
+        book.map { case (k, cv) =>
+          val cc = cv.map(x => x * x).sum // sequential = the kernel's order
+          struct(
+            fround(call_function("dot_product", sl, sl)
+              - lit(2.0) * call_function("dot_product", sl, typedLit(cv))
+              + lit(cc), 4).as("d2"),
+            lit(k).as("k"))
+        }.reduce(least(_, _)).getField("k") // (d2, k): min-k tiebreak
+      }
+      val seeds = e.filter(col("vec_id") < K).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+      val c0 = (0 until M).map { m =>
+        seeds.map { case (k, v) =>
+          (k, v.slice(m * sub, (m + 1) * sub)) }
+      }
+      // one Lloyd round per subspace: explode once, route each element to
+      // its subspace's assigned cluster, 4-dp-round the means (so round-2
+      // inputs are bit-identical across engines)
+      val c1rows = e.select(col("xd") +:
+          (0 until M).map(m => codeCol(m, c0(m)).as(s"k$m")): _*)
+        .select(col("k0"), col("k1"), col("k2"), col("k3"),
+          posexplode(col("xd")).as(Seq("pos", "x")))
+        .select((col("pos") / sub).cast("int").as("m"),
+          element_at(array(col("k0"), col("k1"), col("k2"), col("k3")),
+            (col("pos") / sub).cast("int") + 1).as("cl"),
+          (col("pos") % sub).as("j"), col("x"))
+        .groupBy("m", "cl", "j").agg(fround(avg("x"), 4).as("cx"))
+        .collect().map(r =>
+          ((r.getInt(0), r.getLong(1)), (r.getInt(2), r.getDouble(3))))
+      val c1 = (0 until M).map { m =>
+        c1rows.filter(_._1._1 == m).groupBy(_._1._2).map { case (k, rs) =>
+          (k, rs.map(_._2).sortBy(_._1).map(_._2).toSeq)
+        }.toSeq.sortBy(_._1)
+      }
+      // ADC lookup table: ||q_m - c_mk||² per (m, k), driver-computed
+      // from the 64 query scalars + the rounded codebook, plan-literal
+      val qv = e.filter(col("vec_id") === 0).select(col("xd"))
+        .collect()(0).getSeq[Double](0)
+      val adc = (0 until M).map { m =>
+        val qsub = qv.slice(m * sub, (m + 1) * sub)
+        val qq = qsub.map(x => x * x).sum
+        val terms = c1(m).map { case (k, cv) =>
+          val qc = qsub.zip(cv).map { case (a, b) => a * b }.sum
+          (k, qq - 2.0 * qc + cv.map(x => x * x).sum)
+        }
+        terms.tail.foldLeft(
+          when(col(s"code_$m") === terms.head._1, lit(terms.head._2))) {
+          case (acc, (k, t)) => acc.when(col(s"code_$m") === k, lit(t))
+        }
+      }.reduce(_ + _)
+      e.select(col("vec_id") +:
+          (0 until M).map(m =>
+            codeCol(m, c1(m)).cast("long").as(s"code_$m")): _*)
+        .withColumn("adc", fround(adc, 4))
+        .orderBy("vec_id")
     })
   )
 
@@ -527,6 +609,75 @@ object VectorOps {
              FROM d2r) t WHERE rn = 1)
          SELECT vec_id, cluster, d2,
            count(*) OVER (PARTITION BY cluster) AS n
-         FROM a2 ORDER BY vec_id"""
+         FROM a2 ORDER BY vec_id""",
+    "q_ann_pq" ->
+      """WITH ij AS (
+           SELECT m.m, j.j FROM (SELECT unnest(range(4)) AS m) m,
+             (SELECT unnest(range(16)) AS j) j),
+         c0 AS (SELECT vec_id AS k, embedding AS cv FROM embeddings
+                WHERE vec_id < 4),
+         d1 AS (
+           SELECT e.vec_id, ij.m, c0.k,
+             floor((sum(CAST(e.embedding[ij.m*16 + ij.j + 1] AS DOUBLE)
+                      * CAST(e.embedding[ij.m*16 + ij.j + 1] AS DOUBLE))
+               - 2 * sum(CAST(e.embedding[ij.m*16 + ij.j + 1] AS DOUBLE)
+                       * CAST(c0.cv[ij.m*16 + ij.j + 1] AS DOUBLE))
+               + sum(CAST(c0.cv[ij.m*16 + ij.j + 1] AS DOUBLE)
+                   * CAST(c0.cv[ij.m*16 + ij.j + 1] AS DOUBLE)))
+               * 10000 + 0.5) / 10000 AS d2
+           FROM embeddings e, c0, ij GROUP BY 1, 2, 3),
+         a1 AS (
+           SELECT vec_id, m, k AS cl FROM (
+             SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, k) AS rn
+             FROM d1) t WHERE rn = 1),
+         c1 AS (
+           SELECT a1.m, a1.cl, ij.j,
+             floor(avg(CAST(e.embedding[a1.m*16 + ij.j + 1] AS DOUBLE))
+                   * 10000 + 0.5) / 10000 AS cx
+           FROM embeddings e JOIN a1 USING (vec_id)
+           JOIN ij ON ij.m = a1.m
+           GROUP BY 1, 2, 3),
+         cn AS (SELECT m, cl, sum(cx * cx) AS cc FROM c1 GROUP BY 1, 2),
+         d2r AS (
+           SELECT e.vec_id, c1.m, c1.cl,
+             floor((sum(CAST(e.embedding[c1.m*16 + c1.j + 1] AS DOUBLE)
+                      * CAST(e.embedding[c1.m*16 + c1.j + 1] AS DOUBLE))
+               - 2 * sum(CAST(e.embedding[c1.m*16 + c1.j + 1] AS DOUBLE)
+                       * c1.cx)
+               + min(cn.cc)) * 10000 + 0.5) / 10000 AS d2
+           FROM embeddings e CROSS JOIN c1
+           JOIN cn ON cn.m = c1.m AND cn.cl = c1.cl
+           GROUP BY 1, 2, 3),
+         codes AS (
+           SELECT vec_id, m, cl AS code FROM (
+             SELECT vec_id, m, cl,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, cl) AS rn
+             FROM d2r) t WHERE rn = 1),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         qterm AS (
+           SELECT c1.m, c1.cl,
+             sum(CAST(q.qe[c1.m*16 + c1.j + 1] AS DOUBLE)
+               * CAST(q.qe[c1.m*16 + c1.j + 1] AS DOUBLE))
+             - 2 * sum(CAST(q.qe[c1.m*16 + c1.j + 1] AS DOUBLE) * c1.cx)
+             + sum(c1.cx * c1.cx) AS term
+           FROM c1, q GROUP BY 1, 2),
+         adc AS (
+           SELECT codes.vec_id,
+             floor(sum(qterm.term) * 10000 + 0.5) / 10000 AS adc
+           FROM codes JOIN qterm
+             ON qterm.m = codes.m AND qterm.cl = codes.code
+           GROUP BY 1),
+         cp AS (
+           SELECT vec_id,
+             max(CASE WHEN m = 0 THEN code END) AS code_0,
+             max(CASE WHEN m = 1 THEN code END) AS code_1,
+             max(CASE WHEN m = 2 THEN code END) AS code_2,
+             max(CASE WHEN m = 3 THEN code END) AS code_3
+           FROM codes GROUP BY 1)
+         SELECT cp.vec_id, code_0, code_1, code_2, code_3, adc.adc
+         FROM cp JOIN adc USING (vec_id) ORDER BY vec_id"""
   )
 }

@@ -340,6 +340,22 @@ class PlanShapeSpec extends SparkSpec {
       s"scan must prune unused document columns: $read")
   }
 
+  test("q_ann_pq: codes + ADC are map-side — no join, no explode, " +
+    "codebook and lookup table as literals (r8)") {
+    // the returned plan must be scan → project(4 argmin code chains +
+    // ADC when-chain over plan literals) → sort: any Join or Generate
+    // means scoring started shuffling or exploding the base table (the
+    // training round's explode+agg runs in the eager codebook jobs, not
+    // here). Zero hash exchanges — the only exchange is the presentation
+    // sort's range partitioning.
+    val p = plan("q_ann_pq")
+    assert(!p.contains("Join"), s"ADC scoring must not join:\n$p")
+    assert(!p.contains("Generate"), s"ADC scoring must not explode:\n$p")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nEx == 0, s"expected 0 hash shuffles, got $nEx:\n$p")
+    graft.Caching.releaseAll()
+  }
+
   test("every oracleSql key has a matching queries key") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
