@@ -80,8 +80,10 @@ object ContinuousQueries {
     *    combination routes to batch loudly)
     *  - `PERMUTE(a, b)`       → two directional [[CepSequence]]
     *    detectors unioned, tagged by the anchor's event name (r7)
-    *  - `… MEASURES fn(value)` → [[PatternMatch.detectMeasure]] (r7 —
-    *    span aggregate carried per open partial; value column only)
+    *  - `… MEASURES fn(col), ev.col, MATCH_NUMBER()` →
+    *    [[PatternMatch.detectMeasures]] (r7, generalized r8 — span
+    *    aggregates carried per open partial over ANY numeric converter
+    *    column: value, event_id, user_id)
     *
     * Alternation steps (`click|view`, r7) dispatch through every arm —
     * the detectors take event-type classes. Quantified chains (`{m,}`
@@ -130,17 +132,14 @@ object ContinuousQueries {
     // `type AND cond` anti-join/mask predicate). PERMUTE steps carry no
     // conditions by grammar.
     val hasCond = spec.steps.exists(_.cond.isDefined)
-    spec.steps.flatMap(_.cond).foreach { c =>
-      if (!c.col.equalsIgnoreCase("value"))
-        throw new IllegalArgumentException(
-          s"streaming step conditions support the value column only " +
-            s"(got '${c.col}') — run the batch rewrite via CepSql.sql")
-    }
     def stepPred(st: CepSql.PatternStep): CepEvent => Boolean = {
       val cls = st.events.toSet
       st.cond match {
         case None => e => cls.contains(e.event_type)
         case Some(c) =>
+          // any numeric converter column (r8 — was value-only); a
+          // non-numeric column throws loudly at submit time
+          val get = PatternMatch.numColumn(c.col)
           val n = c.num.toDouble
           val cmp: Double => Boolean = c.op match {
             case "<"  => _ < n
@@ -150,7 +149,7 @@ object ContinuousQueries {
             case "="  => _ == n
             case _    => _ != n
           }
-          e => cls.contains(e.event_type) && cmp(e.value)
+          e => cls.contains(e.event_type) && cmp(get(e))
       }
     }
     val out: DataFrame =
@@ -220,35 +219,32 @@ object ContinuousQueries {
           wanted.toDF()
         case None if spec.measures.nonEmpty =>
           // MEASURES (r7, list since r8): plain chains only
-          // (parse-validated); streaming reads the converter schema, so
-          // span aggregates and class references are value-column only
-          spec.measures.foreach {
-            case CepSql.SpanAgg(_, c, _)
-                if c != "*" && !c.equalsIgnoreCase("value") =>
-              throw new IllegalArgumentException(
-                s"streaming MEASURES aggregates the value column (or " +
-                  s"COUNT(*)) only — got '$c'; run the batch rewrite " +
-                  "via CepSql.sql")
-            case CepSql.ClassRef(ev, c, _, _)
-                if !c.equalsIgnoreCase("value") =>
-              throw new IllegalArgumentException(
-                s"streaming MEASURES class references read the value " +
-                  s"column only — got '$ev.$c'; run the batch rewrite " +
-                  "via CepSql.sql")
-            case _ => ()
-          }
+          // (parse-validated); span aggregates and class references read
+          // any NUMERIC converter column since r8 (value, event_id,
+          // user_id) — detectMeasures rejects the rest loudly at submit
           val det = PatternMatch.detectMeasures(srcWm,
             spec.steps.map(stepPred), spec.withinMs, spec.measures)
           // project the vals vector onto the declared aliases, casting
-          // the integer-valued measures (COUNT, MATCH_NUMBER) back to
-          // long so the streaming schema matches the batch rewrite's
+          // the integer-valued measures back to long so the streaming
+          // schema matches the batch rewrite's: COUNT, MATCH_NUMBER, and
+          // (r8) any non-AVG aggregate or class ref over an integral
+          // converter column (exact through the double carrier — ids and
+          // their span sums stay far below 2^53)
+          val intCols = Set("event_id", "user_id")
           val mcols = spec.measures.zipWithIndex.map {
             case (m, i) =>
               val c = col("vals").getItem(i)
               val typed = m match {
                 case CepSql.SpanAgg("COUNT", _, _) => c.cast("long")
                 case _: CepSql.MatchNum            => c.cast("long")
-                case _                             => c
+                case CepSql.SpanAgg(fn, cc, _)
+                    if fn != "AVG" &&
+                      intCols(cc.toLowerCase(java.util.Locale.ROOT)) =>
+                  c.cast("long")
+                case CepSql.ClassRef(_, cc, _, _)
+                    if intCols(cc.toLowerCase(java.util.Locale.ROOT)) =>
+                  c.cast("long")
+                case _ => c
               }
               typed.as(m.alias)
           }

@@ -32,17 +32,20 @@ case class MeasureState(partials: List[MeasurePartial])
 case class MeasureNMatch(user_id: Long, step_ids: Seq[Long],
     start_ts: Timestamp, end_ts: Timestamp, vals: Seq[Double])
 
-/** One open multi-measured partial: ids AND per-step captured `value`s
-  * (both reversed), anchor/last ts, and the shared span accumulators. */
-case class MeasureNPartial(ids: List[Long], cvals: List[Double],
+/** One open multi-measured partial: ids AND per-step captured column
+  * vectors (both reversed; one slot per distinct class-ref column),
+  * anchor/last ts, and the span accumulators — one sum/min/max slot per
+  * distinct aggregated column (r8: measures read ANY numeric converter
+  * column, not just `value`), one shared count. */
+case class MeasureNPartial(ids: List[Long], cvals: List[Seq[Double]],
     start: Timestamp, last: Timestamp,
-    sum: Double, cnt: Long, mn: Double, mx: Double)
+    sums: Seq[Double], cnt: Long, mns: Seq[Double], mxs: Seq[Double])
 
 /** A completed match held back for MATCH_NUMBER ordering (ids/cvals in
   * chain order). */
-case class MeasureNDone(ids: List[Long], cvals: List[Double],
+case class MeasureNDone(ids: List[Long], cvals: List[Seq[Double]],
     start: Timestamp, end: Timestamp,
-    sum: Double, cnt: Long, mn: Double, mx: Double)
+    sums: Seq[Double], cnt: Long, mns: Seq[Double], mxs: Seq[Double])
 
 /** `counter` is the last assigned match number — it must survive even
   * when no partials/done remain, or numbering would restart. */
@@ -80,6 +83,24 @@ case class OptPatternState(partials: List[OptPartial])
 object PatternMatch {
   private def us(t: Timestamp): Long =
     t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  /** Numeric accessor for a converter-schema column — the r8 lift of the
+    * value-only MEASURES restriction. `event_id`/`user_id` are exact as
+    * doubles (< 2^53); non-numeric columns (`ts`, `event_type`, anything
+    * outside the converter schema) stay batch-only, rejected loudly. */
+  private def numSel(c: String): CepEvent => Double =
+    c.toLowerCase(java.util.Locale.ROOT) match {
+      case "value"    => _.value
+      case "event_id" => _.event_id.toDouble
+      case "user_id"  => _.user_id.toDouble
+      case other => throw new IllegalArgumentException(
+        s"streaming measures/conditions read the converter schema's " +
+          s"numeric columns (value, event_id, user_id) — got '$other'; " +
+          "run the batch rewrite via CepSql.sql")
+    }
+
+  /** [[numSel]] for [[ContinuousQueries]]' step-condition dispatch. */
+  private[streaming] def numColumn(c: String): CepEvent => Double = numSel(c)
 
   /** Type-name steps (the common case). */
   def detect(events: Dataset[CepEvent], steps: Seq[String], withinMs: Long)
@@ -194,14 +215,24 @@ object PatternMatch {
       case CepSql.SpanAgg(fn, c, _) =>
         require(Set("SUM", "AVG", "MIN", "MAX", "COUNT")(fn),
           s"unsupported measure fn '$fn'")
-        require(c == "*" || c.equalsIgnoreCase("value"),
-          s"streaming span aggregates read the value column only — '$c'")
+        if (c != "*") numSel(c) // throws loudly on a non-numeric column
       case CepSql.ClassRef(_, c, step, _) =>
-        require(c.equalsIgnoreCase("value"),
-          s"streaming class references read the value column only — '$c'")
+        numSel(c)
         require(step >= 1 && step <= n, s"class-ref step $step out of range")
       case CepSql.MatchNum(_) => ()
     }
+    // one accumulator slot per DISTINCT aggregated column; one capture
+    // slot per distinct class-ref column — `MEASURES SUM(value),
+    // MAX(event_id), b.event_id` costs two agg slots + one capture slot
+    val aggCols = measures.collect {
+      case CepSql.SpanAgg(fn, c, _) if fn != "COUNT" && c != "*" =>
+        c.toLowerCase(java.util.Locale.ROOT)
+    }.distinct
+    val refCols = measures.collect { case CepSql.ClassRef(_, c, _, _) =>
+      c.toLowerCase(java.util.Locale.ROOT)
+    }.distinct
+    val aggSels = aggCols.map(numSel)
+    val refSels = refCols.map(numSel)
     val hasNum = measures.exists(_.isInstanceOf[CepSql.MatchNum])
     implicit val matchEnc = Encoders.product[MeasureNMatch]
     implicit val stateEnc = Encoders.product[MeasureNState]
@@ -212,15 +243,19 @@ object PatternMatch {
       else GroupStateTimeout.NoTimeout()
 
     def vals(d: MeasureNDone, no: Long): Seq[Double] = measures.map {
-      case CepSql.SpanAgg(fn, _, _) => fn match {
-        case "SUM" => d.sum
-        case "AVG" => d.sum / d.cnt
-        case "MIN" => d.mn
-        case "MAX" => d.mx
-        case _     => d.cnt.toDouble
-      }
-      case CepSql.ClassRef(_, _, step, _) => d.cvals(step - 1)
-      case CepSql.MatchNum(_)             => no.toDouble
+      case CepSql.SpanAgg(fn, c, _) =>
+        lazy val i = aggCols.indexOf(c.toLowerCase(java.util.Locale.ROOT))
+        fn match {
+          case "SUM" => d.sums(i)
+          case "AVG" => d.sums(i) / d.cnt
+          case "MIN" => d.mns(i)
+          case "MAX" => d.mxs(i)
+          case _     => d.cnt.toDouble
+        }
+      case CepSql.ClassRef(_, c, step, _) =>
+        d.cvals(step - 1)(
+          refCols.indexOf(c.toLowerCase(java.util.Locale.ROOT)))
+      case CepSql.MatchNum(_) => no.toDouble
     }
 
     events.groupByKey(_.user_id)
@@ -239,18 +274,21 @@ object PatternMatch {
           batch.foreach { e =>
             val t = us(e.ts)
             if (t > maxTs) maxTs = t
+            val ev = aggSels.map(_(e))
             partials = partials.flatMap { p =>
               // every event inside the open span accumulates first
-              val acc = p.copy(sum = p.sum + e.value, cnt = p.cnt + 1,
-                mn = math.min(p.mn, e.value), mx = math.max(p.mx, e.value))
+              val acc = p.copy(
+                sums = p.sums.lazyZip(ev).map(_ + _), cnt = p.cnt + 1,
+                mns = p.mns.lazyZip(ev).map(math.min),
+                mxs = p.mxs.lazyZip(ev).map(math.max))
               val next = p.ids.length
               if (next < n && steps(next)(e) &&
                   t > us(p.last) && t <= us(p.start) + withinUs) {
                 val ids2 = e.event_id :: acc.ids
-                val cv2 = e.value :: acc.cvals
+                val cv2 = refSels.map(_(e)) :: acc.cvals
                 if (ids2.length == n) {
                   val d = MeasureNDone(ids2.reverse, cv2.reverse,
-                    acc.start, e.ts, acc.sum, acc.cnt, acc.mn, acc.mx)
+                    acc.start, e.ts, acc.sums, acc.cnt, acc.mns, acc.mxs)
                   if (hasNum) done = d :: done
                   else out += MeasureNMatch(user, d.ids, d.start, d.end,
                     vals(d, 0L))
@@ -260,8 +298,9 @@ object PatternMatch {
             }
             if (steps.head(e))
               // the anchor event seeds its own partial's accumulators
-              partials = MeasureNPartial(List(e.event_id), List(e.value),
-                e.ts, e.ts, e.value, 1L, e.value, e.value) :: partials
+              partials = MeasureNPartial(List(e.event_id),
+                List(refSels.map(_(e))), e.ts, e.ts,
+                ev, 1L, ev, ev) :: partials
           }
           val horizon = scala.util.Try(state.getCurrentWatermarkMs() * 1000L)
             .getOrElse(maxTs)

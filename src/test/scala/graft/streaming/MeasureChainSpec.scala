@@ -121,4 +121,61 @@ class MeasureChainSpec extends SparkSpec {
       }.toMap
     assert(got === want)
   }
+
+  test("measures on non-value numeric columns: replay == batch (r8)") {
+    // the r8 lift of the value-only restriction: span aggregates and
+    // class refs over event_id stream with their own accumulator slots
+    // (SUM(event_id) and MIN(value) must not share state) and agree with
+    // the batch span-join rewrite on the full fixture
+    Tables.load(spark, sf)
+    val want = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN purchase WITHIN '12' HOURS)
+         PARTITION BY user_id
+         MEASURES SUM(event_id) AS se, MAX(event_id) AS mxe,
+                  MIN(value) AS mnv, signup.event_id AS s_id""")
+      .collect().map(r => Seq(r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(5), r.getLong(6), r.getDouble(7), r.getLong(8))))
+      .toMap
+    assert(want.nonEmpty, "fixture must produce matches")
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"measure_cols_${System.nanoTime}"
+    val measures = Seq(
+      CepSql.SpanAgg("SUM", "event_id", "se"),
+      CepSql.SpanAgg("MAX", "event_id", "mxe"),
+      CepSql.SpanAgg("MIN", "value", "mnv"),
+      CepSql.ClassRef("signup", "event_id", 1, "s_id"))
+    val q = PatternMatch.detectMeasures(stream.toDS(),
+        Seq((e: CepEvent) => e.event_type == "signup",
+          (e: CepEvent) => e.event_type == "purchase"),
+        12L * 3600 * 1000, measures)
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table(name).collect().map { r =>
+      val v = r.getSeq[Double](4)
+      r.getSeq[Long](1) -> ((v(0).toLong, v(1).toLong, v(2), v(3).toLong))
+    }.toMap
+    assert(got === want)
+  }
+
+  test("streaming rejects a measure column outside the converter schema " +
+    "(r8)") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val e = intercept[IllegalArgumentException] {
+      PatternMatch.detectMeasures(stream.toDS(),
+        Seq((e: CepEvent) => e.event_type == "a",
+          (e: CepEvent) => e.event_type == "b"),
+        1000L, Seq(CepSql.SpanAgg("SUM", "props", "p")))
+    }
+    assert(e.getMessage.contains("numeric columns"))
+  }
 }

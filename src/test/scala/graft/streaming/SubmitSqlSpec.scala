@@ -235,14 +235,14 @@ class SubmitSqlSpec extends SparkSpec {
       if (qN.isActive) qN.stop()
       spark.catalog.dropTempView("pat_measn")
     }
-    // ...a non-value measure column is batch-only → loud
+    // ...a measure column outside the converter schema is batch-only
     val eMeas = intercept[IllegalArgumentException] {
       ContinuousQueries.submitPattern(spark,
         """SELECT * FROM pat_events2
            MATCH PATTERN (a THEN b WITHIN '5' MINUTES) PARTITION BY user_id
            MEASURES SUM(other_col)""", "svc_badmeas")
     }
-    assert(eMeas.getMessage.contains("value column"))
+    assert(eMeas.getMessage.contains("numeric columns"))
     // PERMUTE(a, b) → two directional CepSequence legs unioned (r7):
     // user 7 matches signup→purchase, user 8 purchase→signup
     val streamP = MemoryStream[CepEvent]
@@ -630,7 +630,30 @@ class SubmitSqlSpec extends SparkSpec {
       if (qS.isActive) qS.stop()
       spark.catalog.dropTempView("pat_conds")
     }
-    // non-value columns are batch-only for streaming conditions → loud
+    // conditions on a non-value NUMERIC converter column (r8 lift):
+    // purchase(event_id >= 30) must skip the low-id purchase
+    val streamI = MemoryStream[CepEvent]
+    streamI.toDF().createOrReplaceTempView("pat_condi")
+    val qI = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_condi
+         MATCH PATTERN (signup THEN purchase(event_id >= 30)
+         WITHIN '30' MINUTES)
+         PARTITION BY user_id""", "svc_condi")
+    try {
+      streamI.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "signup", 0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:05:00"), 7, "purchase", 20),
+        CepEvent(30, Timestamp.valueOf("2026-01-01 00:10:00"), 7, "purchase", 5))
+      qI.processAllAvailable()
+      val gotI = spark.table("svc_condi").select("step_ids").collect()
+        .map(_.getSeq[Long](0)).toSet
+      assert(gotI === Set(Seq(1L, 30L)),
+        "the id-conditioned pick must skip the low-id purchase")
+    } finally {
+      if (qI.isActive) qI.stop()
+      spark.catalog.dropTempView("pat_condi")
+    }
+    // condition columns outside the converter schema are batch-only
     val stream2 = MemoryStream[CepEvent]
     stream2.toDF().createOrReplaceTempView("pat_cond2")
     try {
@@ -640,7 +663,7 @@ class SubmitSqlSpec extends SparkSpec {
              MATCH PATTERN (a THEN b(other_col > 1) WITHIN '1' MINUTES)
              PARTITION BY user_id""", "svc_badcol")
       }
-      assert(eCol.getMessage.contains("value column only"))
+      assert(eCol.getMessage.contains("numeric columns"))
     } finally spark.catalog.dropTempView("pat_cond2")
   }
 
