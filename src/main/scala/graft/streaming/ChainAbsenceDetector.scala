@@ -11,23 +11,39 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class ChainAbsence(user_id: Long, step_ids: Seq[Long],
     start_ts: Timestamp, end_ts: Timestamp)
 
-/** State: open prefix partials (ids-so-far reversed, anchor ts, last ts),
-  * completed prefixes awaiting the absence verdict, and recent
-  * completion-class events retained for late-completing prefixes. */
-case class ChainAbsState(
-    partials: List[(List[Long], Timestamp, Timestamp)],
-    pending: List[(List[Long], Timestamp, Timestamp)],
-    cancels: List[Timestamp])
+/** [[ChainAbsence]] with optional prefix steps (r8): one entry per prefix
+  * step — the matched event id/ts, or None for a skipped optional step
+  * (the streaming twin of the batch composite-pivot's typed-NULL id_i). */
+case class OptChainAbsence(user_id: Long, step_ids: Seq[Option[Long]],
+    step_ts: Seq[Option[Timestamp]], start_ts: Timestamp, end_ts: Timestamp)
 
-/** Streaming `e1 THEN e2 … THEN NOT eN` (r7) — absence after a matched
-  * multi-step prefix, the form [[ContinuousQueries.submitPattern]]
-  * previously rejected. Composes the [[PatternMatch]] prefix machinery
-  * with [[AbsenceDetector]]'s timer discipline:
+/** One open (or completed-pending) prefix partial: ids/tss so far
+  * (reversed; None marks a skipped optional step), anchor ts, last
+  * matched ts. */
+case class OptChainAbsPartial(ids: List[Option[Long]],
+    tss: List[Option[Timestamp]], start: Timestamp, last: Timestamp)
+
+/** State: open prefix partials, completed prefixes awaiting the absence
+  * verdict, and recent completion-class events retained for
+  * late-completing prefixes. */
+case class OptChainAbsState(partials: List[OptChainAbsPartial],
+    pending: List[OptChainAbsPartial], cancels: List[Timestamp])
+
+/** Streaming `e1 THEN e2 … THEN NOT eN` (r7; optional mid-prefix steps
+  * since r8) — absence after a matched multi-step prefix, the form
+  * [[ContinuousQueries.submitPattern]] previously rejected. Composes the
+  * [[PatternMatch]] prefix machinery with [[AbsenceDetector]]'s timer
+  * discipline:
   *
   *  - the N-1-step prefix advances greedily exactly like PatternMatch
   *    (every `e1` anchors a partial; each partial takes the FIRST event
   *    of its next class with strictly increasing ts, all inside
-  *    `start + within`);
+  *    `start + within`); when the awaited step is OPTIONAL, the next
+  *    step's class may claim the event instead, skipping the optional
+  *    step (regex-scan greedy: the optional class is tried first, so an
+  *    event in both classes counts as the optional match — the exact
+  *    per-event decision [[PatternMatch.detectOpt]] makes, and the
+  *    streaming twin of the batch composite-pivot rewrite);
   *  - a completed prefix becomes PENDING; any `eN` event with
   *    `last_ts < ts <= start + within` cancels it (no absence);
   *  - the verdict "nothing arrived" is only provable by the WATERMARK
@@ -40,9 +56,10 @@ case class ChainAbsState(
   *    late-first memory AbsenceDetector keeps.
   *
   * Batch twin: the `translateChain` absent rewrite (anti join after the
-  * chained rank-1 prefix); ChainAbsenceSpec pins replay ≡ batch. State
-  * per key is O(open partials + pending windows + lateness-bounded
-  * cancels) — bounded for unbounded streams. */
+  * chained rank-1 prefix, composite pivots for optional steps);
+  * ChainAbsenceSpec pins replay ≡ batch. State per key is O(open
+  * partials + pending windows + lateness-bounded cancels) — bounded for
+  * unbounded streams. */
 object ChainAbsenceDetector {
   private def us(t: Timestamp): Long =
     t.getTime / 1000 * 1000000L + t.getNanos / 1000
@@ -64,15 +81,36 @@ object ChainAbsenceDetector {
   def detectWhere(events: Dataset[CepEvent],
       preds: Seq[CepEvent => Boolean], withinMs: Long, lateness: String)
       : Dataset[ChainAbsence] = {
+    implicit val matchEnc = Encoders.product[ChainAbsence]
+    detectOptWhere(events, preds, Seq.fill(preds.length)(false),
+      withinMs, lateness)
+      .map(a => ChainAbsence(a.user_id, a.step_ids.map(_.get),
+        a.start_ts, a.end_ts))
+  }
+
+  /** Optional-step form (r8): `optional(i)` marks preds(i) optional.
+    * Callers guarantee the [[CepSql.parsePattern]] shape — the anchor,
+    * the prefix's last step, and the absent step are concrete, and
+    * optional steps are never consecutive (so a skipped step's successor
+    * is concrete). */
+  def detectOptWhere(events: Dataset[CepEvent],
+      preds: Seq[CepEvent => Boolean], optional: Seq[Boolean],
+      withinMs: Long, lateness: String): Dataset[OptChainAbsence] = {
     require(preds.length >= 3,
       "chain absence needs >= 2 prefix steps + the absent step " +
         "(2-step absence is AbsenceDetector)")
+    require(optional.length == preds.length, "one optional flag per step")
+    require(!optional.head, "the anchor step must be concrete")
+    require(!optional.last && !optional(preds.length - 2),
+      "the absent step and the prefix's last step must be concrete")
+    require(!optional.sliding(2).exists(p => p.forall(identity)),
+      "consecutive optional steps are not supported")
     val prefix = preds.init
     val absent = preds.last
     val n = prefix.length
     val withinUs = withinMs * 1000L
-    implicit val matchEnc = Encoders.product[ChainAbsence]
-    implicit val stateEnc = Encoders.product[ChainAbsState]
+    implicit val matchEnc = Encoders.product[OptChainAbsence]
+    implicit val stateEnc = Encoders.product[OptChainAbsState]
     implicit val keyEnc = Encoders.scalaLong
 
     // pattern-pruned before the shuffle: only events some step predicate
@@ -82,10 +120,11 @@ object ChainAbsenceDetector {
     events.filter(e => preds.exists(_(e)))
       .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[ChainAbsState, ChainAbsence](
+      .flatMapGroupsWithState[OptChainAbsState, OptChainAbsence](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (user: Long, it: Iterator[CepEvent], state: GroupState[ChainAbsState]) =>
-          val prev = state.getOption.getOrElse(ChainAbsState(Nil, Nil, Nil))
+        (user: Long, it: Iterator[CepEvent],
+            state: GroupState[OptChainAbsState]) =>
+          val prev = state.getOption.getOrElse(OptChainAbsState(Nil, Nil, Nil))
           var partials = prev.partials
           var pending = prev.pending
           val wmMs = state.getCurrentWatermarkMs()
@@ -93,7 +132,7 @@ object ChainAbsenceDetector {
           // completion has last_ts > wm, and its cancellers have ts
           // beyond that
           var cancels = prev.cancels.filter(_.getTime >= wmMs)
-          val out = List.newBuilder[ChainAbsence]
+          val out = List.newBuilder[OptChainAbsence]
 
           if (!state.hasTimedOut) {
             val batch = it.toArray.sortBy(e => (us(e.ts), e.event_id))
@@ -102,29 +141,47 @@ object ChainAbsenceDetector {
               if (absent(e)) {
                 // a completion cancels every pending prefix whose tail
                 // precedes it inside the window
-                pending = pending.filterNot { case (_, st, last) =>
-                  t > us(last) && t <= us(st) + withinUs
+                pending = pending.filterNot { p =>
+                  t > us(p.last) && t <= us(p.start) + withinUs
                 }
                 if (e.ts.getTime >= wmMs) cancels = e.ts :: cancels
               }
-              // advance prefix partials (greedy-first, PatternMatch rules)
-              partials = partials.flatMap { case p @ (ids, st, last) =>
-                val next = ids.length
-                if (next < n && prefix(next)(e) &&
-                    t > us(last) && t <= us(st) + withinUs) {
-                  val ids2 = e.event_id :: ids
+              // advance prefix partials (greedy-first, PatternMatch
+              // rules; per-event optional-skip decision, detectOpt rules)
+              partials = partials.flatMap { p =>
+                val next = p.ids.length
+                val inWin = next < n &&
+                  t > us(p.last) && t <= us(p.start) + withinUs
+                // steps consumed by this event, in CHAIN order (the skip
+                // case consumes two: the skipped optional as None, then
+                // the successor's pick) — Nil = no move
+                val take: List[(Option[Long], Option[Timestamp])] =
+                  if (!inWin) Nil
+                  else if (prefix(next)(e))
+                    List((Some(e.event_id), Some(e.ts)))
+                  else if (optional(next) && next + 1 < n &&
+                      prefix(next + 1)(e))
+                    List((None, None), (Some(e.event_id), Some(e.ts)))
+                  else Nil
+                if (take.isEmpty) List(p)
+                else {
+                  val ids2 = take.map(_._1) reverse_::: p.ids
+                  val tss2 = take.map(_._2) reverse_::: p.tss
                   if (ids2.length == n) {
                     // completed prefix: pre-cancelled if a completion
                     // inside (e.ts, st + within] was already processed
                     val preCancelled = cancels.exists(c =>
-                      us(c) > t && us(c) <= us(st) + withinUs)
-                    if (!preCancelled) pending = (ids2, st, e.ts) :: pending
+                      us(c) > t && us(c) <= us(p.start) + withinUs)
+                    if (!preCancelled)
+                      pending = OptChainAbsPartial(ids2, tss2,
+                        p.start, e.ts) :: pending
                     Nil
-                  } else List((ids2, st, e.ts))
-                } else List(p)
+                  } else List(OptChainAbsPartial(ids2, tss2, p.start, e.ts))
+                }
               }
               if (prefix.head(e))
-                partials = (List(e.event_id), e.ts, e.ts) :: partials
+                partials = OptChainAbsPartial(List(Some(e.event_id)),
+                  List(Some(e.ts)), e.ts, e.ts) :: partials
             }
           }
 
@@ -140,26 +197,25 @@ object ChainAbsenceDetector {
           // the watermark are kept; that premise is false. The timer
           // path's +1ms is merely conservative (one extra tick), kept
           // as is.
-          val (due, keep) = pending.partition { case (_, st, _) =>
-            us(st) + withinUs <= wmUs
+          val (due, keep) = pending.partition { p =>
+            us(p.start) + withinUs <= wmUs
           }
-          due.sortBy { case (ids, st, _) => (us(st), ids.last) }
-            .foreach { case (ids, st, last) =>
-              out += ChainAbsence(user, ids.reverse, st, last)
+          due.sortBy(p => (us(p.start), p.ids.last.get))
+            .foreach { p =>
+              out += OptChainAbsence(user, p.ids.reverse, p.tss.reverse,
+                p.start, p.last)
             }
           pending = keep
           // prune partials whose window can no longer complete
-          partials = partials.filter { case (_, st, _) =>
-            us(st) + withinUs >= wmUs
-          }
+          partials = partials.filter(p => us(p.start) + withinUs >= wmUs)
 
           if (partials.isEmpty && pending.isEmpty && cancels.isEmpty)
             state.remove()
           else {
-            state.update(ChainAbsState(partials, pending, cancels))
+            state.update(OptChainAbsState(partials, pending, cancels))
             if (pending.nonEmpty) {
               val nextMs = pending
-                .map { case (_, st, _) => (us(st) + withinUs) / 1000L + 1 }
+                .map(p => (us(p.start) + withinUs) / 1000L + 1)
                 .min
               state.setTimeoutTimestamp(math.max(nextMs, wmMs + 1))
             }

@@ -76,8 +76,9 @@ object ContinuousQueries {
     *  - `… AFTER MATCH SKIP PAST LAST ROW` → [[SkipDetector]]
     *    (≡ q_pattern_skip — greedy non-overlapping, watermark-finalized)
     *  - `a THEN b? THEN c …`  → [[PatternMatch.detectOpt]] (r7 —
-    *    optional mid-chain steps, per-event skip decision; the absence
-    *    combination routes to batch loudly)
+    *    optional mid-chain steps, per-event skip decision); with a
+    *    trailing `THEN NOT` → [[ChainAbsenceDetector.detectOptWhere]]
+    *    (r8 — the same skip decision inside the absence prefix)
     *  - `PERMUTE(a, b)`       → two directional [[CepSequence]]
     *    detectors unioned, tagged by the anchor's event name (r7)
     *  - `… MEASURES fn(col), ev.col, MATCH_NUMBER()` →
@@ -258,12 +259,16 @@ object ContinuousQueries {
           CepSequence.detect(srcWm, classes.head, classes.last,
             spec.withinMs).toDF()
         case None if spec.absent =>
+          // optional mid-prefix steps (r8, previously rejected): the
+          // composite-pivot decision streams per event, so the same
+          // arm serves both — the plain form keeps its Seq[Long] schema
           if (spec.steps.exists(_.optional))
-            throw new IllegalArgumentException(
-              "optional steps in an absence pattern have no streaming " +
-                "detector — run the batch rewrite via CepSql.sql")
-          ChainAbsenceDetector.detectWhere(src, spec.steps.map(stepPred),
-            spec.withinMs, lateness).toDF()
+            ChainAbsenceDetector.detectOptWhere(src,
+              spec.steps.map(stepPred), spec.steps.map(_.optional),
+              spec.withinMs, lateness).toDF()
+          else
+            ChainAbsenceDetector.detectWhere(src, spec.steps.map(stepPred),
+              spec.withinMs, lateness).toDF()
         case None if spec.steps.exists(_.optional) =>
           // optional-step chains (r7): per-event skip decision, so the
           // same predicate dispatch streams them (value-col conditions

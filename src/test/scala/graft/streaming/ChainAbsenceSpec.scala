@@ -114,4 +114,58 @@ class ChainAbsenceSpec extends SparkSpec {
       }.toSet
     assert(streamed === batch)
   }
+
+  test("optional mid-prefix replay == batch composite-pivot absence " +
+    "(r8)") {
+    // signup THEN click? THEN view THEN NOT purchase: the per-event
+    // skip decision (detectOpt rules) inside the absence prefix must
+    // reproduce the batch composite-pivot + anti-join rewrite on the
+    // full fixture — ids including the None slot, ts vector, both arms.
+    Tables.load(spark, sf)
+    def optLong(v: Any): Option[Long] =
+      Option(v).map(_.asInstanceOf[Long])
+    def optTs(v: Any): Option[Long] =
+      Option(v).map(t => us(t.asInstanceOf[Timestamp]))
+    val batch = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click? THEN view THEN NOT purchase
+         WITHIN '12' HOURS)
+         PARTITION BY user_id""")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), optLong(r.get(2)),
+        r.getLong(3), us(r.getTimestamp(4)), optTs(r.get(5)),
+        us(r.getTimestamp(6)))).toSet
+    assert(batch.exists(_._3.isEmpty) && batch.exists(_._3.nonEmpty),
+      "fixture must exercise BOTH the skip and take arms")
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"chain_abs_opt_${System.nanoTime}"
+    val q = ChainAbsenceDetector.detectOptWhere(stream.toDS(),
+        Seq("signup", "click", "view", "purchase")
+          .map(t => (e: CepEvent) => e.event_type == t),
+        Seq(false, true, false, false),
+        12L * 3600 * 1000, "0 seconds")
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq)
+      q.processAllAvailable()
+    }
+    stream.addData(CepEvent(-1L,
+      Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "signup", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name)
+      .filter($"user_id" =!= -1L)
+      .collect()
+      .map { r =>
+        val ids = r.getSeq[Any](1).map(optLong)
+        val tss = r.getSeq[Any](2).map(optTs)
+        (r.getLong(0), ids.head.get, ids(1), ids(2).get,
+          tss.head.get, tss(1), tss(2).get)
+      }.toSet
+    assert(streamed === batch)
+  }
 }

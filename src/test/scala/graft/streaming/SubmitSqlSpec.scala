@@ -295,14 +295,39 @@ class SubmitSqlSpec extends SparkSpec {
       if (qO.isActive) qO.stop()
       spark.catalog.dropTempView("pat_opt")
     }
-    // ...optional + absence is batch-only → loud
-    val eOptAbs = intercept[IllegalArgumentException] {
-      ContinuousQueries.submitPattern(spark,
-        """SELECT * FROM pat_events2
-           MATCH PATTERN (a THEN b? THEN c THEN NOT d WITHIN '1' MINUTES)
-           PARTITION BY user_id""", "svc_badopt")
+    // ...optional + absence dispatches to ChainAbsenceDetector's
+    // optional form (r8, previously rejected): user 7 skips b and has
+    // no d → absence with a null slot; user 8 completes and is
+    // cancelled by its d
+    val streamOA = MemoryStream[CepEvent]
+    streamOA.toDF().createOrReplaceTempView("pat_optabs")
+    val qOA = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_optabs
+         MATCH PATTERN (a THEN b? THEN c THEN NOT d WITHIN '1' MINUTES)
+         PARTITION BY user_id""", "svc_optabs")
+    try {
+      streamOA.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "a", 0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:00:10"), 7, "c", 0),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:00:00"), 8, "a", 0),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 00:00:10"), 8, "b", 0),
+        CepEvent(5, Timestamp.valueOf("2026-01-01 00:00:20"), 8, "c", 0),
+        CepEvent(6, Timestamp.valueOf("2026-01-01 00:00:30"), 8, "d", 0))
+      qOA.processAllAvailable()
+      // far-future prefix-class sentinel closes the windows
+      streamOA.addData(CepEvent(9,
+        Timestamp.valueOf("2026-01-02 00:00:00"), 99, "a", 0))
+      qOA.processAllAvailable()
+      val gotOA = spark.table("svc_optabs")
+        .filter(org.apache.spark.sql.functions.col("user_id") =!= 99L)
+        .select("user_id", "step_ids").collect()
+        .map(r => (r.getLong(0), r.getSeq[Any](1).map(Option(_)))).toSet
+      assert(gotOA === Set((7L, Seq(Some(1L), None, Some(2L)))),
+        "skip-arm absence must emit; the cancelled key must not")
+    } finally {
+      if (qOA.isActive) qOA.stop()
+      spark.catalog.dropTempView("pat_optabs")
     }
-    assert(eOptAbs.getMessage.contains("optional steps in an absence"))
     // bounded run {m,n} → RunDetector with a length cap (r7): a 4-click
     // maximal run must NOT match {2,3} — whole-run semantics, the run is
     // skipped, never truncated
