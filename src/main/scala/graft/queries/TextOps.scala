@@ -499,6 +499,89 @@ object TextOps {
         .withColumn("keep", (col("entropy") >= 3.5).cast("long"))
         .select("doc_id", "nw", "uniq", "entropy", "norm_ent", "keep")
         .orderBy("doc_id")
+    }),
+
+    // L1c — cross-document repeated n-gram coverage (Lee et al. 2021,
+    // arXiv:2107.06499 — public; the exact-substring-dedup signal): for
+    // every doc, how many of its tokens sit inside a 6-gram that also
+    // occurs in ANOTHER document. Repeated grams come from one hash agg
+    // over the map-only gram stage; their occurrence intervals
+    // [st, st+5] merge per doc with the running-max sweep (cumulative
+    // max of `en` over st order — pure integer window math, identical
+    // in both engines), so overlapping repeats never double-count.
+    // Sub-quadratic throughout: the gram join is equi on the gram
+    // string, never doc×doc. rep_frac is the threshold a curation pass
+    // filters on; at 100 TB the same plan holds with the gram dictionary
+    // sharded by hash (it already is — the groupBy shuffle).
+    "q_repeat_ngram" -> ((s, dir) => {
+      val n = 6
+      val d = T(s, dir, "documents")
+      // cache: the positional gram frame feeds the repeated-gram
+      // dictionary AND the interval join
+      val g = graft.Caching.cache(
+        d.select(col("doc_id"), toks(col("text")).as("__ws"))
+          .select(col("doc_id"),
+            posexplode(expr(
+              s"""CASE WHEN size(__ws) < $n THEN array()
+                  ELSE transform(sequence(0, size(__ws) - $n),
+                       i -> array_join(slice(__ws, i + 1, $n), ' ')) END"""))
+              .as(Seq("p0", "gram"))))
+      val rep = g.groupBy("gram")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") > 1).select("gram")
+      val iv = g.join(rep, "gram")
+        .select(col("doc_id"), (col("p0") + 1).as("st"),
+          (col("p0") + lit(n)).as("en"))
+      val w = Window.partitionBy("doc_id").orderBy("st")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cov = iv.withColumn("pmax", max("en").over(w))
+        .select(col("doc_id"),
+          greatest(lit(0), col("en") - greatest(col("st"),
+            coalesce(col("pmax"), lit(0)) + 1) + 1).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("covered"))
+      d.select(col("doc_id"),
+          size(toks(col("text"))).cast("long").as("n_tokens"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("covered"), lit(0L)).as("covered"),
+          fround(coalesce(col("covered"), lit(0L)).cast("double") /
+            col("n_tokens"), 4).as("rep_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // L1d — winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    // SIGMOD 2003 — public; the MOSS scheme): 4-gram hashes, window
+    // w=4, keep each window's minimal (hash, pos) — the guarantee that
+    // any shared run of >= w+k-1 tokens shares a fingerprint, at ~2/(w+1)
+    // the density of full gram sets. The (hash, pos) argmin is encoded
+    // as ONE integer (h·2^20 + pos: h < 2^32 from 8 md5 hex chars, pos
+    // < 2^20) so a plain window min() carries the lexicographic tiebreak
+    // — no min_by, bit-identical in both engines. Plan: map-only
+    // gram+hash stage → one hash exchange (the per-doc window) →
+    // distinct. Fingerprints are the join surface for plagiarism-style
+    // overlap detection at a fraction of q_minhash_band's gram volume.
+    "q_winnow" -> ((s, dir) => {
+      val k = 4; val w = 4
+      val g = T(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("__ws"))
+        .select(col("doc_id"), (size(col("__ws")) - k + 1).as("m"),
+          posexplode(expr(
+            s"""CASE WHEN size(__ws) < $k THEN array()
+                ELSE transform(sequence(0, size(__ws) - $k),
+                     i -> array_join(slice(__ws, i + 1, $k), ' ')) END"""))
+            .as(Seq("p0", "gram")))
+        .select(col("doc_id"), col("m"), (col("p0") + 1).as("pos"),
+          conv(substring(md5(col("gram")), 1, 8), 16, 10)
+            .cast("long").as("h"))
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(0, w - 1)
+      g.withColumn("sel",
+          min(col("h") * lit(1048576L) + col("pos")).over(win))
+        .filter(col("pos") <= col("m") - w + 1) // complete windows only
+        .select(col("doc_id"), col("sel")).distinct()
+        .select(col("doc_id"), (col("sel") % 1048576L).as("fp_pos"),
+          shiftright(col("sel"), 20).as("fp_hash"))
+        .orderBy("doc_id", "fp_pos")
     })
   )
 
@@ -781,6 +864,54 @@ object TextOps {
              THEN floor(entropy / ln(uniq) * 1e4 + 0.5) / 1e4
              ELSE 0.0 END AS norm_ent,
            CAST(entropy >= 3.5 AS BIGINT) AS keep
-         FROM ent ORDER BY doc_id"""
+         FROM ent ORDER BY doc_id""",
+    "q_repeat_ngram" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (
+           SELECT doc_id, i.i AS st,
+             array_to_string(list_slice(w, i.i, i.i + 5), ' ') AS gram
+           FROM t, LATERAL (SELECT unnest(range(1, len(w) - 4)) AS i) i),
+         rep AS (
+           SELECT gram FROM g GROUP BY gram
+           HAVING count(DISTINCT doc_id) > 1),
+         iv AS (
+           SELECT g.doc_id, g.st, g.st + 5 AS en
+           FROM g JOIN rep USING (gram)),
+         m AS (
+           SELECT doc_id, st, en,
+             max(en) OVER (PARTITION BY doc_id ORDER BY st
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM iv),
+         cov AS (
+           SELECT doc_id,
+             CAST(sum(greatest(0,
+               en - greatest(st, coalesce(pmax, 0) + 1) + 1))
+               AS BIGINT) AS covered
+           FROM m GROUP BY doc_id)
+         SELECT t.doc_id, len(t.w) AS n_tokens,
+           coalesce(cov.covered, 0) AS covered,
+           floor(CAST(coalesce(cov.covered, 0) AS DOUBLE) / len(t.w)
+                 * 10000 + 0.5) / 10000 AS rep_frac
+         FROM t LEFT JOIN cov USING (doc_id) ORDER BY doc_id""",
+    "q_winnow" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (
+           SELECT doc_id, len(w) - 3 AS m, i.i AS pos,
+             CAST(CAST(('0x' || substr(md5(
+               array_to_string(list_slice(w, i.i, i.i + 3), ' ')), 1, 8))
+               AS UBIGINT) AS BIGINT) AS h
+           FROM t, LATERAL (SELECT unnest(range(1, len(w) - 2)) AS i) i),
+         s AS (
+           SELECT doc_id, pos, m,
+             min(h * 1048576 + pos) OVER (PARTITION BY doc_id
+               ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+           FROM g)
+         SELECT DISTINCT doc_id, sel % 1048576 AS fp_pos,
+           sel >> 20 AS fp_hash
+         FROM s WHERE pos <= m - 3
+         ORDER BY doc_id, fp_pos"""
   )
 }

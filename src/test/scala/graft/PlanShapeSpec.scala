@@ -356,6 +356,29 @@ class PlanShapeSpec extends SparkSpec {
     graft.Caching.releaseAll()
   }
 
+  test("q_repeat_ngram: cached gram frame feeds dictionary and interval " +
+    "join; gram join stays equi (r8)") {
+    val p = plan("q_repeat_ngram")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"the positional gram frame must be cached and reused:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"repeated-gram matching must join on the gram, never doc×doc:\n$p")
+    graft.Caching.releaseAll()
+  }
+
+  test("q_winnow: map-side grams+hashes, ONE hash exchange for the " +
+    "per-doc window, no join (r8)") {
+    // scan → gram explode → md5/conv → window(min enc) → distinct.
+    // The window and the distinct both hash on doc_id-prefixed keys;
+    // anything beyond 2 hash exchanges (or any join) means the token
+    // stream is being reshuffled — wrong at 100 TB.
+    val p = plan("q_winnow")
+    assert(!p.contains("Join"), s"winnowing must not join:\n$p")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nEx <= 2, s"expected <=2 hash shuffles, got $nEx:\n$p")
+  }
+
   test("every oracleSql key has a matching queries key") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
