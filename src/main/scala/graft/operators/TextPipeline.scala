@@ -49,9 +49,16 @@ object TextPipeline {
     * document by its mean log-probability — the perplexity-proxy
     * quality filter. Returns (doc_id, n_bigrams, avg_logp), unrounded.
     *
-    * 100 TB shape: per-doc (gram, tf) counts first, so the model joins
-    * touch one row per distinct doc-gram; the model tables are
-    * vocab²-bounded — the small side. */
+    * 100 TB shape: per-doc (gram, tf) counts first, so the model join
+    * touches one row per distinct doc-gram. The model itself —
+    * `(group, gram) → log P(w2|w1)` — is assembled model-side (the two
+    * vocab-bounded aggregates join each other, never the doc frame) and
+    * BROADCAST, so scoring is map-side: the per-doc frame is shuffled
+    * once (its own groupBy), not re-exchanged per model table. This
+    * mirrors the real CCNet setup, where the LM is a fixed bounded
+    * artifact (a trained KenLM), not corpus-sized; for an unbounded
+    * vocabulary drop the broadcast() hint and the same plan
+    * shuffle-joins on (group, gram). */
   def lmScore(docs: DataFrame, groupCol: String = "lang"): DataFrame = {
     // cache: bg feeds the score join AND both model aggregations
     val bg = graft.Caching.cache(graft.queries.TextOps.gramRows(
@@ -61,13 +68,14 @@ object TextPipeline {
     val uni = bg
       .withColumn("w1", expr("split(gram, ' ')[0]"))
       .groupBy("lang", "w1").agg(sum("tf").as("uc"))
-    bg.join(big, Seq("lang", "gram"))
-      .withColumn("w1", expr("split(gram, ' ')[0]"))
+    val model = big.withColumn("w1", expr("split(gram, ' ')[0]"))
       .join(uni, Seq("lang", "w1"))
+      .select(col("lang"), col("gram"),
+        log(col("bc").cast("double") / col("uc")).as("logp"))
+    bg.join(broadcast(model), Seq("lang", "gram"))
       .groupBy("doc_id")
       .agg(sum("tf").as("n_bigrams"),
-        (sum(col("tf") * log(col("bc").cast("double") / col("uc"))) /
-          sum("tf")).as("avg_logp"))
+        (sum(col("tf") * col("logp")) / sum("tf")).as("avg_logp"))
       .orderBy("doc_id")
   }
 

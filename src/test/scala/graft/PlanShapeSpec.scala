@@ -379,6 +379,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(nEx <= 2, s"expected <=2 hash shuffles, got $nEx:\n$p")
   }
 
+  test("q_lm_score: model assembles model-side and broadcasts into the " +
+    "score join; doc-gram frame cached (r8)") {
+    // the r8 rework: (lang, gram) → logp is built from the two
+    // vocab-bounded aggregates joining EACH OTHER, then broadcast — the
+    // per-doc bigram frame must never be re-exchanged per model table
+    // (the old shape shuffled it through two joins).
+    val p = plan("q_lm_score")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocab-bounded model must broadcast into the score join:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"bg must be cached and reused by the model aggs + score join:\n$p")
+    graft.Caching.releaseAll()
+  }
+
   test("every oracleSql key has a matching queries key") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
