@@ -229,6 +229,49 @@ object PipelineOps {
         .filter(col("bucket") < rate)
         .select(col("doc_id"), col("lang"), col("bucket"))
         .orderBy("doc_id")
+    }),
+
+    // The curation FUNNEL (r8): the per-lang survivor accounting a
+    // pipeline owner reads before training — how many documents clear
+    // each successive gate: exact dedup (sha2 keep-first) → Gopher
+    // repetition thresholds (q_quality_gopher's integer-exact
+    // predicate) → token-entropy screen (q_entropy_filter's signal on
+    // the raw-case tokens the gopher signals use; gate at 3.1 — the
+    // survivor median on this fixture, so the last stage demonstrably
+    // discriminates rather than rubber-stamping or annihilating).
+    // Gates apply CUMULATIVELY (stage N counts only stage N-1
+    // survivors), so the columns are monotone non-increasing. ONE
+    // (doc, word) aggregation feeds both quality signals; the dedup
+    // keeper is one hash-group join; everything downstream of the
+    // per-doc frame is a |langs|-sized aggregate. DuckDB replays the
+    // identical CTE chain.
+    "q_curation_funnel" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val sig = d.select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("nw"), count(lit(1)).as("uniq"),
+          max("c").as("top_cnt"),
+          sum(col("c") * log(col("c"))).as("slog"))
+      val keeper = d.groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min("doc_id").as("keep_id"))
+      d.select(col("doc_id"), col("lang"),
+          sha2(col("text"), 256).as("h"))
+        .join(keeper, "h")
+        .join(sig, "doc_id")
+        .withColumn("f1", (col("doc_id") === col("keep_id")).cast("int"))
+        .withColumn("f2", (col("f1") === 1 &&
+          col("top_cnt") * 100 <= col("nw") * 8 &&
+          (col("nw") - col("uniq")) * 10 <= col("nw") * 6).cast("int"))
+        .withColumn("f3", (col("f2") === 1 &&
+          fround(log(col("nw")) - col("slog") / col("nw"), 4) >= 3.1)
+          .cast("int"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum("f1").as("n_dedup"),
+          sum("f2").as("n_quality"),
+          sum("f3").as("n_entropy"))
+        .orderBy("lang")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -368,5 +411,38 @@ object PipelineOps {
          FROM b
          WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250
                         ELSE 100 END
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+    "q_curation_funnel" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+         sig AS (
+           SELECT doc_id, sum(c) AS nw, count(*) AS uniq,
+             max(c) AS top_cnt, sum(c * ln(c)) AS slog
+           FROM wc GROUP BY 1),
+         keeper AS (
+           SELECT sha256(text) AS h, min(doc_id) AS keep_id
+           FROM documents GROUP BY 1),
+         f AS (
+           SELECT d.lang,
+             CASE WHEN d.doc_id = k.keep_id THEN 1 ELSE 0 END AS f1,
+             CASE WHEN d.doc_id = k.keep_id
+                   AND s.top_cnt * 100 <= s.nw * 8
+                   AND (s.nw - s.uniq) * 10 <= s.nw * 6
+                  THEN 1 ELSE 0 END AS f2,
+             CASE WHEN d.doc_id = k.keep_id
+                   AND s.top_cnt * 100 <= s.nw * 8
+                   AND (s.nw - s.uniq) * 10 <= s.nw * 6
+                   AND floor((ln(s.nw) - s.slog / s.nw) * 10000 + 0.5)
+                       / 10000 >= 3.1
+                  THEN 1 ELSE 0 END AS f3
+           FROM documents d
+           JOIN keeper k ON sha256(d.text) = k.h
+           JOIN sig s ON s.doc_id = d.doc_id)
+         SELECT lang, count(*) AS n_total,
+           CAST(sum(f1) AS BIGINT) AS n_dedup,
+           CAST(sum(f2) AS BIGINT) AS n_quality,
+           CAST(sum(f3) AS BIGINT) AS n_entropy
+         FROM f GROUP BY lang ORDER BY lang""")
 }

@@ -549,6 +549,33 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // L4f — temperature-scaled source mixing weights (the multinomial
+    // resampling recipe of multi-source LM training — Conneau & Lample
+    // 2019, arXiv:1901.07291 §3.1, α-smoothed sampling; public): per-
+    // source token counts c_i → weight w_i = c_i^α / Σ c_j^α with
+    // α = 0.5 (sqrt — IEEE-exact in both engines), plus the effective
+    // token budget w_i·Σc_j the recipe allocates each source. One
+    // map-combined agg over a 2-column scan; the source-level frame is
+    // O(|sources|) so the normalizer joins as a 1-row broadcast —
+    // nothing here scales with the corpus beyond the first agg.
+    "q_mix_weights" -> ((s, dir) => {
+      val counts = T(s, dir, "documents")
+        .select(col("source"),
+          size(toks(col("text"))).cast("long").as("nt"))
+        .groupBy("source")
+        .agg(sum("nt").as("tokens"), count(lit(1)).as("docs"))
+      val z = counts.agg(
+        sum(sqrt(col("tokens").cast("double"))).as("z"),
+        sum("tokens").as("total"))
+      counts.crossJoin(broadcast(z))
+        .select(col("source"), col("tokens"), col("docs"),
+          fround(sqrt(col("tokens").cast("double")) / col("z"), 6)
+            .as("weight"),
+          fround(sqrt(col("tokens").cast("double")) / col("z")
+            * col("total"), 2).as("eff_tokens"))
+        .orderBy("source")
+    }),
+
     // L1d — winnowing fingerprints (Schleimer, Wilkerson & Aiken,
     // SIGMOD 2003 — public; the MOSS scheme): 4-gram hashes, window
     // w=4, keep each window's minimal (hash, pos) — the guarantee that
@@ -894,6 +921,19 @@ object TextOps {
            floor(CAST(coalesce(cov.covered, 0) AS DOUBLE) / len(t.w)
                  * 10000 + 0.5) / 10000 AS rep_frac
          FROM t LEFT JOIN cov USING (doc_id) ORDER BY doc_id""",
+    "q_mix_weights" ->
+      """WITH c AS (
+           SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+             count(*) AS docs
+           FROM documents GROUP BY source),
+         z AS (SELECT sum(sqrt(tokens)) AS z,
+                 CAST(sum(tokens) AS BIGINT) AS total FROM c)
+         SELECT source, tokens, docs,
+           floor(sqrt(tokens) / z * 1000000 + 0.5) / 1000000 AS weight,
+           floor(sqrt(tokens) / z * total * 100 + 0.5) / 100
+             AS eff_tokens
+         FROM c, z ORDER BY source""",
     "q_winnow" ->
       """WITH t AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

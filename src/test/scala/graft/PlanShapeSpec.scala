@@ -393,6 +393,24 @@ class PlanShapeSpec extends SparkSpec {
     graft.Caching.releaseAll()
   }
 
+  test("q_mix_weights: one corpus agg, 1-row normalizer broadcasts (r8)") {
+    val p = plan("q_mix_weights")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the 1-row normalizer must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"normalizer must broadcast, not cartesian:\n$p")
+  }
+
+  test("q_curation_funnel: ONE token explode feeds both quality gates; " +
+    "equi joins only (r8)") {
+    val p = plan("q_curation_funnel")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+    assert("Generate explode".r.findAllIn(p).size == 1,
+      s"the gopher + entropy signals must share one (doc, word) " +
+        s"aggregation — expected exactly one explode:\n$p")
+  }
+
   test("every oracleSql key has a matching queries key") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
