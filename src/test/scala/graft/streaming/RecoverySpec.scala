@@ -183,4 +183,75 @@ class RecoverySpec extends SparkSpec {
       Set((981L, 6.0), (984L, 4.0)),
       "straddling spans must keep their pre-restart event counts")
   }
+
+  test("optional-absence detector resumes from checkpoint: pending " +
+    "verdicts and cancels survive (r8)") {
+    // ChainAbsenceDetector.detectOptWhere state holds three things a
+    // restart must restore: open prefix partials (with their None
+    // skip slots), COMPLETED prefixes awaiting the watermark verdict,
+    // and the late-first cancel memory. Cut mid-fixture, finish after a
+    // restart, close every window with a far-future sentinel, and the
+    // output must equal the batch composite-pivot rewrite exactly.
+    import java.sql.Timestamp
+    import spark.implicits._
+    def us(t: Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def optLong(v: Any): Option[Long] = Option(v).map(_.asInstanceOf[Long])
+    val in = Files.createTempDirectory("graft_oabs_in").toFile
+    val outDir = Files.createTempDirectory("graft_oabs_out").toFile
+    val ckpt = Files.createTempDirectory("graft_oabs_ckpt").toFile
+    val events = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val schema = events.schema
+    def startQuery() =
+      ChainAbsenceDetector.detectOptWhere(
+          Sources.fileStream(spark, in.getAbsolutePath, schema)
+            .as[CepEvent],
+          Seq("signup", "click", "view", "purchase")
+            .map(t => (e: CepEvent) => e.event_type == t),
+          Seq(false, true, false, false), 12L * 3600 * 1000, "0 seconds")
+        .writeStream.format("parquet")
+        .option("path", outDir.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append").start()
+    val cut = "2024-01-12 18:00:00"
+    val cutUs = us(Timestamp.valueOf(cut))
+    events.filter(col("ts") < lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    events.filter(col("ts") >= lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    // far-future prefix-class sentinel closes every pending window
+    Seq(CepEvent(-1L, Timestamp.valueOf("2031-01-01 00:00:00"), -1L,
+        "signup", 0.0)).toDS().toDF()
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+    val got = spark.read.parquet(outDir.getAbsolutePath)
+      .filter(col("user_id") =!= -1L).collect()
+      .map { r =>
+        val ids = r.getSeq[Any](1).map(optLong)
+        (r.getLong(0), ids.head.get, ids(1), ids(2).get,
+          us(r.getTimestamp(3)))
+      }
+    assert(got.length == got.toSet.size, "no duplicate absences")
+    Tables.load(spark, sf)
+    val want = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click? THEN view THEN NOT purchase
+         WITHIN '12' HOURS)
+         PARTITION BY user_id""")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), optLong(r.get(2)),
+        r.getLong(3), us(r.getTimestamp(4)))).toSet
+    assert(got.toSet === want && want.nonEmpty)
+    // THE recovery assertions: an absence whose window straddles the cut
+    // can only emit correctly if its pending verdict crossed the restart,
+    // and both arms (skip = None slot, take) must appear
+    assert(got.exists(g => g._5 < cutUs && g._5 + 12L * 3600 * 1000000L
+        >= cutUs),
+      "a pending window straddling the restart must still emit")
+    assert(got.exists(_._3.isEmpty) && got.exists(_._3.nonEmpty),
+      "both the skip and take arms must survive the restart")
+  }
 }
