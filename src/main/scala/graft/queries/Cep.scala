@@ -477,6 +477,21 @@ object Cep {
            PARTITION BY user_id""")
     }),
 
+    // EP1j' — optional step INSIDE an absence pattern (r8): the
+    // composite-pivot prefix (take/skip per q_pattern_opt) feeds the
+    // absence anti-join — signups that reached a view (with or without
+    // an intervening click) and then saw NO purchase inside the window.
+    // Streams via ChainAbsenceDetector.detectOptWhere (replay ≡ batch
+    // pinned in ChainAbsenceSpec + RecoverySpec).
+    "q_pattern_optabs" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * FROM events
+           MATCH PATTERN (signup THEN click? THEN view THEN NOT purchase
+           WITHIN '12' HOURS)
+           PARTITION BY user_id""")
+    }),
+
     // EP1k — PERMUTE from SQL TEXT (r7): the order-free pair. Every
     // signup or purchase anchors; the match is the first event of the
     // OPPOSITE class within 30 minutes after it. Union of the two
@@ -987,6 +1002,48 @@ object Cep {
            FROM pv WHERE pv_b = 0)
          SELECT k AS user_id, id_1, id_2, id_3, ts_1, ts_2, ts_3
          FROM (SELECT * FROM took UNION ALL SELECT * FROM skipped)
+         ORDER BY id_1""",
+    "q_pattern_optabs" ->
+      """WITH s1 AS (
+           SELECT user_id AS k, event_id AS id_1, ts AS ts_1 FROM events
+           WHERE event_type = 'signup'),
+         pv AS (
+           SELECT * FROM (
+             SELECT p.k, p.id_1, p.ts_1, b.event_id AS pv_id,
+               b.ts AS pv_ts,
+               CASE WHEN b.event_type = 'click' THEN 1 ELSE 0 END AS pv_b,
+               row_number() OVER (PARTITION BY p.id_1
+                                  ORDER BY b.ts, b.event_id) AS rn
+             FROM s1 p JOIN events b
+               ON p.k = b.user_id
+              AND b.event_type IN ('click', 'view')
+              AND b.ts > p.ts_1
+              AND b.ts <= p.ts_1 + INTERVAL 12 HOUR) t
+           WHERE rn = 1),
+         took AS (
+           SELECT k, id_1, id_2, id_3, ts_1, ts_2, ts_3 FROM (
+             SELECT w.k, w.id_1, w.pv_id AS id_2, b.event_id AS id_3,
+               w.ts_1, w.pv_ts AS ts_2, b.ts AS ts_3,
+               row_number() OVER (PARTITION BY w.id_1
+                                  ORDER BY b.ts, b.event_id) AS rn2
+             FROM pv w JOIN events b
+               ON w.k = b.user_id AND b.event_type = 'view'
+              AND b.ts > w.pv_ts
+              AND b.ts <= w.ts_1 + INTERVAL 12 HOUR
+             WHERE w.pv_b = 1) t
+           WHERE rn2 = 1),
+         skipped AS (
+           SELECT k, id_1, CAST(NULL AS BIGINT) AS id_2,
+             pv_id AS id_3, ts_1, CAST(NULL AS TIMESTAMP) AS ts_2,
+             pv_ts AS ts_3
+           FROM pv WHERE pv_b = 0),
+         pre AS (SELECT * FROM took UNION ALL SELECT * FROM skipped)
+         SELECT k AS user_id, id_1, id_2, id_3, ts_1, ts_2, ts_3
+         FROM pre p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM events b
+           WHERE b.user_id = p.k AND b.event_type = 'purchase'
+             AND b.ts > p.ts_3 AND b.ts <= p.ts_1 + INTERVAL 12 HOUR)
          ORDER BY id_1""",
     "q_pattern_pred" ->
       """SELECT user_id, sid, pid, s_ts, p_ts FROM (
