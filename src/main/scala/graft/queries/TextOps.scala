@@ -588,29 +588,57 @@ object TextOps {
     // distinct. Fingerprints are the join surface for plagiarism-style
     // overlap detection at a fraction of q_minhash_band's gram volume.
     "q_winnow" -> ((s, dir) => {
-      val k = 4; val w = 4
-      val g = T(s, dir, "documents")
-        .select(col("doc_id"), toks(col("text")).as("__ws"))
-        .select(col("doc_id"), (size(col("__ws")) - k + 1).as("m"),
-          posexplode(expr(
-            s"""CASE WHEN size(__ws) < $k THEN array()
-                ELSE transform(sequence(0, size(__ws) - $k),
-                     i -> array_join(slice(__ws, i + 1, $k), ' ')) END"""))
-            .as(Seq("p0", "gram")))
-        .select(col("doc_id"), col("m"), (col("p0") + 1).as("pos"),
-          conv(substring(md5(col("gram")), 1, 8), 16, 10)
-            .cast("long").as("h"))
-      val win = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(0, w - 1)
-      g.withColumn("sel",
-          min(col("h") * lit(1048576L) + col("pos")).over(win))
-        .filter(col("pos") <= col("m") - w + 1) // complete windows only
-        .select(col("doc_id"), col("sel")).distinct()
-        .select(col("doc_id"), (col("sel") % 1048576L).as("fp_pos"),
-          shiftright(col("sel"), 20).as("fp_hash"))
-        .orderBy("doc_id", "fp_pos")
+      winnowRows(T(s, dir, "documents")).orderBy("doc_id", "fp_pos")
+    }),
+
+    // L1e — winnowing OVERLAP ranking (the join [[winnowRows]] exists
+    // for): candidate near-dup/plagiarism pairs ranked by the number of
+    // distinct shared fingerprints. Fingerprint-equi self-join — the
+    // candidate generation touches ~2/(w+1) of the gram volume and is
+    // sub-quadratic exactly like q_minhash_band's banding; the full
+    // (shared DESC, da, db) tuple is unique, so the top-20 cut is
+    // deterministic.
+    "q_winnow_overlap" -> ((s, dir) => {
+      // cache: both join sides read the same fingerprint frame
+      val fps = graft.Caching.cache(
+        winnowRows(T(s, dir, "documents"))
+          .select("doc_id", "fp_hash").distinct())
+      fps.as("a").join(fps.as("b"),
+          col("a.fp_hash") === col("b.fp_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("shared"))
+        .orderBy(desc("shared"), asc("da"), asc("db"))
+        .limit(20)
     })
   )
+
+  /** Winnowing fingerprints (Schleimer et al. 2003): k-gram md5 hashes,
+    * per-window (hash, pos) argmin encoded as h·2^20 + pos so a plain
+    * window min() carries the lexicographic tiebreak. Returns
+    * (doc_id, fp_pos, fp_hash); complete windows only. */
+  private[graft] def winnowRows(d: DataFrame, k: Int = 4, w: Int = 4)
+      : DataFrame = {
+    val g = d
+      .select(col("doc_id"), toks(col("text")).as("__ws"))
+      .select(col("doc_id"), (size(col("__ws")) - k + 1).as("m"),
+        posexplode(expr(
+          s"""CASE WHEN size(__ws) < $k THEN array()
+              ELSE transform(sequence(0, size(__ws) - $k),
+                   i -> array_join(slice(__ws, i + 1, $k), ' ')) END"""))
+          .as(Seq("p0", "gram")))
+      .select(col("doc_id"), col("m"), (col("p0") + 1).as("pos"),
+        conv(substring(md5(col("gram")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, w - 1)
+    g.withColumn("sel",
+        min(col("h") * lit(1048576L) + col("pos")).over(win))
+      .filter(col("pos") <= col("m") - w + 1) // complete windows only
+      .select(col("doc_id"), col("sel")).distinct()
+      .select(col("doc_id"), (col("sel") % 1048576L).as("fp_pos"),
+        shiftright(col("sel"), 20).as("fp_hash"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -934,8 +962,26 @@ object TextOps {
            floor(sqrt(tokens) / z * total * 100 + 0.5) / 100
              AS eff_tokens
          FROM c, z ORDER BY source""",
-    "q_winnow" ->
-      """WITH t AS (
+    "q_winnow" -> s"""$winnowOracleCtes
+         SELECT DISTINCT doc_id, sel % 1048576 AS fp_pos,
+           sel >> 20 AS fp_hash
+         FROM s WHERE pos <= m - 3
+         ORDER BY doc_id, fp_pos""",
+    "q_winnow_overlap" -> s"""$winnowOracleCtes,
+         fps AS (
+           SELECT DISTINCT doc_id, sel >> 20 AS fp_hash
+           FROM s WHERE pos <= m - 3)
+         SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+         FROM fps a JOIN fps b
+           ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+         ORDER BY shared DESC, da, db LIMIT 20"""
+  )
+
+  /** Shared winnowing CTEs (k=4, w=4) — the oracle twin of
+    * [[winnowRows]]. */
+  private def winnowOracleCtes: String =
+    """WITH t AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          g AS (
            SELECT doc_id, len(w) - 3 AS m, i.i AS pos,
@@ -948,10 +994,5 @@ object TextOps {
              min(h * 1048576 + pos) OVER (PARTITION BY doc_id
                ORDER BY pos
                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
-           FROM g)
-         SELECT DISTINCT doc_id, sel % 1048576 AS fp_pos,
-           sel >> 20 AS fp_hash
-         FROM s WHERE pos <= m - 3
-         ORDER BY doc_id, fp_pos"""
-  )
+           FROM g)"""
 }

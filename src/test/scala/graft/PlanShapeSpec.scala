@@ -411,6 +411,20 @@ class PlanShapeSpec extends SparkSpec {
         s"aggregation — expected exactly one explode:\n$p")
   }
 
+  test("q_winnow_overlap: fingerprint frame cached for both sides, " +
+    "equi join only, top-20 TakeOrdered (r8)") {
+    val p = plan("q_winnow_overlap")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"both join sides must read the cached fingerprint frame:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates come from the fingerprint-equi join, never " +
+        s"all-pairs:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must not globally sort:\n$p")
+    graft.Caching.releaseAll()
+  }
+
   test("every oracleSql key has a matching queries key") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
