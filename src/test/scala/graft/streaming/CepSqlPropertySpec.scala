@@ -194,6 +194,46 @@ class CepSqlPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("generated optional/absence combinations translate total (r8)") {
+    // the r8 grammar corner: an optional step inside an absence
+    // pattern's prefix (never directly before the NOT step — the
+    // validated shape). The translation must be total: absence → the
+    // anti join, optional → the composite pivot's branch union, both
+    // together → both.
+    val ident = Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+    val gen = for {
+      n <- Gen.choose(1, 9999)
+      unit <- Gen.oneOf("SECONDS", "MINUTES", "HOURS")
+      k <- Gen.choose(3, 5)
+      evs <- Gen.listOfN(k, ident)
+      absent <- Gen.oneOf(true, false)
+      optIdx <- {
+        val hi = if (absent) k - 3 else k - 2
+        if (hi >= 1) Gen.option(Gen.choose(1, hi))
+        else Gen.const(None: Option[Int])
+      }
+    } yield {
+      val body = evs.zipWithIndex.map { case (e, i) =>
+        e + (if (optIdx.contains(i)) "?" else "")
+      }
+      val stepTxt = body.init.mkString(" THEN ") +
+        (if (absent) " THEN NOT " else " THEN ") + body.last
+      (absent, optIdx,
+        s"SELECT * FROM t MATCH PATTERN ($stepTxt WITHIN '$n' $unit) " +
+          "PARTITION BY k")
+    }
+    (1L to 300L).foreach { seed =>
+      sample(gen.map(List(_)), seed).foreach { case (absent, optIdx, q) =>
+        val t = CepSql.translate(q)
+        assert(!t.toUpperCase.contains("MATCH PATTERN"), s"$q ->\n$t")
+        assert(t.toUpperCase.contains("ANTI JOIN") === absent,
+          s"$q ->\n$t")
+        assert(t.toUpperCase.contains("UNION ALL") === optIdx.isDefined,
+          s"$q ->\n$t")
+      }
+    }
+  }
+
   test("near-miss MATCH PATTERN text is rejected, never half-translated") {
     val bads = Seq(
       "SELECT * FROM t MATCH PATTERN (a THEN b WITHIN '5' MINUTES)",
