@@ -576,6 +576,27 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // L4g — tokenizer fertility diagnostics: bytes/token and
+    // chars/token per language — the statistic a tokenizer evaluation
+    // reads to compare segmentation efficiency across languages
+    // (whitespace tokens here; the ratios come from exact integer sums,
+    // so the 4-dp round is cross-engine-deterministic). One
+    // map-combined aggregation over a scan-stage projection.
+    "q_tok_fertility" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          octet_length(col("text")).cast("long").as("nb"),
+          size(toks(col("text"))).cast("long").as("nt"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"), sum("nt").as("tokens"),
+          sum("nb").as("bytes"),
+          fround(sum("nb").cast("double") / sum("nt"), 4)
+            .as("bytes_per_tok"),
+          fround(sum("n_chars").cast("double") / sum("nt"), 4)
+            .as("chars_per_tok"))
+        .orderBy("lang")
+    }),
+
     // L1d — winnowing fingerprints (Schleimer, Wilkerson & Aiken,
     // SIGMOD 2003 — public; the MOSS scheme): 4-gram hashes, window
     // w=4, keep each window's minimal (hash, pos) — the guarantee that
@@ -962,6 +983,19 @@ object TextOps {
            floor(sqrt(tokens) / z * total * 100 + 0.5) / 100
              AS eff_tokens
          FROM c, z ORDER BY source""",
+    "q_tok_fertility" ->
+      """WITH b AS (
+           SELECT lang, n_chars, strlen(text) AS nb,
+             len(string_split(text, ' ')) AS nt
+           FROM documents)
+         SELECT lang, count(*) AS docs,
+           CAST(sum(nt) AS BIGINT) AS tokens,
+           CAST(sum(nb) AS BIGINT) AS bytes,
+           floor(CAST(sum(nb) AS DOUBLE) / sum(nt) * 10000 + 0.5) / 10000
+             AS bytes_per_tok,
+           floor(CAST(sum(n_chars) AS DOUBLE) / sum(nt) * 10000 + 0.5)
+             / 10000 AS chars_per_tok
+         FROM b GROUP BY lang ORDER BY lang""",
     "q_winnow" -> s"""$winnowOracleCtes
          SELECT DISTINCT doc_id, sel % 1048576 AS fp_pos,
            sel >> 20 AS fp_hash

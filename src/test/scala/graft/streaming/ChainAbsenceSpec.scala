@@ -168,4 +168,57 @@ class ChainAbsenceSpec extends SparkSpec {
       }.toSet
     assert(streamed === batch)
   }
+
+  test("conditioned optional step in the absence prefix: replay == " +
+    "batch (r8)") {
+    // DEFINE-lite × optional × absence, all at once: only a click above
+    // 40 counts as the optional match (a cheap click is invisible — the
+    // pivot sees the view and skips), and only a purchase above 50
+    // cancels. Conditions ride the same predicate dispatch as plain
+    // chains, so this is a law, not new machinery — pinned anyway, the
+    // combination being exactly where dispatch bugs would hide.
+    Tables.load(spark, sf)
+    def optLong(v: Any): Option[Long] =
+      Option(v).map(_.asInstanceOf[Long])
+    val batch = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click(value > 40)? THEN view
+         THEN NOT purchase(value > 50) WITHIN '12' HOURS)
+         PARTITION BY user_id""")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), optLong(r.get(2)),
+        r.getLong(3))).toSet
+    assert(batch.exists(_._3.isEmpty) && batch.exists(_._3.nonEmpty),
+      "fixture must exercise BOTH arms under the condition")
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"chain_abs_copt_${System.nanoTime}"
+    val q = ChainAbsenceDetector.detectOptWhere(stream.toDS(),
+        Seq((e: CepEvent) => e.event_type == "signup",
+          (e: CepEvent) => e.event_type == "click" && e.value > 40,
+          (e: CepEvent) => e.event_type == "view",
+          (e: CepEvent) => e.event_type == "purchase" && e.value > 50),
+        Seq(false, true, false, false),
+        12L * 3600 * 1000, "0 seconds")
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq)
+      q.processAllAvailable()
+    }
+    stream.addData(CepEvent(-1L,
+      Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "signup", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name)
+      .filter($"user_id" =!= -1L)
+      .collect()
+      .map { r =>
+        val ids = r.getSeq[Any](1).map(optLong)
+        (r.getLong(0), ids.head.get, ids(1), ids(2).get)
+      }.toSet
+    assert(streamed === batch)
+  }
 }
