@@ -492,6 +492,24 @@ object Cep {
            PARTITION BY user_id""")
     }),
 
+    // EP1m — MEASURES over a QUANTIFIED chain (r8, previously
+    // parse-rejected): click{2,}'s maximal runs, then the first
+    // purchase within 2 hours of the run END; COUNT(*) spans from the
+    // run's FIRST event to the purchase inclusive (the boundary row is
+    // recovered from the runs subquery — runs carry only their end ts
+    // through the chain stages), and MATCH_NUMBER orders anchors by the
+    // run end (runs are disjoint per key, so ts_1 alone is the order).
+    // COUNT + MATCH_NUMBER keep the oracle integer-exact, the same
+    // discipline as q_pattern_measure.
+    "q_pattern_qmeasure" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * FROM events
+           MATCH PATTERN (click{2,} THEN purchase WITHIN '2' HOURS)
+           PARTITION BY user_id
+           MEASURES COUNT(*) AS span_n, MATCH_NUMBER() AS mno""")
+    }),
+
     // EP1k — PERMUTE from SQL TEXT (r7): the order-free pair. Every
     // signup or purchase anchors; the match is the first event of the
     // OPPOSITE class within 30 minutes after it. Union of the two
@@ -763,6 +781,51 @@ object Cep {
            ON b.user_id = r.user_id AND b.event_type = 'purchase'
           AND b.ts > r.run_end AND b.ts <= r.run_end + INTERVAL 12 HOUR
          GROUP BY 1, 2, 3, 4 ORDER BY r.user_id, run_start""",
+    "q_pattern_qmeasure" ->
+      """WITH o AS (
+           SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+           FROM events),
+         runs AS (
+           SELECT user_id, grp, count(*) AS run_len,
+             min(ts) AS run_start, max(ts) AS run_end,
+             min(CASE WHEN rn_a = 1 THEN event_id END) AS run_start_id,
+             min(CASE WHEN rn_d = 1 THEN event_id END) AS run_end_id
+           FROM (
+             SELECT *,
+               row_number() OVER (PARTITION BY user_id, grp
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY user_id, grp
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+             FROM o WHERE event_type = 'click') q
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         m AS (
+           SELECT r.*, b.event_id AS id_2, b.ts AS ts_2,
+             row_number() OVER (PARTITION BY r.user_id, r.run_end
+                                ORDER BY b.ts, b.event_id) AS rn
+           FROM runs r JOIN events b
+             ON b.user_id = r.user_id AND b.event_type = 'purchase'
+            AND b.ts > r.run_end
+            AND b.ts <= r.run_end + INTERVAL 2 HOUR),
+         mm AS (SELECT * FROM m WHERE rn = 1),
+         sp AS (
+           SELECT mm.user_id, mm.run_len AS len_1, mm.id_2,
+             mm.run_end AS ts_1, mm.ts_2, count(*) AS span_n
+           FROM mm JOIN events e
+             ON e.user_id = mm.user_id
+            AND (e.ts > mm.run_start
+                 OR (e.ts = mm.run_start
+                     AND e.event_id >= mm.run_start_id))
+            AND (e.ts < mm.ts_2
+                 OR (e.ts = mm.ts_2 AND e.event_id <= mm.id_2))
+           GROUP BY 1, 2, 3, 4, 5)
+         SELECT user_id, len_1, id_2, ts_1, ts_2, span_n,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_1)
+             AS BIGINT) AS mno
+         FROM sp ORDER BY user_id, ts_1""",
     "q_pattern_alt" ->
       """SELECT user_id, sid, pid, s_ts, p_ts FROM (
            SELECT a.user_id, a.event_id AS sid, b.event_id AS pid,

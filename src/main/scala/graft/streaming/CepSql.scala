@@ -464,10 +464,19 @@ object CepSql {
       }
     }.getOrElse(Nil)
     if (measures.nonEmpty) {
-      if (skipPast || steps.exists(st =>
-          st.negated || st.minTimes.isDefined || st.optional))
-        malformed("MEASURES is defined for plain sequence chains — no " +
-          "NOT, quantifiers, optional steps, or SKIP PAST LAST ROW")
+      if (skipPast || steps.exists(st => st.negated || st.optional))
+        malformed("MEASURES is defined for sequence chains — no " +
+          "NOT, optional steps, or SKIP PAST LAST ROW")
+      // quantified steps compose with span aggregates / COUNT /
+      // MATCH_NUMBER since r8; a class reference needs a single matched
+      // row, which a run does not have
+      measures.foreach {
+        case ClassRef(ev, _, step, _)
+            if steps(step - 1).minTimes.isDefined =>
+          malformed(s"measure references '$ev', a quantified step — " +
+            "a run has no single matched row to reference")
+        case _ => ()
+      }
       val aliases = measures.map(_.alias.toLowerCase(java.util.Locale.ROOT))
       if (aliases.distinct.length != aliases.length)
         malformed(s"duplicate measure aliases: ${aliases.mkString(", ")}")
@@ -605,7 +614,9 @@ object CepSql {
     val cls = stepPredSql("", st, typeCol)
     val cap = maxLen.map(n => s" AND count(*) <= $n").getOrElse("")
     s"""(SELECT $k AS __k, count(*) AS run_len,
-       |   min($t) AS run_start, max($t) AS run_end
+       |   min($t) AS run_start, max($t) AS run_end,
+       |   min_by($id, struct($t, $id)) AS run_start_id,
+       |   max_by($id, struct($t, $id)) AS run_end_id
        | FROM (SELECT $k, $t, $id,
        |         CASE WHEN $cls THEN 1 ELSE 0 END AS __c,
        |         row_number() OVER (PARTITION BY $k
@@ -792,8 +803,9 @@ object CepSql {
          |   AND b.$t <= p.ts_1 + INTERVAL $n $unit
          |ORDER BY $order""".stripMargin
     else if (spec.measures.nonEmpty) {
-      // MEASURES (r7, list since r8). Plain chains only (validated), so
-      // labels are id_1..id_np and the span bounds are concrete.
+      // MEASURES (r7, list since r8; quantified steps since r8 too —
+      // labels are id_i or len_i per step, span bounds recovered from
+      // the runs subquery when an end step is a run).
       //  - span aggregates share ONE span join (every event of the key
       //    between the match's first and last rows in (ts, id)
       //    lexicographic order, inclusive, regardless of type) + the
@@ -808,14 +820,41 @@ object CepSql {
       val ms = spec.measures
       val spanAggs = ms.collect { case s: SpanAgg => s }
       val refSteps = ms.collect { case c: ClassRef => c.step }.distinct.sorted
+      // quantified span ends (r8): a run's prefix stage carries only
+      // (len_i, ts_i = run_end), so the span's boundary ROW (first/last
+      // event of the run in (ts, id) order) is recovered by re-joining
+      // the runs subquery on its (end ts, length) — runs are disjoint
+      // maximal islands per key, so the pair identifies the run
+      val headQ = chainSteps.head.minTimes.isDefined
+      val lastQ = np > 1 && chainSteps.last.minTimes.isDefined
+      def runsFor(i: Int) = {
+        val st = chainSteps(i)
+        runsSub(st, st.minTimes.get, spec.key, tsCol, typeCol, idCol,
+          tbl, st.maxTimes)
+      }
+      val boundJoins =
+        (if (headQ && spanAggs.nonEmpty)
+           s"JOIN ${runsFor(0)} r0 ON r0.__k = p.__k " +
+             s"AND r0.run_end = p.ts_1 AND r0.run_len = p.len_1\n"
+         else "") +
+        (if (lastQ && spanAggs.nonEmpty)
+           s"JOIN ${runsFor(np - 1)} rn ON rn.__k = p.__k " +
+             s"AND rn.run_end = p.ts_$np AND rn.run_len = p.len_$np\n"
+         else "")
+      val (sTs, sId) =
+        if (headQ) ("r0.run_start", "r0.run_start_id")
+        else (s"p.ts_1", s"p.id_1")
+      val (eTs, eId) =
+        if (lastQ) (s"p.ts_$np", "rn.run_end_id")
+        else (s"p.ts_$np", s"p.id_$np")
       val spanJoin =
         if (spanAggs.isEmpty) ""
         else
-          s"""|JOIN $tbl e
+          s"""|${boundJoins}JOIN $tbl e
               |ON p.__k = e.$k
-              |   AND (e.$t > p.ts_1 OR (e.$t = p.ts_1 AND e.$id >= p.id_1))
-              |   AND (e.$t < p.ts_$np
-              |        OR (e.$t = p.ts_$np AND e.$id <= p.id_$np))
+              |   AND (e.$t > $sTs OR (e.$t = $sTs AND e.$id >= $sId))
+              |   AND (e.$t < $eTs
+              |        OR (e.$t = $eTs AND e.$id <= $eId))
               |""".stripMargin
       val refJoins = refSteps.map(i =>
         s"JOIN $tbl s$i ON s$i.$k = p.__k AND s$i.$id = p.id_$i").mkString("\n")
@@ -828,17 +867,20 @@ object CepSql {
         case ClassRef(_, c, i, a) => s"s$i.${bq(c)} AS ${bq(a)}"
         case MatchNum(a) =>
           // CAST: Spark's row_number is INT, DuckDB's BIGINT — emit
-          // BIGINT so both engines (and the driver's schema check) agree
-          s"CAST(row_number() OVER (PARTITION BY __k ORDER BY ts_1, id_1)" +
+          // BIGINT so both engines (and the driver's schema check)
+          // agree. A quantified head has no id_1; runs are disjoint per
+          // key, so ts_1 (= run_end) alone orders the anchors.
+          val mnOrd = if (headQ) "ts_1" else "ts_1, id_1"
+          s"CAST(row_number() OVER (PARTITION BY p.__k ORDER BY $mnOrd)" +
             s" AS BIGINT) AS ${bq(a)}"
       }
       val refCols = ms.collect { case ClassRef(_, c, i, _) => s"s$i.${bq(c)}" }
         .distinct
       val groupBy =
         if (spanAggs.isEmpty) ""
-        else ("GROUP BY __k, " + cols(np) +
+        else ("GROUP BY p.__k, " + cols(np) +
           (if (refCols.isEmpty) "" else refCols.mkString(", ", ", ", "")))
-      s"""SELECT __k AS $k, ${cols(np)}, ${ms.map(sel).mkString(", ")}
+      s"""SELECT p.__k AS $k, ${cols(np)}, ${ms.map(sel).mkString(", ")}
          |FROM $prefix p
          |$spanJoin$refJoins
          |$groupBy

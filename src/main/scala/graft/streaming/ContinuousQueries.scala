@@ -123,6 +123,13 @@ object ContinuousQueries {
     lazy val srcWm = src.withWatermark("ts", lateness)
     val classes = spec.steps.map(_.events.toSet)
     val quantifiedTail = spec.steps.tail.exists(_.minTimes.isDefined)
+    // MEASURES over a quantified chain parses (r8, batch-rewritable)
+    // but would be silently DROPPED by the quantified dispatch arms —
+    // reject loudly instead of losing the user's measures
+    if (spec.measures.nonEmpty && spec.steps.exists(_.minTimes.isDefined))
+      throw new IllegalArgumentException(
+        "MEASURES on a quantified chain has no streaming detector — " +
+          "run the batch rewrite via CepSql.sql")
     // step conditions (r7 DEFINE-lite): streaming evaluates them on the
     // converter schema, so only the `value` column is available. Since
     // r8 EVERY arm takes them via predicate dispatch — each detector's

@@ -526,12 +526,13 @@ class CepSqlSpec extends SparkSpec {
       assert(maxs(sid) === mx, s"max@$sid")
       assert(math.abs(avgs(sid) - av) < 1e-9, s"avg@$sid")
     }
-    // measure is defined for plain chains only; SUM(*) is nonsense
+    // measures reject NOT/optional/skip-past chains, class refs into a
+    // run (r8 — quantified chains themselves now parse), and SUM(*)
     Seq(
       "MATCH PATTERN (a THEN NOT b WITHIN '5' MINUTES) PARTITION BY k " +
         "MEASURES COUNT(*)",
       "MATCH PATTERN (a{2,} THEN b WITHIN '5' MINUTES) PARTITION BY k " +
-        "MEASURES COUNT(*)",
+        "MEASURES a.value",
       "MATCH PATTERN (a THEN b? THEN c WITHIN '5' MINUTES) PARTITION " +
         "BY k MEASURES COUNT(*)",
       "MATCH PATTERN (a THEN b WITHIN '5' MINUTES) PARTITION BY k " +

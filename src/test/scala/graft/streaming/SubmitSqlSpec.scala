@@ -235,6 +235,17 @@ class SubmitSqlSpec extends SparkSpec {
       if (qN.isActive) qN.stop()
       spark.catalog.dropTempView("pat_measn")
     }
+    // ...MEASURES on a quantified chain parses (r8, batch-rewritable)
+    // but must reject loudly here — the quantified dispatch arms would
+    // silently drop the measures otherwise
+    val eQM = intercept[IllegalArgumentException] {
+      ContinuousQueries.submitPattern(spark,
+        """SELECT * FROM pat_events2
+           MATCH PATTERN (a{2,} THEN b WITHIN '5' MINUTES)
+           PARTITION BY user_id
+           MEASURES COUNT(*)""", "svc_qmeas")
+    }
+    assert(eQM.getMessage.contains("quantified chain"))
     // ...a measure column outside the converter schema is batch-only
     val eMeas = intercept[IllegalArgumentException] {
       ContinuousQueries.submitPattern(spark,
