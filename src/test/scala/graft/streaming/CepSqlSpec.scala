@@ -545,6 +545,41 @@ class CepSqlSpec extends SparkSpec {
     }
   }
 
+  test("MEASURES over a mid-chain quantified step == direct span agg " +
+    "(r8)") {
+    // a{1} THEN b{2,} THEN c with measures: the span's ends are both
+    // unquantified, so the law is checkable directly — the measured
+    // rewrite must equal the unmeasured rewrite's spans aggregated by
+    // hand (the head-quantified case is oracle-gated as
+    // q_pattern_qmeasure; this pins the mid-run case the oracle skips)
+    Tables.load(spark, sf)
+    val spans = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click{2,} THEN purchase
+         WITHIN '24' HOURS)
+         PARTITION BY user_id""")
+      .select(col("user_id").as("k"), col("id_1"), col("id_3"),
+        col("ts_1"), col("ts_3"))
+    val e = spark.table("events")
+    val want = spans.join(e, col("k") === col("user_id") &&
+        (col("ts") > col("ts_1") ||
+          (col("ts") === col("ts_1") && col("event_id") >= col("id_1"))) &&
+        (col("ts") < col("ts_3") ||
+          (col("ts") === col("ts_3") && col("event_id") <= col("id_3"))))
+      .groupBy("k", "id_1").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(want.nonEmpty, "fixture must produce mid-run measured matches")
+    val got = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click{2,} THEN purchase
+         WITHIN '24' HOURS)
+         PARTITION BY user_id
+         MEASURES COUNT(*) AS n""")
+      .select(col("id_1"), col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("multi-measure MEASURES: span aggs + class refs + match_number (r8)") {
     Tables.load(spark, sf)
     val got = CepSql.sql(spark,
