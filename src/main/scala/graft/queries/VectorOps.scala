@@ -303,72 +303,121 @@ object VectorOps {
     // this rides an IVF cell restriction (q_ann_ivf) in front, which is
     // exactly the billion-scale layout. Output pins codes AND the 4-dp
     // ADC for every vector.
-    "q_ann_pq" -> ((s, dir) => {
+    "q_ann_pq" -> ((s, dir) =>
+      pqScored(s, dir, identity).drop("label").orderBy("vec_id")),
+
+    // L3f — IVF-PQ (r8): the full FAISS-style billion-scale layout,
+    // composed from the two oracle-proven stages. The coarse quantizer
+    // (per-label centroid, q_ann_ivf's) picks the query's best cell;
+    // PQ codebooks train on the FULL corpus (codebooks are global —
+    // per-cell books would be a different, residual-PQ design); ADC
+    // scores ONLY the best cell's vectors and returns the 10 nearest
+    // by quantized distance. At 100 TB the cell restriction bounds the
+    // scan and the ADC bounds the arithmetic — the scan stage does M
+    // lookups per surviving vector, nothing else.
+    "q_ann_ivfpq" -> ((s, dir) => {
       GraftFunctions.register(s)
-      val M = 4; val K = 4L; val sub = 16
-      val e = graft.Caching.cache(
-        T(s, dir, "embeddings").select(col("vec_id"),
-          transform(col("embedding"), _.cast("double")).as("xd")))
-      // argmin-code column for subspace m against a (k → centroid) book
-      def codeCol(m: Int, book: Seq[(Long, Seq[Double])]): Column = {
-        val sl = slice(col("xd"), m * sub + 1, sub)
-        book.map { case (k, cv) =>
-          val cc = cv.map(x => x * x).sum // sequential = the kernel's order
-          struct(
-            fround(call_function("dot_product", sl, sl)
-              - lit(2.0) * call_function("dot_product", sl, typedLit(cv))
-              + lit(cc), 4).as("d2"),
-            lit(k).as("k"))
-        }.reduce(least(_, _)).getField("k") // (d2, k): min-k tiebreak
-      }
-      val seeds = e.filter(col("vec_id") < K).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
-      val c0 = (0 until M).map { m =>
-        seeds.map { case (k, v) =>
-          (k, v.slice(m * sub, (m + 1) * sub)) }
-      }
-      // one Lloyd round per subspace: explode once, route each element to
-      // its subspace's assigned cluster, 4-dp-round the means (so round-2
-      // inputs are bit-identical across engines)
-      val c1rows = e.select(col("xd") +:
-          (0 until M).map(m => codeCol(m, c0(m)).as(s"k$m")): _*)
-        .select(col("k0"), col("k1"), col("k2"), col("k3"),
-          posexplode(col("xd")).as(Seq("pos", "x")))
-        .select((col("pos") / sub).cast("int").as("m"),
-          element_at(array(col("k0"), col("k1"), col("k2"), col("k3")),
-            (col("pos") / sub).cast("int") + 1).as("cl"),
-          (col("pos") % sub).as("j"), col("x"))
-        .groupBy("m", "cl", "j").agg(fround(avg("x"), 4).as("cx"))
-        .collect().map(r =>
-          ((r.getInt(0), r.getLong(1)), (r.getInt(2), r.getDouble(3))))
-      val c1 = (0 until M).map { m =>
-        c1rows.filter(_._1._1 == m).groupBy(_._1._2).map { case (k, rs) =>
-          (k, rs.map(_._2).sortBy(_._1).map(_._2).toSeq)
-        }.toSeq.sortBy(_._1)
-      }
-      // ADC lookup table: ||q_m - c_mk||² per (m, k), driver-computed
-      // from the 64 query scalars + the rounded codebook, plan-literal
-      val qv = e.filter(col("vec_id") === 0).select(col("xd"))
-        .collect()(0).getSeq[Double](0)
-      val adc = (0 until M).map { m =>
-        val qsub = qv.slice(m * sub, (m + 1) * sub)
-        val qq = qsub.map(x => x * x).sum
-        val terms = c1(m).map { case (k, cv) =>
-          val qc = qsub.zip(cv).map { case (a, b) => a * b }.sum
-          (k, qq - 2.0 * qc + cv.map(x => x * x).sum)
-        }
-        terms.tail.foldLeft(
-          when(col(s"code_$m") === terms.head._1, lit(terms.head._2))) {
-          case (acc, (k, t)) => acc.when(col(s"code_$m") === k, lit(t))
-        }
-      }.reduce(_ + _)
-      e.select(col("vec_id") +:
-          (0 until M).map(m =>
-            codeCol(m, c1(m)).cast("long").as(s"code_$m")): _*)
-        .withColumn("adc", fround(adc, 4))
-        .orderBy("vec_id")
+      val e = T(s, dir, "embeddings")
+      val cents = e
+        .select(col("label"),
+          posexplode(transform(col("embedding"), _.cast("double")))
+            .as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(avg("x").as("cx"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          p => p.getField("cx")).as("cv"))
+      val qd = e.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), _.cast("double")).as("qvd"))
+      val best = cents.crossJoin(broadcast(qd))
+        .select(col("label"), cos("cv", "qvd").as("ccs"))
+        .orderBy(desc("ccs"), asc("label"))
+        .limit(1)
+        .select(col("label").cast("long").as("best_label"))
+      pqScored(s, dir, base => base
+          .join(broadcast(best), col("label") === col("best_label"))
+          .filter(col("vec_id") =!= 0)
+          .drop("best_label"))
+        .orderBy(asc("adc"), asc("vec_id"))
+        .limit(10)
     })
   )
+
+  /** Shared PQ pipeline (Jégou et al., TPAMI 2011): trains the global
+    * M=4 × K=4 codebooks on the FULL corpus (seeds = vectors 0..3's
+    * subvectors + one 4-dp-deterministic Lloyd refinement), then scores
+    * `restrict(base)` — base is (vec_id, label, xd) — with per-subspace
+    * argmin codes and the plan-literal ADC table for query vector 0.
+    * Training collects M×K×16 = 256 scalars per round (the bounded
+    * driver traffic q_kmeans accepts); scoring is map-side. */
+  private def pqScored(s: SparkSession, dir: String,
+      restrict: DataFrame => DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val M = 4; val K = 4L; val sub = 16
+    val e = graft.Caching.cache(
+      T(s, dir, "embeddings").select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        transform(col("embedding"), _.cast("double")).as("xd")))
+    // argmin-code column for subspace m against a (k → centroid) book
+    def codeCol(m: Int, book: Seq[(Long, Seq[Double])]): Column = {
+      val sl = slice(col("xd"), m * sub + 1, sub)
+      book.map { case (k, cv) =>
+        val cc = cv.map(x => x * x).sum // sequential = the kernel's order
+        struct(
+          fround(call_function("dot_product", sl, sl)
+            - lit(2.0) * call_function("dot_product", sl, typedLit(cv))
+            + lit(cc), 4).as("d2"),
+          lit(k).as("k"))
+      }.reduce(least(_, _)).getField("k") // (d2, k): min-k tiebreak
+    }
+    val seeds = e.filter(col("vec_id") < K)
+      .select(col("vec_id"), col("xd")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    val c0 = (0 until M).map { m =>
+      seeds.map { case (k, v) =>
+        (k, v.slice(m * sub, (m + 1) * sub)) }
+    }
+    // one Lloyd round per subspace: explode once, route each element to
+    // its subspace's assigned cluster, 4-dp-round the means (so round-2
+    // inputs are bit-identical across engines)
+    val c1rows = e.select(col("xd") +:
+        (0 until M).map(m => codeCol(m, c0(m)).as(s"k$m")): _*)
+      .select(col("k0"), col("k1"), col("k2"), col("k3"),
+        posexplode(col("xd")).as(Seq("pos", "x")))
+      .select((col("pos") / sub).cast("int").as("m"),
+        element_at(array(col("k0"), col("k1"), col("k2"), col("k3")),
+          (col("pos") / sub).cast("int") + 1).as("cl"),
+        (col("pos") % sub).as("j"), col("x"))
+      .groupBy("m", "cl", "j").agg(fround(avg("x"), 4).as("cx"))
+      .collect().map(r =>
+        ((r.getInt(0), r.getLong(1)), (r.getInt(2), r.getDouble(3))))
+    val c1 = (0 until M).map { m =>
+      c1rows.filter(_._1._1 == m).groupBy(_._1._2).map { case (k, rs) =>
+        (k, rs.map(_._2).sortBy(_._1).map(_._2).toSeq)
+      }.toSeq.sortBy(_._1)
+    }
+    // ADC lookup table: ||q_m - c_mk||² per (m, k), driver-computed
+    // from the 64 query scalars + the rounded codebook, plan-literal
+    val qv = e.filter(col("vec_id") === 0).select(col("xd"))
+      .collect()(0).getSeq[Double](0)
+    val adc = (0 until M).map { m =>
+      val qsub = qv.slice(m * sub, (m + 1) * sub)
+      val qq = qsub.map(x => x * x).sum
+      val terms = c1(m).map { case (k, cv) =>
+        val qc = qsub.zip(cv).map { case (a, b) => a * b }.sum
+        (k, qq - 2.0 * qc + cv.map(x => x * x).sum)
+      }
+      terms.tail.foldLeft(
+        when(col(s"code_$m") === terms.head._1, lit(terms.head._2))) {
+        case (acc, (k, t)) => acc.when(col(s"code_$m") === k, lit(t))
+      }
+    }.reduce(_ + _)
+    restrict(e)
+      .select(col("vec_id") +: col("label") +:
+        (0 until M).map(m =>
+          codeCol(m, c1(m)).cast("long").as(s"code_$m")): _*)
+      .withColumn("adc", fround(adc, 4))
+  }
 
   // Shared oracle scaffolding: explicit double dot products via an index
   // join — identical fold math to CosineSimilarity's loop (error << 1e-12,
@@ -610,7 +659,34 @@ object VectorOps {
          SELECT vec_id, cluster, d2,
            count(*) OVER (PARTITION BY cluster) AS n
          FROM a2 ORDER BY vec_id""",
-    "q_ann_pq" ->
+    "q_ann_pq" -> s"""$pqOracleCtes
+         SELECT cp.vec_id, code_0, code_1, code_2, code_3, adc.adc
+         FROM cp JOIN adc USING (vec_id) ORDER BY vec_id""",
+    "q_ann_ivfpq" -> s"""$pqOracleCtes,
+         cent AS (
+           SELECT label, i2.i AS pos,
+             avg(CAST(embedding[i2.i + 1] AS DOUBLE)) AS cx
+           FROM embeddings, (SELECT unnest(range(64)) AS i) i2
+           GROUP BY label, i2.i),
+         cscore AS (
+           SELECT c.label,
+             sum(c.cx * CAST(q.qe[c.pos + 1] AS DOUBLE)) /
+               (sqrt(sum(c.cx * c.cx)) *
+                sqrt(sum(CAST(q.qe[c.pos + 1] AS DOUBLE)
+                       * CAST(q.qe[c.pos + 1] AS DOUBLE)))) AS ccs
+           FROM cent c, q GROUP BY c.label),
+         best AS (SELECT label FROM cscore ORDER BY ccs DESC, label
+                  LIMIT 1)
+         SELECT cp.vec_id, CAST(v.label AS BIGINT) AS label,
+           code_0, code_1, code_2, code_3, adc.adc
+         FROM cp JOIN adc USING (vec_id)
+         JOIN embeddings v ON v.vec_id = cp.vec_id
+         WHERE v.label = (SELECT label FROM best) AND cp.vec_id <> 0
+         ORDER BY adc.adc, cp.vec_id LIMIT 10""")
+
+  /** Shared PQ oracle CTEs — the DuckDB twin of [[pqScored]]'s codebook
+    * training, code assignment, and ADC table (ends at `cp`/`adc`). */
+  private def pqOracleCtes: String =
       """WITH ij AS (
            SELECT m.m, j.j FROM (SELECT unnest(range(4)) AS m) m,
              (SELECT unnest(range(16)) AS j) j),
@@ -676,8 +752,5 @@ object VectorOps {
              max(CASE WHEN m = 1 THEN code END) AS code_1,
              max(CASE WHEN m = 2 THEN code END) AS code_2,
              max(CASE WHEN m = 3 THEN code END) AS code_3
-           FROM codes GROUP BY 1)
-         SELECT cp.vec_id, code_0, code_1, code_2, code_3, adc.adc
-         FROM cp JOIN adc USING (vec_id) ORDER BY vec_id"""
-  )
+           FROM codes GROUP BY 1)"""
 }

@@ -425,6 +425,21 @@ class PlanShapeSpec extends SparkSpec {
     graft.Caching.releaseAll()
   }
 
+  test("q_ann_ivfpq: cell restriction broadcasts; top-10 is TakeOrdered " +
+    "(r8)") {
+    // the 1-row best-cell frame must broadcast into the scoring scan
+    // (restrict-then-score — the base table never shuffles for ADC),
+    // and the final 10 must not globally sort
+    val p = plan("q_ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the best-cell restriction must be a broadcast join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must not globally sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row query side must broadcast, never cartesian:\n$p")
+    graft.Caching.releaseAll()
+  }
+
   test("every oracleSql key has a matching queries key") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
