@@ -65,4 +65,36 @@ class StateBoundSpec extends SparkSpec {
       s"state rows $maxStateRows exceeded user count $users")
     assert(maxStateRows > 0, "state metrics should have been recorded")
   }
+
+  test("optional-absence state rows stay bounded by key count (r8)") {
+    // detectOptWhere keeps partials + pending verdicts + the cancel
+    // memory, all in ONE state row per key; partials and pendings prune
+    // against the watermark, cancels against the lateness horizon —
+    // the same O(open windows) bound as the other detectors
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val q = ChainAbsenceDetector.detectOptWhere(stream.toDS(),
+        Seq("signup", "click", "view", "purchase")
+          .map(t => (e: CepEvent) => e.event_type == t),
+        Seq(false, true, false, false), 12L * 3600 * 1000, "0 seconds")
+      .writeStream.queryName("state_bound_optabs").format("memory")
+      .outputMode("append").start()
+    val data = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[CepEvent].orderBy("ts", "event_id").collect()
+    val users = data.map(_.user_id).distinct.length
+    var maxStateRows = 0L
+    data.grouped(100).foreach { c =>
+      stream.addData(c.toSeq)
+      q.processAllAvailable()
+      val p = q.lastProgress
+      if (p != null && p.stateOperators.nonEmpty)
+        maxStateRows = math.max(maxStateRows,
+          p.stateOperators.map(_.numRowsTotal).max)
+    }
+    q.stop()
+    assert(maxStateRows <= users,
+      s"state rows $maxStateRows exceeded user count $users")
+    assert(maxStateRows > 0, "state metrics should have been recorded")
+  }
 }
