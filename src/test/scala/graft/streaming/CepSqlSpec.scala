@@ -580,6 +580,70 @@ class CepSqlSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("head-quantified MEASURES span == independent run-boundary " +
+    "recomputation (r8)") {
+    // click{2,} THEN purchase with SUM(value): the span starts at the
+    // RUN'S FIRST ROW, which the measures rewrite recovers by re-joining
+    // the runs subquery (the r0 bound join). The truth here derives the
+    // run boundaries INDEPENDENTLY — gaps-and-islands in the DataFrame
+    // API — so a wrong boundary join cannot agree by construction.
+    import org.apache.spark.sql.expressions.Window
+    Tables.load(spark, sf)
+    val e = spark.table("events")
+    val wAll = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wCls = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    val runs = e
+      .withColumn("grp", row_number().over(wAll) -
+        row_number().over(wCls))
+      .filter(col("event_type") === "click")
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("run_len"),
+        min(struct(col("ts"), col("event_id"))).as("lo"),
+        max(struct(col("ts"), col("event_id"))).as("hi"))
+      .filter(col("run_len") >= 2)
+      .select(col("user_id").as("k"),
+        col("lo.ts").as("run_start"), col("lo.event_id").as("sid"),
+        col("hi.ts").as("run_end"), col("run_len"))
+    val wRun = Window.partitionBy("k", "run_end")
+      .orderBy("ts", "event_id")
+    val comp = runs.join(e,
+        col("k") === col("user_id") && col("event_type") === "purchase" &&
+          col("ts") > col("run_end") &&
+          col("ts") <= col("run_end") +
+            org.apache.spark.sql.functions.expr("INTERVAL 2 HOURS"))
+      .withColumn("rn", row_number().over(wRun))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("run_start"), col("sid"),
+        col("run_end").as("ts_1"),
+        col("ts").as("p_ts"), col("event_id").as("pid"))
+    val want = comp.join(e.select(col("user_id").as("u"),
+        col("ts").as("ets"), col("event_id").as("eid"),
+        col("value").as("ev")),
+        col("k") === col("u") &&
+          (col("ets") > col("run_start") ||
+            (col("ets") === col("run_start") && col("eid") >= col("sid"))) &&
+          (col("ets") < col("p_ts") ||
+            (col("ets") === col("p_ts") && col("eid") <= col("pid"))))
+      .groupBy("k", "ts_1")
+      .agg(sum("ev").as("sv"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime) ->
+        r.getDouble(2)).toMap
+    assert(want.nonEmpty, "fixture must produce head-quantified matches")
+    val got = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (click{2,} THEN purchase WITHIN '2' HOURS)
+         PARTITION BY user_id
+         MEASURES SUM(value) AS sv""")
+      .select(col("user_id"), col("ts_1"), col("sv"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime) ->
+        r.getDouble(2)).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (kk, w) =>
+      assert(math.abs(got(kk) - w) < 1e-9, s"sum@$kk: ${got(kk)} vs $w")
+    }
+  }
+
   test("multi-measure MEASURES: span aggs + class refs + match_number (r8)") {
     Tables.load(spark, sf)
     val got = CepSql.sql(spark,
