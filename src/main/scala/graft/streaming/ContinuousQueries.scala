@@ -84,7 +84,9 @@ object ContinuousQueries {
     *  - `… MEASURES fn(col), ev.col, MATCH_NUMBER()` →
     *    [[PatternMatch.detectMeasures]] (r7, generalized r8 — span
     *    aggregates carried per open partial over ANY numeric converter
-    *    column: value, event_id, user_id)
+    *    column: value, event_id, user_id); span aggregates over
+    *    QUANTIFIED chains → [[RunChainDetector.detectMeasures]] (r8 —
+    *    MATCH_NUMBER/class refs on those stay batch-routed, loudly)
     *
     * Alternation steps (`click|view`, r7) dispatch through every arm —
     * the detectors take event-type classes. Quantified chains (`{m,}`
@@ -123,13 +125,6 @@ object ContinuousQueries {
     lazy val srcWm = src.withWatermark("ts", lateness)
     val classes = spec.steps.map(_.events.toSet)
     val quantifiedTail = spec.steps.tail.exists(_.minTimes.isDefined)
-    // MEASURES over a quantified chain parses (r8, batch-rewritable)
-    // but would be silently DROPPED by the quantified dispatch arms —
-    // reject loudly instead of losing the user's measures
-    if (spec.measures.nonEmpty && spec.steps.exists(_.minTimes.isDefined))
-      throw new IllegalArgumentException(
-        "MEASURES on a quantified chain has no streaming detector — " +
-          "run the batch rewrite via CepSql.sql")
     // step conditions (r7 DEFINE-lite): streaming evaluates them on the
     // converter schema, so only the `value` column is available. Since
     // r8 EVERY arm takes them via predicate dispatch — each detector's
@@ -161,7 +156,50 @@ object ContinuousQueries {
       }
     }
     val out: DataFrame =
-      if (spec.permute) {
+      if (spec.measures.nonEmpty &&
+          spec.steps.exists(_.minTimes.isDefined)) {
+        // MEASURES over a quantified chain (r8): span aggregates stream
+        // via RunChainDetector.detectMeasures — MATCH_NUMBER (needs the
+        // held-release ordering) and class refs (need a single matched
+        // row) reject loudly instead of being silently dropped by the
+        // quantified arms. The overlap carve-out applies unchanged.
+        spec.measures.foreach {
+          case _: CepSql.SpanAgg => ()
+          case _ => throw new IllegalArgumentException(
+            "streaming measures on a quantified chain support span " +
+              "aggregates only — run the batch rewrite via CepSql.sql")
+        }
+        spec.steps.sliding(2).foreach { pair =>
+          if (pair.length == 2 && pair.last.minTimes.isDefined &&
+              pair.head.events.toSet.intersect(
+                pair.last.events.toSet).nonEmpty)
+            throw new IllegalArgumentException(
+              "a {m,} step whose class overlaps the previous step's " +
+                "has no streaming detector (run maximality differs) — " +
+                "run the batch rewrite via CepSql.sql")
+        }
+        val det = RunChainDetector.detectMeasures(srcWm,
+          spec.steps.map(s => (stepPred(s), s.minTimes)), spec.withinMs,
+          spec.steps.map(_.maxTimes), spec.measures)
+        // same alias + integral-cast discipline as the plain-chain
+        // measures arm (batch schema parity)
+        val intCols = Set("event_id", "user_id")
+        val mcols = spec.measures.zipWithIndex.map { case (m, i) =>
+          val c = col("vals").getItem(i)
+          val typed = m match {
+            case CepSql.SpanAgg("COUNT", _, _) => c.cast("long")
+            case CepSql.SpanAgg(fn, cc, _)
+                if fn != "AVG" &&
+                  intCols(cc.toLowerCase(java.util.Locale.ROOT)) =>
+              c.cast("long")
+            case _ => c
+          }
+          typed.as(m.alias)
+        }
+        det.toDF().select(
+          (Seq(col("user_id"), col("step_vals"), col("step_ts"),
+            col("start_ts"), col("end_ts")) ++ mcols): _*)
+      } else if (spec.permute) {
         // PERMUTE(a, b) (r7): union of the two directional CepSequence
         // detectors, tagged with the anchor's event name — the exact
         // streaming twin of the batch union-of-rank-1 rewrite

@@ -35,6 +35,25 @@ case class RunChainState(partials: List[RunChainPartial],
     pending: List[RunChainPending] = Nil,
     cancels: List[Timestamp] = Nil)
 
+/** A measured quantified-chain match (r8): [[RunChainMatch]] plus
+  * `vals(i)` = measure i in declared MEASURES order (span aggregates
+  * and COUNT only — the streaming surface of the batch quantified
+  * measures rewrite). */
+case class RunChainMeasured(user_id: Long, step_vals: Seq[Long],
+    step_ts: Seq[Timestamp], start_ts: Timestamp, end_ts: Timestamp,
+    vals: Seq[Double])
+
+/** One open measured partial: [[RunChainPartial]]'s fields + span
+  * accumulators (one sum/min/max slot per distinct aggregated column,
+  * one shared count). Invariant: `cnt == 0` ⇔ the span has not started
+  * (a quantified-head tracker between runs). */
+case class RunChainMPartial(vals: List[Long], tss: List[Timestamp],
+    anchorTs: Timestamp, prevTs: Timestamp,
+    runStart: Timestamp, runLast: Timestamp, runLen: Long,
+    sums: Seq[Double], cnt: Long, mns: Seq[Double], mxs: Seq[Double])
+
+case class RunChainMState(partials: List[RunChainMPartial])
+
 /** Streaming quantified chains (r7): `MATCH PATTERN` chains with `{m,}`
   * on any step — the last pattern form [[ContinuousQueries.submitPattern]]
   * rejected. Mirrors the batch generalized-chain rewrite exactly:
@@ -330,6 +349,205 @@ object RunChainDetector {
               state.setTimeoutTimestamp(math.max(nextMs, wmMs + 1))
             }
           }
+          out.result().iterator
+      }
+  }
+
+  /** Measured quantified chains (r8): [[detectWhere]]'s scan rules plus
+    * span-aggregate accumulators — the streaming twin of the batch
+    * quantified-measures rewrite. The span runs from the match's FIRST
+    * row (a quantified head's run START — accumulators re-seed whenever
+    * the head tracker opens a fresh run, and reset when a head run
+    * fails) to its LAST row, inclusive, any type. The one subtle row is
+    * a quantified LAST step's CLOSING event: it proves the run maximal
+    * but sits OUTSIDE the span, so a chain completing on a run closure
+    * emits with the PRE-fold accumulators, while the same closing event
+    * folds forward when the chain continues (it lies between matched
+    * rows). Span aggregates and COUNT only — MATCH_NUMBER needs the
+    * held-release ordering discipline and class refs a single matched
+    * row; both stay batch-routed. Matches the batch span join exactly
+    * on in-order replay (RunChainSpec law); out-of-order span events
+    * inside the lateness bound still advance STEPS but cannot
+    * retro-enter an already-accumulated span — batch is authoritative
+    * there ([[PatternMatch.detectMeasure]]'s documented contract). */
+  def detectMeasures(events: Dataset[CepEvent],
+      steps: Seq[(CepEvent => Boolean, Option[Int])], withinMs: Long,
+      maxTimes: Seq[Option[Int]], measures: Seq[CepSql.Measure])
+      : Dataset[RunChainMeasured] = {
+    require(maxTimes.length == steps.length,
+      "one maxTimes entry per step (None = uncapped)")
+    require(steps.length >= 2, "a pattern needs at least 2 steps")
+    require(steps.exists(_._2.isDefined),
+      "no quantifier — use PatternMatch.detectMeasures for plain chains")
+    require(measures.nonEmpty, "at least one measure")
+    measures.foreach {
+      case CepSql.SpanAgg(fn, c, _) =>
+        require(Set("SUM", "AVG", "MIN", "MAX", "COUNT")(fn),
+          s"unsupported measure fn '$fn'")
+        if (c != "*") PatternMatch.numColumn(c) // loud on non-numeric
+      case m => throw new IllegalArgumentException(
+        s"streaming quantified-chain measures support span aggregates " +
+          s"only — got '$m'; run the batch rewrite via CepSql.sql")
+    }
+    val aggCols = measures.collect {
+      case CepSql.SpanAgg(fn, c, _) if fn != "COUNT" && c != "*" =>
+        c.toLowerCase(java.util.Locale.ROOT)
+    }.distinct
+    val aggSels = aggCols.map(PatternMatch.numColumn)
+    val zero = aggCols.map(_ => 0.0)
+    val n = steps.length
+    val withinUs = withinMs * 1000L
+    implicit val matchEnc = Encoders.product[RunChainMeasured]
+    implicit val stateEnc = Encoders.product[RunChainMState]
+    implicit val keyEnc = Encoders.scalaLong
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunChainMState, RunChainMeasured](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[CepEvent],
+            state: GroupState[RunChainMState]) =>
+          var partials = state.getOption.map(_.partials).getOrElse(Nil)
+          val out = List.newBuilder[RunChainMeasured]
+          val batch = it.toArray.sortBy(e => (us(e.ts), e.event_id))
+          var maxTs = 0L
+
+          def windowEnd(p: RunChainMPartial): Long =
+            us(if (p.tss.isEmpty) p.anchorTs else p.tss.last) + withinUs
+
+          def measureVals(sums: Seq[Double], cnt: Long, mns: Seq[Double],
+              mxs: Seq[Double]): Seq[Double] = measures.map {
+            case CepSql.SpanAgg(fn, c, _) =>
+              lazy val i =
+                aggCols.indexOf(c.toLowerCase(java.util.Locale.ROOT))
+              fn match {
+                case "SUM" => sums(i)
+                case "AVG" => sums(i) / cnt
+                case "MIN" => mns(i)
+                case "MAX" => mxs(i)
+                case _     => cnt.toDouble
+              }
+            case _ => 0.0 // unreachable (validated above)
+          }
+
+          // advance with (emitAcc, contAcc): a completion emits with
+          // emitAcc; a surviving partial carries contAcc (they differ
+          // exactly when the advancing row is a run's closing event)
+          def advance(p: RunChainMPartial, v: Long, ts: Timestamp,
+              emit: (Seq[Double], Long, Seq[Double], Seq[Double]),
+              cont: (Seq[Double], Long, Seq[Double], Seq[Double]))
+              : Option[RunChainMPartial] = {
+            val vals2 = v :: p.vals
+            val tss2 = ts :: p.tss
+            if (vals2.length == n) {
+              out += RunChainMeasured(user, vals2.reverse, tss2.reverse,
+                tss2.last, ts,
+                measureVals(emit._1, emit._2, emit._3, emit._4))
+              None
+            } else Some(RunChainMPartial(vals2, tss2, p.anchorTs, ts,
+              null, null, 0L, cont._1, cont._2, cont._3, cont._4))
+          }
+
+          batch.foreach { e =>
+            val t = us(e.ts)
+            if (t > maxTs) maxTs = t
+            val ev = aggSels.map(_(e))
+            partials = partials.flatMap { p =>
+              val started = p.cnt > 0L
+              val pre = (p.sums, p.cnt, p.mns, p.mxs)
+              val post =
+                if (!started) pre
+                else (p.sums.lazyZip(ev).map(_ + _).toSeq, p.cnt + 1,
+                  p.mns.lazyZip(ev).map(math.min).toSeq,
+                  p.mxs.lazyZip(ev).map(math.max).toSeq)
+              def carry(q: RunChainMPartial): RunChainMPartial =
+                q.copy(sums = post._1, cnt = post._2, mns = post._3,
+                  mxs = post._4)
+              val step = p.vals.length
+              val (pred, mt) = steps(step)
+              val inClass = pred(e)
+              mt match {
+                case None =>
+                  // plain step: its matching event is IN the span
+                  if (inClass && t > us(p.prevTs) && t <= windowEnd(p))
+                    advance(p, e.event_id, e.ts, post, post).toList
+                  else List(carry(p))
+                case Some(m) =>
+                  if (inClass) {
+                    if (p.runStart == null) {
+                      if (step > 0 && t > windowEnd(p)) Nil
+                      else if (step == 0)
+                        // head tracker: a fresh run (re)starts the span
+                        // — accumulators seed with this event
+                        List(p.copy(runStart = e.ts, runLast = e.ts,
+                          runLen = 1L, sums = ev, cnt = 1L, mns = ev,
+                          mxs = ev))
+                      else List(carry(p.copy(runStart = e.ts,
+                        runLast = e.ts, runLen = 1L)))
+                    } else List(carry(p.copy(runLast = e.ts,
+                      runLen = p.runLen + 1L)))
+                  } else if (p.runStart != null) {
+                    // the closing event: qualify the run. On COMPLETION
+                    // it is outside the span (pre-fold); on continuation
+                    // it lies between matched rows (post-fold).
+                    val qualifies = p.runLen >= m &&
+                      maxTimes(step).forall(p.runLen <= _) &&
+                      us(p.runStart) > us(p.prevTs) &&
+                      (step == 0 || us(p.runLast) <= windowEnd(p))
+                    if (qualifies) {
+                      val adv = advance(p.copy(runStart = null,
+                          runLast = null, runLen = 0L),
+                        p.runLen, p.runLast, pre, post)
+                      adv match {
+                        case Some(p2) =>
+                          val (pred2, mt2) = steps(p2.vals.length)
+                          if (mt2.isEmpty && pred2(e) &&
+                              t > us(p2.prevTs) && t <= windowEnd(p2))
+                            advance(p2, e.event_id, e.ts, post, post)
+                              .toList
+                          else if (mt2.isDefined && pred2(e) &&
+                              t <= windowEnd(p2))
+                            List(p2.copy(runStart = e.ts, runLast = e.ts,
+                              runLen = 1L))
+                          else List(p2)
+                        case None => Nil
+                      }
+                    } else if (step == 0)
+                      // failed head run: the span never started — reset
+                      List(p.copy(runStart = null, runLast = null,
+                        runLen = 0L, sums = zero, cnt = 0L, mns = zero,
+                        mxs = zero))
+                    else List(carry(p.copy(runStart = null,
+                      runLast = null, runLen = 0L)))
+                  } else List(carry(p))
+              }
+            }
+            val (headPred, headMt) = steps.head
+            if (headPred(e)) headMt match {
+              case None =>
+                // plain head: the anchor event seeds its own span
+                advance(RunChainMPartial(Nil, Nil, e.ts,
+                    new Timestamp(0L), null, null, 0L, zero, 0L, zero,
+                    zero), e.event_id, e.ts,
+                  (ev, 1L, ev, ev), (ev, 1L, ev, ev))
+                  .foreach(p2 => partials = p2 :: partials)
+              case Some(_) =>
+                val tracking = partials.exists(p =>
+                  p.vals.isEmpty && p.runStart != null)
+                if (!tracking)
+                  partials = RunChainMPartial(Nil, Nil, e.ts,
+                    new Timestamp(0L), e.ts, e.ts, 1L,
+                    ev, 1L, ev, ev) :: partials
+            }
+          }
+
+          val horizon = scala.util.Try(state.getCurrentWatermarkMs() * 1000L)
+            .getOrElse(maxTs)
+          partials = partials.filter { p =>
+            p.runStart != null ||
+              (p.tss.nonEmpty && windowEnd(p) >= horizon)
+          }
+          if (partials.isEmpty) state.remove()
+          else state.update(RunChainMState(partials))
           out.result().iterator
       }
   }

@@ -251,4 +251,75 @@ class RunChainSpec extends SparkSpec {
       24L * 3600 * 1000)
     assert(streamed === batch)
   }
+
+  test("measured quantified chains: replay == batch span rewrite (r8)") {
+    // SUM(value) + COUNT(*) over head-quantified and mid-quantified
+    // chains: the streaming accumulators (pre-fold on run-closing
+    // completions, seed-at-run-start for the head tracker) must equal
+    // the batch span join with the recovered run-boundary rows. The
+    // flush event closes final runs but must NOT leak into any span.
+    Tables.load(spark, sf)
+    def law(pattern: String, steps: Seq[(Set[String], Option[Int])],
+        withinMs: Long): Unit = {
+      val batchRows = CepSql.sql(spark, pattern).collect()
+      val nc = batchRows.head.length
+      val k = steps.length
+      val batch = batchRows.map { r =>
+        (r.getLong(0), (1 to k).map(r.getLong).toList) ->
+          ((r.getDouble(nc - 2), r.getLong(nc - 1)))
+      }.toMap
+      assert(batch.nonEmpty, s"fixture must produce matches: $pattern")
+      implicit val sq = spark.sqlContext
+      val stream = MemoryStream[CepEvent]
+      val name = s"runchain_meas_${System.nanoTime}"
+      val q = RunChainDetector.detectMeasures(stream.toDS(),
+          steps.map { case (cls, mt) =>
+            ((e: CepEvent) => cls.contains(e.event_type), mt) },
+          withinMs, steps.map(_ => None),
+          Seq(CepSql.SpanAgg("SUM", "value", "sv"),
+            CepSql.SpanAgg("COUNT", "*", "cn")))
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").start()
+      val data = eventsDs.orderBy("ts", "event_id").collect()
+      data.grouped(250).foreach { c =>
+        stream.addData(c.toSeq)
+        q.processAllAvailable()
+      }
+      val flush = data.map(_.user_id).distinct.zipWithIndex.map {
+        case (u, i) => CepEvent(-1000L - i,
+          Timestamp.valueOf("2031-01-01 00:00:00"), u, "zz_flush", 7777.0)
+      }
+      stream.addData(flush.toSeq)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table(name).collect().map { r =>
+        val v = r.getSeq[Double](5)
+        (r.getLong(0), r.getSeq[Long](1).toList) ->
+          ((v(0), v(1).toLong))
+      }.toMap
+      assert(got.keySet === batch.keySet, s"match sets differ: $pattern")
+      batch.foreach { case (kk, (sv, cn)) =>
+        assert(got(kk)._2 === cn, s"count@$kk: $pattern")
+        assert(math.abs(got(kk)._1 - sv) < 1e-6,
+          s"sum@$kk: ${got(kk)._1} vs $sv: $pattern")
+        assert(math.abs(got(kk)._1 - 7777.0) > 1.0 ||
+          math.abs(sv - 7777.0) < 1e-6,
+          s"flush value leaked into the span@$kk")
+      }
+    }
+    law("""SELECT * FROM events
+           MATCH PATTERN (click{2,} THEN purchase WITHIN '2' HOURS)
+           PARTITION BY user_id
+           MEASURES SUM(value) AS sv, COUNT(*) AS cn""",
+      Seq((Set("click"), Some(2)), (Set("purchase"), None)),
+      2L * 3600 * 1000)
+    law("""SELECT * FROM events
+           MATCH PATTERN (signup THEN click{2,} THEN purchase
+           WITHIN '24' HOURS)
+           PARTITION BY user_id
+           MEASURES SUM(value) AS sv, COUNT(*) AS cn""",
+      Seq((Set("signup"), None), (Set("click"), Some(2)),
+        (Set("purchase"), None)),
+      24L * 3600 * 1000)
+  }
 }

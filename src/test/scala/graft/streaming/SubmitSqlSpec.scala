@@ -235,17 +235,44 @@ class SubmitSqlSpec extends SparkSpec {
       if (qN.isActive) qN.stop()
       spark.catalog.dropTempView("pat_measn")
     }
-    // ...MEASURES on a quantified chain parses (r8, batch-rewritable)
-    // but must reject loudly here — the quantified dispatch arms would
-    // silently drop the measures otherwise
+    // ...span-aggregate MEASURES on a quantified chain dispatch to
+    // RunChainDetector.detectMeasures (r8): user 7's 2-click run +
+    // purchase spans 4 events (run start .. purchase, closing event
+    // 'x' folded as a bystander), sum = 10+20+5+100
+    val streamQM = MemoryStream[CepEvent]
+    streamQM.toDF().createOrReplaceTempView("pat_qmeas")
+    val qQM = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_qmeas
+         MATCH PATTERN (click{2,} THEN purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id
+         MEASURES SUM(value) AS sv, COUNT(*) AS cn""", "svc_qmeas")
+    try {
+      streamQM.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "click", 10),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:00:10"), 7, "click", 20),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:00:20"), 7, "x", 5),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 00:00:30"), 7, "purchase",
+          100))
+      qQM.processAllAvailable()
+      val gotQM = spark.table("svc_qmeas")
+        .select("user_id", "sv", "cn").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(gotQM === Set((7L, 135.0, 4L)),
+        "the span must cover run start through purchase inclusive")
+    } finally {
+      if (qQM.isActive) qQM.stop()
+      spark.catalog.dropTempView("pat_qmeas")
+    }
+    // ...MATCH_NUMBER / class refs on a quantified chain stay
+    // batch-only → loud
     val eQM = intercept[IllegalArgumentException] {
       ContinuousQueries.submitPattern(spark,
         """SELECT * FROM pat_events2
            MATCH PATTERN (a{2,} THEN b WITHIN '5' MINUTES)
            PARTITION BY user_id
-           MEASURES COUNT(*)""", "svc_qmeas")
+           MEASURES COUNT(*) AS c, MATCH_NUMBER() AS mn""", "svc_qmeasn")
     }
-    assert(eQM.getMessage.contains("quantified chain"))
+    assert(eQM.getMessage.contains("span aggregates only"))
     // ...a measure column outside the converter schema is batch-only
     val eMeas = intercept[IllegalArgumentException] {
       ContinuousQueries.submitPattern(spark,
