@@ -254,4 +254,70 @@ class RecoverySpec extends SparkSpec {
     assert(got.exists(_._3.isEmpty) && got.exists(_._3.nonEmpty),
       "both the skip and take arms must survive the restart")
   }
+
+  test("measured quantified detector resumes from checkpoint: open runs " +
+    "and span accumulators survive (r8)") {
+    // RunChainDetector.detectMeasures state carries open runs AND span
+    // accumulator vectors; a restart mid-run must restore both or the
+    // resumed run under-counts phase-1 events. Output must equal the
+    // batch quantified-measures rewrite after a flush closes final runs.
+    import java.sql.Timestamp
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_qmeas_in").toFile
+    val outDir = Files.createTempDirectory("graft_qmeas_out").toFile
+    val ckpt = Files.createTempDirectory("graft_qmeas_ckpt").toFile
+    val events = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val schema = events.schema
+    def startQuery() =
+      RunChainDetector.detectMeasures(
+          Sources.fileStream(spark, in.getAbsolutePath, schema)
+            .as[CepEvent],
+          Seq(((e: CepEvent) => e.event_type == "click", Some(2)),
+            ((e: CepEvent) => e.event_type == "purchase", None)),
+          2L * 3600 * 1000, Seq(None, None),
+          Seq(CepSql.SpanAgg("SUM", "value", "sv"),
+            CepSql.SpanAgg("COUNT", "*", "cn")))
+        .writeStream.format("parquet")
+        .option("path", outDir.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append").start()
+    val cut = "2024-01-12 18:00:00"
+    events.filter(col("ts") < lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    events.filter(col("ts") >= lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    // per-key flush closes each key's final open run
+    val users = events.select("user_id").distinct()
+      .collect().map(_.getLong(0))
+    users.zipWithIndex.map { case (u, i) =>
+      CepEvent(-1000L - i, Timestamp.valueOf("2031-01-01 00:00:00"), u,
+        "zz_flush", 0.0)
+    }.toSeq.toDS().toDF()
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+    val got = spark.read.parquet(outDir.getAbsolutePath).collect()
+      .map { r =>
+        val v = r.getSeq[Double](5)
+        (r.getLong(0), r.getSeq[Long](1).toList) -> ((v(0), v(1).toLong))
+      }.toMap
+    Tables.load(spark, sf)
+    val batchRows = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (click{2,} THEN purchase WITHIN '2' HOURS)
+         PARTITION BY user_id
+         MEASURES SUM(value) AS sv, COUNT(*) AS cn""").collect()
+    val want = batchRows.map { r =>
+      (r.getLong(0), List(r.getLong(1), r.getLong(2))) ->
+        ((r.getDouble(5), r.getLong(6)))
+    }.toMap
+    assert(want.nonEmpty)
+    assert(got.keySet === want.keySet, "match sets differ across restart")
+    want.foreach { case (k, (sv, cn)) =>
+      assert(got(k)._2 === cn, s"count@$k")
+      assert(math.abs(got(k)._1 - sv) < 1e-6, s"sum@$k")
+    }
+  }
 }

@@ -97,6 +97,64 @@ class StreamJoinSpec extends SparkSpec {
     assert(got.exists(_._2 == -1L), "unmatched signups must emit nulls")
   }
 
+  test("stream-stream FULL OUTER interval join == batch full join (r8)") {
+    // both null directions are watermark-driven: unmatched signups AND
+    // unmatched purchases emit their null-padded rows once the
+    // watermark proves no partner can still arrive
+    implicit val sq = spark.sqlContext
+    val signups = MemoryStream[CepEvent]
+    val purchases = MemoryStream[CepEvent]
+    def shape(df: org.apache.spark.sql.DataFrame, idAs: String,
+        tsAs: String) =
+      df.select(col("event_id").as(idAs), col("user_id"),
+        col("ts").as(tsAs))
+    val joined = StreamOps.streamStreamIntervalJoin(
+        shape(signups.toDF(), "sid", "s_ts"),
+        shape(purchases.toDF(), "pid", "p_ts"),
+        Seq("user_id"), "s_ts", "p_ts", "30 MINUTES", "10 minutes",
+        "full_outer")
+      .select(col("sid"), col("pid"))
+    val name = "ssj_full_test"
+    val q = joined.writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val ev = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[CepEvent].orderBy("ts", "event_id").collect()
+    ev.grouped(300).foreach { chunk =>
+      signups.addData(chunk.filter(_.event_type == "signup").toSeq)
+      purchases.addData(chunk.filter(_.event_type == "purchase").toSeq)
+      q.processAllAvailable()
+    }
+    val flush = CepEvent(-1L, Timestamp.valueOf("2030-01-01 00:00:00"),
+      -1L, "flush", 0.0)
+    signups.addData(flush); purchases.addData(flush)
+    q.processAllAvailable()
+    q.stop()
+    def nn(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (r.isNullAt(i)) -999L else r.getLong(i)
+    val got = spark.table(name)
+      .filter(coalesce(col("sid"), lit(0L)) =!= -1L &&
+        coalesce(col("pid"), lit(0L)) =!= -1L)
+      .select(col("sid"), col("pid")).collect()
+      .map(r => (nn(r, 0), nn(r, 1))).toSet
+    val e = Tables.table(spark, sf, "events")
+    val bl = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("sid"), col("user_id"),
+        col("ts").as("s_ts"))
+    val br = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("uid_r"),
+        col("ts").as("p_ts"))
+    val want = bl.join(br,
+        col("user_id") === col("uid_r") && col("p_ts") > col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES"),
+        "full")
+      .select(col("sid"), col("pid")).collect()
+      .map(r => (nn(r, 0), nn(r, 1))).toSet
+    assert(got == want && got.nonEmpty)
+    assert(got.exists(_._2 == -999L), "unmatched signups must emit nulls")
+    assert(got.exists(_._1 == -999L), "unmatched purchases must emit nulls")
+  }
+
   test("stream-static enrichment join (stream x dimension table)") {
     implicit val sq = spark.sqlContext
     val dim = Tables.table(spark, sf, "customer")
