@@ -64,6 +64,18 @@ object DetectorThroughputProbe {
       Seq((e: CepEvent) => e.event_type == "signup",
         (e: CepEvent) => e.event_type == "purchase"),
       30L * 60 * 1000, "SUM").toDF())
+    // r8 detectors
+    run("qmeasure", ds => RunChainDetector.detectMeasures(ds,
+      Seq(((e: CepEvent) => e.event_type == "click", Some(2)),
+        ((e: CepEvent) => e.event_type == "purchase", None)),
+      2L * 3600 * 1000, Seq(None, None),
+      Seq(graft.streaming.CepSql.SpanAgg("SUM", "value", "sv"),
+        graft.streaming.CepSql.SpanAgg("COUNT", "*", "cn"))).toDF())
+    run("optabs", ds => ChainAbsenceDetector.detectOptWhere(ds,
+      Seq("signup", "click", "view", "purchase")
+        .map(t => (e: CepEvent) => e.event_type == t),
+      Seq(false, true, false, false), 12L * 3600 * 1000,
+      "0 seconds").toDF())
     spark.stop()
   }
 }
