@@ -113,6 +113,83 @@ object Analytics {
         .agg(count(lit(1)).as("cnt"),
           round(sum("o_totalprice"), 2).as("sum_price"))
         .orderBy("bin")
+    }),
+
+    // Time-series resample to OHLC bars (r8): 15-minute buckets per
+    // event_type — open/close via first/last_value over the (ts,
+    // event_id) total order, high/low/count/volume from the same
+    // grouped pass. The bucket key is exact integer microsecond
+    // division (no engine timestamp-truncation rules); open/close/high/
+    // low are raw untouched doubles (bit-identical across engines), and
+    // only the non-associative volume sum is fround-ed. One window pass
+    // + one hash agg, keyed on (event_type, bucket) — bounded output
+    // (types × buckets), skew-free at any input scale.
+    "q_resample_ohlc" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type", "bucket")
+        .orderBy(asc("ts"), asc("event_id"))
+      val full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      T(s, dir, "events")
+        .withColumn("bucket", expr("unix_micros(ts) div 900000000"))
+        .withColumn("open", first("value").over(w))
+        .withColumn("close", last("value").over(full))
+        .groupBy("event_type", "bucket")
+        .agg(max("open").as("open"), max("value").as("high"),
+          min("value").as("low"), max("close").as("close"),
+          count(lit(1)).as("cnt"), fround(sum("value"), 2).as("volume"))
+        .withColumn("bucket_ts",
+          expr("timestamp_micros(bucket * 900000000)"))
+        .select("event_type", "bucket_ts", "open", "high", "low",
+          "close", "cnt", "volume")
+        .orderBy("event_type", "bucket_ts")
+    }),
+
+    // Bounded-lookback EWMA (r8): exponentially weighted moving average
+    // of each user's event values over the trailing 16 rows, alpha=1/4.
+    // The recurrence is non-associative (not a plain window SUM), so the
+    // textbook prefix trick sum(x_i*(1-a)^-i)*(1-a)^t overflows double
+    // at deep histories; the scale-safe form is the truncated kernel —
+    // 16 explicit lag terms, all computed in ONE WindowExec pass. The
+    // weights (3/4)^k are EXACT binary doubles (3^k < 2^53), the term
+    // sum is written as the identical left-to-right fold in both
+    // engines, so the quotient is bit-deterministic before the final
+    // 4-dp fround. At 100 TB: one shuffle on user_id, O(1) state per
+    // row, no driver traffic.
+    "q_ewma" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("ts"), asc("event_id"))
+      val lags = (0 to 15).map(k => lag(col("value"), k).over(w))
+      val wts = (0 to 15).map(k => math.pow(0.75, k))
+      val num = lags.zip(wts).map { case (l, wt) =>
+        coalesce(l * lit(wt), lit(0.0)) }.reduce(_ + _)
+      val den = lags.zip(wts).map { case (l, wt) =>
+        when(l.isNotNull, lit(wt)).otherwise(lit(0.0)) }.reduce(_ + _)
+      T(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("ewma", fround(num / den, 4))
+        .select("user_id", "ts", "event_id", "ewma")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // First-order Markov transition matrix over event types (r8): the
+    // sequence-mining summary behind q_event_path — P(next | current)
+    // from each user's event-time-ordered stream. The probability is a
+    // ratio of exact integers (bit-identical IEEE division in both
+    // engines — no rounding needed). One lead pass, one count shuffle,
+    // one bounded window over the 5×5 output.
+    "q_markov_trans" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("ts"), asc("event_id"))
+      val wsum = Window.partitionBy("e1")
+      T(s, dir, "events")
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .filter(col("e2").isNotNull)
+        .groupBy(col("event_type").as("e1"), col("e2"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("prob",
+          col("cnt").cast("double") / sum("cnt").over(wsum))
+        .select("e1", "e2", "cnt", "prob")
+        .orderBy("e1", "e2")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -168,5 +245,48 @@ object Analytics {
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 25000) * 25000 AS BIGINT) AS bin,
            count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
-         FROM orders GROUP BY 1 ORDER BY 1""")
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_resample_ohlc" ->
+      """WITH x AS (
+           SELECT event_type, epoch_us(ts) // 900000000 AS bucket,
+             ts, event_id, value,
+             first_value(value) OVER w AS open,
+             last_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING) AS close
+           FROM events
+           WINDOW w AS (PARTITION BY event_type,
+             epoch_us(ts) // 900000000 ORDER BY ts, event_id))
+         SELECT event_type, make_timestamp(bucket * 900000000) AS bucket_ts,
+           max(open) AS open, max(value) AS high, min(value) AS low,
+           max(close) AS close, count(*) AS cnt,
+           floor(sum(value) * 100 + 0.5) / 100 AS volume
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_ewma" ->
+      s"""WITH x AS (
+           SELECT user_id, ts, event_id,
+             ${(0 to 15).map(k => s"lag(value, $k) OVER w AS l$k")
+               .mkString(", ")}
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, ts, event_id,
+           floor((${(0 to 15).map(k =>
+             s"coalesce(l$k * ${math.pow(0.75, k)}, 0.0)")
+               .mkString(" + ")}) /
+           (${(0 to 15).map(k =>
+             s"(CASE WHEN l$k IS NOT NULL THEN ${math.pow(0.75, k)} " +
+               "ELSE 0.0 END)").mkString(" + ")})
+           * 10000 + 0.5) / 10000 AS ewma
+         FROM x ORDER BY user_id, ts, event_id""",
+    "q_markov_trans" ->
+      """WITH p AS (
+           SELECT event_type AS e1,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS e2
+           FROM events),
+         c AS (
+           SELECT e1, e2, count(*) AS cnt FROM p
+           WHERE e2 IS NOT NULL GROUP BY 1, 2)
+         SELECT e1, e2, cnt,
+           CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY e1) AS prob
+         FROM c ORDER BY e1, e2""")
 }

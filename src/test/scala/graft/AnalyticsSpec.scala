@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics keys (Analytics.scala). The DuckDB oracle gate
+  * proves cross-engine value equality; these pin semantic invariants
+  * against independent formulations.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private def run(key: String) =
+    SparkEntry.queries(key)(spark, sf)
+
+  test("q_resample_ohlc bars bound their own extremes and count all events") {
+    val bars = run("q_resample_ohlc").collect()
+    bars.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h, s"open outside [low, high]: $r")
+      assert(l <= c && c <= h, s"close outside [low, high]: $r")
+      assert(r.getAs[Long]("cnt") >= 1L)
+    }
+    val total = Tables.table(spark, sf, "events").count()
+    assert(bars.map(_.getAs[Long]("cnt")).sum === total)
+  }
+
+  test("q_resample_ohlc open is the value of the bucket's earliest event") {
+    // independent recomputation: per (type, bucket), the row with the
+    // smallest (ts, event_id) carries the open
+    val e = Tables.table(spark, sf, "events")
+      .withColumn("bucket", expr("unix_micros(ts) div 900000000"))
+    val w = Window.partitionBy("event_type", "bucket")
+      .orderBy(asc("ts"), asc("event_id"))
+    val opens = e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("bucket"), col("value").as("open2"))
+    val bars = run("q_resample_ohlc")
+      .withColumn("bucket", expr("unix_micros(bucket_ts) div 900000000"))
+    val joined = bars.join(opens, Seq("event_type", "bucket"))
+    assert(joined.count() === bars.count())
+    assert(joined.filter(col("open") =!= col("open2")).count() === 0L)
+  }
+
+  test("q_ewma equals the raw value on each user's first event") {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val firsts = Tables.table(spark, sf, "events")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val got = run("q_ewma").join(firsts, Seq("user_id", "event_id"))
+    assert(got.count() > 0)
+    got.collect().foreach { r =>
+      // num = value, den = 1 → ewma = fround(value, 4)
+      val want = math.floor(r.getAs[Double]("value") * 10000 + 0.5) / 10000
+      assert(r.getAs[Double]("ewma") === want)
+    }
+  }
+
+  test("q_ewma stays inside the trailing-16 value envelope") {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      .rowsBetween(-15, 0)
+    val env = Tables.table(spark, sf, "events")
+      .withColumn("lo", min("value").over(w))
+      .withColumn("hi", max("value").over(w))
+      .select("user_id", "event_id", "lo", "hi")
+    run("q_ewma").join(env, Seq("user_id", "event_id")).collect()
+      .foreach { r =>
+        val x = r.getAs[Double]("ewma")
+        assert(x >= r.getAs[Double]("lo") - 1e-4 &&
+          x <= r.getAs[Double]("hi") + 1e-4, s"ewma outside envelope: $r")
+      }
+  }
+
+  test("q_markov_trans rows are a stochastic matrix over observed pairs") {
+    val rows = run("q_markov_trans").collect()
+    // per-source probabilities sum to exactly 1 (ratio of exact ints)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val p = rs.map(_.getAs[Double]("prob")).sum
+      assert(math.abs(p - 1.0) < 1e-12)
+    }
+    // pair count conservation: sum(cnt) = total events - distinct users
+    // (each user's last event has no successor)
+    val e = Tables.table(spark, sf, "events")
+    val want = e.count() - e.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("cnt")).sum === want)
+  }
+}
