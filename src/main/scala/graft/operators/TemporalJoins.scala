@@ -156,6 +156,44 @@ object TemporalJoins {
       .drop(s"__$leftId")
   }
 
+  /** Nearest as-of join (r8): for each `left` row, the single `right`
+    * row on the same key minimizing |rightTs - leftTs|, restricted to a
+    * band of `toleranceUs` microseconds either side; unmatched left rows
+    * kept with nulls. Ties on the absolute gap break toward the EARLIER
+    * right row (backward beats forward at equal distance — the common
+    * tick-data convention), then by ascending `rightId`.
+    *
+    * The tolerance is not optional: it is what keeps the candidate set
+    * banded (each left row pairs with O(band × key rate) right rows, not
+    * the key's whole history), so the plan survives hot keys the way the
+    * interval join does. For a pathological key, the same banded-bucket
+    * rewrite as q_join_interval_banded applies. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: Seq[String],
+      leftId: String, leftTs: String, rightTs: String, rightId: String,
+      toleranceUs: Long): DataFrame = {
+    requireFree(Seq("__rn", "__gap", s"__$leftId") ++
+      key.map(k => s"__rk_$k"), left, right)
+    val (r2, rk) = renameKeys(right, key)
+    val gap = abs(expr(s"unix_micros($rightTs) - unix_micros($leftTs)"))
+    val cond = key.zip(rk).map { case (k, n) => left(k) === r2(n) }
+      .reduce(_ && _) &&
+      r2(rightTs) >= left(leftTs) - expr(s"INTERVAL $toleranceUs MICROSECOND") &&
+      r2(rightTs) <= left(leftTs) + expr(s"INTERVAL $toleranceUs MICROSECOND")
+    val w = Window.partitionBy(leftId)
+      .orderBy(asc("__gap"), asc(rightTs), asc(rightId))
+    val matched = left.select((leftId +: key :+ leftTs).distinct.map(col): _*)
+      .join(r2, cond)
+      .withColumn("__gap", gap)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__gap")
+      .drop(key ++ rk: _*)
+      .withColumnRenamed(leftId, s"__$leftId")
+      .drop(leftTs)
+    left.join(matched, left(leftId) === matched(s"__$leftId"), "left")
+      .drop(s"__$leftId")
+  }
+
   /** Hot-key-safe as-of (backward) join — identical semantics to
     * [[asofJoinBackward]], different plan: instead of the theta join
     * (which materializes every (left, earlier-right) pair per key before

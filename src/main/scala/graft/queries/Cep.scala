@@ -284,6 +284,31 @@ object Cep {
         .orderBy("err_id")
     }),
 
+    // J8d — NEAREST as-of: for every error event, the click by the same
+    // user closest in time within ±30 min, either direction; ties on the
+    // absolute gap go to the earlier click, then min click_id. The
+    // tolerance band is what keeps the candidate pairs bounded per key
+    // (see TemporalJoins.asofJoinNearest) — the shape that survives a
+    // hot user at 100 TB where an unbanded nearest would pair each error
+    // with the user's whole click history.
+    "q_join_asof_near" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val err = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts").as("err_ts"))
+      val clk = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      graft.operators.TemporalJoins.asofJoinNearest(err, clk,
+          Seq("user_id"), "err_id", "err_ts", "click_ts", "click_id",
+          toleranceUs = 30L * 60 * 1000000)
+        .withColumn("gap_us",
+          expr("abs(unix_micros(click_ts) - unix_micros(err_ts))"))
+        .select("err_id", "user_id", "err_ts", "click_id", "click_ts",
+          "gap_us")
+        .orderBy("err_id")
+    }),
+
     // C6c — quantified CEP pattern `click{3,} purchase?` per user: maximal
     // runs of ≥3 consecutive clicks (gaps-and-islands — two row_numbers,
     // one window sort per user), then the first purchase within 10 min of
@@ -742,6 +767,26 @@ object Cep {
          FROM (SELECT * FROM events WHERE event_type = 'error') e
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON e.user_id = c.user_id AND e.ts >= c.ts
+         ORDER BY err_id""",
+    "q_join_asof_near" ->
+      """WITH e AS (
+           SELECT event_id AS err_id, user_id, ts AS err_ts
+           FROM events WHERE event_type = 'error'),
+         c AS (
+           SELECT event_id AS click_id, user_id, ts AS click_ts
+           FROM events WHERE event_type = 'click'),
+         j AS (
+           SELECT e.err_id, c.click_id, c.click_ts,
+             abs(epoch_us(c.click_ts) - epoch_us(e.err_ts)) AS gap_us,
+             row_number() OVER (PARTITION BY e.err_id
+               ORDER BY abs(epoch_us(c.click_ts) - epoch_us(e.err_ts)),
+                        c.click_ts, c.click_id) AS rn
+           FROM e JOIN c ON e.user_id = c.user_id
+            AND c.click_ts >= e.err_ts - INTERVAL 30 MINUTE
+            AND c.click_ts <= e.err_ts + INTERVAL 30 MINUTE)
+         SELECT e.err_id, e.user_id, e.err_ts, j.click_id, j.click_ts,
+           j.gap_us
+         FROM e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (err_id)
          ORDER BY err_id""",
     "q_cep_times" ->
       """WITH o AS (

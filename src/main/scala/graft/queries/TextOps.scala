@@ -389,6 +389,32 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Zipf rank-frequency fit per language (r8): the corpus-health
+    // diagnostic a curation pipeline runs after ingest — rank each
+    // language's tokens by frequency, fit ln(freq) ~ ln(rank) over the
+    // top 100, report slope/intercept/r2 (natural text sits near slope
+    // -1; synthetic or template-heavy corpora flatten). The regression
+    // inputs ln(exact int) are bit-identical across engines, so the
+    // 4-dp fround is stable. One token agg + one bounded window over
+    // lang×100 rows — the heavy explode happens exactly once.
+    "q_token_zipf" -> ((s, dir) => {
+      val freq = T(s, dir, "documents")
+        .select(col("lang"), explode(toks(lower(col("text")))).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      val wr = Window.partitionBy("lang")
+        .orderBy(desc("cnt"), asc("w"))
+      freq.withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 100)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          fround(regr_slope(log(col("cnt")), log(col("rank"))), 4)
+            .as("slope"),
+          fround(regr_intercept(log(col("cnt")), log(col("rank"))), 4)
+            .as("icept"),
+          fround(regr_r2(log(col("cnt")), log(col("rank"))), 4).as("r2"))
+        .orderBy("lang")
+    }),
+
     // Document fingerprint: min-md5 over word 5-grams (winnowing-lite).
     // Every doc has ≥10 words at every SF, so the 5-gram set is never
     // empty (asserted in ScalaTest).
@@ -868,6 +894,24 @@ object TextOps {
          len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
          n_chars
          FROM documents ORDER BY doc_id""",
+    "q_token_zipf" ->
+      """WITH f AS (
+           SELECT lang, w, count(*) AS cnt FROM (
+             SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+             FROM documents) t
+           GROUP BY 1, 2),
+         r AS (
+           SELECT lang, cnt,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY cnt DESC, w) AS rank
+           FROM f)
+         SELECT lang, count(*) AS n_tokens,
+           floor(regr_slope(ln(cnt), ln(rank)) * 1e4 + 0.5) / 1e4 AS slope,
+           floor(regr_intercept(ln(cnt), ln(rank)) * 1e4 + 0.5) / 1e4
+             AS icept,
+           floor(regr_r2(ln(cnt), ln(rank)) * 1e4 + 0.5) / 1e4 AS r2
+         FROM r WHERE rank <= 100
+         GROUP BY lang ORDER BY lang""",
     "q_doc_fingerprint" ->
       """WITH t AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

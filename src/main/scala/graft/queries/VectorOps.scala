@@ -45,6 +45,36 @@ object VectorOps {
         .limit(10)
     }),
 
+    // L3f — Matryoshka-style two-stage retrieval (r8): coarse top-50 on
+    // the PREFIX 16 dims (an MRL-truncated embedding — Kusupati et al.
+    // 2022, "Matryoshka Representation Learning"), then a full 64-dim
+    // rerank to top-10. The coarse stage scores a quarter of the vector
+    // per candidate and is the only full-scan pass; just 50 rows reach
+    // the full-width kernel. At 100 TB this is the standard
+    // cheap-filter/exact-rerank split — the coarse column could even be
+    // stored as its own (pruned) parquet column so the scan never reads
+    // the full vectors. Both stages rank on the 4-dp-rounded score with
+    // vec_id tie-break (deterministic across engines).
+    "q_mrl_topk" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = T(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"),
+          slice(col("embedding"), 1, 16).as("qv16"))
+      val coarse = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"), col("qv"),
+          round(expr("cosine_sim(slice(embedding, 1, 16), qv16)"), 4)
+            .as("cs16"))
+        .orderBy(desc("cs16"), asc("vec_id"))
+        .limit(50)
+      coarse
+        .select(col("vec_id"), col("cs16"),
+          round(cos("embedding", "qv"), 4).as("cs"))
+        .orderBy(desc("cs"), asc("vec_id"))
+        .limit(10)
+    }),
+
     // Near-dup pairs, blocked by label (stand-in for an LSH bucket): only
     // within-block pairs are scored — sub-quadratic at scale.
     "q_embed_neardup" -> ((s, dir) => {
@@ -438,6 +468,35 @@ object VectorOps {
            GROUP BY e.vec_id)
          SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cs
          FROM d ORDER BY cs DESC, vec_id LIMIT 10""",
+    "q_mrl_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         c0 AS (
+           SELECT e.vec_id,
+             sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+               * CAST(q.qe[i.i + 1] AS DOUBLE)) AS dp,
+             sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+               * CAST(e.embedding[i.i + 1] AS DOUBLE)) AS na,
+             sum(CAST(q.qe[i.i + 1] AS DOUBLE)
+               * CAST(q.qe[i.i + 1] AS DOUBLE)) AS nb
+           FROM embeddings e, q, (SELECT unnest(range(16)) AS i) i
+           WHERE e.vec_id <> 0
+           GROUP BY e.vec_id),
+         c AS (
+           SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cs16
+           FROM c0 ORDER BY cs16 DESC, vec_id LIMIT 50),
+         f0 AS (
+           SELECT c.vec_id, c.cs16,
+             sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+               * CAST(q.qe[i.i + 1] AS DOUBLE)) AS dp,
+             sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+               * CAST(e.embedding[i.i + 1] AS DOUBLE)) AS na,
+             sum(CAST(q.qe[i.i + 1] AS DOUBLE)
+               * CAST(q.qe[i.i + 1] AS DOUBLE)) AS nb
+           FROM c JOIN embeddings e ON e.vec_id = c.vec_id,
+             q, (SELECT unnest(range(64)) AS i) i
+           GROUP BY c.vec_id, c.cs16)
+         SELECT vec_id, cs16, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cs
+         FROM f0 ORDER BY cs DESC, vec_id LIMIT 10""",
     "q_embed_neardup" ->
       """WITH p AS (
            SELECT a.vec_id AS ia, b.vec_id AS ib,

@@ -434,6 +434,34 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(scores === scores.sorted.reverse)
   }
 
+  test("q_token_zipf: non-positive slope, r2 in [0,1], exact rank fit " +
+      "reproduces the slope (r8)") {
+    val rows = SparkEntry.queries("q_token_zipf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // ranked desc by construction → the fitted slope cannot be positive
+      assert(r.getAs[Double]("slope") <= 0.0, s"$r")
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+      assert(r.getAs[Long]("n_tokens") >= 2L) // regression is defined
+    }
+    // independent slope recomputation for one language via the closed
+    // form beta = cov(x,y)/var(x) over the same ranked top-100
+    val lang = rows.head.getString(0)
+    val freq = Tables.table(spark, sf, "documents")
+      .filter(col("lang") === lang)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("w")).limit(100)
+      .collect().map(_.getAs[Long]("cnt"))
+    val xy = freq.zipWithIndex.map { case (c, i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val (mx, my) = (xy.map(_._1).sum / xy.length, xy.map(_._2).sum / xy.length)
+    val beta = xy.map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xy.map { case (x, _) => (x - mx) * (x - mx) }.sum
+    assert(math.abs(rows.head.getAs[Double]("slope") - beta) < 1e-3)
+  }
+
   test("q_map_struct: every props map has exactly the single key 'k'") {
     val rows = SparkEntry.queries("q_map_struct")(spark, sf).collect()
     assert(rows.nonEmpty)

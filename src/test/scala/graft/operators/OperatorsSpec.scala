@@ -58,6 +58,37 @@ class OperatorsSpec extends SparkSpec {
     assert(carry == want)
   }
 
+  test("TemporalJoins.asofJoinNearest: band, tie-break, null carry (r8)") {
+    val err = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("ts").as("err_ts"))
+    val clk = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val tolUs = 30L * 60 * 1000000
+    val got = TemporalJoins.asofJoinNearest(err, clk, Seq("user_id"),
+      "err_id", "err_ts", "click_ts", "click_id", tolUs)
+    // every error row survives exactly once (LEFT semantics)
+    assert(got.count() === err.count())
+    // independent per-row recomputation on a driver-side index (small sf);
+    // compare in MICROseconds — Timestamp.getTime is millis-only and
+    // would blur band boundaries and ties
+    def us(t: java.sql.Timestamp): Long =
+      (t.getTime - t.getNanos / 1000000) * 1000L + t.getNanos / 1000
+    val byUser = clk.as[(Long, Long, java.sql.Timestamp)]
+      .collect().groupBy(_._2)
+    got.as[(Long, Long, java.sql.Timestamp, Option[Long],
+        Option[java.sql.Timestamp])]
+      .collect().foreach { case (_, uid, ets, cid, _) =>
+        val cands = byUser.getOrElse(uid, Array.empty)
+          .map { case (id, _, cts) =>
+            (math.abs(us(cts) - us(ets)), us(cts), id) }
+          .filter(_._1 <= tolUs)
+        val want = if (cands.isEmpty) None else Some(cands.min._3)
+        assert(cid === want, s"err at $ets user $uid")
+      }
+  }
+
   private lazy val docs = Tables.table(spark, sf, "documents")
 
   test("Dedup.exact == q_dedup_exact groups") {
@@ -119,6 +150,31 @@ class OperatorsSpec extends SparkSpec {
       .select(col("vec_id"), round(col("similarity"), 4).as("cs"))
       .as[(Long, Double)].collect().toSeq
     val want = graft.SparkEntry.queries("q_cosine_topk")(spark, sf)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("q_mrl_topk: rerank set is the exact full-dim top-10 of the " +
+      "coarse-50 candidates (r8)") {
+    import org.apache.spark.sql.functions.{broadcast, slice}
+    val got = graft.SparkEntry.queries("q_mrl_topk")(spark, sf)
+      .select("vec_id", "cs").as[(Long, Double)].collect().toSeq
+    assert(got.length === 10)
+    assert(got.map(-_._2) == got.map(-_._2).sorted) // cs descending
+    // independent recomputation: coarse-50 by sliced cosine, then exact
+    // full-dim rerank over those candidates only
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"),
+        slice(col("embedding"), 1, 16).as("qv16"))
+    val coarse = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("qv"),
+        round(expr("cosine_sim(slice(embedding, 1, 16), qv16)"), 4)
+          .as("cs16"))
+      .orderBy(desc("cs16"), asc("vec_id")).limit(50)
+    val want = coarse
+      .select(col("vec_id"),
+        round(expr("cosine_sim(embedding, qv)"), 4).as("cs"))
+      .orderBy(desc("cs"), asc("vec_id")).limit(10)
       .as[(Long, Double)].collect().toSeq
     assert(got == want)
   }
