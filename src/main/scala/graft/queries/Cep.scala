@@ -419,6 +419,22 @@ object Cep {
            PARTITION BY user_id""")
     }),
 
+    // EP1d' — RELUCTANT QUANTIFIER from SQL TEXT (r8, `{m,}?` — regex
+    // lazy syntax): click{3,}? truncates each qualifying run to its
+    // FIRST 3 clicks, so the purchase is sought from the 3rd click
+    // rather than the run's maximal end — matches the greedy variant
+    // finds later (or not at all, when the only purchase lands inside
+    // the long run) surface here, and run_len is always exactly 3.
+    // Streaming stays loudly batch-routed (the run detectors are
+    // maximal-run machines).
+    "q_pattern_lazy" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * FROM events
+           MATCH PATTERN (click{3,}? THEN purchase WITHIN '12' HOURS)
+           PARTITION BY user_id""")
+    }),
+
     // EP1e — ALTERNATION from SQL TEXT (r7 dialect extension): a step may
     // name several event types (`click|purchase` matches either); the
     // rewrite widens the type predicate to IN. Same greedy rank-1
@@ -819,6 +835,31 @@ object Cep {
            SELECT user_id, grp, count(*) AS run_len,
              min(ts) AS run_start, max(ts) AS run_end
            FROM o WHERE event_type = 'click'
+           GROUP BY user_id, grp HAVING count(*) >= 3)
+         SELECT r.user_id, r.run_len, r.run_start, r.run_end,
+           min(b.ts) AS b_ts
+         FROM runs r JOIN events b
+           ON b.user_id = r.user_id AND b.event_type = 'purchase'
+          AND b.ts > r.run_end AND b.ts <= r.run_end + INTERVAL 12 HOUR
+         GROUP BY 1, 2, 3, 4 ORDER BY r.user_id, run_start""",
+    "q_pattern_lazy" ->
+      """WITH o AS (
+           SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+           FROM events),
+         c AS (
+           SELECT user_id, grp, ts, event_id,
+             row_number() OVER (PARTITION BY user_id, grp
+                                ORDER BY ts, event_id) AS rn
+           FROM o WHERE event_type = 'click'),
+         runs AS (
+           SELECT user_id, grp, CAST(3 AS BIGINT) AS run_len,
+             min(ts) AS run_start,
+             max(ts) FILTER (WHERE rn <= 3) AS run_end
+           FROM c
            GROUP BY user_id, grp HAVING count(*) >= 3)
          SELECT r.user_id, r.run_len, r.run_start, r.run_end,
            min(b.ts) AS b_ts

@@ -68,7 +68,13 @@ object CepSql {
     * maximal run of ≥ m consecutive events of the step's class), `{m,n}`
     * (a maximal run whose length lands in [m, n] — whole-run semantics: a
     * maximal run LONGER than n does not match, it is a different, bigger
-    * run), or `{m}` (exactly m: shorthand for `{m,m}`).
+    * run), or `{m}` (exactly m: shorthand for `{m,m}`). `{m,}?` (r8) is
+    * the RELUCTANT form — regex lazy syntax: the step matches the FIRST
+    * m events of any run of ≥ m, so the chain continues from the m-th
+    * event rather than the run's maximal end (and a run whose first m
+    * events fit the window matches even when its maximal end would
+    * overflow it). Bounded lazy forms ({m,n}?/{m}?) are rejected — the
+    * upper bound can never bind a match that is always exactly m long.
     * Chains of any length ≥ 2;
     * `NOT` is legal on the FINAL step only (absence of a completion after
     * a matched prefix) and cannot itself be quantified. The default match
@@ -269,10 +275,14 @@ object CepSql {
   /** One parsed pattern step: `NOT`?, event-name alternation (size 1 for
     * a plain event), condition?, quantifier? (`{m,}` → minTimes=m,
     * maxTimes=None; `{m,n}` → both; `{m}` → minTimes=maxTimes=m),
-    * `?` optional marker (r7 — the step may be absent from a match). */
+    * `?` optional marker (r7 — the step may be absent from a match).
+    * `{m,}?` (r8) is the RELUCTANT quantifier — regex lazy syntax: the
+    * step matches the FIRST m events of a qualifying run rather than
+    * the whole maximal run (reluctant=true, never also optional). */
   case class PatternStep(negated: Boolean, events: Seq[String],
       minTimes: Option[Int], cond: Option[StepCond] = None,
-      maxTimes: Option[Int] = None, optional: Boolean = false) {
+      maxTimes: Option[Int] = None, optional: Boolean = false,
+      reluctant: Boolean = false) {
     /** The single event name of an unalternated step (the common case —
       * streaming detectors and the legacy rewrite paths use it). */
     def event: String = events.head
@@ -377,10 +387,20 @@ object CepSql {
         else if (sm.group(8).isEmpty) None
         else Some(sm.group(8).toInt)
       }
-      val opt = sm.group(9) != null
-      if (opt && mn.isDefined)
-        malformed("a step cannot be both quantified and optional")
-      PatternStep(sm.group(1) != null, evs, mn, c, mx, opt)
+      val trailQ = sm.group(9) != null
+      // `{m,}?` (r8) is regex RELUCTANT syntax, not an optional step:
+      // the run truncates to its first m events. The bounded lazy forms
+      // `{m,n}?` / `{m}?` are rejected rather than silently equated —
+      // under relaxed-contiguity completion the upper bound never binds
+      // a reluctant match (the lazy prefix is always exactly m long).
+      val lazyQ = trailQ && mn.isDefined
+      if (lazyQ && mx.isDefined)
+        malformed("a bounded reluctant quantifier {m,n}?/{m}? is " +
+          "redundant — the lazy match is always exactly m events; " +
+          "write {m,}?")
+      val opt = trailQ && mn.isEmpty
+      PatternStep(sm.group(1) != null, evs, mn, c, mx, opt,
+        reluctant = lazyQ)
     }
     if (steps.head.negated) malformed("NOT on the first step")
     if (steps.init.exists(_.negated))
@@ -557,7 +577,7 @@ object CepSql {
       // b_ts and keeps runs with NO qualifying completion.
       val mt = steps.head.minTimes.get
       val runs = runsSub(steps.head, mt, key, tsCol, typeCol, idCol,
-        tbl, steps.head.maxTimes)
+        tbl, steps.head.maxTimes, steps.head.reluctant)
       val range = s"b.$t > r.run_end AND b.$t <= r.run_end + " +
         s"INTERVAL $n $unit"
       if (absent)
@@ -608,25 +628,45 @@ object CepSql {
     * Selects (__k, run_len, run_start, run_end). */
   private def runsSub(st: PatternStep, minLen: Int, key: String,
       tsCol: String, typeCol: String, idCol: String, tbl: String,
-      maxLen: Option[Int] = None): String = {
+      maxLen: Option[Int] = None, reluctant: Boolean = false): String = {
     def bq(c: String) = s"`$c`"
     val (k, t, id) = (bq(key), bq(tsCol), bq(idCol))
     val cls = stepPredSql("", st, typeCol)
     val cap = maxLen.map(n => s" AND count(*) <= $n").getOrElse("")
-    s"""(SELECT $k AS __k, count(*) AS run_len,
-       |   min($t) AS run_start, max($t) AS run_end,
-       |   min_by($id, struct($t, $id)) AS run_start_id,
-       |   max_by($id, struct($t, $id)) AS run_end_id
-       | FROM (SELECT $k, $t, $id,
-       |         CASE WHEN $cls THEN 1 ELSE 0 END AS __c,
-       |         row_number() OVER (PARTITION BY $k
-       |                            ORDER BY $t, $id)
-       |       - row_number() OVER (PARTITION BY $k,
-       |                              CASE WHEN $cls THEN 1 ELSE 0 END
-       |                            ORDER BY $t, $id) AS __grp
-       |       FROM $tbl) o
-       | WHERE __c = 1
-       | GROUP BY $k, __grp HAVING count(*) >= $minLen$cap)""".stripMargin
+    val islands =
+      s"""(SELECT $k, $t, $id,
+         |         CASE WHEN $cls THEN 1 ELSE 0 END AS __c,
+         |         row_number() OVER (PARTITION BY $k
+         |                            ORDER BY $t, $id)
+         |       - row_number() OVER (PARTITION BY $k,
+         |                              CASE WHEN $cls THEN 1 ELSE 0 END
+         |                            ORDER BY $t, $id) AS __grp
+         |       FROM $tbl)""".stripMargin
+    if (!reluctant)
+      s"""(SELECT $k AS __k, count(*) AS run_len,
+         |   min($t) AS run_start, max($t) AS run_end,
+         |   min_by($id, struct($t, $id)) AS run_start_id,
+         |   max_by($id, struct($t, $id)) AS run_end_id
+         | FROM $islands o
+         | WHERE __c = 1
+         | GROUP BY $k, __grp HAVING count(*) >= $minLen$cap)""".stripMargin
+    else
+      // RELUCTANT (r8, `{m,}?`): truncate each qualifying run to its
+      // FIRST minLen events — run_len is exactly minLen, run_end /
+      // run_end_id come from the minLen-th event (FILTER over the
+      // in-run position), while the >= minLen qualification still
+      // tests the FULL maximal run. Same single window sort per key.
+      s"""(SELECT $k AS __k, CAST($minLen AS BIGINT) AS run_len,
+         |   min($t) AS run_start,
+         |   max($t) FILTER (WHERE __rn <= $minLen) AS run_end,
+         |   min_by($id, struct($t, $id)) AS run_start_id,
+         |   max_by($id, struct($t, $id)) FILTER (WHERE __rn <= $minLen)
+         |     AS run_end_id
+         | FROM (SELECT *,
+         |         row_number() OVER (PARTITION BY $k, __grp
+         |                            ORDER BY $t, $id) AS __rn
+         |       FROM $islands oo WHERE __c = 1) o
+         | GROUP BY $k, __grp HAVING count(*) >= $minLen)""".stripMargin
   }
 
   /** Shared step predicate: type test (`=` / `IN` for an alternation)
@@ -697,7 +737,8 @@ object CepSql {
     var prefix = chainSteps.head.minTimes match {
       case Some(mt) =>
         val runs = runsSub(chainSteps.head, mt, spec.key, tsCol,
-          typeCol, idCol, tbl, chainSteps.head.maxTimes)
+          typeCol, idCol, tbl, chainSteps.head.maxTimes,
+          chainSteps.head.reluctant)
         s"(SELECT __k, run_len AS len_1, run_end AS ts_1 FROM $runs r0)"
       case None =>
         s"""(SELECT $k AS __k, $id AS id_1, $t AS ts_1
@@ -762,7 +803,7 @@ object CepSql {
       prefix = st.minTimes match {
         case Some(mt) =>
           val runs = runsSub(st, mt, spec.key, tsCol, typeCol,
-            idCol, tbl, st.maxTimes)
+            idCol, tbl, st.maxTimes, st.reluctant)
           s"""(SELECT __k, ${cols(i)} FROM (
              |  SELECT p.__k, $prevLbls,
              |         r.run_len AS len_$i,
@@ -830,7 +871,7 @@ object CepSql {
       def runsFor(i: Int) = {
         val st = chainSteps(i)
         runsSub(st, st.minTimes.get, spec.key, tsCol, typeCol, idCol,
-          tbl, st.maxTimes)
+          tbl, st.maxTimes, st.reluctant)
       }
       val boundJoins =
         (if (headQ && spanAggs.nonEmpty)

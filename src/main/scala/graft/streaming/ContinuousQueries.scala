@@ -107,6 +107,13 @@ object ContinuousQueries {
     require(spec.key.equalsIgnoreCase("user_id"),
       s"streaming pattern queries partition by user_id (got '${spec.key}')" +
         " — the detectors key on the events-table convention")
+    // batch-only carve-out (r8): reluctant quantifiers `{m,}?` — the
+    // run detectors implement MAXIMAL (greedy) runs; the lazy
+    // truncate-at-m completion trigger is not wired stream-side yet
+    if (spec.steps.exists(_.reluctant))
+      throw new IllegalArgumentException(
+        "reluctant quantifiers ({m,}?) have no streaming detector yet — " +
+          "run the batch rewrite via CepSql.sql")
     val src0 = spark.table(spec.table)
     require(src0.isStreaming,
       s"'${spec.table}' resolved to a batch view — submitPattern runs " +

@@ -346,6 +346,125 @@ class CepSqlSpec extends SparkSpec {
     }
   }
 
+  test("reluctant quantifier {m,}?: lazy truncation at m, grammar " +
+      "guards (r8)") {
+    Tables.load(spark, sf)
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.table("events")
+      .select("event_id", "user_id", "event_type", "ts")
+    val wU = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val wUT = Window.partitionBy("user_id", "event_type")
+      .orderBy(asc("ts"), asc("event_id"))
+    val wRun = Window.partitionBy("user_id", "grp")
+      .orderBy(asc("ts"), asc("event_id"))
+    // independent lazy-run recomputation: per qualifying maximal run,
+    // truncate to the first 3 clicks
+    val lazyRuns = e
+      .withColumn("grp", row_number().over(wU) - row_number().over(wUT))
+      .filter(col("event_type") === "click")
+      .withColumn("rn", row_number().over(wRun))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("total_len"), min("ts").as("run_start"),
+        max(when(col("rn") <= 3, col("ts"))).as("run_end"))
+      .filter(col("total_len") >= 3)
+      .drop("grp")
+    val got = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (click{3,}? THEN purchase WITHIN '12' HOURS)
+         PARTITION BY user_id""")
+    val want = lazyRuns
+      .join(e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("ts").as("p_ts")),
+        col("user_id") === col("pu") && col("p_ts") > col("run_end") &&
+          col("p_ts") <= col("run_end") + expr("INTERVAL 12 HOURS"))
+      .groupBy("user_id", "run_start", "run_end")
+      .agg(min("p_ts").as("b_ts"))
+      .select(col("user_id"), lit(3L).as("run_len"), col("run_start"),
+        col("run_end"), col("b_ts"))
+      .orderBy("user_id", "run_start")
+    assert(got.collect().map(_.toSeq).toSeq ===
+      want.collect().map(_.toSeq).toSeq)
+    assert(got.count() > 0)
+    assert(got.collect().forall(_(1) == 3L), "lazy match is exactly m long")
+    // lazy differs from greedy on this fixture (long runs exist, so the
+    // completion windows genuinely shift)
+    val greedy = graft.SparkEntry.queries("q_pattern_times")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.collect().map(_.toSeq).toSeq !== greedy)
+    // bounded lazy forms are rejected loudly — the bound can never bind
+    val eBound = intercept[IllegalArgumentException] {
+      CepSql.parsePattern(
+        """SELECT * FROM events
+           MATCH PATTERN (click{2,4}? THEN purchase WITHIN '1' HOURS)
+           PARTITION BY user_id""")
+    }
+    assert(eBound.getMessage.contains("reluctant"))
+    intercept[IllegalArgumentException] {
+      CepSql.parsePattern(
+        """SELECT * FROM events
+           MATCH PATTERN (click{3}? THEN purchase WITHIN '1' HOURS)
+           PARTITION BY user_id""")
+    }
+    // a reluctant step parses as quantified, never as optional
+    val spec = CepSql.parsePattern(
+      """SELECT * FROM events
+         MATCH PATTERN (click{3,}? THEN purchase WITHIN '1' HOURS)
+         PARTITION BY user_id""")
+    assert(spec.steps.head.reluctant && !spec.steps.head.optional &&
+      spec.steps.head.minTimes.contains(3))
+  }
+
+  test("reluctant quantifier mid-chain: lazy run feeds the next step (r8)") {
+    Tables.load(spark, sf)
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.table("events")
+      .select("event_id", "user_id", "event_type", "ts")
+    val wU = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val wUT = Window.partitionBy("user_id", "event_type")
+      .orderBy(asc("ts"), asc("event_id"))
+    val wRun = Window.partitionBy("user_id", "grp")
+      .orderBy(asc("ts"), asc("event_id"))
+    val lazyRuns = e
+      .withColumn("grp", row_number().over(wU) - row_number().over(wUT))
+      .filter(col("event_type") === "click")
+      .withColumn("rn", row_number().over(wRun))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("total_len"), min("ts").as("run_start"),
+        max(when(col("rn") <= 2, col("ts"))).as("run_end"))
+      .filter(col("total_len") >= 2)
+      .select(col("user_id").as("ru"), col("run_start"), col("run_end"))
+    val su = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("id_1"), col("user_id"),
+        col("ts").as("ts_1"))
+    // rank-1 lazy run per anchor: first by (run_start, run_end)
+    val wA = Window.partitionBy("id_1").orderBy(asc("run_start"),
+      asc("run_end"))
+    val step2 = su.join(lazyRuns, col("user_id") === col("ru") &&
+        col("run_start") > col("ts_1") &&
+        col("run_end") <= col("ts_1") + expr("INTERVAL 48 HOURS"))
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      .select(col("user_id"), col("id_1"), lit(2L).as("len_2"),
+        col("ts_1"), col("run_end").as("ts_2"))
+    val wP = Window.partitionBy("id_1").orderBy(asc("p_ts"), asc("p_id"))
+    val want = step2.join(e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("p_id"),
+          col("ts").as("p_ts")),
+      col("user_id") === col("pu") && col("p_ts") > col("ts_2") &&
+        col("p_ts") <= col("ts_1") + expr("INTERVAL 48 HOURS"))
+      .withColumn("rn", row_number().over(wP)).filter(col("rn") === 1)
+      .select(col("user_id"), col("id_1"), col("len_2"),
+        col("p_id").as("id_3"), col("ts_1"), col("ts_2"),
+        col("p_ts").as("ts_3"))
+      .orderBy("id_1")
+    val got = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click{2,}? THEN purchase WITHIN '48' HOURS)
+         PARTITION BY user_id""")
+    assert(got.count() > 0)
+    assert(got.collect().map(_.toSeq).toSeq ===
+      want.collect().map(_.toSeq).toSeq)
+  }
+
   test("optional step ev?: pivot decides take vs skip, greedy (r7)") {
     import java.sql.Timestamp
     import spark.implicits._

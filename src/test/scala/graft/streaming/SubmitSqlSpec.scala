@@ -273,6 +273,15 @@ class SubmitSqlSpec extends SparkSpec {
            MEASURES COUNT(*) AS c, MATCH_NUMBER() AS mn""", "svc_qmeasn")
     }
     assert(eQM.getMessage.contains("span aggregates only"))
+    // ...a reluctant quantifier is batch-only (r8) — the run detectors
+    // are maximal-run machines
+    val eLazy = intercept[IllegalArgumentException] {
+      ContinuousQueries.submitPattern(spark,
+        """SELECT * FROM pat_events2
+           MATCH PATTERN (a{2,}? THEN b WITHIN '5' MINUTES)
+           PARTITION BY user_id""", "svc_lazy")
+    }
+    assert(eLazy.getMessage.contains("reluctant"))
     // ...a measure column outside the converter schema is batch-only
     val eMeas = intercept[IllegalArgumentException] {
       ContinuousQueries.submitPattern(spark,
