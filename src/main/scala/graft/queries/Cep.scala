@@ -425,8 +425,9 @@ object Cep {
     // rather than the run's maximal end — matches the greedy variant
     // finds later (or not at all, when the only purchase lands inside
     // the long run) surface here, and run_len is always exactly 3.
-    // Streaming stays loudly batch-routed (the run detectors are
-    // maximal-run machines).
+    // Streams via RunChainDetector's lazy mode (replay ≡ batch pinned
+    // in RunChainSpec; {1,}? and the 2-step reluctant absence stay
+    // loudly batch-routed).
     "q_pattern_lazy" -> ((s, dir) => {
       graft.Tables.load(s, dir)
       graft.streaming.CepSql.sql(s,

@@ -92,9 +92,12 @@ object ContinuousQueries {
     * the detectors take event-type classes. Quantified chains (`{m,}`
     * beyond the 2-step head form) dispatch to [[RunChainDetector]], and
     * since r8 `THEN NOT` after a quantified prefix dispatches to
-    * [[RunChainDetector.detectAbsent]]; the one remaining batch-only
-    * form — a quantified step overlapping its predecessor's class — is
-    * rejected loudly with a pointer to [[CepSql.sql]].
+    * [[RunChainDetector.detectAbsent]]; RELUCTANT quantifiers (`{m,}?`,
+    * r8) ride the same chain arms via the detector's lazy mode. The
+    * remaining batch-only forms, each rejected loudly with a pointer to
+    * [[CepSql.sql]]: a quantified step overlapping its predecessor's
+    * class; reluctant `{1,}?`; a 2-step reluctant absence; measures
+    * combined with reluctant steps.
     *
     * The source view must be a STREAMING view with the events-table
     * converter schema `(event_id, ts, user_id, event_type, value)` and
@@ -107,13 +110,19 @@ object ContinuousQueries {
     require(spec.key.equalsIgnoreCase("user_id"),
       s"streaming pattern queries partition by user_id (got '${spec.key}')" +
         " — the detectors key on the events-table convention")
-    // batch-only carve-out (r8): reluctant quantifiers `{m,}?` — the
-    // run detectors implement MAXIMAL (greedy) runs; the lazy
-    // truncate-at-m completion trigger is not wired stream-side yet
-    if (spec.steps.exists(_.reluctant))
+    // reluctant quantifiers `{m,}?` stream via RunChainDetector's lazy
+    // mode (r8) with two loud batch-only corners: m = 1 (the anchor and
+    // greedy-close fast paths would need their own completion checks)
+    // and the 2-step reluctant absence (detectAbsent needs a >= 2-step
+    // prefix; RunDetector is a maximal-run machine)
+    if (spec.steps.exists(st => st.reluctant && st.minTimes.contains(1)))
       throw new IllegalArgumentException(
-        "reluctant quantifiers ({m,}?) have no streaming detector yet — " +
-          "run the batch rewrite via CepSql.sql")
+        "reluctant {1,}? has no streaming detector — run the batch " +
+          "rewrite via CepSql.sql")
+    if (spec.absent && spec.steps.length == 2 && spec.steps.head.reluctant)
+      throw new IllegalArgumentException(
+        "a 2-step reluctant absence has no streaming detector — run " +
+          "the batch rewrite via CepSql.sql")
     val src0 = spark.table(spec.table)
     require(src0.isStreaming,
       s"'${spec.table}' resolved to a batch view — submitPattern runs " +
@@ -176,6 +185,10 @@ object ContinuousQueries {
             "streaming measures on a quantified chain support span " +
               "aggregates only — run the batch rewrite via CepSql.sql")
         }
+        if (spec.steps.exists(_.reluctant))
+          throw new IllegalArgumentException(
+            "streaming measures do not combine with reluctant " +
+              "quantifiers — run the batch rewrite via CepSql.sql")
         spec.steps.sliding(2).foreach { pair =>
           if (pair.length == 2 && pair.last.minTimes.isDefined &&
               pair.head.events.toSet.intersect(
@@ -223,7 +236,8 @@ object ContinuousQueries {
         SkipDetector.detectWhere(src, spec.steps.map(stepPred),
           spec.withinMs, Some(lateness))
       } else if (quantifiedTail ||
-          (spec.steps.head.minTimes.isDefined && spec.steps.length != 2)) {
+          (spec.steps.head.minTimes.isDefined && spec.steps.length != 2) ||
+          spec.steps.exists(_.reluctant)) {
         // generalized quantified chain (r7) → RunChainDetector. One
         // batch-only carve-out, rejected loudly: a quantified step whose
         // class overlaps its predecessor's (the predecessor's matched
@@ -252,11 +266,13 @@ object ContinuousQueries {
           RunChainDetector.detectAbsent(src,
             spec.steps.init.map(s => (stepPred(s), s.minTimes)),
             spec.withinMs, spec.steps.init.map(_.maxTimes),
-            stepPred(spec.steps.last), lateness).toDF()
+            stepPred(spec.steps.last), lateness,
+            spec.steps.init.map(_.reluctant)).toDF()
         else
           RunChainDetector.detectWhere(srcWm,
             spec.steps.map(s => (stepPred(s), s.minTimes)),
-            spec.withinMs, spec.steps.map(_.maxTimes)).toDF()
+            spec.withinMs, spec.steps.map(_.maxTimes),
+            spec.steps.map(_.reluctant)).toDF()
       } else spec.steps.head.minTimes match {
         case Some(mt) =>
           // conditions (r8) ride predicate dispatch — see the

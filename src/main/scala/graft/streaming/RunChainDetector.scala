@@ -113,9 +113,9 @@ object RunChainDetector {
     * bystander. */
   def detectWhere(events: Dataset[CepEvent],
       steps: Seq[(CepEvent => Boolean, Option[Int])], withinMs: Long,
-      maxTimes: Seq[Option[Int]])
+      maxTimes: Seq[Option[Int]], lazySteps: Seq[Boolean] = Nil)
       : Dataset[RunChainMatch] =
-    core(events, steps, withinMs, maxTimes, None)
+    core(events, steps, withinMs, maxTimes, None, lazySteps)
 
   /** Absence after a quantified chain (r8): `steps` is the PREFIX
     * (>= 2 steps, >= 1 quantifier, predicate form); a match is a fully
@@ -138,14 +138,31 @@ object RunChainDetector {
   def detectAbsent(events: Dataset[CepEvent],
       steps: Seq[(CepEvent => Boolean, Option[Int])], withinMs: Long,
       maxTimes: Seq[Option[Int]], absentP: CepEvent => Boolean,
-      lateness: String): Dataset[RunChainMatch] =
+      lateness: String, lazySteps: Seq[Boolean] = Nil)
+      : Dataset[RunChainMatch] =
     core(events.withWatermark("ts", lateness), steps, withinMs, maxTimes,
-      Some(absentP))
+      Some(absentP), lazySteps)
 
   private def core(events: Dataset[CepEvent],
       steps: Seq[(CepEvent => Boolean, Option[Int])], withinMs: Long,
-      maxTimes: Seq[Option[Int]], absentP: Option[CepEvent => Boolean])
+      maxTimes: Seq[Option[Int]], absentP: Option[CepEvent => Boolean],
+      lazyStepsIn: Seq[Boolean] = Nil)
       : Dataset[RunChainMatch] = {
+    // RELUCTANT steps (r8, `{m,}?`): lazySteps(i) truncates step i's run
+    // to its first m events — completion fires ON the m-th class event
+    // instead of waiting for the island's breaker. An empty seq means
+    // all-greedy (the pre-r8 callers).
+    val lazySteps =
+      if (lazyStepsIn.isEmpty) steps.map(_ => false) else lazyStepsIn
+    require(lazySteps.length == steps.length,
+      "one lazySteps entry per step")
+    lazySteps.lazyZip(steps).foreach { case (lz, (_, mt)) =>
+      require(!lz || mt.isDefined, "a lazy flag needs a quantified step")
+      // m = 1 lazy ({1,}?) would need completion checks on the anchor
+      // and greedy-close fast paths too — batch-routed instead (loud)
+      require(!lz || mt.exists(_ >= 2),
+        "reluctant {1,}? stays batch-routed — use CepSql.sql")
+    }
     require(maxTimes.length == steps.length,
       "one maxTimes entry per step (None = uncapped)")
     require(steps.length >= 2, "a pattern needs at least 2 steps")
@@ -234,18 +251,63 @@ object RunChainDetector {
                     advance(p, e.event_id, e.ts).toList
                   else List(p)
                 case Some(m) =>
+                  val lz = lazySteps(step)
+                  // RELUCTANT completion (r8): the m-th class event of a
+                  // fresh island completes the lazy run right here — the
+                  // chain continues from this event; the island's
+                  // remaining class events are consumed (head: a
+                  // runLen = -1 suppressor holds the single-tracker slot
+                  // until a breaker, so event m+1 cannot anchor a second
+                  // lazy match inside the SAME island, mirroring the
+                  // batch one-match-per-island truncation).
+                  def lazyComplete(p1: RunChainPartial)
+                      : List[RunChainPartial] = {
+                    val qualifies = us(p1.runStart) > us(p1.prevTs) &&
+                      (step == 0 || t <= windowEnd(p1))
+                    if (!qualifies) {
+                      if (step > 0 && t > windowEnd(p1)) Nil
+                      // runStart <= prevTs edge: batch rejects the WHOLE
+                      // island (its global start precedes the previous
+                      // match), so consume it — a reset here would let
+                      // event m+1 re-open mid-island and manufacture a
+                      // run batch never had
+                      else List(p1.copy(runLen = -1L))
+                    } else {
+                      val adv = advance(p1.copy(runStart = null,
+                        runLast = null, runLen = 0L), m.toLong, e.ts)
+                      val supp =
+                        if (step == 0)
+                          List(RunChainPartial(Nil, Nil, e.ts,
+                            new Timestamp(0L), e.ts, e.ts, -1L))
+                        else Nil
+                      adv.toList ::: supp
+                    }
+                  }
                   if (inClass) {
-                    if (p.runStart == null) {
+                    if (lz && p.runLen == -1L) List(p) // consumed island
+                    else if (p.runStart == null) {
                       // runs that START inside the window are the only
                       // candidates; a run starting beyond it means every
                       // later run is beyond it too -> partial is dead.
                       // (step 1 quantified: the window is unanchored
                       // until the run completes - never dead here.)
                       if (step > 0 && t > windowEnd(p)) Nil
-                      else List(p.copy(runStart = e.ts, runLast = e.ts,
-                        runLen = 1L))
-                    } else List(p.copy(runLast = e.ts,
-                      runLen = p.runLen + 1L))
+                      else {
+                        val p1 = p.copy(runStart = e.ts, runLast = e.ts,
+                          runLen = 1L)
+                        if (lz && m == 1) lazyComplete(p1) else List(p1)
+                      }
+                    } else {
+                      val p1 = p.copy(runLast = e.ts,
+                        runLen = p.runLen + 1L)
+                      if (lz && p1.runLen == m) lazyComplete(p1)
+                      else List(p1)
+                    }
+                  } else if (p.runStart != null && lz) {
+                    // lazy breaker: a sub-m island failed (or a consumed
+                    // island ended) — re-idle the tracker either way
+                    List(p.copy(runStart = null, runLast = null,
+                      runLen = 0L))
                   } else if (p.runStart != null) {
                     // a non-class event CLOSES the open run: qualify it
                     val qualifies = p.runLen >= m &&

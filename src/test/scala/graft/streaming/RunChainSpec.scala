@@ -30,14 +30,15 @@ class RunChainSpec extends SparkSpec {
     }, withinMs, maxs)
 
   private def replayWhere(steps: Seq[(CepEvent => Boolean, Option[Int])],
-      withinMs: Long, maxs: Seq[Option[Int]] = Nil)
+      withinMs: Long, maxs: Seq[Option[Int]] = Nil,
+      lazySteps: Seq[Boolean] = Nil)
       : Set[(Long, Seq[Long], Seq[Long])] = {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[CepEvent]
     val name = s"runchain_${System.nanoTime}"
     val caps = if (maxs.isEmpty) steps.map(_ => None) else maxs
     val q = RunChainDetector.detectWhere(stream.toDS(), steps, withinMs,
-      caps)
+      caps, lazySteps)
       .writeStream.queryName(name).format("memory").outputMode("append")
       .start()
     val data = eventsDs.orderBy("ts", "event_id").collect()
@@ -75,6 +76,52 @@ class RunChainSpec extends SparkSpec {
       Seq((Set("signup"), None), (Set("click"), Some(2)),
         (Set("purchase"), None)),
       24L * 3600 * 1000)
+    assert(streamed === batch)
+  }
+
+  test("reluctant mid-chain {m,}?: replay == batch lazy rewrite (r8)") {
+    Tables.load(spark, sf)
+    val batch = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click{2,}? THEN purchase WITHIN '48' HOURS)
+         PARTITION BY user_id""")
+      .collect()
+      .map(r => (r.getLong(0),
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3)),
+        Seq(us(r.getTimestamp(4)), us(r.getTimestamp(5)),
+          us(r.getTimestamp(6))))).toSet
+    assert(batch.nonEmpty, "fixture must exercise the lazy chain")
+    val streamed = replayWhere(
+      Seq(((e: CepEvent) => e.event_type == "signup", None),
+        ((e: CepEvent) => e.event_type == "click", Some(2)),
+        ((e: CepEvent) => e.event_type == "purchase", None)),
+      48L * 3600 * 1000, lazySteps = Seq(false, true, false))
+    assert(streamed === batch)
+    // (lazy vs greedy divergence is pinned in CepSqlSpec's {3,}? test —
+    // at this sf every matched {2,} run happens to be exactly 2 long,
+    // so the two coincide here)
+  }
+
+  test("reluctant head {m,}?: replay == batch lazy run truncation (r8)") {
+    Tables.load(spark, sf)
+    // batch 2-step legacy output: (user_id, run_len, run_start, run_end,
+    // b_ts); the chain detector emits step_vals = [len, purchase_id],
+    // step_ts = [lazy run end, purchase ts] — compare on the common
+    // projection (the streamed purchase is the FIRST after the lazy run
+    // end, which is exactly min(b.ts))
+    val batch = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (click{3,}? THEN purchase WITHIN '12' HOURS)
+         PARTITION BY user_id""")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), us(r.getTimestamp(3)),
+        us(r.getTimestamp(4)))).toSet
+    assert(batch.nonEmpty)
+    val streamed = replayWhere(
+      Seq(((e: CepEvent) => e.event_type == "click", Some(3)),
+        ((e: CepEvent) => e.event_type == "purchase", None)),
+      12L * 3600 * 1000, lazySteps = Seq(true, false))
+      .map(m => (m._1, m._2.head, m._3.head, m._3.last))
     assert(streamed === batch)
   }
 

@@ -273,15 +273,42 @@ class SubmitSqlSpec extends SparkSpec {
            MEASURES COUNT(*) AS c, MATCH_NUMBER() AS mn""", "svc_qmeasn")
     }
     assert(eQM.getMessage.contains("span aggregates only"))
-    // ...a reluctant quantifier is batch-only (r8) — the run detectors
-    // are maximal-run machines
-    val eLazy = intercept[IllegalArgumentException] {
+    // ...reluctant quantifiers stream via the lazy run detector (r8):
+    // a{2,}? completes at the 2nd consecutive a — the 3rd a of the same
+    // island must NOT anchor a second lazy match (island consumption)
+    val streamL = MemoryStream[CepEvent]
+    streamL.toDF().createOrReplaceTempView("pat_lazy")
+    val qL = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_lazy
+         MATCH PATTERN (a{2,}? THEN b WITHIN '5' MINUTES)
+         PARTITION BY user_id""", "svc_lazy")
+    try {
+      streamL.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "a", 0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:00:10"), 7, "a", 0),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:00:20"), 7, "a", 0),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 00:01:00"), 7, "b", 0))
+      qL.processAllAvailable()
+      val got = spark.table("svc_lazy")
+        .select("user_id", "step_vals", "step_ts").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1),
+          r.getSeq[Timestamp](2))).toSet
+      assert(got === Set((7L, Seq(2L, 4L),
+        Seq(Timestamp.valueOf("2026-01-01 00:00:10"),
+          Timestamp.valueOf("2026-01-01 00:01:00")))),
+        "lazy run ends at the 2nd a; one match per island")
+    } finally {
+      if (qL.isActive) qL.stop()
+      spark.catalog.dropTempView("pat_lazy")
+    }
+    // ...the m = 1 lazy corner stays batch-only → loud
+    val eLazy1 = intercept[IllegalArgumentException] {
       ContinuousQueries.submitPattern(spark,
         """SELECT * FROM pat_events2
-           MATCH PATTERN (a{2,}? THEN b WITHIN '5' MINUTES)
-           PARTITION BY user_id""", "svc_lazy")
+           MATCH PATTERN (a{1,}? THEN b WITHIN '5' MINUTES)
+           PARTITION BY user_id""", "svc_lazy1")
     }
-    assert(eLazy.getMessage.contains("reluctant"))
+    assert(eLazy1.getMessage.contains("{1,}?"))
     // ...a measure column outside the converter schema is batch-only
     val eMeas = intercept[IllegalArgumentException] {
       ContinuousQueries.submitPattern(spark,
