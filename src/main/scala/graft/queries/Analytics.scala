@@ -171,6 +171,47 @@ object Analytics {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // Trailing exact median (r8): per user, the interpolated median of
+    // the last 15 event values — the robust centre a monitoring rule
+    // compares against (pairs with q_zscore below, which uses the
+    // moment-based centre). Exact `percentile` over a bounded ROWS
+    // frame: O(frame) per row, one shuffle on user_id, no driver
+    // traffic; both engines interpolate the same two middle elements of
+    // the same 15 doubles, so the 4-dp fround is stable.
+    "q_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("ts"), asc("event_id")).rowsBetween(-14, 0)
+      T(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("med", fround(percentile(col("value"), lit(0.5)).over(w), 4))
+        .select("user_id", "ts", "event_id", "med")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // Trailing z-score anomaly flag (r8): per user, z = (x - mean) /
+    // stddev over the previous 16 rows (current inclusive); |z| > 2 on
+    // the ROUNDED score flags the row. Rounding BEFORE the threshold
+    // keeps the flag cross-engine deterministic (the two engines'
+    // variance accumulations differ in the last ulp; the rounded score
+    // is compared, never the raw one). Same single-window shape as
+    // q_ewma — O(1) state per row at any scale.
+    "q_zscore" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("ts"), asc("event_id")).rowsBetween(-15, 0)
+      T(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        // all window columns in ONE pass BEFORE the warm-up filter —
+        // filtering first would re-frame the window over survivors
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("mu", avg("value").over(w))
+        .withColumn("sd", stddev_samp("value").over(w))
+        .filter(col("n_win") >= 8) // warm-up: variance needs support
+        .withColumn("z", fround((col("value") - col("mu")) / col("sd"), 3))
+        .withColumn("is_anomaly", abs(col("z")) > lit(2.0))
+        .select("user_id", "ts", "event_id", "z", "is_anomaly")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
     // First-order Markov transition matrix over event types (r8): the
     // sequence-mining summary behind q_event_path — P(next | current)
     // from each user's event-time-ordered stream. The probability is a
@@ -277,6 +318,28 @@ object Analytics {
                "ELSE 0.0 END)").mkString(" + ")})
            * 10000 + 0.5) / 10000 AS ewma
          FROM x ORDER BY user_id, ts, event_id""",
+    "q_rolling_median" ->
+      """SELECT user_id, ts, event_id,
+           floor(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) * 1e4 + 0.5) / 1e4
+             AS med
+         FROM events ORDER BY user_id, ts, event_id""",
+    "q_zscore" ->
+      """WITH x AS (
+           SELECT user_id, ts, event_id, value,
+             count(*) OVER w AS n_win,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sd
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)),
+         z AS (
+           SELECT user_id, ts, event_id,
+             floor((value - mu) / sd * 1e3 + 0.5) / 1e3 AS z
+           FROM x WHERE n_win >= 8)
+         SELECT user_id, ts, event_id, z, abs(z) > 2.0 AS is_anomaly
+         FROM z ORDER BY user_id, ts, event_id""",
     "q_markov_trans" ->
       """WITH p AS (
            SELECT event_type AS e1,

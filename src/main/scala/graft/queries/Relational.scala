@@ -79,6 +79,36 @@ object Relational {
         .orderBy("n_name")
     }),
 
+    // J2c — TPC-H Q5 shape (r8): the canonical 6-table local-supplier
+    // revenue query — customer ⋈ orders ⋈ lineitem ⋈ supplier with the
+    // c_nationkey = s_nationkey residual (a true fact-side equi
+    // constraint, not a dim lookup), nation/region as broadcast dims.
+    // At 100 TB: region/nation broadcast at any SF (25/5 rows); the
+    // fact chain shuffles once per join key (custkey, orderkey,
+    // suppkey) and the date filter pushes into the orders scan. The
+    // 5-row output makes the agg shuffle trivial.
+    "q_join_6way" -> ((s, dir) => {
+      val cu = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      val l = T(s, dir, "lineitem")
+      val su = T(s, dir, "supplier")
+      val n = T(s, dir, "nation")
+      val r = T(s, dir, "region").filter(col("r_name") === "ASIA")
+      cu.join(o, cu("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") &&
+          cu("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("cnt"),
+          fround(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+            2).as("revenue"))
+        .orderBy("n_name")
+    }),
+
     // J3 — left outer with a join-side predicate (keeps unmatched rows).
     "q_join_outer" -> ((s, dir) => {
       val c = T(s, dir, "customer")
@@ -391,6 +421,21 @@ object Relational {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_join_6way" ->
+      """SELECT n_name, count(*) AS cnt,
+           floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5)
+             / 100 AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+           AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= DATE '1996-01-01'
+           AND o_orderdate < DATE '1997-01-01'
+         GROUP BY n_name ORDER BY n_name""",
     "q_join_3way" ->
       """SELECT n_name, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
          FROM orders

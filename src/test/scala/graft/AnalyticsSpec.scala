@@ -71,6 +71,42 @@ class AnalyticsSpec extends SparkSpec {
       }
   }
 
+  test("q_rolling_median sits inside the trailing-15 envelope; first row " +
+      "equals its value") {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      .rowsBetween(-14, 0)
+    val env = Tables.table(spark, sf, "events")
+      .withColumn("lo", min("value").over(w))
+      .withColumn("hi", max("value").over(w))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))))
+      .select("user_id", "event_id", "lo", "hi", "rn", "value")
+    run("q_rolling_median").join(env, Seq("user_id", "event_id"))
+      .collect().foreach { r =>
+        val m = r.getAs[Double]("med")
+        assert(m >= r.getAs[Double]("lo") - 1e-4 &&
+          m <= r.getAs[Double]("hi") + 1e-4)
+        if (r.getAs[Int]("rn") == 1) {
+          val want = math.floor(r.getAs[Double]("value") * 1e4 + 0.5) / 1e4
+          assert(m === want, "singleton frame: median is the value itself")
+        }
+      }
+  }
+
+  test("q_zscore: anomalies are rare, flag agrees with the rounded score") {
+    val rows = run("q_zscore").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_anomaly") ===
+        (math.abs(r.getAs[Double]("z")) > 2.0))
+    }
+    val frac = rows.count(_.getAs[Boolean]("is_anomaly")).toDouble /
+      rows.length
+    // Chebyshev bounds P(|z|>2) <= 1/4 for ANY distribution; flag it if
+    // over — that means the window stats are being computed wrong
+    assert(frac < 0.25, s"anomaly fraction $frac fails the Chebyshev bound")
+  }
+
   test("q_markov_trans rows are a stochastic matrix over observed pairs") {
     val rows = run("q_markov_trans").collect()
     // per-source probabilities sum to exactly 1 (ratio of exact ints)

@@ -24,6 +24,19 @@ class PlanShapeSpec extends SparkSpec {
       "fact-fact leg should hash-join, not sort-merge")
   }
 
+  test("q_join_6way: dims broadcast, date filter pushes to the orders " +
+      "scan (r8)") {
+    val p = plan("q_join_6way")
+    // nation + region are broadcast dims at ANY scale (25/5 rows)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "nation and region must broadcast")
+    // the 1996 date filter must reach the orders parquet scan
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      "date predicate should push into the scan")
+    // single-pass aggregation over a 5-row output: two-phase hash agg
+    assert(p.contains("HashAggregate"))
+  }
+
   test("gram pipeline is map-only: one shuffle, zero sorts end-to-end") {
     // the r5 rework: n-grams come from transform/slice on the token
     // array, so q_ngram_freq must plan as scan → gram explode → partial
