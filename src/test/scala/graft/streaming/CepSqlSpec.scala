@@ -516,8 +516,8 @@ class CepSqlSpec extends SparkSpec {
          WITHIN '5' MINUTES) PARTITION BY k""", // consecutive optionals
       """SELECT * FROM t MATCH PATTERN (a THEN b? THEN NOT c
          WITHIN '5' MINUTES) PARTITION BY k""", // optional before NOT
-      """SELECT * FROM t MATCH PATTERN (a THEN b{2,}? THEN c
-         WITHIN '5' MINUTES) PARTITION BY k""", // quantified + optional
+      // (a THEN b{2,}? THEN c is NOT here: since r8 that parses as the
+      // RELUCTANT quantifier, not quantified+optional)
       """SELECT * FROM t MATCH PATTERN (a{2,} THEN b? THEN c
          WITHIN '5' MINUTES) PARTITION BY k""", // mixed in one pattern
       """SELECT * FROM t MATCH PATTERN (a THEN b? THEN c
