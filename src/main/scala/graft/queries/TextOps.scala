@@ -389,6 +389,27 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Exact heavy hitters (r8): tokens exceeding 0.5 % of all token
+    // occurrences — the "which items dominate the corpus" screen. The
+    // threshold test is EXACT integer arithmetic (cnt * 200 > total, no
+    // float share in the predicate), so the row set is cross-engine
+    // deterministic; the reported share rounds after the fact. Two hash
+    // aggs (token counts + a broadcast 1-row total). At 100 TB the
+    // bounded-memory single-pass alternative is the Misra–Gries sketch
+    // (operators.FreqSketch — guarantee-tested, deliberately not an
+    // oracle key since its counter values are merge-order-dependent).
+    "q_heavy_hitters" -> ((s, dir) => {
+      val tok = T(s, dir, "documents")
+        .select(explode(toks(lower(col("text")))).as("w"))
+      val counts = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum("cnt").as("total"))
+      counts.crossJoin(broadcast(total))
+        .filter(col("cnt") * 200 > col("total"))
+        .select(col("w"), col("cnt"),
+          fround(col("cnt").cast("double") / col("total"), 6).as("share"))
+        .orderBy(desc("cnt"), asc("w"))
+    }),
+
     // Zipf rank-frequency fit per language (r8): the corpus-health
     // diagnostic a curation pipeline runs after ingest — rank each
     // language's tokens by frequency, fit ln(freq) ~ ln(rank) over the
@@ -894,6 +915,16 @@ object TextOps {
          len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
          n_chars
          FROM documents ORDER BY doc_id""",
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+           SELECT unnest(string_split(lower(text), ' ')) AS w
+           FROM documents),
+         c AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+         SELECT w, cnt,
+           floor(CAST(cnt AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS share
+         FROM c, t WHERE cnt * 200 > total
+         ORDER BY cnt DESC, w""",
     "q_token_zipf" ->
       """WITH f AS (
            SELECT lang, w, count(*) AS cnt FROM (

@@ -126,6 +126,35 @@ class SourcesSpec extends SparkSpec {
     finally spark.sql("DROP TABLE IF EXISTS ins_target")
   }
 
+  test("batch format matrix: ORC / CSV / JSON round-trip the events " +
+      "table losslessly (r8)") {
+    // parquet is the primary format everywhere else; the engine must
+    // also read the other ubiquitous lake formats. Write-then-read with
+    // an EXPLICIT schema (schema inference is a scale anti-pattern:
+    // it double-scans the data) and compare full contents.
+    val e = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val want = e.collect().map(_.toSeq).toSet
+    val base = Files.createTempDirectory("graft_fmt").toString
+    val schema = e.schema
+    for (fmt <- Seq("orc", "csv", "json")) {
+      val dir = s"$base/$fmt"
+      // the TEXT formats need an explicit micros timestamp format —
+      // their defaults are millis-only and silently truncate
+      val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+      val w = e.write.mode("overwrite")
+      (if (fmt == "orc") w
+       else w.option("timestampFormat", tsFmt).option("header", "true"))
+        .format(fmt).save(dir)
+      val r = spark.read.schema(schema)
+      val got = (if (fmt == "orc") r
+        else r.option("timestampFormat", tsFmt).option("header", "true"))
+        .format(fmt).load(dir)
+        .collect().map(_.toSeq).toSet
+      assert(got === want, s"$fmt round-trip lost rows or precision")
+    }
+  }
+
   test("GraftSession.init exposes the full SQL surface (views + functions)") {
     GraftSession.init(spark, sf)
     val windowed = spark.sql(

@@ -128,6 +128,43 @@ class CepSqlPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("generated RELUCTANT quantifier patterns translate total (r8)") {
+    // `{m,}?` on head / mid / tail positions: always a lazy-truncation
+    // runs subquery (FILTER (WHERE __rn <= m)), never parsed as an
+    // optional step, bounded lazy forms always rejected
+    val gen = for {
+      mt <- Gen.choose(2, 99)
+      n <- Gen.choose(1, 9999)
+      unit <- Gen.oneOf("SECONDS", "MINUTES", "HOURS")
+      evs <- Gen.listOfN(3, Gen.identifier.map(_.take(8))
+        .suchThat(_.nonEmpty))
+      tbl <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+      key <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+      pos <- Gen.choose(0, 2)
+    } yield {
+      val steps = evs.zipWithIndex.map { case (ev, i) =>
+        if (i == pos) s"$ev{$mt,}?" else ev }
+      (mt, s"SELECT * FROM $tbl MATCH PATTERN (${steps.mkString(" THEN ")} " +
+        s"WITHIN '$n' $unit) PARTITION BY $key")
+    }
+    (1L to 300L).foreach { seed =>
+      sample(gen.map(List(_)), seed).foreach { case (mt, q) =>
+        val spec = CepSql.parsePattern(q)
+        assert(spec.steps.count(_.reluctant) === 1, q)
+        assert(!spec.steps.exists(_.optional), q)
+        val t = CepSql.translate(q)
+        assert(!t.toUpperCase.contains("MATCH PATTERN"), s"$q ->\n$t")
+        assert(t.contains(s"FILTER (WHERE __rn <= $mt)"), s"$q ->\n$t")
+        assert(t.contains(s"CAST($mt AS BIGINT) AS run_len"), t)
+        // bounded lazy forms of the same text are rejected
+        val bad = q.replace(s"{$mt,}?", s"{$mt,${mt + 1}}?")
+        intercept[IllegalArgumentException](CepSql.parsePattern(bad))
+        val bad2 = q.replace(s"{$mt,}?", s"{$mt}?")
+        intercept[IllegalArgumentException](CepSql.parsePattern(bad2))
+      }
+    }
+  }
+
   test("generated alternation/mid-quantifier/skip patterns translate total (r7)") {
     val ident = Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
     val gen = for {
