@@ -552,6 +552,25 @@ object Cep {
            MEASURES COUNT(*) AS span_n, MATCH_NUMBER() AS mno""")
     }),
 
+    // EP1m' — FIRST/LAST boundary references on a QUANTIFIED step (r8):
+    // MATCH_RECOGNIZE's FIRST/LAST navigation in its run flavor — the
+    // run's first event's value (an events join on run_start_id), its
+    // last event's id (run_end_id directly), plus a COUNT span. All
+    // joins are at match-set cardinality: the runs subquery re-join
+    // identifies each disjoint island by (run_end, run_len), never
+    // scanning event×event. Batch-only (streaming measures reject
+    // non-span forms loudly — boundary rows would need run-row
+    // retention in the detector's state).
+    "q_pattern_boundref" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * FROM events
+           MATCH PATTERN (click{2,} THEN purchase WITHIN '2' HOURS)
+           PARTITION BY user_id
+           MEASURES FIRST(click.value) AS first_val,
+             LAST(click.event_id) AS last_id, COUNT(*) AS span_n""")
+    }),
+
     // EP1k — PERMUTE from SQL TEXT (r7): the order-free pair. Every
     // signup or purchase anchors; the match is the first event of the
     // OPPOSITE class within 30 minutes after it. Union of the two
@@ -913,6 +932,49 @@ object Cep {
            CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_1)
              AS BIGINT) AS mno
          FROM sp ORDER BY user_id, ts_1""",
+    "q_pattern_boundref" ->
+      """WITH o AS (
+           SELECT user_id, event_type, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+           FROM events),
+         runs AS (
+           SELECT user_id, grp, count(*) AS run_len,
+             min(ts) AS run_start, max(ts) AS run_end,
+             min(CASE WHEN rn_a = 1 THEN event_id END) AS run_start_id,
+             min(CASE WHEN rn_d = 1 THEN event_id END) AS run_end_id,
+             min(CASE WHEN rn_a = 1 THEN value END) AS first_val
+           FROM (
+             SELECT *,
+               row_number() OVER (PARTITION BY user_id, grp
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY user_id, grp
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+             FROM o WHERE event_type = 'click') q
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         m AS (
+           SELECT r.*, b.event_id AS id_2, b.ts AS ts_2,
+             row_number() OVER (PARTITION BY r.user_id, r.run_end
+                                ORDER BY b.ts, b.event_id) AS rn
+           FROM runs r JOIN events b
+             ON b.user_id = r.user_id AND b.event_type = 'purchase'
+            AND b.ts > r.run_end
+            AND b.ts <= r.run_end + INTERVAL 2 HOUR),
+         mm AS (SELECT * FROM m WHERE rn = 1)
+         SELECT mm.user_id, mm.run_len AS len_1, mm.id_2,
+           mm.run_end AS ts_1, mm.ts_2, mm.first_val,
+           mm.run_end_id AS last_id, count(*) AS span_n
+         FROM mm JOIN events e
+           ON e.user_id = mm.user_id
+          AND (e.ts > mm.run_start
+               OR (e.ts = mm.run_start
+                   AND e.event_id >= mm.run_start_id))
+          AND (e.ts < mm.ts_2
+               OR (e.ts = mm.ts_2 AND e.event_id <= mm.id_2))
+         GROUP BY 1, 2, 3, 4, 5, 6, 7
+         ORDER BY mm.user_id, ts_1""",
     "q_pattern_alt" ->
       """SELECT user_id, sid, pid, s_ts, p_ts FROM (
            SELECT a.user_id, a.event_id AS sid, b.event_id AS pid,

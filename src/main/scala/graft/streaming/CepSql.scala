@@ -110,7 +110,10 @@ object CepSql {
   private val measureTok = Pattern.compile(
     "(?i)^(?:(SUM|AVG|MIN|MAX|COUNT)\\s*\\(\\s*(\\*|[A-Za-z_]\\w*)\\s*\\)" +
       "|([A-Za-z_]\\w*)\\s*\\.\\s*([A-Za-z_]\\w*)" +
-      "|(MATCH_NUMBER)\\s*\\(\\s*\\))" +
+      "|(MATCH_NUMBER)\\s*\\(\\s*\\)" +
+      // FIRST/LAST(ev.col) — run boundary-row references (r8)
+      "|(FIRST|LAST)\\s*\\(\\s*([A-Za-z_]\\w*)\\s*\\.\\s*" +
+      "([A-Za-z_]\\w*)\\s*\\))" +
       "(?:\\s+AS\\s+([A-Za-z_]\\w*))?\\s*$")
   /** `PERMUTE(a, b)` (r7): the order-free pair — `a THEN b` OR
     * `b THEN a`, whichever order the stream presents. Two plain event
@@ -317,6 +320,13 @@ object CepSql {
   case class ClassRef(ev: String, col: String, step: Int, alias: String)
       extends Measure
   case class MatchNum(alias: String) extends Measure
+  /** `FIRST(ev.col)` / `LAST(ev.col)` on a QUANTIFIED step (r8): the
+    * run's boundary ROW — its first / last event in (ts, id) order.
+    * MATCH_RECOGNIZE's FIRST/LAST navigation in its run flavor. On an
+    * unquantified step the boundary is the single matched row, which
+    * `ev.col` already names — rejected with that pointer. */
+  case class BoundRef(fn: String, ev: String, col: String, step: Int,
+      alias: String) extends Measure
 
   case class PatternSpec(table: String, steps: Seq[PatternStep],
       n: Long, unit: String, key: String, skipPast: Boolean = false,
@@ -458,18 +468,13 @@ object CepSql {
       parts.toIndexedSeq.zipWithIndex.map { case (p, i) =>
         val mm = measureTok.matcher(p)
         if (!mm.matches()) malformed(s"unrecognized measure '$p' — " +
-          "expected FN(col|*), event.col, or MATCH_NUMBER()")
+          "expected FN(col|*), event.col, FIRST/LAST(event.col), or " +
+          "MATCH_NUMBER()")
         // r7 back-compat: a lone unaliased aggregate keeps the column
         // name `measure`; everything else defaults to m1, m2, …
-        val alias = Option(mm.group(6)).getOrElse(
+        val alias = Option(mm.group(9)).getOrElse(
           if (single && mm.group(1) != null) "measure" else s"m${i + 1}")
-        if (mm.group(1) != null) {
-          val fn = mm.group(1).toUpperCase(java.util.Locale.ROOT)
-          if (mm.group(2) == "*" && fn != "COUNT")
-            malformed(s"$fn(*) — only COUNT takes *")
-          SpanAgg(fn, mm.group(2), alias)
-        } else if (mm.group(3) != null) {
-          val ev = mm.group(3)
+        def resolveStep(ev: String): Int = {
           val hits = steps.zipWithIndex.filter { case (st, _) =>
             !st.negated && st.events.exists(_.equalsIgnoreCase(ev))
           }
@@ -479,7 +484,26 @@ object CepSql {
           if (hits.length > 1)
             malformed(s"measure '$p' is ambiguous — '$ev' appears in " +
               s"${hits.length} steps")
-          ClassRef(ev, mm.group(4), hits.head._2 + 1, alias)
+          hits.head._2 + 1
+        }
+        if (mm.group(1) != null) {
+          val fn = mm.group(1).toUpperCase(java.util.Locale.ROOT)
+          if (mm.group(2) == "*" && fn != "COUNT")
+            malformed(s"$fn(*) — only COUNT takes *")
+          SpanAgg(fn, mm.group(2), alias)
+        } else if (mm.group(3) != null) {
+          val ev = mm.group(3)
+          ClassRef(ev, mm.group(4), resolveStep(ev), alias)
+        } else if (mm.group(6) != null) {
+          // FIRST/LAST(ev.col) (r8): run boundary-row reference
+          val ev = mm.group(7)
+          val step = resolveStep(ev)
+          if (steps(step - 1).minTimes.isEmpty)
+            malformed(s"FIRST/LAST reference a RUN — '$ev' is not " +
+              s"quantified; '$ev.${mm.group(8)}' already names its " +
+              "single matched row")
+          BoundRef(mm.group(6).toUpperCase(java.util.Locale.ROOT), ev,
+            mm.group(8), step, alias)
         } else MatchNum(alias)
       }
     }.getOrElse(Nil)
@@ -899,6 +923,43 @@ object CepSql {
               |""".stripMargin
       val refJoins = refSteps.map(i =>
         s"JOIN $tbl s$i ON s$i.$k = p.__k AND s$i.$id = p.id_$i").mkString("\n")
+      // BoundRef (r8): each referenced quantified step re-joins its runs
+      // subquery on (run_end, run_len) — the same disjoint-island
+      // identification as boundJoins — exposing run_start/_end and the
+      // boundary-row ids; a non-ts/id column adds one more events join
+      // on the boundary id. Match-set cardinality throughout: these
+      // joins touch matches, never the raw event volume.
+      val boundRefs = ms.collect { case b: BoundRef => b }
+      val boundSteps = boundRefs.map(_.step).distinct.sorted
+      val boundRunJoins = boundSteps.map(i =>
+        s"JOIN ${runsFor(i - 1)} rb$i ON rb$i.__k = p.__k " +
+          s"AND rb$i.run_end = p.ts_$i AND rb$i.run_len = p.len_$i")
+        .mkString("\n")
+      def boundRowId(b: BoundRef): String =
+        if (b.fn == "FIRST") s"rb${b.step}.run_start_id"
+        else s"rb${b.step}.run_end_id"
+      // one events join per DISTINCT boundary row actually needed for a
+      // non-shortcut column
+      val boundRowJoins = boundRefs
+        .filter(b => !b.col.equalsIgnoreCase(tsCol) &&
+          !b.col.equalsIgnoreCase(idCol))
+        .map(b => (b.step, b.fn)).distinct
+        .map { case (i, fn) =>
+          val al = s"bv${i}_${fn.toLowerCase(java.util.Locale.ROOT)}"
+          val rid = if (fn == "FIRST") s"rb$i.run_start_id"
+            else s"rb$i.run_end_id"
+          s"JOIN $tbl $al ON $al.$k = p.__k AND $al.$id = $rid"
+        }.mkString("\n")
+      def boundSel(b: BoundRef): String =
+        if (b.col.equalsIgnoreCase(tsCol))
+          (if (b.fn == "FIRST") s"rb${b.step}.run_start"
+           else s"rb${b.step}.run_end") + s" AS ${bq(b.alias)}"
+        else if (b.col.equalsIgnoreCase(idCol))
+          s"${boundRowId(b)} AS ${bq(b.alias)}"
+        else {
+          val al = s"bv${b.step}_${b.fn.toLowerCase(java.util.Locale.ROOT)}"
+          s"$al.${bq(b.col)} AS ${bq(b.alias)}"
+        }
       def sel(mea: Measure): String = mea match {
         case SpanAgg(fn, c, a) =>
           val ex =
@@ -906,6 +967,7 @@ object CepSql {
             else s"${fn.toLowerCase(java.util.Locale.ROOT)}(e.${bq(c)})"
           s"$ex AS ${bq(a)}"
         case ClassRef(_, c, i, a) => s"s$i.${bq(c)} AS ${bq(a)}"
+        case b: BoundRef => boundSel(b)
         case MatchNum(a) =>
           // CAST: Spark's row_number is INT, DuckDB's BIGINT — emit
           // BIGINT so both engines (and the driver's schema check)
@@ -915,8 +977,9 @@ object CepSql {
           s"CAST(row_number() OVER (PARTITION BY p.__k ORDER BY $mnOrd)" +
             s" AS BIGINT) AS ${bq(a)}"
       }
-      val refCols = ms.collect { case ClassRef(_, c, i, _) => s"s$i.${bq(c)}" }
-        .distinct
+      val refCols = (ms.collect {
+        case ClassRef(_, c, i, _) => s"s$i.${bq(c)}"
+      } ++ boundRefs.map(b => boundSel(b).split(" AS ").head)).distinct
       val groupBy =
         if (spanAggs.isEmpty) ""
         else ("GROUP BY p.__k, " + cols(np) +
@@ -924,6 +987,8 @@ object CepSql {
       s"""SELECT p.__k AS $k, ${cols(np)}, ${ms.map(sel).mkString(", ")}
          |FROM $prefix p
          |$spanJoin$refJoins
+         |$boundRunJoins
+         |$boundRowJoins
          |$groupBy
          |ORDER BY $order""".stripMargin
     } else

@@ -414,6 +414,52 @@ class CepSqlSpec extends SparkSpec {
       spec.steps.head.minTimes.contains(3))
   }
 
+  test("FIRST/LAST(ev.col) boundary refs on a mid-chain run (r8)") {
+    Tables.load(spark, sf)
+    // signup THEN click{2,} THEN purchase, measuring the mid run's own
+    // boundary rows: FIRST(click.ts) = run start (NOT in the chain's
+    // ordinary output — ts_2 is the run END), LAST(click.event_id) =
+    // the run's last row id
+    val got = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click{2,} THEN purchase WITHIN '48' HOURS)
+         PARTITION BY user_id
+         MEASURES FIRST(click.ts) AS run_t0, LAST(click.event_id) AS run_id1""")
+    assert(got.count() > 0)
+    // independent recomputation: the mid-run stage's accepted run is
+    // the FIRST maximal >= 2 click island after the signup fitting the
+    // window; rebuild islands and join on (run_end = ts_2)
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.table("events")
+    val wU = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val wUT = Window.partitionBy("user_id", "event_type")
+      .orderBy(asc("ts"), asc("event_id"))
+    val runs = e
+      .withColumn("grp", row_number().over(wU) - row_number().over(wUT))
+      .filter(col("event_type") === "click")
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("rl"), min("ts").as("t0"), max("ts").as("t1"),
+        max(struct(col("ts"), col("event_id"))).as("lastrow"))
+      .filter(col("rl") >= 2)
+      .select(col("user_id").as("ru"), col("t0"), col("t1"),
+        col("lastrow.event_id").as("id1"))
+    val joined = got.join(runs,
+      got("user_id") === col("ru") && got("ts_2") === col("t1"))
+    assert(joined.count() === got.count(),
+      "every match's ts_2 must identify exactly one island")
+    assert(joined.filter(col("run_t0") =!= col("t0")).count() === 0)
+    assert(joined.filter(col("run_id1") =!= col("id1")).count() === 0)
+    // FIRST/LAST on an UNQUANTIFIED step is malformed with a pointer
+    val ePlain = intercept[IllegalArgumentException] {
+      CepSql.parsePattern(
+        """SELECT * FROM events
+           MATCH PATTERN (signup THEN purchase WITHIN '1' HOURS)
+           PARTITION BY user_id MEASURES FIRST(signup.ts) AS t0""")
+    }
+    assert(ePlain.getMessage.contains("not") &&
+      ePlain.getMessage.contains("quantified"))
+  }
+
   test("reluctant quantifier mid-chain: lazy run feeds the next step (r8)") {
     Tables.load(spark, sf)
     import org.apache.spark.sql.expressions.Window

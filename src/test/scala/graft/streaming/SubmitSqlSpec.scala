@@ -273,6 +273,16 @@ class SubmitSqlSpec extends SparkSpec {
            MEASURES COUNT(*) AS c, MATCH_NUMBER() AS mn""", "svc_qmeasn")
     }
     assert(eQM.getMessage.contains("span aggregates only"))
+    // ...FIRST/LAST boundary refs are batch-only too (r8): the
+    // detector's state never retains run boundary ROWS
+    val eBR = intercept[IllegalArgumentException] {
+      ContinuousQueries.submitPattern(spark,
+        """SELECT * FROM pat_events2
+           MATCH PATTERN (a{2,} THEN b WITHIN '5' MINUTES)
+           PARTITION BY user_id
+           MEASURES FIRST(a.ts) AS t0""", "svc_br")
+    }
+    assert(eBR.getMessage.contains("span aggregates only"))
     // ...reluctant quantifiers stream via the lazy run detector (r8):
     // a{2,}? completes at the 2nd consecutive a — the 3rd a of the same
     // island must NOT anchor a second lazy match (island consumption)
