@@ -558,9 +558,10 @@ object Cep {
     // last event's id (run_end_id directly), plus a COUNT span. All
     // joins are at match-set cardinality: the runs subquery re-join
     // identifies each disjoint island by (run_end, run_len), never
-    // scanning event×event. Batch-only (streaming measures reject
-    // non-span forms loudly — boundary rows would need run-row
-    // retention in the detector's state).
+    // scanning event×event. Numeric-column boundary refs STREAM via
+    // RunChainDetector's per-measure boundary slots (replay ≡ batch
+    // pinned in RunChainSpec); ts boundaries stay batch-routed loudly
+    // (the streaming vals vector is Double).
     "q_pattern_boundref" -> ((s, dir) => {
       graft.Tables.load(s, dir)
       graft.streaming.CepSql.sql(s,

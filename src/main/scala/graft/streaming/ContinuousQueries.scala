@@ -86,7 +86,9 @@ object ContinuousQueries {
     *    aggregates carried per open partial over ANY numeric converter
     *    column: value, event_id, user_id); span aggregates over
     *    QUANTIFIED chains → [[RunChainDetector.detectMeasures]] (r8 —
-    *    MATCH_NUMBER/class refs on those stay batch-routed, loudly)
+    *    FIRST/LAST boundary refs over numeric converter columns stream
+    *    there too; MATCH_NUMBER/class refs/ts boundaries on quantified
+    *    chains stay batch-routed, loudly)
     *
     * Alternation steps (`click|view`, r7) dispatch through every arm —
     * the detectors take event-type classes. Quantified chains (`{m,}`
@@ -181,9 +183,20 @@ object ContinuousQueries {
         // quantified arms. The overlap carve-out applies unchanged.
         spec.measures.foreach {
           case _: CepSql.SpanAgg => ()
+          case b: CepSql.BoundRef =>
+            // FIRST/LAST boundary refs stream since r8 — numeric
+            // converter columns only (the vals vector is Double; a ts
+            // boundary needs the batch rewrite's runs re-join)
+            if (!Set("value", "event_id", "user_id")(
+                b.col.toLowerCase(java.util.Locale.ROOT)))
+              throw new IllegalArgumentException(
+                "streaming FIRST/LAST boundary refs read numeric " +
+                  "converter columns only (value/event_id/user_id) — " +
+                  "ts boundaries via the batch rewrite CepSql.sql")
           case _ => throw new IllegalArgumentException(
             "streaming measures on a quantified chain support span " +
-              "aggregates only — run the batch rewrite via CepSql.sql")
+              "aggregates and FIRST/LAST boundary refs only — run the " +
+              "batch rewrite via CepSql.sql")
         }
         if (spec.steps.exists(_.reluctant))
           throw new IllegalArgumentException(
@@ -211,6 +224,9 @@ object ContinuousQueries {
             case CepSql.SpanAgg(fn, cc, _)
                 if fn != "AVG" &&
                   intCols(cc.toLowerCase(java.util.Locale.ROOT)) =>
+              c.cast("long")
+            case CepSql.BoundRef(_, _, cc, _, _)
+                if intCols(cc.toLowerCase(java.util.Locale.ROOT)) =>
               c.cast("long")
             case _ => c
           }

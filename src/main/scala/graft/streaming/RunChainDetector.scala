@@ -50,7 +50,8 @@ case class RunChainMeasured(user_id: Long, step_vals: Seq[Long],
 case class RunChainMPartial(vals: List[Long], tss: List[Timestamp],
     anchorTs: Timestamp, prevTs: Timestamp,
     runStart: Timestamp, runLast: Timestamp, runLen: Long,
-    sums: Seq[Double], cnt: Long, mns: Seq[Double], mxs: Seq[Double])
+    sums: Seq[Double], cnt: Long, mns: Seq[Double], mxs: Seq[Double],
+    bnd: Seq[Double] = Nil)
 
 case class RunChainMState(partials: List[RunChainMPartial])
 
@@ -425,9 +426,14 @@ object RunChainDetector {
     * but sits OUTSIDE the span, so a chain completing on a run closure
     * emits with the PRE-fold accumulators, while the same closing event
     * folds forward when the chain continues (it lies between matched
-    * rows). Span aggregates and COUNT only — MATCH_NUMBER needs the
+    * rows). Span aggregates, COUNT, and (r8) FIRST/LAST boundary refs
+    * over numeric converter columns — the partial carries one boundary
+    * slot per measure, seeded at each candidate run's open and (LAST)
+    * refreshed per run event, so a failed run's stale slots are always
+    * overwritten by the accepted run. MATCH_NUMBER needs the
     * held-release ordering discipline and class refs a single matched
-    * row; both stay batch-routed. Matches the batch span join exactly
+    * row; both stay batch-routed, as do ts boundaries (the vals vector
+    * is Double). Matches the batch span join exactly
     * on in-order replay (RunChainSpec law); out-of-order span events
     * inside the lateness bound still advance STEPS but cannot
     * retro-enter an already-accumulated span — batch is authoritative
@@ -447,10 +453,25 @@ object RunChainDetector {
         require(Set("SUM", "AVG", "MIN", "MAX", "COUNT")(fn),
           s"unsupported measure fn '$fn'")
         if (c != "*") PatternMatch.numColumn(c) // loud on non-numeric
+      case CepSql.BoundRef(fn, _, c, st, _) =>
+        // boundary refs (r8): the partial carries the referenced run's
+        // boundary VALUES, one slot per measure — numeric converter
+        // columns only (ts boundaries stay batch-routed: the streaming
+        // vals vector is Double)
+        require(Set("FIRST", "LAST")(fn), s"unsupported boundary fn '$fn'")
+        require(st >= 1 && st <= steps.length && steps(st - 1)._2.isDefined,
+          s"FIRST/LAST reference step $st, which is not quantified")
+        PatternMatch.numColumn(c) // loud on non-numeric (incl. ts)
       case m => throw new IllegalArgumentException(
         s"streaming quantified-chain measures support span aggregates " +
-          s"only — got '$m'; run the batch rewrite via CepSql.sql")
+          s"and FIRST/LAST boundary refs only — got '$m'; run the " +
+          "batch rewrite via CepSql.sql")
     }
+    val bndRefs: Seq[(CepSql.BoundRef, Int, CepEvent => Double)] =
+      measures.zipWithIndex.collect {
+        case (b: CepSql.BoundRef, j) => (b, j, PatternMatch.numColumn(b.col))
+      }
+    val bndZero: Seq[Double] = measures.map(_ => 0.0)
     val aggCols = measures.collect {
       case CepSql.SpanAgg(fn, c, _) if fn != "COUNT" && c != "*" =>
         c.toLowerCase(java.util.Locale.ROOT)
@@ -477,19 +498,22 @@ object RunChainDetector {
             us(if (p.tss.isEmpty) p.anchorTs else p.tss.last) + withinUs
 
           def measureVals(sums: Seq[Double], cnt: Long, mns: Seq[Double],
-              mxs: Seq[Double]): Seq[Double] = measures.map {
-            case CepSql.SpanAgg(fn, c, _) =>
-              lazy val i =
-                aggCols.indexOf(c.toLowerCase(java.util.Locale.ROOT))
-              fn match {
-                case "SUM" => sums(i)
-                case "AVG" => sums(i) / cnt
-                case "MIN" => mns(i)
-                case "MAX" => mxs(i)
-                case _     => cnt.toDouble
-              }
-            case _ => 0.0 // unreachable (validated above)
-          }
+              mxs: Seq[Double], bnd: Seq[Double]): Seq[Double] =
+            measures.zipWithIndex.map {
+              case (CepSql.SpanAgg(fn, c, _), _) =>
+                lazy val i =
+                  aggCols.indexOf(c.toLowerCase(java.util.Locale.ROOT))
+                fn match {
+                  case "SUM" => sums(i)
+                  case "AVG" => sums(i) / cnt
+                  case "MIN" => mns(i)
+                  case "MAX" => mxs(i)
+                  case _     => cnt.toDouble
+                }
+              case (_: CepSql.BoundRef, j) =>
+                if (bnd.isEmpty) 0.0 else bnd(j)
+              case _ => 0.0 // unreachable (validated above)
+            }
 
           // advance with (emitAcc, contAcc): a completion emits with
           // emitAcc; a surviving partial carries contAcc (they differ
@@ -503,16 +527,37 @@ object RunChainDetector {
             if (vals2.length == n) {
               out += RunChainMeasured(user, vals2.reverse, tss2.reverse,
                 tss2.last, ts,
-                measureVals(emit._1, emit._2, emit._3, emit._4))
+                measureVals(emit._1, emit._2, emit._3, emit._4, p.bnd))
               None
             } else Some(RunChainMPartial(vals2, tss2, p.anchorTs, ts,
-              null, null, 0L, cont._1, cont._2, cont._3, cont._4))
+              null, null, 0L, cont._1, cont._2, cont._3, cont._4, p.bnd))
           }
 
           batch.foreach { e =>
             val t = us(e.ts)
             if (t > maxTs) maxTs = t
             val ev = aggSels.map(_(e))
+            // boundary-ref slots (r8): seed FIRST+LAST at a run's open,
+            // refresh LAST on every run event — only the slots belonging
+            // to the step whose run this event extends
+            def seedBnd(b: Seq[Double], step0: Int): Seq[Double] =
+              if (bndRefs.isEmpty) b
+              else {
+                val base = if (b.isEmpty) bndZero else b
+                bndRefs.foldLeft(base) { case (acc, (br, j, get)) =>
+                  if (br.step == step0 + 1) acc.updated(j, get(e)) else acc
+                }
+              }
+            def lastBnd(b: Seq[Double], step0: Int): Seq[Double] =
+              if (bndRefs.isEmpty) b
+              else {
+                val base = if (b.isEmpty) bndZero else b
+                bndRefs.foldLeft(base) { case (acc, (br, j, get)) =>
+                  if (br.step == step0 + 1 && br.fn == "LAST")
+                    acc.updated(j, get(e))
+                  else acc
+                }
+              }
             partials = partials.flatMap { p =>
               val started = p.cnt > 0L
               val pre = (p.sums, p.cnt, p.mns, p.mxs)
@@ -542,11 +587,13 @@ object RunChainDetector {
                         // — accumulators seed with this event
                         List(p.copy(runStart = e.ts, runLast = e.ts,
                           runLen = 1L, sums = ev, cnt = 1L, mns = ev,
-                          mxs = ev))
+                          mxs = ev, bnd = seedBnd(p.bnd, 0)))
                       else List(carry(p.copy(runStart = e.ts,
-                        runLast = e.ts, runLen = 1L)))
+                        runLast = e.ts, runLen = 1L,
+                        bnd = seedBnd(p.bnd, step))))
                     } else List(carry(p.copy(runLast = e.ts,
-                      runLen = p.runLen + 1L)))
+                      runLen = p.runLen + 1L,
+                      bnd = lastBnd(p.bnd, step))))
                   } else if (p.runStart != null) {
                     // the closing event: qualify the run. On COMPLETION
                     // it is outside the span (pre-fold); on continuation
@@ -569,7 +616,8 @@ object RunChainDetector {
                           else if (mt2.isDefined && pred2(e) &&
                               t <= windowEnd(p2))
                             List(p2.copy(runStart = e.ts, runLast = e.ts,
-                              runLen = 1L))
+                              runLen = 1L,
+                              bnd = seedBnd(p2.bnd, p2.vals.length)))
                           else List(p2)
                         case None => Nil
                       }
@@ -598,7 +646,7 @@ object RunChainDetector {
                 if (!tracking)
                   partials = RunChainMPartial(Nil, Nil, e.ts,
                     new Timestamp(0L), e.ts, e.ts, 1L,
-                    ev, 1L, ev, ev) :: partials
+                    ev, 1L, ev, ev, seedBnd(Nil, 0)) :: partials
             }
           }
 

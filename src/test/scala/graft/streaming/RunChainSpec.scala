@@ -369,4 +369,60 @@ class RunChainSpec extends SparkSpec {
         (Set("purchase"), None)),
       24L * 3600 * 1000)
   }
+
+  test("FIRST/LAST boundary refs stream: replay == batch runs re-join " +
+      "(r8)") {
+    // FIRST(click.value) + LAST(click.event_id): the partial's bnd
+    // slots (seeded at run open, LAST refreshed per run event) must
+    // equal the batch rewrite's boundary-row joins; a failed run's
+    // stale slots must be overwritten by the accepted run
+    Tables.load(spark, sf)
+    val pattern =
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click{2,} THEN purchase
+         WITHIN '48' HOURS)
+         PARTITION BY user_id
+         MEASURES FIRST(click.value) AS v0, LAST(click.event_id) AS id1,
+           COUNT(*) AS cn"""
+    val batchRows = CepSql.sql(spark, pattern).collect()
+    assert(batchRows.nonEmpty)
+    // batch cols: user_id, id_1, len_2, id_3, ts_1..ts_3, v0, id1, cn
+    val batch = batchRows.map { r =>
+      (r.getLong(0), Seq(r.getLong(1), r.getLong(2), r.getLong(3))) ->
+        ((r.getDouble(7), r.getLong(8), r.getLong(9)))
+    }.toMap
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"runchain_bnd_${System.nanoTime}"
+    val q = RunChainDetector.detectMeasures(stream.toDS(),
+        Seq(((e: CepEvent) => e.event_type == "signup", None),
+          ((e: CepEvent) => e.event_type == "click", Some(2)),
+          ((e: CepEvent) => e.event_type == "purchase", None)),
+        48L * 3600 * 1000, Seq(None, None, None),
+        Seq(CepSql.BoundRef("FIRST", "click", "value", 2, "v0"),
+          CepSql.BoundRef("LAST", "click", "event_id", 2, "id1"),
+          CepSql.SpanAgg("COUNT", "*", "cn")))
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    val flush = data.map(_.user_id).distinct.zipWithIndex.map {
+      case (u, i) => CepEvent(-1000L - i,
+        Timestamp.valueOf("2031-01-01 00:00:00"), u, "zz_flush", 7777.0)
+    }
+    stream.addData(flush.toSeq); q.processAllAvailable(); q.stop()
+    val got = spark.table(name).collect().map { r =>
+      val v = r.getSeq[Double](5)
+      (r.getLong(0), r.getSeq[Long](1).toSeq) ->
+        ((v(0), v(1).toLong, v(2).toLong))
+    }.toMap
+    assert(got.keySet === batch.keySet)
+    batch.foreach { case (kk, (v0, id1, cn)) =>
+      assert(math.abs(got(kk)._1 - v0) < 1e-9, s"FIRST value@$kk")
+      assert(got(kk)._2 === id1, s"LAST id@$kk")
+      assert(got(kk)._3 === cn, s"span count@$kk")
+    }
+  }
 }

@@ -272,9 +272,10 @@ class SubmitSqlSpec extends SparkSpec {
            PARTITION BY user_id
            MEASURES COUNT(*) AS c, MATCH_NUMBER() AS mn""", "svc_qmeasn")
     }
-    assert(eQM.getMessage.contains("span aggregates only"))
-    // ...FIRST/LAST boundary refs are batch-only too (r8): the
-    // detector's state never retains run boundary ROWS
+    assert(eQM.getMessage.contains("span aggregates"))
+    // ...FIRST/LAST boundary refs STREAM for numeric converter columns
+    // (r8, RunChainSpec pins replay == batch); a ts boundary stays
+    // batch-only — the vals vector is Double
     val eBR = intercept[IllegalArgumentException] {
       ContinuousQueries.submitPattern(spark,
         """SELECT * FROM pat_events2
@@ -282,7 +283,7 @@ class SubmitSqlSpec extends SparkSpec {
            PARTITION BY user_id
            MEASURES FIRST(a.ts) AS t0""", "svc_br")
     }
-    assert(eBR.getMessage.contains("span aggregates only"))
+    assert(eBR.getMessage.contains("numeric converter columns"))
     // ...reluctant quantifiers stream via the lazy run detector (r8):
     // a{2,}? completes at the 2nd consecutive a — the 3rd a of the same
     // island must NOT anchor a second lazy match (island consumption)
