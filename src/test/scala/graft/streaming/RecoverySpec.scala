@@ -320,4 +320,60 @@ class RecoverySpec extends SparkSpec {
       assert(math.abs(got(k)._1 - sv) < 1e-6, s"sum@$k")
     }
   }
+
+  test("lazy run detector resumes from checkpoint: mid-run truncation " +
+      "state survives (r8)") {
+    // RunChainDetector's lazy mode completes a reluctant run at its
+    // m-th event and holds a consumed-island suppressor afterwards; a
+    // restart mid-island must restore both the open-run counter and the
+    // suppressor, or the resumed stream either drops the completion or
+    // double-matches inside one island. Output must equal the batch
+    // lazy rewrite.
+    import java.sql.Timestamp
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_lazy_in").toFile
+    val outDir = Files.createTempDirectory("graft_lazy_out").toFile
+    val ckpt = Files.createTempDirectory("graft_lazy_ckpt").toFile
+    val events = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val schema = events.schema
+    def startQuery() =
+      RunChainDetector.detectWhere(
+          Sources.fileStream(spark, in.getAbsolutePath, schema)
+            .as[CepEvent],
+          Seq(((e: CepEvent) => e.event_type == "signup", None),
+            ((e: CepEvent) => e.event_type == "click", Some(2)),
+            ((e: CepEvent) => e.event_type == "purchase", None)),
+          48L * 3600 * 1000, Seq(None, None, None),
+          Seq(false, true, false))
+        .writeStream.format("parquet")
+        .option("path", outDir.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append").start()
+    val cut = "2024-01-12 18:00:00"
+    events.filter(col("ts") < lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    events.filter(col("ts") >= lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    def us(t: Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val got = spark.read.parquet(outDir.getAbsolutePath).collect()
+      .map { r =>
+        (r.getLong(0), r.getSeq[Long](1).toList,
+          r.getSeq[Timestamp](2).map(us).toList)
+      }.toSet
+    Tables.load(spark, sf)
+    val want = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click{2,}? THEN purchase WITHIN '48' HOURS)
+         PARTITION BY user_id""").collect()
+      .map(r => (r.getLong(0),
+        List(r.getLong(1), r.getLong(2), r.getLong(3)),
+        List(us(r.getTimestamp(4)), us(r.getTimestamp(5)),
+          us(r.getTimestamp(6))))).toSet
+    assert(want.nonEmpty)
+    assert(got === want, "lazy replay across restart must equal batch")
+  }
 }
