@@ -171,6 +171,56 @@ object Analytics {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // Week-over-week growth (r8): weekly event counts per type with the
+    // previous week's count and the growth ratio — the top-line trend
+    // panel every analytics engine serves. Integer-exact week bucketing
+    // (day-diff div 7 from a fixed epoch, no engine week-truncation
+    // rules), counts are exact ints, and the ratio is exact IEEE
+    // division of ints. One agg + one bounded window over type×weeks.
+    "q_growth_wow" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("week")
+      T(s, dir, "events")
+        .withColumn("week",
+          expr("datediff(CAST(ts AS DATE), date '2024-01-01') div 7")
+            .cast("long"))
+        .groupBy("event_type", "week")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("prev_cnt", lag("cnt", 1).over(w))
+        .withColumn("wow",
+          col("cnt").cast("double") / col("prev_cnt").cast("double"))
+        .select("event_type", "week", "cnt", "prev_cnt", "wow")
+        .orderBy("event_type", "week")
+    }),
+
+    // Stage-gap funnel (r8): q_funnel measures each stage from the
+    // PREVIOUS stage with an unbounded gap; real funnels bound each
+    // hop (signup → click within 24 h → purchase within 24 h OF THE
+    // CLICK). Same per-stage min-ts shape — the bound just rides the
+    // join predicate, so the plan still shuffles once per stage on
+    // user_id and reuses that partitioning.
+    "q_funnel_gap" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val cl = e.filter(col("event_type") === "click")
+        .join(su, "user_id")
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .join(cl, "user_id")
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      su.agg(count(lit(1)).as("users")).withColumn("stage", lit("1_signup"))
+        .unionByName(cl.agg(count(lit(1)).as("users"))
+          .withColumn("stage", lit("2_click_24h")))
+        .unionByName(pu.agg(count(lit(1)).as("users"))
+          .withColumn("stage", lit("3_purchase_24h")))
+        .select("stage", "users")
+        .orderBy("stage")
+    }),
+
     // Trailing exact median (r8): per user, the interpolated median of
     // the last 15 event values — the robust centre a monitoring rule
     // compares against (pairs with q_zscore below, which uses the
@@ -318,6 +368,38 @@ object Analytics {
                "ELSE 0.0 END)").mkString(" + ")})
            * 10000 + 0.5) / 10000 AS ewma
          FROM x ORDER BY user_id, ts, event_id""",
+    "q_growth_wow" ->
+      """WITH wk AS (
+           SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               // 7 AS BIGINT) AS week,
+             count(*) AS cnt
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, week, cnt,
+           lag(cnt) OVER (PARTITION BY event_type ORDER BY week)
+             AS prev_cnt,
+           CAST(cnt AS DOUBLE) /
+             lag(cnt) OVER (PARTITION BY event_type ORDER BY week) AS wow
+         FROM wk ORDER BY event_type, week""",
+    "q_funnel_gap" ->
+      """WITH su AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         cl AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN su ON e.user_id = su.user_id
+           WHERE e.event_type = 'click' AND e.ts > su.t1
+             AND e.ts <= su.t1 + INTERVAL 24 HOURS GROUP BY 1),
+         pu AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN cl ON e.user_id = cl.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > cl.t2
+             AND e.ts <= cl.t2 + INTERVAL 24 HOURS GROUP BY 1)
+         SELECT stage, users FROM (
+           SELECT '1_signup' AS stage, count(*) AS users FROM su
+           UNION ALL SELECT '2_click_24h', count(*) FROM cl
+           UNION ALL SELECT '3_purchase_24h', count(*) FROM pu) t
+         ORDER BY stage""",
     "q_rolling_median" ->
       """SELECT user_id, ts, event_id,
            floor(quantile_cont(value, 0.5) OVER (PARTITION BY user_id

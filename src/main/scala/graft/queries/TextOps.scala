@@ -389,6 +389,22 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Duplicate-cluster statistics (r8): the dedup OBSERVABILITY view —
+    // how big are the exact-duplicate clusters, how many docs do they
+    // absorb? (A curation run reports this before deleting anything.)
+    // Group sizes over the text hash, then a bounded histogram over
+    // sizes: two integer-exact aggs, output rows = distinct cluster
+    // sizes (a handful at any scale).
+    "q_dup_stats" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy("sz")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum("sz").as("n_docs"))
+        .orderBy("sz")
+    }),
+
     // Exact heavy hitters (r8): tokens exceeding 0.5 % of all token
     // occurrences — the "which items dominate the corpus" screen. The
     // threshold test is EXACT integer arithmetic (cnt * 200 > total, no
@@ -915,6 +931,13 @@ object TextOps {
          len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
          n_chars
          FROM documents ORDER BY doc_id""",
+    "q_dup_stats" ->
+      """WITH g AS (
+           SELECT md5(text) AS h, count(*) AS sz
+           FROM documents GROUP BY 1)
+         SELECT sz, count(*) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs
+         FROM g GROUP BY sz ORDER BY sz""",
     "q_heavy_hitters" ->
       """WITH tok AS (
            SELECT unnest(string_split(lower(text), ' ')) AS w

@@ -107,6 +107,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(frac < 0.25, s"anomaly fraction $frac fails the Chebyshev bound")
   }
 
+  test("q_funnel_gap stages are monotone and never exceed q_funnel") {
+    def stages(key: String) =
+      SparkEntry.queries(key)(spark, sf).collect()
+        .map(r => r.getString(0).take(1) -> r.getAs[Long]("users")).toMap
+    val gap = stages("q_funnel_gap")
+    val unb = stages("q_funnel")
+    // funnel property: each stage loses (or keeps) users
+    assert(gap("1") >= gap("2") && gap("2") >= gap("3"))
+    // the bounded-gap funnel can only be tighter than the unbounded one
+    assert(gap("1") === unb("1"))
+    assert(gap("2") <= unb("2") && gap("3") <= unb("3"))
+  }
+
+  test("q_growth_wow: counts conserve, ratio reproduces lag division") {
+    val rows = run("q_growth_wow").collect()
+    val total = Tables.table(spark, sf, "events").count()
+    assert(rows.map(_.getAs[Long]("cnt")).sum === total)
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      val want = r.getAs[Long]("cnt").toDouble / r.getAs[Long]("prev_cnt")
+      assert(r.getAs[Double]("wow") === want)
+    }
+    // first week of each type has no predecessor
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.minBy(_.getAs[Long]("week")).isNullAt(3))
+    }
+  }
+
+  test("q_dup_stats conserves the corpus: sum(n_docs) == doc count") {
+    val rows = SparkEntry.queries("q_dup_stats")(spark, sf).collect()
+    val docs = Tables.table(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ===
+        r.getAs[Long]("sz") * r.getAs[Long]("n_clusters"))
+    }
+  }
+
   test("q_markov_trans rows are a stochastic matrix over observed pairs") {
     val rows = run("q_markov_trans").collect()
     // per-source probabilities sum to exactly 1 (ratio of exact ints)
