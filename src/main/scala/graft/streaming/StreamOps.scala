@@ -42,6 +42,28 @@ object StreamOps {
       .select(col("window.start").as("ws"), col("event_type"), col("cnt"),
         col("sum_value"))
 
+  /** Event-time OHLC bars (r8): open/high/low/close + count/volume per
+    * (event_type, window). The order-sensitive open/close ride min_by /
+    * max_by on the (ts, event_id) total order — unlike window functions
+    * these are plain aggregates, so the SAME expression runs batch and
+    * incremental (each micro-batch folds its rows into the stored
+    * extremes; merge keeps the lexicographic min/max struct). The
+    * streaming twin of q_resample_ohlc (StreamingTwinSpec pins parity;
+    * only the non-associative volume sum needs the 2-dp round). */
+  def ohlcBars(events: DataFrame, window_ : String): DataFrame =
+    events
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("close"),
+        count(lit(1)).as("cnt"),
+        (floor(sum("value") * 100 + lit(0.5)) / 100).as("volume"))
+      .select(col("window.start").as("bucket_ts"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("cnt"),
+        col("volume"))
+
   /** Gap-based session windows per user (beyond the reference's surface —
     * standard CEP; SURVEY §2.9 C3). */
   def sessionCounts(events: DataFrame, gap: String): DataFrame =

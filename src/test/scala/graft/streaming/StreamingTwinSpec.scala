@@ -54,6 +54,20 @@ class StreamingTwinSpec extends SparkSpec {
     assert(rows(stream) == rows(batch))
   }
 
+  test("OHLC bars: streaming min_by/max_by == batch window-fn key (r8)") {
+    // the batch KEY computes open/close via first/last_value window
+    // functions; the streaming operator uses min_by/max_by aggregates —
+    // two formulations of the same total order, equal bar for bar
+    val batch = graft.SparkEntry.queries("q_resample_ohlc")(spark, sf)
+      .select("event_type", "bucket_ts", "open", "high", "low", "close",
+        "cnt", "volume")
+    val stream = streamed(StreamOps.ohlcBars(_, "15 minutes"), "complete")
+      .select("event_type", "bucket_ts", "open", "high", "low", "close",
+        "cnt", "volume")
+    assert(rows(stream) == rows(batch))
+    assert(batch.count() > 0)
+  }
+
   test("streaming dedup == batch distinct") {
     val batch = StreamOps.dedup(eventsDf, Seq("user_id", "event_type"))
     val stream = streamed(StreamOps.dedup(_, Seq("user_id", "event_type")),
