@@ -98,8 +98,10 @@ object ContinuousQueries {
     * r8) ride the same chain arms via the detector's lazy mode. The
     * remaining batch-only forms, each rejected loudly with a pointer to
     * [[CepSql.sql]]: a quantified step overlapping its predecessor's
-    * class; reluctant `{1,}?`; a 2-step reluctant absence; measures
-    * combined with reluctant steps.
+    * class; reluctant `{1,}?`; a 2-step reluctant absence; ts
+    * boundary refs on quantified chains. Measures × reluctant stream
+    * since r8 (lazy completions fold POST — the m-th event is a span
+    * row, unlike a greedy closure).
     *
     * The source view must be a STREAMING view with the events-table
     * converter schema `(event_id, ts, user_id, event_type, value)` and
@@ -198,10 +200,6 @@ object ContinuousQueries {
               "aggregates and FIRST/LAST boundary refs only — run the " +
               "batch rewrite via CepSql.sql")
         }
-        if (spec.steps.exists(_.reluctant))
-          throw new IllegalArgumentException(
-            "streaming measures do not combine with reluctant " +
-              "quantifiers — run the batch rewrite via CepSql.sql")
         spec.steps.sliding(2).foreach { pair =>
           if (pair.length == 2 && pair.last.minTimes.isDefined &&
               pair.head.events.toSet.intersect(
@@ -213,7 +211,8 @@ object ContinuousQueries {
         }
         val det = RunChainDetector.detectMeasures(srcWm,
           spec.steps.map(s => (stepPred(s), s.minTimes)), spec.withinMs,
-          spec.steps.map(_.maxTimes), spec.measures)
+          spec.steps.map(_.maxTimes), spec.measures,
+          spec.steps.map(_.reluctant))
         // same alias + integral-cast discipline as the plain-chain
         // measures arm (batch schema parity)
         val intCols = Set("event_id", "user_id")

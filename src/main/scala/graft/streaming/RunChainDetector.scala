@@ -440,8 +440,22 @@ object RunChainDetector {
     * there ([[PatternMatch.detectMeasure]]'s documented contract). */
   def detectMeasures(events: Dataset[CepEvent],
       steps: Seq[(CepEvent => Boolean, Option[Int])], withinMs: Long,
-      maxTimes: Seq[Option[Int]], measures: Seq[CepSql.Measure])
+      maxTimes: Seq[Option[Int]], measures: Seq[CepSql.Measure],
+      lazyStepsIn: Seq[Boolean] = Nil)
       : Dataset[RunChainMeasured] = {
+    // RELUCTANT steps (r8): same lazy completion as [[core]] — the run
+    // truncates at its m-th event, which IS a span row, so lazy
+    // completions fold POST (unlike a greedy closure, whose closing
+    // event sits outside the span and emits PRE-fold).
+    val lazySteps =
+      if (lazyStepsIn.isEmpty) steps.map(_ => false) else lazyStepsIn
+    require(lazySteps.length == steps.length,
+      "one lazySteps entry per step")
+    lazySteps.lazyZip(steps).foreach { case (lz, (_, mt)) =>
+      require(!lz || mt.isDefined, "a lazy flag needs a quantified step")
+      require(!lz || mt.exists(_ >= 2),
+        "reluctant {1,}? stays batch-routed — use CepSql.sql")
+    }
     require(maxTimes.length == steps.length,
       "one maxTimes entry per step (None = uncapped)")
     require(steps.length >= 2, "a pattern needs at least 2 steps")
@@ -579,21 +593,65 @@ object RunChainDetector {
                     advance(p, e.event_id, e.ts, post, post).toList
                   else List(carry(p))
                 case Some(m) =>
+                  val lz = lazySteps(step)
+                  // lazy completion (r8): the m-th class event completes
+                  // the run HERE; it is a span row → post-fold. The
+                  // consumed-island suppressor mirrors [[core]]'s.
+                  def lazyComplete(p1: RunChainMPartial)
+                      : List[RunChainMPartial] = {
+                    val qualifies = us(p1.runStart) > us(p1.prevTs) &&
+                      (step == 0 || t <= windowEnd(p1))
+                    if (!qualifies) {
+                      if (step > 0 && t > windowEnd(p1)) Nil
+                      else List(p1.copy(runLen = -1L))
+                    } else {
+                      val acc = (p1.sums, p1.cnt, p1.mns, p1.mxs)
+                      val adv = advance(p1.copy(runStart = null,
+                        runLast = null, runLen = 0L), m.toLong, e.ts,
+                        acc, acc)
+                      val supp =
+                        if (step == 0)
+                          List(RunChainMPartial(Nil, Nil, e.ts,
+                            new Timestamp(0L), e.ts, e.ts, -1L,
+                            zero, 0L, zero, zero))
+                        else Nil
+                      adv.toList ::: supp
+                    }
+                  }
                   if (inClass) {
-                    if (p.runStart == null) {
+                    if (lz && p.runLen == -1L) List(p) // consumed island
+                    else if (p.runStart == null) {
                       if (step > 0 && t > windowEnd(p)) Nil
-                      else if (step == 0)
+                      else if (step == 0) {
                         // head tracker: a fresh run (re)starts the span
                         // — accumulators seed with this event
-                        List(p.copy(runStart = e.ts, runLast = e.ts,
+                        val p1 = p.copy(runStart = e.ts, runLast = e.ts,
                           runLen = 1L, sums = ev, cnt = 1L, mns = ev,
-                          mxs = ev, bnd = seedBnd(p.bnd, 0)))
-                      else List(carry(p.copy(runStart = e.ts,
-                        runLast = e.ts, runLen = 1L,
-                        bnd = seedBnd(p.bnd, step))))
-                    } else List(carry(p.copy(runLast = e.ts,
-                      runLen = p.runLen + 1L,
-                      bnd = lastBnd(p.bnd, step))))
+                          mxs = ev, bnd = seedBnd(p.bnd, 0))
+                        if (lz && m == 1) lazyComplete(p1) else List(p1)
+                      } else {
+                        val p1 = carry(p.copy(runStart = e.ts,
+                          runLast = e.ts, runLen = 1L,
+                          bnd = seedBnd(p.bnd, step)))
+                        if (lz && m == 1) lazyComplete(p1) else List(p1)
+                      }
+                    } else {
+                      val p1 = carry(p.copy(runLast = e.ts,
+                        runLen = p.runLen + 1L,
+                        bnd = lastBnd(p.bnd, step)))
+                      if (lz && p1.runLen == m) lazyComplete(p1)
+                      else List(p1)
+                    }
+                  } else if (p.runStart != null && lz) {
+                    // lazy breaker: failed sub-m island or a consumed
+                    // island's end — re-idle; a failed HEAD island also
+                    // resets the span seed (it never started a match)
+                    if (step == 0)
+                      List(p.copy(runStart = null, runLast = null,
+                        runLen = 0L, sums = zero, cnt = 0L, mns = zero,
+                        mxs = zero))
+                    else List(carry(p.copy(runStart = null,
+                      runLast = null, runLen = 0L)))
                   } else if (p.runStart != null) {
                     // the closing event: qualify the run. On COMPLETION
                     // it is outside the span (pre-fold); on continuation

@@ -370,6 +370,56 @@ class RunChainSpec extends SparkSpec {
       24L * 3600 * 1000)
   }
 
+  test("measures over RELUCTANT runs stream: replay == batch lazy span " +
+      "(r8)") {
+    // click{2,}? THEN purchase with SUM(value)+COUNT(*): the lazy span
+    // runs from the island's FIRST row to the purchase — the island's
+    // post-truncation events still lie BETWEEN matched rows and belong
+    // to the span, and the lazy completion folds POST (its m-th event
+    // is a span row). Must equal the batch lazy rewrite exactly.
+    Tables.load(spark, sf)
+    val pattern =
+      """SELECT * FROM events
+         MATCH PATTERN (click{2,}? THEN purchase WITHIN '2' HOURS)
+         PARTITION BY user_id
+         MEASURES SUM(value) AS sv, COUNT(*) AS cn"""
+    val batchRows = CepSql.sql(spark, pattern).collect()
+    assert(batchRows.nonEmpty)
+    val batch = batchRows.map { r =>
+      (r.getLong(0), List(r.getLong(1), r.getLong(2))) ->
+        ((r.getDouble(5), r.getLong(6)))
+    }.toMap
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"runchain_lzm_${System.nanoTime}"
+    val q = RunChainDetector.detectMeasures(stream.toDS(),
+        Seq(((e: CepEvent) => e.event_type == "click", Some(2)),
+          ((e: CepEvent) => e.event_type == "purchase", None)),
+        2L * 3600 * 1000, Seq(None, None),
+        Seq(CepSql.SpanAgg("SUM", "value", "sv"),
+          CepSql.SpanAgg("COUNT", "*", "cn")),
+        Seq(true, false))
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    // lazy completions never need a run-closing flush, but the chain's
+    // final PURCHASE may still be pending? No — an unquantified last
+    // step completes on its own event; no flush required at all.
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name).collect().map { r =>
+      val v = r.getSeq[Double](5)
+      (r.getLong(0), r.getSeq[Long](1).toList) -> ((v(0), v(1).toLong))
+    }.toMap
+    assert(got.keySet === batch.keySet, "lazy measured match sets differ")
+    batch.foreach { case (k, (sv, cn)) =>
+      assert(got(k)._2 === cn, s"count@$k")
+      assert(math.abs(got(k)._1 - sv) < 1e-6, s"sum@$k")
+    }
+  }
+
   test("FIRST/LAST boundary refs stream: replay == batch runs re-join " +
       "(r8)") {
     // FIRST(click.value) + LAST(click.event_id): the partial's bnd
