@@ -171,6 +171,37 @@ object Analytics {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // RFM segmentation (r8): the classic user-value matrix — recency
+    // (last activity), frequency (event count), monetary (purchase
+    // value) quartiled into a 3-digit segment. Quartiles use ntile(4)
+    // over FULLY deterministic orders (the monetary sort key is rounded
+    // FIRST so cross-engine ulp differences in the double sum cannot
+    // flip the order; user_id breaks all ties). One agg + three
+    // windows over the per-user frame — the UNPARTITIONED ntile means a
+    // single-node sort of one row per user. That holds to ~100s of
+    // millions of users; at billions, swap ntile for broadcast quartile
+    // THRESHOLDS (one percentile agg → score by comparison, map-only) —
+    // same segments except for ties straddling a boundary, where ntile
+    // splits and thresholds don't.
+    "q_rfm" -> ((s, dir) => {
+      val base = T(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max("ts").as("last_ts"), count(lit(1)).as("freq"),
+          fround(coalesce(sum(when(col("event_type") === "purchase",
+            col("value"))), lit(0.0)), 2).as("mon"))
+      val wr = Window.orderBy(desc("last_ts"), asc("user_id"))
+      val wf = Window.orderBy(desc("freq"), asc("user_id"))
+      val wm = Window.orderBy(desc("mon"), asc("user_id"))
+      base
+        .withColumn("r_score", ntile(4).over(wr))
+        .withColumn("f_score", ntile(4).over(wf))
+        .withColumn("m_score", ntile(4).over(wm))
+        .withColumn("segment",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .select("user_id", "r_score", "f_score", "m_score", "segment")
+        .orderBy("user_id")
+    }),
+
     // Week-over-week growth (r8): weekly event counts per type with the
     // previous week's count and the growth ratio — the top-line trend
     // panel every analytics engine serves. Integer-exact week bucketing
@@ -368,6 +399,21 @@ object Analytics {
                "ELSE 0.0 END)").mkString(" + ")})
            * 10000 + 0.5) / 10000 AS ewma
          FROM x ORDER BY user_id, ts, event_id""",
+    "q_rfm" ->
+      """WITH base AS (
+           SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+             floor(coalesce(sum(CASE WHEN event_type = 'purchase'
+               THEN value END), 0.0) * 100 + 0.5) / 100 AS mon
+           FROM events GROUP BY 1),
+         sc AS (
+           SELECT user_id,
+             ntile(4) OVER (ORDER BY last_ts DESC, user_id) AS r_score,
+             ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_score,
+             ntile(4) OVER (ORDER BY mon DESC, user_id) AS m_score
+           FROM base)
+         SELECT user_id, r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS segment
+         FROM sc ORDER BY user_id""",
     "q_growth_wow" ->
       """WITH wk AS (
            SELECT event_type,

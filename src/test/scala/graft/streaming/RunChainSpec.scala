@@ -420,6 +420,56 @@ class RunChainSpec extends SparkSpec {
     }
   }
 
+  test("boundary refs on a RELUCTANT run compose: LAST stops at the " +
+      "m-th event (r8)") {
+    // LAST(click.event_id) over click{2,}? — the lazy run's last row is
+    // its m-th event, NOT the island's maximal end; the bnd slot stops
+    // refreshing once the step advances, which must equal the batch
+    // lazy runsSub's FILTERed run_end_id
+    Tables.load(spark, sf)
+    val pattern =
+      """SELECT * FROM events
+         MATCH PATTERN (click{2,}? THEN purchase WITHIN '2' HOURS)
+         PARTITION BY user_id
+         MEASURES FIRST(click.value) AS v0, LAST(click.event_id) AS id1,
+           COUNT(*) AS cn"""
+    val batchRows = CepSql.sql(spark, pattern).collect()
+    assert(batchRows.nonEmpty)
+    val batch = batchRows.map { r =>
+      (r.getLong(0), List(r.getLong(1), r.getLong(2))) ->
+        ((r.getDouble(5), r.getLong(6), r.getLong(7)))
+    }.toMap
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"runchain_lzb_${System.nanoTime}"
+    val q = RunChainDetector.detectMeasures(stream.toDS(),
+        Seq(((e: CepEvent) => e.event_type == "click", Some(2)),
+          ((e: CepEvent) => e.event_type == "purchase", None)),
+        2L * 3600 * 1000, Seq(None, None),
+        Seq(CepSql.BoundRef("FIRST", "click", "value", 1, "v0"),
+          CepSql.BoundRef("LAST", "click", "event_id", 1, "id1"),
+          CepSql.SpanAgg("COUNT", "*", "cn")),
+        Seq(true, false))
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table(name).collect().map { r =>
+      val v = r.getSeq[Double](5)
+      (r.getLong(0), r.getSeq[Long](1).toList) ->
+        ((v(0), v(1).toLong, v(2).toLong))
+    }.toMap
+    assert(got.keySet === batch.keySet)
+    batch.foreach { case (k, (v0, id1, cn)) =>
+      assert(math.abs(got(k)._1 - v0) < 1e-9, s"FIRST@$k")
+      assert(got(k)._2 === id1, s"LAST must stop at the m-th event@$k")
+      assert(got(k)._3 === cn, s"span@$k")
+    }
+  }
+
   test("FIRST/LAST boundary refs stream: replay == batch runs re-join " +
       "(r8)") {
     // FIRST(click.value) + LAST(click.event_id): the partial's bnd
