@@ -930,14 +930,22 @@ object CepSql {
       // on the boundary id. Match-set cardinality throughout: these
       // joins touch matches, never the raw event volume.
       val boundRefs = ms.collect { case b: BoundRef => b }
+      // reuse the span-bound runs joins (r0 / rn) when the referenced
+      // step is already re-joined for the span — each runs subquery is
+      // two window passes over events, so a duplicate join is real cost
+      def rbAlias(i: Int): String =
+        if (i == 1 && headQ && spanAggs.nonEmpty) "r0"
+        else if (i == np && lastQ && spanAggs.nonEmpty) "rn"
+        else s"rb$i"
       val boundSteps = boundRefs.map(_.step).distinct.sorted
+        .filter(i => rbAlias(i) == s"rb$i")
       val boundRunJoins = boundSteps.map(i =>
         s"JOIN ${runsFor(i - 1)} rb$i ON rb$i.__k = p.__k " +
           s"AND rb$i.run_end = p.ts_$i AND rb$i.run_len = p.len_$i")
         .mkString("\n")
       def boundRowId(b: BoundRef): String =
-        if (b.fn == "FIRST") s"rb${b.step}.run_start_id"
-        else s"rb${b.step}.run_end_id"
+        if (b.fn == "FIRST") s"${rbAlias(b.step)}.run_start_id"
+        else s"${rbAlias(b.step)}.run_end_id"
       // one events join per DISTINCT boundary row actually needed for a
       // non-shortcut column
       val boundRowJoins = boundRefs
@@ -946,14 +954,14 @@ object CepSql {
         .map(b => (b.step, b.fn)).distinct
         .map { case (i, fn) =>
           val al = s"bv${i}_${fn.toLowerCase(java.util.Locale.ROOT)}"
-          val rid = if (fn == "FIRST") s"rb$i.run_start_id"
-            else s"rb$i.run_end_id"
+          val rid = if (fn == "FIRST") s"${rbAlias(i)}.run_start_id"
+            else s"${rbAlias(i)}.run_end_id"
           s"JOIN $tbl $al ON $al.$k = p.__k AND $al.$id = $rid"
         }.mkString("\n")
       def boundSel(b: BoundRef): String =
         if (b.col.equalsIgnoreCase(tsCol))
-          (if (b.fn == "FIRST") s"rb${b.step}.run_start"
-           else s"rb${b.step}.run_end") + s" AS ${bq(b.alias)}"
+          (if (b.fn == "FIRST") s"${rbAlias(b.step)}.run_start"
+           else s"${rbAlias(b.step)}.run_end") + s" AS ${bq(b.alias)}"
         else if (b.col.equalsIgnoreCase(idCol))
           s"${boundRowId(b)} AS ${bq(b.alias)}"
         else {

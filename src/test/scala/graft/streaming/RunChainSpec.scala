@@ -233,6 +233,53 @@ class RunChainSpec extends SparkSpec {
     spark.catalog.dropTempView("cond_events")
   }
 
+  test("absence after a RELUCTANT chain: replay == batch lazy anti-join " +
+      "(r8)") {
+    // signup THEN click{2,}? THEN NOT purchase — the lazy prefix
+    // completes at the 2nd click and the absence verdict windows from
+    // ts_1; detectAbsent's pending/cancel discipline must compose with
+    // the lazy completion trigger unchanged
+    Tables.load(spark, sf)
+    val batch = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click{2,}? THEN NOT purchase
+         WITHIN '48' HOURS)
+         PARTITION BY user_id""")
+      .collect()
+      .map(r => (r.getLong(0), Seq(r.getLong(1), r.getLong(2)),
+        Seq(us(r.getTimestamp(3)), us(r.getTimestamp(4))))).toSet
+    assert(batch.nonEmpty, "fixture must produce lazy absences")
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"runchain_lzabs_${System.nanoTime}"
+    val q = RunChainDetector.detectAbsent(stream.toDS(),
+        Seq(((e: CepEvent) => e.event_type == "signup", None),
+          ((e: CepEvent) => e.event_type == "click", Some(2))),
+        48L * 3600 * 1000, Seq(None, None),
+        (e: CepEvent) => e.event_type == "purchase", "0 seconds",
+        Seq(false, true))
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    // advance the watermark far past every window so verdicts emit
+    val wmFlush = data.map(_.user_id).distinct.zipWithIndex.map {
+      case (u, i) => CepEvent(-2000L - i,
+        Timestamp.valueOf("2031-01-01 00:00:00"), u, "zz_flush", 0.0)
+    }
+    stream.addData(wmFlush.toSeq); q.processAllAvailable()
+    stream.addData(CepEvent(-9999L,
+      Timestamp.valueOf("2031-06-01 00:00:00"), 0, "zz_flush2", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name).collect().map { r =>
+      (r.getLong(0), r.getSeq[Long](1).toSeq,
+        r.getSeq[Timestamp](2).map(us).toSeq)
+    }.toSet
+    assert(got === batch)
+  }
+
   test("absence after a quantified chain: replay == batch q_pattern_qabs (r8)") {
     // the q_pattern_qabs statement (oracle-checked in batch) replayed
     // through detectAbsent must produce the identical absence set
