@@ -639,6 +639,45 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // L13b — the mixing weights MATERIALIZED (r8): q_mix_weights says
+    // how much of each source a α=0.5-temperature mix wants; this key
+    // actually draws the sample — each doc's inclusion is a
+    // deterministic md5-uniform u ∈ [0,1) against the source's rate
+    // min(1, weight·total/tokens) (sources the mix UPsamples saturate
+    // at 1; their repetition factor is reported, not materialized).
+    // Map-only over the docs after one broadcast of the per-source
+    // rate frame — the shape that samples 100 TB in one pass.
+    "q_mix_sample" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+        .withColumn("nt", size(toks(col("text"))).cast("long"))
+      val counts = d.groupBy("source")
+        .agg(sum("nt").as("tokens"))
+      val z = counts.agg(
+        sum(sqrt(col("tokens").cast("double"))).as("z"),
+        sum("tokens").as("total"))
+      val rates = counts.crossJoin(broadcast(z))
+        .select(col("source").as("rsrc"),
+          least(lit(1.0), sqrt(col("tokens").cast("double")) / col("z")
+            * col("total") / col("tokens")).as("rate"),
+          fround(sqrt(col("tokens").cast("double")) / col("z")
+            * col("total") / col("tokens"), 4).as("want_rate"))
+      // md5-uniform from the first 6 hex chars (the q_split_hash trick,
+      // 24 bits — plenty for a sampling decision)
+      val h = md5(col("doc_id").cast("string"))
+      val u = (0 until 6).map { i =>
+        (instr(lit("0123456789abcdef"), substring(h, i + 1, 1)) - 1)
+          .cast("double") * math.pow(16, 5 - i)
+      }.reduce(_ + _) / lit(math.pow(16, 6))
+      d.join(broadcast(rates), col("source") === col("rsrc"))
+        .withColumn("u", u)
+        .filter(col("u") < col("rate"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept_docs"),
+          sum("nt").as("kept_tokens"),
+          max("want_rate").as("want_rate"))
+        .orderBy("source")
+    }),
+
     // L4g — tokenizer fertility diagnostics: bytes/token and
     // chars/token per language — the statistic a tokenizer evaluation
     // reads to compare segmentation efficiency across languages
@@ -1068,6 +1107,37 @@ object TextOps {
            floor(CAST(coalesce(cov.covered, 0) AS DOUBLE) / len(t.w)
                  * 10000 + 0.5) / 10000 AS rep_frac
          FROM t LEFT JOIN cov USING (doc_id) ORDER BY doc_id""",
+    "q_mix_sample" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         c AS (SELECT source, CAST(sum(nt) AS BIGINT) AS tokens
+               FROM d GROUP BY source),
+         z AS (SELECT sum(sqrt(tokens)) AS z,
+                 CAST(sum(tokens) AS BIGINT) AS total FROM c),
+         r AS (
+           SELECT source,
+             least(1.0, sqrt(tokens) / z * total / tokens) AS rate,
+             floor(sqrt(tokens) / z * total / tokens * 1e4 + 0.5) / 1e4
+               AS want_rate
+           FROM c, z),
+         u AS (
+           SELECT d.*, r.rate, r.want_rate,
+             ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576.0
+              + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536
+              + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1))
+             / 16777216.0 AS u
+           FROM d JOIN r ON d.source = r.source)
+         SELECT source, count(*) AS kept_docs,
+           CAST(sum(nt) AS BIGINT) AS kept_tokens,
+           max(want_rate) AS want_rate
+         FROM u WHERE u < rate
+         GROUP BY source ORDER BY source""",
     "q_mix_weights" ->
       """WITH c AS (
            SELECT source,

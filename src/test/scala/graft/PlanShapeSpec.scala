@@ -415,6 +415,29 @@ class PlanShapeSpec extends SparkSpec {
       s"normalizer must broadcast, not cartesian:\n$p")
   }
 
+  test("q_mix_sample: rate frame broadcasts; sampling is a map-side " +
+      "filter (r8)") {
+    val p = plan("q_mix_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-source rate frame must broadcast into the doc scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"sampling must stay map-side:\n$p")
+    // semantic sanity: kept counts are a subset of each source's docs,
+    // and saturated sources (rate = 1) keep everything
+    val rows = SparkEntry.queries("q_mix_sample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val all = Tables.table(spark, sf, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (src, kept) = (r.getString(0), r.getAs[Long]("kept_docs"))
+      assert(kept <= all(src))
+      if (r.getAs[Double]("want_rate") >= 1.0)
+        assert(kept === all(src),
+          s"saturated source $src must keep every doc")
+    }
+  }
+
   test("q_curation_funnel: ONE token explode feeds both quality gates; " +
     "equi joins only (r8)") {
     val p = plan("q_curation_funnel")
