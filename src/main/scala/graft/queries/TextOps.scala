@@ -655,12 +655,18 @@ object TextOps {
       val z = counts.agg(
         sum(sqrt(col("tokens").cast("double"))).as("z"),
         sum("tokens").as("total"))
+      // the PREDICATE rate is the 4-dp-rounded (then capped) value:
+      // the raw rate rides z = sum(sqrt(tokens)), an order-dependent
+      // double sum that can differ cross-engine in the last ulp — a doc
+      // whose u lands in that ulp gap would flip kept/dropped. Rounding
+      // FIRST makes the kept row set exact (the q_heavy_hitters
+      // exact-predicate discipline).
+      val rawRate = sqrt(col("tokens").cast("double")) / col("z") *
+        col("total") / col("tokens")
       val rates = counts.crossJoin(broadcast(z))
         .select(col("source").as("rsrc"),
-          least(lit(1.0), sqrt(col("tokens").cast("double")) / col("z")
-            * col("total") / col("tokens")).as("rate"),
-          fround(sqrt(col("tokens").cast("double")) / col("z")
-            * col("total") / col("tokens"), 4).as("want_rate"))
+          least(lit(1.0), fround(rawRate, 4)).as("rate"),
+          fround(rawRate, 4).as("want_rate"))
       // md5-uniform from the first 6 hex chars (the q_split_hash trick,
       // 24 bits — plenty for a sampling decision)
       val h = md5(col("doc_id").cast("string"))
@@ -1119,7 +1125,9 @@ object TextOps {
                  CAST(sum(tokens) AS BIGINT) AS total FROM c),
          r AS (
            SELECT source,
-             least(1.0, sqrt(tokens) / z * total / tokens) AS rate,
+             least(1.0,
+               floor(sqrt(tokens) / z * total / tokens * 1e4 + 0.5) / 1e4)
+               AS rate,
              floor(sqrt(tokens) / z * total / tokens * 1e4 + 0.5) / 1e4
                AS want_rate
            FROM c, z),

@@ -293,11 +293,10 @@ object RunChainDetector {
                       // (step 1 quantified: the window is unanchored
                       // until the run completes - never dead here.)
                       if (step > 0 && t > windowEnd(p)) Nil
-                      else {
-                        val p1 = p.copy(runStart = e.ts, runLast = e.ts,
-                          runLen = 1L)
-                        if (lz && m == 1) lazyComplete(p1) else List(p1)
-                      }
+                      // (m >= 2 for lazy steps, so an open never
+                      // completes the run)
+                      else List(p.copy(runStart = e.ts, runLast = e.ts,
+                        runLen = 1L))
                     } else {
                       val p1 = p.copy(runLast = e.ts,
                         runLen = p.runLen + 1L)
@@ -619,22 +618,25 @@ object RunChainDetector {
                     }
                   }
                   if (inClass) {
-                    if (lz && p.runLen == -1L) List(p) // consumed island
+                    if (lz && p.runLen == -1L)
+                      // consumed island: its remaining class events are
+                      // still BETWEEN matched rows — they fold into the
+                      // span like any bystander (batch span join parity);
+                      // the head suppressor's cnt = 0 makes this a no-op
+                      List(carry(p))
                     else if (p.runStart == null) {
                       if (step > 0 && t > windowEnd(p)) Nil
-                      else if (step == 0) {
+                      else if (step == 0)
                         // head tracker: a fresh run (re)starts the span
-                        // — accumulators seed with this event
-                        val p1 = p.copy(runStart = e.ts, runLast = e.ts,
+                        // — accumulators seed with this event (m >= 2
+                        // for lazy steps, so an open never completes)
+                        List(p.copy(runStart = e.ts, runLast = e.ts,
                           runLen = 1L, sums = ev, cnt = 1L, mns = ev,
-                          mxs = ev, bnd = seedBnd(p.bnd, 0))
-                        if (lz && m == 1) lazyComplete(p1) else List(p1)
-                      } else {
-                        val p1 = carry(p.copy(runStart = e.ts,
+                          mxs = ev, bnd = seedBnd(p.bnd, 0)))
+                      else
+                        List(carry(p.copy(runStart = e.ts,
                           runLast = e.ts, runLen = 1L,
-                          bnd = seedBnd(p.bnd, step)))
-                        if (lz && m == 1) lazyComplete(p1) else List(p1)
-                      }
+                          bnd = seedBnd(p.bnd, step))))
                     } else {
                       val p1 = carry(p.copy(runLast = e.ts,
                         runLen = p.runLen + 1L,
