@@ -417,6 +417,50 @@ class RunChainSpec extends SparkSpec {
       24L * 3600 * 1000)
   }
 
+  test("consumed lazy island still folds into the span (same-microsecond " +
+      "tie, r8 review fix)") {
+    // signup and the first click island share a microsecond, so the
+    // island's runStart > prevTs check fails → consumed. Its clicks lie
+    // BETWEEN the match's boundary rows and must still fold into the
+    // span accumulators (the batch span join counts every event).
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ev(id: Long, t: String, typ: String, v: Double) =
+      CepEvent(id, Timestamp.valueOf(t), 7L, typ, v)
+    val data = Seq(
+      ev(1, "2026-01-01 10:00:00", "signup", 1.0),
+      ev(2, "2026-01-01 10:00:00", "click", 2.0),  // same us as signup
+      ev(3, "2026-01-01 10:00:00", "click", 3.0),  // island consumed
+      ev(4, "2026-01-01 10:01:00", "view", 4.0),   // breaker
+      ev(5, "2026-01-01 10:02:00", "click", 5.0),  // qualifying island
+      ev(6, "2026-01-01 10:03:00", "click", 6.0),  // lazy run end (m=2)
+      ev(7, "2026-01-01 10:04:00", "purchase", 7.0))
+    val stream = MemoryStream[CepEvent]
+    val name = s"runchain_tie_${System.nanoTime}"
+    val q = RunChainDetector.detectMeasures(stream.toDS(),
+        Seq(((e: CepEvent) => e.event_type == "signup", None),
+          ((e: CepEvent) => e.event_type == "click", Some(2)),
+          ((e: CepEvent) => e.event_type == "purchase", None)),
+        12L * 3600 * 1000, Seq(None, None, None),
+        Seq(CepSql.SpanAgg("SUM", "value", "sv"),
+          CepSql.SpanAgg("COUNT", "*", "cn")),
+        Seq(false, true, false))
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    data.grouped(2).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table(name).collect()
+    assert(got.length === 1)
+    val v = got.head.getSeq[Double](5)
+    // span = all 7 rows (incl. the CONSUMED island's clicks 2 and 3)
+    assert(v(1).toLong === 7L, s"span count: ${v(1)}")
+    assert(math.abs(v(0) - 28.0) < 1e-9, s"span sum: ${v(0)}")
+    // and the matched run is the SECOND island (ids 5,6 → lazy len 2)
+    assert(got.head.getSeq[Long](1) === Seq(1L, 2L, 7L))
+  }
+
   test("measures over RELUCTANT runs stream: replay == batch lazy span " +
       "(r8)") {
     // click{2,}? THEN purchase with SUM(value)+COUNT(*): the lazy span
