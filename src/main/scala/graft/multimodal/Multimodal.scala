@@ -8,6 +8,9 @@ case class MediaFeatures(media_id: Long, kind: String, width: Int,
     height: Int, n_bytes: Long, features: Array[Float])
 
 /** Resized-media record produced by [[Multimodal.resizeImages]]. */
+case class ImageHash(media_id: Long, kind: String, dhash: Long,
+    decodable: Boolean)
+
 case class ResizedMedia(media_id: Long, kind: String, width: Int,
     height: Int, n_bytes: Long, payload: Array[Byte])
 
@@ -378,5 +381,95 @@ object Multimodal {
       // payloads shorter than n bytes yield empty trailing slices — drop
       // them rather than hand empty frames to a decoder
       .filter(octet_length(col("frame_bytes")) > 0)
+  }
+
+  /** Perceptual difference hash (dHash, r8) — IMAGE near-dup dedup over
+    * the REAL decoder: decode, scale to a 9×8 grayscale grid (bilinear,
+    * the [[resizeImages]] path), emit a 64-bit hash where bit (y*8+x)
+    * says "pixel (x,y) is brighter than its right neighbor". Re-encodes,
+    * resizes, and mild brightness shifts preserve most bits, so
+    * near-duplicate images land within a small Hamming distance — the
+    * image-side analogue of the text SimHash pipeline, and it composes
+    * with the SAME pigeonhole blocking ([[imageNearDups]]).
+    *
+    * Undecodable payloads emit `decodable = false` with hash 0 — the
+    * quarantine contract of every decode stage here. Partition-local
+    * map; at 100 TB this is one pass over the payload column. */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.product[ImageHash]
+    media.select("media_id", "kind", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (id, kind, payload) =
+            (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+          if (img == null) ImageHash(id, kind, 0L, decodable = false)
+          else {
+            val grid = new java.awt.image.BufferedImage(9, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = grid.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, 9, 8, null)
+            } finally g.dispose()
+            def lum(x: Int, y: Int): Int = {
+              val rgb = grid.getRGB(x, y)
+              (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                114 * (rgb & 0xff)) / 1000
+            }
+            var hash = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (lum(x, y) > lum(x + 1, y))
+                  hash |= 1L << (y * 8 + x)
+                x += 1
+              }
+              y += 1
+            }
+            ImageHash(id, kind, hash, decodable = true)
+          }
+        }
+      }(enc).toDF()
+  }
+
+  /** Near-duplicate image PAIRS within Hamming distance `maxDist` of
+    * their dHashes — sub-quadratically, via the text pipeline's
+    * pigeonhole blocking: split the 64-bit hash into `maxDist + 1`
+    * chunks; two hashes within the bound must agree on at least one
+    * WHOLE chunk, so candidates come from chunk-equality joins and only
+    * they are Hamming-verified. Same plan shape (and the same
+    * worst-case caveats) as `q_simhash_pairs`. */
+  def imageNearDups(media: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, "0 <= maxDist < 64")
+    val hs = imageDHash(media).filter(col("decodable"))
+      .select(col("media_id"), col("dhash"))
+    val nChunks = maxDist + 1
+    val width = 64 / nChunks
+    val chunked = hs.select(col("media_id"), col("dhash"),
+      explode(array((0 until nChunks).map { i =>
+        struct(lit(i).as("ci"),
+          col("dhash").bitwiseAND(
+            lit(((1L << math.min(63, width)) - 1) << (i * width)))
+            .as("cv"))
+      }: _*)).as("c"))
+      .select(col("media_id"), col("dhash"),
+        col("c.ci").as("ci"), col("c.cv").as("cv"))
+    val a = chunked.select(col("media_id").as("ia"),
+      col("dhash").as("ha"), col("ci"), col("cv"))
+    val b = chunked.select(col("media_id").as("ib"),
+      col("dhash").as("hb"), col("ci").as("ci_b"), col("cv").as("cv_b"))
+    a.join(b, col("ci") === col("ci_b") && col("cv") === col("cv_b") &&
+        col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
   }
 }

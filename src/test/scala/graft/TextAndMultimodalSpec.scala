@@ -434,6 +434,44 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(scores === scores.sorted.reverse)
   }
 
+  test("multimodal: image dHash — resize-stable, inversion-sensitive, " +
+      "corrupt quarantined (r8)") {
+    import spark.implicits._
+    def gradientPng(w: Int, h: Int, invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v0 = (x * 255) / math.max(1, w - 1)
+        val v = if (invert) 255 - v0 else v0
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, "image/png", gradientPng(64, 48, invert = false)),
+      (2L, "image/png", gradientPng(32, 24, invert = false)), // resized twin
+      (3L, "image/png", gradientPng(64, 48, invert = true)),  // opposite
+      (4L, "image/png", Array[Byte](1, 2, 3))                 // corrupt
+    ).toDF("media_id", "kind", "payload")
+    val hs = Multimodal.imageDHash(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(!hs(4L)._2, "corrupt payload must be quarantined")
+    assert(hs(1L)._2 && hs(2L)._2 && hs(3L)._2)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // the same gradient at half size hashes (near-)identically
+    assert(ham(hs(1L)._1, hs(2L)._1) <= 6,
+      s"resize should preserve the dHash: ${ham(hs(1L)._1, hs(2L)._1)}")
+    // the inverted gradient flips (nearly) every comparison
+    assert(ham(hs(1L)._1, hs(3L)._1) >= 32,
+      s"inversion should flip most bits: ${ham(hs(1L)._1, hs(3L)._1)}")
+    // pigeonhole near-dup pairs find exactly the resized twin
+    val pairs = Multimodal.imageNearDups(media, maxDist = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("q_token_zipf: non-positive slope, r2 in [0,1], exact rank fit " +
       "reproduces the slope (r8)") {
     val rows = SparkEntry.queries("q_token_zipf")(spark, sf).collect()
