@@ -439,6 +439,65 @@ object Multimodal {
       }(enc).toDF()
   }
 
+  /** Audio loudness-contour hash (r8) — the audio analogue of
+    * [[imageDHash]]: decode to 16-bit PCM (the [[decodeAudio]] path),
+    * split into 33 equal segments, compute each segment's RMS, and emit
+    * a 32-bit hash where bit i says "segment i is louder than segment
+    * i+1". Re-encodes and level shifts preserve the contour, so
+    * near-duplicate recordings land within a small Hamming distance;
+    * [[imageNearDups]]'s pigeonhole blocking applies unchanged to the
+    * hash column. Undecodable payloads emit `decodable = false` — the
+    * standard quarantine. */
+  def audioContourHash(media: DataFrame): DataFrame = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val enc = org.apache.spark.sql.Encoders.product[ImageHash]
+    media.select("media_id", "kind", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (id, kind, payload) =
+            (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
+          try {
+            val raw = AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            val src = raw.getFormat
+            val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+              src.getSampleRate, 16, src.getChannels,
+              2 * src.getChannels, src.getSampleRate, false)
+            val in = AudioSystem.getAudioInputStream(fmt, raw)
+            val bytes =
+              try in.readAllBytes()
+              finally { in.close(); raw.close() }
+            val nSamples = bytes.length / 2
+            if (nSamples < 33) ImageHash(id, kind, 0L, decodable = false)
+            else {
+              val sums = new Array[Double](33)
+              val counts = new Array[Long](33)
+              var i = 0
+              while (i < nSamples) {
+                val sm =
+                  ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toDouble
+                val seg = (i * 33L / nSamples).toInt
+                sums(seg) += sm * sm
+                counts(seg) += 1L
+                i += 1
+              }
+              val rms = Array.tabulate(33)(j =>
+                if (counts(j) == 0L) 0.0 else math.sqrt(sums(j) / counts(j)))
+              var hash = 0L
+              var j = 0
+              while (j < 32) {
+                if (rms(j) > rms(j + 1)) hash |= 1L << j
+                j += 1
+              }
+              ImageHash(id, kind, hash, decodable = true)
+            }
+          } catch {
+            case _: Exception => ImageHash(id, kind, 0L, decodable = false)
+          }
+        }
+      }(enc).toDF()
+  }
+
   /** Near-duplicate image PAIRS within Hamming distance `maxDist` of
     * their dHashes — sub-quadratically, via the text pipeline's
     * pigeonhole blocking: split the 64-bit hash into `maxDist + 1`

@@ -277,6 +277,50 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(rows(2).features.isEmpty, "undecodable -> empty features")
   }
 
+  test("multimodal: audio contour hash — rate-invariant, " +
+      "reversal-sensitive, corrupt quarantined (r8)") {
+    import spark.implicits._
+    // linear loudness ramp: the 32-bit contour only encodes the SHAPE
+    // (segment j louder than j+1?), so the same ramp at a different
+    // sample rate/length hashes identically, and the reversed ramp
+    // flips every defined comparison
+    def rampWav(rate: Float, nFrames: Int, desc: Boolean): Array[Byte] = {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+        AudioInputStream, AudioSystem}
+      val bytes = new Array[Byte](nFrames * 2)
+      for (i <- 0 until nFrames) {
+        val frac = if (desc) 1.0 - i.toDouble / nFrames
+          else i.toDouble / nFrames
+        val s = (frac * 30000 *
+          math.sin(2 * math.Pi * 440 * i / rate)).toShort
+        bytes(2 * i) = (s & 0xff).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16,
+        1, 2, rate, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, rampWav(8000f, 8000, desc = false)),
+      (2L, rampWav(16000f, 4000, desc = false)), // same shape, other rate
+      (3L, rampWav(8000f, 8000, desc = true)),   // reversed contour
+      (4L, Array[Byte](9, 9, 9))                 // corrupt
+    ).toDF("media_id", "payload")
+      .select(col("media_id"), lit("audio/wav").as("kind"), col("payload"))
+    val hs = Multimodal.audioContourHash(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(!hs(4L)._2, "corrupt payload must be quarantined")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L)._1, hs(2L)._1) <= 2,
+      s"same contour, different rate: ${ham(hs(1L)._1, hs(2L)._1)}")
+    assert(ham(hs(1L)._1, hs(3L)._1) >= 24,
+      s"reversed contour must flip most bits: ${ham(hs(1L)._1, hs(3L)._1)}")
+  }
+
   test("multimodal: resizeImages scales the long edge, round-trips decode") {
     def png(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
