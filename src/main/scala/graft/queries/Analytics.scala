@@ -171,6 +171,48 @@ object Analytics {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // A/B lift (r8): the experimentation readout — users split into
+    // arms by md5 parity (the q_split_hash discipline: deterministic,
+    // uniform, reproducible), conversion = "user purchased", lift and
+    // the pooled two-proportion z statistic. Every number derives from
+    // exact integer counts (rates are exact IEEE divisions; z's
+    // numerator/denominator are rounded only at the end), so the 4-dp
+    // fround is cross-engine-stable. Two hash aggs over users — at
+    // 100 TB the heavy side is the per-user conversion flag, one
+    // map-side-combined pass.
+    "q_ab_lift" -> ((s, dir) => {
+      val users = T(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("converted"))
+        .withColumn("arm",
+          when(instr(lit("0123456789abcdef"),
+            substring(md5(col("user_id").cast("string")), 1, 1)) % 2
+            === 1, "A").otherwise("B"))
+      val arms = users.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
+        .withColumn("rate", col("conv").cast("double") / col("n"))
+      val wide = arms.groupBy()
+        .agg(
+          max(when(col("arm") === "A", col("n"))).as("n_a"),
+          max(when(col("arm") === "A", col("conv"))).as("conv_a"),
+          max(when(col("arm") === "B", col("n"))).as("n_b"),
+          max(when(col("arm") === "B", col("conv"))).as("conv_b"))
+      val (ra, rb) = (col("conv_a").cast("double") / col("n_a"),
+        col("conv_b").cast("double") / col("n_b"))
+      val pPool = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b"))
+      val se = sqrt(pPool * (lit(1.0) - pPool) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      wide.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        fround(ra, 4).as("rate_a"), fround(rb, 4).as("rate_b"),
+        fround(ra - rb, 4).as("lift"),
+        // degenerate experiment (all or none convert) → se = 0 and the
+        // z statistic is undefined: NULL, in both engines (ANSI Spark
+        // would raise on the division; DuckDB would emit inf)
+        when(se > 0, fround((ra - rb) / se, 4)).as("z"))
+    }),
+
     // RFM segmentation (r8): the classic user-value matrix — recency
     // (last activity), frequency (event count), monetary (purchase
     // value) quartiled into a 3-digit segment. Quartiles use ntile(4)
@@ -399,6 +441,39 @@ object Analytics {
                "ELSE 0.0 END)").mkString(" + ")})
            * 10000 + 0.5) / 10000 AS ewma
          FROM x ORDER BY user_id, ts, event_id""",
+    "q_ab_lift" ->
+      """WITH u AS (
+           SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted,
+             CASE WHEN strpos('0123456789abcdef',
+               substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 = 1
+               THEN 'A' ELSE 'B' END AS arm
+           FROM events GROUP BY user_id),
+         arms AS (
+           SELECT arm, count(*) AS n,
+             CAST(sum(converted) AS BIGINT) AS conv
+           FROM u GROUP BY arm),
+         wide AS (
+           SELECT
+             max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+             max(CASE WHEN arm = 'A' THEN conv END) AS conv_a,
+             max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+             max(CASE WHEN arm = 'B' THEN conv END) AS conv_b
+           FROM arms)
+         SELECT n_a, conv_a, n_b, conv_b,
+           floor(CAST(conv_a AS DOUBLE) / n_a * 1e4 + 0.5) / 1e4 AS rate_a,
+           floor(CAST(conv_b AS DOUBLE) / n_b * 1e4 + 0.5) / 1e4 AS rate_b,
+           floor((CAST(conv_a AS DOUBLE) / n_a
+                  - CAST(conv_b AS DOUBLE) / n_b) * 1e4 + 0.5) / 1e4
+             AS lift,
+           CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+             THEN floor((CAST(conv_a AS DOUBLE) / n_a
+                  - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)
+                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 / n_a + 1.0 / n_b)) * 1e4 + 0.5) / 1e4 END AS z
+         FROM wide""",
     "q_rfm" ->
       """WITH base AS (
            SELECT user_id, max(ts) AS last_ts, count(*) AS freq,

@@ -134,6 +134,24 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_ab_lift: arms partition the users; lift equals the rate " +
+      "difference") {
+    val r = run("q_ab_lift").collect().head
+    val users = Tables.table(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === users)
+    assert(r.getAs[Long]("conv_a") <= r.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("conv_b") <= r.getAs[Long]("n_b"))
+    val lift = r.getAs[Double]("rate_a") - r.getAs[Double]("rate_b")
+    assert(math.abs(r.getAs[Double]("lift") - lift) < 2e-4)
+    // degenerate experiments yield a NULL z, never a crash
+    val za = r.getAs[Any]("z")
+    val degenerate =
+      r.getAs[Long]("conv_a") + r.getAs[Long]("conv_b") == 0 ||
+      r.getAs[Long]("conv_a") + r.getAs[Long]("conv_b") == users
+    assert((za == null) === degenerate)
+  }
+
   test("q_dup_stats conserves the corpus: sum(n_docs) == doc count") {
     val rows = SparkEntry.queries("q_dup_stats")(spark, sf).collect()
     val docs = Tables.table(spark, sf, "documents").count()
