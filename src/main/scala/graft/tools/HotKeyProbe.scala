@@ -36,6 +36,24 @@ object HotKeyProbe {
     val ok = sample.forall { case (l, r) => r == l + 1000000L }
     println(f"carry as-of: n=$n%d x $n%d on ONE key -> $cnt%d rows in " +
       f"$dt%.2f s (theta pairs would be ${n.toLong * n}%,d); sample ok=$ok")
+
+    // NEAREST as-of under the same hot key (r8): the ±tolerance band is
+    // the candidate bound — with a 5 s band each left row pairs with
+    // ~10 right rows instead of all n, so the theta join stays linear
+    def near(tolUs: Long) = TemporalJoins.asofJoinNearest(left, right,
+      Seq("user_id"), "err_id", "err_ts", "click_ts", "click_id", tolUs)
+    near(5000000L).count() // warm
+    val t1 = System.nanoTime()
+    val cnt2 = near(5000000L).count()
+    val dt2 = (System.nanoTime() - t1) / 1e9
+    // row i's nearest click (at i.5 s) is click at second i+1? No:
+    // |i.5 - i| = |i.5 - (i+1)| = 0.5 s — a tie, broken to the EARLIER
+    val sample2 = near(5000000L)
+      .filter($"err_id".isin(0L, n / 2L, n - 1L))
+      .select("err_id", "click_id").as[(Long, Long)].collect().toMap
+    val ok2 = sample2.forall { case (l, r) => r == l + 1000000L }
+    println(f"nearest as-of (5 s band): n=$n%d x $n%d on ONE key -> " +
+      f"$cnt2%d rows in $dt2%.2f s; tie-to-earlier ok=$ok2")
     spark.stop()
   }
 }
