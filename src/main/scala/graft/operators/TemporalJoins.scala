@@ -249,4 +249,43 @@ object TemporalJoins {
         rCols.map(c =>
           when(keyOk, col("__carry").getField(c)).as(c)): _*)
   }
+
+  /** Hot-key-safe as-of (FORWARD) carry (r8) — the mirror
+    * [[asofJoinBackwardCarry]]'s scaladoc promised: identical semantics
+    * to [[asofJoinForward]] (earliest right at/after each left row, ties
+    * by MIN rightId), zero join pairs. Everything reverses: the union
+    * sorts DESCENDING by ts, right rows still precede left rows at equal
+    * ts (so `>=` is inclusive), and among equal-ts right rows descending
+    * id makes `last` pick the MIN id. Same one-shuffle/one-sort shape
+    * and NULL rules as the backward carry. */
+  def asofJoinForwardCarry(left: DataFrame, right: DataFrame,
+      key: Seq[String], leftTs: String, rightTs: String, rightId: String)
+      : DataFrame = {
+    requireFree(Seq("__ts", "__side", "__carry"), left, right)
+    val rCols = right.columns.filterNot(key.contains)
+    val lCols = left.columns
+    val l2 = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+    val r2 = right.withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    // desc ts: rows already seen are the LATER events; side 0 first at
+    // equal ts keeps `>=`; desc id means the last-seen equal-ts right
+    // row has the SMALLEST id — the forward tie-break
+    // desc_nulls_first on __ts: a NULL-ts row (either side) lands at the
+    // partition START where the carry is still empty — matching the
+    // theta form, where a NULL ts never satisfies `rightTs >= leftTs`
+    // (the backward carry gets the same property from plain asc)
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(desc_nulls_first("__ts"), asc("__side"),
+        desc_nulls_first(rightId))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = u.withColumn("__carry",
+      last(when(col("__side") === 0 && col("__ts").isNotNull,
+          struct(rCols.map(col): _*)),
+        ignoreNulls = true).over(w))
+    val keyOk = key.map(col(_).isNotNull).reduce(_ && _)
+    carried.filter(col("__side") === 1)
+      .select(lCols.map(col) ++
+        rCols.map(c =>
+          when(keyOk, col("__carry").getField(c)).as(c)): _*)
+  }
 }

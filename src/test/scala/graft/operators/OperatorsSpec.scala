@@ -58,6 +58,26 @@ class OperatorsSpec extends SparkSpec {
     assert(carry == want)
   }
 
+  test("TemporalJoins.asofJoinForwardCarry == asofJoinForward (r8)") {
+    val err = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("ts").as("err_ts"))
+    val clk = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val theta = TemporalJoins.asofJoinForward(err, clk, Seq("user_id"),
+        "err_id", "err_ts", "click_ts", "click_id")
+      .select("err_id", "click_id")
+      .as[(Long, Option[Long])].collect().toSet
+    val carry = TemporalJoins.asofJoinForwardCarry(err, clk,
+        Seq("user_id"), "err_ts", "click_ts", "click_id")
+      .select("err_id", "click_id")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(carry === theta && carry.nonEmpty)
+    assert(carry.exists(_._2.isEmpty),
+      "some final errors must have no later click (null carry)")
+  }
+
   test("TemporalJoins.asofJoinNearest: band, tie-break, null carry (r8)") {
     val err = events.filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"), col("user_id"),
