@@ -132,7 +132,7 @@ object TemporalJoins {
     * tick-data/CEP user reaches for); unmatched left rows kept with
     * nulls. Ties on rightTs break by ASCENDING `rightId` (the first
     * event). Same plan shape and hot-key caveats as the backward form;
-    * for hot keys, reverse-sort the carry variant's frame analogously. */
+    * the hot-key-safe mirror is [[asofJoinForwardCarry]]. */
   def asofJoinForward(left: DataFrame, right: DataFrame, key: Seq[String],
       leftId: String, leftTs: String, rightTs: String, rightId: String)
       : DataFrame = {
