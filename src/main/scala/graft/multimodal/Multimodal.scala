@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
 case class MediaFeatures(media_id: Long, kind: String, width: Int,
     height: Int, n_bytes: Long, features: Array[Float])
 
-/** Resized-media record produced by [[Multimodal.resizeImages]]. */
+/** Perceptual fingerprint record produced by [[Multimodal.imageDHash]]
+  * and [[Multimodal.audioContourHash]]: 64-bit image difference hash /
+  * 32-bit audio loudness contour; `decodable = false` is the standard
+  * decode quarantine (hash 0). */
 case class ImageHash(media_id: Long, kind: String, dhash: Long,
     decodable: Boolean)
 
+/** Resized-media record produced by [[Multimodal.resizeImages]]. */
 case class ResizedMedia(media_id: Long, kind: String, width: Int,
     height: Int, n_bytes: Long, payload: Array[Byte])
 
@@ -444,10 +448,12 @@ object Multimodal {
     * split into 33 equal segments, compute each segment's RMS, and emit
     * a 32-bit hash where bit i says "segment i is louder than segment
     * i+1". Re-encodes and level shifts preserve the contour, so
-    * near-duplicate recordings land within a small Hamming distance;
-    * [[imageNearDups]]'s pigeonhole blocking applies unchanged to the
-    * hash column. Undecodable payloads emit `decodable = false` — the
-    * standard quarantine. */
+    * near-duplicate recordings land within a small Hamming distance.
+    * For sub-quadratic pairing, pigeonhole-block THIS 32-bit hash with
+    * chunk width 32/(maxDist+1) — [[imageNearDups]]'s geometry is
+    * 64-bit and it recomputes the IMAGE hash internally, so it does
+    * not apply here as-is. Undecodable payloads emit
+    * `decodable = false` — the standard quarantine. */
   def audioContourHash(media: DataFrame): DataFrame = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     val enc = org.apache.spark.sql.Encoders.product[ImageHash]
@@ -468,7 +474,9 @@ object Multimodal {
               try in.readAllBytes()
               finally { in.close(); raw.close() }
             val nSamples = bytes.length / 2
-            if (nSamples < 33) ImageHash(id, kind, 0L, decodable = false)
+            // shorter-than-33-sample clips still DECODE — empty trailing
+            // segments just read RMS 0; only zero-length PCM quarantines
+            if (nSamples == 0) ImageHash(id, kind, 0L, decodable = false)
             else {
               val sums = new Array[Double](33)
               val counts = new Array[Long](33)
@@ -507,8 +515,12 @@ object Multimodal {
     * worst-case caveats) as `q_simhash_pairs`. */
   def imageNearDups(media: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, "0 <= maxDist < 64")
-    val hs = imageDHash(media).filter(col("decodable"))
-      .select(col("media_id"), col("dhash"))
+    // cache: both sides of the chunk join read this frame — uncached,
+    // every payload would ImageIO-decode twice (the q_simhash_pairs
+    // discipline)
+    val hs = graft.Caching.cache(imageDHash(media)
+      .filter(col("decodable"))
+      .select(col("media_id"), col("dhash")))
     val nChunks = maxDist + 1
     val width = 64 / nChunks
     val chunked = hs.select(col("media_id"), col("dhash"),

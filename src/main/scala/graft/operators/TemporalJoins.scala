@@ -255,9 +255,11 @@ object TemporalJoins {
     * to [[asofJoinForward]] (earliest right at/after each left row, ties
     * by MIN rightId), zero join pairs. Everything reverses: the union
     * sorts DESCENDING by ts, right rows still precede left rows at equal
-    * ts (so `>=` is inclusive), and among equal-ts right rows descending
-    * id makes `last` pick the MIN id. Same one-shuffle/one-sort shape
-    * and NULL rules as the backward carry. */
+    * ts (so `>=` is inclusive), and among equal-ts right rows
+    * desc_nulls_last id makes `last` pick the MIN id — with a NULL id
+    * winning, matching the theta form's `asc(rightId)` (nulls FIRST in
+    * Spark) exactly. Same one-shuffle/one-sort shape and NULL rules as
+    * the backward carry. */
   def asofJoinForwardCarry(left: DataFrame, right: DataFrame,
       key: Seq[String], leftTs: String, rightTs: String, rightId: String)
       : DataFrame = {
@@ -276,7 +278,7 @@ object TemporalJoins {
     // (the backward carry gets the same property from plain asc)
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(desc_nulls_first("__ts"), asc("__side"),
-        desc_nulls_first(rightId))
+        desc_nulls_last(rightId))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = u.withColumn("__carry",
       last(when(col("__side") === 0 && col("__ts").isNotNull,

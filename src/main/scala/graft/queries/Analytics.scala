@@ -191,7 +191,6 @@ object Analytics {
             === 1, "A").otherwise("B"))
       val arms = users.groupBy("arm")
         .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
-        .withColumn("rate", col("conv").cast("double") / col("n"))
       val wide = arms.groupBy()
         .agg(
           max(when(col("arm") === "A", col("n"))).as("n_a"),
