@@ -449,10 +449,10 @@ object Multimodal {
     * a 32-bit hash where bit i says "segment i is louder than segment
     * i+1". Re-encodes and level shifts preserve the contour, so
     * near-duplicate recordings land within a small Hamming distance.
-    * For sub-quadratic pairing, pigeonhole-block THIS 32-bit hash with
-    * chunk width 32/(maxDist+1) — [[imageNearDups]]'s geometry is
-    * 64-bit and it recomputes the IMAGE hash internally, so it does
-    * not apply here as-is. Undecodable payloads emit
+    * Sub-quadratic pairing: [[audioNearDups]] ([[hammingPairs]] at the
+    * contour's TRUE 32-bit geometry — the 64-bit image geometry would
+    * make the high chunks constant and the join quadratic).
+    * Undecodable payloads emit
     * `decodable = false` — the standard quarantine. */
   def audioContourHash(media: DataFrame): DataFrame = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
@@ -506,24 +506,23 @@ object Multimodal {
       }(enc).toDF()
   }
 
-  /** Near-duplicate image PAIRS within Hamming distance `maxDist` of
-    * their dHashes — sub-quadratically, via the text pipeline's
-    * pigeonhole blocking: split the 64-bit hash into `maxDist + 1`
-    * chunks; two hashes within the bound must agree on at least one
-    * WHOLE chunk, so candidates come from chunk-equality joins and only
-    * they are Hamming-verified. Same plan shape (and the same
-    * worst-case caveats) as `q_simhash_pairs`. */
-  def imageNearDups(media: DataFrame, maxDist: Int): DataFrame = {
-    require(maxDist >= 0 && maxDist < 64, "0 <= maxDist < 64")
-    // cache: both sides of the chunk join read this frame — uncached,
-    // every payload would ImageIO-decode twice (the q_simhash_pairs
-    // discipline)
-    val hs = graft.Caching.cache(imageDHash(media)
-      .filter(col("decodable"))
-      .select(col("media_id"), col("dhash")))
+  /** Generic pigeonhole Hamming pairing over a `bits`-wide hash column:
+    * split into `maxDist + 1` chunks; two hashes within the bound must
+    * agree on at least one WHOLE chunk, so candidates come from
+    * chunk-equality joins and only they are Hamming-verified. The
+    * CALLER passes the true hash width — chunking a 32-bit hash with
+    * 64-bit geometry would make the high chunks constant and the join
+    * quadratic. Same plan shape (and worst-case caveats) as
+    * `q_simhash_pairs`. `hashes` must carry (`media_id`, `dhash`) and
+    * should be cached by the caller if producing it is expensive. */
+  def hammingPairs(hashes: DataFrame, bits: Int, maxDist: Int)
+      : DataFrame = {
+    require(bits >= 1 && bits <= 64, "1 <= bits <= 64")
+    require(maxDist >= 0 && maxDist < bits, "0 <= maxDist < bits")
     val nChunks = maxDist + 1
-    val width = 64 / nChunks
-    val chunked = hs.select(col("media_id"), col("dhash"),
+    val width = bits / nChunks
+    require(width >= 1, "maxDist + 1 chunks need >= 1 bit each")
+    val chunked = hashes.select(col("media_id"), col("dhash"),
       explode(array((0 until nChunks).map { i =>
         struct(lit(i).as("ci"),
           col("dhash").bitwiseAND(
@@ -543,4 +542,25 @@ object Multimodal {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** Near-duplicate image PAIRS within Hamming distance `maxDist` of
+    * their [[imageDHash]]es — [[hammingPairs]] at 64-bit geometry over
+    * the cached decode (both join sides read the hash frame; uncached,
+    * every payload would ImageIO-decode twice). */
+  def imageNearDups(media: DataFrame, maxDist: Int): DataFrame =
+    hammingPairs(
+      graft.Caching.cache(imageDHash(media)
+        .filter(col("decodable"))
+        .select(col("media_id"), col("dhash"))),
+      bits = 64, maxDist = maxDist)
+
+  /** Near-duplicate audio PAIRS within Hamming distance `maxDist` of
+    * their [[audioContourHash]]es — [[hammingPairs]] at the contour's
+    * TRUE 32-bit geometry (the caveat its scaladoc records). */
+  def audioNearDups(media: DataFrame, maxDist: Int): DataFrame =
+    hammingPairs(
+      graft.Caching.cache(audioContourHash(media)
+        .filter(col("decodable"))
+        .select(col("media_id"), col("dhash"))),
+      bits = 32, maxDist = maxDist)
 }

@@ -319,6 +319,11 @@ class TextAndMultimodalSpec extends SparkSpec {
       s"same contour, different rate: ${ham(hs(1L)._1, hs(2L)._1)}")
     assert(ham(hs(1L)._1, hs(3L)._1) >= 24,
       s"reversed contour must flip most bits: ${ham(hs(1L)._1, hs(3L)._1)}")
+    // pigeonhole pairing at the contour's TRUE 32-bit geometry finds
+    // exactly the same-shape pair
+    val pairs = Multimodal.audioNearDups(media, maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
   }
 
   test("multimodal: resizeImages scales the long edge, round-trips decode") {
