@@ -171,6 +171,54 @@ object Analytics {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // LOCF gap fill (r8): the interpolation half q_time_spine's
+    // zero-fill lacks — per event_type, every hour on the spine carries
+    // the hourly mean value when observed, else the LAST observation
+    // carried forward (the standard sensor/price imputation). The mean
+    // rounds BEFORE the carry so both engines propagate identical
+    // doubles. One spine explode (bounded), one agg, one window pass.
+    "q_gap_fill" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val bounds = e.agg(date_trunc("hour", min("ts")).as("lo"),
+        date_trunc("hour", max("ts")).as("hi"))
+      val spine = bounds
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+        .crossJoin(e.select("event_type").distinct())
+      val hourly = e.groupBy(date_trunc("hour", col("ts")).as("h"),
+          col("event_type"))
+        .agg(fround(avg("value"), 4).as("obs"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("h", "event_type"), "left")
+        .withColumn("filled", last("obs", ignoreNulls = true).over(w))
+        .withColumn("is_observed", col("obs").isNotNull)
+        .select("event_type", "h", "filled", "is_observed")
+        .orderBy("event_type", "h")
+    }),
+
+    // Time-weighted average (r8): each event's value holds until the
+    // user's next event (capped at the day boundary), so the daily
+    // average weights by HOLDING TIME, not event count — the TWAP every
+    // tick-data engine ships. Weights are exact integer microseconds;
+    // only the final quotient rounds. One lead pass + one agg.
+    "q_twap" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "day")
+        .orderBy(asc("ts"), asc("event_id"))
+      T(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("seg_end",
+          coalesce(lead("ts", 1).over(w),
+            expr("timestamp_micros(unix_micros(CAST(day + 1 AS " +
+              "TIMESTAMP)))")))
+        .withColumn("dur",
+          expr("unix_micros(seg_end) - unix_micros(ts)"))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_events"),
+          fround(sum(col("value") * col("dur")) /
+            sum(col("dur")), 4).as("twap"))
+        .orderBy("user_id", "day")
+    }),
+
     // A/B lift (r8): the experimentation readout — users split into
     // arms by md5 parity (the q_split_hash discipline: deterministic,
     // uniform, reproducible), conversion = "user purchased", lift and
@@ -440,6 +488,39 @@ object Analytics {
                "ELSE 0.0 END)").mkString(" + ")})
            * 10000 + 0.5) / 10000 AS ewma
          FROM x ORDER BY user_id, ts, event_id""",
+    "q_gap_fill" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                           date_trunc('hour', max(ts)) AS hi FROM events),
+         sp AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                  AS h FROM b),
+         ty AS (SELECT DISTINCT event_type FROM events),
+         hourly AS (
+           SELECT date_trunc('hour', ts) AS h, event_type,
+             floor(avg(value) * 1e4 + 0.5) / 1e4 AS obs
+           FROM events GROUP BY 1, 2),
+         j AS (
+           SELECT ty.event_type, sp.h, hourly.obs
+           FROM sp CROSS JOIN ty
+           LEFT JOIN hourly
+             ON hourly.h = sp.h AND hourly.event_type = ty.event_type)
+         SELECT event_type, h,
+           last_value(obs IGNORE NULLS) OVER (PARTITION BY event_type
+             ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled,
+           obs IS NOT NULL AS is_observed
+         FROM j ORDER BY event_type, h""",
+    "q_twap" ->
+      """WITH x AS (
+           SELECT user_id, CAST(ts AS DATE) AS day, ts, value,
+             coalesce(lead(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts, event_id),
+               CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP)) AS seg_end
+           FROM events)
+         SELECT user_id, day, count(*) AS n_events,
+           floor(sum(value * (epoch_us(seg_end) - epoch_us(ts)))
+             / sum(epoch_us(seg_end) - epoch_us(ts)) * 1e4 + 0.5) / 1e4
+             AS twap
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_ab_lift" ->
       """WITH u AS (
            SELECT user_id,

@@ -134,6 +134,57 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_gap_fill: observed hours match the hourly mean; gaps carry " +
+      "the last observation") {
+    val rows = run("q_gap_fill").collect()
+    assert(rows.nonEmpty)
+    // spine completeness: every type has the same number of hours
+    val byType = rows.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(byType.values.toSet.size === 1, "all types share the spine")
+    // LOCF: within a type (ordered by hour), an unobserved row's filled
+    // value equals the previous row's
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getTimestamp(1).getTime)
+      ordered.zip(ordered.tail).foreach { case (prev, cur) =>
+        if (!cur.getBoolean(3) && !prev.isNullAt(2))
+          assert(cur.getDouble(2) === prev.getDouble(2),
+            s"gap must carry forward: $cur")
+      }
+    }
+    assert(rows.exists(!_.getBoolean(3)), "fixture must contain gaps")
+  }
+
+  test("q_twap sits inside the day's value envelope and weights by time") {
+    val rows = run("q_twap").collect()
+    assert(rows.nonEmpty)
+    val env = Tables.table(spark, sf, "events")
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("user_id", "day")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    rows.foreach { r =>
+      val (lo, hi) = env((r.getLong(0), r.getDate(1).toString))
+      val t = r.getDouble(3)
+      assert(t >= lo - 1e-4 && t <= hi + 1e-4, s"TWAP outside envelope: $r")
+    }
+    // single-event days: TWAP == the value (it holds all day)
+    val singles = Tables.table(spark, sf, "events")
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n"), max("value").as("v"))
+      .filter(col("n") === 1).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) -> r.getDouble(3))
+      .toMap
+    if (singles.nonEmpty) rows.foreach { r =>
+      singles.get((r.getLong(0), r.getDate(1).toString)).foreach { v =>
+        val want = math.floor(v * 1e4 + 0.5) / 1e4
+        assert(r.getDouble(3) === want)
+      }
+    }
+  }
+
   test("q_ab_lift: arms partition the users; lift equals the rate " +
       "difference") {
     val r = run("q_ab_lift").collect().head
