@@ -77,6 +77,13 @@ object DetectorThroughputProbe {
         ((e: CepEvent) => e.event_type == "purchase", None)),
       24L * 3600 * 1000, Seq(None, None, None),
       Seq(false, true, false)).toDF())
+    run("lazymeas", ds => RunChainDetector.detectMeasures(ds,
+      Seq(((e: CepEvent) => e.event_type == "click", Some(2)),
+        ((e: CepEvent) => e.event_type == "purchase", None)),
+      2L * 3600 * 1000, Seq(None, None),
+      Seq(graft.streaming.CepSql.SpanAgg("SUM", "value", "sv"),
+        graft.streaming.CepSql.SpanAgg("COUNT", "*", "cn")),
+      Seq(true, false)).toDF())
     run("optabs", ds => ChainAbsenceDetector.detectOptWhere(ds,
       Seq("signup", "click", "view", "purchase")
         .map(t => (e: CepEvent) => e.event_type == t),
