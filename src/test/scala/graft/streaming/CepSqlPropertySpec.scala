@@ -271,6 +271,46 @@ class CepSqlPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("generated FIRST/LAST boundary-ref measures translate total (r8)") {
+    // FIRST|LAST(ev.col) on the quantified step of a 2-step chain:
+    // always parses to a BoundRef on that step, translates without
+    // MATCH PATTERN remnants, and the same measure on the UNQUANTIFIED
+    // step is always rejected with the ev.col pointer
+    val gen = for {
+      mt <- Gen.choose(2, 9)
+      n <- Gen.choose(1, 9999)
+      unit <- Gen.oneOf("SECONDS", "MINUTES", "HOURS")
+      a <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+      b <- Gen.identifier.map(_.take(8)).suchThat(s => s.nonEmpty && s != "zz")
+      tbl <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+      key <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+      fn <- Gen.oneOf("FIRST", "LAST")
+      mcol <- Gen.oneOf("ts", "value", "event_id")
+    } yield (fn, mcol,
+      s"SELECT * FROM $tbl MATCH PATTERN ($a{$mt,} THEN zz_$b " +
+        s"WITHIN '$n' $unit) PARTITION BY $key " +
+        s"MEASURES $fn($a.$mcol) AS bref",
+      s"SELECT * FROM $tbl MATCH PATTERN ($a{$mt,} THEN zz_$b " +
+        s"WITHIN '$n' $unit) PARTITION BY $key " +
+        s"MEASURES $fn(zz_$b.$mcol) AS bref")
+    (1L to 300L).foreach { seed =>
+      sample(gen.map(List(_)), seed).foreach { case (fn, mcol, ok, bad) =>
+        val spec = CepSql.parsePattern(ok)
+        spec.measures match {
+          case Seq(CepSql.BoundRef(f, _, c, st, al)) =>
+            assert(f == fn && c == mcol && st == 1 && al == "bref", ok)
+          case other => fail(s"expected one BoundRef, got $other: $ok")
+        }
+        val t = CepSql.translate(ok)
+        assert(!t.toUpperCase.contains("MATCH PATTERN"), s"$ok ->\n$t")
+        assert(t.contains("AS `bref`"), t)
+        val e = intercept[IllegalArgumentException](CepSql.parsePattern(bad))
+        assert(e.getMessage.contains("not") &&
+          e.getMessage.contains("quantified"), bad)
+      }
+    }
+  }
+
   test("near-miss MATCH PATTERN text is rejected, never half-translated") {
     val bads = Seq(
       "SELECT * FROM t MATCH PATTERN (a THEN b WITHIN '5' MINUTES)",
