@@ -68,6 +68,37 @@ class StreamingTwinSpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("rolling z-score monitor: streaming ring == batch window key (r8)") {
+    // the batch key computes stddev via Spark's aggregate; the stream
+    // recomputes two-pass over its ring — replay must agree on every
+    // ROUNDED score and flag (the round-before-threshold discipline is
+    // exactly what makes the two formulations land identically)
+    val batch = graft.SparkEntry.queries("q_zscore")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getDouble(3), r.getBoolean(4)))).toMap
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"twin_zscore_${System.nanoTime}"
+    val q = RollingStats.zScores(stream.toDS())
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got.keySet === batch.keySet, "scored row sets differ")
+    val mismatches = batch.collect {
+      case (k, (zb, fb)) if got(k) != ((zb, fb)) => (k, zb, got(k)._1)
+    }
+    assert(mismatches.isEmpty,
+      s"${mismatches.size} rounded scores diverge, e.g. ${mismatches.take(3)}")
+  }
+
   test("streaming dedup == batch distinct") {
     val batch = StreamOps.dedup(eventsDf, Seq("user_id", "event_type"))
     val stream = streamed(StreamOps.dedup(_, Seq("user_id", "event_type")),
