@@ -24,6 +24,24 @@ class PlanShapeSpec extends SparkSpec {
       "fact-fact leg should hash-join, not sort-merge")
   }
 
+  test("q_join_asof_near: tolerance bucket is part of the JOIN KEY " +
+      "(hot-key guard, r8)") {
+    // the r8 review found the band living in the join predicate — a hot
+    // key then pairs quadratically (174.7 s / 100k² measured). This pin
+    // keeps the banded-bucket shape: the right side explodes into its
+    // adjacent buckets and the equi join runs on (key, bucket).
+    val p = plan("q_join_asof_near")
+    assert(p.contains("Generate explode"),
+      s"right side must explode into tolerance buckets:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the band must bound join WORK, not just the result:\n$p")
+    // the equi join must shuffle on MORE than the user key alone —
+    // the bucket column rides the hashpartitioning
+    assert(p.contains("__bk") || p.contains("__b"),
+      s"bucket column missing from the plan:\n$p")
+  }
+
   test("q_join_6way: dims broadcast, date filter pushes to the orders " +
       "scan (r8)") {
     val p = plan("q_join_6way")
