@@ -171,6 +171,33 @@ object Analytics {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // Burst detection (r8): HOURS where an event type runs HOT — the
+    // hourly count exceeds 3× the type's ACTIVE-hour average
+    // (type_total / hours-with-activity; a span-wide average over a
+    // sparse stream would flag every active bucket). The predicate is
+    // exact integer arithmetic (cnt · active_hr > 3 · type_total — no
+    // float rate compared), so the burst set is cross-engine
+    // deterministic; the reported ratio rounds after the fact. Two
+    // hash aggs + a 1-row-per-type broadcast join.
+    "q_burst_detect" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+        .withColumn("hr", expr("unix_micros(ts) div 3600000000"))
+      val perHr = e.groupBy("event_type", "hr")
+        .agg(count(lit(1)).as("cnt"))
+      val totals = perHr.groupBy("event_type")
+        .agg(sum("cnt").as("type_total"),
+          count(lit(1)).as("active_hr"))
+      perHr.join(broadcast(totals), "event_type")
+        .filter(col("cnt") * col("active_hr") >
+          lit(3L) * col("type_total"))
+        .select(col("event_type"),
+          expr("timestamp_micros(hr * 3600000000)").as("hour_ts"),
+          col("cnt"),
+          fround(col("cnt").cast("double") * col("active_hr") /
+            col("type_total"), 4).as("rate_ratio"))
+        .orderBy("event_type", "hour_ts")
+    }),
+
     // LOCF gap fill (r8): the interpolation half q_time_spine's
     // zero-fill lacks — per event_type, every hour on the spine carries
     // the hourly mean value when observed, else the LAST observation
@@ -488,6 +515,22 @@ object Analytics {
                "ELSE 0.0 END)").mkString(" + ")})
            * 10000 + 0.5) / 10000 AS ewma
          FROM x ORDER BY user_id, ts, event_id""",
+    "q_burst_detect" ->
+      """WITH m AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hr
+           FROM events),
+         pm AS (SELECT event_type, hr, count(*) AS cnt
+                FROM m GROUP BY 1, 2),
+         t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS type_total,
+                 count(*) AS active_hr
+               FROM pm GROUP BY 1)
+         SELECT pm.event_type,
+           make_timestamp(pm.hr * 3600000000) AS hour_ts, pm.cnt,
+           floor(CAST(pm.cnt AS DOUBLE) * t.active_hr / t.type_total
+             * 1e4 + 0.5) / 1e4 AS rate_ratio
+         FROM pm JOIN t ON pm.event_type = t.event_type
+         WHERE pm.cnt * t.active_hr > 3 * t.type_total
+         ORDER BY pm.event_type, hour_ts""",
     "q_gap_fill" ->
       """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
                            date_trunc('hour', max(ts)) AS hi FROM events),

@@ -134,6 +134,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_burst_detect: every burst exceeds 3x its type's active-hour " +
+      "mean, recomputed independently") {
+    val rows = SparkEntry.queries("q_burst_detect")(spark, sf).collect()
+    // independent recomputation of the per-type hourly distribution
+    val hourly = Tables.table(spark, sf, "events")
+      .withColumn("hr", expr("unix_micros(ts) div 3600000000"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+    val byType = hourly.groupBy(_._1._1).view
+      .mapValues(v => (v.map(_._2).sum, v.size)).toMap
+    val want = hourly.filter { case ((t, _), c) =>
+      val (tot, act) = byType(t); c * act > 3 * tot
+    }
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val (tot, act) = byType(r.getString(0))
+      assert(r.getAs[Long]("cnt") * act > 3 * tot)
+    }
+    // (no bursts exist at sf0.001 — set equality is the law here; the
+    // oracle gate proves the non-empty case at sf0.01, 4 bursts)
+  }
+
   test("q_gap_fill: observed hours match the hourly mean; gaps carry " +
       "the last observation") {
     val rows = run("q_gap_fill").collect()
