@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed exact global ranking — ntile/rank over a TOTAL order
+  * without the single-partition `Window.orderBy(...)` a naive
+  * formulation plans (which routes every row through ONE task and is
+  * the canonical 100 TB scale-killer).
+  *
+  * Shape: `repartitionByRange` on the order key gives contiguous,
+  * ascending ranges per partition (partition 0 holds the first keys in
+  * the requested order); a partition-local sort makes the physical row
+  * order the global order within each range. `monotonically_increasing_id`
+  * then encodes (partitionId, local row index) for free — map-side, no
+  * window — and one tiny aggregation (`parts` scalars collected to the
+  * driver, the same bounded per-round traffic zipWithIndex and MLlib
+  * KMeans accept) yields the cumulative offset of each partition. Global
+  * rank = offset(pid) + localIdx + 1, evaluated map-side against a
+  * literal offset array. Total cost: ONE range exchange + one
+  * `parts`-row count job — vs the unpartitioned window's full sort into
+  * a single task.
+  *
+  * Determinism: callers must pass a STRICT total order (tie-break on a
+  * unique key) so ranks are unique and engine-independent; the frame is
+  * persisted across the two jobs so the count and the final plan see the
+  * same physical layout (range sampling is deterministic for identical
+  * input, the persist just pins it).
+  */
+object Ranking {
+
+  /** Adds `out` = exact SQL `ntile(buckets)` over the given total order
+    * (first `n % buckets` tiles get the extra row, per the standard),
+    * computed without any unpartitioned window. Returns the input
+    * columns + `out` (IntegerType, 1-based tile).
+    */
+  def withGlobalNtile(df: DataFrame, buckets: Int, out: String,
+      order: Column*): DataFrame = {
+    require(buckets > 0, "ntile bucket count must be positive")
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // mid = (partitionId << 33) | localIdx, localIdx in physical order —
+    // which IS the global order inside each contiguous range.
+    val pid = shiftright(col("__mid"), 33).cast("int")
+    val localIdx = col("__mid").bitwiseAND(lit((1L << 33) - 1))
+    val counts = ranged
+      .groupBy(pid.as("p")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    val offsets: Seq[Long] =
+      (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+        .take(parts)
+    val rank = element_at(typedLit(offsets), pid + 1) + localIdx + lit(1L)
+    // ntile(b) over n rows: first rem = n % b tiles hold size + 1 rows.
+    val size = n / buckets
+    val rem = n % buckets
+    val cut = (size + 1) * rem // ranks 1..cut live in the first rem tiles
+    val bigDiv = size + 1
+    val smallDiv = math.max(size, 1L) // otherwise-branch unreachable at size=0
+    val tile = when(rank <= cut, (rank + lit(size)) / lit(bigDiv))
+      .otherwise(lit(rem) + (rank - cut + (smallDiv - 1)) / lit(smallDiv))
+    ranged.withColumn(out, tile.cast("int")).drop("__mid")
+  }
+}

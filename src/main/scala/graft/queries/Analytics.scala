@@ -287,31 +287,30 @@ object Analytics {
         when(se > 0, fround((ra - rb) / se, 4)).as("z"))
     }),
 
-    // RFM segmentation (r8): the classic user-value matrix — recency
-    // (last activity), frequency (event count), monetary (purchase
-    // value) quartiled into a 3-digit segment. Quartiles use ntile(4)
-    // over FULLY deterministic orders (the monetary sort key is rounded
-    // FIRST so cross-engine ulp differences in the double sum cannot
-    // flip the order; user_id breaks all ties). One agg + three
-    // windows over the per-user frame — the UNPARTITIONED ntile means a
-    // single-node sort of one row per user. That holds to ~100s of
-    // millions of users; at billions, swap ntile for broadcast quartile
-    // THRESHOLDS (one percentile agg → score by comparison, map-only) —
-    // same segments except for ties straddling a boundary, where ntile
-    // splits and thresholds don't.
+    // RFM segmentation (r8, distributed r9): the classic user-value
+    // matrix — recency (last activity), frequency (event count),
+    // monetary (purchase value) quartiled into a 3-digit segment.
+    // Quartiles are EXACT ntile(4) over FULLY deterministic orders (the
+    // monetary sort key is rounded FIRST so cross-engine ulp differences
+    // in the double sum cannot flip the order; user_id breaks all ties)
+    // — but computed by Ranking.withGlobalNtile, NOT an unpartitioned
+    // window: each of the three passes is one range exchange over the
+    // per-user frame + a map-side rank from (partition offset, local
+    // row index), so no task ever sees more than one range partition.
+    // Three range shuffles of one-row-per-user is the floor for three
+    // independent orderings, and each holds at billions of users.
     "q_rfm" -> ((s, dir) => {
       val base = T(s, dir, "events")
         .groupBy("user_id")
         .agg(max("ts").as("last_ts"), count(lit(1)).as("freq"),
           fround(coalesce(sum(when(col("event_type") === "purchase",
             col("value"))), lit(0.0)), 2).as("mon"))
-      val wr = Window.orderBy(desc("last_ts"), asc("user_id"))
-      val wf = Window.orderBy(desc("freq"), asc("user_id"))
-      val wm = Window.orderBy(desc("mon"), asc("user_id"))
-      base
-        .withColumn("r_score", ntile(4).over(wr))
-        .withColumn("f_score", ntile(4).over(wf))
-        .withColumn("m_score", ntile(4).over(wm))
+      import graft.operators.Ranking.withGlobalNtile
+      val r = withGlobalNtile(base, 4, "r_score",
+        desc("last_ts"), asc("user_id"))
+      val f = withGlobalNtile(r, 4, "f_score",
+        desc("freq"), asc("user_id"))
+      withGlobalNtile(f, 4, "m_score", desc("mon"), asc("user_id"))
         .withColumn("segment",
           col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
         .select("user_id", "r_score", "f_score", "m_score", "segment")
