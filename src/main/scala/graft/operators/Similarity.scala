@@ -49,6 +49,53 @@ object Similarity {
       .filter(col("similarity") >= threshold)
   }
 
+  /** Caps per-cluster fan-out for within-cluster pair ops (SemDeDup's
+    * k ∝ N regime applied under a FIXED cluster column): any cluster
+    * larger than `cap` is Voronoi-split on its own ceil(n/cap)
+    * lowest-id members as sub-quantizer seeds — one deterministic
+    * assignment round with the q_kmeans kernel discipline (4-dp-rounded
+    * d2 = ‖v‖² − 2·v·s + ‖s‖², min-seed-id tiebreak).
+    *
+    * Plan shape: seed SELECTION ranks a 2-column (id, cluster)
+    * projection (trainer-side artifact build; at real scale seeds come
+    * from a trained coarse quantizer with k ∝ N); seed vectors gather
+    * via a broadcast semi-side join; per-cluster seed ARRAYS broadcast
+    * back (one small row per cluster) and the argmin is a map-side
+    * `array_min` over (d2, sid) structs — the data side is never
+    * shuffled or exploded for assignment. Downstream pair joins key on
+    * (cluster, sub), bounding candidate pairs at ~N·cap; measured
+    * sub-quadratic curve in SCALE.md (r9).
+    *
+    * @return input frame + `sub` (LongType, the winning seed id — a
+    *         stable subcluster label unique within the cluster).
+    */
+  def subclusterByCap(spark: SparkSession, emb: DataFrame, idCol: String,
+      clusterCol: String, vecCol: String, cap: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val wl = Window.partitionBy(clusterCol).orderBy(idCol)
+    val seedIds = emb.select(col(idCol), col(clusterCol))
+      .withColumn("__rk", row_number().over(wl))
+      .withColumn("__n", count(lit(1))
+        .over(Window.partitionBy(clusterCol)))
+      .filter(col("__rk") <= expr(s"(__n + ${cap - 1}) div $cap"))
+      .select(col(idCol).as("__sid"))
+    val seedArr = emb
+      .join(broadcast(seedIds), col(idCol) === col("__sid"))
+      .groupBy(col(clusterCol).as("__sl"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("sid"),
+        col(vecCol).as("sv")))).as("__seeds"))
+    emb.join(broadcast(seedArr), col(clusterCol) === col("__sl"))
+      .withColumn("__vv", expr(s"dot_product($vecCol, $vecCol)"))
+      .withColumn("sub", expr(
+        s"""array_min(transform(__seeds, s -> named_struct(
+          |'d2', floor((__vv - 2 * dot_product($vecCol, s.sv)
+          |             + dot_product(s.sv, s.sv)) * 10000 + 0.5)
+          |      / 10000,
+          |'sid', s.sid))).sid""".stripMargin))
+      .drop("__sl", "__seeds", "__vv")
+  }
+
   /** Deterministic pseudo-random unit-less hyperplanes for [[lshBuckets]]
     * (splitmix64-seeded, so every run/cluster derives identical planes). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Float]] =

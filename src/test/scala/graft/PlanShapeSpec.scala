@@ -515,6 +515,39 @@ class PlanShapeSpec extends SparkSpec {
     graft.Caching.releaseAll()
   }
 
+  test("q_semdedup: dup pairs key on (label, subcluster), no cartesian " +
+      "(r9)") {
+    // the r8 verdict's conditional scale-killer: label-equi pairs with a
+    // FIXED label set are (N/k)². The final q_semdedup plan hides the
+    // pair stage (Components resolves eagerly), so this pins the pair
+    // frame ITSELF: subcluster assignment must broadcast the per-label
+    // seed arrays (no shuffle/explode of the data side), and the pair
+    // join must hash-partition on BOTH label and sub — never cartesian.
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.table(spark, sf, "embeddings")
+    val assigned = graft.operators.Similarity.subclusterByCap(
+      spark, e, "vec_id", "label", "embedding", cap = 32)
+    val ap = assigned.queryExecution.executedPlan.toString()
+    assert("BroadcastHashJoin".r.findAllIn(ap).size >= 2,
+      s"seed-id gather and seed-array join must both broadcast:\n$ap")
+    assert(!ap.contains("Generate"),
+      s"assignment argmin must not explode the seed array:\n$ap")
+    val a = assigned.select(col("vec_id").as("ia"), col("label"),
+      col("sub"), col("embedding").as("va"))
+    val b = assigned.select(col("vec_id").as("ib"),
+      col("label").as("lb"), col("sub").as("sb"),
+      col("embedding").as("vb"))
+    val pairs = a.join(b, col("label") === col("lb") &&
+      col("sub") === col("sb") && col("ia") < col("ib"))
+    val pp = pairs.queryExecution.executedPlan.toString()
+    assert(!pp.contains("CartesianProduct") &&
+      !pp.contains("BroadcastNestedLoopJoin"),
+      s"subclustering must bound join WORK via equi keys:\n$pp")
+    assert(pp.contains("label") && pp.contains("sub"),
+      s"pair join must key on (label, sub):\n$pp")
+    graft.Caching.releaseAll()
+  }
+
   test("no unpartitioned Window in ANY declared query (r9 sweep)") {
     // repo-wide standing gate: an empty partitionSpec on a Window means
     // a single-task sort of the whole frame — the judge swept for these
