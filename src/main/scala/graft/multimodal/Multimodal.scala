@@ -522,12 +522,17 @@ object Multimodal {
     val nChunks = maxDist + 1
     val width = bits / nChunks
     require(width >= 1, "maxDist + 1 chunks need >= 1 bit each")
+    // full-width chunk masks, no 63-bit clamp: at maxDist=0 the single
+    // chunk spans all `bits` (for bits=64 that mask is -1L — `1L << 64`
+    // would wrap to 1 under JVM shift-mod-64), so a bit-63-only
+    // difference correctly fails the chunk-equality blocking instead of
+    // leaking through as a candidate (ADVICE r8).
+    def chunkMask(i: Int): Long =
+      if (width == 64) -1L else ((1L << width) - 1) << (i * width)
     val chunked = hashes.select(col("media_id"), col("dhash"),
       explode(array((0 until nChunks).map { i =>
         struct(lit(i).as("ci"),
-          col("dhash").bitwiseAND(
-            lit(((1L << math.min(63, width)) - 1) << (i * width)))
-            .as("cv"))
+          col("dhash").bitwiseAND(lit(chunkMask(i))).as("cv"))
       }: _*)).as("c"))
       .select(col("media_id"), col("dhash"),
         col("c.ci").as("ci"), col("c.cv").as("cv"))

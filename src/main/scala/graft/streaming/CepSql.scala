@@ -753,17 +753,36 @@ object CepSql {
     def cols(i: Int): String =
       (1 to i).map(lbl).mkString(", ") + ", " +
         (1 to i).map(j => s"ts_$j").mkString(", ")
+    // internal island identity (ADVICE r9): each quantified step also
+    // carries its run's START row id through the prefix — reluctant runs
+    // emit run_len = m (a constant), so the measures path's island
+    // re-join on (run_end, run_len) degrades to run_end alone and two
+    // islands whose m-th events share a microsecond would cross-join.
+    // run_start_id is a globally unique event id, so (__k, rsid_i)
+    // identifies the island exactly for greedy AND reluctant runs.
+    // rsid columns never reach the user-facing SELECT (cols() excludes
+    // them); they exist only inside the prefix pipeline and re-joins.
+    def rsids(i: Int): Seq[String] =
+      (1 to i).filter(j => chainSteps(j - 1).minTimes.isDefined)
+        .map(j => s"rsid_$j")
+    def colsInt(i: Int): String =
+      cols(i) + rsids(i).map(c => s", $c").mkString
     // rank-1 partition: the anchor. An unquantified first step has a
-    // globally unique id_1; a quantified first step has no single id —
-    // runs are disjoint per key, so (__k, ts_1) is unique.
+    // globally unique id_1; a quantified first step anchors on its
+    // run's START row id (rsid_1) — unique per island even when two
+    // islands' end timestamps share a microsecond (run_end alone is NOT
+    // unique for reluctant runs, whose run_len is the constant m, nor
+    // for greedy runs under same-microsecond end ties; ADVICE r9).
     val anchor =
-      if (chainSteps.head.minTimes.isDefined) "p.__k, p.ts_1" else "p.id_1"
+      if (chainSteps.head.minTimes.isDefined) "p.__k, p.rsid_1"
+      else "p.id_1"
     var prefix = chainSteps.head.minTimes match {
       case Some(mt) =>
         val runs = runsSub(chainSteps.head, mt, spec.key, tsCol,
           typeCol, idCol, tbl, chainSteps.head.maxTimes,
           chainSteps.head.reluctant)
-        s"(SELECT __k, run_len AS len_1, run_end AS ts_1 FROM $runs r0)"
+        s"(SELECT __k, run_len AS len_1, run_end AS ts_1, " +
+          s"run_start_id AS rsid_1 FROM $runs r0)"
       case None =>
         s"""(SELECT $k AS __k, $id AS id_1, $t AS ts_1
            |   FROM $tbl WHERE ${inPred("", chainSteps.head)})""".stripMargin
@@ -824,28 +843,32 @@ object CepSql {
       val st = chainSteps(i - 1)
       val prevLbls = (1 until i).map(j => s"p.${lbl(j)}").mkString(", ")
       val prevTs = (1 until i).map(j => s"p.ts_$j").mkString(", ")
+      val prevRsids = rsids(i - 1).map(c => s"p.$c, ").mkString
       prefix = st.minTimes match {
         case Some(mt) =>
           val runs = runsSub(st, mt, spec.key, tsCol, typeCol,
             idCol, tbl, st.maxTimes, st.reluctant)
-          s"""(SELECT __k, ${cols(i)} FROM (
+          s"""(SELECT __k, ${colsInt(i)} FROM (
              |  SELECT p.__k, $prevLbls,
              |         r.run_len AS len_$i,
              |         $prevTs,
              |         r.run_end AS ts_$i,
+             |         ${prevRsids}r.run_start_id AS rsid_$i,
              |         row_number() OVER (PARTITION BY $anchor
-             |                            ORDER BY r.run_start, r.run_end) AS __rn
+             |                            ORDER BY r.run_start, r.run_end,
+             |                                     r.run_start_id) AS __rn
              |  FROM $prefix p JOIN $runs r
              |  ON p.__k = r.__k
              |     AND r.run_start > p.ts_${i - 1}
              |     AND r.run_end <= p.ts_1 + INTERVAL $n $unit
              |) WHERE __rn = 1)""".stripMargin
         case None =>
-          s"""(SELECT __k, ${cols(i)} FROM (
+          val carryRsids = rsids(i).map(c => s"p.$c, ").mkString
+          s"""(SELECT __k, ${colsInt(i)} FROM (
              |  SELECT p.__k, $prevLbls,
              |         b.$id AS id_$i,
              |         $prevTs,
-             |         b.$t AS ts_$i,
+             |         ${carryRsids}b.$t AS ts_$i,
              |         row_number() OVER (PARTITION BY $anchor
              |                            ORDER BY b.$t, b.$id) AS __rn
              |  FROM $prefix p JOIN $tbl b
@@ -897,14 +920,19 @@ object CepSql {
         runsSub(st, st.minTimes.get, spec.key, tsCol, typeCol, idCol,
           tbl, st.maxTimes, st.reluctant)
       }
+      // island identity joins on run_start_id (ADVICE r9): run_end +
+      // run_len alone is ambiguous for reluctant runs (run_len is the
+      // constant m) when two islands' m-th events share a microsecond
       val boundJoins =
         (if (headQ && spanAggs.nonEmpty)
            s"JOIN ${runsFor(0)} r0 ON r0.__k = p.__k " +
-             s"AND r0.run_end = p.ts_1 AND r0.run_len = p.len_1\n"
+             s"AND r0.run_end = p.ts_1 AND r0.run_len = p.len_1 " +
+             s"AND r0.run_start_id = p.rsid_1\n"
          else "") +
         (if (lastQ && spanAggs.nonEmpty)
            s"JOIN ${runsFor(np - 1)} rn ON rn.__k = p.__k " +
-             s"AND rn.run_end = p.ts_$np AND rn.run_len = p.len_$np\n"
+             s"AND rn.run_end = p.ts_$np AND rn.run_len = p.len_$np " +
+             s"AND rn.run_start_id = p.rsid_$np\n"
          else "")
       val (sTs, sId) =
         if (headQ) ("r0.run_start", "r0.run_start_id")
@@ -941,7 +969,8 @@ object CepSql {
         .filter(i => rbAlias(i) == s"rb$i")
       val boundRunJoins = boundSteps.map(i =>
         s"JOIN ${runsFor(i - 1)} rb$i ON rb$i.__k = p.__k " +
-          s"AND rb$i.run_end = p.ts_$i AND rb$i.run_len = p.len_$i")
+          s"AND rb$i.run_end = p.ts_$i AND rb$i.run_len = p.len_$i " +
+          s"AND rb$i.run_start_id = p.rsid_$i")
         .mkString("\n")
       def boundRowId(b: BoundRef): String =
         if (b.fn == "FIRST") s"${rbAlias(b.step)}.run_start_id"
@@ -979,9 +1008,10 @@ object CepSql {
         case MatchNum(a) =>
           // CAST: Spark's row_number is INT, DuckDB's BIGINT — emit
           // BIGINT so both engines (and the driver's schema check)
-          // agree. A quantified head has no id_1; runs are disjoint per
-          // key, so ts_1 (= run_end) alone orders the anchors.
-          val mnOrd = if (headQ) "ts_1" else "ts_1, id_1"
+          // agree. A quantified head has no id_1; rsid_1 (the run's
+          // start row id) breaks same-microsecond run_end ties so the
+          // numbering stays a strict total order (ADVICE r9).
+          val mnOrd = if (headQ) "ts_1, p.rsid_1" else "ts_1, id_1"
           s"CAST(row_number() OVER (PARTITION BY p.__k ORDER BY $mnOrd)" +
             s" AS BIGINT) AS ${bq(a)}"
       }
@@ -991,6 +1021,10 @@ object CepSql {
       val groupBy =
         if (spanAggs.isEmpty) ""
         else ("GROUP BY p.__k, " + cols(np) +
+          // rsid_1 is functionally dependent on the match (one island
+          // per anchor) so it never splits a group — it rides along so
+          // the post-group match_number window can tie-break on it
+          (if (headQ) ", p.rsid_1" else "") +
           (if (refCols.isEmpty) "" else refCols.mkString(", ", ", ", "")))
       s"""SELECT p.__k AS $k, ${cols(np)}, ${ms.map(sel).mkString(", ")}
          |FROM $prefix p

@@ -326,6 +326,24 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("multimodal: hammingPairs full-width chunk mask at bits=64, " +
+      "maxDist=0 (ADVICE r9)") {
+    // the pre-r9 mask clamped the single-chunk width to 63 bits, so two
+    // hashes differing ONLY in bit 63 still chunk-collided (harmless for
+    // correctness via the exact bit_count filter, but wrong blocking).
+    // Full-width -1L mask: bit-63-only difference must not pair at
+    // maxDist=0, exact duplicates must.
+    import spark.implicits._
+    val hs = Seq(
+      (1L, 0x8000000000000000L), // bit 63 set
+      (2L, 0x0000000000000000L), // differs from 1 only in bit 63
+      (3L, 0x8000000000000000L)  // exact dup of 1
+    ).toDF("media_id", "dhash")
+    val got = Multimodal.hammingPairs(hs, bits = 64, maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 3L)))
+  }
+
   test("multimodal: resizeImages scales the long edge, round-trips decode") {
     def png(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,

@@ -865,6 +865,42 @@ class CepSqlSpec extends SparkSpec {
         "PARTITION BY k MEASURES a.value"))
   }
 
+  test("reluctant islands with same-microsecond run_end stay distinct " +
+      "in MEASURES (ADVICE r9)") {
+    // two lazy a{2,}? islands of ONE key whose m-th (=2nd) events share
+    // a microsecond: pre-r9 the island re-join keyed on (run_end,
+    // run_len) — run_len is the constant m for reluctant runs, so the
+    // two islands cross-joined (inflated span sums) AND the (__k, ts_1)
+    // anchor collapsed them to one match. run_start_id identity keeps
+    // them distinct and numbers them deterministically.
+    import java.sql.Timestamp
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2026-01-01 00:00:00", 1L, "a", 1.0),
+      (2L, "2026-01-01 00:00:01", 1L, "a", 2.0),  // island 1 ends here
+      (3L, "2026-01-01 00:00:01", 1L, "x", 0.0),  // breaks the run
+      (4L, "2026-01-01 00:00:01", 1L, "a", 4.0),  // island 2 starts
+      (5L, "2026-01-01 00:00:01", 1L, "a", 8.0),  // island 2 ends — SAME
+                                                  // microsecond as id=2
+      (6L, "2026-01-01 00:04:00", 1L, "b", 16.0)) // completes both
+    rows.map { case (id, ts, u, ty, v) =>
+      (id, Timestamp.valueOf(ts), u, ty, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .createOrReplaceTempView("ev_tie")
+    val got = CepSql.sql(spark,
+      """SELECT * FROM ev_tie
+         MATCH PATTERN (a{2,}? THEN b WITHIN '5' MINUTES)
+         PARTITION BY user_id
+         MEASURES SUM(value) AS sv, MATCH_NUMBER() AS mn""")
+      .select("len_1", "ts_1", "sv", "mn").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3))).sortBy(_._3)
+    // island 1 spans ids 1..6 (sum 31), island 2 spans ids 4..6
+    // (sum 28); numbering ties on ts_1 break by run start id
+    assert(got.toSeq === Seq((2L, 31.0, 1L), (2L, 28.0, 2L)),
+      s"got: ${got.toSeq}")
+    spark.catalog.dropTempView("ev_tie")
+  }
+
   test("custom ts/type/id columns: STRING ids survive every r7 form") {
     import java.sql.Timestamp
     import spark.implicits._
