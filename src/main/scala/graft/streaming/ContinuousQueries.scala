@@ -186,15 +186,14 @@ object ContinuousQueries {
         spec.measures.foreach {
           case _: CepSql.SpanAgg => ()
           case b: CepSql.BoundRef =>
-            // FIRST/LAST boundary refs stream since r8 — numeric
-            // converter columns only (the vals vector is Double; a ts
-            // boundary needs the batch rewrite's runs re-join)
-            if (!Set("value", "event_id", "user_id")(
+            // FIRST/LAST boundary refs stream since r8; ts since r9
+            // (micros ride the Double slot exactly, cast back below)
+            if (!Set("value", "event_id", "user_id", "ts")(
                 b.col.toLowerCase(java.util.Locale.ROOT)))
               throw new IllegalArgumentException(
-                "streaming FIRST/LAST boundary refs read numeric " +
-                  "converter columns only (value/event_id/user_id) — " +
-                  "ts boundaries via the batch rewrite CepSql.sql")
+                "streaming FIRST/LAST boundary refs read the converter " +
+                  "schema's value/event_id/user_id/ts columns — other " +
+                  "columns via the batch rewrite CepSql.sql")
           case _ => throw new IllegalArgumentException(
             "streaming measures on a quantified chain support span " +
               "aggregates and FIRST/LAST boundary refs only — run the " +
@@ -227,6 +226,12 @@ object ContinuousQueries {
             case CepSql.BoundRef(_, _, cc, _, _)
                 if intCols(cc.toLowerCase(java.util.Locale.ROOT)) =>
               c.cast("long")
+            case CepSql.BoundRef(_, _, cc, _, _)
+                if cc.equalsIgnoreCase("ts") =>
+              // the slot carries exact event micros — back to TIMESTAMP
+              // for batch schema parity (run_start/run_end columns)
+              org.apache.spark.sql.functions
+                .timestamp_micros(c.cast("long"))
             case _ => c
           }
           typed.as(m.alias)

@@ -426,13 +426,14 @@ object RunChainDetector {
     * emits with the PRE-fold accumulators, while the same closing event
     * folds forward when the chain continues (it lies between matched
     * rows). Span aggregates, COUNT, and (r8) FIRST/LAST boundary refs
-    * over numeric converter columns — the partial carries one boundary
-    * slot per measure, seeded at each candidate run's open and (LAST)
-    * refreshed per run event, so a failed run's stale slots are always
-    * overwritten by the accepted run. MATCH_NUMBER needs the
-    * held-release ordering discipline and class refs a single matched
-    * row; both stay batch-routed, as do ts boundaries (the vals vector
-    * is Double). Matches the batch span join exactly
+    * over numeric converter columns AND (r9) `ts` — the partial carries
+    * one boundary slot per measure, seeded at each candidate run's open
+    * and (LAST) refreshed per run event, so a failed run's stale slots
+    * are always overwritten by the accepted run; a ts boundary rides
+    * the slot as exact event micros and casts back to TIMESTAMP at
+    * emission. MATCH_NUMBER needs the held-release ordering discipline
+    * and class refs a single matched row; both stay batch-routed.
+    * Matches the batch span join exactly
     * on in-order replay (RunChainSpec law); out-of-order span events
     * inside the lateness bound still advance STEPS but cannot
     * retro-enter an already-accumulated span — batch is authoritative
@@ -467,14 +468,17 @@ object RunChainDetector {
           s"unsupported measure fn '$fn'")
         if (c != "*") PatternMatch.numColumn(c) // loud on non-numeric
       case CepSql.BoundRef(fn, _, c, st, _) =>
-        // boundary refs (r8): the partial carries the referenced run's
-        // boundary VALUES, one slot per measure — numeric converter
-        // columns only (ts boundaries stay batch-routed: the streaming
-        // vals vector is Double)
+        // boundary refs (r8; ts since r9): the partial carries the
+        // referenced run's boundary VALUES, one slot per measure. A ts
+        // boundary rides the same Double slot as event MICROS — exact
+        // (2026-era micros ≈ 1.8e15 < 2^53) — and casts back to
+        // TIMESTAMP at emission (ContinuousQueries), so the batch
+        // rewrite's run_start/run_end columns stream bit-identically.
         require(Set("FIRST", "LAST")(fn), s"unsupported boundary fn '$fn'")
         require(st >= 1 && st <= steps.length && steps(st - 1)._2.isDefined,
           s"FIRST/LAST reference step $st, which is not quantified")
-        PatternMatch.numColumn(c) // loud on non-numeric (incl. ts)
+        if (!c.equalsIgnoreCase("ts"))
+          PatternMatch.numColumn(c) // loud on non-numeric
       case m => throw new IllegalArgumentException(
         s"streaming quantified-chain measures support span aggregates " +
           s"and FIRST/LAST boundary refs only — got '$m'; run the " +
@@ -482,7 +486,11 @@ object RunChainDetector {
     }
     val bndRefs: Seq[(CepSql.BoundRef, Int, CepEvent => Double)] =
       measures.zipWithIndex.collect {
-        case (b: CepSql.BoundRef, j) => (b, j, PatternMatch.numColumn(b.col))
+        case (b: CepSql.BoundRef, j) =>
+          val get: CepEvent => Double =
+            if (b.col.equalsIgnoreCase("ts")) e => us(e.ts).toDouble
+            else PatternMatch.numColumn(b.col)
+          (b, j, get)
       }
     val bndZero: Seq[Double] = measures.map(_ => 0.0)
     val aggCols = measures.collect {

@@ -277,7 +277,9 @@ class RecoverySpec extends SparkSpec {
             ((e: CepEvent) => e.event_type == "purchase", None)),
           2L * 3600 * 1000, Seq(None, None),
           Seq(CepSql.SpanAgg("SUM", "value", "sv"),
-            CepSql.SpanAgg("COUNT", "*", "cn")))
+            CepSql.SpanAgg("COUNT", "*", "cn"),
+            // ts boundary slot (r9): micros must survive the restart too
+            CepSql.BoundRef("LAST", "click", "ts", 1, "t1")))
         .writeStream.format("parquet")
         .option("path", outDir.getAbsolutePath)
         .option("checkpointLocation", ckpt.getAbsolutePath)
@@ -301,23 +303,28 @@ class RecoverySpec extends SparkSpec {
     val got = spark.read.parquet(outDir.getAbsolutePath).collect()
       .map { r =>
         val v = r.getSeq[Double](5)
-        (r.getLong(0), r.getSeq[Long](1).toList) -> ((v(0), v(1).toLong))
+        (r.getLong(0), r.getSeq[Long](1).toList) ->
+          ((v(0), v(1).toLong, v(2).toLong))
       }.toMap
     Tables.load(spark, sf)
     val batchRows = CepSql.sql(spark,
       """SELECT * FROM events
          MATCH PATTERN (click{2,} THEN purchase WITHIN '2' HOURS)
          PARTITION BY user_id
-         MEASURES SUM(value) AS sv, COUNT(*) AS cn""").collect()
+         MEASURES SUM(value) AS sv, COUNT(*) AS cn,
+           LAST(click.ts) AS t1""").collect()
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
     val want = batchRows.map { r =>
       (r.getLong(0), List(r.getLong(1), r.getLong(2))) ->
-        ((r.getDouble(5), r.getLong(6)))
+        ((r.getDouble(5), r.getLong(6), usOf(r.getTimestamp(7))))
     }.toMap
     assert(want.nonEmpty)
     assert(got.keySet === want.keySet, "match sets differ across restart")
-    want.foreach { case (k, (sv, cn)) =>
+    want.foreach { case (k, (sv, cn, t1)) =>
       assert(got(k)._2 === cn, s"count@$k")
       assert(math.abs(got(k)._1 - sv) < 1e-6, s"sum@$k")
+      assert(got(k)._3 === t1, s"ts boundary micros@$k")
     }
   }
 

@@ -561,6 +561,63 @@ class RunChainSpec extends SparkSpec {
     }
   }
 
+  test("timestamp boundary refs stream: replay == batch run_start/" +
+      "run_end (r9)") {
+    // FIRST(click.ts) / LAST(click.ts) ride the Double slot as exact
+    // event micros (2026-era micros < 2^53) — replay must equal the
+    // batch rewrite's run_start / run_end columns micro-for-micro
+    Tables.load(spark, sf)
+    val pattern =
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click{2,} THEN purchase
+         WITHIN '48' HOURS)
+         PARTITION BY user_id
+         MEASURES FIRST(click.ts) AS t0, LAST(click.ts) AS t1,
+           COUNT(*) AS cn"""
+    val batchRows = CepSql.sql(spark, pattern).collect()
+    assert(batchRows.nonEmpty)
+    def usOf(t: Timestamp): Long = t.getTime / 1000 * 1000000L +
+      t.getNanos / 1000
+    // batch cols: user_id, id_1, len_2, id_3, ts_1..ts_3, t0, t1, cn
+    val batch = batchRows.map { r =>
+      (r.getLong(0), Seq(r.getLong(1), r.getLong(2), r.getLong(3))) ->
+        ((usOf(r.getTimestamp(7)), usOf(r.getTimestamp(8)), r.getLong(9)))
+    }.toMap
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"runchain_tsb_${System.nanoTime}"
+    val q = RunChainDetector.detectMeasures(stream.toDS(),
+        Seq(((e: CepEvent) => e.event_type == "signup", None),
+          ((e: CepEvent) => e.event_type == "click", Some(2)),
+          ((e: CepEvent) => e.event_type == "purchase", None)),
+        48L * 3600 * 1000, Seq(None, None, None),
+        Seq(CepSql.BoundRef("FIRST", "click", "ts", 2, "t0"),
+          CepSql.BoundRef("LAST", "click", "ts", 2, "t1"),
+          CepSql.SpanAgg("COUNT", "*", "cn")))
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    val flush = data.map(_.user_id).distinct.zipWithIndex.map {
+      case (u, i) => CepEvent(-2000L - i,
+        Timestamp.valueOf("2031-01-01 00:00:00"), u, "zz_flush", 0.0)
+    }
+    stream.addData(flush.toSeq); q.processAllAvailable(); q.stop()
+    val got = spark.table(name).collect().map { r =>
+      val v = r.getSeq[Double](5)
+      (r.getLong(0), r.getSeq[Long](1).toSeq) ->
+        ((v(0).toLong, v(1).toLong, v(2).toLong))
+    }.toMap
+    assert(got.keySet === batch.keySet)
+    batch.foreach { case (kk, (t0, t1, cn)) =>
+      assert(got(kk)._1 === t0, s"FIRST ts (run_start)@$kk")
+      assert(got(kk)._2 === t1, s"LAST ts (run_end)@$kk")
+      assert(got(kk)._3 === cn, s"span count@$kk")
+    }
+  }
+
   test("FIRST/LAST boundary refs stream: replay == batch runs re-join " +
       "(r8)") {
     // FIRST(click.value) + LAST(click.event_id): the partial's bnd

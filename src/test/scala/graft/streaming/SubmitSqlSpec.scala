@@ -274,16 +274,37 @@ class SubmitSqlSpec extends SparkSpec {
     }
     assert(eQM.getMessage.contains("span aggregates"))
     // ...FIRST/LAST boundary refs STREAM for numeric converter columns
-    // (r8, RunChainSpec pins replay == batch); a ts boundary stays
-    // batch-only — the vals vector is Double
-    val eBR = intercept[IllegalArgumentException] {
-      ContinuousQueries.submitPattern(spark,
-        """SELECT * FROM pat_events2
-           MATCH PATTERN (a{2,} THEN b WITHIN '5' MINUTES)
-           PARTITION BY user_id
-           MEASURES FIRST(a.ts) AS t0""", "svc_br")
+    // (r8) AND ts (r9): micros ride the Double slot exactly and cast
+    // back to TIMESTAMP at emission — FIRST(click.ts) is the run's
+    // start, LAST(click.ts) its maximal end, both as typed timestamps
+    val streamBR = MemoryStream[CepEvent]
+    streamBR.toDF().createOrReplaceTempView("pat_tsbnd")
+    val qBR = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_tsbnd
+         MATCH PATTERN (click{2,} THEN purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id
+         MEASURES FIRST(click.ts) AS t0, LAST(click.ts) AS t1""",
+      "svc_tsbnd")
+    try {
+      streamBR.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "click", 1),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:00:10"), 7, "click", 2),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:00:20"), 7, "click", 3),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 00:00:30"), 7, "x", 0),
+        CepEvent(5, Timestamp.valueOf("2026-01-01 00:00:40"), 7, "purchase",
+          9))
+      qBR.processAllAvailable()
+      val gotBR = spark.table("svc_tsbnd").select("t0", "t1").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1))).toSet
+      assert(gotBR === Set((Timestamp.valueOf("2026-01-01 00:00:00"),
+        Timestamp.valueOf("2026-01-01 00:00:20"))),
+        s"ts boundaries must emit as typed timestamps: $gotBR")
+      assert(spark.table("svc_tsbnd").schema("t0").dataType ===
+        org.apache.spark.sql.types.TimestampType)
+    } finally {
+      if (qBR.isActive) qBR.stop()
+      spark.catalog.dropTempView("pat_tsbnd")
     }
-    assert(eBR.getMessage.contains("numeric converter columns"))
     // ...reluctant quantifiers stream via the lazy run detector (r8):
     // a{2,}? completes at the 2nd consecutive a — the 3rd a of the same
     // island must NOT anchor a second lazy match (island consumption)
