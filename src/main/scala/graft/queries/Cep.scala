@@ -557,11 +557,12 @@ object Cep {
     // run's first event's value (an events join on run_start_id), its
     // last event's id (run_end_id directly), plus a COUNT span. All
     // joins are at match-set cardinality: the runs subquery re-join
-    // identifies each disjoint island by (run_end, run_len), never
-    // scanning event×event. Numeric-column boundary refs STREAM via
-    // RunChainDetector's per-measure boundary slots (replay ≡ batch
-    // pinned in RunChainSpec); ts boundaries stay batch-routed loudly
-    // (the streaming vals vector is Double).
+    // identifies each disjoint island by (__k, run_start_id) — a
+    // globally unique row id, exact even under same-microsecond
+    // run_end ties (r9) — never scanning event×event. Boundary refs
+    // STREAM via RunChainDetector's per-measure boundary slots (replay
+    // ≡ batch pinned in RunChainSpec), including ts boundaries since
+    // r9 (micros ride the Double slot exactly).
     "q_pattern_boundref" -> ((s, dir) => {
       graft.Tables.load(s, dir)
       graft.streaming.CepSql.sql(s,
@@ -570,6 +571,24 @@ object Cep {
            PARTITION BY user_id
            MEASURES FIRST(click.value) AS first_val,
              LAST(click.event_id) AS last_id, COUNT(*) AS span_n""")
+    }),
+
+    // EP1m'' — bare class ref into a QUANTIFIED run (r9):
+    // MATCH_RECOGNIZE running semantics — `click.value` over click{2,}
+    // reads the variable's LAST matched row (desugared at parse time to
+    // LAST(click.value); FIRST is spelled explicitly, exactly as in the
+    // standard). The pair below proves both ends of the run resolve:
+    // the bare ref = the run's final event's value, FIRST = its first.
+    // Same match-set-cardinality runs re-join as q_pattern_boundref;
+    // streams via the same boundary slots.
+    "q_pattern_qref" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * FROM events
+           MATCH PATTERN (click{2,} THEN purchase WITHIN '2' HOURS)
+           PARTITION BY user_id
+           MEASURES click.value AS last_val,
+             FIRST(click.value) AS first_val, COUNT(*) AS span_n""")
     }),
 
     // EP1k — PERMUTE from SQL TEXT (r7): the order-free pair. Every
@@ -967,6 +986,49 @@ object Cep {
          SELECT mm.user_id, mm.run_len AS len_1, mm.id_2,
            mm.run_end AS ts_1, mm.ts_2, mm.first_val,
            mm.run_end_id AS last_id, count(*) AS span_n
+         FROM mm JOIN events e
+           ON e.user_id = mm.user_id
+          AND (e.ts > mm.run_start
+               OR (e.ts = mm.run_start
+                   AND e.event_id >= mm.run_start_id))
+          AND (e.ts < mm.ts_2
+               OR (e.ts = mm.ts_2 AND e.event_id <= mm.id_2))
+         GROUP BY 1, 2, 3, 4, 5, 6, 7
+         ORDER BY mm.user_id, ts_1""",
+    "q_pattern_qref" ->
+      """WITH o AS (
+           SELECT user_id, event_type, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+           FROM events),
+         runs AS (
+           SELECT user_id, grp, count(*) AS run_len,
+             min(ts) AS run_start, max(ts) AS run_end,
+             min(CASE WHEN rn_a = 1 THEN event_id END) AS run_start_id,
+             min(CASE WHEN rn_a = 1 THEN value END) AS first_val,
+             min(CASE WHEN rn_d = 1 THEN value END) AS last_val
+           FROM (
+             SELECT *,
+               row_number() OVER (PARTITION BY user_id, grp
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY user_id, grp
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+             FROM o WHERE event_type = 'click') q
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         m AS (
+           SELECT r.*, b.event_id AS id_2, b.ts AS ts_2,
+             row_number() OVER (PARTITION BY r.user_id, r.run_end
+                                ORDER BY b.ts, b.event_id) AS rn
+           FROM runs r JOIN events b
+             ON b.user_id = r.user_id AND b.event_type = 'purchase'
+            AND b.ts > r.run_end
+            AND b.ts <= r.run_end + INTERVAL 2 HOUR),
+         mm AS (SELECT * FROM m WHERE rn = 1)
+         SELECT mm.user_id, mm.run_len AS len_1, mm.id_2,
+           mm.run_end AS ts_1, mm.ts_2, mm.last_val, mm.first_val,
+           count(*) AS span_n
          FROM mm JOIN events e
            ON e.user_id = mm.user_id
           AND (e.ts > mm.run_start

@@ -493,7 +493,16 @@ object CepSql {
           SpanAgg(fn, mm.group(2), alias)
         } else if (mm.group(3) != null) {
           val ev = mm.group(3)
-          ClassRef(ev, mm.group(4), resolveStep(ev), alias)
+          val step = resolveStep(ev)
+          if (steps(step - 1).minTimes.isDefined)
+            // a bare ref to a QUANTIFIED variable (r9): MATCH_RECOGNIZE
+            // running semantics read the variable's LAST matched row —
+            // desugared to the run-boundary ref, so `click.value` over
+            // click{2,} is LAST(click.value), the run's final event
+            // (its m-th for a reluctant run). FIRST is spelled
+            // explicitly, exactly as in the standard.
+            BoundRef("LAST", ev, mm.group(4), step, alias)
+          else ClassRef(ev, mm.group(4), step, alias)
         } else if (mm.group(6) != null) {
           // FIRST/LAST(ev.col) (r8): run boundary-row reference
           val ev = mm.group(7)
@@ -512,15 +521,9 @@ object CepSql {
         malformed("MEASURES is defined for sequence chains — no " +
           "NOT, optional steps, or SKIP PAST LAST ROW")
       // quantified steps compose with span aggregates / COUNT /
-      // MATCH_NUMBER since r8; a class reference needs a single matched
-      // row, which a run does not have
-      measures.foreach {
-        case ClassRef(ev, _, step, _)
-            if steps(step - 1).minTimes.isDefined =>
-          malformed(s"measure references '$ev', a quantified step — " +
-            "a run has no single matched row to reference")
-        case _ => ()
-      }
+      // MATCH_NUMBER since r8 and bare class refs since r9 (desugared
+      // to LAST run-boundary refs above — no ClassRef ever reaches the
+      // rewrite with a quantified step)
       val aliases = measures.map(_.alias.toLowerCase(java.util.Locale.ROOT))
       if (aliases.distinct.length != aliases.length)
         malformed(s"duplicate measure aliases: ${aliases.mkString(", ")}")

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+
+/** Streaming twins of the batch time-series keys (r9): LOCF gap-fill
+  * (`q_gap_fill`) and daily time-weighted average (`q_twap`) as per-key
+  * FORWARD-CARRY state machines — the discipline
+  * [[graft.operators.TemporalJoins]]' forward-carry as-of join proves
+  * batch-side: a value holds until the key's next event, so the only
+  * state is the last observation (plus the open bucket's accumulator),
+  * O(1) per key regardless of history.
+  *
+  * Both operators emit a bucket when a LATER-bucket event of the same
+  * key arrives (the bucket is then provably closed); replaying the
+  * events table in (ts, id) order reproduces the oracle-checked batch
+  * keys exactly (StreamingTwinSpec law), with a far-future flush event
+  * per key closing the final buckets. Out-of-order events WITHIN a
+  * micro-batch are re-sorted; events arriving after their bucket closed
+  * are dropped (batch is authoritative for retro data — the same
+  * documented contract as the CEP detectors). */
+object TimeSeriesOps {
+  private def us(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+  private def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+  private val DayUs = 86400000000L
+  private val HourUs = 3600000000L
+
+  case class TwapRow(user_id: Long, day: Date, n_events: Long,
+      twap: Double)
+  case class TwapState(day: Long, lastTs: Long, lastVal: Double,
+      sumVD: Double, sumD: Long, n: Long)
+
+  /** Daily TWAP per user: each event's value holds until the user's
+    * next event, capped at the UTC day boundary — weights are exact
+    * integer microseconds, only the final quotient rounds (4 dp), the
+    * exact `q_twap` arithmetic. A day emits when a later-day event (or
+    * the flush) proves it closed: the last value's segment runs to the
+    * day end. */
+  def twapDaily(events: Dataset[CepEvent]): Dataset[TwapRow] = {
+    implicit val rowEnc = Encoders.product[TwapRow]
+    implicit val stEnc = Encoders.product[TwapState]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TwapState, TwapRow](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[CepEvent],
+            state: GroupState[TwapState]) =>
+          var st = state.getOption.orNull
+          val out = List.newBuilder[TwapRow]
+          def close(s: TwapState): TwapRow = {
+            val d = (s.day + 1) * DayUs - s.lastTs
+            TwapRow(user,
+              Date.valueOf(java.time.LocalDate.ofEpochDay(s.day)), s.n,
+              r4((s.sumVD + s.lastVal * d) / (s.sumD + d)))
+          }
+          it.toArray.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val t = us(e.ts)
+            val d = Math.floorDiv(t, DayUs)
+            if (st == null) st = TwapState(d, t, e.value, 0.0, 0L, 1L)
+            else if (d == st.day) {
+              val dur = t - st.lastTs
+              st = TwapState(d, t, e.value,
+                st.sumVD + st.lastVal * dur, st.sumD + dur, st.n + 1)
+            } else if (d > st.day) {
+              out += close(st)
+              st = TwapState(d, t, e.value, 0.0, 0L, 1L)
+            } // d < st.day: retro event into a closed day — dropped
+          }
+          if (st == null) state.remove() else state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class LocfRow(event_type: String, h: Timestamp, filled: Double,
+      is_observed: Boolean)
+  case class LocfState(hour: Long, sum: Double, cnt: Long)
+
+  /** Hourly LOCF fill per event type: the hourly average (4-dp, the
+    * exact `q_gap_fill` rounding) for observed hours, the LAST observed
+    * average carried forward for interior gap hours. An hour emits —
+    * followed by its trailing gap rows — when a later-hour event of the
+    * type arrives. Domain note: the batch key fills a GLOBAL
+    * [min, max]-hour spine for every type; the stream fills from each
+    * type's first observation onward (it cannot know the global lo
+    * before seeing it) — the twin law compares on that common domain,
+    * and a flush at (global hi + 1 h) extends every type's carry to the
+    * spine's end. */
+  def locfHourly(events: Dataset[CepEvent]): Dataset[LocfRow] = {
+    implicit val rowEnc = Encoders.product[LocfRow]
+    implicit val stEnc = Encoders.product[LocfState]
+    implicit val keyEnc = Encoders.STRING
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[LocfState, LocfRow](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (ty: String, it: Iterator[CepEvent],
+            state: GroupState[LocfState]) =>
+          var st = state.getOption.orNull
+          val out = List.newBuilder[LocfRow]
+          def tsOf(h: Long) = new Timestamp(h / 1000L)
+          it.toArray.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val h = Math.floorDiv(us(e.ts), HourUs) * HourUs
+            if (st == null) st = LocfState(h, e.value, 1L)
+            else if (h == st.hour)
+              st = LocfState(h, st.sum + e.value, st.cnt + 1)
+            else if (h > st.hour) {
+              val obs = r4(st.sum / st.cnt)
+              out += LocfRow(ty, tsOf(st.hour), obs, is_observed = true)
+              var g = st.hour + HourUs
+              while (g < h) {
+                out += LocfRow(ty, tsOf(g), obs, is_observed = false)
+                g += HourUs
+              }
+              st = LocfState(h, e.value, 1L)
+            } // h < st.hour: retro event into a closed hour — dropped
+          }
+          if (st == null) state.remove() else state.update(st)
+          out.result().iterator
+      }
+  }
+}

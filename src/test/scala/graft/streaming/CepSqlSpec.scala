@@ -691,13 +691,14 @@ class CepSqlSpec extends SparkSpec {
       assert(maxs(sid) === mx, s"max@$sid")
       assert(math.abs(avgs(sid) - av) < 1e-9, s"avg@$sid")
     }
-    // measures reject NOT/optional/skip-past chains, class refs into a
-    // run (r8 — quantified chains themselves now parse), and SUM(*)
+    // measures reject NOT/optional/skip-past chains and SUM(*). (A
+    // class ref into a quantified run — a{2,} … MEASURES a.value —
+    // stopped being malformed in r9: it desugars to LAST(a.value) per
+    // MATCH_RECOGNIZE running semantics, pinned by the desugar test and
+    // oracle-gated as q_pattern_qref.)
     Seq(
       "MATCH PATTERN (a THEN NOT b WITHIN '5' MINUTES) PARTITION BY k " +
         "MEASURES COUNT(*)",
-      "MATCH PATTERN (a{2,} THEN b WITHIN '5' MINUTES) PARTITION BY k " +
-        "MEASURES a.value",
       "MATCH PATTERN (a THEN b? THEN c WITHIN '5' MINUTES) PARTITION " +
         "BY k MEASURES COUNT(*)",
       "MATCH PATTERN (a THEN b WITHIN '5' MINUTES) PARTITION BY k " +
@@ -899,6 +900,46 @@ class CepSqlSpec extends SparkSpec {
     assert(got.toSeq === Seq((2L, 31.0, 1L), (2L, 28.0, 2L)),
       s"got: ${got.toSeq}")
     spark.catalog.dropTempView("ev_tie")
+  }
+
+  test("bare class ref into a quantified run desugars to LAST " +
+      "(MATCH_RECOGNIZE running semantics, r9)") {
+    val spec = CepSql.parsePattern(
+      """SELECT * FROM t
+         MATCH PATTERN (a{2,} THEN b WITHIN '5' MINUTES)
+         PARTITION BY k
+         MEASURES a.value AS av, b.value AS bv""")
+    assert(spec.measures === Seq(
+      CepSql.BoundRef("LAST", "a", "value", 1, "av"),
+      CepSql.ClassRef("b", "value", 2, "bv")),
+      "quantified ref must become LAST; unquantified stays a class ref")
+    // and it streams: the desugared BoundRef rides the boundary slots
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    stream.toDF().createOrReplaceTempView("pat_qref")
+    val q = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_qref
+         MATCH PATTERN (a{2,} THEN b WITHIN '5' MINUTES)
+         PARTITION BY k
+         MEASURES a.value AS av""".replace("PARTITION BY k",
+        "PARTITION BY user_id"), "svc_qref")
+    try {
+      stream.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 1, "a", 10),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:00:10"), 1, "a", 20),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:00:20"), 1, "x", 0),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 00:00:30"), 1, "b", 5))
+      q.processAllAvailable()
+      val got = spark.table("svc_qref").select("av").collect()
+        .map(_.getDouble(0)).toSeq
+      assert(got === Seq(20.0), "bare a.value = the run's LAST event")
+    } finally {
+      if (q.isActive) q.stop()
+      spark.catalog.dropTempView("pat_qref")
+    }
   }
 
   test("custom ts/type/id columns: STRING ids survive every r7 form") {

@@ -99,6 +99,83 @@ class StreamingTwinSpec extends SparkSpec {
       s"${mismatches.size} rounded scores diverge, e.g. ${mismatches.take(3)}")
   }
 
+  test("daily TWAP: streaming forward-carry state == batch lead key " +
+      "(r9)") {
+    // the batch key computes holding times via lead(); the stream
+    // carries only the last observation per (user, open day) and closes
+    // a day when a later-day event proves it ended — replay must agree
+    // on every rounded TWAP and event count
+    val batch = graft.SparkEntry.queries("q_twap")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"twin_twap_${System.nanoTime}"
+    val q = TimeSeriesOps.twapDaily(stream.toDS())
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    val flush = data.map(_.user_id).distinct.zipWithIndex.map {
+      case (u, i) => CepEvent(-3000L - i,
+        Timestamp.valueOf("2031-01-01 00:00:00"), u, "zz_flush", 0.0)
+    }
+    stream.addData(flush.toSeq); q.processAllAvailable(); q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === batch.keySet, "day sets differ")
+    val diffs = batch.collect {
+      case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty, s"${diffs.size} diverge, e.g. ${diffs.take(3)}")
+  }
+
+  test("LOCF gap-fill: streaming carry == batch spine on the observed " +
+      "domain (r9)") {
+    // the batch key fills a GLOBAL hour spine per type; the stream
+    // fills from each type's first observation, carrying the last
+    // observed hourly average across interior gaps — equal row for row
+    // on that domain, with a flush at (global hi + 1h) extending every
+    // carry to the spine's end
+    val batchRows = graft.SparkEntry.queries("q_gap_fill")(spark, sf)
+      .collect()
+    val firstObs = batchRows.filter(_.getBoolean(3))
+      .groupBy(_.getString(0))
+      .map { case (ty, rs) => ty -> rs.map(_.getTimestamp(1).getTime).min }
+    val want = batchRows
+      .filter(r => firstObs.get(r.getString(0))
+        .exists(r.getTimestamp(1).getTime >= _))
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    val hiMs = batchRows.map(_.getTimestamp(1).getTime).max
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"twin_locf_${System.nanoTime}"
+    val q = TimeSeriesOps.locfHourly(stream.toDS())
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    val flush = data.map(_.event_type).distinct.zipWithIndex.map {
+      case (ty, i) => CepEvent(-4000L - i,
+        new Timestamp(hiMs + 3600L * 1000), 0L, ty, 0.0)
+    }
+    stream.addData(flush.toSeq); q.processAllAvailable(); q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got.keySet === want.keySet, "hour domains differ")
+    val diffs = want.collect {
+      case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty, s"${diffs.size} diverge, e.g. ${diffs.take(3)}")
+    assert(want.nonEmpty && want.exists(!_._2._2),
+      "fixture must contain interior gap hours")
+  }
+
   test("streaming dedup == batch distinct") {
     val batch = StreamOps.dedup(eventsDf, Seq("user_id", "event_type"))
     val stream = streamed(StreamOps.dedup(_, Seq("user_id", "event_type")),
