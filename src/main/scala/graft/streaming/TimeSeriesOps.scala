@@ -75,6 +75,73 @@ object TimeSeriesOps {
       }
   }
 
+  case class EwmaRow(user_id: Long, ts: Timestamp, event_id: Long,
+      ewma: Double)
+  case class EwmaState(ring: Seq[Double])
+
+  /** Per-user EWMA over the last 16 observations (the exact `q_ewma`
+    * kernel: weights 0.75^k, k = 0 newest, numerator and denominator
+    * folded in ascending-k order so the float sums are bit-identical to
+    * the batch 16-lag window fold). State = a ≤16-value ring — O(1) per
+    * key, the [[RollingStats]] discipline. */
+  def ewma(events: Dataset[CepEvent]): Dataset[EwmaRow] = {
+    implicit val rowEnc = Encoders.product[EwmaRow]
+    implicit val stEnc = Encoders.product[EwmaState]
+    implicit val keyEnc = Encoders.scalaLong
+    val wts = (0 to 15).map(k => math.pow(0.75, k))
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaRow](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[CepEvent],
+            state: GroupState[EwmaState]) =>
+          var ring = state.getOption.map(_.ring).getOrElse(Nil)
+          val out = List.newBuilder[EwmaRow]
+          it.toArray.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            ring = (e.value +: ring).take(16)
+            // the batch fold adds a 0.0 term for each missing lag —
+            // replicate term for term so the sum order is identical
+            val num = (0 to 15).foldLeft(0.0)((a, k) =>
+              a + (if (k < ring.length) ring(k) * wts(k) else 0.0))
+            val den = (0 to 15).foldLeft(0.0)((a, k) =>
+              a + (if (k < ring.length) wts(k) else 0.0))
+            out += EwmaRow(user, e.ts, e.event_id, r4(num / den))
+          }
+          if (ring.isEmpty) state.remove()
+          else state.update(EwmaState(ring))
+          out.result().iterator
+      }
+  }
+
+  case class TransRow(user_id: Long, e1: String, e2: String)
+  case class TransState(lastType: String)
+
+  /** Per-user consecutive-event transitions (the stateful half of
+    * `q_markov_trans`): carries only the user's last event type and
+    * emits one (e1, e2) pair per consecutive pair in (ts, id) order.
+    * The transition MATRIX (counts + row-normalized probabilities) is a
+    * plain aggregation of these pairs — identical math on either
+    * engine, so the twin law pins the pair multiset. */
+  def transitions(events: Dataset[CepEvent]): Dataset[TransRow] = {
+    implicit val rowEnc = Encoders.product[TransRow]
+    implicit val stEnc = Encoders.product[TransState]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransRow](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[CepEvent],
+            state: GroupState[TransState]) =>
+          var last = state.getOption.map(_.lastType).orNull
+          val out = List.newBuilder[TransRow]
+          it.toArray.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            if (last != null) out += TransRow(user, last, e.event_type)
+            last = e.event_type
+          }
+          if (last == null) state.remove()
+          else state.update(TransState(last))
+          out.result().iterator
+      }
+  }
+
   case class LocfRow(event_type: String, h: Timestamp, filled: Double,
       is_observed: Boolean)
   case class LocfState(hour: Long, sum: Double, cnt: Long)

@@ -176,6 +176,61 @@ class StreamingTwinSpec extends SparkSpec {
       "fixture must contain interior gap hours")
   }
 
+  test("EWMA: streaming 16-value ring == batch 16-lag window fold (r9)") {
+    val batch = graft.SparkEntry.queries("q_ewma")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"twin_ewma_${System.nanoTime}"
+    val q = TimeSeriesOps.ewma(stream.toDS())
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(got.keySet === batch.keySet)
+    val diffs = batch.collect {
+      case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty,
+      s"${diffs.size} rounded EWMAs diverge, e.g. ${diffs.take(3)}")
+  }
+
+  test("Markov transitions: streaming last-type carry == batch lead " +
+      "pairs (r9)") {
+    // the stateful half (per-user lead) streams; the matrix is a plain
+    // agg of the pairs — aggregate both sides identically and compare
+    // counts AND row-normalized probabilities against the oracle key
+    val batch = graft.SparkEntry.queries("q_markov_trans")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"twin_mkv_${System.nanoTime}"
+    val q = TimeSeriesOps.transitions(stream.toDS())
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val pairs = spark.table(name).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val cnts = pairs.groupBy(identity).view.mapValues(_.length.toLong)
+    val rowTot = pairs.groupBy(_._1).view.mapValues(_.length.toLong)
+    val got = cnts.map { case (k, c) =>
+      k -> ((c, c.toDouble / rowTot(k._1))) }.toMap
+    assert(got.keySet === batch.keySet)
+    val diffs = batch.collect {
+      case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty, s"${diffs.size} cells diverge: ${diffs.take(3)}")
+  }
+
   test("streaming dedup == batch distinct") {
     val batch = StreamOps.dedup(eventsDf, Seq("user_id", "event_type"))
     val stream = streamed(StreamOps.dedup(_, Seq("user_id", "event_type")),
