@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed exact global ranking — ntile/rank over a TOTAL order
   * without the single-partition `Window.orderBy(...)` a naive
@@ -40,11 +39,13 @@ object Ranking {
     require(buckets > 0, "ntile bucket count must be positive")
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    val ranged = df
+    // graft.Caching (not a bare persist): Verify/Bench release tracked
+    // entries between queries, and a re-build of the same plan composes
+    // against the live cache entry instead of re-persisting
+    val ranged = graft.Caching.cache(df
       .repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
-      .withColumn("__mid", monotonically_increasing_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn("__mid", monotonically_increasing_id()))
     // mid = (partitionId << 33) | localIdx, localIdx in physical order —
     // which IS the global order inside each contiguous range.
     val pid = shiftright(col("__mid"), 33).cast("int")

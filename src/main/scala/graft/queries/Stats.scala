@@ -103,10 +103,65 @@ object Stats {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .orderBy("o_custkey", "rk")
+    }),
+
+    // Robust per-user anomaly flags via MAD (r9): median absolute
+    // deviation — the outlier screen that survives the heavy tails
+    // z-scores choke on. Two exact-percentile aggregations (median of
+    // values, then median of deviations — inherently two passes) + two
+    // equi joins, ALL keyed on user_id so the three shuffles share one
+    // partitioning at scale. The fround discipline makes every boundary
+    // decision cross-engine exact: med and mad round at 4 dp before any
+    // downstream use, the deviation rounds before the score, the score
+    // rounds before the > 3 cut, and a zero MAD (a majority-constant
+    // user) degenerates to "any deviation is an outlier" with a NULL
+    // score — both engines agree on the CASE.
+    "q_mad_outlier" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+        .select("user_id", "event_id", "value")
+      val med = e.groupBy("user_id")
+        .agg(fround(expr("percentile(value, 0.5)"), 4).as("med"))
+      val dev = e.join(med, "user_id")
+        .withColumn("dev", fround(abs(col("value") - col("med")), 4))
+      val mad = dev.groupBy("user_id")
+        .agg(fround(expr("percentile(dev, 0.5)"), 4).as("mad"))
+      dev.join(mad, "user_id")
+        .withColumn("score",
+          when(col("mad") === 0.0, lit(null).cast("double"))
+            .otherwise(fround(col("dev") / (lit(1.4826) * col("mad")), 4)))
+        .withColumn("is_outlier",
+          when(col("mad") === 0.0, col("dev") > 0.0)
+            .otherwise(col("score") > 3.0))
+        .select("user_id", "event_id", "value", "med", "mad", "score",
+          "is_outlier")
+        .orderBy("user_id", "event_id")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mad_outlier" ->
+      """WITH med AS (
+           SELECT user_id,
+             floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000
+               AS med
+           FROM events GROUP BY 1),
+         d AS (
+           SELECT e.user_id, e.event_id, e.value, m.med,
+             floor(abs(e.value - m.med) * 10000 + 0.5) / 10000 AS dev
+           FROM events e JOIN med m USING (user_id)),
+         mad AS (
+           SELECT user_id,
+             floor(quantile_cont(dev, 0.5) * 10000 + 0.5) / 10000 AS mad
+           FROM d GROUP BY 1)
+         SELECT d.user_id, d.event_id, d.value, d.med, mad.mad,
+           CASE WHEN mad.mad = 0 THEN NULL
+                ELSE floor(d.dev / (1.4826 * mad.mad) * 10000 + 0.5)
+                     / 10000 END AS score,
+           CASE WHEN mad.mad = 0 THEN d.dev > 0
+                ELSE floor(d.dev / (1.4826 * mad.mad) * 10000 + 0.5)
+                     / 10000 > 3 END AS is_outlier
+         FROM d JOIN mad USING (user_id)
+         ORDER BY d.user_id, d.event_id""",
     "q_topk_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
