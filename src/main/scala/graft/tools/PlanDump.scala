@@ -14,7 +14,9 @@ object PlanDump {
     val keys = Seq("q_window_tumbling", "q_join_broadcast", "q_topk",
       "q_agg_groupby", "q_cosine_topk", "q_minhash_band", "q_join_asof",
       "q_join_bloom", "q_topk_group", "q_join_theta", "q_pattern_chain",
-      "q_join_overlap", "q_simhash_pairs", "q_sliding_distinct")
+      "q_join_overlap", "q_simhash_pairs", "q_sliding_distinct",
+      // r9 rewrites: window-free RFM quartiles; subclustered SemDeDup
+      "q_rfm", "q_semdedup", "q_join_6way", "q_mad_outlier")
     keys.foreach { k =>
       val df = graft.SparkEntry.queries(k)(spark, dir)
       df.collect() // finalize AQE so the committed plan is the real one
