@@ -142,6 +142,61 @@ object TimeSeriesOps {
       }
   }
 
+  case class FunnelRow(user_id: Long, stage: Int, t1: Timestamp,
+      t2: Timestamp, t3: Timestamp)
+  case class FunnelState(u1: Long, u2: Long, u3: Long)
+
+  /** Online 3-stage funnel tracker (the stateful twin of `q_funnel`'s
+    * per-user CTE chain): stage k's timestamp is the user's FIRST
+    * stage-k event STRICTLY after stage k-1's — in-order arrival makes
+    * "first qualifying" and "min qualifying" the same event, which is
+    * the twin law. State = up to three micros, O(1); a row emits each
+    * time the user ADVANCES a stage, so the user's latest row is their
+    * current funnel position (no flush needed). */
+  def funnelStages(events: Dataset[CepEvent], s1: String, s2: String,
+      s3: String): Dataset[FunnelRow] = {
+    implicit val rowEnc = Encoders.product[FunnelRow]
+    implicit val stEnc = Encoders.product[FunnelState]
+    implicit val keyEnc = Encoders.scalaLong
+    def tsOf(u: Long): Timestamp =
+      if (u == 0L) null
+      else {
+        val t = new Timestamp(Math.floorDiv(u, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(u, 1000000L) * 1000L).toInt)
+        t
+      }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[CepEvent],
+            state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+          val out = List.newBuilder[FunnelRow]
+          it.toArray.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val t = us(e.ts)
+            val advanced =
+              if (st.u1 == 0L && e.event_type == s1) {
+                st = st.copy(u1 = t); true
+              } else if (st.u1 != 0L && st.u2 == 0L &&
+                  e.event_type == s2 && t > st.u1) {
+                st = st.copy(u2 = t); true
+              } else if (st.u2 != 0L && st.u3 == 0L &&
+                  e.event_type == s3 && t > st.u2) {
+                st = st.copy(u3 = t); true
+              } else false
+            if (advanced) {
+              val stage = if (st.u3 != 0L) 3 else if (st.u2 != 0L) 2
+                else 1
+              out += FunnelRow(user, stage, tsOf(st.u1), tsOf(st.u2),
+                tsOf(st.u3))
+            }
+          }
+          if (st == FunnelState(0L, 0L, 0L)) state.remove()
+          else state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class LocfRow(event_type: String, h: Timestamp, filled: Double,
       is_observed: Boolean)
   case class LocfState(hour: Long, sum: Double, cnt: Long)

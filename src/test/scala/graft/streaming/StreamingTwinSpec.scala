@@ -231,6 +231,59 @@ class StreamingTwinSpec extends SparkSpec {
     assert(diffs.isEmpty, s"${diffs.size} cells diverge: ${diffs.take(3)}")
   }
 
+  test("funnel stages: streaming tracker == batch per-user CTE chain " +
+      "(r9)") {
+    // batch law: stage k's ts = min stage-k ts strictly after stage
+    // k-1's (the q_funnel CTE chain, recomputed per user here); the
+    // stream's LAST emitted row per user is their final position, and
+    // the stage counts must equal the oracle-gated q_funnel key
+    import org.apache.spark.sql.functions.{col, min => fmin}
+    val e = eventsDf
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(fmin("ts").as("t1"))
+    val cl = e.filter(col("event_type") === "click").join(su, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(fmin("ts").as("t2"))
+    val pu = e.filter(col("event_type") === "purchase").join(cl, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(fmin("ts").as("t3"))
+    val want = su.join(cl, Seq("user_id"), "left")
+      .join(pu, Seq("user_id"), "left")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getTimestamp(1), Option(r.getTimestamp(2)),
+          Option(r.getTimestamp(3))))).toMap
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"twin_funnel_${System.nanoTime}"
+    val q = TimeSeriesOps.funnelStages(stream.toDS(), "signup", "click",
+        "purchase")
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), Option(r.getTimestamp(4))))
+      .groupBy(_._1).map { case (u, rows) =>
+        val last = rows.maxBy(_._2)
+        u -> ((last._3, last._4, last._5))
+      }
+    assert(got.keySet === want.keySet, "funnel user sets differ")
+    val diffs = want.collect {
+      case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty, s"${diffs.size} diverge, e.g. ${diffs.take(3)}")
+    // and the aggregate stage counts equal the oracle-gated key
+    val counts = graft.SparkEntry.queries("q_funnel")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("1_signup") === got.size.toLong)
+    assert(counts("2_click") === got.values.count(_._2.isDefined).toLong)
+    assert(counts("3_purchase") ===
+      got.values.count(_._3.isDefined).toLong)
+  }
+
   test("streaming dedup == batch distinct") {
     val batch = StreamOps.dedup(eventsDf, Seq("user_id", "event_type"))
     val stream = streamed(StreamOps.dedup(_, Seq("user_id", "event_type")),
