@@ -383,4 +383,57 @@ class RecoverySpec extends SparkSpec {
     assert(want.nonEmpty)
     assert(got === want, "lazy replay across restart must equal batch")
   }
+
+  test("TWAP forward-carry state resumes from checkpoint: open-day " +
+      "accumulators survive (r9)") {
+    // TimeSeriesOps.twapDaily keeps (last ts, last value, running
+    // value·duration sums) per open (user, day); a restart mid-day must
+    // restore all three or the resumed day's weighted average is wrong.
+    // Output after a far-future flush must equal the oracle-gated
+    // q_twap batch key exactly.
+    import java.sql.Timestamp
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_twap_in").toFile
+    val outDir = Files.createTempDirectory("graft_twap_out").toFile
+    val ckpt = Files.createTempDirectory("graft_twap_ckpt").toFile
+    val events = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val schema = events.schema
+    def startQuery() =
+      TimeSeriesOps.twapDaily(
+          Sources.fileStream(spark, in.getAbsolutePath, schema)
+            .as[CepEvent])
+        .writeStream.format("parquet")
+        .option("path", outDir.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append").start()
+    // cut INSIDE a day so open-day accumulators straddle the restart
+    val cut = "2024-01-12 11:30:00"
+    events.filter(col("ts") < lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    events.filter(col("ts") >= lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val users = events.select("user_id").distinct()
+      .collect().map(_.getLong(0))
+    users.zipWithIndex.map { case (u, i) =>
+      CepEvent(-5000L - i, Timestamp.valueOf("2031-01-01 00:00:00"), u,
+        "zz_flush", 0.0)
+    }.toSeq.toDS().toDF()
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+    val got = spark.read.parquet(outDir.getAbsolutePath).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val want = graft.SparkEntry.queries("q_twap")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(want.nonEmpty)
+    assert(got.keySet === want.keySet, "day sets differ across restart")
+    val diffs = want.collect {
+      case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty,
+      s"${diffs.size} TWAPs diverge across restart, e.g. ${diffs.take(3)}")
+  }
 }
