@@ -414,6 +414,30 @@ object Analytics {
     // ratio of exact integers (bit-identical IEEE division in both
     // engines — no rounding needed). One lead pass, one count shuffle,
     // one bounded window over the 5×5 output.
+    // Seasonality matrix (r9): per-type activity index over the
+    // 7×24-slot week — cell count vs the uniform share (idx > 1 = the
+    // slot runs hot). Integer-exact bucketing (day-diff-mod-7 from a
+    // fixed Monday epoch + hour extraction — no engine week rules), the
+    // only float is the final indexed ratio, rounded 4 dp. One
+    // map-combined agg + a 5-row broadcast total join: the shape every
+    // traffic-shaping / crawl-scheduling readout uses at any scale.
+    "q_seasonality" -> ((s, dir) => {
+      val cell = T(s, dir, "events")
+        .withColumn("dow",
+          expr("pmod(datediff(CAST(ts AS DATE), date '2024-01-01'), 7)")
+            .cast("long"))
+        .withColumn("hr", hour(col("ts")).cast("long"))
+        .groupBy("event_type", "dow", "hr")
+        .agg(count(lit(1)).as("cnt"))
+      val tot = cell.groupBy("event_type")
+        .agg(sum("cnt").as("type_total"))
+      cell.join(broadcast(tot), "event_type")
+        .withColumn("idx",
+          fround(col("cnt") * lit(168.0) / col("type_total"), 4))
+        .select("event_type", "dow", "hr", "cnt", "idx")
+        .orderBy("event_type", "dow", "hr")
+    }),
+
     "q_markov_trans" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
         .orderBy(asc("ts"), asc("event_id"))
@@ -665,6 +689,21 @@ object Analytics {
            FROM x WHERE n_win >= 8)
          SELECT user_id, ts, event_id, z, abs(z) > 2.0 AS is_anomaly
          FROM z ORDER BY user_id, ts, event_id""",
+    "q_seasonality" ->
+      """WITH c AS (
+           SELECT event_type,
+             CAST((date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               % 7 + 7) % 7 AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hr,
+             count(*) AS cnt
+           FROM events GROUP BY 1, 2, 3),
+         t AS (SELECT event_type, sum(cnt) AS type_total
+               FROM c GROUP BY 1)
+         SELECT c.event_type, c.dow, c.hr, c.cnt,
+           floor(c.cnt * 168.0 / t.type_total * 10000 + 0.5) / 10000
+             AS idx
+         FROM c JOIN t USING (event_type)
+         ORDER BY 1, 2, 3""",
     "q_markov_trans" ->
       """WITH p AS (
            SELECT event_type AS e1,
