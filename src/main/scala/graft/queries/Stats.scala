@@ -105,6 +105,28 @@ object Stats {
         .orderBy("o_custkey", "rk")
     }),
 
+    // Equi-DEPTH histogram (r9): 10 buckets of equal row count over the
+    // price distribution — the quantile-sketch readout DBAs and mixing
+    // pipelines both want (equi-WIDTH is q_histogram). Buckets come
+    // from Ranking.withGlobalNtile, so the plan is a range exchange +
+    // map-side tile arithmetic — NO single-task window (the same r9
+    // machinery q_rfm runs on, here exercised over 600 k rows at bench
+    // scale). The output aggregates per bucket, which makes it
+    // tie-order-independent: rows tying on the full sort key share a
+    // price, so lo/hi/cnt are identical however the tie resolves.
+    "q_hist_eqdepth" -> ((s, dir) => {
+      val base = T(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      graft.operators.Ranking
+        .withGlobalNtile(base, 10, "bucket", asc("l_extendedprice"),
+          asc("l_orderkey"), asc("l_linenumber"))
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min("l_extendedprice").as("lo"),
+          max("l_extendedprice").as("hi"))
+        .orderBy("bucket")
+    }),
+
     // Robust per-user anomaly flags via MAD (r9): median absolute
     // deviation — the outlier screen that survives the heavy tails
     // z-scores choke on. Two exact-percentile aggregations (median of
@@ -139,6 +161,15 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hist_eqdepth" ->
+      """WITH b AS (
+           SELECT l_extendedprice,
+             ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                             l_linenumber) AS bucket
+           FROM lineitem)
+         SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS cnt,
+           min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+         FROM b GROUP BY 1 ORDER BY 1""",
     "q_mad_outlier" ->
       """WITH med AS (
            SELECT user_id,
