@@ -603,6 +603,24 @@ object Cep {
            PARTITION BY user_id""")
     }),
 
+    // EP1k' — 3-way PERMUTE (r9): MATCH_RECOGNIZE alternation-of-
+    // orderings semantics — every signup/click/purchase event anchors;
+    // the anchor's two candidate orders (remaining events in
+    // listed-lex order) are tried greedy-rank-1, FIRST completion wins
+    // (the second order fires only for anchors the first left
+    // unmatched — an anti join on the globally unique anchor id). Six
+    // CTE'd rank-1 chains + three anti joins, all equi at event/match
+    // cardinality. Streaming stays batch-routed loudly (per-anchor
+    // alternative preference is a cross-detector join).
+    "q_pattern_permute3" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * FROM events
+           MATCH PATTERN (PERMUTE(signup, click, purchase)
+           WITHIN '12' HOURS)
+           PARTITION BY user_id""")
+    }),
+
     // EP1l — MEASURES from SQL TEXT (r7, MEASURES-lite): one aggregate
     // over the matched SPAN — every event of the key between the
     // match's first and last rows ((ts, id) lexicographic, inclusive),
@@ -663,7 +681,57 @@ object Cep {
     })
   )
 
+  /** DuckDB mirror of the 3-way PERMUTE rewrite: the same six rank-1
+    * chains (CTE'd) + listed-lex per-anchor preference via NOT IN on
+    * the unique anchor id. Built programmatically so the six chain
+    * bodies stay literally identical. */
+  private def permute3Oracle(evs: Seq[String], ivl: String): String = {
+    def chain(x: String, y: String, z: String): String =
+      s"""(SELECT __k, first_id, id_2, id_3, first_ts, ts_2, ts_3 FROM (
+         |  SELECT p.__k, p.first_id, p.id_2, p.first_ts, p.ts_2,
+         |    c.event_id AS id_3, c.ts AS ts_3,
+         |    row_number() OVER (PARTITION BY p.first_id
+         |                       ORDER BY c.ts, c.event_id) AS rn2
+         |  FROM (
+         |    SELECT a.user_id AS __k, a.event_id AS first_id,
+         |      a.ts AS first_ts, b.event_id AS id_2, b.ts AS ts_2,
+         |      row_number() OVER (PARTITION BY a.event_id
+         |                         ORDER BY b.ts, b.event_id) AS rn
+         |    FROM events a JOIN events b ON a.user_id = b.user_id
+         |      AND a.event_type = '$x' AND b.event_type = '$y'
+         |      AND b.ts > a.ts AND b.ts <= a.ts + $ivl) p
+         |  JOIN events c ON c.user_id = p.__k AND c.event_type = '$z'
+         |    AND c.ts > p.ts_2 AND c.ts <= p.first_ts + $ivl
+         |  WHERE p.rn = 1) t WHERE rn2 = 1)""".stripMargin
+    val Seq(a, b, c) = evs
+    val arms = Seq((a, b, c), (b, a, c), (c, a, b))
+    def cn(x: String, y: String, z: String) = s"c_${x}_${y}_$z"
+    val defs = arms.flatMap { case (x, y, z) =>
+      Seq(s"${cn(x, y, z)} AS ${chain(x, y, z)}",
+        s"${cn(x, z, y)} AS ${chain(x, z, y)}")
+    }
+    def arm(x: String, y: String, z: String): String =
+      s"""SELECT __k, '$x' AS first_ev, first_id AS id_1, id_2, id_3,
+         |  first_ts AS ts_1, ts_2, ts_3 FROM (
+         |  SELECT * FROM ${cn(x, y, z)}
+         |  UNION ALL
+         |  SELECT * FROM ${cn(x, z, y)}
+         |  WHERE first_id NOT IN (SELECT first_id FROM ${cn(x, y, z)})
+         |) u""".stripMargin
+    s"""WITH ${defs.mkString(",\n")}
+       |SELECT __k AS user_id, first_ev, id_1, id_2, id_3,
+       |  ts_1, ts_2, ts_3 FROM (
+       |${arm(a, b, c)}
+       |UNION ALL
+       |${arm(b, a, c)}
+       |UNION ALL
+       |${arm(c, a, b)}
+       |) f ORDER BY id_1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_pattern_permute3" -> permute3Oracle(
+      Seq("signup", "click", "purchase"), "INTERVAL 12 HOUR"),
     "q_join_asof_fwd" ->
       """WITH err AS (
            SELECT event_id AS err_id, user_id, ts AS err_ts FROM events

@@ -115,14 +115,15 @@ object CepSql {
       "|(FIRST|LAST)\\s*\\(\\s*([A-Za-z_]\\w*)\\s*\\.\\s*" +
       "([A-Za-z_]\\w*)\\s*\\))" +
       "(?:\\s+AS\\s+([A-Za-z_]\\w*))?\\s*$")
-  /** `PERMUTE(a, b)` (r7): the order-free pair — `a THEN b` OR
-    * `b THEN a`, whichever order the stream presents. Two plain event
-    * names (no alternation/condition/quantifier — each would be
-    * well-defined but explodes the surface; extend on demand). */
+  /** `PERMUTE(a, b)` (r7) / `PERMUTE(a, b, c)` (r9): the order-free
+    * pair/triple — the steps in whichever order the stream presents.
+    * Plain event names only (no alternation/condition/quantifier — each
+    * would be well-defined but explodes the surface; extend on
+    * demand). */
   private val permuteStmt = Pattern.compile(
     "^\\s*SELECT\\s+\\*\\s+FROM\\s+([A-Za-z_][\\w.]*)\\s+" +
       "MATCH\\s+PATTERN\\s*\\(\\s*PERMUTE\\s*\\(\\s*('?\\w+'?)\\s*,\\s*" +
-      "('?\\w+'?)\\s*\\)" +
+      "('?\\w+'?)\\s*(?:,\\s*('?\\w+'?)\\s*)?\\)" +
       "\\s+WITHIN\\s+'(\\d+)'\\s+(SECONDS?|MINUTES?|HOURS?)\\s*\\)" +
       "\\s+PARTITION\\s+BY\\s+([A-Za-z_]\\w*)\\s*;?\\s*$",
     Pattern.CASE_INSENSITIVE)
@@ -359,23 +360,23 @@ object CepSql {
           s"each step <ev>[|<ev>…][{m[,[n]]}] ($detail)")
     val pm = permuteStmt.matcher(q)
     if (pm.matches()) {
-      val (a, b) = (pm.group(2).stripPrefix("'").stripSuffix("'"),
-        pm.group(3).stripPrefix("'").stripSuffix("'"))
-      if (a == b)
-        malformed("PERMUTE needs two distinct event names")
-      val unit = pm.group(5).toUpperCase(java.util.Locale.ROOT) match {
+      val evs = (Seq(pm.group(2), pm.group(3)) ++
+        Option(pm.group(4)).toSeq)
+        .map(_.stripPrefix("'").stripSuffix("'"))
+      if (evs.distinct.length != evs.length)
+        malformed("PERMUTE needs distinct event names")
+      val unit = pm.group(6).toUpperCase(java.util.Locale.ROOT) match {
         case u if u.startsWith("SEC") => "SECONDS"
         case u if u.startsWith("MIN") => "MINUTES"
         case _                        => "HOURS"
       }
       val n =
-        try pm.group(4).toLong
+        try pm.group(5).toLong
         catch { case _: NumberFormatException =>
-          malformed(s"WITHIN numeral '${pm.group(4)}' out of range") }
+          malformed(s"WITHIN numeral '${pm.group(5)}' out of range") }
       val spec = PatternSpec(pm.group(1),
-        Seq(PatternStep(negated = false, Seq(a), None),
-          PatternStep(negated = false, Seq(b), None)),
-        n, unit, pm.group(6), permute = true)
+        evs.map(e => PatternStep(negated = false, Seq(e), None)),
+        n, unit, pm.group(7), permute = true)
       try spec.withinMs
       catch { case _: ArithmeticException =>
         malformed(s"WITHIN window '${spec.n} ${spec.unit}' overflows") }
@@ -1069,12 +1070,87 @@ object CepSql {
          |     AND ${stepPredSql("b", second, typeCol)}
          |     AND b.$t > a.$t AND b.$t <= a.$t + INTERVAL $n $unit
          |) WHERE __rn = 1""".stripMargin
-    val Seq(sa, sb) = spec.steps
-    s"""SELECT * FROM (
-       |${dir(sa, sb)}
+    if (spec.steps.length == 2) {
+      val Seq(sa, sb) = spec.steps
+      s"""SELECT * FROM (
+         |${dir(sa, sb)}
+         |UNION ALL
+         |${dir(sb, sa)}
+         |) ORDER BY first_id""".stripMargin
+    } else translatePermute3(spec, tsCol, typeCol, idCol)
+  }
+
+  /** `PERMUTE(a, b, c)` rewrite (r9): MATCH_RECOGNIZE expands PERMUTE
+    * to the alternation of all orderings in LISTED-lexicographic order,
+    * tried per anchor. Every a/b/c event anchors (skip-to-next-row);
+    * for an anchor of class X the two candidate orders are (X, Y, Z)
+    * then (X, Z, Y) with Y before Z in listed order, each matched by
+    * the repo's greedy rank-1 chain discipline (first qualifying event
+    * per step, no backtracking — the same documented greedy-scan
+    * semantics as optional steps), and the FIRST alternative that
+    * completes wins (the second contributes only anchors the first
+    * left unmatched — an anti join on the globally unique anchor id).
+    * Output: (key, first_ev, id_1..id_3, ts_1..ts_3) in MATCH order.
+    * Plan: 6 rank-1 equi-join chains + 3 anti joins, all at event/match
+    * cardinality — no cartesian anywhere. Streaming stays batch-routed
+    * loudly (the per-anchor alternative preference needs a cross-
+    * detector join; ContinuousQueries names this). */
+  private def translatePermute3(spec: PatternSpec, tsCol: String,
+      typeCol: String, idCol: String): String = {
+    val tbl = spec.table
+    val (n, unit) = (spec.n.toString, spec.unit)
+    def bq(c: String) = s"`$c`"
+    val (k, t, id) = (bq(spec.key), bq(tsCol), bq(idCol))
+    def chain(first: PatternStep, second: PatternStep,
+        third: PatternStep): String =
+      s"""(SELECT __k, first_id, id_2, id_3, first_ts, ts_2, ts_3 FROM (
+         |  SELECT p.__k, p.first_id, p.id_2, p.first_ts, p.ts_2,
+         |         c.$id AS id_3, c.$t AS ts_3,
+         |         row_number() OVER (PARTITION BY p.first_id
+         |                            ORDER BY c.$t, c.$id) AS __rn2
+         |  FROM (
+         |    SELECT a.$k AS __k, a.$id AS first_id, a.$t AS first_ts,
+         |           b.$id AS id_2, b.$t AS ts_2,
+         |           row_number() OVER (PARTITION BY a.$id
+         |                              ORDER BY b.$t, b.$id) AS __rn
+         |    FROM $tbl a JOIN $tbl b
+         |    ON a.$k = b.$k AND ${stepPredSql("a", first, typeCol)}
+         |       AND ${stepPredSql("b", second, typeCol)}
+         |       AND b.$t > a.$t AND b.$t <= a.$t + INTERVAL $n $unit
+         |  ) p JOIN $tbl c
+         |  ON c.$k = p.__k AND ${stepPredSql("c", third, typeCol)}
+         |     AND c.$t > p.ts_2
+         |     AND c.$t <= p.first_ts + INTERVAL $n $unit
+         |  WHERE p.__rn = 1
+         |) WHERE __rn2 = 1)""".stripMargin
+    val Seq(sa, sb, sc) = spec.steps
+    // per anchor class X: candidate orders (X, Y, Z) then (X, Z, Y)
+    // with Y before Z in listed order
+    val arms = Seq((sa, sb, sc), (sb, sa, sc), (sc, sa, sb))
+    def cn(x: PatternStep, y: PatternStep, z: PatternStep) =
+      s"c_${x.event}_${y.event}_${z.event}"
+    val defs = arms.flatMap { case (x, y, z) =>
+      Seq(s"${cn(x, y, z)} AS ${chain(x, y, z)}",
+        s"${cn(x, z, y)} AS ${chain(x, z, y)}")
+    }
+    def startArm(x: PatternStep, y: PatternStep, z: PatternStep)
+        : String =
+      s"""SELECT __k, '${x.event}' AS first_ev, first_id AS id_1, id_2,
+         |  id_3, first_ts AS ts_1, ts_2, ts_3 FROM (
+         |  SELECT * FROM ${cn(x, y, z)}
+         |  UNION ALL
+         |  SELECT * FROM ${cn(x, z, y)}
+         |  WHERE first_id NOT IN (SELECT first_id FROM ${cn(x, y, z)})
+         |)""".stripMargin
+    s"""WITH ${defs.mkString(",\n")}
+       |SELECT ${"__k AS " + k}, first_ev, id_1, id_2, id_3,
+       |  ts_1, ts_2, ts_3 FROM (
+       |${startArm(sa, sb, sc)}
        |UNION ALL
-       |${dir(sb, sa)}
-       |) ORDER BY first_id""".stripMargin
+       |${startArm(sb, sa, sc)}
+       |UNION ALL
+       |${startArm(sc, sa, sb)}
+       |) ORDER BY id_1""".stripMargin
   }
 
   /** AFTER MATCH SKIP PAST LAST ROW rewrite: greedy NON-OVERLAPPING

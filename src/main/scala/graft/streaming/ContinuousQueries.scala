@@ -242,7 +242,16 @@ object ContinuousQueries {
       } else if (spec.permute) {
         // PERMUTE(a, b) (r7): union of the two directional CepSequence
         // detectors, tagged with the anchor's event name — the exact
-        // streaming twin of the batch union-of-rank-1 rewrite
+        // streaming twin of the batch union-of-rank-1 rewrite.
+        // PERMUTE(a, b, c) (r9) is batch-only: each anchor's SECOND
+        // alternative fires only if the first found no completion,
+        // which needs a cross-detector per-anchor join no append-mode
+        // composition expresses — rejected loudly, run CepSql.sql
+        if (spec.steps.length != 2)
+          throw new IllegalArgumentException(
+            "streaming PERMUTE supports two events; PERMUTE(a, b, c) " +
+              "is batch-only (per-anchor alternative preference) — " +
+              "run the batch rewrite via CepSql.sql")
         val Seq(ca, cb) = classes
         def leg(firsts: Set[String], seconds: Set[String], ev: String) =
           CepSequence.detect(srcWm, firsts, seconds, spec.withinMs).toDF()

@@ -128,6 +128,38 @@ class CepSqlPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("generated 3-way PERMUTE patterns translate total (r9)") {
+    val gen = for {
+      n <- Gen.choose(1, 9999)
+      unit <- Gen.oneOf("SECONDS", "MINUTES", "HOURS")
+      a <- Gen.identifier.map("a" + _.take(6))
+      b <- Gen.identifier.map("b" + _.take(6))
+      c <- Gen.identifier.map("c" + _.take(6))
+      tbl <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+      key <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+    } yield (a, b, c,
+      s"SELECT * FROM $tbl MATCH PATTERN (PERMUTE($a, $b, $c) " +
+        s"WITHIN '$n' $unit) PARTITION BY $key")
+    (1L to 300L).foreach { seed =>
+      sample(gen.map(List(_)), seed).foreach { case (a, b, c, q) =>
+        val t = CepSql.translate(q)
+        assert(!t.toUpperCase.contains("MATCH PATTERN"), s"$q ->\n$t")
+        // 6 CTE'd rank-1 chains, each with 2 row_numbers; 3 anchor arms
+        assert("ROW_NUMBER".r.findAllIn(t.toUpperCase).length === 12, t)
+        assert("NOT IN".r.findAllIn(t.toUpperCase).length === 3, t)
+        Seq(a, b, c).foreach(e =>
+          assert(t.contains(s"'$e' AS first_ev"), s"$e missing: $t"))
+      }
+    }
+    // duplicates and 4-way stay loud at parse
+    intercept[IllegalArgumentException](CepSql.parsePattern(
+      "SELECT * FROM t MATCH PATTERN (PERMUTE(x, y, x) WITHIN '5' " +
+        "MINUTES) PARTITION BY k"))
+    intercept[IllegalArgumentException](CepSql.parsePattern(
+      "SELECT * FROM t MATCH PATTERN (PERMUTE(w, x, y, z) WITHIN '5' " +
+        "MINUTES) PARTITION BY k"))
+  }
+
   test("generated RELUCTANT quantifier patterns translate total (r8)") {
     // `{m,}?` on head / mid / tail positions: always a lazy-truncation
     // runs subquery (FILTER (WHERE __rn <= m)), never parsed as an

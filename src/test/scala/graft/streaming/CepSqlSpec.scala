@@ -609,9 +609,16 @@ class CepSqlSpec extends SparkSpec {
         """SELECT * FROM t MATCH PATTERN (PERMUTE(a, a) WITHIN '5' MINUTES)
            PARTITION BY k""")
     }
+    // PERMUTE(a, b, c) parses since r9 (its own test below); 4-way and
+    // duplicate names stay loud
     intercept[IllegalArgumentException] {
       CepSql.parsePattern(
-        """SELECT * FROM t MATCH PATTERN (PERMUTE(a, b, c) WITHIN '5'
+        """SELECT * FROM t MATCH PATTERN (PERMUTE(a, b, c, d) WITHIN '5'
+           MINUTES) PARTITION BY k""")
+    }
+    intercept[IllegalArgumentException] {
+      CepSql.parsePattern(
+        """SELECT * FROM t MATCH PATTERN (PERMUTE(a, b, a) WITHIN '5'
            MINUTES) PARTITION BY k""")
     }
     intercept[IllegalArgumentException] {
@@ -619,6 +626,70 @@ class CepSqlSpec extends SparkSpec {
         """SELECT * FROM t MATCH PATTERN (PERMUTE(a, b) WITHIN '5' MINUTES)
            PARTITION BY k AFTER MATCH SKIP PAST LAST ROW""")
     }
+  }
+
+  test("PERMUTE(a, b, c): listed-lex alternative preference per anchor " +
+      "(r9)") {
+    // MATCH_RECOGNIZE expands PERMUTE to the alternation of orderings
+    // in listed-lex order: for an anchor of class X the candidates are
+    // (X, Y, Z) then (X, Z, Y), greedy rank-1 each, first completion
+    // wins. The fixture pins exactly that: user 1's anchor 'a' can
+    // complete BOTH a->b->c and a->c->b — listed order says a->b->c
+    // wins; user 2's anchor 'a' has no c after its first b, so the
+    // SECOND alternative (a, c, b) must fire instead.
+    import java.sql.Timestamp
+    import spark.implicits._
+    val rows = Seq(
+      // user 1: a@0, b@1, c@2 — and c@2 also allows (a,c,b)? no b
+      // after 2, so only (a,b,c) completes; add b@3 so both complete
+      (1L, "2026-01-01 00:00:00", 1L, "a"),
+      (2L, "2026-01-01 00:01:00", 1L, "b"),
+      (3L, "2026-01-01 00:02:00", 1L, "c"),
+      (4L, "2026-01-01 00:03:00", 1L, "b"),
+      // user 2: a@0, b@1 … no c after b within order (a,b,c)? c@2
+      // exists — make (a,b,c) fail by placing c BEFORE b: a@0, c@1,
+      // b@2 → (a,b,c) takes b@2 then needs c after 00:02 — none; so
+      // (a,c,b) wins: c@1 then b@2
+      (5L, "2026-01-01 00:00:00", 2L, "a"),
+      (6L, "2026-01-01 00:01:00", 2L, "c"),
+      (7L, "2026-01-01 00:02:00", 2L, "b"))
+    rows.map { case (id, ts, u, ty) =>
+      (id, Timestamp.valueOf(ts), u, ty, 0.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .createOrReplaceTempView("ev_p3")
+    val got = CepSql.sql(spark,
+      """SELECT * FROM ev_p3
+         MATCH PATTERN (PERMUTE(a, b, c) WITHIN '30' MINUTES)
+         PARTITION BY user_id""")
+      .filter(col("first_ev") === "a")
+      .select("user_id", "id_1", "id_2", "id_3").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // user 1: (a,b,c) = ids 1,2,3 (NOT the (a,c,b) completion 1,3,4);
+    // user 2: (a,c,b) = ids 5,6,7
+    assert(got === Set((1L, 1L, 2L, 3L), (2L, 5L, 6L, 7L)), s"got $got")
+    // every b/c event anchors its own match attempt too
+    val all = CepSql.sql(spark,
+      """SELECT * FROM ev_p3
+         MATCH PATTERN (PERMUTE(a, b, c) WITHIN '30' MINUTES)
+         PARTITION BY user_id""").collect()
+    assert(all.map(_.getLong(2)).distinct.length === all.length,
+      "anchor ids must be unique (one match attempt per anchor)")
+    spark.catalog.dropTempView("ev_p3")
+    // streaming 3-way is batch-only, loudly
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    stream.toDF().createOrReplaceTempView("pat_p3")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        ContinuousQueries.submitPattern(spark,
+          """SELECT * FROM pat_p3
+             MATCH PATTERN (PERMUTE(a, b, c) WITHIN '5' MINUTES)
+             PARTITION BY user_id""", "svc_p3")
+      }
+      assert(e.getMessage.contains("batch-only"))
+    } finally spark.catalog.dropTempView("pat_p3")
   }
 
   test("skip-past dispatch rejects a non-integral PARTITION BY key (r8)") {
