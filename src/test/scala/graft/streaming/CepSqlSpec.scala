@@ -692,6 +692,64 @@ class CepSqlSpec extends SparkSpec {
     } finally spark.catalog.dropTempView("pat_p3")
   }
 
+  test("PERMUTE(a, b, c) == driver-side brute-force greedy scan on the " +
+      "full fixture (r9)") {
+    // independent recomputation (not the SQL rewrite, not the oracle's
+    // mirror of it): per anchor, try the two listed-lex orders with a
+    // plain greedy scan over the user's (ts, id)-sorted events
+    Tables.load(spark, sf)
+    def usOf(t: java.sql.Timestamp) =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val byUser = spark.table("events")
+      .select("event_id", "ts", "user_id", "event_type").collect()
+      .map(r => (r.getLong(0), usOf(r.getTimestamp(1)), r.getLong(2),
+        r.getString(3)))
+      .groupBy(_._3).view.mapValues(_.sortBy(e => (e._2, e._1))).toMap
+    val classes = Seq("signup", "click", "purchase")
+    val winUs = 12L * 3600 * 1000000L
+    def greedy(user: Long, anchorIdx: Int, order: Seq[String])
+        : Option[Seq[(Long, Long)]] = {
+      val es = byUser(user)
+      val a = es(anchorIdx)
+      var acc = List((a._1, a._2))
+      var from = anchorIdx
+      order.drop(1).foreach { cls =>
+        if (acc != null) {
+          val prevTs = acc.head._2
+          val hit = es.indexWhere(e => e._4 == cls && e._2 > prevTs &&
+            e._2 <= a._2 + winUs, from + 1)
+          if (hit < 0) acc = null
+          else { acc = (es(hit)._1, es(hit)._2) :: acc; from = hit }
+        }
+      }
+      Option(acc).map(_.reverse)
+    }
+    val want = byUser.toSeq.flatMap { case (u, es) =>
+      es.indices.flatMap { i =>
+        val cls = es(i)._4
+        if (!classes.contains(cls)) None
+        else {
+          val rest = classes.filterNot(_ == cls)
+          val o1 = cls +: rest
+          val o2 = Seq(cls, rest(1), rest(0))
+          greedy(u, i, o1).orElse(greedy(u, i, o2))
+            .map(m => (u, cls, m.map(_._1)))
+        }
+      }
+    }.toSet
+    val got = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (PERMUTE(signup, click, purchase)
+         WITHIN '12' HOURS)
+         PARTITION BY user_id""").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4)))).toSet
+    assert(want.nonEmpty)
+    assert(got === want,
+      s"rewrite vs brute force: ${(got -- want).take(3)} extra, " +
+        s"${(want -- got).take(3)} missing")
+  }
+
   test("skip-past dispatch rejects a non-integral PARTITION BY key (r8)") {
     // SkipMatch keys on a long; a string key would cast to null and
     // collapse every group — the dispatch must fail loudly instead

@@ -436,4 +436,63 @@ class RecoverySpec extends SparkSpec {
     assert(diffs.isEmpty,
       s"${diffs.size} TWAPs diverge across restart, e.g. ${diffs.take(3)}")
   }
+
+  test("LOCF gap-fill carry resumes from checkpoint: open-hour " +
+      "accumulator and carry value survive (r9)") {
+    // TimeSeriesOps.locfHourly keeps (open hour, sum, cnt) per type; a
+    // restart mid-hour must restore the accumulator or the resumed
+    // hour's average (and every gap row carried from it) is wrong.
+    import java.sql.Timestamp
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_locf_in").toFile
+    val outDir = Files.createTempDirectory("graft_locf_out").toFile
+    val ckpt = Files.createTempDirectory("graft_locf_ckpt").toFile
+    val events = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val schema = events.schema
+    def startQuery() =
+      TimeSeriesOps.locfHourly(
+          Sources.fileStream(spark, in.getAbsolutePath, schema)
+            .as[CepEvent])
+        .writeStream.format("parquet")
+        .option("path", outDir.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append").start()
+    val cut = "2024-01-12 11:30:00" // inside an hour
+    events.filter(col("ts") < lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    events.filter(col("ts") >= lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    // flush at the batch spine's hi + 1h (closes every type at the
+    // same horizon the batch key fills to)
+    val batchRows = graft.SparkEntry.queries("q_gap_fill")(spark, sf)
+      .collect()
+    val hiMs = batchRows.map(_.getTimestamp(1).getTime).max
+    events.select("event_type").distinct().collect()
+      .map(_.getString(0)).zipWithIndex.map { case (ty, i) =>
+        CepEvent(-6000L - i, new Timestamp(hiMs + 3600L * 1000), 0L,
+          ty, 0.0)
+      }.toSeq.toDS().toDF()
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+    val got = spark.read.parquet(outDir.getAbsolutePath).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    val firstObs = batchRows.filter(_.getBoolean(3))
+      .groupBy(_.getString(0))
+      .map { case (ty, rs) => ty -> rs.map(_.getTimestamp(1).getTime).min }
+    val want = batchRows
+      .filter(r => firstObs.get(r.getString(0))
+        .exists(r.getTimestamp(1).getTime >= _))
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(want.nonEmpty)
+    assert(got.keySet === want.keySet, "hour domains differ")
+    val diffs = want.collect {
+      case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty,
+      s"${diffs.size} cells diverge across restart, e.g. ${diffs.take(3)}")
+  }
 }
