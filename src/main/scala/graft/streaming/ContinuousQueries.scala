@@ -178,11 +178,12 @@ object ContinuousQueries {
     val out: DataFrame =
       if (spec.measures.nonEmpty &&
           spec.steps.exists(_.minTimes.isDefined)) {
-        // MEASURES over a quantified chain (r8): span aggregates stream
-        // via RunChainDetector.detectMeasures — MATCH_NUMBER (needs the
-        // held-release ordering) and class refs (need a single matched
-        // row) reject loudly instead of being silently dropped by the
-        // quantified arms. The overlap carve-out applies unchanged.
+        // MEASURES over a quantified chain (r8; MATCH_NUMBER since r9
+        // via the held-release ordering): span aggregates, boundary
+        // refs, and numbering stream via
+        // RunChainDetector.detectMeasures — class refs on UNQUANTIFIED
+        // steps of a quantified chain reject loudly instead of being
+        // silently dropped. The overlap carve-out applies unchanged.
         spec.measures.foreach {
           case _: CepSql.SpanAgg => ()
           case b: CepSql.BoundRef =>
@@ -194,10 +195,11 @@ object ContinuousQueries {
                 "streaming FIRST/LAST boundary refs read the converter " +
                   "schema's value/event_id/user_id/ts columns — other " +
                   "columns via the batch rewrite CepSql.sql")
+          case _: CepSql.MatchNum => () // held-release numbering (r9)
           case _ => throw new IllegalArgumentException(
             "streaming measures on a quantified chain support span " +
-              "aggregates and FIRST/LAST boundary refs only — run the " +
-              "batch rewrite via CepSql.sql")
+              "aggregates, FIRST/LAST boundary refs, and MATCH_NUMBER " +
+              "— run the batch rewrite via CepSql.sql")
         }
         spec.steps.sliding(2).foreach { pair =>
           if (pair.length == 2 && pair.last.minTimes.isDefined &&
@@ -232,6 +234,7 @@ object ContinuousQueries {
               // for batch schema parity (run_start/run_end columns)
               org.apache.spark.sql.functions
                 .timestamp_micros(c.cast("long"))
+            case _: CepSql.MatchNum => c.cast("long")
             case _ => c
           }
           typed.as(m.alias)

@@ -51,9 +51,16 @@ case class RunChainMPartial(vals: List[Long], tss: List[Timestamp],
     anchorTs: Timestamp, prevTs: Timestamp,
     runStart: Timestamp, runLast: Timestamp, runLen: Long,
     sums: Seq[Double], cnt: Long, mns: Seq[Double], mxs: Seq[Double],
-    bnd: Seq[Double] = Nil)
+    bnd: Seq[Double] = Nil, hrsid: Long = 0L)
 
-case class RunChainMState(partials: List[RunChainMPartial])
+/** A completed measured match held for MATCH_NUMBER release (r9):
+  * `hrsid` is the anchor identity — the head run's START row id for a
+  * quantified head, the anchor event id otherwise — exactly the batch
+  * numbering tie-break ((ts_1, rsid_1) / (ts_1, id_1)). */
+case class RunChainMDone(m: RunChainMeasured, hrsid: Long)
+
+case class RunChainMState(partials: List[RunChainMPartial],
+    done: List[RunChainMDone] = Nil, counter: Long = 0L)
 
 /** Streaming quantified chains (r7): `MATCH PATTERN` chains with `{m,}`
   * on any step — the last pattern form [[ContinuousQueries.submitPattern]]
@@ -431,8 +438,14 @@ object RunChainDetector {
     * and (LAST) refreshed per run event, so a failed run's stale slots
     * are always overwritten by the accepted run; a ts boundary rides
     * the slot as exact event micros and casts back to TIMESTAMP at
-    * emission. MATCH_NUMBER needs the held-release ordering discipline
-    * and class refs a single matched row; both stay batch-routed.
+    * emission. MATCH_NUMBER streams since r9 via PatternMatch's
+    * held-release discipline — a completed match takes its number only
+    * once the watermark closes its window and no open partial could
+    * still complete into an earlier-ordered match, ordered by
+    * (ts_1, anchor identity): the head run's START row id for a
+    * quantified head (the batch "ts_1, rsid_1"), the anchor event id
+    * otherwise. Class refs on unquantified steps stay batch-routed
+    * (they need a single matched row's arbitrary column).
     * Matches the batch span join exactly
     * on in-order replay (RunChainSpec law); out-of-order span events
     * inside the lateness bound still advance STEPS but cannot
@@ -479,11 +492,22 @@ object RunChainDetector {
           s"FIRST/LAST reference step $st, which is not quantified")
         if (!c.equalsIgnoreCase("ts"))
           PatternMatch.numColumn(c) // loud on non-numeric
+      case _: CepSql.MatchNum => () // streams since r9 (held-release)
       case m => throw new IllegalArgumentException(
-        s"streaming quantified-chain measures support span aggregates " +
-          s"and FIRST/LAST boundary refs only — got '$m'; run the " +
-          "batch rewrite via CepSql.sql")
+        s"streaming quantified-chain measures support span aggregates, " +
+          s"FIRST/LAST boundary refs, and MATCH_NUMBER — got '$m'; run " +
+          "the batch rewrite via CepSql.sql")
     }
+    // MATCH_NUMBER (r9): PatternMatch.detectMeasures' held-release
+    // discipline — a completed match takes its number only once the
+    // watermark closes its window and no open partial could still
+    // complete into an earlier-ordered match. Ordering key =
+    // (ts_1, anchor identity): the head run's START row id for a
+    // quantified head (the batch mnOrd "ts_1, rsid_1"), the anchor
+    // event id otherwise ("ts_1, id_1").
+    val hasNum = measures.exists(_.isInstanceOf[CepSql.MatchNum])
+    val numIdx = measures.zipWithIndex.collect {
+      case (_: CepSql.MatchNum, j) => j }
     val bndRefs: Seq[(CepSql.BoundRef, Int, CepEvent => Double)] =
       measures.zipWithIndex.collect {
         case (b: CepSql.BoundRef, j) =>
@@ -505,14 +529,22 @@ object RunChainDetector {
     implicit val stateEnc = Encoders.product[RunChainMState]
     implicit val keyEnc = Encoders.scalaLong
 
+    val timeoutConf =
+      if (hasNum) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[RunChainMState, RunChainMeasured](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (user: Long, it: Iterator[CepEvent],
             state: GroupState[RunChainMState]) =>
-          var partials = state.getOption.map(_.partials).getOrElse(Nil)
+          val prev = state.getOption.getOrElse(RunChainMState(Nil))
+          var partials = prev.partials
+          var done = prev.done
+          var counter = prev.counter
           val out = List.newBuilder[RunChainMeasured]
-          val batch = it.toArray.sortBy(e => (us(e.ts), e.event_id))
+          val batch =
+            if (state.hasTimedOut) Array.empty[CepEvent]
+            else it.toArray.sortBy(e => (us(e.ts), e.event_id))
           var maxTs = 0L
 
           def windowEnd(p: RunChainMPartial): Long =
@@ -546,12 +578,15 @@ object RunChainDetector {
             val vals2 = v :: p.vals
             val tss2 = ts :: p.tss
             if (vals2.length == n) {
-              out += RunChainMeasured(user, vals2.reverse, tss2.reverse,
+              val m = RunChainMeasured(user, vals2.reverse, tss2.reverse,
                 tss2.last, ts,
                 measureVals(emit._1, emit._2, emit._3, emit._4, p.bnd))
+              if (hasNum) done = RunChainMDone(m, p.hrsid) :: done
+              else out += m
               None
             } else Some(RunChainMPartial(vals2, tss2, p.anchorTs, ts,
-              null, null, 0L, cont._1, cont._2, cont._3, cont._4, p.bnd))
+              null, null, 0L, cont._1, cont._2, cont._3, cont._4, p.bnd,
+              p.hrsid))
           }
 
           batch.foreach { e =>
@@ -637,10 +672,12 @@ object RunChainDetector {
                       else if (step == 0)
                         // head tracker: a fresh run (re)starts the span
                         // — accumulators seed with this event (m >= 2
-                        // for lazy steps, so an open never completes)
+                        // for lazy steps, so an open never completes);
+                        // hrsid = the run's start row id (numbering key)
                         List(p.copy(runStart = e.ts, runLast = e.ts,
                           runLen = 1L, sums = ev, cnt = 1L, mns = ev,
-                          mxs = ev, bnd = seedBnd(p.bnd, 0)))
+                          mxs = ev, bnd = seedBnd(p.bnd, 0),
+                          hrsid = e.event_id))
                       else
                         List(carry(p.copy(runStart = e.ts,
                           runLast = e.ts, runLen = 1L,
@@ -702,10 +739,11 @@ object RunChainDetector {
             val (headPred, headMt) = steps.head
             if (headPred(e)) headMt match {
               case None =>
-                // plain head: the anchor event seeds its own span
+                // plain head: the anchor event seeds its own span;
+                // hrsid = the anchor id (the batch "ts_1, id_1" order)
                 advance(RunChainMPartial(Nil, Nil, e.ts,
                     new Timestamp(0L), null, null, 0L, zero, 0L, zero,
-                    zero), e.event_id, e.ts,
+                    zero, Nil, e.event_id), e.event_id, e.ts,
                   (ev, 1L, ev, ev), (ev, 1L, ev, ev))
                   .foreach(p2 => partials = p2 :: partials)
               case Some(_) =>
@@ -714,7 +752,8 @@ object RunChainDetector {
                 if (!tracking)
                   partials = RunChainMPartial(Nil, Nil, e.ts,
                     new Timestamp(0L), e.ts, e.ts, 1L,
-                    ev, 1L, ev, ev, seedBnd(Nil, 0)) :: partials
+                    ev, 1L, ev, ev, seedBnd(Nil, 0),
+                    e.event_id) :: partials
             }
           }
 
@@ -724,8 +763,51 @@ object RunChainDetector {
             p.runStart != null ||
               (p.tss.nonEmpty && windowEnd(p) >= horizon)
           }
-          if (partials.isEmpty) state.remove()
-          else state.update(RunChainMState(partials))
+          if (hasNum) {
+            // numbered release (r9, PatternMatch's discipline): a done
+            // match takes its number once its window closed behind the
+            // watermark AND no open partial could still complete into
+            // an earlier-ordered match. Each open partial's EVENTUAL
+            // (ts_1, anchor) is bounded below: fixed once the head
+            // advanced (tss.last, hrsid); an open head RUN ends no
+            // earlier than its current last event (runLast, hrsid);
+            // a consumed-island suppressor (runLen == -1) and idle
+            // trackers never produce a match — future anchors carry
+            // ts >= watermark, which the window-closed test dominates.
+            val bounds = partials.flatMap { p =>
+              if (p.vals.nonEmpty) Some((us(p.tss.last), p.hrsid))
+              else if (p.runStart != null && p.runLen != -1L)
+                Some((us(p.runLast), p.hrsid))
+              else None
+            }
+            val minOpen = bounds.minOption
+            val releasable = (d: RunChainMDone) =>
+              us(d.m.start_ts) + withinUs <= horizon &&
+                minOpen.forall(o => Ordering[(Long, Long)]
+                  .gt(o, (us(d.m.start_ts), d.hrsid)))
+            val (rel, keep) = done.partition(releasable)
+            rel.sortBy(d => (us(d.m.start_ts), d.hrsid)).foreach { d =>
+              counter += 1
+              val patched = d.m.vals.zipWithIndex.map { case (v, j) =>
+                if (numIdx.contains(j)) counter.toDouble else v }
+              out += d.m.copy(vals = patched)
+            }
+            done = keep
+          }
+          if (partials.isEmpty && done.isEmpty && counter == 0L)
+            state.remove()
+          else {
+            state.update(RunChainMState(partials, done, counter))
+            if (hasNum && (done.nonEmpty || partials.nonEmpty)) {
+              // wake when the earliest still-relevant window closes
+              val anchorUs = done.map(d => us(d.m.start_ts)) ++
+                partials.map(p =>
+                  us(if (p.tss.isEmpty) p.anchorTs else p.tss.last))
+              val targetMs = anchorUs.map(_ / 1000L + withinMs + 1).min
+              state.setTimeoutTimestamp(math.max(targetMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+          }
           out.result().iterator
       }
   }

@@ -437,6 +437,76 @@ class RecoverySpec extends SparkSpec {
       s"${diffs.size} TWAPs diverge across restart, e.g. ${diffs.take(3)}")
   }
 
+  test("numbered quantified detector resumes from checkpoint: held " +
+      "matches and the match counter survive (r9)") {
+    // MATCH_NUMBER state = held completed matches + the per-key
+    // counter; a restart mid-hold must restore both or the resumed
+    // stream renumbers from 1 (duplicate numbers) or drops held
+    // matches. Output after the flush must equal the batch numbering.
+    import java.sql.Timestamp
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_qmn_in").toFile
+    val outDir = Files.createTempDirectory("graft_qmn_out").toFile
+    val ckpt = Files.createTempDirectory("graft_qmn_ckpt").toFile
+    val events = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val schema = events.schema
+    def startQuery() =
+      RunChainDetector.detectMeasures(
+          Sources.fileStream(spark, in.getAbsolutePath, schema)
+            .withWatermark("ts", "0 seconds").as[CepEvent],
+          Seq(((e: CepEvent) => e.event_type == "click", Some(2)),
+            ((e: CepEvent) => e.event_type == "purchase", None)),
+          12L * 3600 * 1000, Seq(None, None),
+          Seq(CepSql.SpanAgg("COUNT", "*", "span_n"),
+            CepSql.MatchNum("mno")))
+        .writeStream.format("parquet")
+        .option("path", outDir.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append").start()
+    val cut = "2024-01-08 00:00:00"
+    events.filter(col("ts") < lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    events.filter(col("ts") >= lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val users = events.select("user_id").distinct()
+      .collect().map(_.getLong(0))
+    users.zipWithIndex.map { case (u, i) =>
+      CepEvent(-8000L - i, Timestamp.valueOf("2031-01-01 00:00:00"), u,
+        "zz_flush", 0.0)
+    }.toSeq.toDS().toDF()
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+    // one more micro-batch so the advanced watermark fires timers
+    Seq(CepEvent(-9999L, Timestamp.valueOf("2031-01-02 00:00:00"), -1L,
+      "zz_flush", 0.0)).toDS().toDF()
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q4 = startQuery(); q4.processAllAvailable(); q4.stop()
+    val got = spark.read.parquet(outDir.getAbsolutePath).collect()
+      .map { r =>
+        val v = r.getSeq[Double](5)
+        (r.getLong(0), r.getSeq[Long](1).toList) ->
+          ((v(0).toLong, v(1).toLong))
+      }.toMap
+    Tables.load(spark, sf)
+    val want = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (click{2,} THEN purchase WITHIN '12' HOURS)
+         PARTITION BY user_id
+         MEASURES COUNT(*) AS span_n, MATCH_NUMBER() AS mno""").collect()
+      .map(r => (r.getLong(0), List(r.getLong(1), r.getLong(2))) ->
+        ((r.getLong(5), r.getLong(6)))).toMap
+    assert(want.nonEmpty)
+    assert(want.values.exists(_._2 > 1L), "numbering must be non-vacuous")
+    assert(got.keySet === want.keySet, "match sets differ across restart")
+    val diffs = want.collect {
+      case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty,
+      s"${diffs.size} (span, number) diverge, e.g. ${diffs.take(3)}")
+  }
+
   test("LOCF gap-fill carry resumes from checkpoint: open-hour " +
       "accumulator and carry value survive (r9)") {
     // TimeSeriesOps.locfHourly keeps (open hour, sum, cnt) per type; a

@@ -561,6 +561,64 @@ class RunChainSpec extends SparkSpec {
     }
   }
 
+  test("MATCH_NUMBER on quantified chains streams: held-release replay " +
+      "== batch q_pattern_qmeasure numbering (r9)") {
+    // the oracle-gated key's exact shape: click{2,} THEN purchase with
+    // COUNT(*) + MATCH_NUMBER. The streaming numbering must equal the
+    // batch (ts_1, rsid_1) row_number — not emission order — which the
+    // held-release discipline guarantees (a match takes its number only
+    // once the watermark closes its window and no earlier-ordered
+    // partial is open).
+    Tables.load(spark, sf)
+    val batchRows = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (click{2,} THEN purchase WITHIN '12' HOURS)
+         PARTITION BY user_id
+         MEASURES COUNT(*) AS span_n, MATCH_NUMBER() AS mno""").collect()
+    assert(batchRows.nonEmpty)
+    val batch = batchRows.map { r =>
+      (r.getLong(0), List(r.getLong(1), r.getLong(2))) ->
+        ((r.getLong(5), r.getLong(6)))
+    }.toMap
+    assert(batch.values.exists(_._2 > 1L),
+      "some key must have several matches or the numbering law is vacuous")
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"runchain_mn_${System.nanoTime}"
+    val q = RunChainDetector.detectMeasures(
+        stream.toDS().withWatermark("ts", "0 seconds").as[CepEvent],
+        Seq(((e: CepEvent) => e.event_type == "click", Some(2)),
+          ((e: CepEvent) => e.event_type == "purchase", None)),
+        12L * 3600 * 1000, Seq(None, None),
+        Seq(CepSql.SpanAgg("COUNT", "*", "span_n"),
+          CepSql.MatchNum("mno")))
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    val flush = data.map(_.user_id).distinct.zipWithIndex.map {
+      case (u, i) => CepEvent(-7000L - i,
+        Timestamp.valueOf("2031-01-01 00:00:00"), u, "zz_flush", 0.0)
+    }
+    stream.addData(flush.toSeq); q.processAllAvailable()
+    // one more batch so the advanced watermark fires pending timers
+    stream.addData(CepEvent(-9999L,
+      Timestamp.valueOf("2031-01-02 00:00:00"), -1L, "zz_flush", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name).collect().map { r =>
+      val v = r.getSeq[Double](5)
+      (r.getLong(0), r.getSeq[Long](1).toList) ->
+        ((v(0).toLong, v(1).toLong))
+    }.toMap
+    assert(got.keySet === batch.keySet, "match sets differ")
+    val diffs = batch.collect {
+      case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty,
+      s"${diffs.size} (span, number) diverge, e.g. ${diffs.take(3)}")
+  }
+
   test("timestamp boundary refs stream: replay == batch run_start/" +
       "run_end (r9)") {
     // FIRST(click.ts) / LAST(click.ts) ride the Double slot as exact

@@ -263,14 +263,51 @@ class SubmitSqlSpec extends SparkSpec {
       if (qQM.isActive) qQM.stop()
       spark.catalog.dropTempView("pat_qmeas")
     }
-    // ...MATCH_NUMBER / class refs on a quantified chain stay
+    // ...MATCH_NUMBER on a quantified chain STREAMS since r9 (the
+    // held-release numbering; RunChainSpec pins the full-fixture law —
+    // this pins dispatch + typed BIGINT output + per-key 1..k order);
+    // class refs on an UNQUANTIFIED step of a quantified chain stay
     // batch-only → loud
+    val streamQN = MemoryStream[CepEvent]
+    streamQN.toDF().createOrReplaceTempView("pat_qmn")
+    val qQN = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_qmn
+         MATCH PATTERN (click{2,} THEN purchase WITHIN '30' MINUTES)
+         PARTITION BY user_id
+         MEASURES COUNT(*) AS c, MATCH_NUMBER() AS mn""", "svc_qmn")
+    try {
+      streamQN.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "click", 1),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:00:10"), 7, "click", 2),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:00:20"), 7, "x", 0),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 00:00:30"), 7, "purchase",
+          3),
+        CepEvent(5, Timestamp.valueOf("2026-01-01 00:01:00"), 7, "click", 4),
+        CepEvent(6, Timestamp.valueOf("2026-01-01 00:01:10"), 7, "click", 5),
+        CepEvent(7, Timestamp.valueOf("2026-01-01 00:01:20"), 7, "y", 0),
+        CepEvent(8, Timestamp.valueOf("2026-01-01 00:01:30"), 7, "purchase",
+          6))
+      qQN.processAllAvailable()
+      // flush: advance the watermark far past both windows
+      streamQN.addData(CepEvent(9,
+        Timestamp.valueOf("2026-01-02 00:00:00"), 99, "zz", 0))
+      qQN.processAllAvailable()
+      val gotQN = spark.table("svc_qmn")
+        .select("user_id", "mn").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(gotQN.toSeq === Seq((7L, 1L), (7L, 2L)),
+        s"numbering must be 1..k per key in (ts_1, rsid) order: " +
+          s"${gotQN.toSeq}")
+    } finally {
+      if (qQN.isActive) qQN.stop()
+      spark.catalog.dropTempView("pat_qmn")
+    }
     val eQM = intercept[IllegalArgumentException] {
       ContinuousQueries.submitPattern(spark,
         """SELECT * FROM pat_events2
            MATCH PATTERN (a{2,} THEN b WITHIN '5' MINUTES)
            PARTITION BY user_id
-           MEASURES COUNT(*) AS c, MATCH_NUMBER() AS mn""", "svc_qmeasn")
+           MEASURES COUNT(*) AS c, b.value AS bv""", "svc_qmeasn")
     }
     assert(eQM.getMessage.contains("span aggregates"))
     // ...FIRST/LAST boundary refs STREAM for numeric converter columns
