@@ -196,10 +196,16 @@ object ContinuousQueries {
                   "schema's value/event_id/user_id/ts columns — other " +
                   "columns via the batch rewrite CepSql.sql")
           case _: CepSql.MatchNum => () // held-release numbering (r9)
-          case _ => throw new IllegalArgumentException(
-            "streaming measures on a quantified chain support span " +
-              "aggregates, FIRST/LAST boundary refs, and MATCH_NUMBER " +
-              "— run the batch rewrite via CepSql.sql")
+          case cr: CepSql.ClassRef =>
+            // unquantified-step class refs stream since r9 (matched-row
+            // capture into the slot vector); refs to quantified steps
+            // never reach here — the parser desugars them to LAST
+            if (!Set("value", "event_id", "user_id", "ts")(
+                cr.col.toLowerCase(java.util.Locale.ROOT)))
+              throw new IllegalArgumentException(
+                "streaming class refs read the converter schema's " +
+                  "value/event_id/user_id/ts columns — other columns " +
+                  "via the batch rewrite CepSql.sql")
         }
         spec.steps.sliding(2).foreach { pair =>
           if (pair.length == 2 && pair.last.minTimes.isDefined &&
@@ -235,6 +241,13 @@ object ContinuousQueries {
               org.apache.spark.sql.functions
                 .timestamp_micros(c.cast("long"))
             case _: CepSql.MatchNum => c.cast("long")
+            case CepSql.ClassRef(_, cc, _, _)
+                if intCols(cc.toLowerCase(java.util.Locale.ROOT)) =>
+              c.cast("long")
+            case CepSql.ClassRef(_, cc, _, _)
+                if cc.equalsIgnoreCase("ts") =>
+              org.apache.spark.sql.functions
+                .timestamp_micros(c.cast("long"))
             case _ => c
           }
           typed.as(m.alias)

@@ -493,11 +493,29 @@ object RunChainDetector {
         if (!c.equalsIgnoreCase("ts"))
           PatternMatch.numColumn(c) // loud on non-numeric
       case _: CepSql.MatchNum => () // streams since r9 (held-release)
+      case CepSql.ClassRef(_, c, st, _) =>
+        // class refs on UNQUANTIFIED steps stream since r9: the matched
+        // row's column is captured into the same per-measure slot
+        // vector the boundary refs use, at the step's advance. (A ref
+        // to a quantified step never reaches here — the parser desugars
+        // it to LAST.) ts rides the slot as exact micros.
+        require(st >= 1 && st <= steps.length && steps(st - 1)._2.isEmpty,
+          s"class ref step $st must be unquantified (runs desugar to " +
+            "FIRST/LAST)")
+        if (!c.equalsIgnoreCase("ts")) PatternMatch.numColumn(c)
       case m => throw new IllegalArgumentException(
         s"streaming quantified-chain measures support span aggregates, " +
-          s"FIRST/LAST boundary refs, and MATCH_NUMBER — got '$m'; run " +
-          "the batch rewrite via CepSql.sql")
+          s"class refs, FIRST/LAST boundary refs, and MATCH_NUMBER — " +
+          s"got '$m'; run the batch rewrite via CepSql.sql")
     }
+    val clsRefs: Seq[(CepSql.ClassRef, Int, CepEvent => Double)] =
+      measures.zipWithIndex.collect {
+        case (cr: CepSql.ClassRef, j) =>
+          val get: CepEvent => Double =
+            if (cr.col.equalsIgnoreCase("ts")) e => us(e.ts).toDouble
+            else PatternMatch.numColumn(cr.col)
+          (cr, j, get)
+      }
     // MATCH_NUMBER (r9): PatternMatch.detectMeasures' held-release
     // discipline — a completed match takes its number only once the
     // watermark closes its window and no open partial could still
@@ -565,7 +583,9 @@ object RunChainDetector {
                 }
               case (_: CepSql.BoundRef, j) =>
                 if (bnd.isEmpty) 0.0 else bnd(j)
-              case _ => 0.0 // unreachable (validated above)
+              case (_: CepSql.ClassRef, j) =>
+                if (bnd.isEmpty) 0.0 else bnd(j)
+              case _ => 0.0 // MatchNum: patched at numbered release
             }
 
           // advance with (emitAcc, contAcc): a completion emits with
@@ -614,6 +634,17 @@ object RunChainDetector {
                   else acc
                 }
               }
+            // class-ref slots (r9): the matched row of an unquantified
+            // step fills its refs' slots at the step's advance
+            def classFill(b: Seq[Double], step0: Int): Seq[Double] =
+              if (clsRefs.isEmpty) b
+              else {
+                val base = if (b.isEmpty) bndZero else b
+                clsRefs.foldLeft(base) { case (acc, (cr, j, get)) =>
+                  if (cr.step == step0 + 1) acc.updated(j, get(e))
+                  else acc
+                }
+              }
             partials = partials.flatMap { p =>
               val started = p.cnt > 0L
               val pre = (p.sums, p.cnt, p.mns, p.mxs)
@@ -630,9 +661,11 @@ object RunChainDetector {
               val inClass = pred(e)
               mt match {
                 case None =>
-                  // plain step: its matching event is IN the span
+                  // plain step: its matching event is IN the span (and
+                  // fills any class-ref slots for this step)
                   if (inClass && t > us(p.prevTs) && t <= windowEnd(p))
-                    advance(p, e.event_id, e.ts, post, post).toList
+                    advance(p.copy(bnd = classFill(p.bnd, step)),
+                      e.event_id, e.ts, post, post).toList
                   else List(carry(p))
                 case Some(m) =>
                   val lz = lazySteps(step)
@@ -716,8 +749,9 @@ object RunChainDetector {
                           val (pred2, mt2) = steps(p2.vals.length)
                           if (mt2.isEmpty && pred2(e) &&
                               t > us(p2.prevTs) && t <= windowEnd(p2))
-                            advance(p2, e.event_id, e.ts, post, post)
-                              .toList
+                            advance(p2.copy(bnd =
+                                classFill(p2.bnd, p2.vals.length)),
+                              e.event_id, e.ts, post, post).toList
                           else if (mt2.isDefined && pred2(e) &&
                               t <= windowEnd(p2))
                             List(p2.copy(runStart = e.ts, runLast = e.ts,
@@ -743,8 +777,8 @@ object RunChainDetector {
                 // hrsid = the anchor id (the batch "ts_1, id_1" order)
                 advance(RunChainMPartial(Nil, Nil, e.ts,
                     new Timestamp(0L), null, null, 0L, zero, 0L, zero,
-                    zero, Nil, e.event_id), e.event_id, e.ts,
-                  (ev, 1L, ev, ev), (ev, 1L, ev, ev))
+                    zero, classFill(Nil, 0), e.event_id), e.event_id,
+                  e.ts, (ev, 1L, ev, ev), (ev, 1L, ev, ev))
                   .foreach(p2 => partials = p2 :: partials)
               case Some(_) =>
                 val tracking = partials.exists(p =>

@@ -619,6 +619,59 @@ class RunChainSpec extends SparkSpec {
       s"${diffs.size} (span, number) diverge, e.g. ${diffs.take(3)}")
   }
 
+  test("class refs on unquantified steps of a quantified chain stream: " +
+      "replay == batch matched-row joins (r9)") {
+    // signup.value (head row) and purchase.event_id (tail row) captured
+    // into the slot vector at each step's advance — must equal the
+    // batch rewrite's per-step events joins exactly
+    Tables.load(spark, sf)
+    val pattern =
+      """SELECT * FROM events
+         MATCH PATTERN (signup THEN click{2,} THEN purchase
+         WITHIN '48' HOURS)
+         PARTITION BY user_id
+         MEASURES signup.value AS sv, purchase.event_id AS pid,
+           COUNT(*) AS cn"""
+    val batchRows = CepSql.sql(spark, pattern).collect()
+    assert(batchRows.nonEmpty)
+    // batch cols: user_id, id_1, len_2, id_3, ts_1..ts_3, sv, pid, cn
+    val batch = batchRows.map { r =>
+      (r.getLong(0), Seq(r.getLong(1), r.getLong(2), r.getLong(3))) ->
+        ((r.getDouble(7), r.getLong(8), r.getLong(9)))
+    }.toMap
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"runchain_cref_${System.nanoTime}"
+    val q = RunChainDetector.detectMeasures(stream.toDS(),
+        Seq(((e: CepEvent) => e.event_type == "signup", None),
+          ((e: CepEvent) => e.event_type == "click", Some(2)),
+          ((e: CepEvent) => e.event_type == "purchase", None)),
+        48L * 3600 * 1000, Seq(None, None, None),
+        Seq(CepSql.ClassRef("signup", "value", 1, "sv"),
+          CepSql.ClassRef("purchase", "event_id", 3, "pid"),
+          CepSql.SpanAgg("COUNT", "*", "cn")))
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    val flush = data.map(_.user_id).distinct.zipWithIndex.map {
+      case (u, i) => CepEvent(-2500L - i,
+        Timestamp.valueOf("2031-01-01 00:00:00"), u, "zz_flush", 0.0)
+    }
+    stream.addData(flush.toSeq); q.processAllAvailable(); q.stop()
+    val got = spark.table(name).collect().map { r =>
+      val v = r.getSeq[Double](5)
+      (r.getLong(0), r.getSeq[Long](1).toSeq) ->
+        ((v(0), v(1).toLong, v(2).toLong))
+    }.toMap
+    assert(got.keySet === batch.keySet)
+    val diffs = batch.collect {
+      case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty, s"${diffs.size} diverge, e.g. ${diffs.take(3)}")
+  }
+
   test("timestamp boundary refs stream: replay == batch run_start/" +
       "run_end (r9)") {
     // FIRST(click.ts) / LAST(click.ts) ride the Double slot as exact

@@ -302,14 +302,16 @@ class SubmitSqlSpec extends SparkSpec {
       if (qQN.isActive) qQN.stop()
       spark.catalog.dropTempView("pat_qmn")
     }
+    // class refs on unquantified steps stream since r9 too — but only
+    // for converter-schema columns; anything else stays loud
     val eQM = intercept[IllegalArgumentException] {
       ContinuousQueries.submitPattern(spark,
         """SELECT * FROM pat_events2
            MATCH PATTERN (a{2,} THEN b WITHIN '5' MINUTES)
            PARTITION BY user_id
-           MEASURES COUNT(*) AS c, b.value AS bv""", "svc_qmeasn")
+           MEASURES COUNT(*) AS c, b.nosuch AS bv""", "svc_qmeasn")
     }
-    assert(eQM.getMessage.contains("span aggregates"))
+    assert(eQM.getMessage.contains("converter schema"))
     // ...FIRST/LAST boundary refs STREAM for numeric converter columns
     // (r8) AND ts (r9): micros ride the Double slot exactly and cast
     // back to TIMESTAMP at emission — FIRST(click.ts) is the run's
