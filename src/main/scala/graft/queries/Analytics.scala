@@ -414,6 +414,48 @@ object Analytics {
     // ratio of exact integers (bit-identical IEEE division in both
     // engines — no rounding needed). One lead pass, one count shuffle,
     // one bounded window over the 5×5 output.
+    // SCD type-2 intervals (r9): treat each user's event stream as a
+    // change log — every event's value is valid from its ts until the
+    // user's NEXT event (NULL valid_to + is_current on the latest).
+    // The warehouse dimension-history build: one partitioned lead()
+    // pass, no self-join. Integer event ids break ts ties so the
+    // interval chain is a strict total order in both engines.
+    "q_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("ts"), asc("event_id"))
+      T(s, dir, "events")
+        .withColumn("valid_to", lead("ts", 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("user_id"), col("event_id"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("event_type"), col("value"), col("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
+    // Per-event sessionization (r9): assign every event its session
+    // ORDINAL (1-based per user) under a 30-minute inactivity gap —
+    // the event-grain twin of q_window_session's session-grain agg.
+    // Gaps-and-islands: a session starts where the gap from the
+    // previous event exceeds the threshold; the running sum of starts
+    // IS the session id. Two window passes over one partitioning, no
+    // join — and the session id is deterministic (integer arithmetic
+    // on exact micros).
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("ts"), asc("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      T(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("is_start",
+          (col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") >
+              lit(30L * 60 * 1000000)).cast("long"))
+        .withColumn("session_id", sum("is_start").over(wRun))
+        .select("user_id", "event_id", "ts", "session_id")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
     // Seasonality matrix (r9): per-type activity index over the
     // 7×24-slot week — cell count vs the uniform share (idx > 1 = the
     // slot runs hot). Integer-exact bucketing (day-diff-mod-7 from a
@@ -689,6 +731,29 @@ object Analytics {
            FROM x WHERE n_win >= 8)
          SELECT user_id, ts, event_id, z, abs(z) > 2.0 AS is_anomaly
          FROM z ORDER BY user_id, ts, event_id""",
+    "q_scd2" ->
+      """SELECT user_id, event_id, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           event_type, value,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             IS NULL AS is_current
+         FROM events
+         ORDER BY user_id, valid_from, event_id""",
+    "q_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS is_start
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, event_id, ts,
+           CAST(sum(is_start) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_id
+         FROM g ORDER BY user_id, ts, event_id""",
     "q_seasonality" ->
       """WITH c AS (
            SELECT event_type,

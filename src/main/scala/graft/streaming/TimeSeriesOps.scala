@@ -142,6 +142,41 @@ object TimeSeriesOps {
       }
   }
 
+  case class SessionRow(user_id: Long, event_id: Long, ts: Timestamp,
+      session_id: Long)
+  case class SessionState(lastUs: Long, counter: Long)
+
+  /** Per-event session ordinals under an inactivity gap (the streaming
+    * twin of `q_sessionize`'s gaps-and-islands windows): state = the
+    * user's last event time + running session counter, O(1). A new
+    * session starts when the gap from the previous event exceeds
+    * `gapMs`; the counter IS the batch running-sum-of-starts. */
+  def sessionize(events: Dataset[CepEvent], gapMs: Long)
+      : Dataset[SessionRow] = {
+    implicit val rowEnc = Encoders.product[SessionRow]
+    implicit val stEnc = Encoders.product[SessionState]
+    implicit val keyEnc = Encoders.scalaLong
+    val gapUs = gapMs * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[CepEvent],
+            state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue,
+            0L))
+          val out = List.newBuilder[SessionRow]
+          it.toArray.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val t = us(e.ts)
+            val fresh = st.lastUs == Long.MinValue || t - st.lastUs > gapUs
+            st = SessionState(t, if (fresh) st.counter + 1 else st.counter)
+            out += SessionRow(user, e.event_id, e.ts, st.counter)
+          }
+          if (st.lastUs == Long.MinValue) state.remove()
+          else state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class FunnelRow(user_id: Long, stage: Int, t1: Timestamp,
       t2: Timestamp, t3: Timestamp)
   case class FunnelState(u1: Long, u2: Long, u3: Long)

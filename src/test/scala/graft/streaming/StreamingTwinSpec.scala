@@ -284,6 +284,30 @@ class StreamingTwinSpec extends SparkSpec {
       got.values.count(_._3.isDefined).toLong)
   }
 
+  test("sessionize: streaming gap counter == batch gaps-and-islands " +
+      "(r9)") {
+    val batch = graft.SparkEntry.queries("q_sessionize")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"twin_sess_${System.nanoTime}"
+    val q = TimeSeriesOps.sessionize(stream.toDS(), 30L * 60 * 1000)
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got.keySet === batch.keySet)
+    val diffs = batch.collect {
+      case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty, s"${diffs.size} diverge, e.g. ${diffs.take(3)}")
+  }
+
   test("streaming dedup == batch distinct") {
     val batch = StreamOps.dedup(eventsDf, Seq("user_id", "event_type"))
     val stream = streamed(StreamOps.dedup(_, Seq("user_id", "event_type")),
