@@ -89,6 +89,31 @@ object DetectorThroughputProbe {
         .map(t => (e: CepEvent) => e.event_type == t),
       Seq(false, true, false, false), 12L * 3600 * 1000,
       "0 seconds").toDF())
+    // r9 modes: numbered release, ts boundary slots, class-ref capture
+    run("qmeasnum", ds => RunChainDetector.detectMeasures(
+      ds.withWatermark("ts", "0 seconds").as[CepEvent],
+      Seq(((e: CepEvent) => e.event_type == "click", Some(2)),
+        ((e: CepEvent) => e.event_type == "purchase", None)),
+      2L * 3600 * 1000, Seq(None, None),
+      Seq(graft.streaming.CepSql.SpanAgg("COUNT", "*", "cn"),
+        graft.streaming.CepSql.MatchNum("mno"))).toDF())
+    run("tsbound", ds => RunChainDetector.detectMeasures(ds,
+      Seq(((e: CepEvent) => e.event_type == "click", Some(2)),
+        ((e: CepEvent) => e.event_type == "purchase", None)),
+      2L * 3600 * 1000, Seq(None, None),
+      Seq(graft.streaming.CepSql.BoundRef("FIRST", "click", "ts", 1,
+          "t0"),
+        graft.streaming.CepSql.BoundRef("LAST", "click", "ts", 1, "t1"),
+        graft.streaming.CepSql.SpanAgg("COUNT", "*", "cn"))).toDF())
+    run("classref", ds => RunChainDetector.detectMeasures(ds,
+      Seq(((e: CepEvent) => e.event_type == "signup", None),
+        ((e: CepEvent) => e.event_type == "click", Some(2)),
+        ((e: CepEvent) => e.event_type == "purchase", None)),
+      24L * 3600 * 1000, Seq(None, None, None),
+      Seq(graft.streaming.CepSql.ClassRef("signup", "value", 1, "sv"),
+        graft.streaming.CepSql.ClassRef("purchase", "event_id", 3,
+          "pid"),
+        graft.streaming.CepSql.SpanAgg("COUNT", "*", "cn"))).toDF())
     spark.stop()
   }
 }
