@@ -414,6 +414,102 @@ object Analytics {
     // ratio of exact integers (bit-identical IEEE division in both
     // engines — no rounding needed). One lead pass, one count shuffle,
     // one bounded window over the 5×5 output.
+    // Last-touch attribution report (r9): every purchase attributes to
+    // the user's LATEST click/view strictly before it within a 7-day
+    // lookback, else 'unattributed' — the marketing-channel readout.
+    // Rank-1 over a left band join (desc ts, desc id — deterministic);
+    // at 100 TB the scale path is the zero-pair carry discipline
+    // (operators.TemporalJoins.asofJoinBackwardCarry) with the touch
+    // type riding the carried payload — this key pins the SEMANTICS
+    // via the rank-1 formulation both engines share. Revenue rounds at
+    // 2 dp only at the end (exact 2-dp inputs).
+    "q_attribution" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val pur = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"), col("value").as("p_val"))
+      val tou = e.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id").as("t_id"),
+          col("user_id").as("t_uid"), col("ts").as("t_ts"),
+          col("event_type").as("touch"))
+      val w = Window.partitionBy("p_id")
+        .orderBy(desc("t_ts"), desc("t_id"))
+      pur.join(tou,
+          col("user_id") === col("t_uid") &&
+            col("t_ts") < col("p_ts") &&
+            col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"),
+          "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(coalesce(col("touch"), lit("unattributed"))
+          .as("touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          fround(sum("p_val"), 2).as("revenue"))
+        .orderBy("touch")
+    }),
+
+    // Market-basket lift (r9): per (user, day) basket of DISTINCT event
+    // types, pair co-occurrence vs independence — lift =
+    // n_ab·n_baskets / (n_a·n_b), all exact integers (< 2^53), only
+    // the final ratio rounds. Pair join is basket-equi with a.type <
+    // b.type (≤ C(5,2) pairs per basket — bounded by the type
+    // vocabulary, never quadratic in rows); the marginals and the
+    // basket total broadcast (5 + 1 rows).
+    "q_basket_lift" -> ((s, dir) => {
+      val items = T(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .select("user_id", "day", "event_type").distinct()
+      val nb = items.select("user_id", "day").distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val marg = items.groupBy(col("event_type").as("t"))
+        .agg(count(lit(1)).as("n_t"))
+      val a = items.select(col("user_id"), col("day"),
+        col("event_type").as("ta"))
+      val b = items.select(col("user_id").as("u2"), col("day").as("d2"),
+        col("event_type").as("tb"))
+      a.join(b, col("user_id") === col("u2") && col("day") === col("d2")
+          && col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
+        .join(broadcast(marg.withColumnRenamed("t", "ta")
+          .withColumnRenamed("n_t", "n_a")), "ta")
+        .join(broadcast(marg.withColumnRenamed("t", "tb")
+          .withColumnRenamed("n_t", "n_b")), "tb")
+        .crossJoin(broadcast(nb))
+        .select(col("ta"), col("tb"), col("n_ab"),
+          fround(col("n_ab") * col("n_baskets") /
+            (col("n_a") * col("n_b")), 4).as("lift"))
+        .orderBy("ta", "tb")
+    }),
+
+    // Weekly churn panel (r9): per week, active users vs retained into
+    // the NEXT week vs churned — the top-line retention readout.
+    // Integer-exact week buckets (day-diff div 7), one distinct
+    // (user, week) frame feeding an equi self-join (retained) whose
+    // complement is churn; the rate is an exact integer ratio rounded
+    // at the end. The final week churns everyone by construction
+    // (no week+1 data) — deterministic in both engines.
+    "q_churn" -> ((s, dir) => {
+      val wk = T(s, dir, "events")
+        .withColumn("week",
+          expr("datediff(CAST(ts AS DATE), date '2024-01-01') div 7")
+            .cast("long"))
+        .select("user_id", "week").distinct()
+      val nxt = wk.select(col("user_id").as("u2"),
+        (col("week") - 1).as("wk0"))
+      val ret = wk.join(nxt,
+          col("user_id") === col("u2") && col("week") === col("wk0"),
+          "left_semi")
+        .groupBy("week").agg(count(lit(1)).as("retained"))
+      wk.groupBy("week").agg(count(lit(1)).as("active"))
+        .join(ret, Seq("week"), "left")
+        .withColumn("retained", coalesce(col("retained"), lit(0L)))
+        .withColumn("churned", col("active") - col("retained"))
+        .withColumn("churn_rate",
+          fround(col("churned") / col("active"), 4))
+        .select("week", "active", "retained", "churned", "churn_rate")
+        .orderBy("week")
+    }),
+
     // SCD type-2 intervals (r9): treat each user's event stream as a
     // change log — every event's value is valid from its ts until the
     // user's NEXT event (NULL valid_to + is_current on the latest).
@@ -731,6 +827,64 @@ object Analytics {
            FROM x WHERE n_win >= 8)
          SELECT user_id, ts, event_id, z, abs(z) > 2.0 AS is_anomaly
          FROM z ORDER BY user_id, ts, event_id""",
+    "q_attribution" ->
+      """WITH m AS (
+           SELECT p.event_id AS p_id, p.value AS p_val, t.touch,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY t.t_ts DESC, t.t_id DESC) AS rn
+           FROM (SELECT event_id, user_id, ts, value FROM events
+                 WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT event_id AS t_id, user_id AS t_uid,
+                        ts AS t_ts, event_type AS touch FROM events
+                      WHERE event_type IN ('click', 'view')) t
+             ON p.user_id = t.t_uid AND t.t_ts < p.ts
+            AND t.t_ts >= p.ts - INTERVAL 7 DAY)
+         SELECT coalesce(touch, 'unattributed') AS touch,
+           count(*) AS n_purchases,
+           floor(sum(p_val) * 100 + 0.5) / 100 AS revenue
+         FROM m WHERE rn = 1
+         GROUP BY 1 ORDER BY 1""",
+    "q_basket_lift" ->
+      """WITH items AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+           FROM events),
+         nb AS (SELECT count(*) AS n_baskets FROM
+                  (SELECT DISTINCT user_id, day FROM items) t),
+         marg AS (SELECT event_type AS t, count(*) AS n_t
+                  FROM items GROUP BY 1),
+         p AS (
+           SELECT a.event_type AS ta, b.event_type AS tb,
+             count(*) AS n_ab
+           FROM items a JOIN items b
+             ON a.user_id = b.user_id AND a.day = b.day
+            AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT p.ta, p.tb, p.n_ab,
+           floor(CAST(p.n_ab AS DOUBLE) * nb.n_baskets
+                 / (ma.n_t * mb.n_t) * 10000 + 0.5) / 10000 AS lift
+         FROM p JOIN marg ma ON ma.t = p.ta
+         JOIN marg mb ON mb.t = p.tb, nb
+         ORDER BY p.ta, p.tb""",
+    "q_churn" ->
+      """WITH wk AS (
+           SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               // 7 AS BIGINT) AS week
+           FROM events),
+         act AS (SELECT week, count(*) AS active FROM wk GROUP BY 1),
+         ret AS (
+           SELECT a.week, count(*) AS retained
+           FROM wk a JOIN wk b
+             ON a.user_id = b.user_id AND b.week = a.week + 1
+           GROUP BY 1)
+         SELECT act.week, act.active,
+           coalesce(ret.retained, 0) AS retained,
+           act.active - coalesce(ret.retained, 0) AS churned,
+           floor((act.active - coalesce(ret.retained, 0))
+                 / CAST(act.active AS DOUBLE) * 10000 + 0.5) / 10000
+             AS churn_rate
+         FROM act LEFT JOIN ret ON act.week = ret.week
+         ORDER BY act.week""",
     "q_scd2" ->
       """SELECT user_id, event_id, ts AS valid_from,
            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
