@@ -414,6 +414,63 @@ object Analytics {
     // ratio of exact integers (bit-identical IEEE division in both
     // engines — no rounding needed). One lead pass, one count shuffle,
     // one bounded window over the 5×5 output.
+    // Seasonal-naive forecast backtest (r9): forecast(type, week) =
+    // actual(type, week-1), scored with per-type MAPE over the weeks
+    // both sides exist — the baseline every forecasting stack must
+    // beat, and the shape (one agg + one lag window + one agg) is the
+    // whole backtest loop. Counts are exact ints; the error ratio and
+    // its mean round once at the end.
+    "q_forecast_naive" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("week")
+      T(s, dir, "events")
+        .withColumn("week",
+          expr("datediff(CAST(ts AS DATE), date '2024-01-01') div 7")
+            .cast("long"))
+        .groupBy("event_type", "week")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("fc", lag("cnt", 1).over(w))
+        .filter(col("fc").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_weeks"),
+          fround(avg(abs(col("cnt") - col("fc")) /
+            col("cnt").cast("double")), 4).as("mape"))
+        .orderBy("event_type")
+    }),
+
+    // Table profiler (r9): per-column null count / distinct count /
+    // min / max over the events table — the data-quality readout every
+    // engine ships (ANALYZE/profile). One map-combined pass; the
+    // per-column rows unpivot via stack so the report is schema-stable,
+    // with TYPED min/max columns (numeric vs string) instead of
+    // rendering doubles to text — double formatting is engine-specific,
+    // typed values hash-compare exactly.
+    "q_profile" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      e.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("user_id").isNull.cast("long")).as("nn_user"),
+          countDistinct(col("user_id")).as("nd_user"),
+          min("user_id").as("mn_user"), max("user_id").as("mx_user"),
+          sum(col("event_type").isNull.cast("long")).as("nn_type"),
+          countDistinct(col("event_type")).as("nd_type"),
+          min("event_type").as("mn_type"), max("event_type").as("mx_type"),
+          sum(col("value").isNull.cast("long")).as("nn_val"),
+          countDistinct(col("value")).as("nd_val"),
+          fround(min("value"), 4).as("mn_val"),
+          fround(max("value"), 4).as("mx_val"))
+        .selectExpr("stack(3, " +
+          "'event_type', n_rows, nn_type, nd_type, " +
+          "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_type, mx_type, " +
+          "'user_id', n_rows, nn_user, nd_user, " +
+          "CAST(mn_user AS DOUBLE), CAST(mx_user AS DOUBLE), " +
+          "CAST(NULL AS STRING), CAST(NULL AS STRING), " +
+          "'value', n_rows, nn_val, nd_val, mn_val, mx_val, " +
+          "CAST(NULL AS STRING), CAST(NULL AS STRING)" +
+          ") AS (col_name, n_rows, n_null, n_distinct, " +
+          "min_num, max_num, min_str, max_str)")
+        .orderBy("col_name")
+    }),
+
     // Last-touch attribution report (r9): every purchase attributes to
     // the user's LATEST click/view strictly before it within a 7-day
     // lookback, else 'unattributed' — the marketing-channel readout.
@@ -827,6 +884,50 @@ object Analytics {
            FROM x WHERE n_win >= 8)
          SELECT user_id, ts, event_id, z, abs(z) > 2.0 AS is_anomaly
          FROM z ORDER BY user_id, ts, event_id""",
+    "q_forecast_naive" ->
+      """WITH wk AS (
+           SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               // 7 AS BIGINT) AS week,
+             count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         f AS (
+           SELECT event_type, cnt,
+             lag(cnt) OVER (PARTITION BY event_type ORDER BY week) AS fc
+           FROM wk)
+         SELECT event_type, count(*) AS n_weeks,
+           floor(avg(abs(cnt - fc) / CAST(cnt AS DOUBLE)) * 10000 + 0.5)
+             / 10000 AS mape
+         FROM f WHERE fc IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+    "q_profile" ->
+      """WITH a AS (
+           SELECT count(*) AS n_rows,
+             sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nn_user,
+             count(DISTINCT user_id) AS nd_user,
+             min(user_id) AS mn_user, max(user_id) AS mx_user,
+             sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+               AS nn_type,
+             count(DISTINCT event_type) AS nd_type,
+             min(event_type) AS mn_type, max(event_type) AS mx_type,
+             sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nn_val,
+             count(DISTINCT value) AS nd_val,
+             floor(min(value) * 10000 + 0.5) / 10000 AS mn_val,
+             floor(max(value) * 10000 + 0.5) / 10000 AS mx_val
+           FROM events)
+         SELECT 'event_type' AS col_name, n_rows,
+           CAST(nn_type AS BIGINT) AS n_null, nd_type AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE)
+             AS max_num, mn_type AS min_str, mx_type AS max_str
+         FROM a
+         UNION ALL
+         SELECT 'user_id', n_rows, CAST(nn_user AS BIGINT), nd_user,
+           CAST(mn_user AS DOUBLE), CAST(mx_user AS DOUBLE),
+           NULL, NULL FROM a
+         UNION ALL
+         SELECT 'value', n_rows, CAST(nn_val AS BIGINT), nd_val,
+           mn_val, mx_val, NULL, NULL FROM a
+         ORDER BY col_name""",
     "q_attribution" ->
       """WITH m AS (
            SELECT p.event_id AS p_id, p.value AS p_val, t.touch,
