@@ -548,6 +548,33 @@ class PlanShapeSpec extends SparkSpec {
     graft.Caching.releaseAll()
   }
 
+  test("r9 analytics keys: broadcasts where due, no cartesian (r9)") {
+    // q_basket_lift: the two 5-row marginals and the 1-row basket total
+    // must broadcast into the pair-count frame; the pair join itself is
+    // basket-equi (user, day) — never a nested loop
+    val pb = plan("q_basket_lift")
+    assert("BroadcastHashJoin".r.findAllIn(pb).size >= 2,
+      s"marginals must broadcast:\n${pb.take(2000)}")
+    assert(!pb.contains("CartesianProduct"),
+      "pair generation must stay basket-equi")
+    assert(pb.contains("BroadcastNestedLoopJoin") ||
+      !pb.contains("CartesianProduct"),
+      "the 1-row total may broadcast-nest, never cartesian")
+    // q_attribution: the touch join keys on user_id (equi) with the
+    // band as residual — at fixture scale this must not degrade to a
+    // nested loop either
+    val pa = plan("q_attribution")
+    assert(!pa.contains("CartesianProduct"),
+      s"attribution must join on user_id:\n${pa.take(2000)}")
+    // q_churn: one distinct (user, week) frame feeds both sides of an
+    // equi self-join — no cartesian, and the final panel joins on week
+    val pc = plan("q_churn")
+    assert(!pc.contains("CartesianProduct") &&
+      !pc.contains("BroadcastNestedLoopJoin"),
+      s"churn self-join must stay equi:\n${pc.take(2000)}")
+    graft.Caching.releaseAll()
+  }
+
   test("no unpartitioned Window in ANY declared query (r9 sweep)") {
     // repo-wide standing gate: an empty partitionSpec on a Window means
     // a single-task sort of the whole frame — the judge swept for these
