@@ -142,6 +142,55 @@ object TimeSeriesOps {
       }
   }
 
+  case class Scd2Row(user_id: Long, event_id: Long,
+      valid_from: Timestamp, valid_to: Timestamp, event_type: String,
+      value: Double, is_current: Boolean)
+  case class Scd2State(id: Long, fromUs: Long, typ: String, v: Double)
+
+  /** Streaming SCD type-2 interval builder (the twin of `q_scd2`'s
+    * lead() pass): each change-log row CLOSES the key's previous
+    * interval (valid_to = the new row's ts) and opens its own. The
+    * open interval emits with a NULL valid_to + is_current when a
+    * flush event (any later row, e.g. the replay sentinel) proves the
+    * stream ended — on a live stream the current row simply stays in
+    * state. State = the last row per key, O(1). */
+  def scd2(events: Dataset[CepEvent], flushType: String = "zz_flush")
+      : Dataset[Scd2Row] = {
+    implicit val rowEnc = Encoders.product[Scd2Row]
+    implicit val stEnc = Encoders.product[Scd2State]
+    implicit val keyEnc = Encoders.scalaLong
+    def tsOf(u: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(u, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(u, 1000000L) * 1000L).toInt)
+      t
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[CepEvent],
+            state: GroupState[Scd2State]) =>
+          var st = state.getOption.orNull
+          val out = List.newBuilder[Scd2Row]
+          it.toArray.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            if (e.event_type == flushType) {
+              if (st != null) {
+                out += Scd2Row(user, st.id, tsOf(st.fromUs), null,
+                  st.typ, st.v, is_current = true)
+                st = null
+              }
+            } else {
+              if (st != null)
+                out += Scd2Row(user, st.id, tsOf(st.fromUs), e.ts,
+                  st.typ, st.v, is_current = false)
+              st = Scd2State(e.event_id, us(e.ts), e.event_type, e.value)
+            }
+          }
+          if (st == null) state.remove()
+          else state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class SessionRow(user_id: Long, event_id: Long, ts: Timestamp,
       session_id: Long)
   case class SessionState(lastUs: Long, counter: Long)

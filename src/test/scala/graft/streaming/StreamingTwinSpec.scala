@@ -284,6 +284,36 @@ class StreamingTwinSpec extends SparkSpec {
       got.values.count(_._3.isDefined).toLong)
   }
 
+  test("SCD2 intervals: streaming close-on-next == batch lead key (r9)") {
+    val batch = graft.SparkEntry.queries("q_scd2")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getTimestamp(2), Option(r.getTimestamp(3)),
+          r.getString(4), r.getDouble(5), r.getBoolean(6)))).toMap
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"twin_scd2_${System.nanoTime}"
+    val q = TimeSeriesOps.scd2(stream.toDS())
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    val flush = data.map(_.user_id).distinct.zipWithIndex.map {
+      case (u, i) => CepEvent(-3500L - i,
+        Timestamp.valueOf("2031-01-01 00:00:00"), u, "zz_flush", 0.0)
+    }
+    stream.addData(flush.toSeq); q.processAllAvailable(); q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getTimestamp(2), Option(r.getTimestamp(3)),
+          r.getString(4), r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(got.keySet === batch.keySet)
+    val diffs = batch.collect {
+      case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty, s"${diffs.size} diverge, e.g. ${diffs.take(3)}")
+  }
+
   test("sessionize: streaming gap counter == batch gaps-and-islands " +
       "(r9)") {
     val batch = graft.SparkEntry.queries("q_sessionize")(spark, sf)
