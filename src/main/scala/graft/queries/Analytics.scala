@@ -414,6 +414,26 @@ object Analytics {
     // ratio of exact integers (bit-identical IEEE division in both
     // engines — no rounding needed). One lead pass, one count shuffle,
     // one bounded window over the 5×5 output.
+    // Inter-arrival gap percentiles (r9): per type, the median/p90 gap
+    // between a user's consecutive events of that type — the ops
+    // readout behind rate alerting and session-gap tuning. Gaps are
+    // exact integer micros (one partitioned lag pass); the exact
+    // interpolated percentile of integers is the q_percentile
+    // discipline, rounded 4 dp.
+    "q_interarrival" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(asc("ts"), asc("event_id"))
+      T(s, dir, "events")
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          fround(expr("percentile(gap_us, 0.5)"), 4).as("p50_us"),
+          fround(expr("percentile(gap_us, 0.9)"), 4).as("p90_us"))
+        .orderBy("event_type")
+    }),
+
     // Seasonal-naive forecast backtest (r9): forecast(type, week) =
     // actual(type, week-1), scored with per-type MAPE over the weeks
     // both sides exist — the baseline every forecasting stack must
@@ -884,6 +904,20 @@ object Analytics {
            FROM x WHERE n_win >= 8)
          SELECT user_id, ts, event_id, z, abs(z) > 2.0 AS is_anomaly
          FROM z ORDER BY user_id, ts, event_id""",
+    "q_interarrival" ->
+      """WITH g AS (
+           SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS gap_us
+           FROM events)
+         SELECT event_type, count(*) AS n_gaps,
+           floor(quantile_cont(gap_us, 0.5) * 10000 + 0.5) / 10000
+             AS p50_us,
+           floor(quantile_cont(gap_us, 0.9) * 10000 + 0.5) / 10000
+             AS p90_us
+         FROM g WHERE gap_us IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
     "q_forecast_naive" ->
       """WITH wk AS (
            SELECT event_type,
