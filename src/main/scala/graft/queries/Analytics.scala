@@ -50,7 +50,8 @@ object Analytics {
 
     // Weekly cohort retention: cohort = user's first-seen week, offset =
     // weeks since first seen; cell = distinct active users. All-integer
-    // date arithmetic (day-diff div 7) — no engine-specific week
+    // date arithmetic (floor(day-diff / 7) — FLOOR division, matching
+    // DuckDB `//` even for pre-epoch timestamps) — no engine-specific week
     // truncation rules in play.
     "q_cohort" -> ((s, dir) => {
       val ed = T(s, dir, "events")
@@ -58,9 +59,9 @@ object Analytics {
       val first = ed.groupBy("user_id").agg(min("d").as("fd"))
       ed.join(first, "user_id")
         .withColumn("cohort_week",
-          expr("datediff(fd, date '2024-01-01') div 7").cast("long"))
+          expr("floor(datediff(fd, date '2024-01-01') / 7)").cast("long"))
         .withColumn("week_offset",
-          expr("datediff(d, fd) div 7").cast("long"))
+          expr("floor(datediff(d, fd) / 7)").cast("long"))
         .groupBy("cohort_week", "week_offset")
         .agg(countDistinct("user_id").as("users"))
         .orderBy("cohort_week", "week_offset")
@@ -320,14 +321,14 @@ object Analytics {
     // Week-over-week growth (r8): weekly event counts per type with the
     // previous week's count and the growth ratio — the top-line trend
     // panel every analytics engine serves. Integer-exact week bucketing
-    // (day-diff div 7 from a fixed epoch, no engine week-truncation
+    // (floor(day-diff / 7) from a fixed epoch — floor matches DuckDB `//` on negatives, no engine week-truncation
     // rules), counts are exact ints, and the ratio is exact IEEE
     // division of ints. One agg + one bounded window over type×weeks.
     "q_growth_wow" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy("week")
       T(s, dir, "events")
         .withColumn("week",
-          expr("datediff(CAST(ts AS DATE), date '2024-01-01') div 7")
+          expr("floor(datediff(CAST(ts AS DATE), date '2024-01-01') / 7)")
             .cast("long"))
         .groupBy("event_type", "week")
         .agg(count(lit(1)).as("cnt"))
@@ -444,7 +445,7 @@ object Analytics {
       val w = Window.partitionBy("event_type").orderBy("week")
       T(s, dir, "events")
         .withColumn("week",
-          expr("datediff(CAST(ts AS DATE), date '2024-01-01') div 7")
+          expr("floor(datediff(CAST(ts AS DATE), date '2024-01-01') / 7)")
             .cast("long"))
         .groupBy("event_type", "week")
         .agg(count(lit(1)).as("cnt"))
@@ -560,7 +561,7 @@ object Analytics {
 
     // Weekly churn panel (r9): per week, active users vs retained into
     // the NEXT week vs churned — the top-line retention readout.
-    // Integer-exact week buckets (day-diff div 7), one distinct
+    // Integer-exact week buckets (floor(day-diff / 7), matching DuckDB `//`), one distinct
     // (user, week) frame feeding an equi self-join (retained) whose
     // complement is churn; the rate is an exact integer ratio rounded
     // at the end. The final week churns everyone by construction
@@ -568,7 +569,7 @@ object Analytics {
     "q_churn" -> ((s, dir) => {
       val wk = T(s, dir, "events")
         .withColumn("week",
-          expr("datediff(CAST(ts AS DATE), date '2024-01-01') div 7")
+          expr("floor(datediff(CAST(ts AS DATE), date '2024-01-01') / 7)")
             .cast("long"))
         .select("user_id", "week").distinct()
       val nxt = wk.select(col("user_id").as("u2"),

@@ -808,9 +808,19 @@ object RunChainDetector {
             // a consumed-island suppressor (runLen == -1) and idle
             // trackers never produce a match — future anchors carry
             // ts >= watermark, which the window-closed test dominates.
+            // A head run whose completion window has provably closed
+            // (runLast + within <= horizon) is excluded too (r10
+            // ADVICE): it can never complete — windowEnd anchors at or
+            // before runLast — and any RESTART must anchor at
+            // ts >= watermark, which the released matches' own
+            // window-closed test already dominates; without this, a
+            // tracker (re)seeded by a late in-lateness event could
+            // carry runLast earlier than a held match's start_ts and
+            // withhold its number forever on a live stream.
             val bounds = partials.flatMap { p =>
               if (p.vals.nonEmpty) Some((us(p.tss.last), p.hrsid))
-              else if (p.runStart != null && p.runLen != -1L)
+              else if (p.runStart != null && p.runLen != -1L &&
+                  us(p.runLast) + withinUs > horizon)
                 Some((us(p.runLast), p.hrsid))
               else None
             }

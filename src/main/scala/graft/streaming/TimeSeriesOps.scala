@@ -39,8 +39,15 @@ object TimeSeriesOps {
     * integer microseconds, only the final quotient rounds (4 dp), the
     * exact `q_twap` arithmetic. A day emits when a later-day event (or
     * the flush) proves it closed: the last value's segment runs to the
-    * day end. */
-  def twapDaily(events: Dataset[CepEvent]): Dataset[TwapRow] = {
+    * day end.
+    *
+    * `flushType` events (the replay sentinel, same contract as [[scd2]])
+    * close the key's open day WITHOUT entering the accumulator — r10
+    * ADVICE fix: previously the sentinel opened a phantom bucket
+    * (day-of-flush, value 0.0) in state, which a later event would have
+    * emitted as a fabricated TWAP row. */
+  def twapDaily(events: Dataset[CepEvent],
+      flushType: String = "zz_flush"): Dataset[TwapRow] = {
     implicit val rowEnc = Encoders.product[TwapRow]
     implicit val stEnc = Encoders.product[TwapState]
     implicit val keyEnc = Encoders.scalaLong
@@ -60,7 +67,11 @@ object TimeSeriesOps {
           it.toArray.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
             val t = us(e.ts)
             val d = Math.floorDiv(t, DayUs)
-            if (st == null) st = TwapState(d, t, e.value, 0.0, 0L, 1L)
+            if (e.event_type == flushType) {
+              // horizon sentinel: close the open day, never accumulate
+              if (st != null && d > st.day) { out += close(st); st = null }
+            } else if (st == null)
+              st = TwapState(d, t, e.value, 0.0, 0L, 1L)
             else if (d == st.day) {
               val dur = t - st.lastTs
               st = TwapState(d, t, e.value,
@@ -294,8 +305,18 @@ object TimeSeriesOps {
     * type's first observation onward (it cannot know the global lo
     * before seeing it) — the twin law compares on that common domain,
     * and a flush at (global hi + 1 h) extends every type's carry to the
-    * spine's end. */
-  def locfHourly(events: Dataset[CepEvent]): Dataset[LocfRow] = {
+    * spine's end.
+    *
+    * The operator is keyed by event_type, so the flush sentinel must
+    * RIDE the type it flushes — it is marked by `user_id == flushUser`
+    * (reserved negative id, the [[scd2]]/[[twapDaily]] flushType
+    * discipline adapted to a type-keyed stream). A sentinel closes and
+    * emits every bucket strictly before its hour but never opens one —
+    * r10 ADVICE fix: previously the sentinel entered state as a real
+    * observation (hour-of-flush, value 0.0) that a later event would
+    * have emitted as a fabricated bucket. */
+  def locfHourly(events: Dataset[CepEvent],
+      flushUser: Long = -1L): Dataset[LocfRow] = {
     implicit val rowEnc = Encoders.product[LocfRow]
     implicit val stEnc = Encoders.product[LocfState]
     implicit val keyEnc = Encoders.STRING
@@ -309,7 +330,20 @@ object TimeSeriesOps {
           def tsOf(h: Long) = new Timestamp(h / 1000L)
           it.toArray.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
             val h = Math.floorDiv(us(e.ts), HourUs) * HourUs
-            if (st == null) st = LocfState(h, e.value, 1L)
+            if (e.user_id == flushUser) {
+              // horizon sentinel: emit the open hour + its trailing gap
+              // rows up to (but excluding) the sentinel hour, then clear
+              if (st != null && h > st.hour) {
+                val obs = r4(st.sum / st.cnt)
+                out += LocfRow(ty, tsOf(st.hour), obs, is_observed = true)
+                var g = st.hour + HourUs
+                while (g < h) {
+                  out += LocfRow(ty, tsOf(g), obs, is_observed = false)
+                  g += HourUs
+                }
+                st = null
+              }
+            } else if (st == null) st = LocfState(h, e.value, 1L)
             else if (h == st.hour)
               st = LocfState(h, st.sum + e.value, st.cnt + 1)
             else if (h > st.hour) {

@@ -162,7 +162,7 @@ class StreamingTwinSpec extends SparkSpec {
     }
     val flush = data.map(_.event_type).distinct.zipWithIndex.map {
       case (ty, i) => CepEvent(-4000L - i,
-        new Timestamp(hiMs + 3600L * 1000), 0L, ty, 0.0)
+        new Timestamp(hiMs + 3600L * 1000), -1L, ty, 0.0)
     }
     stream.addData(flush.toSeq); q.processAllAvailable(); q.stop()
     val got = spark.table(name).collect()
