@@ -219,20 +219,28 @@ object TemporalJoins {
     * across the sides; ties on `rightTs` break by max `rightId`; left
     * rows with no earlier right row keep nulls; a NULL key never matches
     * (SQL equi semantics — `partitionBy` groups NULLs together, so the
-    * carried value is explicitly nulled for null-key rows). */
+    * carried value is explicitly nulled for null-key rows).
+    *
+    * `strict` (r10): carry the latest right row with rightTs STRICTLY
+    * before leftTs (`<` instead of `<=`) — at equal ts the left row
+    * sorts BEFORE the right rows, so the running frame excludes them.
+    * This is the last-touch-attribution shape (a purchase never
+    * attributes to a same-instant touch); everything else is identical. */
   def asofJoinBackwardCarry(left: DataFrame, right: DataFrame,
-      key: Seq[String], leftTs: String, rightTs: String, rightId: String)
-      : DataFrame = {
+      key: Seq[String], leftTs: String, rightTs: String, rightId: String,
+      strict: Boolean = false): DataFrame = {
     requireFree(Seq("__ts", "__side", "__carry"), left, right)
     val rCols = right.columns.filterNot(key.contains)
     val lCols = left.columns
     val l2 = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
     val r2 = right.withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
     val u = l2.unionByName(r2, allowMissingColumns = true)
-    // right rows (side 0) sort before left rows at equal ts → <= semantics;
+    // right rows (side 0) sort before left rows at equal ts → <= semantics
+    // (strict flips the tie so equal-ts right rows fall outside the frame);
     // among equal-ts right rows, ascending id makes `last` pick the max id
+    val sideOrd = if (strict) desc("__side") else asc("__side")
     val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(asc("__ts"), asc("__side"), asc_nulls_first(rightId))
+      .orderBy(asc("__ts"), sideOrd, asc_nulls_first(rightId))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // carry the whole right row as ONE struct so all carried columns come
     // from the SAME source row (per-column ignoreNulls carries could mix).

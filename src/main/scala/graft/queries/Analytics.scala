@@ -492,35 +492,37 @@ object Analytics {
         .orderBy("col_name")
     }),
 
-    // Last-touch attribution report (r9): every purchase attributes to
-    // the user's LATEST click/view strictly before it within a 7-day
-    // lookback, else 'unattributed' — the marketing-channel readout.
-    // Rank-1 over a left band join (desc ts, desc id — deterministic);
-    // at 100 TB the scale path is the zero-pair carry discipline
-    // (operators.TemporalJoins.asofJoinBackwardCarry) with the touch
-    // type riding the carried payload — this key pins the SEMANTICS
-    // via the rank-1 formulation both engines share. Revenue rounds at
-    // 2 dp only at the end (exact 2-dp inputs).
+    // Last-touch attribution report (r9; r10 rewrote the plan): every
+    // purchase attributes to the user's LATEST click/view strictly
+    // before it within a 7-day lookback, else 'unattributed' — the
+    // marketing-channel readout. r9 shaped this as rank-1 over a left
+    // band join (user-equi + 7-day residual) — exactly the hot-key
+    // quadratic shape HotKeyProbe measured at 174.7 s for 100k×100k:
+    // a bot user's purchases×touches exploded BEFORE the rank-1 filter
+    // pruned. r10 rides the zero-pair carry discipline instead
+    // (operators.TemporalJoins.asofJoinBackwardCarry, strict): one
+    // shuffle + one sort per user carries the latest strictly-earlier
+    // touch (type + ts riding the payload), and the 7-day lookback
+    // becomes a POST-carry filter — sound because the latest
+    // strictly-earlier touch is in-window iff ANY in-window touch
+    // exists (it is the max of them). HotKeyProbe's attribution row
+    // pins bounded hot-key work; PlanShapeSpec pins zero joins.
+    // Revenue rounds at 2 dp only at the end (exact 2-dp inputs).
     "q_attribution" -> ((s, dir) => {
       val e = T(s, dir, "events")
       val pur = e.filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id"),
           col("ts").as("p_ts"), col("value").as("p_val"))
       val tou = e.filter(col("event_type").isin("click", "view"))
-        .select(col("event_id").as("t_id"),
-          col("user_id").as("t_uid"), col("ts").as("t_ts"),
-          col("event_type").as("touch"))
-      val w = Window.partitionBy("p_id")
-        .orderBy(desc("t_ts"), desc("t_id"))
-      pur.join(tou,
-          col("user_id") === col("t_uid") &&
-            col("t_ts") < col("p_ts") &&
-            col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"),
-          "left")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .groupBy(coalesce(col("touch"), lit("unattributed"))
-          .as("touch"))
+        .select(col("event_id").as("t_id"), col("user_id"),
+          col("ts").as("t_ts"), col("event_type").as("touch_raw"))
+      graft.operators.TemporalJoins.asofJoinBackwardCarry(
+          pur, tou, Seq("user_id"), "p_ts", "t_ts", "t_id",
+          strict = true)
+        .groupBy(coalesce(
+            when(col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"),
+              col("touch_raw")),
+            lit("unattributed")).as("touch"))
         .agg(count(lit(1)).as("n_purchases"),
           fround(sum("p_val"), 2).as("revenue"))
         .orderBy("touch")

@@ -560,12 +560,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(pb.contains("BroadcastNestedLoopJoin") ||
       !pb.contains("CartesianProduct"),
       "the 1-row total may broadcast-nest, never cartesian")
-    // q_attribution: the touch join keys on user_id (equi) with the
-    // band as residual — at fixture scale this must not degrade to a
-    // nested loop either
-    val pa = plan("q_attribution")
-    assert(!pa.contains("CartesianProduct"),
-      s"attribution must join on user_id:\n${pa.take(2000)}")
+    // q_attribution (r10): the r9 band join is GONE — the strict
+    // backward carry is zero-pair (union + keyed window), so the plan
+    // must contain NO join node of any kind and only keyed windows
+    val la = SparkEntry.queries("q_attribution")(spark, sf)
+      .queryExecution.optimizedPlan
+    val aJoins = la.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(aJoins.isEmpty,
+      s"attribution must carry, never join (found ${aJoins.size})")
+    val aWins = la.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(aWins.nonEmpty && aWins.forall(_.partitionSpec.nonEmpty),
+      "the carry window must partition by user_id")
     // q_churn: one distinct (user, week) frame feeds both sides of an
     // equi self-join — no cartesian, and the final panel joins on week
     val pc = plan("q_churn")

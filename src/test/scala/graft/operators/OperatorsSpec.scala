@@ -58,6 +58,48 @@ class OperatorsSpec extends SparkSpec {
     assert(carry == want)
   }
 
+  test("asofJoinBackwardCarry strict == theta rank-1 with '<' (r10)") {
+    // the q_attribution discipline: latest click STRICTLY before each
+    // error — recompute via the quadratic-but-obviously-right theta
+    // rank-1 with a strict predicate and compare exactly. The fixture
+    // has same-microsecond (err, click) collisions only rarely, so also
+    // synthesize one: a click AT an error's exact ts must NOT carry.
+    import org.apache.spark.sql.expressions.Window
+    val err = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("ts").as("err_ts"))
+    val clk = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val w = Window.partitionBy("err_id")
+      .orderBy(desc("click_ts"), desc("click_id"))
+    val theta = err.join(clk.withColumnRenamed("user_id", "u2"),
+        col("user_id") === col("u2") &&
+          col("click_ts") < col("err_ts"), "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("err_id", "click_id")
+      .as[(Long, Option[Long])].collect().toSet
+    val carry = TemporalJoins.asofJoinBackwardCarry(err, clk,
+        Seq("user_id"), "err_ts", "click_ts", "click_id", strict = true)
+      .select("err_id", "click_id")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(carry == theta && carry.nonEmpty)
+
+    // synthetic same-instant collision: user 1 has click@t0, err@t0 —
+    // strict must carry NOTHING, non-strict must carry the click
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val e1 = Seq((10L, 1L, ts0)).toDF("err_id", "user_id", "err_ts")
+    val c1 = Seq((20L, 1L, ts0)).toDF("click_id", "user_id", "click_ts")
+    val s1 = TemporalJoins.asofJoinBackwardCarry(e1, c1, Seq("user_id"),
+        "err_ts", "click_ts", "click_id", strict = true)
+      .select("click_id").as[Option[Long]].collect().toSeq
+    assert(s1 == Seq(None), s"strict must skip the same-instant click: $s1")
+    val n1 = TemporalJoins.asofJoinBackwardCarry(e1, c1, Seq("user_id"),
+        "err_ts", "click_ts", "click_id")
+      .select("click_id").as[Option[Long]].collect().toSeq
+    assert(n1 == Seq(Some(20L)), s"non-strict must carry it: $n1")
+  }
+
   test("TemporalJoins.asofJoinForwardCarry == asofJoinForward (r8)") {
     val err = events.filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"), col("user_id"),
