@@ -51,10 +51,23 @@ object Similarity {
 
   /** Caps per-cluster fan-out for within-cluster pair ops (SemDeDup's
     * k ∝ N regime applied under a FIXED cluster column): any cluster
-    * larger than `cap` is Voronoi-split on its own ceil(n/cap)
+    * larger than the cap is Voronoi-split on its own ceil(n/cap)
     * lowest-id members as sub-quantizer seeds — one deterministic
     * assignment round with the q_kmeans kernel discipline (4-dp-rounded
     * d2 = ‖v‖² − 2·v·s + ‖s‖², min-seed-id tiebreak).
+    *
+    * ADAPTIVE cap (r10): the effective per-cluster cap is
+    * `max(cap, ceil(sqrt(n)))` where n is that cluster's row count —
+    * already present in the seed-selection window, zero extra passes.
+    * At a FIXED cap the assignment term is n·ceil(n/cap) = Θ(n²/cap)
+    * (the r9 verdict measured exponent 1.87); with cap ∝ √n both the
+    * assignment term and the pair term are Θ(n^1.5) — the balance
+    * SCALE.md's own analysis prescribed, now in code (measured exponent
+    * in SCALE.md, CurveProbe `semsub` section). Below n = cap² the
+    * floor keeps the r9 behavior bit-for-bit (every fixture label is in
+    * this regime, so oracle results are unchanged). `ceil(sqrt(n))` is
+    * engine-stable: IEEE-754 sqrt is correctly rounded in both the JVM
+    * and DuckDB.
     *
     * Plan shape: seed SELECTION ranks a 2-column (id, cluster)
     * projection (trainer-side artifact build; at real scale seeds come
@@ -78,7 +91,9 @@ object Similarity {
       .withColumn("__rk", row_number().over(wl))
       .withColumn("__n", count(lit(1))
         .over(Window.partitionBy(clusterCol)))
-      .filter(col("__rk") <= expr(s"(__n + ${cap - 1}) div $cap"))
+      .withColumn("__cap",
+        greatest(lit(cap.toLong), ceil(sqrt(col("__n")))))
+      .filter(col("__rk") <= expr("(__n + __cap - 1) div __cap"))
       .select(col(idCol).as("__sid"))
     val seedArr = emb
       .join(broadcast(seedIds), col(idCol) === col("__sid"))

@@ -465,6 +465,14 @@ object Analytics {
     // with TYPED min/max columns (numeric vs string) instead of
     // rendering doubles to text — double formatting is engine-specific,
     // typed values hash-compare exactly.
+    //
+    // Scale path (r10, pinned): THREE exact countDistincts in one agg
+    // plan an Expand (×3 row multiply before the shuffle) — exactness
+    // is what makes this key oracle-checkable, but a 100 TB profiler
+    // swaps each for approx_count_distinct (HLL±5%, one pass, NO
+    // Expand) — the q_approx_distinct discipline. AnalyticsSpec's
+    // "q_profile approx twin" test pins the swap: the approx readout
+    // stays within HLL error of this exact key on every column.
     "q_profile" -> ((s, dir) => {
       val e = T(s, dir, "events")
       e.agg(

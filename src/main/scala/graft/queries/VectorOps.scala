@@ -221,17 +221,22 @@ object VectorOps {
     // its own ceil(n/cap) lowest-id members as sub-quantizer seeds
     // (exactly the q_kmeans assignment discipline: 4-dp-rounded d2,
     // min-seed-id tiebreak, one assignment round), and the dup-pair
-    // join keys on (label, subcluster). Pair volume is then ~N·cap and
-    // assignment ~N²/cap distance evals against a broadcast per-label
-    // seed array (one small row per label; argmin is a map-side
-    // array_min over structs — no explode, no shuffle) — overall
-    // sub-quadratic (measured curve in SCALE.md). Seed SELECTION ranks
-    // (vec_id, label) only — a 2-column pruned window, the trainer-side
-    // artifact build (at real scale seeds come from the q_kmeans
-    // trainer; lowest-ids is the deterministic fixture stand-in, k ∝ N
-    // either way). Pairs missed across subcluster boundaries are the
-    // paper's own documented recall trade for k ∝ N. cap = 32 so every
-    // test scale (labels of 50–220) actually exercises the split.
+    // join keys on (label, subcluster). The cap is ADAPTIVE (r10):
+    // effective cap = max(32, ceil(sqrt(n))) per label, read off the
+    // seed-selection window's own count — at a fixed cap the
+    // assignment term n·ceil(n/cap) is Θ(n²/cap) (r9 measured 1.87);
+    // with cap ∝ √n assignment AND pairs are both Θ(n^1.5) (CurveProbe
+    // `semsub`, SCALE.md). Assignment scores against a broadcast
+    // per-label seed array (one small row per label; argmin is a
+    // map-side array_min over structs — no explode, no shuffle). Seed
+    // SELECTION ranks (vec_id, label) only — a 2-column pruned window,
+    // the trainer-side artifact build (at real scale seeds come from
+    // the q_kmeans trainer; lowest-ids is the deterministic fixture
+    // stand-in, k ∝ N either way). Pairs missed across subcluster
+    // boundaries are the paper's own documented recall trade for
+    // k ∝ N. Floor 32 keeps every fixture label (50–220 rows, all
+    // under 32² = 1024) in the r9 regime — oracle results unchanged —
+    // while still exercising the split at every test scale.
     // Components is the same O(diameter) loop as q_dedup_resolve.
     "q_semdedup" -> ((s, dir) => {
       GraftFunctions.register(s)
@@ -649,7 +654,11 @@ object VectorOps {
          GROUP BY label, i.i ORDER BY label, pos""",
     "q_semdedup" ->
       """WITH RECURSIVE i AS (SELECT unnest(range(64)) AS i),
-         k AS (SELECT label, (count(*) + 31) // 32 AS k2
+         k AS (SELECT label,
+                 (count(*) + greatest(32,
+                    CAST(ceil(sqrt(count(*))) AS BIGINT)) - 1)
+                 // greatest(32,
+                    CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k2
                FROM embeddings GROUP BY 1),
          rk AS (SELECT vec_id, label,
                   row_number() OVER (PARTITION BY label ORDER BY vec_id)

@@ -28,6 +28,13 @@ object TimeSeriesOps {
   private def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
   private val DayUs = 86400000000L
   private val HourUs = 3600000000L
+  private val EpochDay2024 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+
+  /** The batch keys' week bucket: floor((UTC day − 2024-01-01) / 7) —
+    * floor division, matching `floor(datediff(...) / 7)` exactly
+    * (including pre-epoch timestamps). */
+  private def weekOf(tUs: Long): Long =
+    Math.floorDiv(Math.floorDiv(tUs, DayUs) - EpochDay2024, 7L)
 
   case class TwapRow(user_id: Long, day: Date, n_events: Long,
       twap: Double)
@@ -287,6 +294,103 @@ object TimeSeriesOps {
             }
           }
           if (st == FunnelState(0L, 0L, 0L)) state.remove()
+          else state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class ChurnMark(user_id: Long, week: Long, retained: Boolean)
+  case class ChurnState(lastWeek: Long)
+
+  /** Weekly retention markers (the streaming twin of `q_churn`'s
+    * distinct-frame self-join): per user, one `retained = false` mark
+    * on the FIRST event of each active week, plus a `retained = true`
+    * mark for week w when the user turns active in week w+1 — the
+    * keyed two-week state machine (state = the user's last active
+    * week, O(1)). The batch panel is a plain aggregation of the marks:
+    * active(w) = count(!retained), retained(w) = count(retained),
+    * churned/rate derived — identical math on either engine, so the
+    * twin law pins the mark multiset (StreamingTwinSpec). No flush
+    * needed: the final week has no week+1 events in EITHER engine, so
+    * it churns everyone by construction. Retro events into an already
+    *-passed week are dropped (batch authoritative, the shared
+    * contract). */
+  def churnMarks(events: Dataset[CepEvent]): Dataset[ChurnMark] = {
+    implicit val rowEnc = Encoders.product[ChurnMark]
+    implicit val stEnc = Encoders.product[ChurnState]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ChurnState, ChurnMark](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[CepEvent],
+            state: GroupState[ChurnState]) =>
+          var last = state.getOption.map(_.lastWeek)
+            .getOrElse(Long.MinValue)
+          val out = List.newBuilder[ChurnMark]
+          it.toArray.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val w = weekOf(us(e.ts))
+            if (last == Long.MinValue || w > last) {
+              out += ChurnMark(user, w, retained = false)
+              if (last != Long.MinValue && w == last + 1)
+                out += ChurnMark(user, last, retained = true)
+              last = w
+            } // w <= last: same week (already marked) or retro — drop
+          }
+          if (last == Long.MinValue) state.remove()
+          else state.update(ChurnState(last))
+          out.result().iterator
+      }
+  }
+
+  case class FcRow(event_type: String, week: Long, cnt: Long,
+      fc: Option[Long])
+  case class FcState(prevCnt: Long, hasPrev: Boolean, curWeek: Long,
+      curCnt: Long, open: Boolean)
+
+  /** Weekly per-type counts with the previous OBSERVED week's count
+    * carried as the seasonal-naive forecast (the streaming twin of
+    * `q_forecast_naive`'s lag(1) window) — the EWMA ring discipline
+    * reduced to one scalar: state = (previous week's count, the open
+    * week's accumulator), O(1) per type. A week emits when a
+    * later-week event of the type proves it closed; `fc` is None for
+    * the type's first observed week, exactly lag(1)'s null. The MAPE
+    * backtest panel is a plain aggregation of these rows. Flush: the
+    * type-keyed sentinel (`user_id == flushUser`, the [[locfHourly]]
+    * discipline) closes the open week without entering the
+    * accumulator. */
+  def weeklyForecast(events: Dataset[CepEvent],
+      flushUser: Long = -1L): Dataset[FcRow] = {
+    implicit val rowEnc = Encoders.product[FcRow]
+    implicit val stEnc = Encoders.product[FcState]
+    implicit val keyEnc = Encoders.STRING
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[FcState, FcRow](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (ty: String, it: Iterator[CepEvent],
+            state: GroupState[FcState]) =>
+          var st = state.getOption.getOrElse(
+            FcState(0L, hasPrev = false, 0L, 0L, open = false))
+          val out = List.newBuilder[FcRow]
+          def close(): Unit = {
+            out += FcRow(ty, st.curWeek, st.curCnt,
+              if (st.hasPrev) Some(st.prevCnt) else None)
+            st = st.copy(prevCnt = st.curCnt, hasPrev = true,
+              open = false)
+          }
+          it.toArray.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val w = weekOf(us(e.ts))
+            if (e.user_id == flushUser) {
+              if (st.open && w > st.curWeek) close()
+            } else if (!st.open)
+              st = st.copy(curWeek = w, curCnt = 1L, open = true)
+            else if (w == st.curWeek)
+              st = st.copy(curCnt = st.curCnt + 1)
+            else if (w > st.curWeek) {
+              close()
+              st = st.copy(curWeek = w, curCnt = 1L, open = true)
+            } // w < curWeek: retro event into a closed week — dropped
+          }
+          if (!st.open && !st.hasPrev) state.remove()
           else state.update(st)
           out.result().iterator
       }

@@ -135,6 +135,42 @@ object CurveProbe {
     }
     println(f"join6    1x t=${j1x._2}%6.2f s   ${k}x t=${jkx._2}%6.2f s" +
       f"   time ratio ${jkx._2 / j1x._2}%.1f× for ${k}x rows")
+
+    // semsub (r10): subcluster ASSIGNMENT under one hot label, past the
+    // fixed-cap regime (n > 32² = 1024) where the adaptive cap
+    // max(32, ceil(√n)) kicks in. At fixed cap=32 the assignment term
+    // n·ceil(n/32) is Θ(n²) (r9 measured exponent 1.87); adaptive must
+    // measure ≤ 1.5 for both the eval count and the candidate-pair
+    // volume. Vectors are deterministic sin-derived floats (content is
+    // irrelevant to the COST curve; no RNG).
+    println("== semsub: adaptive-cap assignment under ONE hot label ==")
+    val semRows = Seq(2048, 8192, 32768).map { n =>
+      val e = spark.range(n).select(col("id").as("vec_id"),
+          lit(0L).as("label"),
+          expr("transform(sequence(0, 63), " +
+            "j -> CAST(sin(id * 64 + j) AS FLOAT))").as("embedding"))
+        .localCheckpoint(true)
+      def assign() = graft.operators.Similarity.subclusterByCap(
+        spark, e, "vec_id", "label", "embedding", 32)
+      val (_, t) = med3(assign().count())
+      val pairs = assign().groupBy("sub")
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) div 2")).cast("long"))
+        .first().getLong(0)
+      val cap = math.max(32L, math.ceil(math.sqrt(n.toDouble)).toLong)
+      val seeds = (n + cap - 1) / cap
+      val evals = n.toLong * seeds
+      println(f"n=$n%6d cap=$cap%4d seeds=$seeds%5d " +
+        f"assignEvals=$evals%10d subPairs=$pairs%10d t=$t%6.2f s")
+      (n, t, evals, pairs)
+    }
+    val (nLo, ta, ea, pa2) = semRows.head
+    val (nHi, tb, eb, pb2) = semRows.last
+    def sx(y2: Double, y1: Double) =
+      math.log(y2 / y1) / math.log(nHi.toDouble / nLo)
+    println(f"semsub exponents n=$nLo->$nHi: time=${sx(tb, ta)}%.2f " +
+      f"evals=${sx(eb.toDouble, ea.toDouble)}%.2f " +
+      f"pairs=${sx(pb2.toDouble, pa2.toDouble)}%.2f (target <= 1.5)")
     spark.stop()
   }
 }

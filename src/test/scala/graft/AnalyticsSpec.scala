@@ -249,4 +249,34 @@ class AnalyticsSpec extends SparkSpec {
     val want = e.count() - e.select("user_id").distinct().count()
     assert(rows.map(_.getAs[Long]("cnt")).sum === want)
   }
+
+  test("q_profile approx twin stays within HLL error of the exact key " +
+      "(r10 scale path)") {
+    // the exact key's three countDistincts plan an Expand (×3 rows) —
+    // the 100 TB profiler swaps them for approx_count_distinct. Pin
+    // that the swap is safe: at rsd = 2% each approx cardinality lands
+    // within 5% (2.5σ) of the exact key's n_distinct readout — rsd is
+    // a STANDARD DEVIATION, so the bound needs headroom over it (the
+    // default 5% rsd measured an 8.3% miss on the value column).
+    val exact = run("q_profile").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    val a = Tables.table(spark, sf, "events").agg(
+      approx_count_distinct("user_id", 0.02).as("u"),
+      approx_count_distinct("event_type", 0.02).as("t"),
+      approx_count_distinct("value", 0.02).as("v")).first()
+    val approx = Map("user_id" -> a.getLong(0),
+      "event_type" -> a.getLong(1), "value" -> a.getLong(2))
+    approx.foreach { case (c, ap) =>
+      val ex = exact(c)
+      assert(math.abs(ap - ex) <= math.max(1L, math.ceil(0.05 * ex).toLong),
+        s"$c: approx $ap vs exact $ex exceeds the 5% HLL bound")
+    }
+    // and the approx plan must NOT Expand (that is the point of the swap)
+    val ap = Tables.table(spark, sf, "events").agg(
+      approx_count_distinct("user_id", 0.02),
+      approx_count_distinct("event_type", 0.02),
+      approx_count_distinct("value", 0.02))
+      .queryExecution.executedPlan.toString()
+    assert(!ap.contains("Expand"), s"approx profiler must not Expand:\n$ap")
+  }
 }

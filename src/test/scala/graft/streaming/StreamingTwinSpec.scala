@@ -199,6 +199,84 @@ class StreamingTwinSpec extends SparkSpec {
       s"${diffs.size} rounded EWMAs diverge, e.g. ${diffs.take(3)}")
   }
 
+  test("weekly churn: streaming two-week state machine == batch " +
+      "self-join panel (r10)") {
+    // the batch key self-joins the distinct (user, week) frame; the
+    // stream emits one active mark per (user, week) plus a retained
+    // mark for week w when the user turns active in w+1 — the panel is
+    // the same aggregation of either mark multiset, churned/rate
+    // identical exact-integer math
+    val batch = graft.SparkEntry.queries("q_churn")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"twin_churn_${System.nanoTime}"
+    val q = TimeSeriesOps.churnMarks(stream.toDS())
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val marks = spark.table(name).collect()
+      .map(r => (r.getLong(1), r.getBoolean(2)))
+    val got = marks.groupBy(_._1).map { case (w, ms) =>
+      val active = ms.count(!_._2).toLong
+      val retained = ms.count(_._2).toLong
+      val churned = active - retained
+      w -> ((active, retained, churned,
+        math.floor(churned.toDouble / active * 1e4 + 0.5) / 1e4))
+    }
+    assert(got.keySet === batch.keySet, "week sets differ")
+    val diffs = batch.collect {
+      case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty, s"${diffs.size} diverge, e.g. ${diffs.take(3)}")
+  }
+
+  test("seasonal-naive forecast: streaming last-week carry == batch " +
+      "lag window (r10)") {
+    // the batch key lags the weekly count per type; the stream carries
+    // one scalar (the previous observed week's count) and closes a
+    // week when a later-week event arrives — the MAPE panel aggregates
+    // identically (same Spark avg over the same rows)
+    val batch = graft.SparkEntry.queries("q_forecast_naive")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"twin_fc_${System.nanoTime}"
+    val q = TimeSeriesOps.weeklyForecast(stream.toDS())
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    // type-keyed horizon sentinel (user_id == -1, year 2031 — far past
+    // any fixture week) closes each type's open week
+    val flush = data.map(_.event_type).distinct.zipWithIndex.map {
+      case (ty, i) => CepEvent(-5000L - i,
+        Timestamp.valueOf("2031-01-01 00:00:00"), -1L, ty, 0.0)
+    }
+    stream.addData(flush.toSeq); q.processAllAvailable(); q.stop()
+    val rows = spark.table(name)
+    import org.apache.spark.sql.functions._
+    val got = rows.filter(col("fc").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_weeks"),
+        floor(avg(abs(col("cnt") - col("fc")) /
+          col("cnt").cast("double")) * 1e4 + 0.5).divide(1e4).as("mape"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === batch.keySet, "type sets differ")
+    val diffs = batch.collect {
+      case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty, s"${diffs.size} diverge, e.g. ${diffs.take(3)}")
+  }
+
   test("Markov transitions: streaming last-type carry == batch lead " +
       "pairs (r9)") {
     // the stateful half (per-user lead) streams; the matrix is a plain
