@@ -610,8 +610,10 @@ object Cep {
     // (the second order fires only for anchors the first left
     // unmatched — an anti join on the globally unique anchor id). Six
     // CTE'd rank-1 chains + three anti joins, all equi at event/match
-    // cardinality. Streaming stays batch-routed loudly (per-anchor
-    // alternative preference is a cross-detector join).
+    // cardinality. STREAMS since r10 via Permute3Detector (one tracker
+    // per anchor advances both orders; arm 2 held to window close —
+    // replay ≡ this rewrite pinned in SubmitSqlSpec, recovery in
+    // RecoverySpec).
     "q_pattern_permute3" -> ((s, dir) => {
       graft.Tables.load(s, dir)
       graft.streaming.CepSql.sql(s,

@@ -95,11 +95,12 @@ object ContinuousQueries {
     * beyond the 2-step head form) dispatch to [[RunChainDetector]], and
     * since r8 `THEN NOT` after a quantified prefix dispatches to
     * [[RunChainDetector.detectAbsent]]; RELUCTANT quantifiers (`{m,}?`,
-    * r8) ride the same chain arms via the detector's lazy mode. The
-    * remaining batch-only forms, each rejected loudly with a pointer to
+    * r8) ride the same chain arms via the detector's lazy mode. 3-way
+    * PERMUTE streams since r10 ([[Permute3Detector]] — per-anchor
+    * dual-order tracker with held arm-2 release). The remaining
+    * batch-only forms, each rejected loudly with a pointer to
     * [[CepSql.sql]]: a quantified step overlapping its predecessor's
-    * class; reluctant `{1,}?`; a 2-step reluctant absence; ts
-    * boundary refs on quantified chains. Measures × reluctant stream
+    * class; reluctant `{1,}?`; a 2-step reluctant absence. Measures × reluctant stream
     * since r8 (lazy completions fold POST — the m-th event is a span
     * row, unlike a greedy closure).
     *
@@ -259,24 +260,27 @@ object ContinuousQueries {
         // PERMUTE(a, b) (r7): union of the two directional CepSequence
         // detectors, tagged with the anchor's event name — the exact
         // streaming twin of the batch union-of-rank-1 rewrite.
-        // PERMUTE(a, b, c) (r9) is batch-only: each anchor's SECOND
-        // alternative fires only if the first found no completion,
-        // which needs a cross-detector per-anchor join no append-mode
-        // composition expresses — rejected loudly, run CepSql.sql
-        if (spec.steps.length != 2)
-          throw new IllegalArgumentException(
-            "streaming PERMUTE supports two events; PERMUTE(a, b, c) " +
-              "is batch-only (per-anchor alternative preference) — " +
-              "run the batch rewrite via CepSql.sql")
-        val Seq(ca, cb) = classes
-        def leg(firsts: Set[String], seconds: Set[String], ev: String) =
-          CepSequence.detect(srcWm, firsts, seconds, spec.withinMs).toDF()
-            .select(col("user_id"),
-              org.apache.spark.sql.functions.lit(ev).as("first_ev"),
-              col("sid").as("first_id"), col("pid").as("second_id"),
-              col("s_ts").as("first_ts"), col("p_ts").as("second_ts"))
-        leg(ca, cb, spec.steps.head.event)
-          .union(leg(cb, ca, spec.steps.last.event))
+        // PERMUTE(a, b, c) (r10, was batch-only through r9): one
+        // tracker per anchor advances BOTH candidate orders over the
+        // shared window; arm 1 emits on completion, arm 2 holds until
+        // the window closes behind the watermark (listed-order
+        // preference — the consumed-island suppressor discipline).
+        // Replay ≡ batch pinned in SubmitSqlSpec; held-triple recovery
+        // in RecoverySpec.
+        if (spec.steps.length == 3)
+          Permute3Detector.detect(srcWm, spec.steps.map(_.event),
+            spec.withinMs).toDF()
+        else {
+          val Seq(ca, cb) = classes
+          def leg(firsts: Set[String], seconds: Set[String], ev: String) =
+            CepSequence.detect(srcWm, firsts, seconds, spec.withinMs).toDF()
+              .select(col("user_id"),
+                org.apache.spark.sql.functions.lit(ev).as("first_ev"),
+                col("sid").as("first_id"), col("pid").as("second_id"),
+                col("s_ts").as("first_ts"), col("p_ts").as("second_ts"))
+          leg(ca, cb, spec.steps.head.event)
+            .union(leg(cb, ca, spec.steps.last.event))
+        }
       } else if (spec.skipPast) {
         SkipDetector.detectWhere(src, spec.steps.map(stepPred),
           spec.withinMs, Some(lateness))

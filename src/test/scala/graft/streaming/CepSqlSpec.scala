@@ -676,20 +676,41 @@ class CepSqlSpec extends SparkSpec {
     assert(all.map(_.getLong(2)).distinct.length === all.length,
       "anchor ids must be unique (one match attempt per anchor)")
     spark.catalog.dropTempView("ev_p3")
-    // streaming 3-way is batch-only, loudly
+    // streaming 3-way (r10, was batch-only): the same fixture through
+    // the Permute3Detector must reproduce the batch preference —
+    // including user 1's arm-2 completion (1,3,4) being SUPPRESSED by
+    // the arm-1 win and user 2's held arm-2 triple releasing once the
+    // watermark passes its window (driven by the far-future flush)
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[CepEvent]
     stream.toDF().createOrReplaceTempView("pat_p3")
+    val q = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_p3
+         MATCH PATTERN (PERMUTE(a, b, c) WITHIN '30' MINUTES)
+         PARTITION BY user_id""", "svc_p3")
     try {
-      val e = intercept[IllegalArgumentException] {
-        ContinuousQueries.submitPattern(spark,
-          """SELECT * FROM pat_p3
-             MATCH PATTERN (PERMUTE(a, b, c) WITHIN '5' MINUTES)
-             PARTITION BY user_id""", "svc_p3")
-      }
-      assert(e.getMessage.contains("batch-only"))
-    } finally spark.catalog.dropTempView("pat_p3")
+      stream.addData(rows.map { case (id, ts, u, ty) =>
+        CepEvent(id, Timestamp.valueOf(ts), u, ty, 0.0)
+      })
+      q.processAllAvailable()
+      stream.addData(CepEvent(99L,
+        Timestamp.valueOf("2026-01-02 00:00:00"), 9L, "zz_flush", 0.0))
+      q.processAllAvailable()
+      val sgot = spark.table("svc_p3")
+        .filter(col("first_ev") === "a")
+        .select("user_id", "id_1", "id_2", "id_3").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(sgot === Set((1L, 1L, 2L, 3L), (2L, 5L, 6L, 7L)),
+        s"streaming 3-way PERMUTE diverged: $sgot")
+      val sAll = spark.table("svc_p3").collect()
+      assert(sAll.map(_.getLong(2)).distinct.length === sAll.length,
+        "streaming: one resolution per anchor")
+    } finally {
+      if (q.isActive) q.stop()
+      spark.catalog.dropTempView("pat_p3")
+    }
   }
 
   test("PERMUTE(a, b, c) == driver-side brute-force greedy scan on the " +

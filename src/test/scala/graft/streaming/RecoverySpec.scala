@@ -565,4 +565,69 @@ class RecoverySpec extends SparkSpec {
     assert(diffs.isEmpty,
       s"${diffs.size} cells diverge across restart, e.g. ${diffs.take(3)}")
   }
+
+  test("3-way PERMUTE detector resumes from checkpoint: open trackers " +
+      "and held arm-2 triples survive (r10)") {
+    // Permute3Detector state = per-anchor trackers with BOTH candidate
+    // orders' progress plus held completed arm-2 triples awaiting
+    // window close. A restart mid-hold must restore them or the
+    // resumed stream drops arm-2 matches (or re-emits arm-1 ones).
+    // Output after the flush must equal the oracle-gated batch key.
+    import java.sql.Timestamp
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_p3_in").toFile
+    val outDir = Files.createTempDirectory("graft_p3_out").toFile
+    val ckpt = Files.createTempDirectory("graft_p3_ckpt").toFile
+    val events = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val schema = events.schema
+    def startQuery() =
+      Permute3Detector.detect(
+          Sources.fileStream(spark, in.getAbsolutePath, schema)
+            .withWatermark("ts", "0 seconds").as[CepEvent],
+          Seq("signup", "click", "purchase"), 12L * 3600 * 1000)
+        .writeStream.format("parquet")
+        .option("path", outDir.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append").start()
+    val cut = "2024-01-08 00:00:00"
+    events.filter(col("ts") < lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    events.filter(col("ts") >= lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    // advance the watermark past every window, then once more so the
+    // restored timers fire for silent keys
+    Seq(CepEvent(-9L, Timestamp.valueOf("2031-01-01 00:00:00"), -1L,
+      "zz_flush", 0.0)).toDS().toDF()
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+    Seq(CepEvent(-10L, Timestamp.valueOf("2031-01-02 00:00:00"), -1L,
+      "zz_flush", 0.0)).toDS().toDF()
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q4 = startQuery(); q4.processAllAvailable(); q4.stop()
+    val got = spark.read.parquet(outDir.getAbsolutePath)
+      .select("first_ev", "id_1", "id_2", "id_3").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val want = graft.SparkEntry.queries("q_pattern_permute3")(spark, sf)
+      .select("first_ev", "id_1", "id_2", "id_3").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === want && want.nonEmpty,
+      s"${got.diff(want).size} extra, ${want.diff(got).size} missing " +
+        "across restart")
+    // the recovery assertion is non-vacuous only if some match's
+    // 12-hour window STRADDLES the cut (anchored before, resolved
+    // after — it can only come from restored tracker state)
+    val cutUs = Timestamp.valueOf(cut).getTime * 1000L
+    val straddlers = graft.SparkEntry.queries("q_pattern_permute3")(
+        spark, sf)
+      .filter(unix_micros(col("ts_1")) < cutUs &&
+        unix_micros(col("ts_1")) + 12L * 3600 * 1000000 > cutUs)
+      .count()
+    assert(straddlers > 0,
+      "cut must straddle at least one match window to prove recovery")
+  }
 }

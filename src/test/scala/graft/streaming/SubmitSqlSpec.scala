@@ -868,4 +868,47 @@ class SubmitSqlSpec extends SparkSpec {
       spark.catalog.dropTempView("pat_skip")
     }
   }
+
+  test("submitPattern: 3-way PERMUTE replay == batch rewrite on the " +
+      "full fixture (r10)") {
+    // the r9 carve-out closed: replay the whole events table through
+    // Permute3Detector in ts-ordered chunks and compare the full match
+    // set (anchor class + all three ids) to the oracle-gated batch key.
+    // The far-future flush drives the watermark past every window so
+    // held arm-2 triples release.
+    val batch = graft.SparkEntry.queries("q_pattern_permute3")(spark, sf)
+      .select("first_ev", "id_1", "id_2", "id_3").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    stream.toDF().createOrReplaceTempView("pat_p3full")
+    val q = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_p3full
+         MATCH PATTERN (PERMUTE(signup, click, purchase)
+         WITHIN '12' HOURS)
+         PARTITION BY user_id""", "svc_p3full")
+    try {
+      val data = graft.Tables.table(spark, sf, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[CepEvent].orderBy("ts", "event_id").collect()
+      data.grouped(math.max(1, data.length / 4)).foreach { c =>
+        stream.addData(c.toSeq); q.processAllAvailable()
+      }
+      stream.addData(CepEvent(-9L,
+        Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "zz_flush", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("svc_p3full")
+        .select("first_ev", "id_1", "id_2", "id_3").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got === batch && batch.nonEmpty,
+        s"replay diverged: ${got.diff(batch).take(3)} extra, " +
+          s"${batch.diff(got).take(3)} missing " +
+          s"(${got.size} streamed vs ${batch.size} batch)")
+    } finally {
+      if (q.isActive) q.stop()
+      spark.catalog.dropTempView("pat_p3full")
+    }
+  }
 }
