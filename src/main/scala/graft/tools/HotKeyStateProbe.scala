@@ -1,0 +1,106 @@
+package graft.tools
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+
+import graft.streaming._
+
+/** Dev probe (r10): detector STATE ceiling under a pathological hot key —
+  * 100k events, ALL on one user. The join-side hot-key story is measured
+  * (HotKeyProbe); this is the detector side: state must be ∝ the OPEN
+  * window content (anchors/runs whose within-window still straddles the
+  * watermark), never ∝ total events processed. Method: replay the same
+  * event mix at two spacings (1 s and 10 s between events) — the denser
+  * replay holds 10× more anchors inside the fixed 2 h window, so
+  * watermark-bounded state must measure ~10× larger, while TOTAL events
+  * are identical (100k each). Peak state rows / memory come from the
+  * streaming progress metrics (numRowsTotal counts KEYS — one here;
+  * memoryUsedBytes tracks the key's partial/tracker lists). Numbers land
+  * in SCALE.md. */
+object HotKeyStateProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(100000)
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    // one user; a signup every 10 events anchors a chain partial, rare
+    // purchases complete some of them, clicks fill the runs
+    def mkEvents(spacingMs: Long): Seq[CepEvent] = (0 until n).map { i =>
+      val ty =
+        if (i % 10 == 0) "signup"
+        else if (i % 1000 == 999) "purchase"
+        else "click"
+      CepEvent(i.toLong, new Timestamp(t0 + i * spacingMs), 7L, ty, 1.0)
+    }
+
+    def replay(tag: String, events: Seq[CepEvent],
+        op: org.apache.spark.sql.Dataset[CepEvent]
+          => org.apache.spark.sql.DataFrame): Unit = {
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[CepEvent]
+      val q = op(stream.toDS()).writeStream.queryName(s"hk_$tag")
+        .format("memory").outputMode("append").start()
+      var peakRows = 0L
+      var peakMem = 0L
+      val groups = events.grouped(2000).toSeq
+      stream.addData(groups.head); q.processAllAvailable() // warm
+      val t1 = System.nanoTime()
+      groups.tail.foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+        Option(q.lastProgress).foreach(_.stateOperators.foreach { so =>
+          peakRows = math.max(peakRows, so.numRowsTotal)
+          peakMem = math.max(peakMem, so.memoryUsedBytes)
+        })
+      }
+      val secs = (System.nanoTime() - t1) / 1e9
+      val nEv = groups.tail.map(_.length).sum
+      val matches = spark.table(s"hk_$tag").count()
+      q.stop()
+      println(f"$tag%-16s events=$nEv (ONE key) wall=$secs%6.2fs " +
+        f"rate=${nEv / secs}%7.0f ev/s matches=$matches%7d " +
+        f"peakStateRows=$peakRows peakStateKB=${peakMem / 1024}%6d")
+    }
+
+    // never-completing variant: no purchases at all, so every anchor
+    // lives until the watermark closes its window — state is EXACTLY
+    // the in-window anchor count (n_window / 10), which the two
+    // spacings set to 720 (1 s) vs 72 (10 s): the 10× state ratio at
+    // identical total events is the bound made visible
+    def mkNoPurchase(spacingMs: Long): Seq[CepEvent] =
+      (0 until n).map { i =>
+        val ty = if (i % 10 == 0) "signup" else "click"
+        CepEvent(i.toLong, new Timestamp(t0 + i * spacingMs), 7L, ty, 1.0)
+      }
+
+    for ((spacing, lbl) <- Seq((1000L, "1s"), (10000L, "10s"))) {
+      val evs = mkEvents(spacing)
+      replay(s"runchain_$lbl", evs, ds =>
+        RunChainDetector.detectWhere(
+          ds.withWatermark("ts", "0 seconds").as[CepEvent],
+          Seq(((e: CepEvent) => e.event_type == "signup", None),
+            ((e: CepEvent) => e.event_type == "click", Some(2)),
+            ((e: CepEvent) => e.event_type == "purchase", None)),
+          2L * 3600 * 1000, Seq(None, None, None),
+          Seq(false, false, false)).toDF())
+      replay(s"nocomplete_$lbl", mkNoPurchase(spacing), ds =>
+        RunChainDetector.detectWhere(
+          ds.withWatermark("ts", "0 seconds").as[CepEvent],
+          Seq(((e: CepEvent) => e.event_type == "signup", None),
+            ((e: CepEvent) => e.event_type == "click", Some(2)),
+            ((e: CepEvent) => e.event_type == "purchase", None)),
+          2L * 3600 * 1000, Seq(None, None, None),
+          Seq(false, false, false)).toDF())
+      replay(s"skip_$lbl", evs, ds =>
+        SkipDetector.detect(ds, Seq(Set("signup"), Set("purchase")),
+          2L * 3600 * 1000, Some("0 seconds")))
+    }
+    spark.stop()
+  }
+}
