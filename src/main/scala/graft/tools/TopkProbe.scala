@@ -8,6 +8,12 @@ import org.apache.spark.sql.SparkSession
   * with enough warm-up to reach JIT/page-cache steady state, and prints
   * every run + min/median — plus a 1-key-sort variant to separate the
   * declared 3-key-determinism cost from drift.
+  *
+  * r10: the harness also measures `q_window_tumbling` (the r9 headline
+  * drifted 0.147 → 0.168 s with no code change) and the
+  * `q_agg_groupby` anchor in the SAME fresh JVM, so any future
+  * headline drift has a same-run reference — anchor-normalized ratios
+  * are the cross-session currency (SCALE.md discipline).
   */
 object TopkProbe {
   def main(args: Array[String]): Unit = {
@@ -28,7 +34,11 @@ object TopkProbe {
     def time(f: () => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime(); f().count(); (System.nanoTime() - t0) / 1e9
     }
-    for ((name, f) <- Seq(("3key", threeKey _), ("1key", oneKey _))) {
+    def tumbling() = graft.SparkEntry.queries("q_window_tumbling")(
+      spark, sfDir)
+    def anchor() = graft.SparkEntry.queries("q_agg_groupby")(spark, sfDir)
+    for ((name, f) <- Seq(("3key", threeKey _), ("1key", oneKey _),
+        ("tumbling", tumbling _), ("anchor", anchor _))) {
       (1 to 8).foreach(_ => f().count()) // warm-up to steady state
       val runs = (1 to 5).map(_ => time(f))
       val s = runs.sorted
