@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Distributed exact global ranking — ntile/rank over a TOTAL order
+/** Distributed exact global ranking — rank/ntile over a TOTAL order
   * without the single-partition `Window.orderBy(...)` a naive
   * formulation plans (which routes every row through ONE task and is
   * the canonical 100 TB scale-killer).
@@ -35,19 +35,15 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
-  /** Adds `out` = exact SQL `ntile(buckets)` over the given total order
-    * (first `n % buckets` tiles get the extra row, per the standard),
-    * computed without any unpartitioned window. Returns the input
-    * columns + `out` (IntegerType, 1-based tile). Pure plan builder —
-    * no jobs run until the caller's first action.
-    */
-  def withGlobalNtile(df: DataFrame, buckets: Int, out: String,
-      order: Column*): DataFrame = {
-    require(buckets > 0, "ntile bucket count must be positive")
+  /** Shared core: the range-partitioned, locally-sorted, persisted frame
+    * plus the map-side global-rank column. Scratch columns `__mid`,
+    * `__offs`, `__n` remain for the caller to consume and drop. */
+  private def withRankCol(df: DataFrame, order: Seq[Column])
+      : (DataFrame, Column) = {
     for (c <- Seq("__mid", "__offs", "__n"))
       require(!df.columns.contains(c),
         s"input column '$c' collides with a reserved scratch column " +
-          "of withGlobalNtile — rename it first")
+          "of Ranking — rename it first")
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     // graft.Caching (not a bare persist): Verify/Bench release tracked
@@ -75,7 +71,28 @@ object Ranking {
           "(a, x) -> a + x.__c))").as("__offs"),
         expr("aggregate(__pc, 0L, (a, x) -> a + x.__c)").as("__n"))
     val withOff = ranged.crossJoin(broadcast(one))
-    val rank = element_at(col("__offs"), pid + 1) + localIdx + lit(1L)
+    (withOff, element_at(col("__offs"), pid + 1) + localIdx + lit(1L))
+  }
+
+  /** Adds `out` = the exact 1-based global `row_number()` (LongType)
+    * over the given strict total order — no window anywhere. Pure plan
+    * builder; no jobs run until the caller's first action. */
+  def withGlobalRank(df: DataFrame, out: String, order: Column*)
+      : DataFrame = {
+    val (f, rank) = withRankCol(df, order)
+    f.withColumn(out, rank).drop("__mid", "__offs", "__n")
+  }
+
+  /** Adds `out` = exact SQL `ntile(buckets)` over the given total order
+    * (first `n % buckets` tiles get the extra row, per the standard),
+    * computed without any unpartitioned window. Returns the input
+    * columns + `out` (IntegerType, 1-based tile). Pure plan builder —
+    * no jobs run until the caller's first action.
+    */
+  def withGlobalNtile(df: DataFrame, buckets: Int, out: String,
+      order: Column*): DataFrame = {
+    require(buckets > 0, "ntile bucket count must be positive")
+    val (f, rank) = withRankCol(df, order)
     // ntile(b) over n rows: first rem = n % b tiles hold size + 1 rows.
     val size = expr(s"__n div ${buckets}L")
     val rem = expr(s"__n % ${buckets}L")
@@ -84,7 +101,7 @@ object Ranking {
     val smallDiv = greatest(size, lit(1L)) // otherwise-branch unreachable at size=0
     val tile = when(rank <= cut, (rank + size) / bigDiv)
       .otherwise(rem + (rank - cut + (smallDiv - lit(1L))) / smallDiv)
-    withOff.withColumn(out, tile.cast("int"))
+    f.withColumn(out, tile.cast("int"))
       .drop("__mid", "__offs", "__n")
   }
 }

@@ -536,6 +536,82 @@ object Analytics {
         .orderBy("touch")
     }),
 
+    // FIRST-touch attribution (r10): the mirror report — every purchase
+    // attributes to the user's EARLIEST click/view inside the 7-day
+    // lookback. Same zero-pair discipline, mirrored: the FORWARD carry
+    // anchored at the lookback's lower bound (p_ts − 7 days, inclusive
+    // — forward-carry is >=) yields the earliest touch at/after it, and
+    // "strictly before the purchase" becomes the post-carry filter —
+    // sound because the earliest at/after-lb touch is in [lb, p_ts)
+    // iff ANY in-window touch exists (it is the min of them). Ties on
+    // t_ts break to MIN t_id (the forward-carry contract), matching
+    // the oracle's ASC rank-1. One shuffle + one sort per user, no
+    // join — the q_attribution plan shape exactly.
+    "q_attribution_first" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val pur = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"), col("value").as("p_val"))
+        .withColumn("lb_ts", col("p_ts") - expr("INTERVAL 7 DAYS"))
+      val tou = e.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id").as("t_id"), col("user_id"),
+          col("ts").as("t_ts"), col("event_type").as("touch_raw"))
+      graft.operators.TemporalJoins.asofJoinForwardCarry(
+          pur, tou, Seq("user_id"), "lb_ts", "t_ts", "t_id")
+        .groupBy(coalesce(
+            when(col("t_ts") < col("p_ts"), col("touch_raw")),
+            lit("unattributed")).as("touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          fround(sum("p_val"), 2).as("revenue"))
+        .orderBy("touch")
+    }),
+
+    // Gini concentration of activity across users (r10): the
+    // inequality readout every usage dashboard ships ("what share of
+    // events do the top users generate"). G = 2·Σ(rank·cnt)/(n·Σcnt)
+    // − (n+1)/n with rank = 1-based position in the STRICT
+    // (cnt, user_id) ascending order — all terms exact integers below
+    // 2^53, one double expression at the end (4 dp). The rank comes
+    // from operators.Ranking.withGlobalRank — range exchange + map-side
+    // rank, ZERO windows (the q_rfm discipline), so the plan survives
+    // any user count; the final fold is one map-combined aggregate.
+    "q_gini" -> ((s, dir) => {
+      val cnts = T(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      graft.operators.Ranking
+        .withGlobalRank(cnts, "rk", asc("cnt"), asc("user_id"))
+        .agg(count(lit(1)).as("n_users"), sum("cnt").as("n_events"),
+          sum(col("rk") * col("cnt")).as("sic"))
+        .select(col("n_users"), col("n_events"),
+          fround(lit(2.0) * col("sic") /
+              (col("n_users") * col("n_events")) -
+              (col("n_users") + lit(1L)).cast("double") /
+              col("n_users"), 4).as("gini"))
+    }),
+
+    // Cumulative adoption curve (r10): per day, first-time users and
+    // the running distinct-user total — "users ever seen by day d",
+    // the growth chart every product dashboard leads with. Windowed
+    // COUNT(DISTINCT) is unsupported/expensive in any engine; the
+    // standard rewrite counts each user once at their FIRST day and
+    // prefix-sums. The prefix sum here is a broadcast triangular join
+    // over the DAY spine — calendar-bounded (≤366 rows/year, a true
+    // constant at any data scale), so no unpartitioned window and no
+    // full-data second pass; the per-user first-day agg is the only
+    // data-scale shuffle.
+    "q_cum_adoption" -> ((s, dir) => {
+      val firsts = T(s, dir, "events")
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("d"))
+        .groupBy("d").agg(count(lit(1)).as("new_users"))
+      val spine = firsts.select(col("d").as("d2"),
+        col("new_users").as("nu2"))
+      firsts.join(broadcast(spine), col("d2") <= col("d"))
+        .groupBy("d", "new_users")
+        .agg(sum("nu2").as("cum_users"))
+        .select("d", "new_users", "cum_users")
+        .orderBy("d")
+    }),
+
     // Market-basket lift (r9): per (user, day) basket of DISTINCT event
     // types, pair co-occurrence vs independence — lift =
     // n_ab·n_baskets / (n_a·n_b), all exact integers (< 2^53), only
@@ -990,6 +1066,47 @@ object Analytics {
            floor(sum(p_val) * 100 + 0.5) / 100 AS revenue
          FROM m WHERE rn = 1
          GROUP BY 1 ORDER BY 1""",
+    "q_attribution_first" ->
+      """WITH m AS (
+           SELECT p.event_id AS p_id, p.value AS p_val, t.touch,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY t.t_ts ASC, t.t_id ASC) AS rn
+           FROM (SELECT event_id, user_id, ts, value FROM events
+                 WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT event_id AS t_id, user_id AS t_uid,
+                        ts AS t_ts, event_type AS touch FROM events
+                      WHERE event_type IN ('click', 'view')) t
+             ON p.user_id = t.t_uid AND t.t_ts < p.ts
+            AND t.t_ts >= p.ts - INTERVAL 7 DAY)
+         SELECT coalesce(touch, 'unattributed') AS touch,
+           count(*) AS n_purchases,
+           floor(sum(p_val) * 100 + 0.5) / 100 AS revenue
+         FROM m WHERE rn = 1
+         GROUP BY 1 ORDER BY 1""",
+    "q_gini" ->
+      """WITH c AS (
+           SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+         r AS (
+           SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS rk
+           FROM c)
+         SELECT count(*) AS n_users,
+           CAST(sum(cnt) AS BIGINT) AS n_events,
+           floor((2.0 * CAST(sum(rk * cnt) AS DOUBLE)
+                    / (count(*) * CAST(sum(cnt) AS DOUBLE))
+                  - CAST(count(*) + 1 AS DOUBLE) / count(*))
+                 * 10000 + 0.5) / 10000 AS gini
+         FROM r""",
+    "q_cum_adoption" ->
+      """WITH f AS (
+           SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events
+           GROUP BY 1),
+         daily AS (
+           SELECT d, count(*) AS new_users FROM f GROUP BY 1)
+         SELECT d, new_users,
+           CAST(sum(new_users) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_users
+         FROM daily ORDER BY d""",
     "q_basket_lift" ->
       """WITH items AS (
            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type

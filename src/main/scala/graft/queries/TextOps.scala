@@ -218,6 +218,45 @@ object TextOps {
         .limit(50)
     }),
 
+    // Shingle CONTAINMENT (r10): the asymmetric near-dup signal Jaccard
+    // misses — a short doc fully embedded in a long one scores low
+    // Jaccard but containment(A in B) = |A∩B|/|A| ≈ 1 (the
+    // Broder-style measure dedup pipelines use to catch sub-document
+    // duplication: quotes, boilerplate wrappers, excerpt pages). Same
+    // single-shuffle posting-list plan as q_ngram_jaccard (grams
+    // aggregate once on (lang, gram); pairs explode only multi-doc
+    // postings — never all-pairs), emitting both directions plus
+    // cmax = inter/min(|A|,|B|), the symmetric screen. Top-50 by
+    // (cmax, da, db) — deterministic, TakeOrdered.
+    "q_containment" -> ((s, dir) => {
+      val posts = graft.Caching.cache(gramRows(T(s, dir, "documents"), 4)
+        .groupBy("lang", "gram")
+        .agg(sort_array(collect_set(col("doc_id"))).as("ds")))
+      val sizes = posts.select(explode(col("ds")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val postings = posts.filter(size(col("ds")) > 1)
+      val pairs = postings.select(explode(expr(
+          """flatten(transform(ds, (x, i) ->
+             transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+               named_struct('da', x, 'db', y))))""")).as("p"))
+        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.withColumnRenamed("doc_id", "da")
+          .withColumnRenamed("n", "na"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db")
+          .withColumnRenamed("n", "nb"), "db")
+        .withColumn("c_ab",
+          fround(col("inter").cast("double") / col("na"), 4))
+        .withColumn("c_ba",
+          fround(col("inter").cast("double") / col("nb"), 4))
+        .withColumn("cmax", fround(col("inter").cast("double") /
+          least(col("na"), col("nb")), 4))
+        .select("da", "db", "c_ab", "c_ba", "cmax")
+        .orderBy(desc("cmax"), asc("da"), asc("db"))
+        .limit(50)
+    }),
+
     // TF-IDF — the classic training-data relevance score, fully
     // distributed: tf and df are two hash aggregations over the token
     // stream, the corpus size joins in as a broadcast single-row cross
@@ -818,6 +857,33 @@ object TextOps {
          JOIN sizes sa ON sa.doc_id = da
          JOIN sizes sb ON sb.doc_id = db
          ORDER BY jac DESC, da, db LIMIT 50""",
+    "q_containment" ->
+      """WITH t AS (
+           SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         gi AS (
+           SELECT doc_id, lang, unnest(range(1, greatest(len(w) - 2, 1))) AS i, w
+           FROM t),
+         g AS (
+           SELECT DISTINCT doc_id, lang,
+             array_to_string(list_slice(w, i, i + 3), ' ') AS gram
+           FROM gi),
+         sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+           FROM g a JOIN g b ON a.gram = b.gram AND a.lang = b.lang
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT da, db,
+           floor(CAST(inter AS DOUBLE) / sa.n * 10000 + 0.5) / 10000
+             AS c_ab,
+           floor(CAST(inter AS DOUBLE) / sb.n * 10000 + 0.5) / 10000
+             AS c_ba,
+           floor(CAST(inter AS DOUBLE) / least(sa.n, sb.n) * 10000 + 0.5)
+             / 10000 AS cmax
+         FROM pairs
+         JOIN sizes sa ON sa.doc_id = da
+         JOIN sizes sb ON sb.doc_id = db
+         ORDER BY cmax DESC, da, db LIMIT 50""",
     "q_contamination" ->
       """WITH t AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

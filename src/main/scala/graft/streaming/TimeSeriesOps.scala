@@ -342,6 +342,51 @@ object TimeSeriesOps {
       }
   }
 
+  case class CohortMark(user_id: Long, cohort_week: Long,
+      week_offset: Long)
+  case class CohortState(firstDay: Long, lastOffset: Long)
+
+  /** Cohort-cell markers (the streaming twin of `q_cohort`'s
+    * first-seen self-join): per user, one mark per NEW week-offset
+    * cell — cohort_week is fixed by the user's first event (floor
+    * week of their first UTC day), week_offset = floor((day −
+    * firstDay)/7). In (ts, id) order the offset is monotone
+    * nondecreasing, so state is just (firstDay, lastOffset), O(1), and
+    * "first event of a new offset" emits exactly one mark per
+    * (user, offset) — the batch panel's countDistinct(user) per cell
+    * is then a plain count of marks. No flush needed (every mark is
+    * emitted by its own triggering event). */
+  def cohortMarks(events: Dataset[CepEvent]): Dataset[CohortMark] = {
+    implicit val rowEnc = Encoders.product[CohortMark]
+    implicit val stEnc = Encoders.product[CohortState]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CohortState, CohortMark](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[CepEvent],
+            state: GroupState[CohortState]) =>
+          var st = state.getOption.orNull
+          val out = List.newBuilder[CohortMark]
+          it.toArray.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val day = Math.floorDiv(us(e.ts), DayUs)
+            if (st == null) {
+              st = CohortState(day, 0L)
+              out += CohortMark(user,
+                Math.floorDiv(day - EpochDay2024, 7L), 0L)
+            } else {
+              val off = Math.floorDiv(day - st.firstDay, 7L)
+              if (off > st.lastOffset) {
+                out += CohortMark(user,
+                  Math.floorDiv(st.firstDay - EpochDay2024, 7L), off)
+                st = st.copy(lastOffset = off)
+              } // off <= lastOffset: same cell (marked) or retro — drop
+            }
+          }
+          if (st == null) state.remove() else state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class FcRow(event_type: String, week: Long, cnt: Long,
       fc: Option[Long])
   case class FcState(prevCnt: Long, hasPrev: Boolean, curWeek: Long,

@@ -560,19 +560,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(pb.contains("BroadcastNestedLoopJoin") ||
       !pb.contains("CartesianProduct"),
       "the 1-row total may broadcast-nest, never cartesian")
-    // q_attribution (r10): the r9 band join is GONE — the strict
-    // backward carry is zero-pair (union + keyed window), so the plan
-    // must contain NO join node of any kind and only keyed windows
-    val la = SparkEntry.queries("q_attribution")(spark, sf)
-      .queryExecution.optimizedPlan
-    val aJoins = la.collect {
-      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
-    assert(aJoins.isEmpty,
-      s"attribution must carry, never join (found ${aJoins.size})")
-    val aWins = la.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
-    assert(aWins.nonEmpty && aWins.forall(_.partitionSpec.nonEmpty),
-      "the carry window must partition by user_id")
+    // q_attribution + q_attribution_first (r10): both band joins are
+    // GONE — the strict backward carry / forward carry are zero-pair
+    // (union + keyed window), so the plans must contain NO join node
+    // of any kind and only keyed windows
+    for (k <- Seq("q_attribution", "q_attribution_first")) {
+      val la = SparkEntry.queries(k)(spark, sf)
+        .queryExecution.optimizedPlan
+      val aJoins = la.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      assert(aJoins.isEmpty,
+        s"$k must carry, never join (found ${aJoins.size})")
+      val aWins = la.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+      assert(aWins.nonEmpty && aWins.forall(_.partitionSpec.nonEmpty),
+        s"$k: the carry window must partition by user_id")
+    }
+    // q_cum_adoption (r10): the prefix sum is a triangular join over
+    // the calendar-bounded day spine — it must BROADCAST (the spine is
+    // ≤366 rows/year), never shuffle-nest
+    val pcu = plan("q_cum_adoption")
+    assert(pcu.contains("BroadcastNestedLoopJoin"),
+      s"the day-spine triangle must broadcast:\n${pcu.take(2000)}")
     // q_churn: one distinct (user, week) frame feeds both sides of an
     // equi self-join — no cartesian, and the final panel joins on week
     val pc = plan("q_churn")

@@ -277,6 +277,74 @@ class StreamingTwinSpec extends SparkSpec {
     assert(diffs.isEmpty, s"${diffs.size} diverge, e.g. ${diffs.take(3)}")
   }
 
+  test("cohort retention: streaming first-seen marks == batch " +
+      "self-join panel (r10)") {
+    // the batch key joins every event to the user's first-seen date;
+    // the stream carries (firstDay, lastOffset) per user and emits one
+    // mark per new (user, offset) cell — the panel's distinct-user
+    // cell counts are then plain mark counts
+    val batch = graft.SparkEntry.queries("q_cohort")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"twin_cohort_${System.nanoTime}"
+    val q = TimeSeriesOps.cohortMarks(stream.toDS())
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val marks = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(marks.length == marks.distinct.length, "one mark per cell")
+    val got = marks.groupBy(m => (m._2, m._3)).view
+      .mapValues(_.length.toLong).toMap
+    assert(got.keySet === batch.keySet, "cell sets differ")
+    val diffs = batch.collect {
+      case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty, s"${diffs.size} diverge, e.g. ${diffs.take(3)}")
+  }
+
+  test("week-over-week growth: streaming last-week carry == batch lag " +
+      "window (r10)") {
+    // q_growth_wow is the same weekly carry as the forecast twin read
+    // through a different panel: cnt, prev week's cnt, and their exact
+    // IEEE ratio — derive the panel from weeklyForecast's rows
+    val batch = graft.SparkEntry.queries("q_growth_wow")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"twin_wow_${System.nanoTime}"
+    val q = TimeSeriesOps.weeklyForecast(stream.toDS())
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    val flush = data.map(_.event_type).distinct.zipWithIndex.map {
+      case (ty, i) => CepEvent(-6000L - i,
+        Timestamp.valueOf("2031-01-01 00:00:00"), -1L, ty, 0.0)
+    }
+    stream.addData(flush.toSeq); q.processAllAvailable(); q.stop()
+    val got = spark.table(name).collect()
+      .map { r =>
+        val prev = if (r.isNullAt(3)) None else Some(r.getLong(3))
+        (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), prev,
+            prev.map(p => r.getLong(2).toDouble / p)))
+      }.toMap
+    assert(got.keySet === batch.keySet, "week cells differ")
+    val diffs = batch.collect {
+      case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty, s"${diffs.size} diverge, e.g. ${diffs.take(3)}")
+  }
+
   test("Markov transitions: streaming last-type carry == batch lead " +
       "pairs (r9)") {
     // the stateful half (per-user lead) streams; the matrix is a plain
