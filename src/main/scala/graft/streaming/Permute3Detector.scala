@@ -44,6 +44,14 @@ case class P3State(trackers: List[P3Tracker])
   * the same bound every other detector carries (windows behind the
   * watermark are pruned each invocation, timer-driven on idle keys).
   *
+  * Lateness note (applies to every watermarked detector, found by the
+  * r10 permute fuzz): with `withWatermark(ts, "0 seconds")`, an event
+  * whose ts EQUALS the current watermark — an equal-ts tie whose twin
+  * landed at the end of the previous micro-batch — is dropped by
+  * Spark's late-row filter before any detector logic runs. Data dense
+  * enough to carry same-timestamp ties needs a nonzero lateness at
+  * least as wide as the tie granularity.
+  *
   * Cites the reference MATCH_RECOGNIZE PERMUTE surface (SURVEY §2.9
   * C6); the rewrite itself is original (see CepSql.translatePermute3).
   */

@@ -713,6 +713,71 @@ class CepSqlSpec extends SparkSpec {
     }
   }
 
+  test("3-way PERMUTE streaming == batch on randomized dense fixtures " +
+      "(r10 fuzz)") {
+    // adversarial execution fuzz for Permute3Detector: dense random
+    // fixtures (ts collisions likely, tight window so arm-1 windows
+    // close mid-stream and held arm-2 triples must release, noise
+    // events interleaved), replayed in 4 ts-ordered chunks + flush —
+    // the match set must equal the batch rewrite's, seed by seed.
+    // Lateness is NONZERO here by necessity, not convenience: the fuzz
+    // itself caught that with '0 seconds' an event whose ts EQUALS the
+    // watermark (an equal-ts tie straddling a micro-batch boundary —
+    // seed 1 splits two same-second anchors across chunks) is dropped
+    // by Spark's late-row filter before any detector sees it; a real
+    // deployment of second-dense data needs lateness ≥ the tie window
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val types = Array("a", "b", "c", "x") // x = noise
+      val rows = (1 to 80).map { id =>
+        (id.toLong,
+          new Timestamp(Timestamp.valueOf("2026-01-01 00:00:00").getTime
+            + rnd.nextInt(600) * 1000L),
+          (1 + rnd.nextInt(3)).toLong,
+          types(rnd.nextInt(4)), 0.0)
+      }.sortBy(r => (r._2.getTime, r._1))
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .createOrReplaceTempView(s"ev_p3f_$seed")
+      val stmt = s"""SELECT * FROM ev_p3f_$seed
+         MATCH PATTERN (PERMUTE(a, b, c) WITHIN '2' MINUTES)
+         PARTITION BY user_id"""
+      val batch = CepSql.sql(spark, stmt)
+        .select("first_ev", "id_1", "id_2", "id_3").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val stream = MemoryStream[CepEvent]
+      stream.toDF().createOrReplaceTempView(s"pat_p3f_$seed")
+      val q = ContinuousQueries.submitPattern(spark,
+        stmt.replace(s"ev_p3f_$seed", s"pat_p3f_$seed"),
+        s"svc_p3f_$seed", lateness = "5 seconds")
+      try {
+        rows.map { case (id, ts, u, ty, v) => CepEvent(id, ts, u, ty, v) }
+          .grouped(20).foreach { c =>
+            stream.addData(c); q.processAllAvailable()
+          }
+        stream.addData(CepEvent(-1L,
+          Timestamp.valueOf("2026-01-02 00:00:00"), 9L, "zz", 0.0))
+        q.processAllAvailable()
+        val got = spark.table(s"svc_p3f_$seed")
+          .select("first_ev", "id_1", "id_2", "id_3").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+        assert(got === batch,
+          s"seed $seed: ${got.diff(batch).take(3)} extra, " +
+            s"${batch.diff(got).take(3)} missing " +
+            s"(${got.size} streamed vs ${batch.size} batch)")
+      } finally {
+        if (q.isActive) q.stop()
+        spark.catalog.dropTempView(s"pat_p3f_$seed")
+        spark.catalog.dropTempView(s"ev_p3f_$seed")
+      }
+    }
+  }
+
   test("PERMUTE(a, b, c) == driver-side brute-force greedy scan on the " +
       "full fixture (r9)") {
     // independent recomputation (not the SQL rewrite, not the oracle's

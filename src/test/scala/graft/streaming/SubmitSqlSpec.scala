@@ -883,11 +883,14 @@ class SubmitSqlSpec extends SparkSpec {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[CepEvent]
     stream.toDF().createOrReplaceTempView("pat_p3full")
+    // nonzero lateness: an event whose ts EQUALS the watermark (an
+    // equal-ts tie straddling a chunk boundary) is dropped by Spark's
+    // late filter at '0 seconds' — the permute fuzz test documents it
     val q = ContinuousQueries.submitPattern(spark,
       """SELECT * FROM pat_p3full
          MATCH PATTERN (PERMUTE(signup, click, purchase)
          WITHIN '12' HOURS)
-         PARTITION BY user_id""", "svc_p3full")
+         PARTITION BY user_id""", "svc_p3full", lateness = "5 seconds")
     try {
       val data = graft.Tables.table(spark, sf, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
