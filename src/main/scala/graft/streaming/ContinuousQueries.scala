@@ -97,10 +97,12 @@ object ContinuousQueries {
     * [[RunChainDetector.detectAbsent]]; RELUCTANT quantifiers (`{m,}?`,
     * r8) ride the same chain arms via the detector's lazy mode. 3-way
     * PERMUTE streams since r10 ([[Permute3Detector]] — per-anchor
-    * dual-order tracker with held arm-2 release). The remaining
-    * batch-only forms, each rejected loudly with a pointer to
-    * [[CepSql.sql]]: a quantified step overlapping its predecessor's
-    * class; reluctant `{1,}?`; a 2-step reluctant absence. Measures × reluctant stream
+    * dual-order tracker with held arm-2 release), as do the 2-step
+    * reluctant HEAD forms — `{1,}?` and the reluctant absence at any m
+    * ([[LazyRunDetector]]). The remaining batch-only forms, each
+    * rejected loudly with a pointer to [[CepSql.sql]]: a quantified
+    * step overlapping its predecessor's class; `{1,}?` outside the
+    * 2-step head; bounded lazy `{m,n}?` (rejected at parse). Measures × reluctant stream
     * since r8 (lazy completions fold POST — the m-th event is a span
     * row, unlike a greedy closure).
     *
@@ -116,18 +118,22 @@ object ContinuousQueries {
       s"streaming pattern queries partition by user_id (got '${spec.key}')" +
         " — the detectors key on the events-table convention")
     // reluctant quantifiers `{m,}?` stream via RunChainDetector's lazy
-    // mode (r8) with two loud batch-only corners: m = 1 (the anchor and
-    // greedy-close fast paths would need their own completion checks)
-    // and the 2-step reluctant absence (detectAbsent needs a >= 2-step
-    // prefix; RunDetector is a maximal-run machine)
-    if (spec.steps.exists(st => st.reluctant && st.minTimes.contains(1)))
+    // mode (r8) for >= 2-step-anchored chains with m >= 2; the 2-step
+    // HEAD forms — `{1,}?` and the reluctant absence at any m — stream
+    // since r10 via the dedicated [[LazyRunDetector]] (the anchor fixes
+    // at the m-th event, independent of the run's eventual length).
+    // What stays loudly batch-only: `{1,}?` anywhere OTHER than the
+    // head of a 2-step unbounded pattern (RunChainDetector's anchor and
+    // greedy-close fast paths assume m >= 2 mid-chain).
+    val lazy2Step = spec.steps.length == 2 && spec.steps.head.reluctant &&
+      spec.steps.head.minTimes.isDefined &&
+      spec.steps.head.maxTimes.isEmpty &&
+      spec.steps.last.minTimes.isEmpty && spec.measures.isEmpty
+    if (spec.steps.exists(st => st.reluctant && st.minTimes.contains(1)) &&
+        !lazy2Step)
       throw new IllegalArgumentException(
-        "reluctant {1,}? has no streaming detector — run the batch " +
-          "rewrite via CepSql.sql")
-    if (spec.absent && spec.steps.length == 2 && spec.steps.head.reluctant)
-      throw new IllegalArgumentException(
-        "a 2-step reluctant absence has no streaming detector — run " +
-          "the batch rewrite via CepSql.sql")
+        "reluctant {1,}? streams only as the head of a 2-step pattern " +
+          "— run the batch rewrite via CepSql.sql for other positions")
     val src0 = spark.table(spec.table)
     require(src0.isStreaming,
       s"'${spec.table}' resolved to a batch view — submitPattern runs " +
@@ -284,6 +290,21 @@ object ContinuousQueries {
       } else if (spec.skipPast) {
         SkipDetector.detectWhere(src, spec.steps.map(stepPred),
           spec.withinMs, Some(lateness))
+      } else if (lazy2Step &&
+          (spec.steps.head.minTimes.contains(1) || spec.absent)) {
+        // 2-step reluctant head forms (r10): `a{m,}? THEN [NOT] b` for
+        // m = 1, and the reluctant absence at any m — the truncated
+        // anchor fixes at the m-th event, so LazyRunDetector pends it
+        // there and resolves follow/no-follow like RunDetector (the
+        // no-follow verdict is watermark-timer-driven). m >= 2 THEN
+        // keeps its r8 RunChainDetector lazy routing below.
+        val runs = LazyRunDetector.detectWhere(src,
+          stepPred(spec.steps.head), spec.steps.head.minTimes.get,
+          stepPred(spec.steps.last), spec.withinMs, Some(lateness))
+        val wanted =
+          if (spec.absent) runs.filter(_.next_follow.isEmpty)
+          else runs.filter(_.next_follow.isDefined)
+        wanted.toDF()
       } else if (quantifiedTail ||
           (spec.steps.head.minTimes.isDefined && spec.steps.length != 2) ||
           spec.steps.exists(_.reluctant)) {

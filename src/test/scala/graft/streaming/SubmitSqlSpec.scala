@@ -372,14 +372,76 @@ class SubmitSqlSpec extends SparkSpec {
       if (qL.isActive) qL.stop()
       spark.catalog.dropTempView("pat_lazy")
     }
-    // ...the m = 1 lazy corner stays batch-only → loud
-    val eLazy1 = intercept[IllegalArgumentException] {
+    // ...the m = 1 lazy head STREAMS since r10 (LazyRunDetector): the
+    // anchor is each island's FIRST event; b mid-island completes it
+    val streamL1 = MemoryStream[CepEvent]
+    streamL1.toDF().createOrReplaceTempView("pat_lazy1")
+    val qL1 = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_lazy1
+         MATCH PATTERN (a{1,}? THEN b WITHIN '5' MINUTES)
+         PARTITION BY user_id""", "svc_lazy1")
+    try {
+      streamL1.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "a", 0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:00:30"), 7, "a", 0),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:01:00"), 7, "b", 0),
+        // b breaks the island; a fresh island anchors at event 4 and
+        // completes with event 5 inside the window
+        CepEvent(4, Timestamp.valueOf("2026-01-01 00:02:00"), 7, "a", 0),
+        CepEvent(5, Timestamp.valueOf("2026-01-01 00:03:00"), 7, "b", 0))
+      qL1.processAllAvailable()
+      val gotL1 = spark.table("svc_lazy1")
+        .select("run_len", "run_start", "next_follow").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2))).toSet
+      assert(gotL1 === Set(
+        (1L, Timestamp.valueOf("2026-01-01 00:00:00"),
+          Timestamp.valueOf("2026-01-01 00:01:00")),
+        (1L, Timestamp.valueOf("2026-01-01 00:02:00"),
+          Timestamp.valueOf("2026-01-01 00:03:00"))),
+        s"one truncated match per island: $gotL1")
+    } finally {
+      if (qL1.isActive) qL1.stop()
+      spark.catalog.dropTempView("pat_lazy1")
+    }
+    // ...and the reluctant ABSENCE streams too: island 1's window has a
+    // b (no match); island 2 times out b-less once the watermark passes
+    val streamLA = MemoryStream[CepEvent]
+    streamLA.toDF().createOrReplaceTempView("pat_lazyabs")
+    val qLA = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_lazyabs
+         MATCH PATTERN (a{2,}? THEN NOT b WITHIN '5' MINUTES)
+         PARTITION BY user_id""", "svc_lazyabs")
+    try {
+      streamLA.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "a", 0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:00:30"), 7, "a", 0),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:01:00"), 7, "b", 0),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 00:10:00"), 8, "a", 0),
+        CepEvent(5, Timestamp.valueOf("2026-01-01 00:10:30"), 8, "a", 0))
+      qLA.processAllAvailable()
+      // advance the watermark far past user 8's window
+      streamLA.addData(
+        CepEvent(9, Timestamp.valueOf("2026-01-02 00:00:00"), 9, "x", 0))
+      qLA.processAllAvailable()
+      val gotLA = spark.table("svc_lazyabs")
+        .select("user_id", "run_len", "run_end").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
+      assert(gotLA === Set(
+        (8L, 2L, Timestamp.valueOf("2026-01-01 00:10:30"))),
+        s"only user 8's island is b-less in-window: $gotLA")
+    } finally {
+      if (qLA.isActive) qLA.stop()
+      spark.catalog.dropTempView("pat_lazyabs")
+    }
+    // ...{1,}? anywhere but the 2-step head stays batch-only → loud
+    val eLazyMid = intercept[IllegalArgumentException] {
       ContinuousQueries.submitPattern(spark,
         """SELECT * FROM pat_events2
-           MATCH PATTERN (a{1,}? THEN b WITHIN '5' MINUTES)
-           PARTITION BY user_id""", "svc_lazy1")
+           MATCH PATTERN (a THEN b{1,}? THEN c WITHIN '5' MINUTES)
+           PARTITION BY user_id""", "svc_lazymid")
     }
-    assert(eLazy1.getMessage.contains("{1,}?"))
+    assert(eLazyMid.getMessage.contains("{1,}?"))
     // ...a measure column outside the converter schema is batch-only
     val eMeas = intercept[IllegalArgumentException] {
       ContinuousQueries.submitPattern(spark,
@@ -867,6 +929,66 @@ class SubmitSqlSpec extends SparkSpec {
       if (q.isActive) q.stop()
       spark.catalog.dropTempView("pat_skip")
     }
+  }
+
+  test("submitPattern: 2-step reluctant head forms replay == batch on " +
+      "the full fixture (r10)") {
+    // LazyRunDetector law: {1,}? THEN and {2,}? THEN NOT over the whole
+    // events table reproduce the batch reluctant-runsSub rewrite
+    implicit val sq = spark.sqlContext
+    val data = graft.Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[CepEvent].orderBy("ts", "event_id").collect()
+    def replay(stmt: String, name: String): Array[org.apache.spark.sql.Row]
+        = {
+      val stream = MemoryStream[CepEvent]
+      stream.toDF().createOrReplaceTempView(s"src_$name")
+      val q = ContinuousQueries.submitPattern(spark,
+        stmt.replace("events", s"src_$name"), name,
+        lateness = "5 seconds")
+      try {
+        data.grouped(math.max(1, data.length / 4)).foreach { c =>
+          stream.addData(c.toSeq); q.processAllAvailable()
+        }
+        stream.addData(CepEvent(-9L,
+          Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "zz_flush", 0.0))
+        q.processAllAvailable()
+        stream.addData(CepEvent(-10L,
+          Timestamp.valueOf("2031-01-02 00:00:00"), -1L, "zz_flush", 0.0))
+        q.processAllAvailable()
+        spark.table(name).collect()
+      } finally {
+        if (q.isActive) q.stop()
+        spark.catalog.dropTempView(s"src_$name")
+      }
+    }
+    graft.Tables.load(spark, sf)
+    // THEN form at m = 1
+    val stmt1 = """SELECT * FROM events
+       MATCH PATTERN (click{1,}? THEN purchase WITHIN '2' HOURS)
+       PARTITION BY user_id"""
+    val batch1 = graft.streaming.CepSql.sql(spark, stmt1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getTimestamp(4))).toSet
+    val got1 = replay(stmt1, "svc_lz1full")
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getTimestamp(4))).toSet
+    assert(got1 === batch1 && batch1.nonEmpty,
+      s"{1,}? THEN replay diverged: ${got1.diff(batch1).take(3)} extra, " +
+        s"${batch1.diff(got1).take(3)} missing")
+    // absence form at m = 2
+    val stmt2 = """SELECT * FROM events
+       MATCH PATTERN (click{2,}? THEN NOT purchase WITHIN '24' HOURS)
+       PARTITION BY user_id"""
+    val batch2 = graft.streaming.CepSql.sql(spark, stmt2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getTimestamp(3))).toSet
+    val got2 = replay(stmt2, "svc_lz2full")
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getTimestamp(3))).toSet
+    assert(got2 === batch2 && batch2.nonEmpty,
+      s"{2,}? THEN NOT replay diverged: ${got2.diff(batch2).take(3)} " +
+        s"extra, ${batch2.diff(got2).take(3)} missing")
   }
 
   test("submitPattern: 3-way PERMUTE replay == batch rewrite on the " +
