@@ -84,4 +84,35 @@ class StatsSpec extends SparkSpec {
     val lastNull = nullFlags.lastIndexOf(true)
     if (lastNull >= 0) assert(nullFlags.take(lastNull).forall(identity))
   }
+
+  test("approx_percentile rank error within the declared accuracy of " +
+      "the exact key (quantile-sketch scale path, r10)") {
+    // the q_percentile exact key is what the oracle checks; at 100 TB a
+    // profiler swaps percentile() for approx_percentile (Greenwald-
+    // Khanna-style sketch, one pass, mergeable). Pin the swap's honest
+    // contract — a RANK error bound, not a value bound: with accuracy
+    // B, the returned value's rank is within n/B of the target rank.
+    import org.apache.spark.sql.functions._
+    val acc = 100
+    val li = Tables.table(spark, sf, "lineitem")
+    val flags = li.select("l_returnflag").distinct()
+      .collect().map(_.getString(0))
+    val approx = li.groupBy("l_returnflag")
+      .agg(expr(s"approx_percentile(l_quantity, array(0.5, 0.9), $acc)")
+        .as("ap"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[Double](1), r.getLong(2)))).toMap
+    assert(flags.nonEmpty)
+    flags.foreach { f =>
+      val (aps, n) = approx(f)
+      for ((q, av) <- Seq(0.5, 0.9).zip(aps)) {
+        val rank = li.filter(col("l_returnflag") === f &&
+          col("l_quantity") <= av).count()
+        val target = q * n
+        val bound = n.toDouble / acc + 1
+        assert(math.abs(rank - target) <= bound,
+          s"flag $f q=$q: rank $rank vs target $target exceeds n/B=$bound")
+      }
+    }
+  }
 }

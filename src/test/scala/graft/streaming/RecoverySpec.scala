@@ -566,6 +566,74 @@ class RecoverySpec extends SparkSpec {
       s"${diffs.size} cells diverge across restart, e.g. ${diffs.take(3)}")
   }
 
+  test("lazy-run detector resumes from checkpoint: pending truncated " +
+      "anchors survive (r10)") {
+    // LazyRunDetector state = the open-run counter + pending anchors
+    // (truncated at the m-th event) awaiting follow/no-follow; restart
+    // mid-window must restore both or resumed streams drop matches /
+    // emit false absences. Output after the flush == the batch
+    // reluctant rewrite.
+    import java.sql.Timestamp
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_lz_in").toFile
+    val outDir = Files.createTempDirectory("graft_lz_out").toFile
+    val ckpt = Files.createTempDirectory("graft_lz_ckpt").toFile
+    val events = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val schema = events.schema
+    def startQuery() =
+      LazyRunDetector.detectWhere(
+          Sources.fileStream(spark, in.getAbsolutePath, schema)
+            .as[CepEvent],
+          (e: CepEvent) => e.event_type == "click", 1,
+          (e: CepEvent) => e.event_type == "purchase",
+          2L * 3600 * 1000, Some("0 seconds"))
+        .writeStream.format("parquet")
+        .option("path", outDir.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append").start()
+    // derive the cut from an ACTUAL straddler: the batch match whose
+    // anchor-to-completion gap is widest, cut at its midpoint — the
+    // pending anchor is then provably open across the restart
+    Tables.load(spark, sf)
+    val wantRows = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (click{1,}? THEN purchase WITHIN '2' HOURS)
+         PARTITION BY user_id""").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(4)))
+    val widest = wantRows.maxBy(w => w._3.getTime - w._2.getTime)
+    assert(widest._3.getTime - widest._2.getTime > 2000,
+      s"fixture needs a completion gap to cut through: $widest")
+    val cutTs = new Timestamp((widest._2.getTime + widest._3.getTime) / 2)
+    events.filter(col("ts") < lit(cutTs))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    events.filter(col("ts") >= lit(cutTs))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    Seq(CepEvent(-9L, Timestamp.valueOf("2031-01-01 00:00:00"), -1L,
+      "zz_flush", 0.0)).toDS().toDF()
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+    Seq(CepEvent(-10L, Timestamp.valueOf("2031-01-02 00:00:00"), -1L,
+      "zz_flush", 0.0)).toDS().toDF()
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q4 = startQuery(); q4.processAllAvailable(); q4.stop()
+    val got = spark.read.parquet(outDir.getAbsolutePath)
+      .filter(col("next_follow").isNotNull)
+      .select("user_id", "run_start", "next_follow").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      .toSet
+    val want = wantRows.toSet
+    assert(got === want && want.nonEmpty,
+      s"${got.diff(want).size} extra, ${want.diff(got).size} missing " +
+        "across restart")
+    // non-vacuous by construction: the widest match anchors before the
+    // cut and completes after it — restorable only from checkpoint
+    assert(want.exists(w => w._2.before(cutTs) && !w._3.before(cutTs)),
+      "cut must straddle at least one pending anchor")
+  }
+
   test("3-way PERMUTE detector resumes from checkpoint: open trackers " +
       "and held arm-2 triples survive (r10)") {
     // Permute3Detector state = per-anchor trackers with BOTH candidate
