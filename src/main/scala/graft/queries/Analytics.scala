@@ -566,6 +566,33 @@ object Analytics {
         .orderBy("touch")
     }),
 
+    // Funnel time-to-convert (r10): for users completing the 3-stage
+    // signup → click → purchase funnel (the q_funnel discipline —
+    // stage k's ts = first stage-k event strictly after stage k-1's),
+    // the distribution of total conversion time in integer
+    // MICROSECONDS: count, median, p90, mean. Exact-integer inputs
+    // into the shared percentile/round discipline (interpolated
+    // percentile of ints, 4-dp round at the end), so it hash-compares
+    // across engines. Plan: three min-aggs chained by user-equi joins
+    // (each at user cardinality) + one global agg — no windows.
+    "q_funnel_ttc" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val cl = e.filter(col("event_type") === "click")
+        .join(su, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"), min("t1").as("t1b"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .join(cl, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id")
+        .agg((unix_micros(min("ts")) - unix_micros(min("t1b")))
+          .as("ttc_us"))
+      pu.agg(count(lit(1)).as("n_converted"),
+          fround(expr("percentile(ttc_us, 0.5)"), 4).as("p50_us"),
+          fround(expr("percentile(ttc_us, 0.9)"), 4).as("p90_us"),
+          fround(avg("ttc_us"), 4).as("mean_us"))
+    }),
+
     // Gini concentration of activity across users (r10): the
     // inequality readout every usage dashboard ships ("what share of
     // events do the top users generate"). G = 2·Σ(rank·cnt)/(n·Σcnt)
@@ -1083,6 +1110,26 @@ object Analytics {
            floor(sum(p_val) * 100 + 0.5) / 100 AS revenue
          FROM m WHERE rn = 1
          GROUP BY 1 ORDER BY 1""",
+    "q_funnel_ttc" ->
+      """WITH su AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         cl AS (
+           SELECT e.user_id, min(e.ts) AS t2, min(su.t1) AS t1b
+           FROM events e JOIN su ON e.user_id = su.user_id
+           WHERE e.event_type = 'click' AND e.ts > su.t1 GROUP BY 1),
+         pu AS (
+           SELECT e.user_id,
+             epoch_us(min(e.ts)) - epoch_us(min(cl.t1b)) AS ttc_us
+           FROM events e JOIN cl ON e.user_id = cl.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > cl.t2 GROUP BY 1)
+         SELECT count(*) AS n_converted,
+           floor(quantile_cont(ttc_us, 0.5) * 10000 + 0.5) / 10000
+             AS p50_us,
+           floor(quantile_cont(ttc_us, 0.9) * 10000 + 0.5) / 10000
+             AS p90_us,
+           floor(avg(ttc_us) * 10000 + 0.5) / 10000 AS mean_us
+         FROM pu""",
     "q_gini" ->
       """WITH c AS (
            SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),

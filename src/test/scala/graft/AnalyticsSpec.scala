@@ -279,4 +279,17 @@ class AnalyticsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString()
     assert(!ap.contains("Expand"), s"approx profiler must not Expand:\n$ap")
   }
+
+  test("q_funnel_ttc: completer count matches q_funnel stage 3; " +
+      "percentiles ordered (r10)") {
+    val ttc = run("q_funnel_ttc").collect().head
+    val stage3 = run("q_funnel").collect()
+      .find(_.getString(0) == "3_purchase").get.getAs[Long]("users")
+    assert(ttc.getAs[Long]("n_converted") === stage3,
+      "every stage-3 completer has exactly one conversion time")
+    if (stage3 > 0) {
+      assert(ttc.getAs[Double]("p50_us") <= ttc.getAs[Double]("p90_us"))
+      assert(ttc.getAs[Double]("p50_us") > 0)
+    }
+  }
 }
