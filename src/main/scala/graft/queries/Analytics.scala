@@ -593,6 +593,44 @@ object Analytics {
           fround(avg("ttc_us"), 4).as("mean_us"))
     }),
 
+    // Lag-k autocorrelation of the daily event-count series (r10):
+    // the seasonality probe every traffic dashboard runs ("does
+    // yesterday/last-week predict today"). ACF(k) = Pearson r over the
+    // (c_d, c_{d+k}) pairs for k ∈ {1, 7}. The five sufficient
+    // statistics (n, Σx, Σy, Σxy, Σx², Σy²) are exact integers below
+    // 2^53, so the one double expression at the end is bit-identical
+    // across engines (4 dp). Plan: one day-level agg (map-combined),
+    // a 2-row broadcast lag frame, and one equi join on the shifted
+    // day — the pair frame is calendar-bounded (days × 2), so every
+    // join is at day cardinality no matter how many events feed it.
+    "q_autocorr" -> ((s, dir) => {
+      val d = T(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+      val lags = s.range(1, 2).select(lit(1).as("lag"))
+        .unionByName(s.range(1, 2).select(lit(7).as("lag")))
+      val a = d.select(col("day").as("a_day"), col("c").as("x"))
+      val b = d.select(col("day").as("b_day"), col("c").as("y"))
+      a.crossJoin(broadcast(lags))
+        .join(b, col("b_day") === date_add(col("a_day"), col("lag")))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("lag"), col("n_pairs"),
+          // sqrt per factor (NOT sqrt of the product): each variance
+          // term stays an exact integer < 2^53, while their product
+          // would overflow long — and the factored form is the same
+          // IEEE expression the oracle runs, so the doubles match.
+          fround((col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+             sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy"))
+              .cast("double"))), 4).as("acf"))
+        .orderBy("lag")
+    }),
+
     // Gini concentration of activity across users (r10): the
     // inequality readout every usage dashboard ships ("what share of
     // events do the top users generate"). G = 2·Σ(rank·cnt)/(n·Σcnt)
@@ -1130,6 +1168,23 @@ object Analytics {
              AS p90_us,
            floor(avg(ttc_us) * 10000 + 0.5) / 10000 AS mean_us
          FROM pu""",
+    "q_autocorr" ->
+      """WITH d AS (
+           SELECT CAST(ts AS DATE) AS day, count(*) AS c FROM events
+           GROUP BY 1),
+         l AS (SELECT CAST(1 AS INTEGER) AS lag
+               UNION ALL SELECT CAST(7 AS INTEGER)),
+         p AS (
+           SELECT l.lag, a.c AS x, b.c AS y
+           FROM l, d a, d b WHERE b.day = a.day + l.lag)
+         SELECT lag, count(*) AS n_pairs,
+           floor(CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE)
+                 / (sqrt(CAST(count(*) * sum(x*x) - sum(x) * sum(x)
+                          AS DOUBLE))
+                    * sqrt(CAST(count(*) * sum(y*y) - sum(y) * sum(y)
+                          AS DOUBLE)))
+                 * 10000 + 0.5) / 10000 AS acf
+         FROM p GROUP BY 1 ORDER BY 1""",
     "q_gini" ->
       """WITH c AS (
            SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
