@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Posting-list pair generation with a DOCUMENT-FREQUENCY CEILING — the
+  * shared discipline behind every inverted-index pair ranker
+  * (`q_ngram_jaccard`, `q_containment`, `q_winnow_overlap`).
+  *
+  * The problem this bounds (r10 verdict #1): a posting list of df docs
+  * explodes to df·(df−1)/2 pairs, so ONE hot token — a boilerplate
+  * 4-gram, a template sentence, exactly the content these rankers exist
+  * to catch — costs df² before any downstream filter can see it.
+  * That is the same skew class the repo retired three times for keys
+  * (nearest-asof banding r8, attribution carry r10, SemDeDup adaptive
+  * cap r9/r10), keyed on CONTENT instead of user. The standard remedy
+  * is CCNet/prefix-filtering's: a gram shared by more than `maxDf`
+  * documents carries near-zero RANKING signal (its idf ≈ 0; every
+  * candidate pair it creates is also created by the pair's rarer shared
+  * grams whenever the overlap is real), so hot postings are dropped
+  * BEFORE the pair explode and their mass is reported, not silently
+  * eaten ([[dfHistogram]], surfaced as the oracle-checked
+  * `q_posting_df` key).
+  *
+  * Effect on the measures: intersection counts lose only hot-gram
+  * contributions, so Jaccard/containment become (slight) LOWER bounds
+  * for pairs sharing hot grams — the direction dedup wants (never
+  * inflates similarity) — and are exact for everything else. The
+  * fixtures' max df is 5 (grams) / 6 (fingerprints) at sf0.1, far
+  * under [[DefaultMaxDf]] = 128, so the declared keys are bit-identical
+  * with the ceiling on; the DuckDB oracles mirror the cutoff anyway so
+  * the contract is the CAPPED semantics, not a fixture accident.
+  *
+  * 100 TB shape: the ceiling turns the pair term from Σ df² (unbounded
+  * — one viral sentence is df ≈ corpus) into Σ min(df, maxDf)² ≤
+  * maxDf · Σ df = maxDf · (gram volume) — LINEAR in corpus size with a
+  * constant-bounded factor. tools/PostingProbe measures the curve: one
+  * gram shared by n docs, n stepped ×16 — capped pair volume stays 0
+  * past the ceiling and runtime tracks the linear posting mass.
+  */
+object Postings {
+  /** df ceiling for pair generation. 128 ≈ the CCNet/BigQuery-dedup
+    * working range: a 4-gram shared by >128 documents is template
+    * boilerplate, not evidence of pairwise duplication. */
+  val DefaultMaxDf = 128
+
+  /** Sorted-distinct posting lists: one hash exchange on `keyCols`
+    * (the gram/fingerprint identity), `collect_set` fusing per-doc
+    * dedup into the aggregation. Output: keyCols plus `ds`
+    * (sorted array of doc ids). */
+  def postingLists(rows: DataFrame, keyCols: Seq[String],
+      docCol: String = "doc_id"): DataFrame =
+    rows.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_set(col(docCol))).as("ds"))
+
+  /** Ordered candidate pairs with shared-posting counts, df-capped.
+    * Lists outside [2, maxDf] never reach the explode: singletons can't
+    * intersect, hot lists are the quadratic term this operator exists
+    * to drop. Output: (da, db, inter) with da < db (the input lists are
+    * sorted, so slice-pairs are ordered by construction). */
+  def pairCounts(posts: DataFrame, maxDf: Int = DefaultMaxDf)
+      : DataFrame =
+    posts.filter(size(col("ds")).between(2, maxDf))
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+           transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+             named_struct('da', x, 'db', y))))""")).as("p"))
+      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+      .agg(count(lit(1)).as("inter"))
+
+  /** The accounting the ceiling owes: log2-bucketed df histogram with
+    * posting counts, df mass (rows the lists hold) and pair mass (the
+    * df·(df−1)/2 explode cost), plus `kept` = would [[pairCounts]]
+    * pair it. The bucket is integer-exact cross-engine
+    * (CASE df<=1 → 0 ELSE length(bin(df−1)) — no float log2 at
+    * power-of-two edges), so DuckDB mirrors it bit-for-bit. */
+  def dfHistogram(posts: DataFrame, maxDf: Int = DefaultMaxDf)
+      : DataFrame =
+    posts.select(size(col("ds")).cast("long").as("df"))
+      .withColumn("bucket", expr(
+        "CASE WHEN df <= 1 THEN 0L ELSE length(bin(df - 1)) END")
+        .cast("long"))
+      .withColumn("kept", col("df") <= lit(maxDf))
+      .groupBy("bucket", "kept")
+      .agg(count(lit(1)).as("postings"),
+        sum("df").as("df_mass"),
+        sum(expr("df * (df - 1) div 2")).as("pair_mass"))
+      .orderBy("bucket")
+}

@@ -186,7 +186,12 @@ object TextOps {
     // short lists explode to ordered doc pairs. One shuffle of the gram
     // frame total, vs two sides of a self-join; the language blocking
     // keeps posting lists (and so pair counts) sub-quadratic at corpus
-    // scale. Top-50 pairs.
+    // scale. Pair generation is df-CAPPED via [[operators.Postings]]
+    // (r11): a gram shared by >128 docs is boilerplate whose df² pair
+    // term would dominate the job while carrying ~zero Jaccard signal —
+    // dropped before the explode, mirrored in the oracle, mass
+    // reported by q_posting_df. Sizes still count ALL distinct grams
+    // (the denominators stay exact). Top-50 pairs.
     "q_ngram_jaccard" -> ((s, dir) => {
       // collect_set fuses per-doc gram dedup INTO the posting-list
       // aggregation: the gram frame shuffles exactly ONCE (on
@@ -194,18 +199,12 @@ object TextOps {
       // themselves (number of lists containing the doc == its distinct
       // gram count), so no second pass over the token stream. persist:
       // the postings feed both the sizes branch and the pair branch.
-      val posts = graft.Caching.cache(gramRows(T(s, dir, "documents"), 4)
-        .groupBy("lang", "gram")
-        .agg(sort_array(collect_set(col("doc_id"))).as("ds")))
+      val posts = graft.Caching.cache(graft.operators.Postings
+        .postingLists(gramRows(T(s, dir, "documents"), 4),
+          Seq("lang", "gram")))
       val sizes = posts.select(explode(col("ds")).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val postings = posts.filter(size(col("ds")) > 1)
-      val pairs = postings.select(explode(expr(
-          """flatten(transform(ds, (x, i) ->
-             transform(slice(ds, i + 2, size(ds) - i - 1), y ->
-               named_struct('da', x, 'db', y))))""")).as("p"))
-        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
-        .agg(count(lit(1)).as("inter"))
+      val pairs = graft.operators.Postings.pairCounts(posts)
       pairs
         .join(sizes.withColumnRenamed("doc_id", "da")
           .withColumnRenamed("n", "na"), "da")
@@ -225,22 +224,17 @@ object TextOps {
     // duplication: quotes, boilerplate wrappers, excerpt pages). Same
     // single-shuffle posting-list plan as q_ngram_jaccard (grams
     // aggregate once on (lang, gram); pairs explode only multi-doc
-    // postings — never all-pairs), emitting both directions plus
+    // df-capped postings via [[operators.Postings]] — never all-pairs,
+    // never a hot-gram df² term), emitting both directions plus
     // cmax = inter/min(|A|,|B|), the symmetric screen. Top-50 by
     // (cmax, da, db) — deterministic, TakeOrdered.
     "q_containment" -> ((s, dir) => {
-      val posts = graft.Caching.cache(gramRows(T(s, dir, "documents"), 4)
-        .groupBy("lang", "gram")
-        .agg(sort_array(collect_set(col("doc_id"))).as("ds")))
+      val posts = graft.Caching.cache(graft.operators.Postings
+        .postingLists(gramRows(T(s, dir, "documents"), 4),
+          Seq("lang", "gram")))
       val sizes = posts.select(explode(col("ds")).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val postings = posts.filter(size(col("ds")) > 1)
-      val pairs = postings.select(explode(expr(
-          """flatten(transform(ds, (x, i) ->
-             transform(slice(ds, i + 2, size(ds) - i - 1), y ->
-               named_struct('da', x, 'db', y))))""")).as("p"))
-        .groupBy(col("p.da").as("da"), col("p.db").as("db"))
-        .agg(count(lit(1)).as("inter"))
+      val pairs = graft.operators.Postings.pairCounts(posts)
       pairs
         .join(sizes.withColumnRenamed("doc_id", "da")
           .withColumnRenamed("n", "na"), "da")
@@ -761,24 +755,37 @@ object TextOps {
 
     // L1e — winnowing OVERLAP ranking (the join [[winnowRows]] exists
     // for): candidate near-dup/plagiarism pairs ranked by the number of
-    // distinct shared fingerprints. Fingerprint-equi self-join — the
-    // candidate generation touches ~2/(w+1) of the gram volume and is
-    // sub-quadratic exactly like q_minhash_band's banding; the full
+    // distinct shared fingerprints. r11: rewritten from the
+    // fingerprint-equi SELF-JOIN onto the shared
+    // [[operators.Postings]] discipline — the posting list per
+    // fp_hash (collect_set subsumes the old distinct()) explodes to
+    // pairs only when 2 <= df <= 128, so a viral fingerprint (a
+    // boilerplate passage winnowed into everyone's sketch) can no
+    // longer produce a df² pair term; one exchange fewer than the
+    // self-join, no cache needed (single consumer). The full
     // (shared DESC, da, db) tuple is unique, so the top-20 cut is
     // deterministic.
     "q_winnow_overlap" -> ((s, dir) => {
-      // cache: both join sides read the same fingerprint frame
-      val fps = graft.Caching.cache(
-        winnowRows(T(s, dir, "documents"))
-          .select("doc_id", "fp_hash").distinct())
-      fps.as("a").join(fps.as("b"),
-          col("a.fp_hash") === col("b.fp_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("shared"))
+      val posts = graft.operators.Postings.postingLists(
+        winnowRows(T(s, dir, "documents")).select("doc_id", "fp_hash"),
+        Seq("fp_hash"))
+      graft.operators.Postings.pairCounts(posts)
+        .withColumnRenamed("inter", "shared")
         .orderBy(desc("shared"), asc("da"), asc("db"))
         .limit(20)
-    })
+    }),
+
+    // L1f — the df-ceiling ACCOUNTING (r11, verdict #1): the log2 df
+    // histogram of the 4-gram posting index with the pair-explode mass
+    // each bucket would cost and whether [[operators.Postings]] pairs
+    // it (kept = df <= 128). This is the "report the dropped mass"
+    // half of the ceiling discipline — at fixture every bucket is
+    // kept (max df 5); at 100 TB the dropped rows quantify exactly
+    // what boilerplate the rankers declined to pair.
+    "q_posting_df" -> ((s, dir) =>
+      graft.operators.Postings.dfHistogram(graft.operators.Postings
+        .postingLists(gramRows(T(s, dir, "documents"), 4),
+          Seq("lang", "gram"))))
   )
 
   /** Winnowing fingerprints (Schleimer et al. 2003): k-gram md5 hashes,
@@ -845,9 +852,12 @@ object TextOps {
              array_to_string(list_slice(w, i, i + 3), ' ') AS gram
            FROM gi),
          sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         gp AS (
+           SELECT doc_id, lang, gram FROM g
+           QUALIFY count(*) OVER (PARTITION BY lang, gram) <= 128),
          pairs AS (
            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-           FROM g a JOIN g b ON a.gram = b.gram AND a.lang = b.lang
+           FROM gp a JOIN gp b ON a.gram = b.gram AND a.lang = b.lang
              AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT da, db,
@@ -868,9 +878,12 @@ object TextOps {
              array_to_string(list_slice(w, i, i + 3), ' ') AS gram
            FROM gi),
          sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         gp AS (
+           SELECT doc_id, lang, gram FROM g
+           QUALIFY count(*) OVER (PARTITION BY lang, gram) <= 128),
          pairs AS (
            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-           FROM g a JOIN g b ON a.gram = b.gram AND a.lang = b.lang
+           FROM gp a JOIN gp b ON a.gram = b.gram AND a.lang = b.lang
              AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT da, db,
@@ -1246,12 +1259,33 @@ object TextOps {
     "q_winnow_overlap" -> s"""$winnowOracleCtes,
          fps AS (
            SELECT DISTINCT doc_id, sel >> 20 AS fp_hash
-           FROM s WHERE pos <= m - 3)
+           FROM s WHERE pos <= m - 3),
+         fpp AS (
+           SELECT doc_id, fp_hash FROM fps
+           QUALIFY count(*) OVER (PARTITION BY fp_hash) <= 128)
          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
-         FROM fps a JOIN fps b
+         FROM fpp a JOIN fpp b
            ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
          GROUP BY 1, 2
-         ORDER BY shared DESC, da, db LIMIT 20"""
+         ORDER BY shared DESC, da, db LIMIT 20""",
+    "q_posting_df" ->
+      """WITH t AS (
+           SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         gi AS (
+           SELECT doc_id, lang, unnest(range(1, greatest(len(w) - 2, 1))) AS i, w
+           FROM t),
+         g AS (
+           SELECT DISTINCT doc_id, lang,
+             array_to_string(list_slice(w, i, i + 3), ' ') AS gram
+           FROM gi),
+         p AS (SELECT lang, gram, count(*) AS df FROM g GROUP BY 1, 2)
+         SELECT CAST(CASE WHEN df <= 1 THEN 0
+                          ELSE length(bin(df - 1)) END AS BIGINT) AS bucket,
+           df <= 128 AS kept,
+           count(*) AS postings,
+           CAST(sum(df) AS BIGINT) AS df_mass,
+           CAST(sum(df * (df - 1) // 2) AS BIGINT) AS pair_mass
+         FROM p GROUP BY 1, 2 ORDER BY bucket"""
   )
 
   /** Shared winnowing CTEs (k=4, w=4) — the oracle twin of

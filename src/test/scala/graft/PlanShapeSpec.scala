@@ -465,18 +465,40 @@ class PlanShapeSpec extends SparkSpec {
         s"aggregation — expected exactly one explode:\n$p")
   }
 
-  test("q_winnow_overlap: fingerprint frame cached for both sides, " +
-    "equi join only, top-20 TakeOrdered (r8)") {
+  test("q_winnow_overlap: posting-list pairs (no self-join), df ceiling " +
+    "before the explode, top-20 TakeOrdered (r11)") {
+    // r11 replaced the fingerprint-equi self-join with the shared
+    // Postings discipline: candidates come from exploding df-capped
+    // posting lists — zero join nodes, and a viral fingerprint can no
+    // longer cost df² pairs.
     val p = plan("q_winnow_overlap")
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
-      s"both join sides must read the cached fingerprint frame:\n$p")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      s"candidates come from the fingerprint-equi join, never " +
-        s"all-pairs:\n$p")
+    assert(!p.contains("Join"),
+      s"pairs come from posting lists, not a self-join:\n$p")
+    assert(p.contains("size(ds"),
+      s"the df ceiling must filter posting lists before the explode:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-20 must not globally sort:\n$p")
     graft.Caching.releaseAll()
+  }
+
+  test("posting pair rankers: the df ceiling sits between the posting " +
+    "agg and the pair explode (r11 verdict #1)") {
+    // ONE hot gram/fingerprint (boilerplate sentence, template wrapper)
+    // would otherwise explode to df² pairs — the same skew class the
+    // repo retired for nearest-asof (r8), attribution (r10), SemDeDup
+    // (r9/r10), now capped at the shared operator. The filter must
+    // appear BELOW the explode in each physical plan (executedPlan
+    // prints top-down: larger index == deeper).
+    for (k <- Seq("q_ngram_jaccard", "q_containment", "q_winnow_overlap")) {
+      val p = plan(k)
+      val filterAt = p.indexOf("size(ds")
+      val explodeAt = p.indexOf("Generate explode(flatten")
+      assert(filterAt >= 0, s"$k: df-ceiling filter missing:\n$p")
+      assert(explodeAt >= 0, s"$k: pair explode missing:\n$p")
+      assert(filterAt > explodeAt,
+        s"$k: ceiling must run before (below) the pair explode:\n$p")
+      graft.Caching.releaseAll()
+    }
   }
 
   test("q_ann_ivfpq: cell restriction broadcasts; top-10 is TakeOrdered " +
