@@ -14,6 +14,14 @@ import org.apache.spark.sql.SparkSession
   * `q_agg_groupby` anchor in the SAME fresh JVM, so any future
   * headline drift has a same-run reference — anchor-normalized ratios
   * are the cross-session currency (SCALE.md discipline).
+  *
+  * r11 (verdict #2): `q_window_sliding` (0.198 → 0.366 s r9→r10, the
+  * board's largest unexplained drift, no code change) and `q_semdedup`
+  * (0.936 → 1.462 s; the r10 adaptive-cap change reproduces r9 fixture
+  * behavior bit-for-bit, so the delta should be ambient) join the same
+  * fresh-JVM run. Cached intermediates are released after every
+  * timed run so each measurement pays the key's full cost, exactly as
+  * Bench does.
   */
 object TopkProbe {
   def main(args: Array[String]): Unit = {
@@ -32,14 +40,21 @@ object TopkProbe {
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
       .orderBy(desc("l_extendedprice")).offset(10).limit(100)
     def time(f: () => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime(); f().count(); (System.nanoTime() - t0) / 1e9
+      val t0 = System.nanoTime(); f().count()
+      val t = (System.nanoTime() - t0) / 1e9
+      graft.Caching.releaseAll() // pay the full key cost every run
+      t
     }
     def tumbling() = graft.SparkEntry.queries("q_window_tumbling")(
       spark, sfDir)
     def anchor() = graft.SparkEntry.queries("q_agg_groupby")(spark, sfDir)
+    def sliding() = graft.SparkEntry.queries("q_window_sliding")(
+      spark, sfDir)
+    def semdedup() = graft.SparkEntry.queries("q_semdedup")(spark, sfDir)
     for ((name, f) <- Seq(("3key", threeKey _), ("1key", oneKey _),
-        ("tumbling", tumbling _), ("anchor", anchor _))) {
-      (1 to 8).foreach(_ => f().count()) // warm-up to steady state
+        ("tumbling", tumbling _), ("anchor", anchor _),
+        ("sliding", sliding _), ("semdedup", semdedup _))) {
+      (1 to 8).foreach { _ => f().count(); graft.Caching.releaseAll() }
       val runs = (1 to 5).map(_ => time(f))
       val s = runs.sorted
       println(f"$name: runs=${runs.map(r => f"$r%.3f").mkString(",")} " +
