@@ -575,6 +575,15 @@ object Analytics {
     // percentile of ints, 4-dp round at the end), so it hash-compares
     // across engines. Plan: three min-aggs chained by user-equi joins
     // (each at user cardinality) + one global agg — no windows.
+    // 100 TB NOTE (r11, verdict #3): the final exact `percentile`
+    // aggregates EVERY converted user's ttc into ONE unpartitioned
+    // buffer — at 10⁹ users that driver-side array is the bottleneck.
+    // The scale path is the approx_percentile swap with a declared
+    // rank-error bound, already spec-pinned for this discipline
+    // (StatsSpec "approx_percentile stays within the declared rank
+    // error"; same trade q_profile documents for its countDistincts).
+    // The exact form stays because exactness is what the oracle
+    // hash-checks at fixture.
     "q_funnel_ttc" -> ((s, dir) => {
       val e = T(s, dir, "events")
       val su = e.filter(col("event_type") === "signup")
