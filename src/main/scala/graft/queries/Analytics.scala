@@ -612,6 +612,13 @@ object Analytics {
     // a 2-row broadcast lag frame, and one equi join on the shifted
     // day — the pair frame is calendar-bounded (days × 2), so every
     // join is at day cardinality no matter how many events feed it.
+    // STREAMING (r11, verdict #4): no per-event twin — ACF's pair
+    // (c_d, c_{d+k}) is only final once BOTH days close, and a late
+    // event into day d perturbs every sufficient statistic the pair
+    // feeds; the streaming form is periodic recompute over the
+    // maintained daily counts (day cardinality — trivially cheap),
+    // not an O(1) state machine. The daily counts themselves stream
+    // exactly (tumbling 1-day count, the q_window_tumbling twin).
     "q_autocorr" -> ((s, dir) => {
       val d = T(s, dir, "events")
         .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
@@ -649,6 +656,13 @@ object Analytics {
     // from operators.Ranking.withGlobalRank — range exchange + map-side
     // rank, ZERO windows (the q_rfm discipline), so the plan survives
     // any user count; the final fold is one map-combined aggregate.
+    // STREAMING (r11, verdict #4): no incremental twin — the Gini rank
+    // term is a function of every user's GLOBAL rank, and one new
+    // event can re-rank an unbounded number of users (rank·cnt changes
+    // for all users the bumped count passes), so there is no O(1)
+    // per-key update; the streaming form is periodic recompute over
+    // the maintained per-user counts (the classic dashboard cadence),
+    // which is exactly this batch plan.
     "q_gini" -> ((s, dir) => {
       val cnts = T(s, dir, "events")
         .groupBy("user_id").agg(count(lit(1)).as("cnt"))

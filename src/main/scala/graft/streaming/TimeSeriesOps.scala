@@ -387,6 +387,42 @@ object TimeSeriesOps {
       }
   }
 
+  case class AdoptMark(user_id: Long, day: Long)
+  case class AdoptSeen(seen: Boolean)
+
+  /** First-seen markers (the streaming twin of `q_cum_adoption`'s
+    * triangular-join panel — the classic streaming-growth counter):
+    * per user, exactly ONE mark carrying the UTC epoch-day of their
+    * first event. The batch panel is then plain arithmetic over marks:
+    * new_users(d) = marks on day d, cum_users(d) = running sum in day
+    * order — identical on either engine, so the twin law pins the mark
+    * multiset (StreamingTwinSpec). State is one boolean per seen user
+    * — the true cost of any exact distinct-growth counter; it grows
+    * with user cardinality, never with event volume (100 TB: state ∝
+    * users, sharded by the groupByKey hash; swap to an HLL pane sketch
+    * — the q_sliding_distinct discipline — when approximate counts
+    * suffice). Retro events (an earlier day arriving after the user
+    * was marked) are dropped: batch is authoritative, the shared
+    * contract. */
+  def adoptionMarks(events: Dataset[CepEvent]): Dataset[AdoptMark] = {
+    implicit val rowEnc = Encoders.product[AdoptMark]
+    implicit val stEnc = Encoders.product[AdoptSeen]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AdoptSeen, AdoptMark](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[CepEvent],
+            state: GroupState[AdoptSeen]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = it.minBy(e => (us(e.ts), e.event_id))
+            state.update(AdoptSeen(true))
+            Iterator.single(
+              AdoptMark(user, Math.floorDiv(us(first.ts), DayUs)))
+          }
+      }
+  }
+
   case class FcRow(event_type: String, week: Long, cnt: Long,
       fc: Option[Long])
   case class FcState(prevCnt: Long, hasPrev: Boolean, curWeek: Long,

@@ -307,6 +307,40 @@ class StreamingTwinSpec extends SparkSpec {
     assert(diffs.isEmpty, s"${diffs.size} diverge, e.g. ${diffs.take(3)}")
   }
 
+  test("cumulative adoption: streaming first-seen marks == batch " +
+      "triangular-join panel (r11)") {
+    // q_cum_adoption joins the per-day new-user counts to a broadcast
+    // day spine; the stream emits ONE mark per user (their first UTC
+    // day) and the panel — new_users per day, running cum_users — is
+    // plain arithmetic over the mark multiset
+    val batch = graft.SparkEntry.queries("q_cum_adoption")(spark, sf)
+      .collect()
+      .map(r => r.getDate(0).toLocalDate.toEpochDay ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"twin_adopt_${System.nanoTime}"
+    val q = TimeSeriesOps.adoptionMarks(stream.toDS())
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val marks = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(marks.map(_._1).distinct.length == marks.length,
+      "exactly one mark per user")
+    val newUsers = marks.groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    var cum = 0L
+    val got = newUsers.keys.toSeq.sorted.map { d =>
+      cum += newUsers(d); d -> ((newUsers(d), cum))
+    }.toMap
+    assert(got === batch)
+  }
+
   test("week-over-week growth: streaming last-week carry == batch lag " +
       "window (r10)") {
     // q_growth_wow is the same weekly carry as the forecast twin read
