@@ -99,10 +99,14 @@ object ContinuousQueries {
     * PERMUTE streams since r10 ([[Permute3Detector]] — per-anchor
     * dual-order tracker with held arm-2 release), as do the 2-step
     * reluctant HEAD forms — `{1,}?` and the reluctant absence at any m
-    * ([[LazyRunDetector]]). The remaining batch-only forms, each
-    * rejected loudly with a pointer to [[CepSql.sql]]: a quantified
-    * step overlapping its predecessor's class; `{1,}?` outside the
-    * 2-step head; bounded lazy `{m,n}?` (rejected at parse). Measures × reluctant stream
+    * ([[LazyRunDetector]]). A quantified step whose class OVERLAPS its
+    * predecessor's streams since r11 in the greedy 2-step form
+    * ([[OverlapRunDetector]] — one shared island tracker per key, the
+    * batch GLOBAL gaps-and-islands made incremental). The remaining
+    * batch-only forms, each rejected loudly with a pointer to
+    * [[CepSql.sql]]: overlap under 3+ steps / MEASURES / THEN NOT /
+    * reluctant runs; `{1,}?` outside the 2-step head; bounded lazy
+    * `{m,n}?` (rejected at parse). Measures × reluctant stream
     * since r8 (lazy completions fold POST — the m-th event is a span
     * row, unlike a greedy closure).
     *
@@ -220,8 +224,9 @@ object ContinuousQueries {
                 pair.last.events.toSet).nonEmpty)
             throw new IllegalArgumentException(
               "a {m,} step whose class overlaps the previous step's " +
-                "has no streaming detector (run maximality differs) — " +
-                "run the batch rewrite via CepSql.sql")
+                "streams only in the greedy 2-step form WITHOUT " +
+                "measures (OverlapRunDetector) — for MEASURES over an " +
+                "overlapping run use the batch rewrite via CepSql.sql")
         }
         val det = RunChainDetector.detectMeasures(srcWm,
           spec.steps.map(s => (stepPred(s), s.minTimes)), spec.withinMs,
@@ -308,20 +313,38 @@ object ContinuousQueries {
       } else if (quantifiedTail ||
           (spec.steps.head.minTimes.isDefined && spec.steps.length != 2) ||
           spec.steps.exists(_.reluctant)) {
-        // generalized quantified chain (r7) → RunChainDetector. One
-        // batch-only carve-out, rejected loudly: a quantified step whose
-        // class overlaps its predecessor's (the predecessor's matched
-        // event would belong to the run in the batch's GLOBAL
-        // gaps-and-islands, which a per-partial streaming tracker
-        // cannot see).
-        spec.steps.sliding(2).foreach { pair =>
-          if (pair.length == 2 && pair.last.minTimes.isDefined &&
-              pair.head.events.toSet.intersect(
-                pair.last.events.toSet).nonEmpty)
+        // generalized quantified chain (r7) → RunChainDetector. A
+        // quantified step whose class OVERLAPS its predecessor's can't
+        // ride it (the predecessor's matched event belongs to the run
+        // in the batch's GLOBAL gaps-and-islands, which a per-partial
+        // run tracker cannot see — `click THEN click{2,}` on three
+        // clicks matches NOTHING in batch, the island starts at the
+        // anchor). The 2-step greedy form streams since r11 via
+        // [[OverlapRunDetector]] — ONE island tracker per key shared
+        // by every anchor; deeper/reluctant/absent overlap forms stay
+        // loudly batch-routed (a second consumer of the shared island
+        // is not close-driven).
+        val overlapAt = spec.steps.sliding(2).exists { pair =>
+          pair.length == 2 && pair.last.minTimes.isDefined &&
+            pair.head.events.toSet.intersect(
+              pair.last.events.toSet).nonEmpty
+        }
+        if (overlapAt) {
+          val streamable = spec.steps.length == 2 && !spec.absent &&
+            spec.steps.head.minTimes.isEmpty &&
+            !spec.steps.head.optional &&
+            !spec.steps.exists(_.reluctant)
+          if (!streamable)
             throw new IllegalArgumentException(
               "a {m,} step whose class overlaps the previous step's " +
-                "has no streaming detector (run maximality differs) — " +
-                "run the batch rewrite via CepSql.sql")
+                "streams only as the greedy 2-step `A THEN B{m,}` form " +
+                "(OverlapRunDetector) — for overlap under 3+ steps, " +
+                "MEASURES, THEN NOT, or reluctant runs use the batch " +
+                "rewrite via CepSql.sql")
+          return submitMemory(OverlapRunDetector.detectWhere(src,
+            stepPred(spec.steps.head), stepPred(spec.steps.last),
+            spec.steps.last.minTimes.get, spec.steps.last.maxTimes,
+            spec.withinMs, Some(lateness)).toDF(), name, "append")
         }
         // watermarked input (r8): the detector's pruning horizon reads
         // getCurrentWatermarkMs — un-watermarked it fell back to the

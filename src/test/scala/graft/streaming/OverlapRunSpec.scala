@@ -1,0 +1,161 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The r10 carve-out, closed (r11 verdict #5): `A THEN B{m,}` with B's
+  * class overlapping A's streams via OverlapRunDetector's SHARED island
+  * tracker. The counterexample that killed the per-partial approach is
+  * pinned first; the twin law (replay ≡ CepSql batch rewrite) closes
+  * the argument. Islands only close on a following non-B event (batch
+  * closes them at end-of-data), so replays append one flush event per
+  * key — the RunChainSpec discipline. */
+class OverlapRunSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def ev(id: Long, t: String, u: Long, ty: String) =
+    CepEvent(id, ts(t), u, ty, 0.0)
+
+  private def replay(events: Seq[CepEvent], anchor: Set[String],
+      run: Set[String], m: Int, mx: Option[Int], withinMs: Long,
+      chunk: Int = 2): Set[(Long, Long, Long, Timestamp, Timestamp)] = {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"ovr_${System.nanoTime}"
+    val q = OverlapRunDetector.detectWhere(stream.toDS(),
+      e => anchor.contains(e.event_type), e => run.contains(e.event_type),
+      m, mx, withinMs, Some("0 seconds"))
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    events.grouped(chunk).foreach { c =>
+      stream.addData(c); q.processAllAvailable()
+    }
+    q.stop()
+    spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getTimestamp(3), r.getTimestamp(4))).toSet
+  }
+
+  test("the r10 counterexample: an island that starts AT the anchor " +
+      "never matches (global left-maximality)") {
+    // click,click,click then flush: the ONLY island starts at the first
+    // click, so no anchor has an island strictly after it — the batch
+    // rewrite matches NOTHING, and a per-partial tracker (which would
+    // see clicks 2-3 as a fresh run after anchoring click 1) would
+    // wrongly emit. The shared-island detector matches batch.
+    val events = Seq(
+      ev(1, "2026-01-01 00:00:00", 7, "click"),
+      ev(2, "2026-01-01 00:00:10", 7, "click"),
+      ev(3, "2026-01-01 00:00:20", 7, "click"),
+      ev(4, "2026-01-01 00:01:00", 7, "flush"))
+    assert(replay(events, Set("click"), Set("click"), 2, None,
+      30 * 60 * 1000L).isEmpty)
+  }
+
+  test("a broken-then-restarted island matches the anchor before the " +
+      "break; in-island anchors never match") {
+    // click1 | x | click2 click3: islands [c1], [c2 c3]. Only the
+    // anchor at click1 sees an island strictly after it.
+    val events = Seq(
+      ev(1, "2026-01-01 00:00:00", 7, "click"),
+      ev(2, "2026-01-01 00:00:10", 7, "x"),
+      ev(3, "2026-01-01 00:00:20", 7, "click"),
+      ev(4, "2026-01-01 00:00:30", 7, "click"),
+      ev(5, "2026-01-01 00:01:00", 7, "flush"))
+    assert(replay(events, Set("click"), Set("click"), 2, None,
+      30 * 60 * 1000L) ===
+      Set((7L, 1L, 2L, ts("2026-01-01 00:00:00"),
+        ts("2026-01-01 00:00:30"))))
+  }
+
+  test("one shared island serves every qualifying anchor; window and " +
+      "whole-run cap respected") {
+    // c1 | x | c2 | x | c3 c4: anchors c1 and c2 both match island
+    // [c3 c4]; with {2,2} an island of 3 matches nothing (whole-run);
+    // a 30s window excludes the island for c1 (end too late)
+    val base = Seq(
+      ev(1, "2026-01-01 00:00:00", 7, "click"),
+      ev(2, "2026-01-01 00:00:10", 7, "x"),
+      ev(3, "2026-01-01 00:00:20", 7, "click"),
+      ev(4, "2026-01-01 00:00:30", 7, "x"),
+      ev(5, "2026-01-01 00:00:40", 7, "click"),
+      ev(6, "2026-01-01 00:00:50", 7, "click"),
+      ev(7, "2026-01-01 00:02:00", 7, "flush"))
+    assert(replay(base, Set("click"), Set("click"), 2, None,
+      30 * 60 * 1000L) === Set(
+      (7L, 1L, 2L, ts("2026-01-01 00:00:00"), ts("2026-01-01 00:00:50")),
+      (7L, 3L, 2L, ts("2026-01-01 00:00:20"), ts("2026-01-01 00:00:50"))))
+    // window 30s: c1's deadline 00:00:30 < island end — only c2 matches
+    assert(replay(base, Set("click"), Set("click"), 2, None, 30 * 1000L)
+      === Set((7L, 3L, 2L, ts("2026-01-01 00:00:20"),
+        ts("2026-01-01 00:00:50"))))
+    // {3,}: island of 2 too short
+    assert(replay(base, Set("click"), Set("click"), 3, None,
+      30 * 60 * 1000L).isEmpty)
+    // {2,2} against a 3-island: insert a third trailing click — the
+    // maximal run is 3 long and whole-run semantics match nothing
+    val three = base.dropRight(1) ++ Seq(
+      ev(8, "2026-01-01 00:01:00", 7, "click"),
+      ev(9, "2026-01-01 00:02:00", 7, "flush"))
+    assert(replay(three, Set("click"), Set("click"), 2, Some(2),
+      30 * 60 * 1000L).isEmpty)
+  }
+
+  test("overlap via alternation: anchor class a subset of the run " +
+      "class (click THEN (click|view){2,})") {
+    // view view after the anchor form the island with a click: the
+    // anchor's OWN event extends no island here (island opens after x)
+    val events = Seq(
+      ev(1, "2026-01-01 00:00:00", 7, "click"),
+      ev(2, "2026-01-01 00:00:05", 7, "x"),
+      ev(3, "2026-01-01 00:00:10", 7, "view"),
+      ev(4, "2026-01-01 00:00:20", 7, "click"),
+      ev(5, "2026-01-01 00:00:30", 7, "view"),
+      ev(6, "2026-01-01 00:01:00", 7, "flush"))
+    assert(replay(events, Set("click"), Set("click", "view"), 3, None,
+      30 * 60 * 1000L) ===
+      Set((7L, 1L, 3L, ts("2026-01-01 00:00:00"),
+        ts("2026-01-01 00:00:30"))))
+  }
+
+  test("replay == batch rewrite on the events table (twin law)") {
+    implicit val sq = spark.sqlContext
+    val data = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[CepEvent].orderBy("ts", "event_id").collect()
+    val users = data.map(_.user_id).distinct
+    val stream = MemoryStream[CepEvent]
+    val name = s"ovr_twin_${System.nanoTime}"
+    val q = OverlapRunDetector.detectWhere(stream.toDS(),
+      _.event_type == "click",
+      e => e.event_type == "click" || e.event_type == "view",
+      2, None, 48L * 60 * 60 * 1000, Some("0 seconds"))
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    data.grouped(math.max(1, data.length / 5)).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    // close every key's final island (batch closes them at end-of-data)
+    stream.addData(users.zipWithIndex.map { case (u, i) =>
+      CepEvent(-9000L - i, ts("2030-01-01 00:00:00"), u, "zz_flush", 0.0)
+    }.toSeq)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name)
+      .select("user_id", "id_1", "len_2", "ts_1", "ts_2")
+    Tables.load(spark, sf)
+    val want = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (click THEN click|view{2,} WITHIN '48' HOURS)
+         PARTITION BY user_id""")
+      .select("user_id", "id_1", "len_2", "ts_1", "ts_2")
+    val g = got.collect().map(_.toSeq).toSet
+    val w = want.collect().map(_.toSeq).toSet
+    assert(g === w, s"stream ${g.size} vs batch ${w.size}")
+    assert(w.nonEmpty, "fixture must exercise the overlap form")
+  }
+}

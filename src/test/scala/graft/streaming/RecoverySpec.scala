@@ -634,6 +634,70 @@ class RecoverySpec extends SparkSpec {
       "cut must straddle at least one pending anchor")
   }
 
+  test("overlap-run detector resumes from checkpoint: the shared " +
+      "island and live anchors survive (r11)") {
+    // OverlapRunDetector state = the per-key OPEN island (shared by
+    // every anchor) + the live anchors. A restart mid-island must
+    // restore both: a dropped island re-opens at the wrong start and a
+    // false strictly-after match appears; dropped anchors lose the
+    // matches whose island closes after the cut. Output after per-key
+    // flushes must equal the batch chain rewrite exactly.
+    import java.sql.Timestamp
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_ovr_in").toFile
+    val outDir = Files.createTempDirectory("graft_ovr_out").toFile
+    val ckpt = Files.createTempDirectory("graft_ovr_ckpt").toFile
+    val events = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val schema = events.schema
+    def startQuery() =
+      OverlapRunDetector.detectWhere(
+          Sources.fileStream(spark, in.getAbsolutePath, schema)
+            .as[CepEvent],
+          _.event_type == "click",
+          e => e.event_type == "click" || e.event_type == "view",
+          2, None, 48L * 3600 * 1000, Some("0 seconds"))
+        .writeStream.format("parquet")
+        .option("path", outDir.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append").start()
+    val cut = "2024-01-08 00:00:00"
+    events.filter(col("ts") < lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    events.filter(col("ts") >= lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    // close every key's final island (batch closes them at end-of-data)
+    val users = events.select("user_id").distinct()
+      .collect().map(_.getLong(0))
+    users.zipWithIndex.map { case (u, i) => CepEvent(-9100L - i,
+        Timestamp.valueOf("2031-01-01 00:00:00"), u, "zz_flush", 0.0) }
+      .toSeq.toDS().toDF()
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+    val got = spark.read.parquet(outDir.getAbsolutePath)
+      .select("user_id", "id_1", "len_2", "ts_1", "ts_2").collect()
+      .map(_.toSeq).toSet
+    Tables.load(spark, sf)
+    val want = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (click THEN click|view{2,} WITHIN '48' HOURS)
+         PARTITION BY user_id""")
+      .select("user_id", "id_1", "len_2", "ts_1", "ts_2").collect()
+      .map(_.toSeq).toSet
+    assert(got === want && want.nonEmpty,
+      s"${got.diff(want).size} extra, ${want.diff(got).size} missing " +
+        "across restart")
+    // non-vacuous: at least one match anchors before the cut and its
+    // island closes at/after it — only restored state can emit it
+    val cutTs = Timestamp.valueOf(cut)
+    assert(want.exists(w =>
+        w(3).asInstanceOf[Timestamp].before(cutTs) &&
+        !w(4).asInstanceOf[Timestamp].before(cutTs)),
+      "cut must straddle at least one anchored match")
+  }
+
   test("3-way PERMUTE detector resumes from checkpoint: open trackers " +
       "and held arm-2 triples survive (r10)") {
     // Permute3Detector state = per-anchor trackers with BOTH candidate

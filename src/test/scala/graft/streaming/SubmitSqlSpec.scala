@@ -587,8 +587,40 @@ class SubmitSqlSpec extends SparkSpec {
       if (qMid.isActive) qMid.stop()
       spark.catalog.dropTempView("pat_mid")
     }
-    // ...but a quantified step overlapping its predecessor's class is
-    // batch-only (global run maximality) → loud
+    // ...a quantified step overlapping its predecessor's class streams
+    // in the greedy 2-STEP form since r11 (OverlapRunDetector: shared
+    // per-key island — the r10 counterexample `b THEN b{2,}` on
+    // b,b,b matches NOTHING because the only island starts at the
+    // anchor; after a break the island serves the pre-break anchor)
+    val streamOvl = MemoryStream[CepEvent]
+    streamOvl.toDF().createOrReplaceTempView("pat_ovl")
+    val qOvl = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_ovl
+         MATCH PATTERN (b THEN b{2,} WITHIN '30' MINUTES)
+         PARTITION BY user_id""", "svc_ovl")
+    try {
+      streamOvl.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "b", 0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:00:10"), 7, "b", 0),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:00:20"), 7, "b", 0),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 00:00:30"), 7, "x", 0),
+        CepEvent(5, Timestamp.valueOf("2026-01-01 00:00:40"), 7, "b", 0),
+        CepEvent(6, Timestamp.valueOf("2026-01-01 00:00:50"), 7, "b", 0),
+        CepEvent(7, Timestamp.valueOf("2026-01-01 00:01:30"), 7, "y", 0))
+      qOvl.processAllAvailable()
+      val gotOvl = spark.table("svc_ovl")
+        .select("user_id", "id_1", "len_2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // anchors 1-3 sit inside the first island (start NOT strictly
+      // after them); the post-break island [5,6] serves all three
+      assert(gotOvl === Set((7L, 1L, 2L), (7L, 2L, 2L), (7L, 3L, 2L)),
+        s"shared-island matches expected, got $gotOvl")
+    } finally {
+      if (qOvl.isActive) qOvl.stop()
+      spark.catalog.dropTempView("pat_ovl")
+    }
+    // ...overlap under 3+ steps stays batch-only (a second consumer of
+    // the shared island) → loud
     val eOvl = intercept[IllegalArgumentException] {
       ContinuousQueries.submitPattern(spark,
         """SELECT * FROM pat_events2
