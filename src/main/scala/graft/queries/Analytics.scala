@@ -841,6 +841,37 @@ object Analytics {
           col("cnt").cast("double") / sum("cnt").over(wsum))
         .select("e1", "e2", "cnt", "prob")
         .orderBy("e1", "e2")
+    }),
+
+    // Path trigrams (r11): the top 3-step event paths a user walks with
+    // no step gap over 30 minutes — q_markov_trans lifted one order (the
+    // clickstream "common journeys" readout funnels are built from).
+    // Two leads in ONE user-partitioned window pass (both gaps tested
+    // in exact integer micros); the count is a plain hash agg and the
+    // top-20 cut is TakeOrdered on the total (cnt DESC, t1, t2, t3)
+    // order. Scale: one hash exchange on user_id (the window), one on
+    // the trigram — no state beyond 2 lookahead rows per user.
+    "q_path_trigrams" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("ts"), asc("event_id"))
+      val gapUs = 30L * 60 * 1000000
+      T(s, dir, "events")
+        // one SELECT carrying all four leads: separate withColumn calls
+        // leave Projects between the Window nodes and CollapseWindow
+        // can't fuse them — one projection = one WindowExec pass
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"),
+          lead("event_type", 1).over(w).as("t2"),
+          lead(unix_micros(col("ts")), 1).over(w).as("us2"),
+          lead("event_type", 2).over(w).as("t3"),
+          lead(unix_micros(col("ts")), 2).over(w).as("us3"))
+        .filter(col("t3").isNotNull &&
+          col("us2") - unix_micros(col("ts")) <= gapUs &&
+          col("us3") - col("us2") <= gapUs)
+        .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("t1"), asc("t2"), asc("t3"))
+        .limit(20)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1322,5 +1353,24 @@ object Analytics {
            WHERE e2 IS NOT NULL GROUP BY 1, 2)
          SELECT e1, e2, cnt,
            CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY e1) AS prob
-         FROM c ORDER BY e1, e2""")
+         FROM c ORDER BY e1, e2""",
+    "q_path_trigrams" ->
+      """WITH p AS (
+           SELECT user_id, ts, event_id, event_type AS t1,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS t2,
+             lead(ts, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS ts2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS t3,
+             lead(ts, 2) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS ts3
+           FROM events)
+         SELECT t1, t2, t3, count(*) AS cnt
+         FROM p
+         WHERE t3 IS NOT NULL
+           AND ts2 <= ts + INTERVAL 30 MINUTES
+           AND ts3 <= ts2 + INTERVAL 30 MINUTES
+         GROUP BY 1, 2, 3
+         ORDER BY cnt DESC, t1, t2, t3 LIMIT 20""")
 }

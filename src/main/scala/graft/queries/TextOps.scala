@@ -717,6 +717,69 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // L13c — WEIGHTED sampling without replacement (r11), the
+    // Efraimidis–Vitter A-ES scheme (Efraimidis & Spirakis 2006,
+    // IPL 97(5) — public): each doc draws u ∈ (0,1] and ranks by
+    // ln(u)/w (equivalent to u^(1/w)); the top-k IS an exact weighted
+    // sample without replacement. u derives from the md5-uniform trick
+    // (q_mix_sample's 24 bits, +1 so u > 0 — ln stays finite) and w is
+    // the doc's token count, so token-heavy docs are proportionally
+    // likelier — the standard way to cut a fixed-size training subset
+    // that preserves token mass. The rank key rounds at 6 dp (ln is
+    // the one libm call; sub-ulp engine differences collapse into
+    // ties, broken by doc_id — the shared determinism discipline).
+    // Plan: pure map stage + TakeOrdered top-50; at 100 TB this is THE
+    // sampling shape — no shuffle, no state, any k.
+    "q_sample_weighted" -> ((s, dir) => {
+      val h = md5(col("doc_id").cast("string"))
+      val bits = (0 until 6).map { i =>
+        (instr(lit("0123456789abcdef"), substring(h, i + 1, 1)) - 1)
+          .cast("double") * math.pow(16, 5 - i)
+      }.reduce(_ + _)
+      T(s, dir, "documents")
+        .select(col("doc_id"), size(toks(col("text"))).cast("long").as("w"),
+          ((bits + lit(1.0)) / lit(math.pow(16, 6))).as("u"))
+        .select(col("doc_id"), col("w"),
+          fround(log(col("u")) / col("w"), 6).as("skey"))
+        .orderBy(desc("skey"), asc("doc_id"))
+        .limit(50)
+    }),
+
+    // L4h — distinct-n corpus diversity (r11): the distinct-1/-2
+    // ratios from the text-generation evaluation literature (Li et al.
+    // 2016, "A Diversity-Promoting Objective", NAACL — public), read
+    // per source as a duplication/templating screen: a boilerplate-
+    // heavy source shows low distinct-2 long before pair-level dedup
+    // runs. Unigram and bigram branches are each one map-side explode
+    // + a (source-keyed) distinct-count aggregation; ratios are exact
+    // integer quotients rounded 4 dp. The bigram frame reuses the
+    // per-doc transform/slice gram builder, so nothing crosses doc
+    // boundaries.
+    "q_distinct_n" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val uni = d.select(col("source"), explode(toks(col("text"))).as("g"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("tokens"),
+          countDistinct("g").as("d1"))
+      val bi = d
+        .select(col("source"), col("doc_id"), toks(col("text")).as("ws"))
+        .select(col("source"), explode(expr(
+          """CASE WHEN size(ws) < 2 THEN array()
+             ELSE transform(sequence(0, size(ws) - 2),
+                  i -> concat(ws[i], ' ', ws[i + 1])) END""")).as("g"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("bigrams"),
+          countDistinct("g").as("d2"))
+      uni.join(bi, "source")
+        .select(col("source"), col("tokens"), col("d1"),
+          fround(col("d1").cast("double") / col("tokens"), 4)
+            .as("distinct1"),
+          col("bigrams"), col("d2"),
+          fround(col("d2").cast("double") / col("bigrams"), 4)
+            .as("distinct2"))
+        .orderBy("source")
+    }),
+
     // L4g — tokenizer fertility diagnostics: bytes/token and
     // chars/token per language — the statistic a tokenizer evaluation
     // reads to compare segmentation efficiency across languages
@@ -1238,6 +1301,49 @@ object TextOps {
            floor(sqrt(tokens) / z * total * 100 + 0.5) / 100
              AS eff_tokens
          FROM c, z ORDER BY source""",
+    "q_sample_weighted" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         u AS (
+           SELECT doc_id, w,
+             (((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576.0
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536.0
+             + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096.0
+             + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256.0
+             + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16.0
+             + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) + 1.0)
+               / 16777216.0 AS u
+           FROM d)
+         SELECT doc_id, w,
+           floor(ln(u) / w * 1e6 + 0.5) / 1e6 AS skey
+         FROM u ORDER BY skey DESC, doc_id LIMIT 50""",
+    "q_distinct_n" ->
+      """WITH t AS (
+           SELECT doc_id, source, string_split(text, ' ') AS ws
+           FROM documents),
+         uni AS (
+           SELECT source, count(*) AS tokens,
+             count(DISTINCT g) AS d1
+           FROM (SELECT source, unnest(ws) AS g FROM t) GROUP BY source),
+         bi AS (
+           SELECT source, count(*) AS bigrams,
+             count(DISTINCT g) AS d2
+           FROM (
+             SELECT source,
+               ws[i.i + 1] || ' ' || ws[i.i + 2] AS g
+             FROM t, LATERAL (SELECT unnest(range(greatest(len(ws) - 1, 0)))
+               AS i) i) GROUP BY source)
+         SELECT u.source, u.tokens, u.d1,
+           floor(CAST(u.d1 AS DOUBLE) / u.tokens * 1e4 + 0.5) / 1e4
+             AS distinct1,
+           b.bigrams, b.d2,
+           floor(CAST(b.d2 AS DOUBLE) / b.bigrams * 1e4 + 0.5) / 1e4
+             AS distinct2
+         FROM uni u JOIN bi b ON u.source = b.source
+         ORDER BY u.source""",
     "q_tok_fertility" ->
       """WITH b AS (
            SELECT lang, n_chars, strlen(text) AS nb,

@@ -121,6 +121,67 @@ object VectorOps {
         .limit(10)
     }),
 
+    // ANN RECALL@10 (r11) — the acceptance metric every approximate
+    // index deployment reports: per query (every 50th vec_id), the
+    // exact brute-force top-10 is the ground truth and the IVF
+    // restriction (candidates only from the query's best centroid
+    // cell) is the candidate set; recall = |IVF ∩ truth| / |truth|.
+    // Both rankings run on the 4-dp-rounded cosine with vec_id
+    // tiebreak (the shared determinism discipline), so the sets are
+    // bit-identical cross-engine and recall is EXACT — this is the
+    // measurement that justifies (or vetoes) shipping the IVF path at
+    // 100 TB, computed by the engine itself. Plan: one brute scored
+    // frame (query side broadcast, base never shuffled) feeds both the
+    // truth ranking and — filtered by the broadcast best-cell frame —
+    // the IVF ranking; the intersection joins two |q|·10-row frames.
+    "q_ann_recall" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = T(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      // per-label mean centroids (the q_ann_ivf trainer frame)
+      val cents = e
+        .select(col("label"),
+          posexplode(transform(col("embedding"), _.cast("double")))
+            .as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(avg("x").as("cx"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          p => p.getField("cx")).as("cv"))
+      val wBest = Window.partitionBy("qid")
+        .orderBy(desc("ccs"), asc("label"))
+      val best = q.crossJoin(broadcast(cents))
+        .withColumn("qvd",
+          transform(col("qv"), (x: Column) => x.cast("double")))
+        .select(col("qid"), col("label"),
+          fround(cos("cv", "qvd"), 6).as("ccs"))
+        .withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("qid").as("bqid"), col("label").as("best_label"))
+      val scored = graft.Caching.cache(e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), col("label"),
+          round(cos("embedding", "qv"), 4).as("cs")))
+      val wq = Window.partitionBy("qid").orderBy(desc("cs"), asc("vec_id"))
+      val truth = scored.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 10).select("qid", "vec_id")
+      val ivf = scored
+        .join(broadcast(best), col("qid") === col("bqid") &&
+          col("label") === col("best_label"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 10).select("qid", "vec_id")
+      truth.join(ivf, Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+        .join(truth.groupBy("qid").agg(count(lit(1)).as("n_true")),
+          Seq("qid"), "right")
+        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+          col("n_true"),
+          fround(coalesce(col("hits"), lit(0L)).cast("double") /
+            col("n_true"), 4).as("recall"))
+        .orderBy("qid")
+    }),
+
     // k-NN *join* — top-3 neighbors for EVERY query vector (every 50th
     // vec_id), not just one. The query side broadcasts; the base scan is
     // never shuffled — per-query ranking happens in a window over the
@@ -573,6 +634,62 @@ object VectorOps {
          SELECT vec_id, CAST(label AS BIGINT) AS label,
            round(dp / (sqrt(na) * sqrt(nb)), 4) AS cs
          FROM d ORDER BY cs DESC, vec_id LIMIT 10""",
+    "q_ann_recall" ->
+      """WITH q AS (
+           SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id % 50 = 0),
+         cent AS (
+           SELECT label, i.i AS pos, avg(CAST(embedding[i.i + 1] AS DOUBLE))
+             AS cx
+           FROM embeddings, (SELECT unnest(range(64)) AS i) i
+           GROUP BY label, i.i),
+         cscore AS (
+           SELECT q.qid, c.label,
+             floor(sum(c.cx * CAST(q.qv[c.pos + 1] AS DOUBLE)) /
+               (sqrt(sum(c.cx * c.cx)) *
+                sqrt(sum(CAST(q.qv[c.pos + 1] AS DOUBLE)
+                       * CAST(q.qv[c.pos + 1] AS DOUBLE))))
+               * 1000000 + 0.5) / 1000000 AS ccs
+           FROM cent c, q GROUP BY q.qid, c.label),
+         best AS (
+           SELECT qid, label AS best_label FROM (
+             SELECT qid, label,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY ccs DESC, label) AS rn
+             FROM cscore) WHERE rn = 1),
+         d AS (
+           SELECT q.qid, e.vec_id, e.label,
+             round(sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                     * CAST(q.qv[i.i + 1] AS DOUBLE)) /
+               (sqrt(sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                       * CAST(e.embedding[i.i + 1] AS DOUBLE))) *
+                sqrt(sum(CAST(q.qv[i.i + 1] AS DOUBLE)
+                       * CAST(q.qv[i.i + 1] AS DOUBLE)))), 4) AS cs
+           FROM embeddings e, q, (SELECT unnest(range(64)) AS i) i
+           WHERE e.vec_id <> q.qid
+           GROUP BY q.qid, e.vec_id, e.label),
+         truth AS (
+           SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cs DESC, vec_id) AS rn
+             FROM d) WHERE rn <= 10),
+         ivf AS (
+           SELECT qid, vec_id FROM (
+             SELECT d.qid, d.vec_id,
+               row_number() OVER (PARTITION BY d.qid
+                 ORDER BY d.cs DESC, d.vec_id) AS rn
+             FROM d JOIN best b
+               ON d.qid = b.qid AND d.label = b.best_label)
+           WHERE rn <= 10)
+         SELECT t.qid,
+           CAST(count(i.vec_id) AS BIGINT) AS hits,
+           count(*) AS n_true,
+           floor(CAST(count(i.vec_id) AS DOUBLE) / count(*)
+             * 10000 + 0.5) / 10000 AS recall
+         FROM truth t LEFT JOIN ivf i
+           ON t.qid = i.qid AND t.vec_id = i.vec_id
+         GROUP BY t.qid ORDER BY t.qid""",
     "q_knn_join" ->
       """WITH q AS (
            SELECT vec_id AS qid, embedding AS qv FROM embeddings

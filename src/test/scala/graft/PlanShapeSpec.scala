@@ -634,6 +634,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("q_sample_weighted: map-only + TakeOrdered — zero exchanges " +
+      "(the 100 TB sampling shape, r11)") {
+    val p = plan("q_sample_weighted")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"A-ES sampling must not shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not globally sort:\n$p")
+  }
+
+  test("q_path_trigrams: both leads share ONE window pass, top-20 " +
+      "TakeOrdered (r11)") {
+    val p = plan("q_path_trigrams")
+    assert("Window ".r.findAllIn(p).size == 1,
+      s"the two leads must fuse into one WindowExec:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must not globally sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_ann_recall: cached scored frame feeds truth AND ivf; no " +
+      "cartesian (r11)") {
+    val p = plan("q_ann_recall")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"truth and ivf rankings must share the cached brute frame:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"query/best sides must broadcast, never cartesian:\n$p")
+    graft.Caching.releaseAll()
+  }
+
   test("approx_count_distinct is within 5% of exact (SURVEY A6 bound)") {
     import org.apache.spark.sql.functions._
     val e = Tables.table(spark, sf, "events")
