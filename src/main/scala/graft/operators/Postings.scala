@@ -76,7 +76,26 @@ object Postings {
     * power-of-two edges), so DuckDB mirrors it bit-for-bit. */
   def dfHistogram(posts: DataFrame, maxDf: Int = DefaultMaxDf)
       : DataFrame =
-    posts.select(size(col("ds")).cast("long").as("df"))
+    histOverDf(posts.select(size(col("ds")).cast("long").as("df")), maxDf)
+
+  /** [[dfHistogram]] straight from occurrence rows, skipping the
+    * posting-LIST build: the accounting needs only each key's distinct
+    * doc COUNT, so building (and sorting) the doc arrays is wasted
+    * work when no pair stage consumes them — measured 1.46 → 1.20 s at
+    * sf0.1 for the standalone `q_posting_df` key (the residual is the
+    * gram explode itself, shared by every inverted-index key). Two
+    * map-combinable
+    * exchanges ((keys, doc) dedup, then per-key count) instead of one
+    * collect_set exchange carrying whole arrays. */
+  def dfHistogramOf(rows: DataFrame, keyCols: Seq[String],
+      docCol: String = "doc_id", maxDf: Int = DefaultMaxDf): DataFrame =
+    histOverDf(
+      rows.select((keyCols :+ docCol).map(col): _*).distinct()
+        .groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("df")), maxDf)
+
+  private def histOverDf(dfs: DataFrame, maxDf: Int): DataFrame =
+    dfs.select(col("df").cast("long").as("df"))
       .withColumn("bucket", expr(
         "CASE WHEN df <= 1 THEN 0L ELSE length(bin(df - 1)) END")
         .cast("long"))

@@ -844,11 +844,13 @@ object TextOps {
     // it (kept = df <= 128). This is the "report the dropped mass"
     // half of the ceiling discipline — at fixture every bucket is
     // kept (max df 5); at 100 TB the dropped rows quantify exactly
-    // what boilerplate the rankers declined to pair.
+    // what boilerplate the rankers declined to pair. Counts-only path
+    // (dfHistogramOf): no pair stage consumes the arrays here, so the
+    // collect_set posting build would be wasted work (PostingsSpec
+    // pins ≡ the posting-list form).
     "q_posting_df" -> ((s, dir) =>
-      graft.operators.Postings.dfHistogram(graft.operators.Postings
-        .postingLists(gramRows(T(s, dir, "documents"), 4),
-          Seq("lang", "gram"))))
+      graft.operators.Postings.dfHistogramOf(
+        gramRows(T(s, dir, "documents"), 4), Seq("lang", "gram")))
   )
 
   /** Winnowing fingerprints (Schleimer et al. 2003): k-gram md5 hashes,

@@ -70,6 +70,22 @@ class PostingsSpec extends SparkSpec {
     assert(edges.map(_._2) == Seq(true, true, true, false))
   }
 
+  test("dfHistogramOf (counts-only) ≡ dfHistogram over posting lists") {
+    val viaLists = Postings.dfHistogram(posts, 4).collect().map(_.toSeq)
+    val viaCounts = Postings.dfHistogramOf(rows, Seq("gram"), "doc_id", 4)
+      .collect().map(_.toSeq)
+    assert(viaCounts.toSeq == viaLists.toSeq)
+    // and on the real gram frame at fixture scale
+    val gr = graft.queries.TextOps.gramRows(
+      graft.Tables.table(spark, sf, "documents"), 4)
+    val a = Postings.dfHistogram(
+      Postings.postingLists(gr, Seq("lang", "gram")))
+      .collect().map(_.toSeq)
+    val b = Postings.dfHistogramOf(gr, Seq("lang", "gram"))
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("the declared keys ride the shared discipline (fixture ≡ uncapped" +
     " — max fixture df is 5, far under 128)") {
     val gr = graft.queries.TextOps.gramRows(
