@@ -157,6 +157,35 @@ object Stats {
         .select("user_id", "event_id", "value", "med", "mad", "score",
           "is_outlier")
         .orderBy("user_id", "event_id")
+    }),
+
+    // Winsorized group means (r11): clip l_extendedprice at the exact
+    // per-group [p01, p99] and report raw vs winsorized mean + clip
+    // counts — the robust-mean readout that keeps a fat-tailed metric
+    // comparable across groups. The q_mad_outlier fround discipline:
+    // both bounds round at 4 dp BEFORE any clip decision (prices carry
+    // 2 decimals, so the boundary comparison is cross-engine exact).
+    // Plan: one exact-percentile agg per group (5 rows) BROADCAST back
+    // into a single map-side clip + one final agg — two shuffles total,
+    // both on the group key. 100 TB note: exact percentile buffers the
+    // group — the approx_percentile swap is the spec-pinned scale path
+    // (StatsSpec rank-error bound), identical plan otherwise.
+    "q_winsorize" -> ((s, dir) => {
+      val l = T(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("p"))
+      val bounds = l.groupBy("rf")
+        .agg(fround(expr("percentile(p, 0.01)"), 4).as("p01"),
+          fround(expr("percentile(p, 0.99)"), 4).as("p99"))
+      l.join(broadcast(bounds), "rf")
+        .withColumn("pw", least(greatest(col("p"), col("p01")), col("p99")))
+        .groupBy("rf")
+        .agg(count(lit(1)).as("n"),
+          sum((col("p") < col("p01")).cast("long")).as("clip_lo"),
+          sum((col("p") > col("p99")).cast("long")).as("clip_hi"),
+          fround(avg("p"), 4).as("raw_mean"),
+          fround(avg("pw"), 4).as("wins_mean"),
+          max("p01").as("p01"), max("p99").as("p99"))
+        .orderBy("rf")
     })
   )
 
@@ -170,6 +199,25 @@ object Stats {
          SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS cnt,
            min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
          FROM b GROUP BY 1 ORDER BY 1""",
+    "q_winsorize" ->
+      """WITH b AS (
+           SELECT l_returnflag AS rf,
+             floor(quantile_cont(l_extendedprice, 0.01) * 1e4 + 0.5) / 1e4
+               AS p01,
+             floor(quantile_cont(l_extendedprice, 0.99) * 1e4 + 0.5) / 1e4
+               AS p99
+           FROM lineitem GROUP BY 1)
+         SELECT l.l_returnflag AS rf, count(*) AS n,
+           CAST(sum(CASE WHEN l.l_extendedprice < b.p01 THEN 1 ELSE 0 END)
+             AS BIGINT) AS clip_lo,
+           CAST(sum(CASE WHEN l.l_extendedprice > b.p99 THEN 1 ELSE 0 END)
+             AS BIGINT) AS clip_hi,
+           floor(avg(l.l_extendedprice) * 1e4 + 0.5) / 1e4 AS raw_mean,
+           floor(avg(least(greatest(l.l_extendedprice, b.p01), b.p99))
+             * 1e4 + 0.5) / 1e4 AS wins_mean,
+           max(b.p01) AS p01, max(b.p99) AS p99
+         FROM lineitem l JOIN b ON l.l_returnflag = b.rf
+         GROUP BY 1 ORDER BY 1""",
     "q_mad_outlier" ->
       """WITH med AS (
            SELECT user_id,

@@ -160,6 +160,44 @@ object TimeSeriesOps {
       }
   }
 
+  case class TriRow(user_id: Long, t1: String, t2: String, t3: String)
+  case class TriState(t1: String, us1: Long, t2: String, us2: Long,
+      has: Int)
+
+  /** Path-trigram markers (the streaming twin of `q_path_trigrams`'s
+    * two-lead window): per user, one mark per 3-step path whose BOTH
+    * step gaps are within `gapMs` — state is just the last two events'
+    * (type, ts), O(1), the [[transitions]] discipline lifted one
+    * order. The batch key's top-20 panel is a plain count of the mark
+    * multiset under the same (cnt DESC, t1, t2, t3) order; no flush
+    * needed (every mark is emitted by its own third event). */
+  def trigramMarks(events: Dataset[CepEvent], gapMs: Long)
+      : Dataset[TriRow] = {
+    implicit val rowEnc = Encoders.product[TriRow]
+    implicit val stEnc = Encoders.product[TriState]
+    implicit val keyEnc = Encoders.scalaLong
+    val gapUs = gapMs * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TriState, TriRow](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[CepEvent],
+            state: GroupState[TriState]) =>
+          var st = state.getOption.orNull
+          val out = List.newBuilder[TriRow]
+          it.toArray.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val t = us(e.ts)
+            if (st != null && st.has >= 2 && t - st.us2 <= gapUs &&
+                st.us2 - st.us1 <= gapUs)
+              out += TriRow(user, st.t1, st.t2, e.event_type)
+            st = if (st == null) TriState(null, 0L, e.event_type, t, 1)
+                 else TriState(st.t2, st.us2, e.event_type, t,
+                   math.min(st.has + 1, 2))
+          }
+          if (st == null) state.remove() else state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class Scd2Row(user_id: Long, event_id: Long,
       valid_from: Timestamp, valid_to: Timestamp, event_type: String,
       value: Double, is_current: Boolean)

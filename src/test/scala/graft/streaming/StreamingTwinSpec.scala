@@ -307,6 +307,37 @@ class StreamingTwinSpec extends SparkSpec {
     assert(diffs.isEmpty, s"${diffs.size} diverge, e.g. ${diffs.take(3)}")
   }
 
+  test("path trigrams: streaming 2-event state == batch two-lead " +
+      "window (r11)") {
+    // q_path_trigrams counts 3-step paths with both gaps <= 30 min via
+    // two leads in one window pass; the stream keeps (last two events)
+    // per user and emits a mark per qualifying third event — the
+    // panel's top-20 is a plain count of the mark multiset
+    val batch = graft.SparkEntry.queries("q_path_trigrams")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"twin_tri_${System.nanoTime}"
+    val q = TimeSeriesOps.trigramMarks(stream.toDS(), 30L * 60 * 1000)
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+      .sortBy(t => (-t._4, t._1, t._2, t._3))
+      .take(20)
+    assert(got === batch.toSeq)
+    assert(batch.nonEmpty)
+  }
+
   test("cumulative adoption: streaming first-seen marks == batch " +
       "triangular-join panel (r11)") {
     // q_cum_adoption joins the per-day new-user counts to a broadcast
