@@ -272,9 +272,136 @@ object PipelineOps {
           sum("f2").as("n_quality"),
           sum("f3").as("n_entropy"))
         .orderBy("lang")
+    }),
+
+    // BPE MERGE TRAINING (r11) — tokenizer induction (Sennrich et al.
+    // 2016, arXiv:1508.07909 — public) as Spark aggregations: 3 merge
+    // rounds over the word-frequency table. Each round is (a) ONE
+    // map-combined pair-count aggregation (adjacent symbol pairs per
+    // word × word freq), (b) a 2-string driver collect of the top pair
+    // (cnt DESC, p1, p2 — the k-means constant-traffic discipline),
+    // (c) a pure map-side merge applied with aggregate()'s
+    // leftmost-greedy fold (a merged symbol never re-merges within its
+    // round: p1||p2 ≠ p1 while p2 is non-empty, and the right partner
+    // is always an original symbol). Emits (round, p1, p2, pair_cnt).
+    // The DuckDB oracle replays the same rounds with an
+    // iterated-replace recursive CTE over space-delimited symbol
+    // strings — token-delimited patterns make string replace ≡ the
+    // fold, and iteration to fixpoint recovers the non-overlapping
+    // occurrences a single pass skips.
+    // 100 TB shape: the word-frequency table is vocabulary-bounded
+    // (not corpus-bounded) after the first aggregation, rounds are
+    // O(vocab) each, and driver traffic is 2 strings per round —
+    // exactly how production BPE trainers shard.
+    "q_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val words = graft.Caching.cache(
+        T(s, dir, "documents")
+          .select(explode(toks(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .withColumn("syms", expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
+      def pairCounts(df: DataFrame): DataFrame = df
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(0, size(syms) - 2),
+             i -> named_struct('p1', syms[i], 'p2', syms[i + 1]))"""))
+          .as("p"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(sum("freq").as("cnt"))
+      var cur = words
+      val merges = (1 to 3).map { r =>
+        val top = pairCounts(cur)
+          .orderBy(desc("cnt"), asc("p1"), asc("p2")).limit(1)
+          .as[(String, String, Long)].head()
+        def esc(x: String) =
+          x.replace("\\", "\\\\").replace("'", "\\'")
+        val (lit1, lit2) = (esc(top._1), esc(top._2))
+        cur = cur.withColumn("syms", expr(
+          s"""aggregate(syms, CAST(array() AS ARRAY<STRING>),
+              (acc, c) -> CASE
+                WHEN size(acc) > 0 AND element_at(acc, -1) = '$lit1'
+                     AND c = '$lit2'
+                THEN concat(slice(acc, 1, size(acc) - 1),
+                            array(concat('$lit1', '$lit2')))
+                ELSE concat(acc, array(c)) END)"""))
+        (r.toLong, top._1, top._2, top._3)
+      }
+      merges.toDF("round", "p1", "p2", "pair_cnt").orderBy("round")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_bpe_train" ->
+      """WITH RECURSIVE w0 AS (
+           SELECT w, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s,
+             freq
+           FROM (
+             SELECT w, count(*) AS freq
+             FROM (SELECT unnest(string_split(text, ' ')) AS w
+                   FROM documents)
+             WHERE length(w) > 0 GROUP BY w)),
+         c1 AS (
+           SELECT t[i.i + 1] AS p1, t[i.i + 2] AS p2,
+             CAST(sum(freq) AS BIGINT) AS cnt
+           FROM (SELECT string_split(trim(s), ' ') AS t, freq FROM w0),
+             LATERAL (SELECT unnest(range(greatest(len(t) - 1, 0))) AS i) i
+           GROUP BY 1, 2),
+         t1 AS (SELECT p1, p2, cnt FROM c1
+                ORDER BY cnt DESC, p1, p2 LIMIT 1),
+         r1 AS (
+           SELECT w, s, freq, 0 AS it FROM w0
+           UNION ALL
+           SELECT r.w,
+             replace(r.s, ' ' || t.p1 || ' ' || t.p2 || ' ',
+                          ' ' || t.p1 || t.p2 || ' '),
+             r.freq, r.it + 1
+           FROM r1 r, t1 t
+           WHERE r.s <> replace(r.s, ' ' || t.p1 || ' ' || t.p2 || ' ',
+                                     ' ' || t.p1 || t.p2 || ' ')),
+         w1 AS (
+           SELECT w, s, freq FROM (
+             SELECT w, s, freq,
+               row_number() OVER (PARTITION BY w ORDER BY it DESC) AS rn
+             FROM r1) WHERE rn = 1),
+         c2 AS (
+           SELECT t[i.i + 1] AS p1, t[i.i + 2] AS p2,
+             CAST(sum(freq) AS BIGINT) AS cnt
+           FROM (SELECT string_split(trim(s), ' ') AS t, freq FROM w1),
+             LATERAL (SELECT unnest(range(greatest(len(t) - 1, 0))) AS i) i
+           GROUP BY 1, 2),
+         t2 AS (SELECT p1, p2, cnt FROM c2
+                ORDER BY cnt DESC, p1, p2 LIMIT 1),
+         r2 AS (
+           SELECT w, s, freq, 0 AS it FROM w1
+           UNION ALL
+           SELECT r.w,
+             replace(r.s, ' ' || t.p1 || ' ' || t.p2 || ' ',
+                          ' ' || t.p1 || t.p2 || ' '),
+             r.freq, r.it + 1
+           FROM r2 r, t2 t
+           WHERE r.s <> replace(r.s, ' ' || t.p1 || ' ' || t.p2 || ' ',
+                                     ' ' || t.p1 || t.p2 || ' ')),
+         w2 AS (
+           SELECT w, s, freq FROM (
+             SELECT w, s, freq,
+               row_number() OVER (PARTITION BY w ORDER BY it DESC) AS rn
+             FROM r2) WHERE rn = 1),
+         c3 AS (
+           SELECT t[i.i + 1] AS p1, t[i.i + 2] AS p2,
+             CAST(sum(freq) AS BIGINT) AS cnt
+           FROM (SELECT string_split(trim(s), ' ') AS t, freq FROM w2),
+             LATERAL (SELECT unnest(range(greatest(len(t) - 1, 0))) AS i) i
+           GROUP BY 1, 2),
+         t3 AS (SELECT p1, p2, cnt FROM c3
+                ORDER BY cnt DESC, p1, p2 LIMIT 1)
+         SELECT CAST(1 AS BIGINT) AS round, p1, p2, cnt AS pair_cnt
+         FROM t1
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), p1, p2, cnt FROM t2
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), p1, p2, cnt FROM t3
+         ORDER BY round""",
     "q_quality_gopher" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS w
