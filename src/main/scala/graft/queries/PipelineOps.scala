@@ -315,21 +315,34 @@ object PipelineOps {
         val top = pairCounts(cur)
           .orderBy(desc("cnt"), asc("p1"), asc("p2")).limit(1)
           .as[(String, String, Long)].head()
-        def esc(x: String) =
-          x.replace("\\", "\\\\").replace("'", "\\'")
-        val (lit1, lit2) = (esc(top._1), esc(top._2))
-        cur = cur.withColumn("syms", expr(
-          s"""aggregate(syms, CAST(array() AS ARRAY<STRING>),
-              (acc, c) -> CASE
-                WHEN size(acc) > 0 AND element_at(acc, -1) = '$lit1'
-                     AND c = '$lit2'
-                THEN concat(slice(acc, 1, size(acc) - 1),
-                            array(concat('$lit1', '$lit2')))
-                ELSE concat(acc, array(c)) END)"""))
+        cur = cur.withColumn("syms",
+          expr(bpeMergeExpr("syms", top._1, top._2)))
         (r.toLong, top._1, top._2, top._3)
       }
       merges.toDF("round", "p1", "p2", "pair_cnt").orderBy("round")
     }))
+
+  /** One BPE merge round as a leftmost-greedy fold over a symbol
+    * array column: every adjacent (p1, p2) occurrence collapses to
+    * p1||p2, scanning left to right, non-overlapping. Within a round a
+    * merged symbol never re-merges — as the LEFT partner it would need
+    * p1||p2 = p1 (impossible, p2 non-empty), and the RIGHT partner of
+    * every comparison is an original symbol. Exercised by the
+    * q_bpe_train rounds; semantics pinned in OperatorsSpec (including
+    * the overlapping-run and boundary-safety cases the DuckDB
+    * iterated-replace twin must also honor). */
+  private[graft] def bpeMergeExpr(col: String, p1: String, p2: String)
+      : String = {
+    def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+    val (l1, l2) = (esc(p1), esc(p2))
+    s"""aggregate($col, CAST(array() AS ARRAY<STRING>),
+        (acc, c) -> CASE
+          WHEN size(acc) > 0 AND element_at(acc, -1) = '$l1'
+               AND c = '$l2'
+          THEN concat(slice(acc, 1, size(acc) - 1),
+                      array(concat('$l1', '$l2')))
+          ELSE concat(acc, array(c)) END)"""
+  }
 
   val oracles: Map[String, String] = Map(
     "q_bpe_train" ->

@@ -494,4 +494,40 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("LongType"))
   }
+
+  test("bpeMergeExpr: leftmost-greedy non-overlapping merge, boundary " +
+    "safe, fold == iterated-replace (r11)") {
+    import org.apache.spark.sql.functions.expr
+    def merge(toks: Seq[String], p1: String, p2: String): Seq[String] =
+      Seq(Tuple1(toks)).toDF("syms")
+        .withColumn("m",
+          expr(graft.queries.PipelineOps.bpeMergeExpr("syms", p1, p2)))
+        .collect().head.getSeq[String](1)
+    // overlapping run: aaaa -> [aa, aa]; aaa -> [aa, a] (leftmost)
+    assert(merge(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(merge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    // a merged token does not re-merge within the round
+    assert(merge(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    // boundary safety: token "xa" must never lend its tail to a merge
+    assert(merge(Seq("xa", "a"), "a", "a") == Seq("xa", "a"))
+    // the DuckDB oracle's iterated-replace twin must agree (fixpoint
+    // law, replayed engine-side)
+    def replayReplace(toks: Seq[String], p1: String, p2: String)
+        : Seq[String] = {
+      var s = " " + toks.mkString(" ") + " "
+      val pat = s" $p1 $p2 "
+      val rep = s" $p1$p2 "
+      var prev = ""
+      while (prev != s) { prev = s; s = s.replace(pat, rep) }
+      s.trim.split(" ").toSeq
+    }
+    for ((t, p1, p2) <- Seq(
+        (Seq("a", "a", "a", "a"), "a", "a"),
+        (Seq("a", "a", "a"), "a", "a"),
+        (Seq("a", "b", "a", "b"), "a", "b"),
+        (Seq("xa", "a"), "a", "a"),
+        (Seq("b", "a", "a", "a", "b"), "a", "a")))
+      assert(merge(t, p1, p2) == replayReplace(t, p1, p2),
+        s"fold vs iterated-replace diverge on $t ($p1,$p2)")
+  }
 }
