@@ -114,6 +114,14 @@ object DetectorThroughputProbe {
         graft.streaming.CepSql.ClassRef("purchase", "event_id", 3,
           "pid"),
         graft.streaming.CepSql.SpanAgg("COUNT", "*", "cn"))).toDF())
+    // r11: shared-island overlap detector (every event is scanned —
+    // no type pruning — and every click anchors, so this is the
+    // detector's WORST per-event constant)
+    run("overlap", ds => OverlapRunDetector.detectWhere(ds,
+      (e: CepEvent) => e.event_type == "click",
+      (e: CepEvent) => e.event_type == "click" ||
+        e.event_type == "view",
+      2, None, 48L * 3600 * 1000, Some("0 seconds")).toDF())
     spark.stop()
   }
 }

@@ -97,4 +97,35 @@ class StateBoundSpec extends SparkSpec {
       s"state rows $maxStateRows exceeded user count $users")
     assert(maxStateRows > 0, "state metrics should have been recorded")
   }
+
+  test("OverlapRunDetector state rows stay bounded by key count (r11)") {
+    // one state row per key holding the shared island + live anchors;
+    // anchors drop once no current-or-future island can serve them
+    // (event clock + timer), so rows never track the event count
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val q = OverlapRunDetector.detectWhere(stream.toDS(),
+        _.event_type == "click",
+        e => e.event_type == "click" || e.event_type == "view",
+        2, None, 30L * 60 * 1000, Some("0 seconds"))
+      .writeStream.queryName("state_bound_overlap").format("memory")
+      .outputMode("append").start()
+    val data = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[CepEvent].orderBy("ts", "event_id").collect()
+    val users = data.map(_.user_id).distinct.length
+    var maxStateRows = 0L
+    data.grouped(100).foreach { c =>
+      stream.addData(c.toSeq)
+      q.processAllAvailable()
+      val p = q.lastProgress
+      if (p != null && p.stateOperators.nonEmpty)
+        maxStateRows = math.max(maxStateRows,
+          p.stateOperators.map(_.numRowsTotal).max)
+    }
+    q.stop()
+    assert(maxStateRows <= users,
+      s"state rows $maxStateRows exceeded user count $users")
+    assert(maxStateRows > 0, "state metrics should have been recorded")
+  }
 }
