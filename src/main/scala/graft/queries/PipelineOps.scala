@@ -295,32 +295,59 @@ object PipelineOps {
     // exactly how production BPE trainers shard.
     "q_bpe_train" -> ((s, dir) => {
       import s.implicits._
-      val words = graft.Caching.cache(
-        T(s, dir, "documents")
-          .select(explode(toks(col("text"))).as("w"))
-          .filter(length(col("w")) > 0)
-          .groupBy("w").agg(count(lit(1)).as("freq"))
-          .withColumn("syms", expr(
-            "transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
-      def pairCounts(df: DataFrame): DataFrame = df
-        .filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(expr(
-          """transform(sequence(0, size(syms) - 2),
-             i -> named_struct('p1', syms[i], 'p2', syms[i + 1]))"""))
-          .as("p"))
-        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
-        .agg(sum("freq").as("cnt"))
-      var cur = words
-      val merges = (1 to 3).map { r =>
-        val top = pairCounts(cur)
-          .orderBy(desc("cnt"), asc("p1"), asc("p2")).limit(1)
-          .as[(String, String, Long)].head()
-        cur = cur.withColumn("syms",
-          expr(bpeMergeExpr("syms", top._1, top._2)))
-        (r.toLong, top._1, top._2, top._3)
-      }
+      val (merges, _) = bpeRounds(s, dir, 3)
       merges.toDF("round", "p1", "p2", "pair_cnt").orderBy("round")
+    }),
+
+    // BPE APPLY (r11) — the trained tokenizer used: after the 3 merge
+    // rounds, the corpus segmentation's top-20 token frequencies
+    // (cnt DESC, token asc). Merged tokens (length > 1) surfacing in
+    // the top-20 is the end-to-end proof the trained merges actually
+    // compress the corpus. Plan: the training rounds' plan + ONE more
+    // map-side explode and a map-combined count — token frequency is
+    // vocabulary-bounded after the aggregation.
+    "q_bpe_apply" -> ((s, dir) => {
+      val (_, words) = bpeRounds(s, dir, 3)
+      words.select(explode(col("syms")).as("token"), col("freq"))
+        .groupBy("token").agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("token"))
+        .limit(20)
     }))
+
+  /** The q_bpe_train merge rounds: word-frequency table → `rounds` ×
+    * (pair-count agg → 2-string driver collect → map-side fold merge).
+    * Returns the learned merges and the post-merge word table. Driver
+    * traffic is 2 strings + 1 long per round — the k-means constant-
+    * traffic discipline. */
+  private def bpeRounds(s: SparkSession, dir: String, rounds: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    import s.implicits._
+    val words = graft.Caching.cache(
+      T(s, dir, "documents")
+        .select(explode(toks(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .withColumn("syms", expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
+    def pairCounts(df: DataFrame): DataFrame = df
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(0, size(syms) - 2),
+           i -> named_struct('p1', syms[i], 'p2', syms[i + 1]))"""))
+        .as("p"))
+      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .agg(sum("freq").as("cnt"))
+    var cur = words
+    val merges = (1 to rounds).map { r =>
+      val top = pairCounts(cur)
+        .orderBy(desc("cnt"), asc("p1"), asc("p2")).limit(1)
+        .as[(String, String, Long)].head()
+      cur = cur.withColumn("syms",
+        expr(bpeMergeExpr("syms", top._1, top._2)))
+      (r.toLong, top._1, top._2, top._3)
+    }
+    (merges, cur)
+  }
 
   /** One BPE merge round as a leftmost-greedy fold over a symbol
     * array column: every adjacent (p1, p2) occurrence collapses to
@@ -415,6 +442,88 @@ object PipelineOps {
          UNION ALL
          SELECT CAST(3 AS BIGINT), p1, p2, cnt FROM t3
          ORDER BY round""",
+    "q_bpe_apply" ->
+      """WITH RECURSIVE w0 AS (
+           SELECT w, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s,
+             freq
+           FROM (
+             SELECT w, count(*) AS freq
+             FROM (SELECT unnest(string_split(text, ' ')) AS w
+                   FROM documents)
+             WHERE length(w) > 0 GROUP BY w)),
+         c1 AS (
+           SELECT t[i.i + 1] AS p1, t[i.i + 2] AS p2,
+             CAST(sum(freq) AS BIGINT) AS cnt
+           FROM (SELECT string_split(trim(s), ' ') AS t, freq FROM w0),
+             LATERAL (SELECT unnest(range(greatest(len(t) - 1, 0))) AS i) i
+           GROUP BY 1, 2),
+         t1 AS (SELECT p1, p2, cnt FROM c1
+                ORDER BY cnt DESC, p1, p2 LIMIT 1),
+         r1 AS (
+           SELECT w, s, freq, 0 AS it FROM w0
+           UNION ALL
+           SELECT r.w,
+             replace(r.s, ' ' || t.p1 || ' ' || t.p2 || ' ',
+                          ' ' || t.p1 || t.p2 || ' '),
+             r.freq, r.it + 1
+           FROM r1 r, t1 t
+           WHERE r.s <> replace(r.s, ' ' || t.p1 || ' ' || t.p2 || ' ',
+                                     ' ' || t.p1 || t.p2 || ' ')),
+         w1 AS (
+           SELECT w, s, freq FROM (
+             SELECT w, s, freq,
+               row_number() OVER (PARTITION BY w ORDER BY it DESC) AS rn
+             FROM r1) WHERE rn = 1),
+         c2 AS (
+           SELECT t[i.i + 1] AS p1, t[i.i + 2] AS p2,
+             CAST(sum(freq) AS BIGINT) AS cnt
+           FROM (SELECT string_split(trim(s), ' ') AS t, freq FROM w1),
+             LATERAL (SELECT unnest(range(greatest(len(t) - 1, 0))) AS i) i
+           GROUP BY 1, 2),
+         t2 AS (SELECT p1, p2, cnt FROM c2
+                ORDER BY cnt DESC, p1, p2 LIMIT 1),
+         r2 AS (
+           SELECT w, s, freq, 0 AS it FROM w1
+           UNION ALL
+           SELECT r.w,
+             replace(r.s, ' ' || t.p1 || ' ' || t.p2 || ' ',
+                          ' ' || t.p1 || t.p2 || ' '),
+             r.freq, r.it + 1
+           FROM r2 r, t2 t
+           WHERE r.s <> replace(r.s, ' ' || t.p1 || ' ' || t.p2 || ' ',
+                                     ' ' || t.p1 || t.p2 || ' ')),
+         w2 AS (
+           SELECT w, s, freq FROM (
+             SELECT w, s, freq,
+               row_number() OVER (PARTITION BY w ORDER BY it DESC) AS rn
+             FROM r2) WHERE rn = 1),
+         c3 AS (
+           SELECT t[i.i + 1] AS p1, t[i.i + 2] AS p2,
+             CAST(sum(freq) AS BIGINT) AS cnt
+           FROM (SELECT string_split(trim(s), ' ') AS t, freq FROM w2),
+             LATERAL (SELECT unnest(range(greatest(len(t) - 1, 0))) AS i) i
+           GROUP BY 1, 2),
+         t3 AS (SELECT p1, p2, cnt FROM c3
+                ORDER BY cnt DESC, p1, p2 LIMIT 1),
+         r3 AS (
+           SELECT w, s, freq, 0 AS it FROM w2
+           UNION ALL
+           SELECT r.w,
+             replace(r.s, ' ' || t.p1 || ' ' || t.p2 || ' ',
+                          ' ' || t.p1 || t.p2 || ' '),
+             r.freq, r.it + 1
+           FROM r3 r, t3 t
+           WHERE r.s <> replace(r.s, ' ' || t.p1 || ' ' || t.p2 || ' ',
+                                     ' ' || t.p1 || t.p2 || ' ')),
+         w3 AS (
+           SELECT w, s, freq FROM (
+             SELECT w, s, freq,
+               row_number() OVER (PARTITION BY w ORDER BY it DESC) AS rn
+             FROM r3) WHERE rn = 1)
+         SELECT tok AS token, CAST(sum(freq) AS BIGINT) AS cnt
+         FROM (SELECT unnest(string_split(trim(s), ' ')) AS tok, freq
+               FROM w3)
+         GROUP BY tok ORDER BY cnt DESC, token LIMIT 20""",
     "q_quality_gopher" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS w

@@ -182,6 +182,68 @@ object VectorOps {
         .orderBy("qid")
     }),
 
+    // Recall vs nprobe (r11) — the IVF TUNING curve: q_ann_recall's
+    // measurement repeated per probe depth (nprobe ∈ {1, 2, 4} best
+    // cells) so the readout is the actual knob an operator turns:
+    // recall@10 must be monotone in nprobe by construction (candidate
+    // sets nest), and the mean across queries per nprobe is the curve
+    // dashboards plot. Same cached brute-scored frame feeds the truth
+    // and ALL probe depths — the probe restriction is a broadcast
+    // (qid, label) semi filter, so adding a depth adds no scan.
+    "q_recall_nprobe" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = T(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cents = e
+        .select(col("label"),
+          posexplode(transform(col("embedding"), _.cast("double")))
+            .as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(avg("x").as("cx"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          p => p.getField("cx")).as("cv"))
+      val wBest = Window.partitionBy("qid")
+        .orderBy(desc("ccs"), asc("label"))
+      val ranked = q.crossJoin(broadcast(cents))
+        .withColumn("qvd",
+          transform(col("qv"), (x: Column) => x.cast("double")))
+        .select(col("qid"), col("label"),
+          fround(cos("cv", "qvd"), 6).as("ccs"))
+        .withColumn("crk", row_number().over(wBest))
+      val scored = graft.Caching.cache(e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), col("label"),
+          round(cos("embedding", "qv"), 4).as("cs")))
+      val wq = Window.partitionBy("qid").orderBy(desc("cs"), asc("vec_id"))
+      val truth = scored.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 10).select("qid", "vec_id")
+      val nTrue = truth.groupBy("qid").agg(count(lit(1)).as("n_true"))
+      val perProbe = Seq(1, 2, 4).map { np =>
+        val cells = ranked.filter(col("crk") <= np)
+          .select(col("qid").as("bqid"), col("label").as("blabel"))
+        val ivf = scored
+          .join(broadcast(cells), col("qid") === col("bqid") &&
+            col("label") === col("blabel"))
+          .withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= 10).select("qid", "vec_id")
+        truth.join(ivf, Seq("qid", "vec_id"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("hits"))
+          .join(nTrue, Seq("qid"), "right")
+          .select(lit(np.toLong).as("nprobe"), col("qid"),
+            coalesce(col("hits"), lit(0L)).as("hits"), col("n_true"))
+      }
+      perProbe.reduce(_ unionByName _)
+        .groupBy("nprobe")
+        .agg(count(lit(1)).as("n_queries"),
+          sum("hits").as("hits"),
+          sum("n_true").as("n_true"),
+          fround(sum("hits").cast("double") / sum("n_true"), 4)
+            .as("recall"))
+        .orderBy("nprobe")
+    }),
+
     // k-NN *join* — top-3 neighbors for EVERY query vector (every 50th
     // vec_id), not just one. The query side broadcasts; the base scan is
     // never shuffled — per-query ranking happens in a window over the
@@ -690,6 +752,71 @@ object VectorOps {
          FROM truth t LEFT JOIN ivf i
            ON t.qid = i.qid AND t.vec_id = i.vec_id
          GROUP BY t.qid ORDER BY t.qid""",
+    "q_recall_nprobe" ->
+      """WITH q AS (
+           SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id % 50 = 0),
+         cent AS (
+           SELECT label, i.i AS pos, avg(CAST(embedding[i.i + 1] AS DOUBLE))
+             AS cx
+           FROM embeddings, (SELECT unnest(range(64)) AS i) i
+           GROUP BY label, i.i),
+         cscore AS (
+           SELECT q.qid, c.label,
+             floor(sum(c.cx * CAST(q.qv[c.pos + 1] AS DOUBLE)) /
+               (sqrt(sum(c.cx * c.cx)) *
+                sqrt(sum(CAST(q.qv[c.pos + 1] AS DOUBLE)
+                       * CAST(q.qv[c.pos + 1] AS DOUBLE))))
+               * 1000000 + 0.5) / 1000000 AS ccs
+           FROM cent c, q GROUP BY q.qid, c.label),
+         ranked AS (
+           SELECT qid, label,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY ccs DESC, label) AS crk
+           FROM cscore),
+         d AS (
+           SELECT q.qid, e.vec_id, e.label,
+             round(sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                     * CAST(q.qv[i.i + 1] AS DOUBLE)) /
+               (sqrt(sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                       * CAST(e.embedding[i.i + 1] AS DOUBLE))) *
+                sqrt(sum(CAST(q.qv[i.i + 1] AS DOUBLE)
+                       * CAST(q.qv[i.i + 1] AS DOUBLE)))), 4) AS cs
+           FROM embeddings e, q, (SELECT unnest(range(64)) AS i) i
+           WHERE e.vec_id <> q.qid
+           GROUP BY q.qid, e.vec_id, e.label),
+         truth AS (
+           SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cs DESC, vec_id) AS rn
+             FROM d) WHERE rn <= 10),
+         np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+         ivf AS (
+           SELECT nprobe, qid, vec_id FROM (
+             SELECT n.nprobe, d.qid, d.vec_id,
+               row_number() OVER (PARTITION BY n.nprobe, d.qid
+                 ORDER BY d.cs DESC, d.vec_id) AS rn
+             FROM np n
+             JOIN ranked r ON r.crk <= n.nprobe
+             JOIN d ON d.qid = r.qid AND d.label = r.label)
+           WHERE rn <= 10),
+         per AS (
+           SELECT n.nprobe, t.qid,
+             CAST(count(i.vec_id) AS BIGINT) AS hits,
+             count(*) AS n_true
+           FROM np n
+           CROSS JOIN truth t
+           LEFT JOIN ivf i ON i.nprobe = n.nprobe AND t.qid = i.qid
+             AND t.vec_id = i.vec_id
+           GROUP BY n.nprobe, t.qid)
+         SELECT CAST(nprobe AS BIGINT) AS nprobe,
+           count(*) AS n_queries,
+           CAST(sum(hits) AS BIGINT) AS hits,
+           CAST(sum(n_true) AS BIGINT) AS n_true,
+           floor(CAST(sum(hits) AS DOUBLE) / sum(n_true) * 10000 + 0.5)
+             / 10000 AS recall
+         FROM per GROUP BY 1 ORDER BY 1""",
     "q_knn_join" ->
       """WITH q AS (
            SELECT vec_id AS qid, embedding AS qv FROM embeddings
