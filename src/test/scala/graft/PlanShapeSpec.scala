@@ -663,6 +663,21 @@ class PlanShapeSpec extends SparkSpec {
     graft.Caching.releaseAll()
   }
 
+  test("q_recall_nprobe: one cached brute frame serves truth + all " +
+      "probe depths; recall monotone in nprobe (r11)") {
+    val p = plan("q_recall_nprobe")
+    // truth + 3 probe depths all read the cached scored frame
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+      s"every probe depth must reuse the cached brute frame:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the tuning curve's defining property: candidate sets nest
+    val rows = SparkEntry.queries("q_recall_nprobe")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(rows(1L) <= rows(2L) && rows(2L) <= rows(4L),
+      s"recall must be monotone in nprobe: $rows")
+    graft.Caching.releaseAll()
+  }
+
   test("approx_count_distinct is within 5% of exact (SURVEY A6 bound)") {
     import org.apache.spark.sql.functions._
     val e = Tables.table(spark, sf, "events")
