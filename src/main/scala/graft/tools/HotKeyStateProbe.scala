@@ -100,6 +100,23 @@ object HotKeyStateProbe {
       replay(s"skip_$lbl", evs, ds =>
         SkipDetector.detect(ds, Seq(Set("signup"), Set("purchase")),
           2L * 3600 * 1000, Some("0 seconds")))
+      // r11: overlap detector — EVERY click anchors (the worst anchor
+      // rate possible). With m=2 the frequent island breaks resolve
+      // anchors almost immediately (state stays ~KB); with m=20 —
+      // unreachable, since signups break every island at length <= 9 —
+      // every anchor lives to its window deadline, so live anchors
+      // must equal the IN-WINDOW click count (10× between the
+      // spacings at identical total events), never the event count
+      replay(s"overlap_$lbl", evs, ds =>
+        OverlapRunDetector.detectWhere(ds,
+          (e: CepEvent) => e.event_type == "click",
+          (e: CepEvent) => e.event_type == "click",
+          2, None, 2L * 3600 * 1000, Some("0 seconds")).toDF())
+      replay(s"overlap_noq_$lbl", evs, ds =>
+        OverlapRunDetector.detectWhere(ds,
+          (e: CepEvent) => e.event_type == "click",
+          (e: CepEvent) => e.event_type == "click",
+          20, None, 2L * 3600 * 1000, Some("0 seconds")).toDF())
     }
     spark.stop()
   }
