@@ -780,6 +780,37 @@ object Analytics {
         .orderBy("user_id", "valid_from", "event_id")
     }),
 
+    // CDC changelog apply (r11): compact an ordered changelog to final
+    // table state — the upsert/delete merge every lakehouse table
+    // format (Delta/Hudi/Iceberg CDC, Kafka log compaction) performs.
+    // The event stream is read as a changelog keyed on user_id:
+    // 'signup' inserts, 'error' deletes, everything else upserts; the
+    // LATEST entry per key — ordered by (ts, event_id), event_id
+    // breaking ts ties — decides existence and carries the payload.
+    // Plan: ONE hash aggregation (max_by on the (ts, event_id) struct
+    // + count + min — all partial+final, map-side combined), no window,
+    // no join. 100 TB: log compaction's exact shape — per-key state is
+    // one row regardless of log depth, and the combine happens in the
+    // map stage so the shuffle carries keys, not log entries.
+    "q_cdc_apply" -> ((s, dir) => {
+      val log = T(s, dir, "events").withColumn("op",
+        when(col("event_type") === "signup", lit("I"))
+          .when(col("event_type") === "error", lit("D"))
+          .otherwise(lit("U")))
+      log.groupBy("user_id")
+        .agg(
+          max_by(struct(col("op"), col("event_type"), col("value"),
+            col("ts")), struct(col("ts"), col("event_id"))).as("last"),
+          count(lit(1)).as("n_versions"),
+          min("ts").as("first_ts"))
+        .where(col("last.op") =!= "D")
+        .select(col("user_id"), col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"),
+          col("last.ts").as("last_ts"), col("n_versions"),
+          col("first_ts"))
+        .orderBy("user_id")
+    }),
+
     // Per-event sessionization (r9): assign every event its session
     // ORDINAL (1-based per user) under a 30-minute inactivity gap —
     // the event-grain twin of q_window_session's session-grain agg.
@@ -1313,6 +1344,25 @@ object Analytics {
              IS NULL AS is_current
          FROM events
          ORDER BY user_id, valid_from, event_id""",
+    "q_cdc_apply" ->
+      """WITH lg AS (
+           SELECT user_id, event_id, ts, value, event_type,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op
+           FROM events),
+         r AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_versions,
+             min(ts) OVER (PARTITION BY user_id) AS first_ts
+           FROM lg)
+         SELECT user_id, event_type AS last_type, value AS last_value,
+           ts AS last_ts, CAST(n_versions AS BIGINT) AS n_versions,
+           first_ts
+         FROM r WHERE rn = 1 AND op <> 'D'
+         ORDER BY user_id""",
     "q_sessionize" ->
       """WITH g AS (
            SELECT user_id, event_id, ts,

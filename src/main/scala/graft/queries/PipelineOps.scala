@@ -66,6 +66,35 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // PII scrub (r11): multi-pattern detect-and-redact — the privacy
+    // pass every published training-data pipeline runs before release
+    // (emails, phone numbers, long numeric identifiers). Per row: a hit
+    // COUNT per pattern class (the audit trail compliance wants) plus
+    // the redacted text with each class replaced by its placeholder.
+    // Patterns are RE2-safe (no backrefs/lookahead) so the oracle runs
+    // them verbatim; on this corpus the id-run class has real hits
+    // (customer names embed 9-digit keys) while email/phone legitimately
+    // count zero. Pure map-side — zero shuffle, the scan's pushdown and
+    // codegen both survive; at 100 TB this is a single pass over the
+    // text bytes.
+    "q_pii_scrub" -> ((s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}"
+      val idrun = "[0-9]{6,}"
+      T(s, dir, "customer")
+        .select(col("c_custkey"),
+          regexp_count(col("c_name"), lit(email)).cast("long")
+            .as("n_email"),
+          regexp_count(col("c_name"), lit(phone)).cast("long")
+            .as("n_phone"),
+          regexp_count(col("c_name"), lit(idrun)).cast("long")
+            .as("n_id"),
+          regexp_replace(regexp_replace(regexp_replace(col("c_name"),
+            email, "[EMAIL]"), phone, "[PHONE]"), idrun, "[ID]")
+            .as("redacted"))
+        .orderBy("c_custkey")
+    }),
+
     // Dedup RESOLUTION — the step after candidate generation: MinHash
     // band collisions form the near-dup graph, connected components
     // (iterative min-label propagation, O(diameter) rounds of
@@ -546,6 +575,22 @@ object PipelineOps {
            length(trim(regexp_replace(regexp_replace(lower(text),
              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS scrub_len
          FROM documents ORDER BY doc_id""",
+    "q_pii_scrub" ->
+      """SELECT c_custkey,
+           CAST(len(regexp_extract_all(c_name,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(c_name,
+             '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}'))
+             AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(c_name, '[0-9]{6,}'))
+             AS BIGINT) AS n_id,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '[EMAIL]', 'g'),
+             '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}', '[PHONE]', 'g'),
+             '[0-9]{6,}', '[ID]', 'g') AS redacted
+         FROM customer ORDER BY c_custkey""",
     "q_dedup_resolve" ->
       """WITH RECURSIVE t AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

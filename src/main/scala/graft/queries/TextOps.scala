@@ -850,7 +850,76 @@ object TextOps {
     // pins ≡ the posting-list form).
     "q_posting_df" -> ((s, dir) =>
       graft.operators.Postings.dfHistogramOf(
-        gramRows(T(s, dir, "documents"), 4), Seq("lang", "gram")))
+        gramRows(T(s, dir, "documents"), 4), Seq("lang", "gram"))),
+
+    // Edit-distance near-dup (r11): blocked Levenshtein verification —
+    // the record-linkage discipline (block cheaply, verify expensively
+    // on candidates only) applied to document prefixes. Blocking key =
+    // (first two normalized words, length div 32): near-identical texts
+    // share it; unrelated texts almost never do. Candidate pairs come
+    // from the SAME df-capped posting-list path as every pair generator
+    // ([[operators.Postings]] — a hot block is template text whose df²
+    // pair term carries no linkage signal), then each survivor pays one
+    // levenshtein(64-char prefix) — an O(64²) driver-bounded constant
+    // per pair, never O(doc²) text. 100 TB: pair volume is
+    // Σ min(block, 128)² ≤ 128 · docs (linear); the verify is pure
+    // map-side over the joined pair frame.
+    "q_edit_dedup" -> ((s, dir) => {
+      val norm = graft.Caching.cache(
+        T(s, dir, "documents").select(col("doc_id"),
+            trim(regexp_replace(regexp_replace(lower(col("text")),
+              "[^a-z0-9 ]", " "), " +", " ")).as("norm"))
+          .withColumn("pfx", substring(col("norm"), 1, 64))
+          .withColumn("w2",
+            concat_ws(" ", slice(split(col("norm"), " "), 1, 2)))
+          .withColumn("lb", expr("length(norm) div 32")))
+      graft.operators.Postings.pairCounts(
+          graft.operators.Postings.postingLists(
+            norm.select("w2", "lb", "doc_id"), Seq("w2", "lb")))
+        .select("da", "db")
+        .join(norm.select(col("doc_id").as("da"), col("pfx").as("pa")),
+          "da")
+        .join(norm.select(col("doc_id").as("db"), col("pfx").as("pb")),
+          "db")
+        .withColumn("dist", levenshtein(col("pa"), col("pb"))
+          .cast("long"))
+        .withColumn("near", (col("dist") <= 16).cast("long"))
+        .select("da", "db", "dist", "near")
+        .orderBy("da", "db")
+    }),
+
+    // Word co-occurrence PMI (r11): collocation strength over document-
+    // level presence — ln(P(a,b) / (P(a)·P(b))) with doc-frequency
+    // probabilities (Church & Hanks 1990). Vocabulary is CAPPED to the
+    // top-V=24 words by df (ties broken by word — deterministic), so
+    // per-doc pair fan-out is ≤ V²/2, a driver constant: total pair
+    // volume is linear in docs at any corpus size. Plan: one distinct
+    // (doc, word) pass → broadcast top-V → per-doc self-join on doc_id
+    // (≤ V rows per key — uniform, never hot) → one hash agg; corpus
+    // total rides a broadcast 1-row frame. PMI is ln of a ratio of
+    // exact integers, rounded 4 dp (q_lm_score's determinism
+    // discipline).
+    "q_pmi_cooccur" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val dw = graft.Caching.cache(
+        docs.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("w"))
+          .where(length(col("w")) > 0).distinct())
+      val topv = dw.groupBy("w").agg(count(lit(1)).as("nw"))
+        .orderBy(desc("nw"), asc("w")).limit(24)
+      val marked = dw.join(broadcast(topv), "w")
+      val total = docs.agg(count(lit(1)).as("d_total"))
+      marked.as("a").join(marked.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+        .groupBy(col("a.w").as("wa"), col("b.w").as("wb"),
+          col("a.nw").as("na"), col("b.nw").as("nb"))
+        .agg(count(lit(1)).as("nab"))
+        .crossJoin(broadcast(total))
+        .withColumn("pmi", fround(
+          log(col("nab") * col("d_total") / (col("na") * col("nb"))), 4))
+        .select("wa", "wb", "nab", "na", "nb", "pmi")
+        .orderBy("wa", "wb")
+    })
   )
 
   /** Winnowing fingerprints (Schleimer et al. 2003): k-gram md5 hashes,
@@ -1393,7 +1462,50 @@ object TextOps {
            count(*) AS postings,
            CAST(sum(df) AS BIGINT) AS df_mass,
            CAST(sum(df * (df - 1) // 2) AS BIGINT) AS pair_mass
-         FROM p GROUP BY 1, 2 ORDER BY bucket"""
+         FROM p GROUP BY 1, 2 ORDER BY bucket""",
+    "q_edit_dedup" ->
+      """WITH n AS (
+           SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+           FROM documents),
+         b AS (
+           SELECT doc_id, substr(norm, 1, 64) AS pfx,
+             array_to_string(
+               list_slice(string_split(norm, ' '), 1, 2), ' ') AS w2,
+             length(norm) // 32 AS lb
+           FROM n),
+         c AS (SELECT w2, lb, count(*) AS df FROM b GROUP BY 1, 2)
+         SELECT a.doc_id AS da, bb.doc_id AS db,
+           CAST(levenshtein(a.pfx, bb.pfx) AS BIGINT) AS dist,
+           CAST(levenshtein(a.pfx, bb.pfx) <= 16 AS BIGINT) AS near
+         FROM b a
+         JOIN b bb ON a.w2 = bb.w2 AND a.lb = bb.lb
+           AND a.doc_id < bb.doc_id
+         JOIN c ON c.w2 = a.w2 AND c.lb = a.lb AND c.df <= 128
+         ORDER BY da, db""",
+    "q_pmi_cooccur" ->
+      """WITH dw AS (
+           SELECT DISTINCT doc_id, w FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents)
+           WHERE length(w) > 0),
+         v AS (
+           SELECT w, count(*) AS nw FROM dw GROUP BY 1
+           ORDER BY nw DESC, w LIMIT 24),
+         t AS (SELECT count(*) AS d_total FROM documents),
+         p AS (
+           SELECT a.w AS wa, b.w AS wb, va.nw AS na, vb.nw AS nb,
+             count(*) AS nab
+           FROM dw a
+           JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+           JOIN v va ON va.w = a.w
+           JOIN v vb ON vb.w = b.w
+           GROUP BY 1, 2, 3, 4)
+         SELECT wa, wb, CAST(nab AS BIGINT) AS nab,
+           CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           floor(ln(nab * d_total / (na * nb)) * 10000 + 0.5) / 10000
+             AS pmi
+         FROM p, t ORDER BY wa, wb"""
   )
 
   /** Shared winnowing CTEs (k=4, w=4) — the oracle twin of

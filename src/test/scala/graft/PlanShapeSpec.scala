@@ -692,4 +692,48 @@ class PlanShapeSpec extends SparkSpec {
       assert(math.abs(ap - ex) / ex <= 0.05, s"$k: approx $ap vs exact $ex")
     }
   }
+
+  test("r11 pipeline keys: cdc single-agg, edit-dedup blocked, " +
+      "pmi broadcast-capped, pii map-only") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin,
+      Window => LWindow}
+    // q_cdc_apply: log compaction is ONE keyed aggregation — no join,
+    // no window; the shuffle carries compacted keys, not log entries
+    val cdc = SparkEntry.queries("q_cdc_apply")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(cdc.collect { case j: LJoin => j }.isEmpty,
+      "cdc apply must aggregate, never join")
+    assert(cdc.collect { case w: LWindow => w }.isEmpty,
+      "cdc apply must not window (max_by replaces row_number)")
+    val cdcP = plan("q_cdc_apply")
+    assert("Exchange hashpartitioning".r.findAllIn(cdcP).size == 1,
+      s"exactly one hash exchange (the keyed agg):\n$cdcP")
+    // q_edit_dedup: candidates come from the df-capped posting path —
+    // the verify join is equi on pair ids, never a nested loop over text
+    val ed = plan("q_edit_dedup")
+    assert(!ed.contains("CartesianProduct") &&
+      !ed.contains("BroadcastNestedLoopJoin"),
+      s"edit-dedup pairs must stay block-equi:\n$ed")
+    assert(ed.contains("levenshtein"),
+      "the verify must run levenshtein on joined prefixes")
+    // q_pmi_cooccur: the top-V vocab join broadcasts (V = 24 rows); the
+    // per-doc pair join is doc-equi; the only nested loop is the 1-row
+    // corpus total
+    val pm = plan("q_pmi_cooccur")
+    assert(pm.contains("BroadcastHashJoin"),
+      s"top-V vocab must broadcast:\n${pm.take(2000)}")
+    assert(!pm.contains("CartesianProduct"),
+      "pair generation must stay doc-equi")
+    // q_pii_scrub: pure map-side — the only exchange is the output
+    // sort's range partition; no join, no agg, no window
+    val pii = SparkEntry.queries("q_pii_scrub")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(pii.collect { case j: LJoin => j }.isEmpty &&
+      pii.collect { case w: LWindow => w }.isEmpty,
+      "pii scrub is a single map pass")
+    val piiP = plan("q_pii_scrub")
+    assert(!piiP.contains("Exchange hashpartitioning"),
+      s"pii scrub must not shuffle on any key:\n$piiP")
+    graft.Caching.releaseAll()
+  }
 }
