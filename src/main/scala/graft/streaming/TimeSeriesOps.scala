@@ -461,6 +461,59 @@ object TimeSeriesOps {
       }
   }
 
+  case class CdcRow(user_id: Long, last_type: String, last_value: Double,
+      last_ts_us: Long, n_versions: Long, first_ts_us: Long,
+      deleted: Boolean)
+  case class CdcState(op: String, etype: String, value: Double,
+      tsUs: Long, eventId: Long, firstUs: Long, n: Long)
+
+  /** Streaming CDC compaction (the twin of `q_cdc_apply`): per key the
+    * state is ONE compacted row — latest (ts, event_id) entry's op and
+    * payload plus the version count and first-seen time — exactly what
+    * log compaction retains; each micro-batch folds its entries into
+    * the state and re-emits the key's current row (Update mode, the
+    * upsert-sink contract: downstream keeps the newest row per key,
+    * `deleted` rows drop). Arrival order within and across batches is
+    * immaterial — newest-wins resolution is commutative — so, unlike
+    * the carry twins, this one needs no retro-drop caveat: replay in
+    * ANY order converges to the batch key's exact output. 100 TB:
+    * state ∝ keys, never log depth — the same bound the batch max_by
+    * aggregation's map-side combine enforces. */
+  def cdcCompact(events: Dataset[CepEvent]): Dataset[CdcRow] = {
+    implicit val rowEnc = Encoders.product[CdcRow]
+    implicit val stEnc = Encoders.product[CdcState]
+    implicit val keyEnc = Encoders.scalaLong
+    def opOf(t: String) = t match {
+      case "signup" => "I"; case "error" => "D"; case _ => "U" }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcState, CdcRow](OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[CepEvent],
+            state: GroupState[CdcState]) =>
+          var st = state.getOption.orNull
+          it.foreach { e =>
+            val u = us(e.ts)
+            if (st == null)
+              st = CdcState(opOf(e.event_type), e.event_type, e.value,
+                u, e.event_id, u, 1L)
+            else {
+              val newer = u > st.tsUs ||
+                (u == st.tsUs && e.event_id > st.eventId)
+              st =
+                if (newer) st.copy(op = opOf(e.event_type),
+                  etype = e.event_type, value = e.value, tsUs = u,
+                  eventId = e.event_id,
+                  firstUs = math.min(st.firstUs, u), n = st.n + 1L)
+                else st.copy(firstUs = math.min(st.firstUs, u),
+                  n = st.n + 1L)
+            }
+          }
+          state.update(st)
+          Iterator.single(CdcRow(user, st.etype, st.value, st.tsUs,
+            st.n, st.firstUs, st.op == "D"))
+      }
+  }
+
   case class FcRow(event_type: String, week: Long, cnt: Long,
       fc: Option[Long])
   case class FcState(prevCnt: Long, hasPrev: Boolean, curWeek: Long,

@@ -372,6 +372,48 @@ class StreamingTwinSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("CDC compaction: streaming newest-wins state == batch max_by " +
+      "key, any arrival order (r11)") {
+    // q_cdc_apply's resolution (newest (ts, event_id) wins) is
+    // commutative, so the twin law here is STRONGER than the carry
+    // twins': replay in a deliberately scrambled order must still
+    // converge to the batch output. Final state per user = the Update-
+    // mode row with the highest n_versions; deleted keys must be
+    // exactly the users the batch key dropped.
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val batch = graft.SparkEntry.queries("q_cdc_apply")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2),
+        usOf(r.getTimestamp(3)), r.getLong(4),
+        usOf(r.getTimestamp(5))))).toMap
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"twin_cdc_${System.nanoTime}"
+    val q = TimeSeriesOps.cdcCompact(stream.toDS())
+      .writeStream.queryName(name).format("memory")
+      .outputMode("update").start()
+    // scrambled replay: bucket by event_id mod 7 — adjacent events land
+    // in different micro-batches, late entries precede early ones
+    val data = eventsDs.collect().sortBy(e => (e.event_id % 7, e.event_id))
+    data.grouped(300).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val fin = spark.table(name).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._4)).toMap
+    val live = fin.filter(!_._2._6)
+      .map { case (u, (t, v, ts, n, f, _)) => u -> ((t, v, ts, n, f)) }
+    assert(live === batch)
+    val deleted = fin.filter(_._2._6).keySet
+    assert(deleted.nonEmpty, "fixture must exercise the delete path")
+    assert(deleted.intersect(batch.keySet).isEmpty,
+      "deleted keys must be exactly the batch-dropped users")
+    assert(fin.keySet === batch.keySet ++ deleted)
+  }
+
   test("week-over-week growth: streaming last-week carry == batch lag " +
       "window (r10)") {
     // q_growth_wow is the same weekly carry as the forecast twin read
