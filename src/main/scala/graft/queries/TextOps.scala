@@ -919,6 +919,42 @@ object TextOps {
           log(col("nab") * col("d_total") / (col("na") * col("nb"))), 4))
         .select("wa", "wb", "nab", "na", "nb", "pmi")
         .orderBy("wa", "wb")
+    }),
+
+    // Distribution drift (r11): per-source unigram KL divergence from
+    // the corpus distribution — D(P_s ‖ P_c) = Σ_w p_sw·ln(p_sw/p_cw),
+    // the mixing/drift diagnostic a curation pipeline runs per shard,
+    // crawl snapshot, or incoming feed (DSIR's importance ratio is the
+    // same statistic per word; here it aggregates to one scalar per
+    // source). Every word in a source is in the corpus by construction,
+    // so p_cw > 0 — no smoothing needed. Plan: one (source, word) agg,
+    // then vocab-bounded broadcast marginals into a per-source sum —
+    // two map-combined exchanges total. Determinism: ln's argument is a
+    // ratio of exact-integer doubles multiplied BEFORE dividing in
+    // DOUBLE (never long·long — at 100 TB token counts the integer
+    // product overflows; the double product stays exact under 2^53 and
+    // merely rounds above), summed then 4-dp-rounded (q_lm_score's
+    // discipline).
+    "q_kl_drift" -> ((s, dir) => {
+      val tok = T(s, dir, "documents")
+        .select(col("source"), explode(toks(col("text"))).as("w"))
+        .where(length(col("w")) > 0)
+      val sw = graft.Caching.cache(
+        tok.groupBy("source", "w").agg(count(lit(1)).as("c_sw")))
+      val st = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
+      val cw = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
+      val tot = sw.agg(sum("c_sw").as("n_c"))
+      sw.join(broadcast(cw), "w")
+        .join(broadcast(st), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("term", col("c_sw") / col("n_s") *
+          log(col("c_sw").cast("double") * col("n_c") /
+            (col("c_w").cast("double") * col("n_s"))))
+        .groupBy("source")
+        .agg(fround(sum("term"), 4).as("kl"),
+          max("n_s").as("n_tokens"),
+          count(lit(1)).as("n_vocab"))
+        .orderBy("source")
     })
   )
 
@@ -1505,7 +1541,25 @@ object TextOps {
            CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
            floor(ln(nab * d_total / (na * nb)) * 10000 + 0.5) / 10000
              AS pmi
-         FROM p, t ORDER BY wa, wb"""
+         FROM p, t ORDER BY wa, wb""",
+    "q_kl_drift" ->
+      """WITH tk AS (
+           SELECT source, w FROM (
+             SELECT source, unnest(string_split(text, ' ')) AS w
+             FROM documents)
+           WHERE length(w) > 0),
+         sw AS (SELECT source, w, count(*) AS c_sw FROM tk GROUP BY 1, 2),
+         st AS (SELECT source, sum(c_sw) AS n_s FROM sw GROUP BY 1),
+         cw AS (SELECT w, sum(c_sw) AS c_w FROM sw GROUP BY 1),
+         tot AS (SELECT sum(c_sw) AS n_c FROM sw)
+         SELECT source,
+           floor(sum(c_sw / n_s *
+             ln(c_sw::DOUBLE * n_c / (c_w::DOUBLE * n_s)))
+             * 10000 + 0.5) / 10000 AS kl,
+           CAST(max(n_s) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_vocab
+         FROM sw JOIN cw USING (w) JOIN st USING (source), tot
+         GROUP BY source ORDER BY source"""
   )
 
   /** Shared winnowing CTEs (k=4, w=4) — the oracle twin of
