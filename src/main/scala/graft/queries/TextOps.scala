@@ -955,6 +955,30 @@ object TextOps {
           max("n_s").as("n_tokens"),
           count(lit(1)).as("n_vocab"))
         .orderBy("source")
+    }),
+
+    // n-gram novelty (r11): per doc, the share of its distinct 4-grams
+    // found NOWHERE else in the corpus (df == 1) — the uniqueness
+    // signal curation pipelines use opposite the dup/boilerplate
+    // screens (novelty ≈ 0 means the doc is assembled from corpus
+    // commonplaces; ≈ 1 means genuinely new token sequences — cf. the
+    // memorization/novelty analyses of Lee et al. 2022). Plan: one
+    // distinct (doc, gram) pass → gram-df agg → gram-EQUI join back →
+    // per-doc agg. The join key is the gram itself, so a hot gram costs
+    // df joined rows — linear, never df² (no pair stage exists here);
+    // all three aggs are map-combined.
+    "q_novelty" -> ((s, dir) => {
+      val dg = graft.Caching.cache(
+        gramRows(T(s, dir, "documents"), 4)
+          .select("doc_id", "gram").distinct())
+      val dfreq = dg.groupBy("gram").agg(count(lit(1)).as("df"))
+      dg.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty",
+          fround(col("n_unique") / col("n_grams"), 4))
+        .orderBy("doc_id")
     })
   )
 
@@ -1559,7 +1583,26 @@ object TextOps {
            CAST(max(n_s) AS BIGINT) AS n_tokens,
            CAST(count(*) AS BIGINT) AS n_vocab
          FROM sw JOIN cw USING (w) JOIN st USING (source), tot
-         GROUP BY source ORDER BY source"""
+         GROUP BY source ORDER BY source""",
+    "q_novelty" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         gi AS (
+           SELECT doc_id,
+             unnest(range(1, greatest(len(w) - 3, 0) + 1)) AS i, w
+           FROM t),
+         g AS (
+           SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 3), ' ') AS gram
+           FROM gi),
+         d AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           floor(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) / count(*)
+             * 10000 + 0.5) / 10000 AS novelty
+         FROM g JOIN d USING (gram)
+         GROUP BY doc_id ORDER BY doc_id"""
   )
 
   /** Shared winnowing CTEs (k=4, w=4) — the oracle twin of
