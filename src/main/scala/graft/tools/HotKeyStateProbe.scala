@@ -42,11 +42,12 @@ object HotKeyStateProbe {
 
     def replay(tag: String, events: Seq[CepEvent],
         op: org.apache.spark.sql.Dataset[CepEvent]
-          => org.apache.spark.sql.DataFrame): Unit = {
+          => org.apache.spark.sql.DataFrame,
+        mode: String = "append"): Unit = {
       val stream = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[CepEvent]
       val q = op(stream.toDS()).writeStream.queryName(s"hk_$tag")
-        .format("memory").outputMode("append").start()
+        .format("memory").outputMode(mode).start()
       var peakRows = 0L
       var peakMem = 0L
       val groups = events.grouped(2000).toSeq
@@ -117,6 +118,13 @@ object HotKeyStateProbe {
           (e: CepEvent) => e.event_type == "click",
           (e: CepEvent) => e.event_type == "click",
           20, None, 2L * 3600 * 1000, Some("0 seconds")).toDF())
+      // r11: CDC compaction — the strongest state claim of the set:
+      // per-key state is ONE compacted row by construction, so peak
+      // state must be CONSTANT (1 row, flat KB) across spacings AND
+      // event totals — the log-depth independence the batch max_by
+      // aggregation gets from map-side combine, held in streaming
+      replay(s"cdc_$lbl", evs, ds =>
+        TimeSeriesOps.cdcCompact(ds).toDF(), mode = "update")
     }
     spark.stop()
   }
