@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions.udaf
   * by at most N/(k+1). Counter VALUES are merge-order-dependent — the
   * sketch is deliberately NOT an oracle key; FreqSketchSpec pins the
   * guarantee instead (superset-of-exact-heavy-hitters + error bound).
+  *
+  * Streaming form (r11): the same aggregator runs as a streaming
+  * `groupBy(shard)` aggregation in update mode, sharding by TOKEN HASH —
+  * summaries stay disjoint (an item's whole mass lives in one shard, so
+  * shard bounds never stack) and per-shard state is bounded at k
+  * counters regardless of stream length; the read-side union keeps the
+  * global N/(k+1) guarantee. Pinned in FreqSketchSpec's streaming test.
   */
 object FreqSketch {
   /** k-counter Misra–Gries aggregator over a string column. */

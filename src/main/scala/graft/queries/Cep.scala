@@ -381,6 +381,27 @@ object Cep {
            GROUP BY event_type ORDER BY min_id""")
     }),
 
+    // EP1e — QUALIFY dialect under the oracle gate (r11): the post-window
+    // filter surface (DuckDB/BigQuery/Snowflake spell it identically, so
+    // the DuckDB oracle runs ITS OWN native QUALIFY on near-verbatim
+    // text — the strongest cross-engine check a dialect clause can get).
+    // Spark has no QUALIFY; [[graft.streaming.CepSql]] rewrites it to the
+    // wrapped-subquery + WHERE form. Top-3 orders per customer by price;
+    // (o_custkey, rn) is unique, so ORDER BY + LIMIT is deterministic.
+    // Plan shape: one hash exchange on o_custkey for the window sort,
+    // rank filter BEFORE the global TopK — identical to the hand-written
+    // q_topk_group plan, proving the rewrite costs nothing.
+    "q_dialect_qualify" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders
+           QUALIFY rn <= 3
+           ORDER BY o_custkey, rn LIMIT 500""")
+    }),
+
     // EP1b — sequence CEP from SQL TEXT (`MATCH PATTERN`, r6 dialect):
     // the statement rewrites to the q_cep_seq join/window formulation;
     // the oracle is the same DuckDB recomputation q_cep_seq uses.
@@ -763,6 +784,15 @@ object Cep {
       """SELECT event_type, count(*) AS cnt, min(event_id) AS min_id
          FROM events GROUP BY date_trunc('hour', ts), event_type
          ORDER BY min_id""",
+    // DuckDB's NATIVE QUALIFY on the same text the Spark side submits —
+    // the clause itself is the thing under test
+    "q_dialect_qualify" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders
+         QUALIFY rn <= 3
+         ORDER BY o_custkey, rn LIMIT 500""",
     "q_pattern_sql" ->
       """SELECT user_id, sid, pid, s_ts, p_ts FROM (
            SELECT a.user_id, a.event_id AS sid, b.event_id AS pid,

@@ -117,6 +117,55 @@ object PipelineOps {
       Components.resolveDuplicates(pairs).orderBy("id")
     }),
 
+    // L14 (r11) — graph centrality over the near-dup candidate graph:
+    // PageRank (Brin & Page 1998, public) on the symmetric minhash
+    // band-pair edges, 5 fixed power iterations, damping 0.85. The
+    // pipeline use: q_dedup_resolve keeps min(doc_id) per duplicate
+    // component — an arbitrary keeper; centrality ranks WHICH copy is
+    // the canonical one (the most-connected variant of a template
+    // family), the signal curation pipelines use to pick the kept copy.
+    // Scale shape: this is distributed PageRank's canonical sparse
+    // matvec — per round ONE equi-join of the edge frame against the
+    // node-sized weight frame plus ONE map-side-combinable sum keyed on
+    // dst (shuffle ∝ |E|/p), never an adjacency collect; the edge frame
+    // itself is band-bounded (q_minhash_band's equi-join, never
+    // all-pairs). 5 rounds ≈ the candidate graph's diameter (components
+    // here are template families, diameter 2–3). Node count enters as a
+    // broadcast single-row frame (no driver collect). Ranks emit
+    // N-scaled (pr·N ~ O(1)) and fround(6): the values are ratios of
+    // double sums, identical-magnitude cross-engine, so the shared
+    // rounding grid absorbs summation-order drift.
+    "q_pagerank" -> ((s, dir) => {
+      val bands = graft.Caching.cache(TextOps.bandRows(T(s, dir, "documents")))
+      val p0 = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        .distinct()
+      val edges = graft.Caching.cache(
+        p0.union(p0.select(col("dst").as("src"), col("src").as("dst"))))
+      val deg = graft.Caching.cache(
+        edges.groupBy("src").agg(count(lit(1)).as("d")))
+      val nF = deg.select(count(lit(1)).as("n"))
+      var pr = deg.crossJoin(broadcast(nF))
+        .select(col("src").as("id"), (lit(1.0) / col("n")).as("pr"))
+      for (_ <- 1 to 5) {
+        // per-source outflow first (node-sized join), then the edge join
+        val w = pr.join(deg.withColumnRenamed("src", "id"), "id")
+          .select(col("id").as("src"), (col("pr") / col("d")).as("w"))
+        pr = edges.join(w, "src")
+          .groupBy(col("dst"))
+          .agg(sum("w").as("m"))
+          .crossJoin(broadcast(nF))
+          .select(col("dst").as("id"),
+            (lit(0.15) / col("n") + lit(0.85) * col("m")).as("pr"))
+      }
+      pr.crossJoin(broadcast(nF))
+        .select(col("id"), fround(col("pr") * col("n"), 6).as("pr_rel"))
+        .orderBy("id")
+    }),
+
     // Skew-hardened join (SURVEY §7.6): the salted equi-join MUST return
     // byte-identical results to the plain join it replaces — this key
     // proves it against the plain-join oracle. The salt spreads each hot
@@ -400,6 +449,19 @@ object PipelineOps {
           ELSE concat(acc, array(c)) END)"""
   }
 
+  /** The q_pagerank oracle's unrolled power-iteration CTEs: r1..rK, each
+    * one join+agg round over the shared edge/degree frames — mirrors the
+    * Spark loop exactly (teleport 0.15/N + 0.85 · Σ inflow pr/deg). */
+  private def pagerankIters(k: Int): String =
+    (1 to k).map { i =>
+      s"""r$i AS (SELECT e.dst AS id,
+             CAST(0.15 AS DOUBLE) / nn.n +
+             CAST(0.85 AS DOUBLE) * sum(r.pr / d.d) AS pr
+           FROM e JOIN r${i - 1} r ON r.id = e.src
+           JOIN deg d ON d.src = e.src
+           CROSS JOIN nn GROUP BY e.dst, nn.n)"""
+    }.mkString(",\n         ")
+
   val oracles: Map[String, String] = Map(
     "q_bpe_train" ->
       """WITH RECURSIVE w0 AS (
@@ -621,6 +683,40 @@ object PipelineOps {
            UNION
            SELECT e.a, r.lbl FROM e JOIN reach r ON r.id = e.b)
          SELECT id, min(lbl) AS keeper FROM reach GROUP BY id ORDER BY id""",
+    // same band-pair edges as q_dedup_resolve's oracle; 5 unrolled
+    // power iterations (no recursion — each round is a plain agg)
+    "q_pagerank" -> s"""WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         gi AS (
+           SELECT doc_id, unnest(range(1, greatest(len(w) - 1, 1))) AS i, w
+           FROM t),
+         g AS (
+           SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+           FROM gi),
+         mh AS (
+           SELECT doc_id, s.seed,
+             min(md5(concat(CAST(s.seed AS VARCHAR), ':', gram))) AS mh
+           FROM g, (SELECT unnest(range(16)) AS seed) s
+           GROUP BY doc_id, s.seed),
+         bands AS (
+           SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+           FROM mh GROUP BY doc_id, seed // 4),
+         p0 AS (
+           SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id),
+         e AS (SELECT src, dst FROM p0
+               UNION ALL SELECT dst, src FROM p0),
+         deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+         nn AS (SELECT count(*) AS n FROM deg),
+         r0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) / nn.n AS pr
+                FROM deg CROSS JOIN nn),
+         ${pagerankIters(5)}
+         SELECT id, floor(pr * nn.n * 1000000 + 0.5) / 1000000 AS pr_rel
+         FROM r5 CROSS JOIN nn ORDER BY id""",
     "q_skew_salted" ->
       """WITH dim AS (
            SELECT user_id, count(*) AS u_events FROM events GROUP BY 1)

@@ -48,6 +48,28 @@ object CepSql {
     Pattern.CASE_INSENSITIVE)
   private val matchPat = Pattern.compile("MATCH\\s+PATTERN",
     Pattern.CASE_INSENSITIVE)
+  /** `QUALIFY <pred>` (r11) — the reference dialect's post-window filter
+    * (also DuckDB/BigQuery/Snowflake surface, which is why the declared
+    * key's oracle can submit ITS text near-verbatim). Spark has no
+    * QUALIFY; the standard rewrite wraps the statement (minus
+    * QUALIFY/ORDER BY/LIMIT) in a subquery and filters it:
+    * `SELECT … QUALIFY p ORDER BY o` →
+    * `SELECT * FROM (SELECT …) WHERE p ORDER BY o` — the subquery's
+    * output columns are exactly the SELECT list, so aliases the
+    * predicate names resolve naturally. Restricted, loudly: the
+    * predicate must reference window results BY ALIAS (a bare
+    * `fn() OVER (…)` inside QUALIFY would need select-list injection —
+    * rejected with that pointer), one top-level QUALIFY per statement,
+    * none inside subqueries, and no combination with the stream
+    * `OVER (WINDOW …)` clause in the same statement. */
+  private val qualifyKw = Pattern.compile("\\bQUALIFY\\b",
+    Pattern.CASE_INSENSITIVE)
+  /** Clauses that may legally FOLLOW the QUALIFY predicate (they stay on
+    * the rewritten OUTER query). */
+  private val qualTail = Pattern.compile(
+    "\\bORDER\\s+BY\\b|\\bLIMIT\\b|;", Pattern.CASE_INSENSITIVE)
+  private val overFnCall = Pattern.compile("\\bOVER\\s*\\(",
+    Pattern.CASE_INSENSITIVE)
   /** The full MATCH PATTERN statement grammar (sequence CEP from SQL —
     * SURVEY EP1/EP3's pattern surface; r7 extends it toward
     * MATCH_RECOGNIZE-lite):
@@ -194,7 +216,8 @@ object CepSql {
     // so don't build the scan arrays unless a clause can possibly match
     val mayOver = over.matcher(q).find()
     val mayPat = matchPat.matcher(q).find()
-    if (!mayOver && !mayPat) return q
+    val mayQual = qualifyKw.matcher(q).find()
+    if (!mayOver && !mayPat && !mayQual) return q
     val (lit, depth) = scan(q)
     if (mayPat) {
       // a MATCH PATTERN inside a string literal is data, not a clause
@@ -202,6 +225,78 @@ object CepSql {
       var real = false
       while (mp.find() && !real) if (!lit(mp.start())) real = true
       if (real) return translatePattern(q, tsCol, typeCol, idCol)
+    }
+    if (mayQual) {
+      val qm = qualifyKw.matcher(q)
+      var qfound: Option[(Int, Int)] = None
+      while (qm.find()) if (!lit(qm.start())) {
+        if (depth(qm.start()) != 0)
+          throw new IllegalArgumentException(
+            "QUALIFY inside a subquery is not supported — qualify the " +
+              "outer query, or filter the subquery with WHERE on a " +
+              "wrapped select")
+        if (qfound.isDefined)
+          throw new IllegalArgumentException(
+            "multiple QUALIFY clauses in one statement — one per " +
+              "statement, on the outer query")
+        qfound = Some((qm.start(), qm.end()))
+      }
+      qfound match {
+        case None => () // all occurrences were literal data
+        case Some((a, b)) =>
+          if (mayOver) {
+            val om = over.matcher(q)
+            var realOver = false
+            while (om.find() && !realOver) if (!lit(om.start())) realOver = true
+            if (realOver) throw new IllegalArgumentException(
+              "QUALIFY cannot combine with OVER (WINDOW …) in one " +
+                "statement — window in a subquery and QUALIFY the outer " +
+                "select")
+          }
+          // multi-statement text: the same ambiguity discipline as the
+          // OVER rewrite — which ';'-separated statement owns the clause?
+          var si = 0
+          while (si < q.length) {
+            if (q.charAt(si) == ';' && !lit(si) && depth(si) == 0 &&
+                (si + 1 until q.length).exists(j =>
+                  !lit(j) && !q.charAt(j).isWhitespace))
+              throw new IllegalArgumentException(
+                "QUALIFY in multi-statement text is ambiguous — submit " +
+                  "the qualified statement on its own")
+            si += 1
+          }
+          // a top-level set operation leaves the wrapped-subquery extent
+          // ambiguous (which branch does QUALIFY close over?)
+          val so = setOp.matcher(q)
+          while (so.find())
+            if (!lit(so.start()) && depth(so.start()) == 0)
+              throw new IllegalArgumentException(
+                "QUALIFY in a UNION/INTERSECT/EXCEPT statement is " +
+                  "ambiguous — qualify the branch inside a subquery")
+          // predicate runs to the first top-level ORDER BY/LIMIT/';'
+          // (those clauses stay on the rewritten outer query)
+          val tm = qualTail.matcher(q)
+          var tAt = q.length
+          var searching = true
+          while (searching && tm.find())
+            if (tm.start() >= b && !lit(tm.start()) && depth(tm.start()) == 0) {
+              tAt = tm.start(); searching = false
+            }
+          val pred = q.substring(b, tAt).trim
+          if (pred.isEmpty)
+            throw new IllegalArgumentException("QUALIFY with no predicate")
+          // a bare window-function call in the predicate would need
+          // select-list injection — require the alias form instead
+          val (plit, _) = scan(pred)
+          val ov = overFnCall.matcher(pred)
+          while (ov.find())
+            if (!plit(ov.start()))
+              throw new IllegalArgumentException(
+                "window functions inside QUALIFY must be aliased in the " +
+                  "SELECT list and referenced by alias (QUALIFY rn <= 3)")
+          return s"SELECT * FROM ( ${q.substring(0, a).trim} ) " +
+            s"graft_qualify WHERE $pred ${q.substring(tAt)}".stripTrailing()
+      }
     }
     if (!mayOver) return q
     val m = over.matcher(q)

@@ -21,6 +21,21 @@ object VerifyKeys {
       graft.Caching.releaseAll()
       println(s"[verify-one] wrote $name")
     }
+    // refresh the oracle dump too, so check_oracle --skip-verify sees
+    // oracles added since the last FULL graft.Verify run
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      graft.SparkEntry.oracleSql
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

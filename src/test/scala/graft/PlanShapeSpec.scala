@@ -736,4 +736,28 @@ class PlanShapeSpec extends SparkSpec {
       s"pii scrub must not shuffle on any key:\n$piiP")
     graft.Caching.releaseAll()
   }
+
+  test("r11 dialect + graph keys: QUALIFY rewrite keeps the rank-limit " +
+      "pushdown; pagerank rounds stay equi-join + agg") {
+    // q_dialect_qualify: the rewritten subquery must optimize to the
+    // SAME shape as a hand-written per-group top-k — WindowGroupLimit
+    // BELOW the exchange (map-side rank<=3 pre-filter), one hash
+    // exchange, global TakeOrdered. If the wrap blocked the pushdown,
+    // every group's full rows would cross the shuffle.
+    val dq = plan("q_dialect_qualify")
+    assert("WindowGroupLimit".r.findAllIn(dq).size >= 2,
+      s"rank-limit must push map-side through the rewrite:\n$dq")
+    assert("Exchange hashpartitioning".r.findAllIn(dq).size == 1,
+      s"one hash exchange (the per-customer window):\n$dq")
+    assert(dq.contains("TakeOrderedAndProject"),
+      "deterministic LIMIT must plan as TakeOrdered")
+    // q_pagerank: every power iteration is equi-join + map-combined
+    // agg; the only nested loops are the broadcast 1-row N frames
+    val pr = plan("q_pagerank")
+    assert(!pr.contains("CartesianProduct"),
+      s"pagerank must never plan a cartesian:\n${pr.take(2000)}")
+    assert(pr.contains("HashAggregate"),
+      "inflow sums must hash-aggregate (map-side combinable)")
+    graft.Caching.releaseAll()
+  }
 }

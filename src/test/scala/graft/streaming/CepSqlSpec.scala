@@ -141,6 +141,56 @@ class CepSqlSpec extends SparkSpec {
     assert(cmt.contains("GROUP BY window(ts,"), cmt)
   }
 
+  test("QUALIFY == wrapped-subquery WHERE; ORDER BY/LIMIT stay outer (r11)") {
+    Tables.load(spark, sf)
+    val got = CepSql.sql(spark,
+      """SELECT user_id, event_id,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS rn
+         FROM events QUALIFY rn <= 2 ORDER BY user_id, rn LIMIT 40""")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val want = Tables.table(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 2)
+      .orderBy("user_id", "rn").limit(40)
+    assert(got.collect().map(_.toSeq).toSeq ===
+      want.collect().map(_.toSeq).toSeq)
+    // the window ORDER BY (inside OVER's parens) is NOT the outer tail:
+    // a statement ending at the predicate keeps the whole pred intact
+    val t = CepSql.translate(
+      "SELECT a, rank() OVER (ORDER BY b) AS r FROM t QUALIFY r = 1")
+    assert(t.endsWith("WHERE r = 1"), t)
+  }
+
+  test("QUALIFY grammar edges: literals pass, ambiguous forms reject (r11)") {
+    // inside a string literal it is data, not a clause
+    val lit = "SELECT 'QUALIFY' AS k FROM t"
+    assert(CepSql.translate(lit) === lit)
+    // inside a subquery
+    intercept[IllegalArgumentException] { CepSql.translate(
+      "SELECT * FROM (SELECT a, r FROM t QUALIFY r = 1) s") }
+    // two clauses
+    intercept[IllegalArgumentException] { CepSql.translate(
+      "SELECT a FROM t QUALIFY r = 1 QUALIFY q = 2") }
+    // combined with the stream OVER (WINDOW …) clause
+    intercept[IllegalArgumentException] { CepSql.translate(
+      "SELECT COUNT(*) AS c FROM t OVER (WINDOW '60' SECONDS) QUALIFY c > 1") }
+    // top-level set operation: wrapped-subquery extent is ambiguous
+    intercept[IllegalArgumentException] { CepSql.translate(
+      "SELECT a FROM t UNION SELECT a FROM u QUALIFY r = 1") }
+    // multi-statement text
+    intercept[IllegalArgumentException] { CepSql.translate(
+      "SELECT a FROM t QUALIFY r = 1; SELECT 1") }
+    // empty predicate
+    intercept[IllegalArgumentException] { CepSql.translate(
+      "SELECT a FROM t QUALIFY") }
+    // bare window call in the predicate needs the alias form
+    intercept[IllegalArgumentException] { CepSql.translate(
+      "SELECT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1") }
+  }
+
   test("MATCH PATTERN sequence == q_cep_seq (join/window formulation)") {
     Tables.load(spark, sf)
     val got = CepSql.sql(spark,
