@@ -135,6 +135,11 @@ object PipelineOps {
     // N-scaled (pr·N ~ O(1)) and fround(6): the values are ratios of
     // double sums, identical-magnitude cross-engine, so the shared
     // rounding grid absorbs summation-order drift.
+    // STREAMING: no per-event twin — a power iteration is a global
+    // fixpoint (one new edge perturbs every reachable rank), so the
+    // streaming form is periodic recompute over maintained band/edge
+    // frames (the bands themselves stream as a keyed min-agg), the
+    // same stance as q_autocorr/q_gini.
     "q_pagerank" -> ((s, dir) => {
       val bands = graft.Caching.cache(TextOps.bandRows(T(s, dir, "documents")))
       val p0 = bands.as("a").join(bands.as("b"),

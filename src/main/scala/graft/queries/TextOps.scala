@@ -935,6 +935,11 @@ object TextOps {
     // product overflows; the double product stays exact under 2^53 and
     // merely rounds above), summed then 4-dp-rounded (q_lm_score's
     // discipline).
+    // STREAMING: no per-event twin — every term of the KL sum carries
+    // the GLOBAL marginals p(w), n_c in its denominator, so one new
+    // token anywhere perturbs every source's divergence; the streaming
+    // form is periodic recompute over maintained (source, w) counts
+    // (which stream exactly as a keyed count), at vocab cardinality.
     "q_kl_drift" -> ((s, dir) => {
       val tok = T(s, dir, "documents")
         .select(col("source"), explode(toks(col("text"))).as("w"))
@@ -967,6 +972,13 @@ object TextOps {
     // per-doc agg. The join key is the gram itself, so a hot gram costs
     // df joined rows — linear, never df² (no pair stage exists here);
     // all three aggs are map-combined.
+    // STREAMING: no per-event twin — df == 1 is a CORPUS-GLOBAL
+    // predicate (one later duplicate retroactively un-novels every
+    // earlier holder of the gram), so the streaming form is periodic
+    // recompute over maintained (gram, df) counts, which themselves
+    // stream exactly (a keyed count in update mode). A
+    // novelty-vs-HISTORY variant (grams unseen so far) is a different
+    // semantics, not this key's.
     "q_novelty" -> ((s, dir) => {
       val dg = graft.Caching.cache(
         gramRows(T(s, dir, "documents"), 4)
