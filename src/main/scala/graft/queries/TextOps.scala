@@ -144,6 +144,39 @@ object TextOps {
     "q_minhash_band" -> ((s, dir) =>
       bandRows(T(s, dir, "documents")).orderBy("doc_id", "band")),
 
+    // L2a2 (r11) — cross-source duplication matrix: per unordered
+    // (source_a, source_b) pair, how many near-dup CANDIDATE pairs link
+    // them — the corpus-level report curation teams act on ("crawl X
+    // largely duplicates crawl Y: dedup them together / drop one side")
+    // before any doc-level resolution runs. Pairs come from the SAME
+    // band-equi graph every dedup key uses (never all-pairs; a hot
+    // band_sig is bounded by the band-join shape q_dedup_resolve
+    // measured); sources attach via two doc-equi joins against the slim
+    // (doc_id, source) projection — shuffle ∝ pairs + docs — and the
+    // output is at most |sources|² rows, orders of magnitude below doc
+    // cardinality at any scale.
+    "q_source_overlap" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val bands = graft.Caching.cache(bandRows(d))
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val src = d.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.withColumnRenamed("doc_id", "da")
+          .withColumnRenamed("source", "sa"), "da")
+        .join(src.withColumnRenamed("doc_id", "db")
+          .withColumnRenamed("source", "sb"), "db")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("dup_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // L2b — SimHash, oracle-checked 32-bit variant: token hash = first 8
     // md5 hex chars parsed as an integer (bit-identical in both engines),
     // frequency-weighted sign sums per bit, one aggregation pass (32
@@ -1047,6 +1080,37 @@ object TextOps {
            md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
          FROM mh GROUP BY doc_id, seed // 4
          ORDER BY doc_id, band""",
+    "q_source_overlap" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         gi AS (
+           SELECT doc_id, unnest(range(1, greatest(len(w) - 1, 1))) AS i, w
+           FROM t),
+         g AS (
+           SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+           FROM gi),
+         mh AS (
+           SELECT doc_id, s.seed,
+             min(md5(concat(CAST(s.seed AS VARCHAR), ':', gram))) AS mh
+           FROM g, (SELECT unnest(range(16)) AS seed) s
+           GROUP BY doc_id, s.seed),
+         bands AS (
+           SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+           FROM mh GROUP BY doc_id, seed // 4),
+         p0 AS (
+           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id)
+         SELECT least(x.source, y.source) AS source_a,
+           greatest(x.source, y.source) AS source_b,
+           count(*) AS dup_pairs
+         FROM p0
+         JOIN documents x ON p0.da = x.doc_id
+         JOIN documents y ON p0.db = y.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_ngram_jaccard" ->
       """WITH t AS (
            SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
