@@ -148,20 +148,20 @@ object PipelineOps {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
         .distinct()
-      val edges = graft.Caching.cache(
-        p0.union(p0.select(col("dst").as("src"), col("src").as("dst"))))
+      val edges =
+        p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
       val deg = graft.Caching.cache(
         edges.groupBy("src").agg(count(lit(1)).as("d")))
-      val nF = deg.select(count(lit(1)).as("n"))
+      // out-degree is static across rounds: pre-join it onto the edges
+      // ONCE, so each iteration is a single equi-join + agg
+      val ed = graft.Caching.cache(edges.join(deg, "src"))
+      val nF = graft.Caching.cache(deg.select(count(lit(1)).as("n")))
       var pr = deg.crossJoin(broadcast(nF))
         .select(col("src").as("id"), (lit(1.0) / col("n")).as("pr"))
       for (_ <- 1 to 5) {
-        // per-source outflow first (node-sized join), then the edge join
-        val w = pr.join(deg.withColumnRenamed("src", "id"), "id")
-          .select(col("id").as("src"), (col("pr") / col("d")).as("w"))
-        pr = edges.join(w, "src")
+        pr = ed.join(pr.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst"))
-          .agg(sum("w").as("m"))
+          .agg(sum(col("pr") / col("d")).as("m"))
           .crossJoin(broadcast(nF))
           .select(col("dst").as("id"),
             (lit(0.15) / col("n") + lit(0.85) * col("m")).as("pr"))
