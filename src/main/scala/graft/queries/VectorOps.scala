@@ -325,6 +325,35 @@ object VectorOps {
         .orderBy("label", "pos")
     }),
 
+    // Embedding covariance matrix (r11) — the PCA / whitening /
+    // Mahalanobis front half, as ONE single-pass aggregation:
+    // [[graft.functions.VecMomentsAgg]] folds every vector into a flat
+    // (d²+d+1)-double moment buffer (Gram sums, mean sums, n) with
+    // map-side combine — each task ships exactly one buffer through the
+    // shuffle regardless of row count; cov(i,j) = Sᵢⱼ/n − (Sᵢ/n)(Sⱼ/n)
+    // derives in closed form from the single output row, exploded to
+    // the upper triangle (i ≤ j, 2080 rows at d=64). The DuckDB oracle
+    // recomputes the same double sums positionally. 6-dp rounding
+    // absorbs summation-order drift (values O(0.01–1), drift ~1e-12).
+    "q_embed_cov" -> ((s, dir) => {
+      val d = 64
+      val agg = udaf(new graft.functions.VecMomentsAgg(d))
+      T(s, dir, "embeddings")
+        .agg(agg(col("embedding")).as("m"))
+        .select(explode(expr(
+          s"""flatten(transform(sequence(0, ${d - 1}), i ->
+              transform(sequence(i, ${d - 1}), j ->
+                named_struct(
+                  'i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
+                  'cov', m[i * $d + j] / m[${d * d + d}]
+                    - (m[${d * d} + i] / m[${d * d + d}])
+                      * (m[${d * d} + j] / m[${d * d + d}])))))"""))
+          .as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"),
+          fround(col("e.cov"), 6).as("cov"))
+        .orderBy("i", "j")
+    }),
+
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public): semantic
     // dedup INSIDE coarse clusters. Cluster = label (the deterministic
     // coarse-quantizer stand-in q_ann_ivf established); within each
@@ -896,6 +925,22 @@ object VectorOps {
            count(*) AS n
          FROM embeddings, (SELECT unnest(range(64)) AS i) i
          GROUP BY label, i.i ORDER BY label, pos""",
+    "q_embed_cov" ->
+      """WITH xv AS (
+           SELECT vec_id, i.i AS i,
+             CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE) AS xi
+           FROM embeddings, (SELECT unnest(range(64)) AS i) i),
+         nn AS (SELECT count(*) AS n FROM embeddings),
+         s AS (SELECT i, sum(xi) AS si FROM xv GROUP BY i),
+         p AS (SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS sij
+               FROM xv a JOIN xv b
+                 ON a.vec_id = b.vec_id AND a.i <= b.i
+               GROUP BY a.i, b.i)
+         SELECT p.i, p.j,
+           floor((sij / nn.n - (sa.si / nn.n) * (sb.si / nn.n))
+                 * 1000000 + 0.5) / 1000000 AS cov
+         FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
+         CROSS JOIN nn ORDER BY p.i, p.j""",
     "q_semdedup" ->
       """WITH RECURSIVE i AS (SELECT unnest(range(64)) AS i),
          k AS (SELECT label,

@@ -141,4 +141,35 @@ class FunctionsSpec extends SparkSpec {
     assert(out("d1").sameElements(out("d2")))
     assert(out("d1").length == 16)
   }
+
+  test("VecMomentsAgg: partition-count invariant; diagonal == var_pop; " +
+      "cov derives symmetric (r11)") {
+    val d = 64
+    val e = graft.Tables.table(spark, sf, "embeddings")
+    val agg = udaf(new VecMomentsAgg(d))
+    val m1 = e.coalesce(1).agg(agg(col("embedding")).as("m"))
+      .as[Array[Double]].head()
+    val m8 = e.repartition(8).agg(agg(col("embedding")).as("m"))
+      .as[Array[Double]].head()
+    assert(m1.length === d * d + d + 1)
+    // merge law: 1-partition and 8-partition runs agree to fp noise
+    (0 until m1.length).foreach { k =>
+      assert(math.abs(m1(k) - m8(k)) < 1e-6,
+        s"buffer slot $k diverges across partitionings")
+    }
+    val n = m1(d * d + d)
+    assert(n > 0)
+    def cov(i: Int, j: Int): Double =
+      m1(i * d + j) / n - (m1(d * d + i) / n) * (m1(d * d + j) / n)
+    // diagonal == Spark's own population variance per coordinate
+    for (i <- Seq(0, 17, 63)) {
+      val v = e.select(var_pop(col("embedding")(i).cast("double")))
+        .as[Double].head()
+      assert(math.abs(cov(i, i) - v) < 1e-9,
+        s"cov($i,$i)=${cov(i, i)} != var_pop $v")
+    }
+    // Gram sums are symmetric by construction
+    for (i <- Seq(1, 30); j <- Seq(5, 40))
+      assert(m1(i * d + j) === m1(j * d + i))
+  }
 }
