@@ -172,4 +172,48 @@ class FunctionsSpec extends SparkSpec {
     for (i <- Seq(1, 30); j <- Seq(5, 40))
       assert(m1(i * d + j) === m1(j * d + i))
   }
+
+  test("VecMomentsAgg streams: sharded update-mode aggregation merges " +
+      "to the batch buffer exactly (r11)") {
+    // Unlike Misra-Gries, the moment buffer's merge is EXACT
+    // (element-wise add, commutative + associative), so the streaming
+    // shard-and-merge form equals batch bit-for-bit up to summation
+    // order: shard by vec_id, run the aggregator as a streaming
+    // groupBy(shard) in update mode, add the shard buffers at read.
+    // State per shard is one constant-size buffer — stream-length-free.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val d = 64
+    val e = graft.Tables.table(spark, sf, "embeddings")
+    val agg = udaf(new VecMomentsAgg(d))
+    val batch = e.agg(agg(col("embedding")).as("m"))
+      .as[Array[Double]].head()
+    val rows = e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val latest = scala.collection.mutable.Map[Long, Array[Double]]()
+    val q = stream.toDF().toDF("vec_id", "embedding")
+      .withColumn("shard", pmod(col("vec_id"), lit(4L)))
+      .groupBy("shard")
+      .agg(agg(col("embedding")).as("m"))
+      .as[(Long, Array[Double])]
+      .writeStream.outputMode("update")
+      .foreachBatch(
+        (b: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+            _: Long) =>
+          b.collect().foreach { case (sh, m) => latest(sh) = m })
+      .start()
+    rows.grouped(rows.size / 3 + 1).foreach { c =>
+      stream.addData(c); q.processAllAvailable()
+    }
+    q.stop()
+    assert(latest.size === 4)
+    val merged = latest.values.reduce { (a, b) =>
+      a.zip(b).map { case (x, y) => x + y }
+    }
+    (0 until d * d + d + 1).foreach { k =>
+      assert(math.abs(merged(k) - batch(k)) < 1e-6,
+        s"slot $k: streaming $merged($k) != batch ${batch(k)}")
+    }
+  }
 }
