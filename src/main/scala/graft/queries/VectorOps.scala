@@ -354,6 +354,36 @@ object VectorOps {
         .orderBy("i", "j")
     }),
 
+    // Embedding outlier screen (r11): per-vector diagonal Mahalanobis
+    // distance Σᵢ (xᵢ−μᵢ)²/σᵢ² — the practical "drop corrupted /
+    // out-of-distribution embeddings" gate (full-covariance Mahalanobis
+    // needs Σ⁻¹; the diagonal form is what pipelines deploy at scale).
+    // Plan: the per-coordinate stats frame is 64 rows — computed by one
+    // map-combined agg and BROADCAST into a map-side score + per-vector
+    // sum; top-20 is TakeOrdered. Zero shuffles proportional to vector
+    // count beyond the per-vector sum's hash agg. σ² = 0 coordinates
+    // contribute 0 (guard mirrored in the oracle).
+    "q_embed_outlier" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val xs = e.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("vec_id"), col("pos"),
+          col("xf").cast("double").as("x"))
+      val stats = xs.groupBy("pos")
+        .agg(sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          count(lit(1)).as("n"))
+        .select(col("pos"), (col("sx") / col("n")).as("mu"),
+          (col("sxx") / col("n") -
+            (col("sx") / col("n")) * (col("sx") / col("n"))).as("v"))
+      xs.join(broadcast(stats), "pos")
+        .groupBy("vec_id")
+        .agg(fround(sum(when(col("v") === 0d, 0d).otherwise(
+          (col("x") - col("mu")) * (col("x") - col("mu")) / col("v"))),
+          4).as("md2"))
+        .orderBy(desc("md2"), asc("vec_id")).limit(20)
+    }),
+
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public): semantic
     // dedup INSIDE coarse clusters. Cluster = label (the deterministic
     // coarse-quantizer stand-in q_ann_ivf established); within each
@@ -941,6 +971,23 @@ object VectorOps {
                  * 1000000 + 0.5) / 1000000 AS cov
          FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
          CROSS JOIN nn ORDER BY p.i, p.j""",
+    "q_embed_outlier" ->
+      """WITH x AS (
+           SELECT vec_id, i.i AS pos,
+             CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE) AS x
+           FROM embeddings, (SELECT unnest(range(64)) AS i) i),
+         st AS (SELECT pos, sum(x) AS sx, sum(x * x) AS sxx,
+                  count(*) AS n
+                FROM x GROUP BY pos),
+         mv AS (SELECT pos, sx / n AS mu,
+                  sxx / n - (sx / n) * (sx / n) AS v
+                FROM st)
+         SELECT vec_id,
+           floor(sum(CASE WHEN v = 0 THEN 0.0
+                     ELSE (x - mu) * (x - mu) / v END)
+                 * 10000 + 0.5) / 10000 AS md2
+         FROM x JOIN mv USING (pos)
+         GROUP BY vec_id ORDER BY md2 DESC, vec_id LIMIT 20""",
     "q_semdedup" ->
       """WITH RECURSIVE i AS (SELECT unnest(range(64)) AS i),
          k AS (SELECT label,
