@@ -117,6 +117,35 @@ object PipelineOps {
       Components.resolveDuplicates(pairs).orderBy("id")
     }),
 
+    // L13b (r11) — QUALITY-aware canonical selection: q_dedup_resolve
+    // keeps min(doc_id) per duplicate component (arbitrary but
+    // deterministic); real pipelines keep the BEST copy — here argmax
+    // n_chars (the longest, least-truncated variant), doc_id as the
+    // deterministic tiebreak. Same band-pair components; the keeper
+    // pick is ONE max_by aggregation over a 2-field struct — no window,
+    // no second pass — then a component-equi join fans the keeper back
+    // to members. Emits the keep flag a deletion pass filters on.
+    "q_dedup_keepbest" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val bands = graft.Caching.cache(TextOps.bandRows(d))
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val comp = Components.connectedComponents(pairs)
+      val withC = comp.join(
+        d.select(col("doc_id").as("id"), col("n_chars")), "id")
+      val keepers = withC.groupBy("comp")
+        .agg(max_by(col("id"),
+          struct(col("n_chars"), -col("id"))).as("keeper"))
+      withC.join(keepers, "comp")
+        .select(col("id"), col("keeper"),
+          (col("id") === col("keeper")).as("keep"))
+        .orderBy("id")
+    }),
+
     // L14 (r11) — graph centrality over the near-dup candidate graph:
     // PageRank (Brin & Page 1998, public) on the symmetric minhash
     // band-pair edges, 5 fixed power iterations, damping 0.85. The
@@ -688,6 +717,45 @@ object PipelineOps {
            UNION
            SELECT e.a, r.lbl FROM e JOIN reach r ON r.id = e.b)
          SELECT id, min(lbl) AS keeper FROM reach GROUP BY id ORDER BY id""",
+    "q_dedup_keepbest" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         gi AS (
+           SELECT doc_id, unnest(range(1, greatest(len(w) - 1, 1))) AS i, w
+           FROM t),
+         g AS (
+           SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+           FROM gi),
+         mh AS (
+           SELECT doc_id, s.seed,
+             min(md5(concat(CAST(s.seed AS VARCHAR), ':', gram))) AS mh
+           FROM g, (SELECT unnest(range(16)) AS seed) s
+           GROUP BY doc_id, s.seed),
+         bands AS (
+           SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+           FROM mh GROUP BY doc_id, seed // 4),
+         p0 AS (
+           SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id),
+         e AS (SELECT a, b FROM p0 UNION SELECT b, a FROM p0),
+         reach AS (
+           SELECT DISTINCT a AS id, a AS lbl FROM e
+           UNION
+           SELECT e.a, r.lbl FROM e JOIN reach r ON r.id = e.b),
+         c AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+         cj AS (SELECT c.id, c.component, d.n_chars
+                FROM c JOIN documents d ON d.doc_id = c.id),
+         k AS (SELECT component, id AS keeper FROM (
+                 SELECT component, id, row_number() OVER (
+                   PARTITION BY component
+                   ORDER BY n_chars DESC, id) AS rn
+                 FROM cj) WHERE rn = 1)
+         SELECT cj.id, k.keeper, cj.id = k.keeper AS keep
+         FROM cj JOIN k USING (component) ORDER BY cj.id""",
     // same band-pair edges as q_dedup_resolve's oracle; 5 unrolled
     // power iterations (no recursion — each round is a plain agg)
     "q_pagerank" -> s"""WITH t AS (
