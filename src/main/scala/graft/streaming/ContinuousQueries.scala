@@ -100,12 +100,16 @@ object ContinuousQueries {
     * dual-order tracker with held arm-2 release), as do the 2-step
     * reluctant HEAD forms — `{1,}?` and the reluctant absence at any m
     * ([[LazyRunDetector]]). A quantified step whose class OVERLAPS its
-    * predecessor's streams since r11 in the greedy 2-step form
+    * predecessor's streams since r11 in the greedy head forms —
+    * `A THEN B{m,}`, `A THEN B{m,} THEN C`, and
+    * `A THEN B{m,} THEN NOT C` with C disjoint from B
     * ([[OverlapRunDetector]] — one shared island tracker per key, the
-    * batch GLOBAL gaps-and-islands made incremental). The remaining
-    * batch-only forms, each rejected loudly with a pointer to
-    * [[CepSql.sql]]: overlap under 3+ steps / MEASURES / THEN NOT /
-    * reluctant runs; `{1,}?` outside the 2-step head; bounded lazy
+    * batch GLOBAL gaps-and-islands made incremental; step-3 pendings
+    * resolve on the first disjoint C or the watermark deadline). The
+    * remaining batch-only forms, each rejected loudly with a pointer to
+    * [[CepSql.sql]]: overlap at a non-head boundary / 4+ steps / a C
+    * class overlapping the run's / MEASURES / reluctant runs; `{1,}?`
+    * outside the 2-step head; bounded lazy
     * `{m,n}?` (rejected at parse). Measures × reluctant stream
     * since r8 (lazy completions fold POST — the m-th event is a span
     * row, unlike a greedy closure).
@@ -330,21 +334,55 @@ object ContinuousQueries {
               pair.last.events.toSet).nonEmpty
         }
         if (overlapAt) {
-          val streamable = spec.steps.length == 2 && !spec.absent &&
-            spec.steps.head.minTimes.isEmpty &&
-            !spec.steps.head.optional &&
-            !spec.steps.exists(_.reluctant)
-          if (!streamable)
-            throw new IllegalArgumentException(
-              "a {m,} step whose class overlaps the previous step's " +
-                "streams only as the greedy 2-step `A THEN B{m,}` form " +
-                "(OverlapRunDetector) — for overlap under 3+ steps, " +
-                "MEASURES, THEN NOT, or reluctant runs use the batch " +
-                "rewrite via CepSql.sql")
-          return submitMemory(OverlapRunDetector.detectWhere(src,
-            stepPred(spec.steps.head), stepPred(spec.steps.last),
-            spec.steps.last.minTimes.get, spec.steps.last.maxTimes,
-            spec.withinMs, Some(lateness)).toDF(), name, "append")
+          // r11 session 2: the overlap family now streams in THREE
+          // greedy forms — `A THEN B{m,}`, `A THEN B{m,} THEN C`, and
+          // `A THEN B{m,} THEN NOT C` — all on OverlapRunDetector's
+          // shared island tracker; the step-3 forms park qualifying
+          // anchors as pendings resolved by the first disjoint C
+          // (completion) or the watermark passing the anchor deadline
+          // (absence). Overlap anywhere but the head boundary, a C
+          // class overlapping the run's, reluctant runs, and optional
+          // steps stay loudly batch-routed.
+          val sts = spec.steps
+          val onlyHeadOv = sts.sliding(2).zipWithIndex.forall {
+            case (pair, idx) =>
+              idx == 0 || !(pair.length == 2 &&
+                pair.last.minTimes.isDefined &&
+                pair.head.events.toSet.intersect(
+                  pair.last.events.toSet).nonEmpty)
+          }
+          val base = onlyHeadOv && sts(1).minTimes.isDefined &&
+            sts.head.events.toSet.intersect(sts(1).events.toSet)
+              .nonEmpty &&
+            sts.head.minTimes.isEmpty && !sts.exists(_.optional) &&
+            !sts.exists(_.reluctant)
+          val streamable2 = base && sts.length == 2 && !spec.absent
+          val streamable3 = base && sts.length == 3 &&
+            sts(2).minTimes.isEmpty &&
+            sts(2).events.toSet.intersect(sts(1).events.toSet).isEmpty
+          if (streamable2)
+            return submitMemory(OverlapRunDetector.detectWhere(src,
+              stepPred(sts.head), stepPred(sts(1)),
+              sts(1).minTimes.get, sts(1).maxTimes,
+              spec.withinMs, Some(lateness)).toDF(), name, "append")
+          if (streamable3 && !spec.absent)
+            return submitMemory(OverlapRunDetector.detectFollowWhere(
+              src, stepPred(sts.head), stepPred(sts(1)),
+              sts(1).minTimes.get, sts(1).maxTimes, stepPred(sts(2)),
+              spec.withinMs, Some(lateness)).toDF(), name, "append")
+          if (streamable3 && spec.absent)
+            return submitMemory(OverlapRunDetector.detectAbsentWhere(
+              src, stepPred(sts.head), stepPred(sts(1)),
+              sts(1).minTimes.get, sts(1).maxTimes, stepPred(sts(2)),
+              spec.withinMs, lateness).toDF(), name, "append")
+          throw new IllegalArgumentException(
+            "a {m,} step whose class overlaps the previous step's " +
+              "streams only in the greedy head forms `A THEN B{m,}`, " +
+              "`A THEN B{m,} THEN C`, `A THEN B{m,} THEN NOT C` " +
+              "(C disjoint from B; OverlapRunDetector) — for overlap " +
+              "at a later boundary, 4+ steps, a C class overlapping " +
+              "the run's, MEASURES, or reluctant runs use the batch " +
+              "rewrite via CepSql.sql")
         }
         // watermarked input (r8): the detector's pruning horizon reads
         // getCurrentWatermarkMs — un-watermarked it fell back to the

@@ -123,6 +123,141 @@ class OverlapRunSpec extends SparkSpec {
         ts("2026-01-01 00:00:30"))))
   }
 
+  private def replay3(events: Seq[CepEvent], anchor: Set[String],
+      run: Set[String], m: Int, mx: Option[Int], follow: Set[String],
+      absent: Boolean, withinMs: Long, chunk: Int = 2)
+      : Seq[org.apache.spark.sql.Row] = {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"ovr3_${System.nanoTime}"
+    val src = stream.toDS()
+    val out =
+      if (absent)
+        OverlapRunDetector.detectAbsentWhere(src,
+          e => anchor.contains(e.event_type),
+          e => run.contains(e.event_type), m, mx,
+          e => follow.contains(e.event_type), withinMs, "0 seconds")
+          .toDF()
+      else
+        OverlapRunDetector.detectFollowWhere(src,
+          e => anchor.contains(e.event_type),
+          e => run.contains(e.event_type), m, mx,
+          e => follow.contains(e.event_type), withinMs,
+          Some("0 seconds")).toDF()
+    val q = out.writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    events.grouped(chunk).foreach { c =>
+      stream.addData(c); q.processAllAvailable()
+    }
+    q.stop()
+    spark.table(name).collect().toSeq
+  }
+
+  test("3-step completion: the breaker itself can complete; rank-1 c " +
+      "serves every pending anchor; window bounds the c (r11)") {
+    // b1 | x | b3 b4 | c5: c5 BREAKS the island and completes b1's
+    // pending in the same event (ts > run_end, inside the window)
+    val brk = Seq(
+      ev(1, "2026-01-01 00:00:00", 7, "b"),
+      ev(2, "2026-01-01 00:00:05", 7, "x"),
+      ev(3, "2026-01-01 00:00:10", 7, "b"),
+      ev(4, "2026-01-01 00:00:20", 7, "b"),
+      ev(5, "2026-01-01 00:00:30", 7, "c"),
+      ev(6, "2026-01-01 00:01:00", 7, "zz"))
+    val got = replay3(brk, Set("b"), Set("b"), 2, None, Set("c"),
+      absent = false, 30 * 60 * 1000L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet === Set((7L, 1L, 2L, 5L)))
+    // a second c never re-completes (pending cleared); a c past the
+    // window completes nothing
+    val lateC = brk.dropRight(2) ++ Seq(
+      ev(5, "2026-01-01 00:40:00", 7, "c"),
+      ev(6, "2026-01-01 00:50:00", 7, "zz"))
+    assert(replay3(lateC, Set("b"), Set("b"), 2, None, Set("c"),
+      absent = false, 30 * 60 * 1000L).isEmpty)
+  }
+
+  test("3-step absence: no-c verdicts are watermark-driven; a c inside " +
+      "the window kills only the windows containing it (r11)") {
+    // user 7: island closes, no c before the deadline → absence emits
+    // once the flush pushes the watermark past it. user 8: identical
+    // prefix, c kills the pending.
+    val events = Seq(
+      ev(1, "2026-01-01 00:00:00", 7, "b"),
+      ev(2, "2026-01-01 00:00:05", 7, "x"),
+      ev(3, "2026-01-01 00:00:10", 7, "b"),
+      ev(4, "2026-01-01 00:00:20", 7, "b"),
+      ev(5, "2026-01-01 00:00:30", 7, "y"),
+      ev(11, "2026-01-01 00:00:00", 8, "b"),
+      ev(12, "2026-01-01 00:00:05", 8, "x"),
+      ev(13, "2026-01-01 00:00:10", 8, "b"),
+      ev(14, "2026-01-01 00:00:20", 8, "b"),
+      ev(15, "2026-01-01 00:00:30", 8, "c"),
+      ev(20, "2026-01-02 00:00:00", 7, "zz"),
+      ev(21, "2026-01-02 00:00:00", 8, "zz"))
+    val got = replay3(events, Set("b"), Set("b"), 2, None, Set("c"),
+      absent = true, 30 * 60 * 1000L, chunk = 3)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet === Set((7L, 1L, 2L)),
+      s"only user 7's pending survives to the deadline, got $got")
+  }
+
+  test("3-step replay == batch rewrite on the events table " +
+      "(completion AND absence twin law, r11)") {
+    implicit val sq = spark.sqlContext
+    val data = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[CepEvent].orderBy("ts", "event_id").collect()
+    val users = data.map(_.user_id).distinct
+    val flush = users.zipWithIndex.map { case (u, i) =>
+      CepEvent(-9000L - i, ts("2030-01-01 00:00:00"), u, "zz_flush", 0.0)
+    }.toSeq
+    Tables.load(spark, sf)
+    for (absent <- Seq(false, true)) {
+      val stream = MemoryStream[CepEvent]
+      val name = s"ovr3_twin_${if (absent) "a" else "f"}_${System.nanoTime}"
+      val src = stream.toDS()
+      val det =
+        if (absent)
+          OverlapRunDetector.detectAbsentWhere(src,
+            _.event_type == "click",
+            e => e.event_type == "click" || e.event_type == "view",
+            2, None, _.event_type == "purchase",
+            48L * 60 * 60 * 1000, "0 seconds").toDF()
+        else
+          OverlapRunDetector.detectFollowWhere(src,
+            _.event_type == "click",
+            e => e.event_type == "click" || e.event_type == "view",
+            2, None, _.event_type == "purchase",
+            48L * 60 * 60 * 1000, Some("0 seconds")).toDF()
+      val q = det.writeStream.queryName(name).format("memory")
+        .outputMode("append").start()
+      data.grouped(math.max(1, data.length / 5)).foreach { c =>
+        stream.addData(c.toSeq); q.processAllAvailable()
+      }
+      stream.addData(flush)
+      q.processAllAvailable(); q.stop()
+      val cols =
+        if (absent) Seq("user_id", "id_1", "len_2", "ts_1", "ts_2")
+        else Seq("user_id", "id_1", "len_2", "id_3", "ts_1", "ts_2",
+          "ts_3")
+      val got = spark.table(name).select(cols.map(col): _*)
+      val pat =
+        if (absent) "click THEN click|view{2,} THEN NOT purchase"
+        else "click THEN click|view{2,} THEN purchase"
+      val want = CepSql.sql(spark,
+        s"""SELECT * FROM events
+           MATCH PATTERN ($pat WITHIN '48' HOURS)
+           PARTITION BY user_id""")
+        .select(cols.map(col): _*)
+      val g = got.collect().map(_.toSeq).toSet
+      val w = want.collect().map(_.toSeq).toSet
+      assert(g === w,
+        s"absent=$absent: stream ${g.size} vs batch ${w.size}")
+      assert(w.nonEmpty, s"absent=$absent fixture must exercise the form")
+    }
+  }
+
   test("replay == batch rewrite on the events table (twin law)") {
     implicit val sq = spark.sqlContext
     val data = Tables.table(spark, sf, "events")

@@ -698,6 +698,63 @@ class RecoverySpec extends SparkSpec {
       "cut must straddle at least one anchored match")
   }
 
+  test("overlap absence pendings survive a restart: no-c verdicts " +
+      "emitted by the resumed query equal batch (r11)") {
+    // The r11 step-3 state: an anchor whose rank-1 island has CLOSED
+    // waits as a PENDING for the watermark to pass its deadline. Cut
+    // the stream between the island close and the deadline — a dropped
+    // pending silently loses its absence verdict; only restored state
+    // can emit it.
+    import java.sql.Timestamp
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_ova_in").toFile
+    val outDir = Files.createTempDirectory("graft_ova_out").toFile
+    val ckpt = Files.createTempDirectory("graft_ova_ckpt").toFile
+    val events = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val schema = events.schema
+    def startQuery() =
+      OverlapRunDetector.detectAbsentWhere(
+          Sources.fileStream(spark, in.getAbsolutePath, schema)
+            .as[CepEvent],
+          _.event_type == "click",
+          e => e.event_type == "click" || e.event_type == "view",
+          2, None, _.event_type == "purchase",
+          48L * 3600 * 1000, "0 seconds")
+        .writeStream.format("parquet")
+        .option("path", outDir.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append").start()
+    val cut = "2024-01-08 00:00:00"
+    events.filter(col("ts") < lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    events.filter(col("ts") >= lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val users = events.select("user_id").distinct()
+      .collect().map(_.getLong(0))
+    users.zipWithIndex.map { case (u, i) => CepEvent(-9200L - i,
+        Timestamp.valueOf("2031-01-01 00:00:00"), u, "zz_flush", 0.0) }
+      .toSeq.toDS().toDF()
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+    val got = spark.read.parquet(outDir.getAbsolutePath)
+      .select("user_id", "id_1", "len_2", "ts_1", "ts_2").collect()
+      .map(_.toSeq).toSet
+    Tables.load(spark, sf)
+    val want = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (click THEN click|view{2,} THEN NOT purchase
+         WITHIN '48' HOURS)
+         PARTITION BY user_id""")
+      .select("user_id", "id_1", "len_2", "ts_1", "ts_2").collect()
+      .map(_.toSeq).toSet
+    assert(got === want && want.nonEmpty,
+      s"${got.diff(want).size} extra, ${want.diff(got).size} missing " +
+        "across restart")
+  }
+
   test("3-way PERMUTE detector resumes from checkpoint: open trackers " +
       "and held arm-2 triples survive (r10)") {
     // Permute3Detector state = per-anchor trackers with BOTH candidate

@@ -619,15 +619,54 @@ class SubmitSqlSpec extends SparkSpec {
       if (qOvl.isActive) qOvl.stop()
       spark.catalog.dropTempView("pat_ovl")
     }
-    // ...overlap under 3+ steps stays batch-only (a second consumer of
-    // the shared island) → loud
+    // ...the 3-step completion form streams too (r11 session 2): the
+    // island close parks qualifying anchors as pendings; the first
+    // disjoint c inside each anchor window completes them all
+    val streamOv3 = MemoryStream[CepEvent]
+    streamOv3.toDF().createOrReplaceTempView("pat_ovl3")
+    val qOv3 = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_ovl3
+         MATCH PATTERN (b THEN b{2,} THEN c WITHIN '30' MINUTES)
+         PARTITION BY user_id""", "svc_ovl3")
+    try {
+      streamOv3.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "b", 0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:00:10"), 7, "b", 0),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:00:20"), 7, "b", 0),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 00:00:30"), 7, "x", 0),
+        CepEvent(5, Timestamp.valueOf("2026-01-01 00:00:40"), 7, "b", 0),
+        CepEvent(6, Timestamp.valueOf("2026-01-01 00:00:50"), 7, "b", 0),
+        CepEvent(7, Timestamp.valueOf("2026-01-01 00:01:30"), 7, "y", 0),
+        CepEvent(8, Timestamp.valueOf("2026-01-01 00:02:00"), 7, "c", 0))
+      qOv3.processAllAvailable()
+      val gotOv3 = spark.table("svc_ovl3")
+        .select("user_id", "id_1", "len_2", "id_3").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      // anchors 1-3 pend on island [5,6]'s close at y; c completes all
+      assert(gotOv3 === Set((7L, 1L, 2L, 8L), (7L, 2L, 2L, 8L),
+        (7L, 3L, 2L, 8L)), s"3-step overlap matches expected, got $gotOv3")
+    } finally {
+      if (qOv3.isActive) qOv3.stop()
+      spark.catalog.dropTempView("pat_ovl3")
+    }
+    // ...while overlap with a completion class INSIDE the run's class
+    // (`b THEN b{2,} THEN b`) and 4+ step overlap chains stay
+    // batch-only → loud
     val eOvl = intercept[IllegalArgumentException] {
       ContinuousQueries.submitPattern(spark,
         """SELECT * FROM pat_events2
-           MATCH PATTERN (b THEN b{2,} THEN c WITHIN '1' MINUTES)
+           MATCH PATTERN (b THEN b{2,} THEN b WITHIN '1' MINUTES)
            PARTITION BY user_id""", "svc_badovl")
     }
     assert(eOvl.getMessage.contains("overlaps"))
+    val eOvl4 = intercept[IllegalArgumentException] {
+      ContinuousQueries.submitPattern(spark,
+        """SELECT * FROM pat_events2
+           MATCH PATTERN (b THEN b{2,} THEN c THEN d WITHIN '1' MINUTES)
+           PARTITION BY user_id""", "svc_badovl4")
+    }
+    assert(eOvl4.getMessage.contains("overlaps"))
     // absence after a quantified chain (r8, previously rejected) →
     // RunChainDetector.detectAbsent: user 7's completed signup→2-click
     // prefix has no purchase → absence once the watermark proves it;
