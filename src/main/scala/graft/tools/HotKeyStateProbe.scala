@@ -118,6 +118,19 @@ object HotKeyStateProbe {
           (e: CepEvent) => e.event_type == "click",
           (e: CepEvent) => e.event_type == "click",
           20, None, 2L * 3600 * 1000, Some("0 seconds")).toDF())
+      // r11 session 2: overlap ABSENCE pendings — every click anchors,
+      // islands close at each signup (rate 1/10), so anchors convert to
+      // pendings fast and each pending lives to its 2 h deadline
+      // (purchases are absent for most): peak state must track the
+      // IN-WINDOW pending count (∝ density at fixed totals), the same
+      // window-bound law as live anchors — never events processed
+      replay(s"overlap_abs_$lbl", evs, ds =>
+        OverlapRunDetector.detectAbsentWhere(ds,
+          (e: CepEvent) => e.event_type == "click",
+          (e: CepEvent) => e.event_type == "click",
+          2, None,
+          (e: CepEvent) => e.event_type == "purchase",
+          2L * 3600 * 1000, "0 seconds").toDF())
       // r11: CDC compaction — the strongest state claim of the set:
       // per-key state is ONE compacted row by construction, so peak
       // state must be CONSTANT (1 row, flat KB) across spacings AND
