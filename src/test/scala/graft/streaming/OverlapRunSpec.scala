@@ -258,6 +258,68 @@ class OverlapRunSpec extends SparkSpec {
     }
   }
 
+  test("overlap 3-step streaming == batch on randomized dense fixtures " +
+      "(r11 fuzz, completion AND absence)") {
+    // adversarial execution fuzz: dense random fixtures (ts collisions
+    // likely, tight window so pendings expire mid-stream, breakers and
+    // completions interleaved), replayed in ts-ordered chunks + flush.
+    // Lateness 5 seconds per the permute3 fuzz lesson: equal-ts ties
+    // straddling a micro-batch boundary are late-row-filtered at
+    // '0 seconds'.
+    implicit val sq = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val types = Array("b", "b", "c", "x")
+    for (seed <- 1 to 5; absent <- Seq(false, true)) {
+      val rnd = new scala.util.Random(seed * 10 + (if (absent) 1 else 0))
+      val rows = (1 to 80).map { id =>
+        CepEvent(id.toLong, new Timestamp(t0 + rnd.nextInt(600) * 1000L),
+          (1 + rnd.nextInt(3)).toLong, types(rnd.nextInt(4)), 0.0)
+      }.sortBy(e => (e.ts.getTime, e.event_id))
+      val tag = s"${seed}_${if (absent) "a" else "f"}"
+      import spark.implicits._
+      rows.toDF().createOrReplaceTempView(s"ev_ovf_$tag")
+      val pat = if (absent) "b THEN b{2,} THEN NOT c"
+                else "b THEN b{2,} THEN c"
+      val cols = if (absent) Seq("user_id", "id_1", "len_2")
+                 else Seq("user_id", "id_1", "len_2", "id_3")
+      val batch = CepSql.sql(spark,
+        s"""SELECT * FROM ev_ovf_$tag
+           MATCH PATTERN ($pat WITHIN '2' MINUTES)
+           PARTITION BY user_id""")
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      val stream = MemoryStream[CepEvent]
+      val name = s"ovf_$tag"
+      val src = stream.toDS()
+      val det =
+        if (absent) OverlapRunDetector.detectAbsentWhere(src,
+          _.event_type == "b", _.event_type == "b", 2, None,
+          _.event_type == "c", 2 * 60 * 1000L, "5 seconds").toDF()
+        else OverlapRunDetector.detectFollowWhere(src,
+          _.event_type == "b", _.event_type == "b", 2, None,
+          _.event_type == "c", 2 * 60 * 1000L,
+          Some("5 seconds")).toDF()
+      val q = det.writeStream.queryName(name).format("memory")
+        .outputMode("append").start()
+      try {
+        rows.grouped(20).foreach { c =>
+          stream.addData(c); q.processAllAvailable()
+        }
+        stream.addData((1 to 3).map(u => CepEvent(-u.toLong,
+          Timestamp.valueOf("2026-01-02 00:00:00"), u.toLong, "zz", 0.0)))
+        q.processAllAvailable()
+        val got = spark.table(name).select(cols.map(col): _*)
+          .collect().map(_.toSeq).toSet
+        assert(got === batch,
+          s"seed $seed absent=$absent: ${got.diff(batch).take(3)} " +
+            s"extra, ${batch.diff(got).take(3)} missing " +
+            s"(${got.size} streamed vs ${batch.size} batch)")
+      } finally {
+        if (q.isActive) q.stop()
+        spark.catalog.dropTempView(s"ev_ovf_$tag")
+      }
+    }
+  }
+
   test("replay == batch rewrite on the events table (twin law)") {
     implicit val sq = spark.sqlContext
     val data = Tables.table(spark, sf, "events")
