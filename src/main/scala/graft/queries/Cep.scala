@@ -402,6 +402,32 @@ object Cep {
            ORDER BY o_custkey, rn LIMIT 500""")
     }),
 
+    // EP1f — ASOF JOIN dialect under the oracle gate (r11): DuckDB runs
+    // its NATIVE ASOF LEFT JOIN on the same shape, so the clause itself
+    // is what the hash compares. CepSql.sql dispatches the text to the
+    // TemporalJoins backward-carry operator (ZERO join nodes — one
+    // union + one per-key window pass; the same plan q_join_asof_carry
+    // pins), because no sound text-to-text rewrite exists without a
+    // left-row identity. Views pre-rename so the sides' non-key columns
+    // stay disjoint (the dialect's documented restriction).
+    "q_dialect_asof" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts").as("err_ts"))
+        .createOrReplaceTempView("asof_err")
+      e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .createOrReplaceTempView("asof_clk")
+      graft.streaming.CepSql.sql(s,
+        """SELECT e.err_id, e.user_id, e.err_ts,
+                  c.event_id AS click_id, c.click_ts
+           FROM asof_err e ASOF LEFT JOIN asof_clk c
+           ON e.user_id = c.user_id AND e.err_ts >= c.click_ts
+           ORDER BY err_id""")
+    }),
+
     // EP1b — sequence CEP from SQL TEXT (`MATCH PATTERN`, r6 dialect):
     // the statement rewrites to the q_cep_seq join/window formulation;
     // the oracle is the same DuckDB recomputation q_cep_seq uses.
@@ -784,6 +810,16 @@ object Cep {
       """SELECT event_type, count(*) AS cnt, min(event_id) AS min_id
          FROM events GROUP BY date_trunc('hour', ts), event_type
          ORDER BY min_id""",
+    // DuckDB's NATIVE ASOF LEFT JOIN — the clause itself is under test
+    "q_dialect_asof" ->
+      """SELECT e.err_id, e.user_id, e.err_ts,
+           c.event_id AS click_id, c.click_ts
+         FROM (SELECT event_id AS err_id, user_id, ts AS err_ts
+               FROM events WHERE event_type = 'error') e
+         ASOF LEFT JOIN (SELECT event_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click') c
+           ON e.user_id = c.user_id AND e.err_ts >= c.click_ts
+         ORDER BY err_id""",
     // DuckDB's NATIVE QUALIFY on the same text the Spark side submits —
     // the clause itself is the thing under test
     "q_dialect_qualify" ->

@@ -64,6 +64,36 @@ object CepSql {
     * `OVER (WINDOW …)` clause in the same statement. */
   private val qualifyKw = Pattern.compile("\\bQUALIFY\\b",
     Pattern.CASE_INSENSITIVE)
+  /** `ASOF [LEFT] JOIN` (r11) — DuckDB/Snowflake's temporal-join
+    * surface. There is NO sound text-to-text rewrite (a rank-1
+    * formulation needs a unique left-row identity the rewriter cannot
+    * assume), so [[translate]] rejects it loudly and [[sql]] dispatches
+    * the statement to [[graft.operators.TemporalJoins]]'s zero-join
+    * backward-carry operator — the skip-past precedent. Restricted,
+    * loud grammar: two named tables (register views for anything
+    * richer), one equality + one `l.ts >= r.ts` (or `>`) condition,
+    * plain `alias.col [AS name]` select items, optional ORDER BY
+    * [DESC] / LIMIT; the sides' non-key column sets must be disjoint
+    * (pre-rename in the views). Equal-ts right rows tie-break to the
+    * greatest id column (the session idCol when the right table has
+    * it, else the right ts itself) — q_join_asof's pinned choice. */
+  private val asofKw = Pattern.compile(
+    "\\bASOF\\s+(?:LEFT\\s+)?JOIN\\b", Pattern.CASE_INSENSITIVE)
+  private val asofStmt = Pattern.compile(
+    "^\\s*SELECT\\s+(.+?)\\s+FROM\\s+([A-Za-z_][\\w.]*)\\s+" +
+      "([A-Za-z_]\\w*)\\s+ASOF\\s+(LEFT\\s+)?JOIN\\s+" +
+      "([A-Za-z_][\\w.]*)\\s+([A-Za-z_]\\w*)\\s+" +
+      "ON\\s+([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)\\s*=\\s*" +
+      "([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)\\s+" +
+      "AND\\s+([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)\\s*(>=|>)\\s*" +
+      "([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)" +
+      "(?:\\s+ORDER\\s+BY\\s+([A-Za-z_][\\w, ]*?(?:\\s+DESC)?" +
+      "(?:\\s*,\\s*[A-Za-z_]\\w*(?:\\s+DESC)?)*))?" +
+      "(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*$",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val asofSelItem = Pattern.compile(
+    "^([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$",
+    Pattern.CASE_INSENSITIVE)
   /** Clauses that may legally FOLLOW the QUALIFY predicate (they stay on
     * the rewritten OUTER query). */
   private val qualTail = Pattern.compile(
@@ -217,8 +247,19 @@ object CepSql {
     val mayOver = over.matcher(q).find()
     val mayPat = matchPat.matcher(q).find()
     val mayQual = qualifyKw.matcher(q).find()
-    if (!mayOver && !mayPat && !mayQual) return q
+    val mayAsof = asofKw.matcher(q).find()
+    if (!mayOver && !mayPat && !mayQual && !mayAsof) return q
     val (lit, depth) = scan(q)
+    if (mayAsof) {
+      val am = asofKw.matcher(q)
+      while (am.find())
+        if (!lit(am.start()))
+          throw new IllegalArgumentException(
+            "ASOF JOIN has no text-to-text rewrite (a rank-1 " +
+              "formulation needs a left-row identity) — run the " +
+              "statement through CepSql.sql, which dispatches it to " +
+              "the TemporalJoins carry operator")
+    }
     if (mayPat) {
       // a MATCH PATTERN inside a string literal is data, not a clause
       val mp = matchPat.matcher(q)
@@ -1355,7 +1396,94 @@ object CepSql {
         spec.steps.map(_.events), spec.withinMs, spec.key, tsCol, typeCol,
         idCol,
         spec.steps.map(_.cond.map(c => (c.col, c.op, c.num.toDouble))))
+    } else if (realAsof(q)) {
+      asofDispatch(spark, q, idCol)
     } else spark.sql(translate(q, tsCol, typeCol, idCol))
+
+  private def realAsof(q: String): Boolean = {
+    if (!asofKw.matcher(q).find()) return false
+    val (lit, _) = scan(q)
+    val m = asofKw.matcher(q)
+    while (m.find()) if (!lit(m.start())) return true
+    false
+  }
+
+  /** `ASOF [LEFT] JOIN` text → [[graft.operators.TemporalJoins]]
+    * backward carry (see [[asofKw]]'s scaladoc for the grammar and its
+    * restrictions). Batch tables only — streaming as-of enrichment is
+    * [[AsofEnrich]]. */
+  private def asofDispatch(spark: org.apache.spark.sql.SparkSession,
+      q: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, desc}
+    val m = asofStmt.matcher(q)
+    if (!m.matches())
+      throw new IllegalArgumentException(
+        "unsupported ASOF JOIN form — the dialect accepts exactly " +
+          "`SELECT a.c [AS x], … FROM lt la ASOF [LEFT] JOIN rt ra " +
+          "ON la.k = ra.k AND la.ts >= ra.ts [ORDER BY …] [LIMIT n]` " +
+          "(register temp views for derived inputs); for other shapes " +
+          "use operators.TemporalJoins directly")
+    val (selList, ltName, la) = (m.group(1), m.group(2), m.group(3))
+    val leftOuter = m.group(4) != null
+    val (rtName, ra) = (m.group(5), m.group(6))
+    val (eqA, eqAc, eqB, eqBc) =
+      (m.group(7), m.group(8), m.group(9), m.group(10))
+    val (inA, inAc, op, inB, inBc) =
+      (m.group(11), m.group(12), m.group(13), m.group(14), m.group(15))
+    val (orderBy, limit) = (Option(m.group(16)), Option(m.group(17)))
+    def bad(msg: String) = throw new IllegalArgumentException(
+      s"ASOF JOIN: $msg")
+    // normalize the equality to (left key, right key)
+    val (lk, rk) =
+      if (eqA.equalsIgnoreCase(la) && eqB.equalsIgnoreCase(ra))
+        (eqAc, eqBc)
+      else if (eqA.equalsIgnoreCase(ra) && eqB.equalsIgnoreCase(la))
+        (eqBc, eqAc)
+      else bad(s"equality must relate the two aliases '$la' and '$ra'")
+    // the inequality must read `left.ts >= right.ts` (backward as-of)
+    if (!inA.equalsIgnoreCase(la) || !inB.equalsIgnoreCase(ra))
+      bad("the inequality must be `" + la + ".<ts> >= " + ra +
+        ".<ts>` — the backward as-of; for forward joins use " +
+        "TemporalJoins.asofJoinForward directly")
+    val lt = spark.table(ltName)
+    val rt0 = spark.table(rtName)
+    if (lt.isStreaming || rt0.isStreaming)
+      bad("batch tables only — streaming as-of enrichment is " +
+        "streaming/AsofEnrich")
+    // unify the key name (the carry unions by name)
+    val rt = if (rk == lk) rt0 else rt0.withColumnRenamed(rk, lk)
+    val overlapCols = lt.columns.map(_.toLowerCase)
+      .intersect(rt.columns.map(_.toLowerCase)).filterNot(_ == lk.toLowerCase)
+    if (overlapCols.nonEmpty)
+      bad(s"non-key columns must be disjoint across the two sides " +
+        s"(shared: ${overlapCols.mkString(", ")}) — rename in the views")
+    val rightId = rt.columns.find(_.equalsIgnoreCase(idCol))
+      .getOrElse(inBc)
+    var out = graft.operators.TemporalJoins.asofJoinBackwardCarry(
+      lt, rt, Seq(lk), inAc, inBc, rightId, strict = op == ">")
+    if (!leftOuter) out = out.filter(col(inBc).isNotNull)
+    val items = selList.split(",").map(_.trim).map { it =>
+      val im = asofSelItem.matcher(it)
+      if (!im.matches())
+        bad(s"select item '$it' — plain `alias.col [AS name]` only")
+      val side = im.group(1)
+      if (!side.equalsIgnoreCase(la) && !side.equalsIgnoreCase(ra))
+        bad(s"select item '$it' references unknown alias '$side'")
+      val cname = im.group(2)
+      col(cname).as(Option(im.group(3)).getOrElse(cname))
+    }
+    out = out.select(items.toIndexedSeq: _*)
+    orderBy.foreach { ob =>
+      val keys = ob.split(",").map(_.trim).map { k =>
+        val kd = k.split("\\s+")
+        if (kd.length == 2 && kd(1).equalsIgnoreCase("DESC")) desc(kd(0))
+        else col(kd(0))
+      }
+      out = out.orderBy(keys.toIndexedSeq: _*)
+    }
+    limit.foreach(n => out = out.limit(n.toInt))
+    out
+  }
 }
 
 /** Parser extension delegating to Spark's parser after the reference-

@@ -758,6 +758,14 @@ class PlanShapeSpec extends SparkSpec {
       s"pagerank must never plan a cartesian:\n${pr.take(2000)}")
     assert(pr.contains("HashAggregate"),
       "inflow sums must hash-aggregate (map-side combinable)")
+    // q_dialect_asof: the text dispatches to the TemporalJoins carry —
+    // ZERO join nodes (union + one per-key window), the exact plan the
+    // hot-key story mandates for as-of shapes
+    val da = plan("q_dialect_asof")
+    assert(!da.contains("Join"),
+      s"ASOF dialect must carry, never join:\n${da.take(2000)}")
+    assert(da.contains("Window") && da.contains("Union"),
+      "carry = union + per-key window pass")
     graft.Caching.releaseAll()
   }
 }

@@ -191,6 +191,71 @@ class CepSqlSpec extends SparkSpec {
       "SELECT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1") }
   }
 
+  test("ASOF JOIN dialect: dispatch == TemporalJoins carry; inner vs " +
+      "LEFT; strict >; grammar edges loud (r11)") {
+    Tables.load(spark, sf)
+    val e = Tables.table(spark, sf, "events")
+    e.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("ts").as("err_ts")).createOrReplaceTempView("asof_l")
+    e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        col("ts").as("click_ts")).createOrReplaceTempView("asof_r")
+    def direct(strict: Boolean) =
+      graft.operators.TemporalJoins.asofJoinBackwardCarry(
+        spark.table("asof_l"), spark.table("asof_r"), Seq("user_id"),
+        "err_ts", "click_ts", "event_id", strict = strict)
+        .select(col("err_id"), col("event_id").as("click_id"))
+    val left = CepSql.sql(spark,
+      """SELECT e.err_id, c.event_id AS click_id
+         FROM asof_l e ASOF LEFT JOIN asof_r c
+         ON e.user_id = c.user_id AND e.err_ts >= c.click_ts""")
+    assert(left.collect().map(_.toSeq).toSet ===
+      direct(strict = false).collect().map(_.toSeq).toSet)
+    // inner drops unmatched; strict > drops equal-ts matches
+    val inner = CepSql.sql(spark,
+      """SELECT e.err_id, c.event_id AS click_id
+         FROM asof_l e ASOF JOIN asof_r c
+         ON e.user_id = c.user_id AND e.err_ts >= c.click_ts""")
+    assert(inner.collect().map(_.toSeq).toSet ===
+      direct(strict = false).filter(col("click_id").isNotNull)
+        .collect().map(_.toSeq).toSet)
+    assert(inner.count() < left.count(),
+      "fixture must contain unmatched errors")
+    val strictQ = CepSql.sql(spark,
+      """SELECT e.err_id, c.event_id AS click_id
+         FROM asof_l e ASOF LEFT JOIN asof_r c
+         ON e.user_id = c.user_id AND e.err_ts > c.click_ts""")
+    assert(strictQ.collect().map(_.toSeq).toSet ===
+      direct(strict = true).collect().map(_.toSeq).toSet)
+    // ORDER BY + LIMIT apply on the dispatch output
+    val top = CepSql.sql(spark,
+      """SELECT e.err_id, c.event_id AS click_id
+         FROM asof_l e ASOF LEFT JOIN asof_r c
+         ON e.user_id = c.user_id AND e.err_ts >= c.click_ts
+         ORDER BY err_id DESC LIMIT 3""").collect()
+    assert(top.length === 3)
+    assert(top.map(_.getLong(0)).toSeq ===
+      top.map(_.getLong(0)).sorted(Ordering[Long].reverse).toSeq)
+    // translate(): text rewrite rejects loudly; literal form is data
+    intercept[IllegalArgumentException] { CepSql.translate(
+      "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t") }
+    val litQ = "SELECT 'ASOF JOIN' AS k FROM t"
+    assert(CepSql.translate(litQ) === litQ)
+    // sql(): non-disjoint columns, reversed inequality, bad items
+    e.select(col("event_id"), col("user_id"), col("ts"))
+      .createOrReplaceTempView("asof_clash")
+    intercept[IllegalArgumentException] { CepSql.sql(spark,
+      """SELECT a.event_id FROM asof_clash a ASOF JOIN asof_clash b
+         ON a.user_id = b.user_id AND a.ts >= b.ts""") }
+    intercept[IllegalArgumentException] { CepSql.sql(spark,
+      """SELECT e.err_id FROM asof_l e ASOF JOIN asof_r c
+         ON e.user_id = c.user_id AND c.click_ts >= e.err_ts""") }
+    intercept[IllegalArgumentException] { CepSql.sql(spark,
+      """SELECT x.err_id FROM asof_l e ASOF JOIN asof_r c
+         ON e.user_id = c.user_id AND e.err_ts >= c.click_ts""") }
+  }
+
   test("MATCH PATTERN sequence == q_cep_seq (join/window formulation)") {
     Tables.load(spark, sf)
     val got = CepSql.sql(spark,
