@@ -200,6 +200,69 @@ object PipelineOps {
         .orderBy("id")
     }),
 
+    // L15 (r11) — triangle counts + local clustering coefficient over
+    // the same near-dup candidate graph q_pagerank ranks: a triangle
+    // (three docs pairwise band-colliding) is the strongest structural
+    // duplicate signal — template FAMILIES close triangles, chance
+    // band collisions almost never do — and the local clustering
+    // coefficient 2·tri/(deg·(deg−1)) separates family members
+    // (lcc→1) from hub-like false positives (lcc→0), the screen a
+    // curation pipeline applies before trusting a component.
+    // Scale shape: enumeration uses DEGREE-ORDERED orientation
+    // (Chiba–Nishizeki / Schank–Wagner, public): each undirected edge
+    // orients from its (deg, id)-smaller endpoint, wedges come from
+    // the ≤O(arboricity) out-edges of each vertex, and one equi-join
+    // against the oriented edge frame closes them — Σ outdeg² work,
+    // bounded by m^1.5 regardless of hot hubs, where the naive
+    // id-oriented join the ORACLE uses (fine in SQL at fixture) is
+    // df²-exposed on a hub vertex. Every triangle has exactly ONE
+    // (deg, id)-minimal vertex, so the Spark enumeration and the
+    // oracle's id-ordered one count the identical triangle set.
+    "q_triangles" -> ((s, dir) => {
+      val bands = graft.Caching.cache(TextOps.bandRows(T(s, dir, "documents")))
+      val p0 = graft.Caching.cache(bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+        .distinct())
+      val deg = graft.Caching.cache(
+        p0.select(col("u").as("id")).union(p0.select(col("v").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("deg")))
+      // orient u→v iff (deg(u), u) < (deg(v), v); carry dst's order key
+      // so the wedge join can break symmetry without another lookup
+      val ed = p0
+        .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      val fwd = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val o = graft.Caching.cache(ed.select(
+        when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"),
+        when(fwd, col("dv")).otherwise(col("du")).as("dd")))
+      // wedges (a→b, a→c) with π(b) < π(c); the closing edge b→c is
+      // oriented b→c by transitivity, so ONE more equi-join finishes
+      val tri = graft.Caching.cache(o.as("x").join(o.as("y"),
+          col("x.src") === col("y.src") &&
+            (col("x.dd") < col("y.dd") ||
+              (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst"))))
+        .select(col("x.src").as("a"), col("x.dst").as("b"),
+          col("y.dst").as("c"))
+        .join(o.select(col("src").as("b"), col("dst").as("c")),
+          Seq("b", "c")))
+      val tcnt = tri.select(col("a").as("id"))
+        .union(tri.select(col("b").as("id")))
+        .union(tri.select(col("c").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("tri"))
+      deg.join(tcnt, Seq("id"), "left")
+        .na.fill(0L, Seq("tri"))
+        .withColumn("lcc", when(col("deg") >= 2,
+          fround(lit(2.0) * col("tri") / (col("deg") * (col("deg") - 1)), 4))
+          .otherwise(lit(0.0)))
+        .select(col("id").as("doc_id"), col("deg"), col("tri"), col("lcc"))
+        .orderBy("doc_id")
+    }),
+
     // Skew-hardened join (SURVEY §7.6): the salted equi-join MUST return
     // byte-identical results to the plain join it replaces — this key
     // proves it against the plain-join oracle. The salt spreads each hot
@@ -790,6 +853,51 @@ object PipelineOps {
          ${pagerankIters(5)}
          SELECT id, floor(pr * nn.n * 1000000 + 0.5) / 1000000 AS pr_rel
          FROM r5 CROSS JOIN nn ORDER BY id""",
+    "q_triangles" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         gi AS (
+           SELECT doc_id, unnest(range(1, greatest(len(w) - 1, 1))) AS i, w
+           FROM t),
+         g AS (
+           SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+           FROM gi),
+         mh AS (
+           SELECT doc_id, s.seed,
+             min(md5(concat(CAST(s.seed AS VARCHAR), ':', gram))) AS mh
+           FROM g, (SELECT unnest(range(16)) AS seed) s
+           GROUP BY doc_id, s.seed),
+         bands AS (
+           SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+           FROM mh GROUP BY doc_id, seed // 4),
+         p0 AS (
+           SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id),
+         deg AS (
+           SELECT id, count(*) AS deg FROM (
+             SELECT u AS id FROM p0 UNION ALL SELECT v FROM p0)
+           GROUP BY id),
+         tri AS (
+           SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM p0 e1
+           JOIN p0 e2 ON e2.u = e1.v
+           JOIN p0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+         tc AS (
+           SELECT id, count(*) AS tri FROM (
+             SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri)
+           GROUP BY id)
+         SELECT d.id AS doc_id, d.deg,
+           CAST(coalesce(tc.tri, 0) AS BIGINT) AS tri,
+           CASE WHEN d.deg >= 2
+             THEN floor(2.0 * coalesce(tc.tri, 0)
+                    / (d.deg * (d.deg - 1)) * 1e4 + 0.5) / 1e4
+             ELSE 0.0 END AS lcc
+         FROM deg d LEFT JOIN tc ON tc.id = d.id ORDER BY d.id""",
     "q_skew_salted" ->
       """WITH dim AS (
            SELECT user_id, count(*) AS u_events FROM events GROUP BY 1)

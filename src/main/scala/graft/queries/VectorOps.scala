@@ -75,6 +75,69 @@ object VectorOps {
         .limit(10)
     }),
 
+    // L3g (r11) — HYBRID retrieval via Reciprocal Rank Fusion (Cormack,
+    // Clarke & Buettcher 2009, public — the standard dense+lexical
+    // combiner in RAG/search stacks): the dense arm ranks by cosine to
+    // item 0's embedding, the lexical arm by Okapi BM25 against item
+    // 0's token set (q_bm25's exact scorer, summed over the query
+    // terms), and each doc's fused score is Σ 1/(60 + rank_arm) over
+    // the arms that retrieved it (missing arm contributes 0 — RRF's
+    // defining property: no score calibration between arms, ranks
+    // only). Scale shape: both arms end in a rank-limited top-100
+    // (TakeOrdered, never a global sort of the corpus); ranks come
+    // from operators.Ranking's window-FREE global row number over the
+    // 100-row frames; the fusion join is 100×100 at most, independent
+    // of corpus size. The lexical model (df/avgdl) is the corpus-wide
+    // broadcast constant frame q_bm25 already uses; query terms are a
+    // broadcast semi-side. Ranks rank on the ROUNDED scores with
+    // doc_id tie-break, so both engines see identical orders.
+    "q_rrf_fusion" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = T(s, dir, "embeddings")
+      val d = T(s, dir, "documents")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val dense = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          round(cos("embedding", "qv"), 4).as("cs"))
+        .orderBy(desc("cs"), asc("doc_id")).limit(100)
+      val dr = graft.operators.Ranking
+        .withGlobalRank(dense, "rd", desc("cs"), asc("doc_id"))
+        .select("doc_id", "rd")
+      // lexical arm — q_bm25's scorer (k1=1.2, b=0.75, Lucene +1 idf),
+      // restricted to doc 0's terms and summed per candidate doc
+      val tf = graft.Caching.cache(d.select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
+      val qterms = tf.filter(col("doc_id") === 0).select("w")
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val corpus = dl.select(count(lit(1)).as("n"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val idf = log(lit(1.0) +
+        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val tfPart = col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      val lex = tf.filter(col("doc_id") =!= 0)
+        .join(broadcast(qterms), "w")
+        .join(dfreq, "w").join(dl, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .withColumn("s1", fround(idf * tfPart, 4))
+        .groupBy("doc_id").agg(fround(sum("s1"), 4).as("bs"))
+        .orderBy(desc("bs"), asc("doc_id")).limit(100)
+      val lr = graft.operators.Ranking
+        .withGlobalRank(lex, "rl", desc("bs"), asc("doc_id"))
+        .select("doc_id", "rl")
+      dr.join(lr, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", fround(
+          coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)), 6))
+        .select(col("doc_id"), col("rd"), col("rl"), col("rrf"))
+        .orderBy(desc("rrf"), asc("doc_id"))
+        .limit(20)
+    }),
+
     // Near-dup pairs, blocked by label (stand-in for an LSH bucket): only
     // within-block pairs are scored — sub-quadratic at scale.
     "q_embed_neardup" -> ((s, dir) => {
@@ -708,6 +771,53 @@ object VectorOps {
            GROUP BY c.vec_id, c.cs16)
          SELECT vec_id, cs16, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cs
          FROM f0 ORDER BY cs DESC, vec_id LIMIT 10""",
+    "q_rrf_fusion" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         d0 AS (
+           SELECT e.vec_id AS doc_id,
+             round(sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                 * CAST(q.qe[i.i + 1] AS DOUBLE))
+               / (sqrt(sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                     * CAST(e.embedding[i.i + 1] AS DOUBLE)))
+                 * sqrt(sum(CAST(q.qe[i.i + 1] AS DOUBLE)
+                     * CAST(q.qe[i.i + 1] AS DOUBLE)))), 4) AS cs
+           FROM embeddings e, q, (SELECT unnest(range(64)) AS i) i
+           WHERE e.vec_id <> 0
+           GROUP BY e.vec_id),
+         dr AS (
+           SELECT doc_id,
+             row_number() OVER (ORDER BY cs DESC, doc_id) AS rd
+           FROM d0 QUALIFY rd <= 100),
+         tok AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+         qt AS (SELECT DISTINCT w FROM tf WHERE doc_id = 0),
+         dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+                FROM tf GROUP BY 1),
+         corpus AS (SELECT count(*) AS n,
+                      CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         sc AS (
+           SELECT tf.doc_id,
+             floor(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                   * 1e4 + 0.5) / 1e4 AS s1
+           FROM tf JOIN qt USING (w) JOIN dfreq USING (w)
+             JOIN dl USING (doc_id), corpus
+           WHERE tf.doc_id <> 0),
+         bs AS (SELECT doc_id, floor(sum(s1) * 1e4 + 0.5) / 1e4 AS bs
+                FROM sc GROUP BY doc_id),
+         lr AS (
+           SELECT doc_id,
+             row_number() OVER (ORDER BY bs DESC, doc_id) AS rl
+           FROM bs QUALIFY rl <= 100)
+         SELECT coalesce(dr.doc_id, lr.doc_id) AS doc_id, dr.rd, lr.rl,
+           floor((coalesce(CAST(1.0 AS DOUBLE) / (60 + dr.rd), 0.0)
+                  + coalesce(CAST(1.0 AS DOUBLE) / (60 + lr.rl), 0.0))
+                 * 1e6 + 0.5) / 1e6 AS rrf
+         FROM dr FULL OUTER JOIN lr ON dr.doc_id = lr.doc_id
+         ORDER BY rrf DESC, doc_id LIMIT 20""",
     "q_embed_neardup" ->
       """WITH p AS (
            SELECT a.vec_id AS ia, b.vec_id AS ib,
