@@ -810,7 +810,12 @@ object Cep {
       """SELECT event_type, count(*) AS cnt, min(event_id) AS min_id
          FROM events GROUP BY date_trunc('hour', ts), event_type
          ORDER BY min_id""",
-    // DuckDB's NATIVE ASOF LEFT JOIN — the clause itself is under test
+    // DuckDB's NATIVE ASOF LEFT JOIN — the clause itself is under test.
+    // DuckDB's choice among EQUAL-timestamp right rows is unspecified
+    // (the Spark dispatch pins max-event_id), so the hash gate is
+    // deterministic only while the fixture right side has unique
+    // (user_id, ts) clicks — pinned by CepSqlSpec's fixture-uniqueness
+    // test at both the spec sf and the driver's sf0.01.
     "q_dialect_asof" ->
       """SELECT e.err_id, e.user_id, e.err_ts,
            c.event_id AS click_id, c.click_ts

@@ -489,12 +489,27 @@ object PipelineOps {
         .limit(20)
     }))
 
+  /** Round-count cutover for BPE training (VERDICT r11 §next-5): the
+    * distributed loop costs ONE Spark job per merge round — fine at the
+    * contract keys' 3 rounds, pathological at a production 32k-merge
+    * vocabulary (32k sequential jobs of ~vocab-sized work each). Past
+    * this cutover the trainer switches to the standard sharded-BPE
+    * posture: the corpus-sized work happens ONCE (the word-frequency
+    * aggregation — the only pass that touches 100 TB), the resulting
+    * vocab table is Heaps-bounded (≈ n^0.5 rows — millions, not
+    * billions), so ONE bounded collect brings it to the driver and the
+    * merge loop runs locally with ZERO per-round jobs, byte-identical
+    * merges (OperatorsSpec pins local ≡ distributed). The learned merge
+    * list is then applied distributively in ONE map pass. */
+  private[graft] val BpeLocalCutover = 8
+
   /** The q_bpe_train merge rounds: word-frequency table → `rounds` ×
     * (pair-count agg → 2-string driver collect → map-side fold merge).
     * Returns the learned merges and the post-merge word table. Driver
     * traffic is 2 strings + 1 long per round — the k-means constant-
-    * traffic discipline. */
-  private def bpeRounds(s: SparkSession, dir: String, rounds: Int)
+    * traffic discipline. Past [[BpeLocalCutover]] rounds, dispatches to
+    * the driver-local trainer (same merges, zero per-round jobs). */
+  private[graft] def bpeRounds(s: SparkSession, dir: String, rounds: Int)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
     import s.implicits._
     val words = graft.Caching.cache(
@@ -504,24 +519,91 @@ object PipelineOps {
         .groupBy("w").agg(count(lit(1)).as("freq"))
         .withColumn("syms", expr(
           "transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
-    def pairCounts(df: DataFrame): DataFrame = df
-      .filter(size(col("syms")) >= 2)
-      .select(col("freq"), explode(expr(
-        """transform(sequence(0, size(syms) - 2),
-           i -> named_struct('p1', syms[i], 'p2', syms[i + 1]))"""))
-        .as("p"))
-      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
-      .agg(sum("freq").as("cnt"))
-    var cur = words
-    val merges = (1 to rounds).map { r =>
-      val top = pairCounts(cur)
-        .orderBy(desc("cnt"), asc("p1"), asc("p2")).limit(1)
-        .as[(String, String, Long)].head()
-      cur = cur.withColumn("syms",
-        expr(bpeMergeExpr("syms", top._1, top._2)))
-      (r.toLong, top._1, top._2, top._3)
+    if (rounds > BpeLocalCutover) {
+      // Heaps-bounded collect (vocab, not corpus), local merge loop,
+      // then ONE distributed pass applying the whole ranked merge list —
+      // a typed map over the vocab table (genuine per-row imperative
+      // fold; the 32k-entry merge list is a broadcast value, far past
+      // what a generated expression tree can carry)
+      val vocab = words.select(col("w"), col("freq"))
+        .as[(String, Long)].collect().toSeq
+      val merges = bpeTrainLocal(vocab, rounds)
+      val bc = s.sparkContext.broadcast(merges.map(m => (m._2, m._3)))
+      val applied = words.select(col("w"), col("freq"))
+        .as[(String, Long)]
+        .map { case (w, f) =>
+          var syms = w.map(_.toString).toArray
+          bc.value.foreach { case (p1, p2) =>
+            syms = bpeMergeLocal(syms, p1, p2) }
+          (w, f, syms)
+        }.toDF("w", "freq", "syms")
+      (merges, applied)
+    } else {
+      def pairCounts(df: DataFrame): DataFrame = df
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(0, size(syms) - 2),
+             i -> named_struct('p1', syms[i], 'p2', syms[i + 1]))"""))
+          .as("p"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(sum("freq").as("cnt"))
+      var cur = words
+      val merges = (1 to rounds).map { r =>
+        val top = pairCounts(cur)
+          .orderBy(desc("cnt"), asc("p1"), asc("p2")).limit(1)
+          .as[(String, String, Long)].head()
+        cur = cur.withColumn("syms",
+          expr(bpeMergeExpr("syms", top._1, top._2)))
+        (r.toLong, top._1, top._2, top._3)
+      }
+      (merges, cur)
     }
-    (merges, cur)
+  }
+
+  /** Driver-local BPE trainer — the exact mirror of the distributed
+    * round loop (all-adjacency weighted pair counts, (cnt DESC, p1, p2)
+    * tiebreak, leftmost-greedy fold merge), run over the ONE collected
+    * Heaps-bounded vocab table. OperatorsSpec pins merge-list equality
+    * against the distributed loop on the documents fixture. Throws the
+    * same NoSuchElementException the distributed head() does if the
+    * vocab runs out of adjacent pairs before `rounds`. */
+  private[graft] def bpeTrainLocal(vocab: Seq[(String, Long)], rounds: Int)
+      : Seq[(Long, String, String, Long)] = {
+    var words: Array[(Array[String], Long)] =
+      vocab.map { case (w, f) => (w.map(_.toString).toArray, f) }.toArray
+    (1 to rounds).map { r =>
+      val counts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty)
+        throw new NoSuchElementException(
+          s"BPE round $r: no adjacent pairs left to merge")
+      val ((p1, p2), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+      words = words.map { case (syms, f) =>
+        (bpeMergeLocal(syms, p1, p2), f) }
+      (r.toLong, p1, p2, cnt)
+    }
+  }
+
+  /** Leftmost-greedy local merge — the Scala twin of [[bpeMergeExpr]]'s
+    * SQL fold (same accumulator semantics: a just-merged symbol never
+    * re-merges within the round). */
+  private[graft] def bpeMergeLocal(syms: Array[String], p1: String,
+      p2: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    syms.foreach { c =>
+      if (out.nonEmpty && out.last == p1 && c == p2) {
+        out.remove(out.length - 1); out += (p1 + p2)
+      } else out += c
+    }
+    out.toArray
   }
 
   /** One BPE merge round as a leftmost-greedy fold over a symbol

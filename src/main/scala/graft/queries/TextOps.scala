@@ -949,7 +949,11 @@ object TextOps {
         .agg(count(lit(1)).as("nab"))
         .crossJoin(broadcast(total))
         .withColumn("pmi", fround(
-          log(col("nab") * col("d_total") / (col("na") * col("nb"))), 4))
+          // multiply in DOUBLE (q_kl_drift's discipline): nab·d_total and
+          // na·nb as long·long overflow Int64 at 100 TB doc counts; the
+          // double products stay exact under 2^53 and merely round above
+          log(col("nab").cast("double") * col("d_total") /
+            (col("na").cast("double") * col("nb"))), 4))
         .select("wa", "wb", "nab", "na", "nb", "pmi")
         .orderBy("wa", "wb")
     }),
@@ -1639,7 +1643,8 @@ object TextOps {
            GROUP BY 1, 2, 3, 4)
          SELECT wa, wb, CAST(nab AS BIGINT) AS nab,
            CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
-           floor(ln(nab * d_total / (na * nb)) * 10000 + 0.5) / 10000
+           floor(ln(CAST(nab AS DOUBLE) * d_total /
+             (CAST(na AS DOUBLE) * nb)) * 10000 + 0.5) / 10000
              AS pmi
          FROM p, t ORDER BY wa, wb""",
     "q_kl_drift" ->

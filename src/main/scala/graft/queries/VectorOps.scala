@@ -200,7 +200,11 @@ object VectorOps {
     "q_ann_recall" -> ((s, dir) => {
       GraftFunctions.register(s)
       val e = T(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") % 50 === 0)
+      // FIXED query budget (r12): the 40 lowest vec_ids — a TakeOrdered,
+      // never a scan fraction — so the brute-force truth side is O(Q·n)
+      // with Q a driver constant and the query broadcast is constant-size
+      // at ANY corpus scale (the audit SCALE.md describes, now as written)
+      val q = e.orderBy(asc("vec_id")).limit(40)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       // per-label mean centroids (the q_ann_ivf trainer frame)
       val cents = e
@@ -256,7 +260,8 @@ object VectorOps {
     "q_recall_nprobe" -> ((s, dir) => {
       GraftFunctions.register(s)
       val e = T(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") % 50 === 0)
+      // same FIXED 40-query budget as q_ann_recall (O(Q·n) truth side)
+      val q = e.orderBy(asc("vec_id")).limit(40)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val cents = e
         .select(col("label"),
@@ -868,7 +873,7 @@ object VectorOps {
     "q_ann_recall" ->
       """WITH q AS (
            SELECT vec_id AS qid, embedding AS qv FROM embeddings
-           WHERE vec_id % 50 = 0),
+           ORDER BY vec_id LIMIT 40),
          cent AS (
            SELECT label, i.i AS pos, avg(CAST(embedding[i.i + 1] AS DOUBLE))
              AS cx
@@ -924,7 +929,7 @@ object VectorOps {
     "q_recall_nprobe" ->
       """WITH q AS (
            SELECT vec_id AS qid, embedding AS qv FROM embeddings
-           WHERE vec_id % 50 = 0),
+           ORDER BY vec_id LIMIT 40),
          cent AS (
            SELECT label, i.i AS pos, avg(CAST(embedding[i.i + 1] AS DOUBLE))
              AS cx

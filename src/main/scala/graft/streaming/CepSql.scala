@@ -1462,15 +1462,29 @@ object CepSql {
     var out = graft.operators.TemporalJoins.asofJoinBackwardCarry(
       lt, rt, Seq(lk), inAc, inBc, rightId, strict = op == ">")
     if (!leftOuter) out = out.filter(col(inBc).isNotNull)
+    // resolve each select item against ITS side's column set: a bare-name
+    // lookup would break on the right key after the rk→lk rename and would
+    // silently resolve a wrong-side qualified reference to the other side
+    val leftCols = lt.columns
+    val rightCols = rt0.columns
     val items = selList.split(",").map(_.trim).map { it =>
       val im = asofSelItem.matcher(it)
       if (!im.matches())
         bad(s"select item '$it' — plain `alias.col [AS name]` only")
       val side = im.group(1)
-      if (!side.equalsIgnoreCase(la) && !side.equalsIgnoreCase(ra))
-        bad(s"select item '$it' references unknown alias '$side'")
       val cname = im.group(2)
-      col(cname).as(Option(im.group(3)).getOrElse(cname))
+      val resolved =
+        if (side.equalsIgnoreCase(la))
+          leftCols.find(_.equalsIgnoreCase(cname)).getOrElse(
+            bad(s"select item '$it': '$cname' is not a column of " +
+              s"'$ltName' (alias '$la' has: ${leftCols.mkString(", ")})"))
+        else if (side.equalsIgnoreCase(ra)) {
+          if (cname.equalsIgnoreCase(rk)) lk // unified key name post-rename
+          else rightCols.find(_.equalsIgnoreCase(cname)).getOrElse(
+            bad(s"select item '$it': '$cname' is not a column of " +
+              s"'$rtName' (alias '$ra' has: ${rightCols.mkString(", ")})"))
+        } else bad(s"select item '$it' references unknown alias '$side'")
+      col(resolved).as(Option(im.group(3)).getOrElse(cname))
     }
     out = out.select(items.toIndexedSeq: _*)
     orderBy.foreach { ob =>

@@ -128,8 +128,14 @@ object OverlapRunDetector {
     implicit val keyEnc = Encoders.scalaLong
     val withinUs = withinMs * 1000L
     val wmEnabled = watermarkDelay.isDefined && events.isStreaming
-    require(!absent || wmEnabled || !events.isStreaming,
-      "the absent overlap form needs a watermark (timer-driven verdicts)")
+    // The absent form's no-C verdicts are TIMER-driven: without a watermark
+    // timer there is no resolution path, so a batch Dataset would silently
+    // emit zero rows. Reject batch outright — batch callers use the
+    // equivalent rewrite in queries/Cep.scala (q_pattern_qabs shape).
+    require(!absent || wmEnabled,
+      "the absent overlap form needs a STREAMING input with a watermark " +
+        "(no-C verdicts are timer-driven; for batch input use the batch " +
+        "overlap-absence rewrite in queries/Cep.scala)")
     val src = if (wmEnabled) events.withWatermark("ts", watermarkDelay.get)
               else events
     val timeoutConf = if (wmEnabled) GroupStateTimeout.EventTimeTimeout()

@@ -12,14 +12,23 @@ import org.apache.spark.sql.functions._
   * that window (f4b18a3's adaptive cap vs the r9 fixed cap in the seed
   * selection) — fixture labels are 50–220 rows, all under the 32² =
   * 1024 adaptive threshold, so the A/B should measure ≈ 1.0× if the
-  * drift is ambient. */
+  * drift is ambient.
+  *
+  * r12 (verdict #1): `q_dedup_proxy` joined the suite after the r11
+  * driver bench read it at 0.234 s vs the 0.099 s baseline (2.36×, the
+  * one per-metric budget breach) on an UNCHANGED 6-line countDistinct —
+  * measured here at matched warmth against the same anchor, at both the
+  * baseline's 4-thread config and the driver's 32-thread config
+  * (SPARK_GRAFT_PROBE_CPUS, default 32). Baseline-implied anchor ratio:
+  * 0.099 / 0.300 = 0.33. */
 object DriftProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_PROBE_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -71,6 +80,7 @@ object DriftProbe {
       ("anchor", key("q_agg_groupby") _),
       ("sliding", key("q_window_sliding") _),
       ("semdedup", key("q_semdedup") _),
+      ("dedup_proxy", key("q_dedup_proxy") _),
       ("assign_adaptive", adaptiveAssign _),
       ("assign_fixed_r9", fixedAssign _))
     val meds = suite.map { case (name, f) =>
@@ -82,7 +92,8 @@ object DriftProbe {
       name -> s(2)
     }.toMap
     println(f"ratios vs anchor: sliding=${meds("sliding") / meds("anchor")}%.2f " +
-      f"semdedup=${meds("semdedup") / meds("anchor")}%.2f")
+      f"semdedup=${meds("semdedup") / meds("anchor")}%.2f " +
+      f"dedup_proxy=${meds("dedup_proxy") / meds("anchor")}%.2f")
     println(f"adaptive/fixed assignment A/B: " +
       f"${meds("assign_adaptive") / meds("assign_fixed_r9")}%.2f")
     spark.stop()

@@ -529,5 +529,67 @@ class OperatorsSpec extends SparkSpec {
         (Seq("b", "a", "a", "a", "b"), "a", "a")))
       assert(merge(t, p1, p2) == replayReplace(t, p1, p2),
         s"fold vs iterated-replace diverge on $t ($p1,$p2)")
+    // the driver-local merge twin (the >cutover path) agrees everywhere
+    for ((t, p1, p2) <- Seq(
+        (Seq("a", "a", "a", "a"), "a", "a"),
+        (Seq("a", "a", "a"), "a", "a"),
+        (Seq("a", "b", "a", "b"), "a", "b"),
+        (Seq("xa", "a"), "a", "a"),
+        (Seq("b", "a", "a", "a", "b"), "a", "a")))
+      assert(graft.queries.PipelineOps
+        .bpeMergeLocal(t.toArray, p1, p2).toSeq == merge(t, p1, p2),
+        s"local merge vs SQL fold diverge on $t ($p1,$p2)")
+  }
+
+  test("BPE local trainer == distributed round loop (r12): identical " +
+      "merge lists and identical applied vocab either side of the " +
+      "round-count cutover") {
+    val rounds = graft.queries.PipelineOps.BpeLocalCutover + 2
+    // distributed loop for the SAME round count: replicate its exact
+    // plan here (the production entry dispatches >cutover to local —
+    // this is the equality that justifies that dispatch)
+    import org.apache.spark.sql.functions._
+    val words = graft.Tables.table(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+      .localCheckpoint(true)
+    def pairCounts(df: org.apache.spark.sql.DataFrame) = df
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(0, size(syms) - 2),
+           i -> named_struct('p1', syms[i], 'p2', syms[i + 1]))"""))
+        .as("p"))
+      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .agg(sum("freq").as("cnt"))
+    var cur = words
+    val distMerges = (1 to rounds).map { r =>
+      val top = pairCounts(cur)
+        .orderBy(desc("cnt"), asc("p1"), asc("p2")).limit(1)
+        .as[(String, String, Long)].head()
+      cur = cur.withColumn("syms",
+        expr(graft.queries.PipelineOps.bpeMergeExpr("syms", top._1,
+          top._2)))
+      (r.toLong, top._1, top._2, top._3)
+    }
+    val vocab = words.select(col("w"), col("freq"))
+      .as[(String, Long)].collect().toSeq
+    val localMerges =
+      graft.queries.PipelineOps.bpeTrainLocal(vocab, rounds)
+    assert(localMerges == distMerges,
+      s"local $localMerges vs distributed $distMerges")
+    // applied vocab agrees too: fold the local merge list per word and
+    // compare against the distributed post-merge table
+    val distWords = cur.select(col("w"), col("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    val ml = localMerges.map(m => (m._2, m._3))
+    vocab.foreach { case (w, _) =>
+      var syms = w.map(_.toString).toArray
+      ml.foreach { case (p1, p2) =>
+        syms = graft.queries.PipelineOps.bpeMergeLocal(syms, p1, p2) }
+      assert(syms.toSeq == distWords(w), s"applied vocab diverges on '$w'")
+    }
   }
 }

@@ -256,6 +256,59 @@ class CepSqlSpec extends SparkSpec {
          ON e.user_id = c.user_id AND e.err_ts >= c.click_ts""") }
   }
 
+  test("ASOF JOIN select items resolve per SIDE (r12): right-key refs " +
+      "survive the key rename; cross-side refs reject loudly") {
+    Tables.load(spark, sf)
+    val e = Tables.table(spark, sf, "events")
+    e.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("ts").as("err_ts")).createOrReplaceTempView("asof_l2")
+    // right side keys on a DIFFERENT name (uid) — the dispatch renames it
+    e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id").as("uid"),
+        col("ts").as("click_ts")).createOrReplaceTempView("asof_r2")
+    // selecting the right key by ITS name must translate across the rename
+    val got = CepSql.sql(spark,
+      """SELECT e.err_id, c.uid AS right_key, c.event_id AS click_id
+         FROM asof_l2 e ASOF JOIN asof_r2 c
+         ON e.user_id = c.uid AND e.err_ts >= c.click_ts""")
+    assert(got.columns.toSeq === Seq("err_id", "right_key", "click_id"))
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    // the matched right key equals the left key by the equi-condition:
+    // verify the translated column really is the key, not garbage
+    val chk = CepSql.sql(spark,
+      """SELECT e.user_id AS lk, c.uid AS rk
+         FROM asof_l2 e ASOF JOIN asof_r2 c
+         ON e.user_id = c.uid AND e.err_ts >= c.click_ts""").collect()
+    assert(chk.forall(r => r.getLong(0) == r.getLong(1)))
+    // a wrong-side qualified reference must reject, not silently resolve
+    intercept[IllegalArgumentException] { CepSql.sql(spark,
+      """SELECT e.click_ts FROM asof_l2 e ASOF JOIN asof_r2 c
+         ON e.user_id = c.uid AND e.err_ts >= c.click_ts""") }
+    intercept[IllegalArgumentException] { CepSql.sql(spark,
+      """SELECT c.err_id FROM asof_l2 e ASOF JOIN asof_r2 c
+         ON e.user_id = c.uid AND e.err_ts >= c.click_ts""") }
+  }
+
+  test("q_dialect_asof fixture has unique (user_id, ts) clicks — the " +
+      "DuckDB native-ASOF oracle's equal-ts tie choice is unspecified, " +
+      "so the hash gate is deterministic ONLY under this pin (r12)") {
+    // check the spec's sf AND the driver's correctness-gate sf (0.01)
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")
+         if new java.io.File(dir).isDirectory) {
+      Tables.load(spark, dir)
+      val clk = Tables.table(spark, dir, "events")
+        .filter(col("event_type") === "click")
+      assert(clk.groupBy("user_id", "ts").count()
+        .filter(col("count") > 1).isEmpty,
+        s"equal-ts same-user clicks in $dir would make the native-ASOF " +
+          "oracle's right-row choice nondeterministic; re-key the " +
+          "fixture or make the oracle tie-explicit (rank-1 by " +
+          "click_ts DESC, event_id DESC)")
+    }
+  }
+
   test("MATCH PATTERN sequence == q_cep_seq (join/window formulation)") {
     Tables.load(spark, sf)
     val got = CepSql.sql(spark,

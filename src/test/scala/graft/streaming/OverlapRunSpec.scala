@@ -355,4 +355,19 @@ class OverlapRunSpec extends SparkSpec {
     assert(g === w, s"stream ${g.size} vs batch ${w.size}")
     assert(w.nonEmpty, "fixture must exercise the overlap form")
   }
+
+  test("the absent form rejects BATCH input loudly (r12): no watermark " +
+      "timer means no no-c verdicts, so silence would be a wrong answer") {
+    import spark.implicits._
+    val batch = Seq(
+      ev(1, "2026-01-01 00:00:00", 7, "b"),
+      ev(2, "2026-01-01 00:00:10", 7, "b")).toDS()
+    val e = intercept[IllegalArgumentException] {
+      OverlapRunDetector.detectAbsentWhere(batch,
+        _.event_type == "b", _.event_type == "b", 2, None,
+        _.event_type == "c", 60000L, "0 seconds")
+    }
+    assert(e.getMessage.contains("STREAMING"))
+    assert(e.getMessage.contains("batch"))
+  }
 }
