@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Runtime continuous-query management (SURVEY §2.9 C7 / §3.1 EP3).
@@ -222,17 +222,35 @@ object ContinuousQueries {
                   "value/event_id/user_id/ts columns — other columns " +
                   "via the batch rewrite CepSql.sql")
         }
-        spec.steps.sliding(2).foreach { pair =>
-          if (pair.length == 2 && pair.last.minTimes.isDefined &&
-              pair.head.events.toSet.intersect(
-                pair.last.events.toSet).nonEmpty)
-            throw new IllegalArgumentException(
-              "a {m,} step whose class overlaps the previous step's " +
-                "streams only in the greedy 2-step form WITHOUT " +
-                "measures (OverlapRunDetector) — for MEASURES over an " +
-                "overlapping run use the batch rewrite via CepSql.sql")
+        val measuresOverlapAt = spec.steps.sliding(2).exists { pair =>
+          pair.length == 2 && pair.last.minTimes.isDefined &&
+            pair.head.events.toSet.intersect(
+              pair.last.events.toSet).nonEmpty
         }
-        val det = RunChainDetector.detectMeasures(srcWm,
+        val det: Dataset[RunChainMeasured] = if (measuresOverlapAt) {
+          // MEASURES × overlap streams since r12 in the greedy 2-step
+          // head form `A THEN B{m,}`: span aggregates accumulate per
+          // anchor (the batch span join covers anchor..run-end
+          // inclusive regardless of class), FIRST/LAST read the shared
+          // island's boundary rows, anchor class refs capture at the
+          // anchor. MATCH_NUMBER and deeper/absent/reluctant overlap
+          // forms reject loudly (OverlapRunDetector.detectMeasures
+          // names each), as does overlap at a non-head boundary here.
+          val sts = spec.steps
+          val headForm = sts.length == 2 && sts.head.minTimes.isEmpty &&
+            sts(1).minTimes.isDefined && !spec.absent &&
+            !sts.exists(_.optional) && !sts.exists(_.reluctant)
+          if (!headForm)
+            throw new IllegalArgumentException(
+              "MEASURES over an overlapping run streams only in the " +
+                "greedy 2-step head form `A THEN B{m,}` " +
+                "(OverlapRunDetector.detectMeasures) — for deeper, " +
+                "absent, or reluctant overlap forms use the batch " +
+                "rewrite via CepSql.sql")
+          OverlapRunDetector.detectMeasures(src, stepPred(sts.head),
+            stepPred(sts(1)), sts(1).minTimes.get, sts(1).maxTimes,
+            spec.withinMs, spec.measures, Some(lateness))
+        } else RunChainDetector.detectMeasures(srcWm,
           spec.steps.map(s => (stepPred(s), s.minTimes)), spec.withinMs,
           spec.steps.map(_.maxTimes), spec.measures,
           spec.steps.map(_.reluctant))
@@ -334,15 +352,18 @@ object ContinuousQueries {
               pair.last.events.toSet).nonEmpty
         }
         if (overlapAt) {
-          // r11 session 2: the overlap family now streams in THREE
-          // greedy forms — `A THEN B{m,}`, `A THEN B{m,} THEN C`, and
-          // `A THEN B{m,} THEN NOT C` — all on OverlapRunDetector's
-          // shared island tracker; the step-3 forms park qualifying
-          // anchors as pendings resolved by the first disjoint C
-          // (completion) or the watermark passing the anchor deadline
-          // (absence). Overlap anywhere but the head boundary, a C
-          // class overlapping the run's, reluctant runs, and optional
-          // steps stay loudly batch-routed.
+          // r11 session 2 grew the overlap family to three greedy
+          // forms; r12 generalizes it to ANY unquantified tail —
+          // `A THEN B{m,} THEN C THEN D … [THEN NOT Z]` — on
+          // OverlapRunDetector's shared island tracker: a qualifying
+          // close parks the anchor as a pending that CHAINS through
+          // the tail steps (per-step rank-1), the optional trailing
+          // NOT resolving at the watermark deadline. The r11 "C
+          // disjoint from B" restriction is DROPPED: tail resolution
+          // is island-independent in batch too (fuzz-pinned in
+          // OverlapRunSpec). Overlap anywhere but the head boundary,
+          // reluctant runs, optional steps, and quantified tail steps
+          // stay loudly batch-routed.
           val sts = spec.steps
           val onlyHeadOv = sts.sliding(2).zipWithIndex.forall {
             case (pair, idx) =>
@@ -356,10 +377,10 @@ object ContinuousQueries {
               .nonEmpty &&
             sts.head.minTimes.isEmpty && !sts.exists(_.optional) &&
             !sts.exists(_.reluctant)
+          val tailOk = sts.drop(2).forall(_.minTimes.isEmpty)
           val streamable2 = base && sts.length == 2 && !spec.absent
-          val streamable3 = base && sts.length == 3 &&
-            sts(2).minTimes.isEmpty &&
-            sts(2).events.toSet.intersect(sts(1).events.toSet).isEmpty
+          val streamable3 = base && sts.length == 3 && tailOk
+          val streamableN = base && sts.length >= 4 && tailOk
           if (streamable2)
             return submitMemory(OverlapRunDetector.detectWhere(src,
               stepPred(sts.head), stepPred(sts(1)),
@@ -375,14 +396,32 @@ object ContinuousQueries {
               src, stepPred(sts.head), stepPred(sts(1)),
               sts(1).minTimes.get, sts(1).maxTimes, stepPred(sts(2)),
               spec.withinMs, lateness).toDF(), name, "append")
+          if (streamableN) {
+            // flatten the tail arrays back to the batch rewrite's
+            // id_3../ts_3.. columns (the absent form emits the prefix
+            // through step N−1, exactly like the batch anti-join)
+            val detN = OverlapRunDetector.detectChainWhere(src,
+              stepPred(sts.head), stepPred(sts(1)),
+              sts(1).minTimes.get, sts(1).maxTimes,
+              sts.drop(2).map(stepPred), spec.absent, spec.withinMs,
+              Some(lateness)).toDF()
+            val nTail = if (spec.absent) sts.length - 3 else sts.length - 2
+            val idCols = (0 until nTail).map(i =>
+              col("tail_ids").getItem(i).as(s"id_${i + 3}"))
+            val tsCols = (0 until nTail).map(i =>
+              col("tail_ts").getItem(i).as(s"ts_${i + 3}"))
+            return submitMemory(detN.select(
+              (Seq(col("user_id"), col("id_1"), col("len_2")) ++ idCols ++
+                Seq(col("ts_1"), col("ts_2")) ++ tsCols): _*),
+              name, "append")
+          }
           throw new IllegalArgumentException(
             "a {m,} step whose class overlaps the previous step's " +
-              "streams only in the greedy head forms `A THEN B{m,}`, " +
-              "`A THEN B{m,} THEN C`, `A THEN B{m,} THEN NOT C` " +
-              "(C disjoint from B; OverlapRunDetector) — for overlap " +
-              "at a later boundary, 4+ steps, a C class overlapping " +
-              "the run's, MEASURES, or reluctant runs use the batch " +
-              "rewrite via CepSql.sql")
+              "streams only in the greedy head family `A THEN B{m,} " +
+              "[THEN C THEN D … [THEN NOT Z]]` with an unquantified " +
+              "tail (OverlapRunDetector) — for overlap at a later " +
+              "boundary, quantified tail steps, optional steps, or " +
+              "reluctant runs use the batch rewrite via CepSql.sql")
         }
         // watermarked input (r8): the detector's pruning horizon reads
         // getCurrentWatermarkMs — un-watermarked it fell back to the

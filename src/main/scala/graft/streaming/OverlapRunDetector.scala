@@ -17,20 +17,54 @@ case class OverlapChainMatch(user_id: Long, id_1: Long, len_2: Long,
 case class OverlapChain3Match(user_id: Long, id_1: Long, len_2: Long,
     id_3: Long, ts_1: Timestamp, ts_2: Timestamp, ts_3: Timestamp)
 
+/** The generalized N-step form (r12): the 2-step columns plus the
+  * matched TAIL rows in step order — the batch columns id_3..id_N /
+  * ts_3..ts_N as arrays (the dispatch flattens them back to the batch
+  * names). For the absent form the arrays carry the matched POSITIVE
+  * tail (length N−3 there — the batch absent rewrite emits prefix
+  * columns only). */
+case class OverlapChainNMatch(user_id: Long, id_1: Long, len_2: Long,
+    ts_1: Timestamp, ts_2: Timestamp,
+    tail_ids: Seq[Long], tail_ts: Seq[Timestamp])
+
 case class OvIsland(count: Long, start: Timestamp, end: Timestamp)
 case class OvAnchor(id1: Long, ts1: Timestamp)
-/** An anchor whose rank-1 island has CLOSED, waiting on step 3: either
-  * the first C within (ts2, ts1+within] (completion) or proof that none
-  * arrives (absence — watermark-timer-driven). */
-case class OvPending(id1: Long, ts1: Timestamp, len: Long, ts2: Timestamp)
+/** An anchor whose rank-1 island has CLOSED, advancing through the
+  * unquantified TAIL steps (r12 — was a single step 3): `tailIds/tailTs`
+  * carry the matched tail rows so far; the next wanted step is their
+  * length. Completion emits when every tail step is matched; the absent
+  * form matches every POSITIVE tail step, then waits for proof no
+  * final-class event arrives (watermark-timer-driven). */
+case class OvPending(id1: Long, ts1: Timestamp, len: Long, ts2: Timestamp,
+    tailIds: Seq[Long], tailTs: Seq[Timestamp])
 case class OverlapChainState(open: Option[OvIsland],
     anchors: List[OvAnchor], pending: List[OvPending])
 
+/** Measures-form state (r12): the island additionally carries its
+  * first/last rows' slot values (FIRST/LAST boundary refs desugared from
+  * quantified-step class refs); each anchor carries its own span
+  * accumulators — the batch span join covers EVERY event of the key
+  * between the anchor and the run end inclusive, REGARDLESS of class, so
+  * the accumulators live per anchor, seeded at the anchor event. */
+case class OvMIsland(count: Long, start: Timestamp, end: Timestamp,
+    firstBnd: Seq[Double], lastBnd: Seq[Double])
+case class OvMAnchor(id1: Long, ts1: Timestamp, sums: Seq[Double],
+    cnt: Long, mns: Seq[Double], mxs: Seq[Double], anchorBnd: Seq[Double])
+case class OverlapMState(open: Option[OvMIsland], anchors: List[OvMAnchor])
+
 /** Streaming detector for quantified chains whose run class OVERLAPS the
   * anchor's — the carve-out every round before r11 routed to batch:
-  * `A THEN B{m,}` (greedy 2-step, r11), and since this session also
-  * `A THEN B{m,} THEN C` and `A THEN B{m,} THEN NOT C` (C's class
-  * disjoint from B's).
+  * `A THEN B{m,}` (greedy 2-step, r11), `A THEN B{m,} THEN C` and
+  * `A THEN B{m,} THEN NOT C` (r11), and since r12 ANY unquantified tail
+  * `A THEN B{m,} THEN C THEN D …[THEN NOT Z]` — the pendings CHAIN
+  * through the tail steps — plus MEASURES over the 2-step head form.
+  * r12 also DROPS the r11 "C disjoint from B" restriction: a tail event
+  * in B's class never closes an island, but tail resolution is
+  * island-INDEPENDENT in batch too (the step join only wants the first
+  * class event with `ts > ts_prev` inside the anchor window, islands or
+  * not), so the same event correctly extends the island AND serves
+  * pendings — OverlapRunSpec fuzzes the overlapping-C forms against the
+  * batch rewrite.
   *
   * WHY the general chain detector can't do this (the r10 verdict's
   * "run maximality differs"): the batch contract computes B-runs as
@@ -55,25 +89,44 @@ case class OverlapChainState(open: Option[OvIsland],
   * emission is sound — [[RunDetector]]'s documented discipline); the
   * first closing island that qualifies for an anchor IS the batch
   * rank-1 by (run_start, run_end), because islands are disjoint and
-  * close in start order. Step-3 forms (r11): a qualifying close moves
-  * the anchor to a PENDING slot carrying (id_1, ts_1, len_2, ts_2) —
-  * exactly the batch prefix row. Completion (`THEN C`) resolves on the
-  * first C-class event with `ts > ts_2` inside the anchor window (the
-  * batch rank-1 under the suite's ts-ordered replay contract — the
-  * breaker that closed the island is itself tested first, since a
-  * disjoint C is necessarily an island breaker); a pending whose
-  * window passes unserved drops silently (inner-join miss). Absence
-  * (`THEN NOT C`) is the inverse: any such C KILLS the pending, and
-  * the no-C verdict emits only once the watermark passes the anchor
-  * deadline (timer-driven, [[RunDetector]]'s discipline — a watermark
-  * is therefore REQUIRED for the absent form). Unmatched anchors emit
+  * close in start order. Tail steps (r11 single, r12 chained): a
+  * qualifying close moves the anchor to a PENDING slot carrying
+  * (id_1, ts_1, len_2, ts_2) — exactly the batch prefix row — and each
+  * subsequent tail step resolves to the FIRST event of its class with
+  * `ts` strictly after the previous step's inside the anchor window
+  * (the batch per-step rank-1 under the suite's ts-ordered replay
+  * contract; an event advances a pending at most ONE step, since the
+  * next step needs `ts` strictly greater). A pending whose window
+  * passes unserved drops silently (inner-join miss). The absent form
+  * (`… THEN NOT Z`) matches every positive tail step the same way;
+  * any Z-class event after the last positive match KILLS the pending,
+  * and the no-Z verdict emits only once the watermark passes the
+  * anchor deadline (timer-driven — a watermark is therefore REQUIRED,
+  * and batch input is rejected outright). Unmatched anchors emit
   * nothing and are dropped as soon as no current-or-future island can
   * serve them; state is O(live anchors + pendings + 1 island) per key,
-  * all window-bound. Still batch-only (loudly rejected upstream,
-  * SubmitSqlSpec-pinned): overlap at a NON-HEAD boundary (step i ≥ 2
-  * overlapping step i+1), a C class overlapping the run's, MEASURES,
-  * and reluctant runs — each adds a consumer of the shared island
-  * whose resolution is neither close- nor deadline-driven.
+  * all window-bound.
+  *
+  * MEASURES (r12, 2-step head only): span aggregates accumulate PER
+  * ANCHOR (seeded at the anchor event — the batch span join covers
+  * every event between the match's first and last rows inclusive
+  * regardless of class, and non-B events can sit between the anchor
+  * and the island start); FIRST/LAST boundary refs read the island's
+  * first/last rows, captured in the island tracker. MATCH_NUMBER stays
+  * batch-only: numbering orders by (ts_1, id_1) but an EARLY anchor
+  * can match a LATE island after a later anchor already matched, so a
+  * correct number assignment must hold emissions back to the
+  * watermark horizon — a third resolution clock this detector
+  * deliberately does not add (RunChainDetector's held-release
+  * machinery exists for the disjoint forms; the batch rewrite serves
+  * the overlap form).
+  *
+  * Still batch-only (loudly rejected upstream, SubmitSqlSpec-pinned):
+  * overlap at a NON-HEAD boundary (step i ≥ 2 overlapping step i+1 —
+  * the island tracker is anchored to the head; a mid-chain overlap
+  * would need one shared tracker PER PREFIX POSITION), reluctant
+  * runs, optional steps, quantified tail steps, and MEASURES beyond
+  * the 2-step head form.
   */
 object OverlapRunDetector {
   private def us(t: Timestamp): Long =
@@ -86,25 +139,30 @@ object OverlapRunDetector {
       watermarkDelay: Option[String] = None)
       : Dataset[OverlapChainMatch] = {
     implicit val matchEnc = Encoders.product[OverlapChainMatch]
-    engine(events, anchorPred, runPred, minLen, maxLen, None,
+    engine(events, anchorPred, runPred, minLen, maxLen, Nil,
       absent = false, withinMs, watermarkDelay)
       .map(m => OverlapChainMatch(m.user_id, m.id_1, m.len_2,
         m.ts_1, m.ts_2))
   }
 
-  /** 3-step completion `A THEN B{m,} THEN C` (C disjoint from B). */
+  /** 3-step completion `A THEN B{m,} THEN C` (C may overlap B since
+    * r12). */
   def detectFollowWhere(events: Dataset[CepEvent],
       anchorPred: CepEvent => Boolean, runPred: CepEvent => Boolean,
       minLen: Int, maxLen: Option[Int],
       followPred: CepEvent => Boolean, withinMs: Long,
       watermarkDelay: Option[String] = None)
-      : Dataset[OverlapChain3Match] =
+      : Dataset[OverlapChain3Match] = {
+    implicit val matchEnc = Encoders.product[OverlapChain3Match]
     engine(events, anchorPred, runPred, minLen, maxLen,
-      Some(followPred), absent = false, withinMs, watermarkDelay)
+      Seq(followPred), absent = false, withinMs, watermarkDelay)
+      .map(m => OverlapChain3Match(m.user_id, m.id_1, m.len_2,
+        m.tail_ids.head, m.ts_1, m.ts_2, m.tail_ts.head))
+  }
 
-  /** 3-step absence `A THEN B{m,} THEN NOT C` (C disjoint from B).
-    * Watermark REQUIRED — no-C verdicts are timer-driven. Output shape
-    * matches the batch absent rewrite (prefix columns only). */
+  /** 3-step absence `A THEN B{m,} THEN NOT C` (C may overlap B since
+    * r12). Watermark REQUIRED — no-C verdicts are timer-driven. Output
+    * shape matches the batch absent rewrite (prefix columns only). */
   def detectAbsentWhere(events: Dataset[CepEvent],
       anchorPred: CepEvent => Boolean, runPred: CepEvent => Boolean,
       minLen: Int, maxLen: Option[Int],
@@ -112,23 +170,42 @@ object OverlapRunDetector {
       watermarkDelay: String): Dataset[OverlapChainMatch] = {
     implicit val matchEnc = Encoders.product[OverlapChainMatch]
     engine(events, anchorPred, runPred, minLen, maxLen,
-      Some(followPred), absent = true, withinMs, Some(watermarkDelay))
+      Seq(followPred), absent = true, withinMs, Some(watermarkDelay))
       .map(m => OverlapChainMatch(m.user_id, m.id_1, m.len_2,
         m.ts_1, m.ts_2))
+  }
+
+  /** N-step chained tail (r12): `A THEN B{m,} THEN C THEN D …` with an
+    * optional trailing NOT (`absent = true` negates the LAST `tail`
+    * pred). Tail steps are unquantified; classes may overlap B's
+    * freely. For `absent`, a watermark is required (the no-Z verdict is
+    * timer-driven) and the emitted arrays carry the positive tail. */
+  def detectChainWhere(events: Dataset[CepEvent],
+      anchorPred: CepEvent => Boolean, runPred: CepEvent => Boolean,
+      minLen: Int, maxLen: Option[Int],
+      tail: Seq[CepEvent => Boolean], absent: Boolean, withinMs: Long,
+      watermarkDelay: Option[String] = None)
+      : Dataset[OverlapChainNMatch] = {
+    require(tail.nonEmpty,
+      "detectChainWhere wants at least one tail step — use detectWhere " +
+        "for the plain 2-step form")
+    engine(events, anchorPred, runPred, minLen, maxLen, tail, absent,
+      withinMs, watermarkDelay)
   }
 
   private def engine(events: Dataset[CepEvent],
       anchorPred: CepEvent => Boolean, runPred: CepEvent => Boolean,
       minLen: Int, maxLen: Option[Int],
-      follow: Option[CepEvent => Boolean], absent: Boolean,
+      tail: Seq[CepEvent => Boolean], absent: Boolean,
       withinMs: Long, watermarkDelay: Option[String])
-      : Dataset[OverlapChain3Match] = {
-    implicit val matchEnc = Encoders.product[OverlapChain3Match]
+      : Dataset[OverlapChainNMatch] = {
+    implicit val matchEnc = Encoders.product[OverlapChainNMatch]
     implicit val stateEnc = Encoders.product[OverlapChainState]
     implicit val keyEnc = Encoders.scalaLong
+    require(!absent || tail.nonEmpty, "the absent form needs a tail step")
     val withinUs = withinMs * 1000L
     val wmEnabled = watermarkDelay.isDefined && events.isStreaming
-    // The absent form's no-C verdicts are TIMER-driven: without a watermark
+    // The absent form's no-Z verdicts are TIMER-driven: without a watermark
     // timer there is no resolution path, so a batch Dataset would silently
     // emit zero rows. Reject batch outright — batch callers use the
     // equivalent rewrite in queries/Cep.scala (q_pattern_qabs shape).
@@ -136,21 +213,26 @@ object OverlapRunDetector {
       "the absent overlap form needs a STREAMING input with a watermark " +
         "(no-C verdicts are timer-driven; for batch input use the batch " +
         "overlap-absence rewrite in queries/Cep.scala)")
+    // the stage index at which a pending has matched every POSITIVE tail
+    // step: completion emits there; absence waits there for the verdict
+    val doneStage = if (absent) tail.length - 1 else tail.length
     val src = if (wmEnabled) events.withWatermark("ts", watermarkDelay.get)
               else events
     val timeoutConf = if (wmEnabled) GroupStateTimeout.EventTimeTimeout()
                       else GroupStateTimeout.NoTimeout()
 
     src.groupByKey(_.user_id)
-      .flatMapGroupsWithState[OverlapChainState, OverlapChain3Match](
+      .flatMapGroupsWithState[OverlapChainState, OverlapChainNMatch](
         OutputMode.Append(), timeoutConf) {
         (user: Long, it: Iterator[CepEvent],
             state: GroupState[OverlapChainState]) =>
           var open = state.getOption.flatMap(_.open)
           var anchors = state.getOption.map(_.anchors).getOrElse(Nil)
           var pending = state.getOption.map(_.pending).getOrElse(Nil)
-          val out = List.newBuilder[OverlapChain3Match]
+          val out = List.newBuilder[OverlapChainNMatch]
           def deadline(ts1: Timestamp): Long = us(ts1) + withinUs
+          def lastTs(p: OvPending): Long =
+            if (p.tailTs.isEmpty) us(p.ts2) else us(p.tailTs.last)
 
           // an anchor stays live while SOME island could still meet the
           // batch predicate: any island starting after `clock` is gone
@@ -165,17 +247,19 @@ object OverlapRunDetector {
               maxLen.forall(o.count <= _))
           }
 
-          // watermark-horizon resolution: no C with ts <= deadline can
-          // still arrive once wm passes it — absence pendings verdict
-          // no-follow, completion pendings are inner-join misses
+          // watermark-horizon resolution: no tail event with ts <= the
+          // deadline can still arrive once wm passes it — absence
+          // pendings that reached doneStage verdict no-follow, every
+          // other ripe pending is an inner-join miss
           def resolveByWm(wmUs: Long): Unit = {
             anchors = anchors.filter(live(_, wmUs))
-            if (follow.isDefined) {
+            if (tail.nonEmpty) {
               val (ripe, rest) =
                 pending.partition(p => wmUs > deadline(p.ts1))
               if (absent) ripe.foreach { p =>
-                out += OverlapChain3Match(user, p.id1, p.len, -1L,
-                  p.ts1, p.ts2, p.ts2)
+                if (p.tailIds.length == doneStage)
+                  out += OverlapChainNMatch(user, p.id1, p.len,
+                    p.ts1, p.ts2, p.tailIds, p.tailTs)
               }
               pending = rest
             }
@@ -196,46 +280,60 @@ object OverlapRunDetector {
               //    every live anchor tests the batch join predicate —
               //    strictly-after start, window-bounded end, length in
               //    [m, n] with whole-run semantics. A qualifying anchor
-              //    emits (2-step) or moves to pending (3-step)
+              //    emits (2-step) or moves to pending (tail forms)
               if (!runPred(e)) {
                 open.foreach { o =>
                   if (o.count >= minLen && maxLen.forall(o.count <= _))
                     anchors = anchors.flatMap { a =>
                       if (us(o.start) > us(a.ts1) &&
                           us(o.end) <= deadline(a.ts1)) {
-                        if (follow.isEmpty)
-                          out += OverlapChain3Match(user, a.id1, o.count,
-                            -1L, a.ts1, o.end, o.end)
+                        if (tail.isEmpty)
+                          out += OverlapChainNMatch(user, a.id1, o.count,
+                            a.ts1, o.end, Nil, Nil)
                         else
                           pending ::= OvPending(a.id1, a.ts1, o.count,
-                            o.end)
+                            o.end, Nil, Nil)
                         Nil
                       } else List(a)
                     }
                 }
                 open = None
               }
-              // 2. step-3 resolution — tested on EVERY event including
-              //    the breaker that just closed the island (a disjoint C
-              //    is necessarily a breaker): completion emits and
-              //    clears, absence kills
-              follow.foreach { fp =>
-                if (fp(e))
-                  pending = pending.flatMap { p =>
-                    if (t > us(p.ts2) && t <= deadline(p.ts1)) {
-                      if (!absent)
-                        out += OverlapChain3Match(user, p.id1, p.len,
-                          e.event_id, p.ts1, p.ts2, e.ts)
+              // 2. tail resolution — tested on EVERY event including
+              //    the breaker that just closed the island (a disjoint
+              //    tail event is necessarily a breaker; an overlapping
+              //    one extends the island below AND serves pendings
+              //    here). Each pending advances at most ONE step per
+              //    event: the next step wants ts strictly greater.
+              if (tail.nonEmpty)
+                pending = pending.flatMap { p =>
+                  val stage = p.tailIds.length
+                  if (stage == doneStage) {
+                    // absence arm: a final-class event kills the pending
+                    if (absent && tail.last(e) && t > lastTs(p) &&
+                        t <= deadline(p.ts1)) Nil
+                    else List(p)
+                  } else if (tail(stage)(e) && t > lastTs(p) &&
+                      t <= deadline(p.ts1)) {
+                    val adv = p.copy(tailIds = p.tailIds :+ e.event_id,
+                      tailTs = p.tailTs :+ e.ts)
+                    if (!absent && adv.tailIds.length == doneStage) {
+                      out += OverlapChainNMatch(user, adv.id1, adv.len,
+                        adv.ts1, adv.ts2, adv.tailIds, adv.tailTs)
                       Nil
-                    } else List(p)
-                  }
-              }
+                    } else List(adv)
+                  } else List(p)
+                }
               // 3. event-clock cleanup (no emission — unmatched anchors
               //    and unserved completion pendings are inner-join
-              //    misses; absence pendings wait for the watermark)
+              //    misses; an absence pending that reached doneStage
+              //    waits for the watermark, but one still mid-tail past
+              //    its deadline can never complete and drops here too)
               anchors = anchors.filter(live(_, t))
-              if (!absent && follow.isDefined)
-                pending = pending.filter(p => t <= deadline(p.ts1))
+              if (tail.nonEmpty)
+                pending = pending.filter(p =>
+                  t <= deadline(p.ts1) ||
+                    (absent && p.tailIds.length == doneStage))
               // 4. a B event extends or opens the shared island
               if (runPred(e)) {
                 open = open match {
@@ -261,6 +359,180 @@ object OverlapRunDetector {
               state.setTimeoutTimestamp(
                 math.max(nextMs, state.getCurrentWatermarkMs() + 1))
             }
+          }
+          out.result().iterator
+      }
+  }
+
+  /** MEASURES over the greedy 2-step head form `A THEN B{m,}` (r12):
+    * span aggregates (SUM/AVG/MIN/MAX/COUNT over numeric converter
+    * columns or COUNT(*)), FIRST/LAST boundary refs on the quantified
+    * step (step 2 — refs to it desugar there; ts rides the Double slot
+    * as exact micros), and class refs on the anchor step (step 1).
+    * MATCH_NUMBER is rejected (see the object scaladoc). Output is
+    * [[RunChainMeasured]] — the same shape the quantified-chain
+    * measures arm emits, so the dispatch's alias/cast mapping applies
+    * unchanged: step_vals = [id_1, len_2], step_ts = [ts_1, ts_2],
+    * start_ts/end_ts = the span bounds. */
+  def detectMeasures(events: Dataset[CepEvent],
+      anchorPred: CepEvent => Boolean, runPred: CepEvent => Boolean,
+      minLen: Int, maxLen: Option[Int], withinMs: Long,
+      measures: Seq[CepSql.Measure],
+      watermarkDelay: Option[String] = None)
+      : Dataset[RunChainMeasured] = {
+    require(measures.nonEmpty, "at least one measure")
+    measures.foreach {
+      case CepSql.SpanAgg(fn, c, _) =>
+        require(Set("SUM", "AVG", "MIN", "MAX", "COUNT")(fn),
+          s"unsupported measure fn '$fn'")
+        if (c != "*") PatternMatch.numColumn(c) // loud on non-numeric
+      case CepSql.BoundRef(fn, _, c, st, _) =>
+        require(Set("FIRST", "LAST")(fn), s"unsupported boundary fn '$fn'")
+        require(st == 2,
+          "overlap-form FIRST/LAST boundary refs read the quantified " +
+            "step (step 2)")
+        if (!c.equalsIgnoreCase("ts")) PatternMatch.numColumn(c)
+      case CepSql.ClassRef(_, c, st, _) =>
+        require(st == 1, "overlap-form class refs read the anchor (step 1)")
+        if (!c.equalsIgnoreCase("ts")) PatternMatch.numColumn(c)
+      case m => throw new IllegalArgumentException(
+        "overlap-form measures support span aggregates, FIRST/LAST on " +
+          "the run, and anchor class refs — MATCH_NUMBER needs " +
+          "held-release numbering (an early anchor can match a late " +
+          s"island); got '$m' — use the batch rewrite via CepSql.sql")
+    }
+    val aggCols = measures.collect {
+      case CepSql.SpanAgg(fn, c, _) if fn != "COUNT" && c != "*" =>
+        c.toLowerCase(java.util.Locale.ROOT)
+    }.distinct
+    val aggSels = aggCols.map(PatternMatch.numColumn)
+    val slotGet: Seq[Option[CepEvent => Double]] = measures.map {
+      case b: CepSql.BoundRef =>
+        Some(if (b.col.equalsIgnoreCase("ts"))
+          (e: CepEvent) => us(e.ts).toDouble
+        else PatternMatch.numColumn(b.col))
+      case cr: CepSql.ClassRef =>
+        Some(if (cr.col.equalsIgnoreCase("ts"))
+          (e: CepEvent) => us(e.ts).toDouble
+        else PatternMatch.numColumn(cr.col))
+      case _ => None
+    }
+    val withinUs = withinMs * 1000L
+    val wmEnabled = watermarkDelay.isDefined && events.isStreaming
+    val src = if (wmEnabled) events.withWatermark("ts", watermarkDelay.get)
+              else events
+    implicit val matchEnc = Encoders.product[RunChainMeasured]
+    implicit val stateEnc = Encoders.product[OverlapMState]
+    implicit val keyEnc = Encoders.scalaLong
+
+    val timeoutConf = if (wmEnabled) GroupStateTimeout.EventTimeTimeout()
+                      else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OverlapMState, RunChainMeasured](
+        OutputMode.Append(), timeoutConf) {
+        (user: Long, it: Iterator[CepEvent],
+            state: GroupState[OverlapMState]) =>
+          var open = state.getOption.flatMap(_.open)
+          var anchors = state.getOption.map(_.anchors).getOrElse(Nil)
+          val out = List.newBuilder[RunChainMeasured]
+          def deadline(ts1: Timestamp): Long = us(ts1) + withinUs
+          def live(a: OvMAnchor, clock: Long): Boolean = {
+            val dl = deadline(a.ts1)
+            if (clock <= dl) true
+            else open.exists(o => us(o.start) > us(a.ts1) &&
+              us(o.end) <= dl && o.count >= minLen &&
+              maxLen.forall(o.count <= _))
+          }
+          def vals(a: OvMAnchor, isl: OvMIsland): Seq[Double] =
+            measures.zipWithIndex.map {
+              case (CepSql.SpanAgg(fn, c, _), _) =>
+                lazy val i =
+                  aggCols.indexOf(c.toLowerCase(java.util.Locale.ROOT))
+                fn match {
+                  case "SUM" => a.sums(i)
+                  case "AVG" => a.sums(i) / a.cnt
+                  case "MIN" => a.mns(i)
+                  case "MAX" => a.mxs(i)
+                  case _     => a.cnt.toDouble
+                }
+              case (CepSql.BoundRef("FIRST", _, _, _, _), j) =>
+                isl.firstBnd(j)
+              case (_: CepSql.BoundRef, j) => isl.lastBnd(j)
+              case (_: CepSql.ClassRef, j) => a.anchorBnd(j)
+              case (_, _) => 0.0
+            }
+
+          // wm-driven anchor pruning (state stays window-bound on idle
+          // keys too): a timed-out key drops anchors no island can serve
+          val batch =
+            if (state.hasTimedOut) Array.empty[CepEvent]
+            else it.toArray.sortBy(e => (us(e.ts), e.event_id))
+          if (state.hasTimedOut)
+            anchors = anchors.filter(
+              live(_, state.getCurrentWatermarkMs() * 1000L))
+          batch.foreach { e =>
+            val t = us(e.ts)
+            // 1. island close: qualifying anchors emit with THEIR span
+            //    accumulators (events anchor..run-end — the breaker is
+            //    not yet folded in) and the island's boundary slots
+            if (!runPred(e)) {
+              open.foreach { o =>
+                if (o.count >= minLen && maxLen.forall(o.count <= _))
+                  anchors = anchors.flatMap { a =>
+                    if (us(o.start) > us(a.ts1) &&
+                        us(o.end) <= deadline(a.ts1)) {
+                      out += RunChainMeasured(user, Seq(a.id1, o.count),
+                        Seq(a.ts1, o.end), a.ts1, o.end, vals(a, o))
+                      Nil
+                    } else List(a)
+                  }
+              }
+              open = None
+            }
+            // 2. cleanup, then fold THIS event into surviving anchors'
+            //    span accumulators (the span covers anchor..run-end
+            //    inclusive regardless of class; an anchor surviving this
+            //    close may still match a later island whose span
+            //    includes this event)
+            anchors = anchors.filter(live(_, t))
+            val evAgg = aggSels.map(g => g(e))
+            anchors = anchors.map { a =>
+              a.copy(sums = a.sums.lazyZip(evAgg).map(_ + _),
+                cnt = a.cnt + 1,
+                mns = a.mns.lazyZip(evAgg).map(math.min),
+                mxs = a.mxs.lazyZip(evAgg).map(math.max))
+            }
+            // 3. island upkeep with boundary-slot capture
+            if (runPred(e)) {
+              val slots = slotGet.map(_.map(g => g(e)).getOrElse(0.0))
+              open = open match {
+                case Some(o) =>
+                  Some(o.copy(count = o.count + 1, end = e.ts,
+                    lastBnd = slots))
+                case None =>
+                  Some(OvMIsland(1, e.ts, e.ts, slots, slots))
+              }
+            }
+            // 4. anchor creation — accumulators SEEDED with the anchor
+            //    event itself (the span's first row), class-ref slots
+            //    captured here
+            if (anchorPred(e)) {
+              val evA = aggSels.map(g => g(e))
+              val slots = slotGet.lazyZip(measures).map {
+                case (Some(g), _: CepSql.ClassRef) => g(e)
+                case _ => 0.0
+              }
+              anchors = anchors :+ OvMAnchor(e.event_id, e.ts,
+                evA, 1L, evA, evA, slots)
+            }
+          }
+          if (open.isEmpty && anchors.isEmpty) state.remove()
+          else {
+            state.update(OverlapMState(open, anchors))
+            if (wmEnabled && anchors.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                anchors.map(a => deadline(a.ts1) / 1000L + 1).min,
+                state.getCurrentWatermarkMs() + 1))
           }
           out.result().iterator
       }
