@@ -125,6 +125,15 @@ object PipelineOps {
     // pick is ONE max_by aggregation over a 2-field struct — no window,
     // no second pass — then a component-equi join fans the keeper back
     // to members. Emits the keep flag a deletion pass filters on.
+    // STREAMING stance (r12): bands and the quality column stream as
+    // maintained keyed frames (min-agg per (doc, band); newest-wins per
+    // doc), and edges arrive incrementally from each new doc's band
+    // lookups — but the KEEPER is a per-component argmax over an
+    // iterative fixpoint (connected components), so one new edge can
+    // merge two components and flip every member's keeper. The
+    // streaming form is therefore periodic recompute over the
+    // maintained band/edge frames — q_pagerank's documented stance —
+    // not a per-event twin.
     "q_dedup_keepbest" -> ((s, dir) => {
       val d = T(s, dir, "documents")
       val bands = graft.Caching.cache(TextOps.bandRows(d))

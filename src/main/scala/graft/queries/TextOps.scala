@@ -155,6 +155,13 @@ object TextOps {
     // (doc_id, source) projection — shuffle ∝ pairs + docs — and the
     // output is at most |sources|² rows, orders of magnitude below doc
     // cardinality at any scale.
+    // STREAMING stance (r12): the band frame streams exactly as a keyed
+    // min-agg per (doc, band) — the maintained-frame pattern the CDC
+    // stance documents — and each NEW doc's bands join only against the
+    // maintained frame, so candidate pairs arrive incrementally; the
+    // matrix itself is then a keyed counter. The declared key stays the
+    // batch report (its consumer cadence is the crawl snapshot, not the
+    // event).
     "q_source_overlap" -> ((s, dir) => {
       val d = T(s, dir, "documents")
       val bands = graft.Caching.cache(bandRows(d))

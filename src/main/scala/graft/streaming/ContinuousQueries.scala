@@ -100,16 +100,21 @@ object ContinuousQueries {
     * dual-order tracker with held arm-2 release), as do the 2-step
     * reluctant HEAD forms — `{1,}?` and the reluctant absence at any m
     * ([[LazyRunDetector]]). A quantified step whose class OVERLAPS its
-    * predecessor's streams since r11 in the greedy head forms —
-    * `A THEN B{m,}`, `A THEN B{m,} THEN C`, and
-    * `A THEN B{m,} THEN NOT C` with C disjoint from B
+    * predecessor's streams since r11, generalized in r12 to the whole
+    * greedy head family — `A THEN B{m,}` plus ANY unquantified tail
+    * `THEN C THEN D … [THEN NOT Z]`, tail classes free to overlap B's
     * ([[OverlapRunDetector]] — one shared island tracker per key, the
-    * batch GLOBAL gaps-and-islands made incremental; step-3 pendings
-    * resolve on the first disjoint C or the watermark deadline). The
-    * remaining batch-only forms, each rejected loudly with a pointer to
-    * [[CepSql.sql]]: overlap at a non-head boundary / 4+ steps / a C
-    * class overlapping the run's / MEASURES / reluctant runs; `{1,}?`
-    * outside the 2-step head; bounded lazy
+    * batch GLOBAL gaps-and-islands made incremental; pendings CHAIN
+    * through the tail steps, the trailing NOT resolving at the
+    * watermark deadline), and MEASURES over the 2-step head form
+    * (per-anchor span accumulators + island boundary slots,
+    * [[OverlapRunDetector.detectMeasures]]). The remaining batch-only
+    * forms, each rejected loudly with a pointer to [[CepSql.sql]]:
+    * overlap at a non-head boundary (OverlapRunSpec pins the
+    * counterexample) / quantified or optional tail steps after an
+    * overlap head / reluctant runs × overlap / MEASURES beyond the
+    * 2-step head (incl. MATCH_NUMBER × overlap — held-release
+    * numbering); `{1,}?` outside the 2-step head; bounded lazy
     * `{m,n}?` (rejected at parse). Measures × reluctant stream
     * since r8 (lazy completions fold POST — the m-th event is a span
     * row, unlike a greedy closure).

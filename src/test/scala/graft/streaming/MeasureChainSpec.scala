@@ -166,6 +166,105 @@ class MeasureChainSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("overlap-head measures replay == batch span join (r12): span " +
+      "aggregates per anchor, FIRST/LAST on the shared island") {
+    import org.apache.spark.sql.functions.col
+    Tables.load(spark, sf)
+    val want = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (click THEN click|view{2,} WITHIN '48' HOURS)
+         PARTITION BY user_id
+         MEASURES COUNT(*) AS c, SUM(value) AS sv, MIN(value) AS mnv,
+                  FIRST(view.value) AS fv, view.value AS lv""")
+      .collect().map { r =>
+        // batch columns: user_id, id_1, len_2, ts_1, ts_2, c, sv, mnv,
+        // fv, lv — (user_id, id_1) identifies a match (one rank-1
+        // island per anchor); compare every measure
+        (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(5), r.getDouble(6), r.getDouble(7),
+            r.getDouble(8), r.getDouble(9)))
+      }.toMap
+    assert(want.nonEmpty, "fixture must produce overlap matches")
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"measure_ovl_${System.nanoTime}"
+    stream.toDF().createOrReplaceTempView(s"src_$name")
+    val q = ContinuousQueries.submitPattern(spark,
+      s"""SELECT * FROM src_$name
+         MATCH PATTERN (click THEN click|view{2,} WITHIN '48' HOURS)
+         PARTITION BY user_id
+         MEASURES COUNT(*) AS c, SUM(value) AS sv, MIN(value) AS mnv,
+                  FIRST(view.value) AS fv, view.value AS lv""",
+      name, lateness = "5 seconds")
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { ch =>
+      stream.addData(ch.toSeq)
+      q.processAllAvailable()
+    }
+    // end-of-data flush: batch closes the final island at end of input
+    stream.addData(CepEvent(-1L,
+      Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "zz", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).filter(col("user_id") =!= -1L)
+      .collect().map { r =>
+        val sv = r.getSeq[Long](1)  // step_vals = [id_1, len_2]
+        (r.getLong(0), sv(0)) ->
+          ((sv(1), r.getLong(5), r.getDouble(6), r.getDouble(7),
+            r.getDouble(8), r.getDouble(9)))
+      }.toMap
+    assert(got.keySet === want.keySet,
+      s"match sets differ: ${got.keySet.diff(want.keySet).take(3)} " +
+        s"extra, ${want.keySet.diff(got.keySet).take(3)} missing")
+    want.foreach { case (k, w) =>
+      val g = got(k)
+      assert(g._1 == w._1 && g._2 == w._2, s"len/count @$k: $g vs $w")
+      Seq(g._3 -> w._3, g._4 -> w._4, g._5 -> w._5, g._6 -> w._6)
+        .foreach { case (gv, wv) =>
+          assert(math.abs(gv - wv) < 1e-6, s"measure @$k: $g vs $w") }
+    }
+  }
+
+  test("overlap measures: anchor class refs via the direct API; " +
+      "MATCH_NUMBER rejects with the held-release reason (r12)") {
+    implicit val sq = spark.sqlContext
+    // MATCH_NUMBER: loud, names the batch rewrite
+    val stream0 = MemoryStream[CepEvent]
+    val e = intercept[IllegalArgumentException] {
+      OverlapRunDetector.detectMeasures(stream0.toDS(),
+        _.event_type == "b", _.event_type == "b", 2, None, 60000L,
+        Seq(CepSql.MatchNum("mno")))
+    }
+    assert(e.getMessage.contains("batch rewrite"))
+    // anchor class ref (step 1) — not expressible in the dialect for an
+    // overlap pattern (the anchor name is ambiguous by definition), so
+    // the API-level capture is pinned here: b1's value rides the slot
+    val stream = MemoryStream[CepEvent]
+    val name = s"measure_ovla_${System.nanoTime}"
+    val q = OverlapRunDetector.detectMeasures(stream.toDS(),
+        _.event_type == "b", _.event_type == "b", 2, None,
+        30 * 60 * 1000L,
+        Seq(CepSql.ClassRef("b", "value", 1, "av"),
+          CepSql.SpanAgg("COUNT", "*", "c")))
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    stream.addData(
+      CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "b", 5.0),
+      CepEvent(2, Timestamp.valueOf("2026-01-01 00:00:10"), 7, "x", 1.0),
+      CepEvent(3, Timestamp.valueOf("2026-01-01 00:00:20"), 7, "b", 2.0),
+      CepEvent(4, Timestamp.valueOf("2026-01-01 00:00:30"), 7, "b", 3.0),
+      CepEvent(5, Timestamp.valueOf("2026-01-01 00:01:00"), 7, "y", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).collect()
+    assert(rows.length == 1)
+    val vals = rows.head.getSeq[Double](5)
+    // anchor b1 (value 5.0); span b1..b4 inclusive regardless of class
+    // (x2 counts) => COUNT 4
+    assert(vals(0) == 5.0 && vals(1) == 4.0, s"got $vals")
+  }
+
   test("streaming rejects a measure column outside the converter schema " +
     "(r8)") {
     implicit val sq = spark.sqlContext

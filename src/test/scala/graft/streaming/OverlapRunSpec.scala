@@ -320,6 +320,112 @@ class OverlapRunSpec extends SparkSpec {
     }
   }
 
+  test("overlap generalized forms streaming == batch on randomized " +
+      "dense fixtures (r12 fuzz: overlapping completion class + 4-step " +
+      "chained tails, completion AND absence)") {
+    // same adversarial protocol as the r11 fuzz, over the r12 forms:
+    // a completion class INSIDE the run's class (the event extends the
+    // island AND serves pendings), and 4-step chained tails with and
+    // without a trailing NOT
+    implicit val sq = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val types = Array("b", "b", "c", "d", "x")
+    val bP = (e: CepEvent) => e.event_type == "b"
+    val cP = (e: CepEvent) => e.event_type == "c"
+    val dP = (e: CepEvent) => e.event_type == "d"
+    val forms: Seq[(String, Boolean, Seq[CepEvent => Boolean], Int)] = Seq(
+      // (pattern tail text, absent, tail preds, # positive tail steps)
+      ("THEN b", false, Seq(bP), 1),
+      ("THEN NOT b", true, Seq(bP), 0),
+      ("THEN c THEN d", false, Seq(cP, dP), 2),
+      ("THEN c THEN NOT d", true, Seq(cP, dP), 1))
+    for (seed <- 1 to 4; ((tailTxt, absent, tailPreds, nPos), fi) <-
+        forms.zipWithIndex) {
+      val rnd = new scala.util.Random(seed * 100 + fi)
+      val rows = (1 to 90).map { id =>
+        CepEvent(id.toLong, new Timestamp(t0 + rnd.nextInt(600) * 1000L),
+          (1 + rnd.nextInt(3)).toLong, types(rnd.nextInt(5)), 0.0)
+      }.sortBy(e => (e.ts.getTime, e.event_id))
+      val tag = s"g${seed}_$fi"
+      import spark.implicits._
+      rows.toDF().createOrReplaceTempView(s"ev_ovg_$tag")
+      val cols = Seq("user_id", "id_1", "len_2") ++
+        (0 until nPos).map(i => s"id_${i + 3}")
+      val batch = CepSql.sql(spark,
+        s"""SELECT * FROM ev_ovg_$tag
+           MATCH PATTERN (b THEN b{2,} $tailTxt WITHIN '2' MINUTES)
+           PARTITION BY user_id""")
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      val stream = MemoryStream[CepEvent]
+      val name = s"ovg_$tag"
+      val det = OverlapRunDetector.detectChainWhere(stream.toDS(),
+        bP, bP, 2, None, tailPreds, absent, 2 * 60 * 1000L,
+        Some("5 seconds")).toDF()
+      val q = det.writeStream.queryName(name).format("memory")
+        .outputMode("append").start()
+      try {
+        rows.grouped(20).foreach { c =>
+          stream.addData(c); q.processAllAvailable()
+        }
+        stream.addData((1 to 3).map(u => CepEvent(-u.toLong,
+          Timestamp.valueOf("2026-01-02 00:00:00"), u.toLong, "zz", 0.0)))
+        q.processAllAvailable()
+        val flat = Seq(col("user_id"), col("id_1"), col("len_2")) ++
+          (0 until nPos).map(i =>
+            col("tail_ids").getItem(i).as(s"id_${i + 3}"))
+        val got = spark.table(name).select(flat: _*)
+          .collect().map(_.toSeq).toSet
+        assert(got === batch,
+          s"seed $seed form '$tailTxt' absent=$absent: " +
+            s"${got.diff(batch).take(3)} extra, " +
+            s"${batch.diff(got).take(3)} missing " +
+            s"(${got.size} streamed vs ${batch.size} batch)")
+      } finally {
+        if (q.isActive) q.stop()
+        spark.catalog.dropTempView(s"ev_ovg_$tag")
+      }
+    }
+  }
+
+  test("non-head overlap boundary stays batch-only: the pinned " +
+      "counterexample a per-partial tracker would get wrong (r12)") {
+    // `a THEN b THEN b{2,}` on a b1 b2 b3: step 2 takes b1; the ONLY
+    // maximal b-island starts AT b1 (not strictly after), so batch
+    // matches NOTHING — a per-prefix run tracker would see b2,b3 as a
+    // fresh 2-run and emit a false match. Pin both halves: the batch
+    // answer is empty, and the streaming submit rejects the form loudly.
+    Tables.load(spark, sf)
+    val fixture = Seq(
+      ev(1, "2026-01-01 00:00:00", 7, "a"),
+      ev(2, "2026-01-01 00:00:05", 7, "b"),
+      ev(3, "2026-01-01 00:00:10", 7, "b"),
+      ev(4, "2026-01-01 00:00:15", 7, "b"),
+      ev(5, "2026-01-01 00:00:30", 7, "x"))
+    import spark.implicits._
+    fixture.toDF().createOrReplaceTempView("ev_midovl")
+    val batch = CepSql.sql(spark,
+      """SELECT * FROM ev_midovl
+         MATCH PATTERN (a THEN b THEN b{2,} WITHIN '30' MINUTES)
+         PARTITION BY user_id""").collect()
+    assert(batch.isEmpty,
+      "batch must match nothing: the island starts AT the step-2 row")
+    // sanity: a naive per-prefix tracker WOULD find a 2-run after b2 —
+    // the b-events strictly after the step-2 row number 2 (b3, b4), so
+    // the false match this pin guards against is really present
+    assert(fixture.count(e => e.event_type == "b" && e.event_id > 2) == 2)
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    stream.toDF().createOrReplaceTempView("ev_midovl_s")
+    val e = intercept[IllegalArgumentException] {
+      ContinuousQueries.submitPattern(spark,
+        """SELECT * FROM ev_midovl_s
+           MATCH PATTERN (a THEN b THEN b{2,} WITHIN '30' MINUTES)
+           PARTITION BY user_id""", "svc_midovl")
+    }
+    assert(e.getMessage.contains("overlaps") &&
+      e.getMessage.contains("head"))
+  }
+
   test("replay == batch rewrite on the events table (twin law)") {
     implicit val sq = spark.sqlContext
     val data = Tables.table(spark, sf, "events")

@@ -755,6 +755,87 @@ class RecoverySpec extends SparkSpec {
         "across restart")
   }
 
+  test("overlap chained-tail pendings survive a restart: mid-tail state " +
+      "(matched C, awaiting D) resumes; absence variant too (r12)") {
+    // The r12 pending state CHAINS through the tail: cut the stream
+    // after a pending has matched its step-3 C but before step-4 D —
+    // a dropped pending silently loses the whole match; only restored
+    // state can finish it. Synthetic fixture so the cut provably
+    // straddles the mid-tail state (the sf0.001 table has no such
+    // straddle for 4-step patterns). Both arms checked: completion
+    // (D arrives post-cut) and absence (no D; verdict at the flush).
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ev(id: Long, t: String, u: Long, ty: String) =
+      CepEvent(id, Timestamp.valueOf(t), u, ty, 0.0)
+    // u=1 completes (d post-cut); u=2 never sees a d
+    val pre = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "b"),
+      ev(2, "2024-01-01 00:30:00", 1, "x"),
+      ev(3, "2024-01-01 01:00:00", 1, "v"),
+      ev(4, "2024-01-01 01:30:00", 1, "v"),
+      ev(5, "2024-01-01 02:00:00", 1, "c"),
+      ev(11, "2024-01-01 00:00:00", 2, "b"),
+      ev(12, "2024-01-01 00:30:00", 2, "x"),
+      ev(13, "2024-01-01 01:00:00", 2, "v"),
+      ev(14, "2024-01-01 01:30:00", 2, "v"),
+      ev(15, "2024-01-01 02:00:00", 2, "c"))
+    val post = Seq(ev(6, "2024-01-02 00:00:00", 1, "d"))
+    val flush = Seq(ev(-1, "2031-01-01 00:00:00", 1, "zz"),
+      ev(-2, "2031-01-01 00:00:00", 2, "zz"))
+    val all = pre ++ post ++ flush
+    val bP = (e: CepEvent) => e.event_type == "b"
+    val rP = (e: CepEvent) => e.event_type == "b" || e.event_type == "v"
+    val cP = (e: CepEvent) => e.event_type == "c"
+    val dP = (e: CepEvent) => e.event_type == "d"
+    for (absent <- Seq(false, true)) {
+      val in = Files.createTempDirectory(s"graft_ov4_in_$absent").toFile
+      val outDir = Files.createTempDirectory(s"graft_ov4_out_$absent").toFile
+      val ckpt = Files.createTempDirectory(s"graft_ov4_ck_$absent").toFile
+      val schema = pre.toDS().toDF().schema
+      def startQuery() =
+        OverlapRunDetector.detectChainWhere(
+            Sources.fileStream(spark, in.getAbsolutePath, schema)
+              .as[CepEvent],
+            bP, rP, 2, None, Seq(cP, dP), absent,
+            48L * 3600 * 1000, Some("0 seconds"))
+          .writeStream.format("parquet")
+          .option("path", outDir.getAbsolutePath)
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .outputMode("append").start()
+      pre.toDS().toDF().write.mode("append").parquet(in.getAbsolutePath)
+      val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+      post.toDS().toDF().write.mode("append").parquet(in.getAbsolutePath)
+      val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+      flush.toDS().toDF().write.mode("append").parquet(in.getAbsolutePath)
+      val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+      val got = spark.read.parquet(outDir.getAbsolutePath)
+        .select("user_id", "id_1", "len_2", "tail_ids").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getSeq[Long](3))).toSet
+      // batch twin on the same fixture
+      all.toDS().toDF().createOrReplaceTempView(s"ev_ov4_$absent")
+      val tail = if (absent) "THEN c THEN NOT d" else "THEN c THEN d"
+      val want0 = CepSql.sql(spark,
+        s"""SELECT * FROM ev_ov4_$absent
+           MATCH PATTERN (b THEN b|v{2,} $tail WITHIN '48' HOURS)
+           PARTITION BY user_id""")
+      val want =
+        if (absent) want0.select("user_id", "id_1", "len_2", "id_3")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            Seq(r.getLong(3)))).toSet
+        else want0.select("user_id", "id_1", "len_2", "id_3", "id_4")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            Seq(r.getLong(3), r.getLong(4)))).toSet
+      assert(got === want && want.nonEmpty,
+        s"absent=$absent: got $got vs batch $want")
+      // the interesting half really straddles: u=1's completion (or
+      // u=2's verdict) depends on state created pre-cut
+      if (!absent) assert(got == Set((1L, 1L, 2L, Seq(5L, 6L))))
+      else assert(got == Set((2L, 11L, 2L, Seq(15L))))
+    }
+  }
+
   test("3-way PERMUTE detector resumes from checkpoint: open trackers " +
       "and held arm-2 triples survive (r10)") {
     // Permute3Detector state = per-anchor trackers with BOTH candidate

@@ -650,23 +650,89 @@ class SubmitSqlSpec extends SparkSpec {
       if (qOv3.isActive) qOv3.stop()
       spark.catalog.dropTempView("pat_ovl3")
     }
-    // ...while overlap with a completion class INSIDE the run's class
-    // (`b THEN b{2,} THEN b`) and 4+ step overlap chains stay
-    // batch-only → loud
-    val eOvl = intercept[IllegalArgumentException] {
+    // ...a completion class INSIDE the run's class streams since r12
+    // (a b-class completer never closes an island, but tail resolution
+    // is island-independent — it serves pendings AND extends the island)
+    val streamOvB = MemoryStream[CepEvent]
+    streamOvB.toDF().createOrReplaceTempView("pat_ovlb")
+    val qOvB = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_ovlb
+         MATCH PATTERN (b THEN b{2,} THEN b WITHIN '30' MINUTES)
+         PARTITION BY user_id""", "svc_ovlb")
+    try {
+      streamOvB.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "b", 0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:00:10"), 7, "b", 0),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:00:20"), 7, "b", 0),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 00:00:30"), 7, "x", 0),
+        CepEvent(5, Timestamp.valueOf("2026-01-01 00:00:40"), 7, "b", 0),
+        CepEvent(6, Timestamp.valueOf("2026-01-01 00:00:50"), 7, "b", 0),
+        CepEvent(7, Timestamp.valueOf("2026-01-01 00:01:30"), 7, "y", 0),
+        CepEvent(8, Timestamp.valueOf("2026-01-01 00:02:00"), 7, "b", 0),
+        CepEvent(9, Timestamp.valueOf("2026-01-01 00:03:00"), 7, "z", 0))
+      qOvB.processAllAvailable()
+      val gotOvB = spark.table("svc_ovlb")
+        .select("user_id", "id_1", "len_2", "id_3").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      // anchors 1-3 pend on island [5,6]'s close; the next b (8) is the
+      // first step-3 row (ts > run_end) even though it opens an island
+      assert(gotOvB === Set((7L, 1L, 2L, 8L), (7L, 2L, 2L, 8L),
+        (7L, 3L, 2L, 8L)), s"overlapping-c matches expected, got $gotOvB")
+    } finally {
+      if (qOvB.isActive) qOvB.stop()
+      spark.catalog.dropTempView("pat_ovlb")
+    }
+    // ...4+-step overlap-head chains stream since r12: pendings CHAIN
+    // through the unquantified tail, one rank-1 step per event
+    val streamOv4 = MemoryStream[CepEvent]
+    streamOv4.toDF().createOrReplaceTempView("pat_ovl4")
+    val qOv4 = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_ovl4
+         MATCH PATTERN (b THEN b{2,} THEN c THEN d WITHIN '30' MINUTES)
+         PARTITION BY user_id""", "svc_ovl4")
+    try {
+      streamOv4.addData(
+        CepEvent(1, Timestamp.valueOf("2026-01-01 00:00:00"), 7, "b", 0),
+        CepEvent(2, Timestamp.valueOf("2026-01-01 00:00:10"), 7, "b", 0),
+        CepEvent(3, Timestamp.valueOf("2026-01-01 00:00:20"), 7, "b", 0),
+        CepEvent(4, Timestamp.valueOf("2026-01-01 00:00:30"), 7, "x", 0),
+        CepEvent(5, Timestamp.valueOf("2026-01-01 00:00:40"), 7, "b", 0),
+        CepEvent(6, Timestamp.valueOf("2026-01-01 00:00:50"), 7, "b", 0),
+        CepEvent(7, Timestamp.valueOf("2026-01-01 00:01:30"), 7, "y", 0),
+        CepEvent(8, Timestamp.valueOf("2026-01-01 00:02:00"), 7, "c", 0),
+        CepEvent(9, Timestamp.valueOf("2026-01-01 00:02:30"), 7, "d", 0))
+      qOv4.processAllAvailable()
+      val gotOv4 = spark.table("svc_ovl4")
+        .select("user_id", "id_1", "len_2", "id_3", "id_4").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(gotOv4 === Set((7L, 1L, 2L, 8L, 9L), (7L, 2L, 2L, 8L, 9L),
+        (7L, 3L, 2L, 8L, 9L)), s"4-step overlap matches expected, " +
+        s"got $gotOv4")
+    } finally {
+      if (qOv4.isActive) qOv4.stop()
+      spark.catalog.dropTempView("pat_ovl4")
+    }
+    // ...while overlap at a NON-HEAD boundary stays batch-only → loud
+    // (the island tracker is anchored to the head; see OverlapRunSpec's
+    // pinned counterexample for the divergence a per-prefix tracker
+    // would produce)
+    val eOvlMid = intercept[IllegalArgumentException] {
       ContinuousQueries.submitPattern(spark,
         """SELECT * FROM pat_events2
-           MATCH PATTERN (b THEN b{2,} THEN b WITHIN '1' MINUTES)
-           PARTITION BY user_id""", "svc_badovl")
+           MATCH PATTERN (a THEN b THEN b{2,} WITHIN '1' MINUTES)
+           PARTITION BY user_id""", "svc_badovlmid")
     }
-    assert(eOvl.getMessage.contains("overlaps"))
-    val eOvl4 = intercept[IllegalArgumentException] {
+    assert(eOvlMid.getMessage.contains("overlaps"))
+    // ...and a QUANTIFIED tail step after the overlap head too
+    val eOvlQTail = intercept[IllegalArgumentException] {
       ContinuousQueries.submitPattern(spark,
         """SELECT * FROM pat_events2
-           MATCH PATTERN (b THEN b{2,} THEN c THEN d WITHIN '1' MINUTES)
-           PARTITION BY user_id""", "svc_badovl4")
+           MATCH PATTERN (b THEN b{2,} THEN c{2,} WITHIN '1' MINUTES)
+           PARTITION BY user_id""", "svc_badovlqt")
     }
-    assert(eOvl4.getMessage.contains("overlaps"))
+    assert(eOvlQTail.getMessage.contains("overlaps"))
     // absence after a quantified chain (r8, previously rejected) →
     // RunChainDetector.detectAbsent: user 7's completed signup→2-click
     // prefix has no purchase → absence once the watermark proves it;
