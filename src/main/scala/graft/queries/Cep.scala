@@ -428,6 +428,23 @@ object Cep {
            ORDER BY err_id""")
     }),
 
+    // EP1g — DISTINCT ON dialect under the oracle gate (r12): DuckDB
+    // runs its NATIVE DISTINCT ON on the same text, so the clause
+    // itself is what the hash compares. CepSql.translate rewrites it to
+    // the rank-1 window (partition by the keys, order by the ORDER BY
+    // tail) — the dialect REQUIRES the ORDER BY to lead with the keys
+    // and carry a tiebreak, so the picked row is deterministic in both
+    // engines.
+    "q_dialect_distinct_on" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
+                  o_totalprice
+           FROM orders
+           ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+           LIMIT 500""")
+    }),
+
     // EP1b — sequence CEP from SQL TEXT (`MATCH PATTERN`, r6 dialect):
     // the statement rewrites to the q_cep_seq join/window formulation;
     // the oracle is the same DuckDB recomputation q_cep_seq uses.
@@ -825,6 +842,14 @@ object Cep {
                FROM events WHERE event_type = 'click') c
            ON e.user_id = c.user_id AND e.err_ts >= c.click_ts
          ORDER BY err_id""",
+    // DuckDB's NATIVE DISTINCT ON on the same text the Spark side
+    // submits — the clause itself is the thing under test
+    "q_dialect_distinct_on" ->
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
+                o_totalprice
+         FROM orders
+         ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+         LIMIT 500""",
     // DuckDB's NATIVE QUALIFY on the same text the Spark side submits —
     // the clause itself is the thing under test
     "q_dialect_qualify" ->

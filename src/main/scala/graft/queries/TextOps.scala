@@ -51,12 +51,11 @@ object TextOps {
                  i -> array_join(slice(__ws, i + 1, $n), ' ')) END"""))
         .as("gram"))
 
-  /** (doc_id, band, band_sig) LSH rows: 16 md5-derived min-hashes per doc
-    * computed in ONE aggregation pass (map-side partial min — the shuffle
-    * carries one row per doc, not per gram), folded into 4 band
-    * signatures of 4 hashes each. Shared by q_minhash_band (the signature
-    * surface) and q_dedup_resolve (the banded candidate graph). */
-  private[graft] def bandRows(d: DataFrame): DataFrame = {
+  /** (doc_id, h0..h15) — the raw 16-hash min-hash signature frame, one
+    * aggregation pass (map-side partial min — the shuffle carries one
+    * row per doc, not per gram). r12: factored out of [[bandRows]] so
+    * the estimate-vs-exact audit key can read the hashes directly. */
+  private[graft] def minhashSigs(d: DataFrame): DataFrame = {
     // the distinct looks redundant (min() is idempotent under duplicate
     // grams) but is kept deliberately: its exchange spreads the 16-way
     // md5 min aggregation across cores when the scan has few splits
@@ -65,7 +64,11 @@ object TextOps {
     val g = gramRows(d, 3).select("doc_id", "gram").distinct()
     val mins = (0 until 16).map(i =>
       min(md5(concat(lit(s"$i:"), col("gram")))).as(s"h$i"))
-    val sig = g.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    g.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Fold a [[minhashSigs]] frame into the 4-band LSH rows. */
+  private[graft] def bandsOfSigs(sig: DataFrame): DataFrame = {
     val bands = (0 until 4).map(b => struct(
       lit(b.toLong).as("band"),
       md5(concat_ws("|", (0 until 4).map(j => col(s"h${4 * b + j}")): _*))
@@ -75,6 +78,8 @@ object TextOps {
         col("bs.band_sig").as("band_sig"))
   }
 
+  private[graft] def bandRows(d: DataFrame): DataFrame =
+    bandsOfSigs(minhashSigs(d))
 
   /** (doc_id, simhash) — the 32-bit md5-based simhash signature frame
     * shared by q_simhash (the signature surface) and q_simhash_pairs
@@ -182,6 +187,60 @@ object TextOps {
         .groupBy("source_a", "source_b")
         .agg(count(lit(1)).as("dup_pairs"))
         .orderBy("source_a", "source_b")
+    }),
+
+    // L2a3 (r12) — LSH estimate-vs-exact AUDIT: for every band-candidate
+    // pair, the 16-hash min-hash Jaccard ESTIMATE (matching mins / 16,
+    // Broder 1997's unbiased estimator) against the EXACT 3-gram
+    // Jaccard — the dedup twin of q_ann_recall: the measurement that
+    // justifies (or vetoes) the banding threshold, computed by the
+    // engine itself. Plan: the cached signature frame serves BOTH the
+    // band fold (candidate generation) and the per-pair hash compare;
+    // exact Jaccard joins the gram frame only on CANDIDATE docs
+    // (shuffle bounded by the band-equi pair volume, never all-pairs).
+    // est/jac/err are ratios of exact integers rounded on the shared
+    // 4-dp grid; err is computed from the UNROUNDED ratios.
+    "q_minhash_est_audit" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val sig = graft.Caching.cache(minhashSigs(d))
+      val bands = bandsOfSigs(sig)
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val sa = sig.toDF(sig.columns.map(c =>
+        if (c == "doc_id") "da" else c + "_a").toIndexedSeq: _*)
+      val sb = sig.toDF(sig.columns.map(c =>
+        if (c == "doc_id") "db" else c + "_b").toIndexedSeq: _*)
+      val est = pairs.join(sa, "da").join(sb, "db")
+        .select(col("da"), col("db"),
+          (0 until 16).map(i =>
+            when(col(s"h${i}_a") === col(s"h${i}_b"), 1L).otherwise(0L))
+            .reduce(_ + _).as("mh_match"))
+      val g = graft.Caching.cache(
+        gramRows(d, 3).select("doc_id", "gram").distinct())
+      val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = pairs
+        .join(g.select(col("doc_id").as("da"), col("gram")), "da")
+        .join(g.select(col("doc_id").as("db"), col("gram")),
+          Seq("db", "gram"))
+        .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+      est.join(inter, Seq("da", "db"), "left")
+        .na.fill(0L, Seq("inter"))
+        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")),
+          "da")
+        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")),
+          "db")
+        .select(col("da"), col("db"), col("mh_match"), col("inter"),
+          fround(col("mh_match") / 16.0, 4).as("est_sim"),
+          fround(col("inter") / (col("na") + col("nb") - col("inter")), 4)
+            .as("jac"),
+          fround(col("mh_match") / 16.0 -
+            col("inter") / (col("na") + col("nb") - col("inter")), 4)
+            .as("err"))
+        .orderBy("da", "db")
     }),
 
     // L2b — SimHash, oracle-checked 32-bit variant: token hash = first 8
@@ -1122,6 +1181,55 @@ object TextOps {
          JOIN documents x ON p0.da = x.doc_id
          JOIN documents y ON p0.db = y.doc_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_minhash_est_audit" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         gi AS (
+           SELECT doc_id, unnest(range(1, greatest(len(w) - 1, 1))) AS i, w
+           FROM t),
+         g AS (
+           SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+           FROM gi),
+         mh AS (
+           SELECT doc_id, s.seed,
+             min(md5(concat(CAST(s.seed AS VARCHAR), ':', gram))) AS mh
+           FROM g, (SELECT unnest(range(16)) AS seed) s
+           GROUP BY doc_id, s.seed),
+         bands AS (
+           SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+           FROM mh GROUP BY doc_id, seed // 4),
+         p0 AS (
+           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id),
+         m AS (
+           SELECT p0.da, p0.db,
+             sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS mh_match
+           FROM p0 JOIN mh x ON x.doc_id = p0.da
+           JOIN mh y ON y.doc_id = p0.db AND y.seed = x.seed
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         iv AS (
+           SELECT p0.da, p0.db, count(*) AS inter
+           FROM p0 JOIN g ga ON ga.doc_id = p0.da
+           JOIN g gb ON gb.doc_id = p0.db AND gb.gram = ga.gram
+           GROUP BY 1, 2)
+         SELECT m.da, m.db, CAST(m.mh_match AS BIGINT) AS mh_match,
+           CAST(coalesce(iv.inter, 0) AS BIGINT) AS inter,
+           floor(m.mh_match / 16.0 * 10000 + 0.5) / 10000 AS est_sim,
+           floor(CAST(coalesce(iv.inter, 0) AS DOUBLE)
+             / (sa.n + sb.n - coalesce(iv.inter, 0)) * 10000 + 0.5)
+             / 10000 AS jac,
+           floor((m.mh_match / 16.0 - CAST(coalesce(iv.inter, 0) AS DOUBLE)
+             / (sa.n + sb.n - coalesce(iv.inter, 0))) * 10000 + 0.5)
+             / 10000 AS err
+         FROM m LEFT JOIN iv ON iv.da = m.da AND iv.db = m.db
+         JOIN sizes sa ON sa.doc_id = m.da
+         JOIN sizes sb ON sb.doc_id = m.db
+         ORDER BY m.da, m.db""",
     "q_ngram_jaccard" ->
       """WITH t AS (
            SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),

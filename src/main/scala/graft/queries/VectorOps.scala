@@ -45,6 +45,33 @@ object VectorOps {
         .limit(10)
     }),
 
+    // L3h (r12) — HARD-NEGATIVE mining: for each of the 40 budget
+    // queries (q_ann_recall's fixed TakeOrdered sample), the single most
+    // similar vector with a DIFFERENT label — the contrastive-training
+    // negative a retrieval/embedding pipeline mines per anchor (the
+    // near-miss that teaches the boundary). Plan: query side broadcast,
+    // base never shuffled, the label inequality filters map-side, and
+    // the per-query argmax is ONE max_by aggregation (map-combined — no
+    // window, no sort) on the shared (cs DESC, vec_id ASC) determinism
+    // grid. O(Q·n) like the recall audits.
+    "q_hard_negatives" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = T(s, dir, "embeddings")
+      val q = e.orderBy(asc("vec_id")).limit(40)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv"))
+      e.crossJoin(broadcast(q))
+        .filter(col("label") =!= col("qlabel"))
+        .select(col("qid"), col("vec_id"), col("label"),
+          round(cos("embedding", "qv"), 4).as("cs"))
+        .groupBy("qid")
+        .agg(max_by(struct(col("vec_id"), col("label"), col("cs")),
+          struct(col("cs"), -col("vec_id"))).as("neg"))
+        .select(col("qid"), col("neg.vec_id").as("vec_id"),
+          col("neg.label").cast("long").as("label"), col("neg.cs").as("cs"))
+        .orderBy("qid")
+    }),
+
     // L3f — Matryoshka-style two-stage retrieval (r8): coarse top-50 on
     // the PREFIX 16 dims (an MRL-truncated embedding — Kusupati et al.
     // 2022, "Matryoshka Representation Learning"), then a full 64-dim
@@ -991,6 +1018,26 @@ object VectorOps {
            floor(CAST(sum(hits) AS DOUBLE) / sum(n_true) * 10000 + 0.5)
              / 10000 AS recall
          FROM per GROUP BY 1 ORDER BY 1""",
+    "q_hard_negatives" ->
+      """WITH q AS (
+           SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+           FROM embeddings ORDER BY vec_id LIMIT 40),
+         d AS (
+           SELECT q.qid, e.vec_id, e.label,
+             round(sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                     * CAST(q.qv[i.i + 1] AS DOUBLE)) /
+               (sqrt(sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                       * CAST(e.embedding[i.i + 1] AS DOUBLE))) *
+                sqrt(sum(CAST(q.qv[i.i + 1] AS DOUBLE)
+                       * CAST(q.qv[i.i + 1] AS DOUBLE)))), 4) AS cs
+           FROM embeddings e, q, (SELECT unnest(range(64)) AS i) i
+           WHERE e.label <> q.qlabel
+           GROUP BY q.qid, e.vec_id, e.label)
+         SELECT qid, vec_id, CAST(label AS BIGINT) AS label, cs FROM (
+           SELECT qid, vec_id, label, cs,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cs DESC, vec_id) AS rn
+           FROM d) WHERE rn = 1 ORDER BY qid""",
     "q_knn_join" ->
       """WITH q AS (
            SELECT vec_id AS qid, embedding AS qv FROM embeddings

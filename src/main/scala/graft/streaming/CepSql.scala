@@ -98,6 +98,28 @@ object CepSql {
     * the rewritten OUTER query). */
   private val qualTail = Pattern.compile(
     "\\bORDER\\s+BY\\b|\\bLIMIT\\b|;", Pattern.CASE_INSENSITIVE)
+  /** `SELECT DISTINCT ON (keys) …` (r12) — DuckDB/Postgres' first-row-
+    * per-group surface. Spark has no DISTINCT ON; the standard rewrite
+    * is the rank-1 window: partition by the keys, order by the ORDER
+    * BY's tail after them, keep rn = 1. Restricted, loudly: keys are
+    * plain column names; a top-level ORDER BY is REQUIRED, must lead
+    * with exactly the DISTINCT ON keys (DuckDB's own determinism
+    * recipe), and must carry at least one tiebreak column after them
+    * (otherwise the picked row is engine-dependent and the statement is
+    * a bug in both dialects); one statement, no set operations, no
+    * combination with QUALIFY. */
+  private val distinctOnKw = Pattern.compile(
+    "\\bDISTINCT\\s+ON\\b", Pattern.CASE_INSENSITIVE)
+  private val distinctOnHead = Pattern.compile(
+    "^\\s*SELECT\\s+DISTINCT\\s+ON\\s*\\(([^)]*)\\)\\s*",
+    Pattern.CASE_INSENSITIVE)
+  private val orderByKw = Pattern.compile("\\bORDER\\s+BY\\b",
+    Pattern.CASE_INSENSITIVE)
+  private val fromKw = Pattern.compile("\\bFROM\\b",
+    Pattern.CASE_INSENSITIVE)
+  private val limitKw = Pattern.compile("\\bLIMIT\\b",
+    Pattern.CASE_INSENSITIVE)
+  private val ident = Pattern.compile("^[A-Za-z_]\\w*$")
   private val overFnCall = Pattern.compile("\\bOVER\\s*\\(",
     Pattern.CASE_INSENSITIVE)
   /** The full MATCH PATTERN statement grammar (sequence CEP from SQL —
@@ -248,7 +270,8 @@ object CepSql {
     val mayPat = matchPat.matcher(q).find()
     val mayQual = qualifyKw.matcher(q).find()
     val mayAsof = asofKw.matcher(q).find()
-    if (!mayOver && !mayPat && !mayQual && !mayAsof) return q
+    val mayDon = distinctOnKw.matcher(q).find()
+    if (!mayOver && !mayPat && !mayQual && !mayAsof && !mayDon) return q
     val (lit, depth) = scan(q)
     if (mayAsof) {
       val am = asofKw.matcher(q)
@@ -266,6 +289,43 @@ object CepSql {
       var real = false
       while (mp.find() && !real) if (!lit(mp.start())) real = true
       if (real) return translatePattern(q, tsCol, typeCol, idCol)
+    }
+    if (mayDon) {
+      val dm = distinctOnKw.matcher(q)
+      var realAt = -1
+      while (dm.find() && realAt < 0) if (!lit(dm.start())) realAt = dm.start()
+      if (realAt >= 0) {
+        if (depth(realAt) != 0)
+          throw new IllegalArgumentException(
+            "DISTINCT ON inside a subquery is not supported — rewrite " +
+              "the subquery with a windowed rank-1 or lift it out")
+        def realKw(p: Pattern): Boolean = {
+          val km = p.matcher(q)
+          while (km.find()) if (!lit(km.start())) return true
+          false
+        }
+        if ((mayQual && realKw(qualifyKw)) || (mayOver && realKw(over)))
+          throw new IllegalArgumentException(
+            "DISTINCT ON does not combine with QUALIFY or OVER " +
+              "(WINDOW …) in one statement — nest one side in a view")
+        var si = 0
+        while (si < q.length) {
+          if (q.charAt(si) == ';' && !lit(si) && depth(si) == 0 &&
+              (si + 1 until q.length).exists(j =>
+                !lit(j) && !q.charAt(j).isWhitespace))
+            throw new IllegalArgumentException(
+              "DISTINCT ON in multi-statement text is ambiguous — " +
+                "submit the statement on its own")
+          si += 1
+        }
+        val so = setOp.matcher(q)
+        while (so.find())
+          if (!lit(so.start()) && depth(so.start()) == 0)
+            throw new IllegalArgumentException(
+              "DISTINCT ON in a UNION/INTERSECT/EXCEPT statement is " +
+                "ambiguous — apply it to a branch inside a subquery")
+        return translateDistinctOn(q, lit, depth)
+      }
     }
     if (mayQual) {
       val qm = qualifyKw.matcher(q)
@@ -406,6 +466,82 @@ object CepSql {
               s" GROUP BY $winExpr " + stripped.substring(at)
         }
     }
+  }
+
+  /** The DISTINCT ON rewrite body (guards already passed in
+    * [[translate]]): `SELECT DISTINCT ON (k…) sel FROM f ORDER BY k…,
+    * tiebreak… [LIMIT n]` → rank-1 window (`row_number() OVER
+    * (PARTITION BY k… ORDER BY tiebreak…) = 1`), keeping the original
+    * ORDER BY/LIMIT tail on the outer query verbatim. */
+  private def translateDistinctOn(q: String, lit: Array[Boolean],
+      depth: Array[Int]): String = {
+    def bad(msg: String) = throw new IllegalArgumentException(
+      s"DISTINCT ON: $msg")
+    val hm = distinctOnHead.matcher(q)
+    if (!hm.lookingAt())
+      bad("the dialect accepts exactly `SELECT DISTINCT ON (col, …) " +
+        "<select list> FROM … ORDER BY <the keys>, <tiebreak…> " +
+        "[LIMIT n]`")
+    val keys = hm.group(1).split(",").map(_.trim)
+    if (keys.isEmpty || keys.exists(k => !ident.matcher(k).matches()))
+      bad("keys must be plain column names")
+    def firstTopLevel(p: Pattern, from: Int): Int = {
+      val m = p.matcher(q)
+      var at = from
+      while (m.find(at)) {
+        if (!lit(m.start()) && depth(m.start()) == 0) return m.start()
+        at = m.start() + 1
+      }
+      -1
+    }
+    val fromAt = firstTopLevel(fromKw, hm.end())
+    if (fromAt < 0) bad("no top-level FROM")
+    val obAt = firstTopLevel(orderByKw, fromAt)
+    if (obAt < 0)
+      bad("a top-level ORDER BY is REQUIRED — without it the picked " +
+        "row per key is engine-dependent")
+    val selectList = q.substring(hm.end(), fromAt).trim
+    if (selectList.isEmpty) bad("empty select list")
+    val obm = orderByKw.matcher(q); obm.find(obAt)
+    val fm = fromKw.matcher(q); fm.find(fromAt)
+    val fromPart = q.substring(fm.end(), obAt).trim
+    if (fromPart.isEmpty) bad("empty FROM clause")
+    val limAt = firstTopLevel(limitKw, obm.end())
+    val scAt = {
+      var i = obm.end(); var found = -1
+      while (i < q.length && found < 0) {
+        if (q.charAt(i) == ';' && !lit(i) && depth(i) == 0) found = i
+        i += 1
+      }
+      found
+    }
+    val obEnd = Seq(limAt, scAt, q.length).filter(_ >= 0).min
+    // split the ORDER BY list on TOP-LEVEL commas (of the substring)
+    val obTxt = q.substring(obm.end(), obEnd)
+    val (oblit, obdepth) = scan(obTxt)
+    val cuts = obTxt.indices.filter(i =>
+      obTxt.charAt(i) == ',' && !oblit(i) && obdepth(i) == 0)
+    val entries = ((-1 +: cuts) :+ obTxt.length).sliding(2).map {
+      case Seq(a, b) => obTxt.substring(a + 1, b).trim
+    }.toSeq.filter(_.nonEmpty)
+    if (entries.length <= keys.length)
+      bad("ORDER BY must carry at least one tiebreak column AFTER the " +
+        "keys — `ORDER BY <keys…>, <tiebreak…>` — or the picked row " +
+        "per key is engine-dependent in every dialect")
+    val dirSuffix = "(?i)\\s+(ASC|DESC)(\\s+NULLS\\s+(FIRST|LAST))?$"
+    entries.take(keys.length).zip(keys).foreach { case (e, k) =>
+      val bare = e.replaceAll(dirSuffix, "").trim
+      if (!bare.equalsIgnoreCase(k))
+        bad(s"ORDER BY must lead with the DISTINCT ON keys in order — " +
+          s"expected '$k', found '$e' (DuckDB's own determinism recipe)")
+    }
+    val winOrder = entries.drop(keys.length).mkString(", ")
+    val outSel =
+      if (selectList == "*") "* EXCEPT (__graft_don)" else selectList
+    s"SELECT $outSel FROM ( SELECT *, row_number() OVER (PARTITION BY " +
+      s"${keys.mkString(", ")} ORDER BY $winOrder) AS __graft_don " +
+      s"FROM $fromPart ) graft_don WHERE __graft_don = 1 " +
+      q.substring(obAt).stripTrailing()
   }
 
   /** One parsed step condition: `(col op number)` — e.g.

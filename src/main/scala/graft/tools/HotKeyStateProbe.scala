@@ -131,6 +131,21 @@ object HotKeyStateProbe {
           2, None,
           (e: CepEvent) => e.event_type == "purchase",
           2L * 3600 * 1000, "0 seconds").toDF())
+      // r12: CHAINED-tail pendings — the 4-step overlap form. Same
+      // anchor/island mix; pendings must additionally hold matched
+      // mid-tail rows (purchase then a never-arriving 'refund'), so a
+      // pending lives to its deadline carrying its tail vector: peak
+      // state must stay the IN-WINDOW pending count (the two spacings'
+      // 10× ratio), with only a constant per-pending size increase vs
+      // the 3-step absence arm above
+      replay(s"overlap_chain4_$lbl", evs, ds =>
+        OverlapRunDetector.detectChainWhere(ds,
+          (e: CepEvent) => e.event_type == "click",
+          (e: CepEvent) => e.event_type == "click",
+          2, None,
+          Seq((e: CepEvent) => e.event_type == "purchase",
+            (e: CepEvent) => e.event_type == "refund"),
+          absent = true, 2L * 3600 * 1000, Some("0 seconds")).toDF())
       // r11: CDC compaction — the strongest state claim of the set:
       // per-key state is ONE compacted row by construction, so peak
       // state must be CONSTANT (1 row, flat KB) across spacings AND

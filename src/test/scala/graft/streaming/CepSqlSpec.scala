@@ -291,6 +291,64 @@ class CepSqlSpec extends SparkSpec {
          ON e.user_id = c.uid AND e.err_ts >= c.click_ts""") }
   }
 
+  test("DISTINCT ON dialect: rank-1 rewrite; star select; grammar " +
+      "edges loud (r12)") {
+    Tables.load(spark, sf)
+    // rewrite == the hand-written rank-1 window
+    val got = CepSql.sql(spark,
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey
+         FROM orders
+         ORDER BY o_custkey, o_totalprice DESC, o_orderkey""")
+    val want = spark.sql(
+      """SELECT o_custkey, o_orderkey FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn = 1
+         ORDER BY o_custkey, o_totalprice DESC, o_orderkey""")
+    assert(got.columns.toSeq === Seq("o_custkey", "o_orderkey"))
+    assert(got.collect().map(_.toSeq).toSeq ===
+      want.collect().map(_.toSeq).toSeq)
+    assert(got.count() > 0)
+    // SELECT * keeps every input column and hides the helper
+    val star = CepSql.sql(spark,
+      """SELECT DISTINCT ON (o_custkey) * FROM orders
+         ORDER BY o_custkey, o_orderkey LIMIT 5""")
+    assert(star.columns.contains("o_totalprice") &&
+      !star.columns.contains("__graft_don"))
+    assert(star.count() === 5)
+    // WHERE stays inside the window input (applies BEFORE the pick)
+    val filtered = CepSql.sql(spark,
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey
+         FROM orders WHERE o_totalprice < 50000
+         ORDER BY o_custkey, o_totalprice DESC, o_orderkey""")
+    assert(filtered.count() > 0 && filtered.count() < got.count(),
+      "the WHERE must bite inside the window input")
+    // grammar edges: no ORDER BY / no tiebreak / keys must lead /
+    // subquery / multi-statement / set ops / QUALIFY combo
+    def rej(sqlText: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        CepSql.translate(sqlText) }
+      assert(e.getMessage.contains(frag), s"$sqlText → ${e.getMessage}")
+    }
+    rej("SELECT DISTINCT ON (k) a FROM t", "ORDER BY is REQUIRED")
+    rej("SELECT DISTINCT ON (k) a FROM t ORDER BY k", "tiebreak")
+    rej("SELECT DISTINCT ON (k) a FROM t ORDER BY a, k", "lead with")
+    rej("SELECT * FROM (SELECT DISTINCT ON (k) a FROM t ORDER BY k, a)",
+      "subquery")
+    rej("SELECT DISTINCT ON (k) a FROM t ORDER BY k, a; SELECT 1",
+      "multi-statement")
+    rej("SELECT DISTINCT ON (k) a FROM t ORDER BY k, a UNION SELECT 1",
+      "ambiguous")
+    rej("SELECT DISTINCT ON (k) a FROM t QUALIFY r = 1 ORDER BY k, a",
+      "QUALIFY")
+    rej("SELECT DISTINCT ON (k + 1) a FROM t ORDER BY k, a",
+      "plain column names")
+    // literal text is data, not a clause
+    val litQ = "SELECT 'DISTINCT ON' AS k FROM t"
+    assert(CepSql.translate(litQ) === litQ)
+  }
+
   test("q_dialect_asof fixture has unique (user_id, ts) clicks — the " +
       "DuckDB native-ASOF oracle's equal-ts tie choice is unspecified, " +
       "so the hash gate is deterministic ONLY under this pin (r12)") {
