@@ -903,6 +903,99 @@ object Analytics {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), asc("t1"), asc("t2"), asc("t3"))
         .limit(20)
+    }),
+
+    // Two-sided CUSUM change-point detection (r12; Page 1954, the
+    // classic SPC drift detector): per user, s⁺_t = max(0, s⁺_{t-1} +
+    // (x_t − μ − k)) catches upward level shifts, s⁻_t symmetric for
+    // drops, slack k = 25 (≈ 0.5σ of the value scale) around the
+    // user's own mean, alarm when either side crosses h = 250 (≈ 5σ).
+    // The recursion LOOKS inherently
+    // sequential but folds into windows through the prefix-sum
+    // identity s_t = P_t − min(0, min_{i≤t} P_i) (P = running sum of
+    // the drift terms): two WindowExec passes over ONE user_id
+    // exchange (running sum, then running min of it), no iteration,
+    // no state beyond the frame. Every accumulated quantity is an
+    // exact BIGINT in 1e-4 units — the drift term rounds ONCE at 4 dp
+    // and scales to integer, so the cumulative sums are
+    // order-independent and cross-engine exact; the only doubles that
+    // cross the boundary are final long/1e4 divisions (bit-identical
+    // from identical longs). 100 TB: one shuffle on user_id shared by
+    // the mean agg, its join, and both window passes; O(1) per-row
+    // work. The streaming twin (TimeSeriesOps.cusumMarks) carries
+    // (P, min P) per user — constant state.
+    "q_cusum" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+      val mu = e.groupBy("user_id")
+        .agg(fround(avg("value"), 4).as("mu"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("ts"), asc("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.join(mu, "user_id")
+        // one SELECT per window layer (the q_path_trigrams discipline:
+        // CollapseWindow fuses same-spec windows only when no Project
+        // intervenes)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor((col("value") - col("mu") - lit(25.0)) * 1e4 + lit(0.5))
+            .cast("long").as("d_hi"),
+          floor((col("mu") - lit(25.0) - col("value")) * 1e4 + lit(0.5))
+            .cast("long").as("d_lo"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          sum("d_hi").over(run).as("p_hi"),
+          sum("d_lo").over(run).as("p_lo"))
+        .select(col("user_id"), col("event_id"),
+          (col("p_hi") - least(lit(0L), min("p_hi").over(run))).as("s_hi"),
+          (col("p_lo") - least(lit(0L), min("p_lo").over(run))).as("s_lo"))
+        .select(col("user_id"), col("event_id"),
+          (col("s_hi").cast("double") / 1e4).as("cusum_hi"),
+          (col("s_lo").cast("double") / 1e4).as("cusum_lo"),
+          (col("s_hi") > lit(2500000L) || col("s_lo") > lit(2500000L))
+            .as("is_alarm"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Seasonally-adjusted volume anomaly (r12): the alerting readout on
+    // top of q_seasonality's profile. Hourly event counts per (type,
+    // date, hour) — over a FULL spine (distinct dates × types × 24), so
+    // a drop to ZERO volume is visible, not just observed cells —
+    // compare against the slot expectation for that (dow, hour):
+    // expected = slot total / number of dates carrying that dow,
+    // derived from the data's own date spine (the only calendar
+    // constant is q_seasonality's fixed Monday epoch). A cell fires
+    // when the indexed ratio, rounded BEFORE the cut, is ≥ 2 (spike)
+    // or ≤ 0.5 (drop); slots with expectation < 2/hour are skipped
+    // (noise guard). Counts are exact integers end-to-end; the one
+    // float is cnt·n_dates/slot_total — exact-int numerator, one
+    // deterministic division, 4-dp round. 100 TB: the corpus is
+    // touched ONCE by the (type,date,hr) count agg; everything after
+    // is calendar-bounded (types × dates × 24 rows) and broadcast.
+    "q_seasonal_anom" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val actual = e.groupBy(col("event_type"),
+          col("ts").cast("date").as("d"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val dates = e.select(col("ts").cast("date").as("d")).distinct()
+        .withColumn("dow",
+          expr("pmod(datediff(d, date '2024-01-01'), 7)").cast("long"))
+      val types = e.select("event_type").distinct()
+      val spine = types.crossJoin(dates)
+        .crossJoin(s.range(0, 24).select(col("id").as("hr")))
+      val cells = spine.join(actual, Seq("event_type", "d", "hr"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      val nd = dates.groupBy("dow").agg(count(lit(1)).as("n_dates"))
+      val slot = cells.groupBy("event_type", "dow", "hr")
+        .agg(sum("cnt").as("slot_total"))
+      cells.join(broadcast(slot), Seq("event_type", "dow", "hr"))
+        .join(broadcast(nd), "dow")
+        .filter(col("slot_total") >= lit(2L) * col("n_dates"))
+        .withColumn("ratio",
+          fround(col("cnt").cast("double") * col("n_dates")
+            / col("slot_total"), 4))
+        .filter(col("ratio") >= 2.0 || col("ratio") <= 0.5)
+        .select("event_type", "d", "hr", "cnt", "ratio")
+        .orderBy("event_type", "d", "hr")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1422,5 +1515,72 @@ object Analytics {
            AND ts2 <= ts + INTERVAL 30 MINUTES
            AND ts3 <= ts2 + INTERVAL 30 MINUTES
          GROUP BY 1, 2, 3
-         ORDER BY cnt DESC, t1, t2, t3 LIMIT 20""")
+         ORDER BY cnt DESC, t1, t2, t3 LIMIT 20""",
+    "q_cusum" ->
+      """WITH mu AS (
+           SELECT user_id, floor(avg(value) * 1e4 + 0.5) / 1e4 AS mu
+           FROM events GROUP BY 1),
+         d AS (
+           SELECT e.user_id, e.ts, e.event_id,
+             CAST(floor((e.value - m.mu - 25.0) * 1e4 + 0.5) AS BIGINT)
+               AS d_hi,
+             CAST(floor((m.mu - 25.0 - e.value) * 1e4 + 0.5) AS BIGINT)
+               AS d_lo
+           FROM events e JOIN mu m USING (user_id)),
+         p AS (
+           SELECT user_id, ts, event_id,
+             sum(d_hi) OVER w AS p_hi, sum(d_lo) OVER w AS p_lo
+           FROM d
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)),
+         s AS (
+           SELECT user_id, event_id,
+             p_hi - least(0, min(p_hi) OVER w) AS s_hi,
+             p_lo - least(0, min(p_lo) OVER w) AS s_lo
+           FROM p
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW))
+         SELECT user_id, event_id,
+           CAST(s_hi AS DOUBLE) / 1e4 AS cusum_hi,
+           CAST(s_lo AS DOUBLE) / 1e4 AS cusum_lo,
+           (s_hi > 2500000 OR s_lo > 2500000) AS is_alarm
+         FROM s ORDER BY user_id, event_id""",
+    "q_seasonal_anom" ->
+      """WITH dates AS (
+           SELECT d,
+             CAST(((d - DATE '2024-01-01') % 7 + 7) % 7 AS BIGINT) AS dow
+           FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)),
+         types AS (SELECT DISTINCT event_type FROM events),
+         hrs AS (SELECT CAST(unnest(range(24)) AS BIGINT) AS hr),
+         actual AS (
+           SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(hour(ts) AS BIGINT) AS hr, count(*) AS cnt
+           FROM events GROUP BY 1, 2, 3),
+         cells AS (
+           SELECT sp.event_type, sp.d, sp.hr, sp.dow,
+             coalesce(a.cnt, 0) AS cnt
+           FROM (SELECT t.event_type, dd.d, h.hr, dd.dow
+                 FROM types t, dates dd, hrs h) sp
+           LEFT JOIN actual a
+             ON a.event_type = sp.event_type AND a.d = sp.d
+            AND a.hr = sp.hr),
+         nd AS (SELECT dow, count(*) AS n_dates FROM dates GROUP BY 1),
+         slot AS (
+           SELECT event_type, dow, hr, sum(cnt) AS slot_total
+           FROM cells GROUP BY 1, 2, 3)
+         SELECT c.event_type, c.d, c.hr, c.cnt,
+           floor(CAST(c.cnt AS DOUBLE) * nd.n_dates / s.slot_total
+                 * 1e4 + 0.5) / 1e4 AS ratio
+         FROM cells c
+         JOIN slot s ON s.event_type = c.event_type
+           AND s.dow = c.dow AND s.hr = c.hr
+         JOIN nd ON nd.dow = c.dow
+         WHERE s.slot_total >= 2 * nd.n_dates
+           AND (floor(CAST(c.cnt AS DOUBLE) * nd.n_dates / s.slot_total
+                 * 1e4 + 0.5) / 1e4 >= 2.0
+             OR floor(CAST(c.cnt AS DOUBLE) * nd.n_dates / s.slot_total
+                 * 1e4 + 0.5) / 1e4 <= 0.5)
+         ORDER BY c.event_type, c.d, c.hr""")
 }

@@ -445,6 +445,41 @@ object Cep {
            LIMIT 500""")
     }),
 
+    // EP1h — star-modifier dialect (r12): `SELECT * EXCLUDE (…)
+    // REPLACE (…)`. DuckDB runs the SAME text natively; the Spark side
+    // goes through CepSql's schema-aware star expansion (Spark's parser
+    // has no star modifiers). The REPLACE expressions use the shared
+    // floor-half-up text so both engines round the replaced price
+    // identically.
+    "q_dialect_exclude" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * EXCLUDE (o_orderdate, o_custkey)
+               REPLACE (floor(o_totalprice / 10 * 100 + 0.5) / 100
+                          AS o_totalprice,
+                        upper(o_orderpriority) AS o_orderpriority)
+           FROM orders
+           WHERE o_orderstatus = 'F'
+           ORDER BY o_orderkey LIMIT 500""")
+    }),
+
+    // EP1i — `GROUP BY ALL` parity pin (r12): both engines support the
+    // clause natively (Spark 3.4+, DuckDB), so the SAME text runs on
+    // both sides and the hash pins that their "all non-aggregate select
+    // items" semantics agree. The summed money is exact integer cents
+    // (floor-half-up per row, BIGINT sum) — no float accumulation
+    // crosses the engine boundary.
+    "q_dialect_group_by_all" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS total_cents
+           FROM orders
+           GROUP BY ALL
+           ORDER BY o_orderstatus, o_orderpriority""")
+    }),
+
     // EP1b — sequence CEP from SQL TEXT (`MATCH PATTERN`, r6 dialect):
     // the statement rewrites to the q_cep_seq join/window formulation;
     // the oracle is the same DuckDB recomputation q_cep_seq uses.
@@ -850,6 +885,23 @@ object Cep {
          FROM orders
          ORDER BY o_custkey, o_totalprice DESC, o_orderkey
          LIMIT 500""",
+    // DuckDB's NATIVE star modifiers on the same text the Spark side
+    // expands via schema — the modifier semantics are what the hash pins
+    "q_dialect_exclude" ->
+      """SELECT * EXCLUDE (o_orderdate, o_custkey)
+             REPLACE (floor(o_totalprice / 10 * 100 + 0.5) / 100
+                        AS o_totalprice,
+                      upper(o_orderpriority) AS o_orderpriority)
+         FROM orders
+         WHERE o_orderstatus = 'F'
+         ORDER BY o_orderkey LIMIT 500""",
+    "q_dialect_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders
+         GROUP BY ALL
+         ORDER BY o_orderstatus, o_orderpriority""",
     // DuckDB's NATIVE QUALIFY on the same text the Spark side submits —
     // the clause itself is the thing under test
     "q_dialect_qualify" ->

@@ -496,6 +496,41 @@ object PipelineOps {
         .groupBy("token").agg(sum("freq").as("cnt"))
         .orderBy(desc("cnt"), asc("token"))
         .limit(20)
+    }),
+
+    // Pareto-skyline curation filter (r12; Börzsönyi/Kossmann/Stocker,
+    // ICDE 2001): the documents no other document dominates on
+    // (distinct-token count, n_chars) — the multi-criteria "keep the
+    // frontier" selector for when two quality axes can't be collapsed
+    // into one score. Dominance: r beats s iff r ≥ s on both axes and
+    // > on at least one; coincident points all survive. The plan NEVER
+    // compares document pairs: group docs by a = distinct-token count
+    // (DOMAIN-bounded — a ≤ max tokens in one doc, independent of
+    // corpus size), keep per-a max(b); the strict-suffix max
+    // M(a) = max{b : a' > a} computes on that reduced frame via a
+    // broadcast range self-join (|A|² pairs over the token-count
+    // domain, not the corpus); a doc is on the frontier iff
+    // b = maxb(a) AND b > M(a). One corpus pass, two bounded
+    // broadcasts, ZERO windows — the textbook single-pass SQL skyline
+    // is a global-ORDER-BY window, i.e. the single-task plan this repo
+    // bans (it survives only in the DuckDB oracle).
+    "q_skyline" -> ((s, dir) => {
+      val m = T(s, dir, "documents")
+        .select(col("doc_id"),
+          size(array_distinct(toks(col("text")))).cast("long").as("a"),
+          col("n_chars").as("b"))
+      val g = graft.Caching.cache(
+        m.groupBy("a").agg(max("b").as("maxb")))
+      val suf = g.select(col("a").as("a2"), col("maxb").as("mb2"))
+      val mOfA = g.join(broadcast(suf), col("a2") > col("a"), "left")
+        .groupBy("a").agg(max("mb2").as("suffix_max"))
+      m.join(broadcast(g), "a")
+        .join(broadcast(mOfA), "a")
+        .filter(col("b") === col("maxb") &&
+          (col("suffix_max").isNull || col("b") > col("suffix_max")))
+        .select(col("doc_id"), col("a").as("n_tok_distinct"),
+          col("b").as("n_chars"))
+        .orderBy(desc("n_tok_distinct"), asc("doc_id"))
     }))
 
   /** Round-count cutover for BPE training (VERDICT r11 §next-5): the
@@ -1106,5 +1141,23 @@ object PipelineOps {
            CAST(sum(f1) AS BIGINT) AS n_dedup,
            CAST(sum(f2) AS BIGINT) AS n_quality,
            CAST(sum(f3) AS BIGINT) AS n_entropy
-         FROM f GROUP BY lang ORDER BY lang""")
+         FROM f GROUP BY lang ORDER BY lang""",
+    // the textbook single-pass skyline: one global-ORDER-BY window —
+    // fine single-node, banned in the Spark plan (single-task)
+    "q_skyline" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CAST(length(list_distinct(string_split(text, ' ')))
+               AS BIGINT) AS a,
+             n_chars AS b
+           FROM documents),
+         w AS (
+           SELECT doc_id, a, b,
+             max(b) OVER (ORDER BY a RANGE BETWEEN 1 FOLLOWING
+                          AND UNBOUNDED FOLLOWING) AS ms,
+             max(b) OVER (PARTITION BY a) AS mba
+           FROM m)
+         SELECT doc_id, a AS n_tok_distinct, b AS n_chars FROM w
+         WHERE b = mba AND (ms IS NULL OR b > ms)
+         ORDER BY a DESC, doc_id""")
 }

@@ -420,6 +420,41 @@ object VectorOps {
         .orderBy("label", "pos")
     }),
 
+    // Embedding drift monitor (r12): per label, the cosine between the
+    // centroid of the even-vec_id half and the odd-vec_id half — the
+    // readout a training pipeline watches to catch upstream encoder or
+    // distribution drift between two batches/snapshots of the same
+    // corpus slice (here the deterministic parity split stands in for
+    // "yesterday vs today"). Plan: ONE explode + one map-combined agg
+    // on (label, pos) with BOTH split centroids as conditional
+    // averages in the same pass (avg ignores the other parity's NULLs)
+    // — 64·|labels| partials regardless of corpus size, no self-join,
+    // the corpus touched exactly once — then the cosine folds the
+    // 64·|labels| frame per label. Centroid components round at 6 dp
+    // BEFORE the dot product (the q_embed_cov discipline: avg drift
+    // ~1e-12), the cosine at 4 dp after.
+    "q_centroid_drift" -> ((s, dir) => {
+      val x = col("x").cast("double")
+      val even = pmod(col("vec_id"), lit(2L)) === 0L
+      T(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(fround(avg(when(even, x)), 6).as("c0"),
+          fround(avg(when(!even, x)), 6).as("c1"),
+          sum(even.cast("long")).as("n_even"),
+          sum((!even).cast("long")).as("n_odd"))
+        .groupBy("label")
+        .agg(max("n_even").as("n_even"), max("n_odd").as("n_odd"),
+          sum(col("c0") * col("c1")).as("dp"),
+          sum(col("c0") * col("c0")).as("na"),
+          sum(col("c1") * col("c1")).as("nb"))
+        .select(col("label"), col("n_even"), col("n_odd"),
+          fround(col("dp") / (sqrt(col("na")) * sqrt(col("nb"))), 4)
+            .as("drift_cos"))
+        .orderBy("label")
+    }),
+
     // Embedding covariance matrix (r11) — the PCA / whitening /
     // Mahalanobis front half, as ONE single-pass aggregation:
     // [[graft.functions.VecMomentsAgg]] folds every vector into a flat
@@ -1117,6 +1152,27 @@ object VectorOps {
            count(*) AS n
          FROM embeddings, (SELECT unnest(range(64)) AS i) i
          GROUP BY label, i.i ORDER BY label, pos""",
+    "q_centroid_drift" ->
+      """WITH x AS (
+           SELECT CAST(label AS BIGINT) AS label, vec_id, i.i AS pos,
+             CAST(embedding[i.i + 1] AS DOUBLE) AS x
+           FROM embeddings, (SELECT unnest(range(64)) AS i) i),
+         c AS (
+           SELECT label, pos,
+             floor(avg(CASE WHEN vec_id % 2 = 0 THEN x END) * 1e6 + 0.5)
+               / 1e6 AS c0,
+             floor(avg(CASE WHEN vec_id % 2 = 1 THEN x END) * 1e6 + 0.5)
+               / 1e6 AS c1,
+             CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_even,
+             CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_odd
+           FROM x GROUP BY 1, 2)
+         SELECT label, max(n_even) AS n_even, max(n_odd) AS n_odd,
+           floor(sum(c0 * c1)
+                 / (sqrt(sum(c0 * c0)) * sqrt(sum(c1 * c1)))
+                 * 1e4 + 0.5) / 1e4 AS drift_cos
+         FROM c GROUP BY label ORDER BY label""",
     "q_embed_cov" ->
       """WITH xv AS (
            SELECT vec_id, i.i AS i,

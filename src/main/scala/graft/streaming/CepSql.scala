@@ -94,6 +94,28 @@ object CepSql {
   private val asofSelItem = Pattern.compile(
     "^([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)(?:\\s+AS\\s+([A-Za-z_]\\w*))?$",
     Pattern.CASE_INSENSITIVE)
+  /** `SELECT * EXCLUDE (…) [REPLACE (…)]` (r12) — DuckDB/BigQuery's
+    * star-modifier surface. Spark's parser has no star modifiers; the
+    * rewrite is pure schema-aware star expansion, so it NEEDS a session
+    * to resolve the base table (the injected [[CepSqlParser]] carries
+    * one; the pure-text [[translate]] rejects with that pointer).
+    * Grammar: one base table/view, bare column names in EXCLUDE,
+    * `expr AS col` items in REPLACE (split on top-level commas, the
+    * LAST top-level AS binds the target), arbitrary tail
+    * (WHERE/GROUP/ORDER/LIMIT) passed through verbatim. Edges are loud
+    * and spec-pinned: unknown/duplicate/all-columns EXCLUDE, REPLACE
+    * of an excluded or unknown column, star modifiers in a subquery,
+    * multi-statement or set-op text. */
+  private val excludeKw = Pattern.compile(
+    "\\*\\s*EXCLUDE\\s*\\(", Pattern.CASE_INSENSITIVE)
+  private val excludeStmt = Pattern.compile(
+    "^\\s*SELECT\\s+\\*\\s+EXCLUDE\\s*\\(([^)]+)\\)" +
+      "(?:\\s+REPLACE\\s*\\((.+?)\\))?" +
+      "\\s+FROM\\s+([A-Za-z_][\\w.]*)(.*?)\\s*;?\\s*$",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val replaceItem = Pattern.compile(
+    "^(.+)\\s+AS\\s+([A-Za-z_]\\w*)$",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   /** Clauses that may legally FOLLOW the QUALIFY predicate (they stay on
     * the rewritten OUTER query). */
   private val qualTail = Pattern.compile(
@@ -271,8 +293,20 @@ object CepSql {
     val mayQual = qualifyKw.matcher(q).find()
     val mayAsof = asofKw.matcher(q).find()
     val mayDon = distinctOnKw.matcher(q).find()
-    if (!mayOver && !mayPat && !mayQual && !mayAsof && !mayDon) return q
+    val mayEx = excludeKw.matcher(q).find()
+    if (!mayOver && !mayPat && !mayQual && !mayAsof && !mayDon && !mayEx)
+      return q
     val (lit, depth) = scan(q)
+    if (mayEx) {
+      val em = excludeKw.matcher(q)
+      while (em.find())
+        if (!lit(em.start()))
+          throw new IllegalArgumentException(
+            "SELECT * EXCLUDE needs the base table's schema to expand " +
+              "the star — no text-to-text rewrite exists; submit " +
+              "through CepSql.sql(spark, …) or the installed " +
+              "CepSqlParser (both resolve the schema)")
+    }
     if (mayAsof) {
       val am = asofKw.matcher(q)
       while (am.find())
@@ -1534,7 +1568,97 @@ object CepSql {
         spec.steps.map(_.cond.map(c => (c.col, c.op, c.num.toDouble))))
     } else if (realAsof(q)) {
       asofDispatch(spark, q, idCol)
+    } else if (realExclude(q)) {
+      spark.sql(excludeRewrite(spark, q))
     } else spark.sql(translate(q, tsCol, typeCol, idCol))
+
+  private[streaming] def realExclude(q: String): Boolean = {
+    if (!excludeKw.matcher(q).find()) return false
+    val (lit, _) = scan(q)
+    val m = excludeKw.matcher(q)
+    while (m.find()) if (!lit(m.start())) return true
+    false
+  }
+
+  /** Split on commas at parenthesis depth 0 (REPLACE items may nest
+    * function calls). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val sb = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; sb += '('
+      case ')' => depth -= 1; sb += ')'
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString
+    out.toSeq
+  }
+
+  /** Expand `SELECT * EXCLUDE (…) [REPLACE (…)] FROM t <tail>` into plain
+    * Spark SQL against t's resolved schema. Returns SQL TEXT so the
+    * [[sql]] dispatch and the injected [[CepSqlParser]] share one path. */
+  private[streaming] def excludeRewrite(spark: SparkSession,
+      q: String): String = {
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"SELECT * EXCLUDE: $msg")
+    val m = excludeStmt.matcher(q)
+    if (!m.matches())
+      bad("the dialect accepts exactly `SELECT * EXCLUDE (col, …) " +
+        "[REPLACE (expr AS col, …)] FROM table [tail…]` — one base " +
+        "table/view and bare EXCLUDE names (register a temp view for " +
+        "derived inputs)")
+    val (exList, repOpt, tbl) = (m.group(1), Option(m.group(2)), m.group(3))
+    val tail = Option(m.group(4)).getOrElse("")
+    if (excludeKw.matcher(tail).find())
+      bad("one EXCLUDE per statement — star modifiers in a subquery " +
+        "are not supported; expand the inner star by hand")
+    val (lit, _) = scan(q)
+    val semi = q.indexOf(';')
+    if (semi >= 0 && !lit(semi) && q.substring(semi + 1).trim.nonEmpty)
+      bad("multi-statement text is ambiguous — submit one statement")
+    val tailAt = if (tail.isEmpty) -1 else m.start(4)
+    if (tailAt >= 0) {
+      val so = setOp.matcher(q)
+      while (so.find())
+        if (so.start() >= tailAt && !lit(so.start()))
+          bad("a UNION/INTERSECT/EXCEPT statement is ambiguous — " +
+            "expand the star inside the branch")
+    }
+    val cols = spark.table(tbl).columns
+    val excluded = exList.split(",").map(_.trim).map { n =>
+      if (!n.matches("[A-Za-z_]\\w*"))
+        bad(s"EXCLUDE item '$n' must be a bare column name")
+      cols.find(_.equalsIgnoreCase(n)).getOrElse(
+        bad(s"EXCLUDE column '$n' is not a column of '$tbl' " +
+          s"(has: ${cols.mkString(", ")})"))
+    }
+    if (excluded.map(_.toLowerCase).distinct.length != excluded.length)
+      bad("duplicate EXCLUDE column")
+    if (excluded.length == cols.length)
+      bad(s"EXCLUDE removes every column of '$tbl'")
+    val reps = repOpt.map(splitTopLevel).getOrElse(Seq.empty).map { it0 =>
+      val it = it0.trim
+      val rm = replaceItem.matcher(it)
+      if (!rm.matches())
+        bad(s"REPLACE item '$it' must be `<expr> AS <col>`")
+      val (e, n) = (rm.group(1).trim, rm.group(2))
+      val cn = cols.find(_.equalsIgnoreCase(n)).getOrElse(
+        bad(s"REPLACE target '$n' is not a column of '$tbl' " +
+          s"(has: ${cols.mkString(", ")})"))
+      if (excluded.exists(_.equalsIgnoreCase(cn)))
+        bad(s"REPLACE target '$cn' is also EXCLUDEd")
+      cn -> e
+    }
+    if (reps.map(_._1.toLowerCase).distinct.length != reps.length)
+      bad("duplicate REPLACE target")
+    val repMap = reps.toMap
+    val items = cols
+      .filterNot(c => excluded.exists(_.equalsIgnoreCase(c)))
+      .map(c => repMap.get(c).map(e => s"($e) AS `$c`").getOrElse(s"`$c`"))
+    s"SELECT ${items.mkString(", ")} FROM $tbl$tail"
+  }
 
   private def realAsof(q: String): Boolean = {
     if (!asofKw.matcher(q).find()) return false
@@ -1647,10 +1771,14 @@ class CepSqlParser(session: SparkSession, delegate: ParserInterface)
   private def conf(key: String, default: String): String =
     try session.conf.get(key, default)
     catch { case _: Throwable => default }
-  private def t(sqlText: String): String = CepSql.translate(sqlText,
-    conf("spark.graft.cep.tsColumn", "ts"),
-    conf("spark.graft.cep.typeColumn", "event_type"),
-    conf("spark.graft.cep.idColumn", "event_id"))
+  private def t(sqlText: String): String =
+    // star modifiers need schema resolution — the parser HAS a session,
+    // so expand here rather than bouncing the user to CepSql.sql
+    if (CepSql.realExclude(sqlText)) CepSql.excludeRewrite(session, sqlText)
+    else CepSql.translate(sqlText,
+      conf("spark.graft.cep.tsColumn", "ts"),
+      conf("spark.graft.cep.typeColumn", "event_type"),
+      conf("spark.graft.cep.idColumn", "event_id"))
 
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(t(sqlText))

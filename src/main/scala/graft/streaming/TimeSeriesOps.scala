@@ -130,6 +130,53 @@ object TimeSeriesOps {
       }
   }
 
+  case class CusumMark(user_id: Long, event_id: Long, cusum_hi: Double,
+      cusum_lo: Double, is_alarm: Boolean)
+  case class CusumState(pHi: Long, minHi: Long, pLo: Long, minLo: Long)
+
+  /** Streaming twin of `q_cusum` (r12): two-sided CUSUM per key against
+    * a CALIBRATED in-control mean — the standard SPC deployment: μ per
+    * key is trained offline and shipped as a broadcast-sized map, and
+    * the detector streams against it. The batch key computes μ from the
+    * same window it scores, so replaying with the batch μ reproduces it
+    * row-for-row (CusumTwinSpec law). State is four longs per key — the
+    * running drift prefix sum and its running minimum for each side, in
+    * exact 1e-4 integer units (the same prefix-sum identity the batch
+    * windows use: s_t = P_t − min(0, min_{i≤t} P_i)) — CONSTANT, the
+    * cdcCompact state class. Out-of-order within a micro-batch is
+    * re-sorted; retro events are batch's concern (the documented twin
+    * contract). */
+  def cusumMarks(events: Dataset[CepEvent], mu: Map[Long, Double],
+      k: Double = 25.0, hUnits: Long = 2500000L): Dataset[CusumMark] = {
+    implicit val rowEnc = Encoders.product[CusumMark]
+    implicit val stEnc = Encoders.product[CusumState]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CusumState, CusumMark](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[CepEvent],
+            state: GroupState[CusumState]) =>
+          // minHi/minLo start at 0: batch's least(0, min_{i≤t} P_i)
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L))
+          val m = mu.getOrElse(user, 0.0)
+          val out = List.newBuilder[CusumMark]
+          it.toArray.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val pHi = st.pHi +
+              math.floor((e.value - m - k) * 1e4 + 0.5).toLong
+            val pLo = st.pLo +
+              math.floor((m - k - e.value) * 1e4 + 0.5).toLong
+            st = CusumState(pHi, math.min(st.minHi, pHi),
+              pLo, math.min(st.minLo, pLo))
+            val sHi = pHi - st.minHi
+            val sLo = pLo - st.minLo
+            out += CusumMark(user, e.event_id, sHi.toDouble / 1e4,
+              sLo.toDouble / 1e4, sHi > hUnits || sLo > hUnits)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class TransRow(user_id: Long, e1: String, e2: String)
   case class TransState(lastType: String)
 

@@ -349,6 +349,77 @@ class CepSqlSpec extends SparkSpec {
     assert(CepSql.translate(litQ) === litQ)
   }
 
+  test("SELECT * EXCLUDE/REPLACE dialect: schema-aware star expansion; " +
+      "edges loud (r12)") {
+    Tables.load(spark, sf)
+    // plain EXCLUDE drops exactly the named columns, keeps schema order
+    val ex = CepSql.sql(spark,
+      "SELECT * EXCLUDE (o_orderdate, o_custkey) FROM orders LIMIT 5")
+    assert(ex.columns.toSeq ===
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority"))
+    assert(ex.count() === 5)
+    // REPLACE swaps the expression in place, keeps the position + name
+    val rep = CepSql.sql(spark,
+      """SELECT * EXCLUDE (o_orderdate)
+             REPLACE (o_totalprice * 2 AS o_totalprice)
+         FROM orders ORDER BY o_orderkey LIMIT 3""")
+    assert(rep.columns.toSeq ===
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority"))
+    val wantPrice = spark.sql(
+      "SELECT o_totalprice * 2 AS p FROM orders ORDER BY o_orderkey " +
+        "LIMIT 3").collect().map(_.getDouble(0)).toSeq
+    assert(rep.collect().map(_.getAs[Double]("o_totalprice")).toSeq
+      === wantPrice)
+    // the WHERE tail passes through and bites
+    val flt = CepSql.sql(spark,
+      "SELECT * EXCLUDE (o_orderdate) FROM orders " +
+        "WHERE o_orderstatus = 'F'")
+    assert(flt.count() > 0 &&
+      flt.count() < spark.table("orders").count())
+    // case-insensitive resolution against the schema
+    assert(CepSql.sql(spark,
+      "SELECT * EXCLUDE (O_ORDERDATE) FROM orders LIMIT 1")
+      .columns.length === 5)
+    // the parser-extension path expands too (it has the session)
+    assert(CepSql.realExclude(
+      "SELECT * EXCLUDE (o_custkey) FROM orders"))
+    assert(CepSql.excludeRewrite(spark,
+      "SELECT * EXCLUDE (o_custkey) FROM orders")
+      .startsWith("SELECT `o_orderkey`"))
+    // grammar edges
+    def rej(sqlText: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        CepSql.sql(spark, sqlText) }
+      assert(e.getMessage.contains(frag), s"$sqlText → ${e.getMessage}")
+    }
+    rej("SELECT * EXCLUDE (no_such) FROM orders", "not a column")
+    rej("SELECT * EXCLUDE (o_custkey, o_custkey) FROM orders",
+      "duplicate EXCLUDE")
+    rej("SELECT * EXCLUDE (o_orderkey, o_custkey, o_orderstatus, " +
+      "o_totalprice, o_orderdate, o_orderpriority) FROM orders",
+      "every column")
+    rej("SELECT * EXCLUDE (o_orderdate) REPLACE (1 AS no_such) " +
+      "FROM orders", "not a column")
+    rej("SELECT * EXCLUDE (o_custkey) REPLACE (1 AS o_custkey) " +
+      "FROM orders", "also EXCLUDEd")
+    rej("SELECT * EXCLUDE (o_orderdate) REPLACE (o_totalprice) " +
+      "FROM orders", "AS")
+    rej("SELECT * EXCLUDE (o_orderdate) FROM orders " +
+      "UNION SELECT 1, 2, 3, 4, 5", "ambiguous")
+    rej("SELECT * EXCLUDE (o_orderdate) FROM orders; SELECT 1",
+      "multi-statement")
+    rej("SELECT a, * EXCLUDE (b) FROM orders", "accepts exactly")
+    // pure-text translate has no schema: loud pointer, not a pass-through
+    val e = intercept[IllegalArgumentException] {
+      CepSql.translate("SELECT * EXCLUDE (a) FROM t") }
+    assert(e.getMessage.contains("CepSql.sql"))
+    // literal text is data, not a clause
+    val litQ = "SELECT '* EXCLUDE (x)' AS k FROM t"
+    assert(CepSql.translate(litQ) === litQ)
+  }
+
   test("q_dialect_asof fixture has unique (user_id, ts) clicks — the " +
       "DuckDB native-ASOF oracle's equal-ts tie choice is unspecified, " +
       "so the hash gate is deterministic ONLY under this pin (r12)") {

@@ -176,6 +176,39 @@ class StreamingTwinSpec extends SparkSpec {
       "fixture must contain interior gap hours")
   }
 
+  test("CUSUM: streaming integer prefix-sum state == batch window " +
+      "identity (r12)") {
+    val batch = graft.SparkEntry.queries("q_cusum")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // the twin's calibrated in-control mean = the batch key's own μ
+    // (4-dp-rounded per-user average), shipped as the broadcast map the
+    // production deployment would train offline
+    val mu = eventsDf.groupBy("user_id")
+      .agg(avg("value").as("m")).collect()
+      .map(r => r.getLong(0) ->
+        math.floor(r.getDouble(1) * 1e4 + 0.5) / 1e4).toMap
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"twin_cusum_${System.nanoTime}"
+    val q = TimeSeriesOps.cusumMarks(stream.toDS(), mu)
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got.keySet === batch.keySet)
+    val diffs = batch.collect {
+      case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty, s"${diffs.size} diverge, e.g. ${diffs.take(3)}")
+    assert(batch.exists(_._2._3), "fixture should trip ≥1 alarm")
+  }
+
   test("EWMA: streaming 16-value ring == batch 16-lag window fold (r9)") {
     val batch = graft.SparkEntry.queries("q_ewma")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap

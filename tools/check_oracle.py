@@ -32,7 +32,7 @@ def run_verify():
     cmd = ["java"] + ADD_OPENS + [
         "-Xmx8g", "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC", "-cp", cp,
-        "graft.Verify", SF, OUT]
+        "graft.Verify", SF, OUT] + ONLY
     env = dict(os.environ, SPARK_GRAFT_CPUS="4")
     r = subprocess.run(cmd, capture_output=True, text=True, env=env)
     for line in r.stderr.splitlines():
