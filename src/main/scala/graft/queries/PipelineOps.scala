@@ -498,6 +498,53 @@ object PipelineOps {
         .limit(20)
     }),
 
+    // Leakage-aware train/val/test split (r12): the dedup-aware variant
+    // of q_split_hash every LLM data pipeline needs — a near-dup
+    // CLUSTER must land entirely in ONE split, or the held-out sets
+    // leak training text through near-duplicates (the dedup-then-split
+    // discipline of Lee et al. 2022, "Deduplicating Training Data Makes
+    // Language Models Better"). Split assignment hashes the COMPONENT
+    // representative (the band graph's min-doc_id keeper; solo docs are
+    // their own rep), not the doc — the same md5 bucket arithmetic as
+    // q_split_hash, so proportions stay ~13/2/1 sixteenths. Readout per
+    // split: docs, distinct components, and how many docs the naive
+    // doc-hash split WOULD have placed differently (the quantified leak
+    // the cluster split fixes). Scale: the band graph + CC is exactly
+    // the q_dedup_resolve plan (band-equi edges, O(diameter) rounds);
+    // the rep join is component-keyed; the naive-vs-fixed delta is a
+    // map-side md5 compare. Streaming stance: q_dedup_keepbest's —
+    // periodic recompute over maintained band frames (a new edge can
+    // merge components and flip every member's split).
+    "q_split_leakage" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val bands = graft.Caching.cache(TextOps.bandRows(d))
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      def bucketOf(c: Column): Column =
+        instr(lit("0123456789abcdef"),
+          substring(md5(c.cast("string")), 1, 1)).cast("long")
+      def splitOf(b: Column): Column =
+        when(b <= 12, "train").when(b <= 14, "val").otherwise("test")
+      d.select(col("doc_id"))
+        .join(Components.resolveDuplicates(pairs)
+          .select(col("id").as("doc_id"), col("keeper")),
+          Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("keeper"), col("doc_id")))
+        .withColumn("split", splitOf(bucketOf(col("rep"))))
+        .withColumn("moved",
+          (splitOf(bucketOf(col("doc_id"))) =!= col("split"))
+            .cast("long"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_comps"),
+          sum("moved").as("n_moved"))
+        .orderBy("split")
+    }),
+
     // Pareto-skyline curation filter (r12; Börzsönyi/Kossmann/Stocker,
     // ICDE 2001): the documents no other document dominates on
     // (distinct-token count, n_chars) — the multi-criteria "keep the
@@ -1142,6 +1189,59 @@ object PipelineOps {
            CAST(sum(f2) AS BIGINT) AS n_quality,
            CAST(sum(f3) AS BIGINT) AS n_entropy
          FROM f GROUP BY lang ORDER BY lang""",
+    "q_split_leakage" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         gi AS (
+           SELECT doc_id, unnest(range(1, greatest(len(w) - 1, 1))) AS i, w
+           FROM t),
+         g AS (
+           SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+           FROM gi),
+         mh AS (
+           SELECT doc_id, s.seed,
+             min(md5(concat(CAST(s.seed AS VARCHAR), ':', gram))) AS mh
+           FROM g, (SELECT unnest(range(16)) AS seed) s
+           GROUP BY doc_id, s.seed),
+         bands AS (
+           SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+           FROM mh GROUP BY doc_id, seed // 4),
+         p0 AS (
+           SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id),
+         e AS (SELECT a, b FROM p0 UNION SELECT b, a FROM p0),
+         reach AS (
+           SELECT DISTINCT a AS id, a AS lbl FROM e
+           UNION
+           SELECT e.a, r.lbl FROM e JOIN reach r ON r.id = e.b),
+         cc AS (SELECT id, min(lbl) AS keeper FROM reach GROUP BY id),
+         r AS (
+           SELECT d.doc_id, coalesce(cc.keeper, d.doc_id) AS rep
+           FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+         sp AS (
+           SELECT doc_id, rep,
+             CASE WHEN strpos('0123456789abcdef',
+                    substr(md5(CAST(rep AS VARCHAR)), 1, 1)) <= 12
+                  THEN 'train'
+                  WHEN strpos('0123456789abcdef',
+                    substr(md5(CAST(rep AS VARCHAR)), 1, 1)) <= 14
+                  THEN 'val' ELSE 'test' END AS split,
+             CASE WHEN strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 12
+                  THEN 'train'
+                  WHEN strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 14
+                  THEN 'val' ELSE 'test' END AS naive_split
+           FROM r)
+         SELECT split, count(*) AS n_docs,
+           count(DISTINCT rep) AS n_comps,
+           CAST(sum(CASE WHEN split <> naive_split THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_moved
+         FROM sp GROUP BY split ORDER BY split""",
     // the textbook single-pass skyline: one global-ORDER-BY window —
     // fine single-node, banned in the Spark plan (single-task)
     "q_skyline" ->

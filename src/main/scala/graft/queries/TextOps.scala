@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.GraftFunctions
 
 /** T4 — LLM-training-pipeline text operators over `documents`
   * (SURVEY §2.10; mandated by BASELINE.json's north star).
@@ -669,6 +670,7 @@ object TextOps {
         .orderBy(desc("bm25"), asc("w"), asc("doc_id"))
         .limit(50)
     }),
+
 
     // L4e — token-entropy quality filter: Shannon entropy of the
     // per-doc token distribution, H = ln(nw) - sum(c·ln c)/nw — the

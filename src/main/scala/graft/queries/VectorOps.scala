@@ -45,6 +45,62 @@ object VectorOps {
         .limit(10)
     }),
 
+    // MMR diversified top-k (r12; Carbonell & Goldstein, SIGIR 1998):
+    // from the C=8 most query-relevant vectors, greedily pick k=4
+    // maximizing λ·rel − (1−λ)·max-sim-to-already-picked (λ = 0.7) —
+    // the standard redundancy-aware reranker a curation/retrieval
+    // pipeline runs AFTER the ANN stage so near-duplicate hits don't
+    // crowd the result list. Plan: the corpus is touched once by the
+    // broadcast-query scoring scan ending in TakeOrdered(C); the C×C
+    // candidate similarity matrix is a broadcast self-join (56 rows);
+    // the greedy then runs on the driver over those C rows (the
+    // k-means/BPE bounded-collect discipline — C and k are literals,
+    // the collect is constant-size at any corpus scale). Determinism:
+    // rel and sims round at 4 dp BEFORE the greedy; both engines
+    // evaluate λ·rel − (1−λ)·maxsim from identical rounded doubles
+    // (bit-identical IEEE), ties break to the lower vec_id; the oracle
+    // unrolls the same greedy as k−1 argmax CTE rounds.
+    "q_mmr_topk" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val e = T(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val cand = graft.Caching.cache(
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("embedding"),
+            fround(cos("embedding", "qv"), 4).as("rel"))
+          .orderBy(desc("rel"), asc("vec_id")).limit(8))
+      val sims = cand
+        .select(col("vec_id").as("a"), col("embedding").as("ea"))
+        .join(broadcast(cand.select(col("vec_id").as("b"),
+          col("embedding").as("eb"))), col("a") =!= col("b"))
+        .select(col("a"), col("b"), fround(cos("ea", "eb"), 4).as("sim"))
+      val simMap = sims.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      var remaining = cand.select("vec_id", "rel").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toList
+      val picked =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double,
+          Double)]
+      var selected = List.empty[Long]
+      for (rk <- 1 to 4 if remaining.nonEmpty) {
+        val best = remaining.map { case (id, rel) =>
+          val mmr =
+            if (selected.isEmpty) rel
+            else 0.7 * rel -
+              0.3 * selected.map(sid => simMap((id, sid))).max
+          (id, rel, mmr)
+        }.minBy { case (id, _, mmr) => (-mmr, id) }
+        picked += ((rk.toLong, best._1, best._2,
+          math.floor(best._3 * 1e4 + 0.5) / 1e4))
+        selected = best._1 :: selected
+        remaining = remaining.filterNot(_._1 == best._1)
+      }
+      picked.toSeq.toDF("rk", "vec_id", "rel", "mmr").orderBy("rk")
+    }),
+
     // L3h (r12) — HARD-NEGATIVE mining: for each of the 40 budget
     // queries (q_ann_recall's fixed TakeOrdered sample), the single most
     // similar vector with a DIFFERENT label — the contrastive-training
@@ -794,6 +850,7 @@ object VectorOps {
   // join — identical fold math to CosineSimilarity's loop (error << 1e-12,
   // rounded at 4 dp; safe regardless of summation order).
   val oracles: Map[String, String] = Map(
+    "q_mmr_topk" -> mmrOracle,
     "q_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          d AS (
@@ -1358,6 +1415,65 @@ object VectorOps {
          JOIN embeddings v ON v.vec_id = cp.vec_id
          WHERE v.label = (SELECT label FROM best) AND cp.vec_id <> 0
          ORDER BY adc.adc, cp.vec_id LIMIT 10""")
+
+  /** The q_mmr_topk oracle: the same greedy the Spark key runs on its
+    * collected C-row candidate frame, unrolled as k−1 argmax CTE rounds
+    * (the pagerankIters pattern) — each round scores the not-yet-picked
+    * candidates against the selected set and takes the
+    * (mmr DESC, id) head. */
+  private def mmrOracle: String = {
+    val rounds = (2 to 4).map { t =>
+      val prev = t - 1
+      s"""p$t AS (
+           SELECT c.id, c.rel, max(s.sim) AS ms
+           FROM cand c JOIN sims s ON s.a = c.id
+           JOIN sel$prev sp ON s.b = sp.id
+           WHERE c.id NOT IN (SELECT id FROM sel$prev)
+           GROUP BY c.id, c.rel),
+         s$t AS (
+           SELECT $t AS rk, id, rel,
+             floor((0.7 * rel - 0.3 * ms) * 1e4 + 0.5) / 1e4 AS mmr
+           FROM p$t ORDER BY 0.7 * rel - 0.3 * ms DESC, id LIMIT 1),
+         sel$t AS (SELECT id FROM sel$prev
+                   UNION ALL SELECT id FROM s$t)"""
+    }.mkString(",\n         ")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+                   WHERE vec_id = 0),
+         i AS (SELECT unnest(range(64)) AS i),
+         sc AS (
+           SELECT e.vec_id AS id,
+             floor(sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                     * CAST(q.qe[i.i + 1] AS DOUBLE))
+               / (sqrt(sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                         * CAST(e.embedding[i.i + 1] AS DOUBLE)))
+                * sqrt(sum(CAST(q.qe[i.i + 1] AS DOUBLE)
+                         * CAST(q.qe[i.i + 1] AS DOUBLE))))
+               * 1e4 + 0.5) / 1e4 AS rel
+           FROM embeddings e, q, i
+           WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+         cand AS (SELECT id, rel FROM sc ORDER BY rel DESC, id LIMIT 8),
+         sims AS (
+           SELECT ca.id AS a, cb.id AS b,
+             floor(sum(CAST(ea.embedding[i.i + 1] AS DOUBLE)
+                     * CAST(eb.embedding[i.i + 1] AS DOUBLE))
+               / (sqrt(sum(CAST(ea.embedding[i.i + 1] AS DOUBLE)
+                         * CAST(ea.embedding[i.i + 1] AS DOUBLE)))
+                * sqrt(sum(CAST(eb.embedding[i.i + 1] AS DOUBLE)
+                         * CAST(eb.embedding[i.i + 1] AS DOUBLE))))
+               * 1e4 + 0.5) / 1e4 AS sim
+           FROM cand ca JOIN cand cb ON ca.id <> cb.id
+           JOIN embeddings ea ON ea.vec_id = ca.id
+           JOIN embeddings eb ON eb.vec_id = cb.id, i
+           GROUP BY ca.id, cb.id),
+         s1 AS (SELECT 1 AS rk, id, rel, rel AS mmr FROM cand
+                ORDER BY rel DESC, id LIMIT 1),
+         sel1 AS (SELECT id FROM s1),
+         $rounds
+         SELECT CAST(rk AS BIGINT) AS rk, id AS vec_id, rel, mmr
+         FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+               UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+         ORDER BY rk"""
+  }
 
   /** Shared PQ oracle CTEs — the DuckDB twin of [[pqScored]]'s codebook
     * training, code assignment, and ADC table (ends at `cp`/`adc`). */

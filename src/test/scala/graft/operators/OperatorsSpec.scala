@@ -592,4 +592,22 @@ class OperatorsSpec extends SparkSpec {
       assert(syms.toSeq == distWords(w), s"applied vocab diverges on '$w'")
     }
   }
+
+  test("q_skyline == brute-force pairwise dominance (r12): the " +
+      "window-free grouped plan is the textbook skyline") {
+    val got = graft.SparkEntry.queries("q_skyline")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val m = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(array_distinct(split(col("text"), " "))).cast("long")
+          .as("a"),
+        col("n_chars").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = m.filter { case (_, a, b) =>
+      !m.exists { case (_, a2, b2) =>
+        a2 >= a && b2 >= b && (a2 > a || b2 > b) }
+    }.toSet
+    assert(got === brute)
+    assert(brute.nonEmpty, "fixture frontier must be non-empty")
+  }
 }
