@@ -920,10 +920,13 @@ object Analytics {
     // and scales to integer, so the cumulative sums are
     // order-independent and cross-engine exact; the only doubles that
     // cross the boundary are final long/1e4 divisions (bit-identical
-    // from identical longs). 100 TB: one shuffle on user_id shared by
-    // the mean agg, its join, and both window passes; O(1) per-row
-    // work. The streaming twin (TimeSeriesOps.cusumMarks) carries
-    // (P, min P) per user — constant state.
+    // from identical longs). 100 TB: every exchange hashes on user_id
+    // (the mean agg, the mean join — broadcast at fixture stats,
+    // shuffled-hash at scale — and ONE window exchange: the two
+    // WindowExec passes collapse onto a single sort, PlanShapeSpec-
+    // pinned); O(1) per-row work. The streaming twin
+    // (TimeSeriesOps.cusumMarks) carries (P, min P) per user —
+    // constant state.
     "q_cusum" -> ((s, dir) => {
       val e = T(s, dir, "events")
         .select("user_id", "ts", "event_id", "value")

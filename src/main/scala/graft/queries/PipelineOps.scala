@@ -561,24 +561,30 @@ object PipelineOps {
     // broadcasts, ZERO windows — the textbook single-pass SQL skyline
     // is a global-ORDER-BY window, i.e. the single-task plan this repo
     // bans (it survives only in the DuckDB oracle).
-    "q_skyline" -> ((s, dir) => {
-      val m = T(s, dir, "documents")
-        .select(col("doc_id"),
-          size(array_distinct(toks(col("text")))).cast("long").as("a"),
-          col("n_chars").as("b"))
-      val g = graft.Caching.cache(
-        m.groupBy("a").agg(max("b").as("maxb")))
-      val suf = g.select(col("a").as("a2"), col("maxb").as("mb2"))
-      val mOfA = g.join(broadcast(suf), col("a2") > col("a"), "left")
-        .groupBy("a").agg(max("mb2").as("suffix_max"))
-      m.join(broadcast(g), "a")
-        .join(broadcast(mOfA), "a")
-        .filter(col("b") === col("maxb") &&
-          (col("suffix_max").isNull || col("b") > col("suffix_max")))
-        .select(col("doc_id"), col("a").as("n_tok_distinct"),
-          col("b").as("n_chars"))
-        .orderBy(desc("n_tok_distinct"), asc("doc_id"))
-    }))
+    "q_skyline" -> ((s, dir) =>
+      skylineOf(T(s, dir, "documents"))))
+
+  /** The q_skyline plan over an arbitrary documents-shaped frame
+    * (doc_id, text, n_chars) — factored out so tools.SkylineProbe can
+    * replay it on ×k replicated corpora. See the key's scaladoc for the
+    * dominance semantics and the zero-window plan argument. */
+  private[graft] def skylineOf(d: DataFrame): DataFrame = {
+    val m = d.select(col("doc_id"),
+      size(array_distinct(toks(col("text")))).cast("long").as("a"),
+      col("n_chars").as("b"))
+    val g = graft.Caching.cache(
+      m.groupBy("a").agg(max("b").as("maxb")))
+    val suf = g.select(col("a").as("a2"), col("maxb").as("mb2"))
+    val mOfA = g.join(broadcast(suf), col("a2") > col("a"), "left")
+      .groupBy("a").agg(max("mb2").as("suffix_max"))
+    m.join(broadcast(g), "a")
+      .join(broadcast(mOfA), "a")
+      .filter(col("b") === col("maxb") &&
+        (col("suffix_max").isNull || col("b") > col("suffix_max")))
+      .select(col("doc_id"), col("a").as("n_tok_distinct"),
+        col("b").as("n_chars"))
+      .orderBy(desc("n_tok_distinct"), asc("doc_id"))
+  }
 
   /** Round-count cutover for BPE training (VERDICT r11 §next-5): the
     * distributed loop costs ONE Spark job per merge round — fine at the

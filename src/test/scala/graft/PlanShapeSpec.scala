@@ -629,6 +629,21 @@ class PlanShapeSpec extends SparkSpec {
     graft.Caching.releaseAll()
   }
 
+  test("q_cusum: the two window layers collapse onto ONE sort/exchange, " +
+      "every exchange hashes user_id (r12)") {
+    val p = plan("q_cusum")
+    // two WindowExec nodes total (p_hi/p_lo running sums, then the
+    // running mins over them), and they are ADJACENT — CollapseWindow
+    // fused the layers, so exactly one sort feeds them
+    val nWin = "\\bWindow \\[".r.findAllIn(p).length
+    assert(nWin == 2, s"expected 2 Window nodes, got $nWin:\n${p.take(1500)}")
+    val hashParts = "hashpartitioning\\(([a-z_#0-9L]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashParts.nonEmpty && hashParts.forall(_.startsWith("user_id")),
+      s"non-user_id exchange in cusum plan: $hashParts")
+    graft.Caching.releaseAll()
+  }
+
   test("every oracleSql key has a matching queries key") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
