@@ -498,6 +498,36 @@ object PipelineOps {
         .limit(20)
     }),
 
+    // k-anonymity risk audit (r12; Sweeney 2002): how many documents
+    // sit in a quasi-identifier cell smaller than k — the privacy
+    // screen run before releasing/training on scraped data (PII
+    // scrubbing removes direct identifiers; k-anonymity measures
+    // re-identification risk from indirect ones). Quasi-identifier
+    // here: (lang, source, length decile bucket). Per lang: cells,
+    // risky cells (size < k = 5), docs at risk, and the risk rate.
+    // Plan: ONE map-combined count agg on the cell key, then a
+    // cell-bounded (|langs|·|sources|·10 rows) re-aggregation —
+    // corpus touched once, everything downstream broadcast-sized.
+    // Integer counts end-to-end; the rate is one exact-int division
+    // rounded at 4 dp.
+    "q_kanon" -> ((s, dir) => {
+      val cells = T(s, dir, "documents")
+        .groupBy(col("lang"), col("source"),
+          floor(col("n_chars") / lit(100L)).cast("long").as("len_bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      cells.groupBy("lang")
+        .agg(count(lit(1)).as("n_cells"),
+          sum((col("cnt") < 5L).cast("long")).as("n_risky_cells"),
+          sum(when(col("cnt") < 5L, col("cnt")).otherwise(0L))
+            .as("docs_at_risk"),
+          sum("cnt").as("n_docs"))
+        .withColumn("risk_rate",
+          fround(col("docs_at_risk").cast("double") / col("n_docs"), 4))
+        .select("lang", "n_cells", "n_risky_cells", "docs_at_risk",
+          "n_docs", "risk_rate")
+        .orderBy("lang")
+    }),
+
     // Leakage-aware train/val/test split (r12): the dedup-aware variant
     // of q_split_hash every LLM data pipeline needs — a near-dup
     // CLUSTER must land entirely in ONE split, or the held-out sets
@@ -1195,6 +1225,21 @@ object PipelineOps {
            CAST(sum(f2) AS BIGINT) AS n_quality,
            CAST(sum(f3) AS BIGINT) AS n_entropy
          FROM f GROUP BY lang ORDER BY lang""",
+    "q_kanon" ->
+      """WITH cells AS (
+           SELECT lang, source,
+             CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+             count(*) AS cnt
+           FROM documents GROUP BY 1, 2, 3)
+         SELECT lang, count(*) AS n_cells,
+           CAST(sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_cells,
+           CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
+             AS docs_at_risk,
+           CAST(sum(cnt) AS BIGINT) AS n_docs,
+           floor(CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END)
+                   AS DOUBLE) / sum(cnt) * 1e4 + 0.5) / 1e4 AS risk_rate
+         FROM cells GROUP BY lang ORDER BY lang""",
     "q_split_leakage" ->
       """WITH RECURSIVE t AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

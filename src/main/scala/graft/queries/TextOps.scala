@@ -846,6 +846,37 @@ object TextOps {
         .limit(50)
     }),
 
+    // Stratified weighted sampling (r12): q_sample_weighted per
+    // STRATUM — an independent Efraimidis–Spirakis draw inside every
+    // language, the "k docs per language, probability ∝ token count,
+    // without replacement" sampler a mixture pipeline runs when each
+    // stratum has its own budget. Same md5-uniform u and ln(u)/w keys
+    // (6-dp rounded BEFORE ranking); the per-stratum top-k is a
+    // lang-partitioned row_number — WindowGroupLimit keeps ≤ k rows
+    // per lang per map partition BEFORE the shuffle (the q_topk_group
+    // shape), so the exchange carries ~k·|langs| rows at any corpus
+    // size.
+    "q_sample_stratwt" -> ((s, dir) => {
+      val h = md5(col("doc_id").cast("string"))
+      val bits = (0 until 6).map { i =>
+        (instr(lit("0123456789abcdef"), substring(h, i + 1, 1)) - 1)
+          .cast("double") * math.pow(16, 5 - i)
+      }.reduce(_ + _)
+      val w = Window.partitionBy("lang")
+        .orderBy(desc("skey"), asc("doc_id"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(toks(col("text"))).cast("long").as("w"),
+          ((bits + lit(1.0)) / lit(math.pow(16, 6))).as("u"))
+        .select(col("doc_id"), col("lang"), col("w"),
+          fround(log(col("u")) / col("w"), 6).as("skey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk").cast("long").as("rk"),
+          col("doc_id"), col("w"), col("skey"))
+        .orderBy("lang", "rk")
+    }),
+
     // L4h — distinct-n corpus diversity (r11): the distinct-1/-2
     // ratios from the text-generation evaluation literature (Li et al.
     // 2016, "A Diversity-Promoting Objective", NAACL — public), read
@@ -1648,6 +1679,32 @@ object TextOps {
          SELECT doc_id, w,
            floor(ln(u) / w * 1e6 + 0.5) / 1e6 AS skey
          FROM u ORDER BY skey DESC, doc_id LIMIT 50""",
+    "q_sample_stratwt" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         u AS (
+           SELECT doc_id, lang, w,
+             (((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576.0
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536.0
+             + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096.0
+             + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256.0
+             + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16.0
+             + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) + 1.0)
+               / 16777216.0 AS u
+           FROM d),
+         k AS (
+           SELECT doc_id, lang, w,
+             floor(ln(u) / w * 1e6 + 0.5) / 1e6 AS skey
+           FROM u)
+         SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, w, skey FROM (
+           SELECT lang, doc_id, w, skey,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY skey DESC, doc_id) AS rk
+           FROM k) t
+         WHERE rk <= 5 ORDER BY lang, rk""",
     "q_distinct_n" ->
       """WITH t AS (
            SELECT doc_id, source, string_split(text, ' ') AS ws
