@@ -40,10 +40,13 @@ object HotKeyStateProbe {
       CepEvent(i.toLong, new Timestamp(t0 + i * spacingMs), 7L, ty, 1.0)
     }
 
+    // optional arm filter (args 2+): run only tags containing a token
+    val only = args.drop(1).toSeq
     def replay(tag: String, events: Seq[CepEvent],
         op: org.apache.spark.sql.Dataset[CepEvent]
           => org.apache.spark.sql.DataFrame,
         mode: String = "append"): Unit = {
+      if (only.nonEmpty && !only.exists(tag.contains)) return
       val stream = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[CepEvent]
       val q = op(stream.toDS()).writeStream.queryName(s"hk_$tag")
@@ -146,6 +149,12 @@ object HotKeyStateProbe {
           Seq((e: CepEvent) => e.event_type == "purchase",
             (e: CepEvent) => e.event_type == "refund"),
           absent = true, 2L * 3600 * 1000, Some("0 seconds")).toDF())
+      // r12: CUSUM marks — state is four longs per key by construction
+      // (running drift prefix sums + their minima), so peak state must
+      // be CONSTANT (1 row, flat KB) across spacings AND totals — the
+      // cdcCompact state class
+      replay(s"cusum_$lbl", evs, ds =>
+        TimeSeriesOps.cusumMarks(ds, Map(7L -> 1.0)).toDF())
       // r11: CDC compaction — the strongest state claim of the set:
       // per-key state is ONE compacted row by construction, so peak
       // state must be CONSTANT (1 row, flat KB) across spacings AND
