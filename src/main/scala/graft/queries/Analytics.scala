@@ -958,6 +958,74 @@ object Analytics {
         .orderBy("user_id", "event_id")
     }),
 
+    // Kaplan–Meier time-to-convert survival (r12; Kaplan & Meier
+    // 1958): S(t) = Π_{event times t' ≤ t} (1 − d_t'/n_t') over days
+    // from a user's first signup to their first subsequent purchase —
+    // users who never convert inside the corpus are right-CENSORED at
+    // the horizon (they leave the risk set after their observed
+    // follow-up but never count as an event) — the product-limit
+    // estimator behind every "X% converted by day t" curve, the
+    // censoring-correct version of q_funnel_ttc's observed-gap stats.
+    // Plan: one corpus pass per arm (signup min, purchase-after min,
+    // both user-keyed aggs sharing the shuffle), then a duration
+    // histogram whose row count is SPAN-bounded (≤ corpus days, ~31
+    // rows), so the risk-set suffix sum and the survival prefix
+    // product both run as broadcast triangle joins on that tiny frame
+    // (the q_cum_adoption pattern — NO window, so nothing
+    // single-task; the prefix product is exp(Σ ln) over ≤31 terms,
+    // rounded 4 dp). A terminal event time (d = n: the whole
+    // remaining risk set converts) is handled EXPLICITLY — Spark's
+    // ln(0) is NULL while DuckDB's throws, so both sides carry a
+    // terminal flag and pin survival to exactly 0.0 from that t on.
+    // Streaming stance: both per-user firsts stream as keyed min
+    // aggs; the curve is a per-trigger recompute over the
+    // span-bounded histogram (censoring is horizon-relative, so rows
+    // near the moving end flip — batch is authoritative, the CDC
+    // stance).
+    "q_survival" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val su = graft.Caching.cache(
+        e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("sts")))
+      val pu = e.filter(col("event_type") === "purchase")
+        .join(su, "user_id").filter(col("ts") >= col("sts"))
+        .groupBy("user_id").agg(min("ts").as("pts"))
+      val end = e.agg(max(col("ts").cast("date")).as("endd"))
+      val lt = su.join(pu, Seq("user_id"), "left")
+        .crossJoin(broadcast(end))
+        .select(
+          when(col("pts").isNotNull,
+            expr("datediff(CAST(pts AS DATE), CAST(sts AS DATE))"))
+            .otherwise(expr("datediff(endd, CAST(sts AS DATE))"))
+            .cast("long").as("t"),
+          col("pts").isNotNull.cast("long").as("dead"))
+      val hist = graft.Caching.cache(
+        lt.groupBy("t").agg(count(lit(1)).as("n_users"),
+          sum("dead").as("n_deaths")))
+      val risk = hist.as("a")
+        .join(broadcast(hist.as("b")), col("b.t") >= col("a.t"))
+        .groupBy(col("a.t").as("t"))
+        .agg(sum(col("b.n_users")).as("n_at_risk"))
+      val h2 = graft.Caching.cache(
+        hist.join(broadcast(risk), "t")
+          .select(col("t"), col("n_at_risk"), col("n_deaths")))
+      val dh = h2.filter(col("n_deaths") > 0)
+        .select(col("t").as("bt"),
+          when(col("n_deaths") === col("n_at_risk"),
+            lit(null).cast("double"))
+            .otherwise(log(lit(1.0) - col("n_deaths").cast("double")
+              / col("n_at_risk"))).as("lnr"),
+          (col("n_deaths") === col("n_at_risk")).cast("long").as("term"))
+      h2.filter(col("n_deaths") > 0).as("a")
+        .join(broadcast(dh), col("bt") <= col("t"))
+        .groupBy(col("t"), col("n_at_risk"), col("n_deaths"))
+        .agg(max("term").as("term"), sum("lnr").as("slnr"))
+        .select(col("t"), col("n_at_risk"), col("n_deaths"),
+          when(col("term") === 1L, lit(0.0))
+            .otherwise(fround(exp(col("slnr")), 4)).as("survival"))
+        .orderBy("t")
+    }),
+
     // Seasonally-adjusted volume anomaly (r12): the alerting readout on
     // top of q_seasonality's profile. Hourly event counts per (type,
     // date, hour) — over a FULL spine (distinct dates × types × 24), so
@@ -973,6 +1041,10 @@ object Analytics {
     // deterministic division, 4-dp round. 100 TB: the corpus is
     // touched ONCE by the (type,date,hr) count agg; everything after
     // is calendar-bounded (types × dates × 24 rows) and broadcast.
+    // Streaming stance: the (type, date, hour) counts stream as a keyed
+    // count agg; the profile/ratio readout is a per-trigger recompute
+    // over the calendar-bounded cells (the q_pagerank stance — the
+    // expectation is a global property of the profile).
     "q_seasonal_anom" -> ((s, dir) => {
       val e = T(s, dir, "events")
       val actual = e.groupBy(col("event_type"),
@@ -1550,6 +1622,48 @@ object Analytics {
            CAST(s_lo AS DOUBLE) / 1e4 AS cusum_lo,
            (s_hi > 2500000 OR s_lo > 2500000) AS is_alarm
          FROM s ORDER BY user_id, event_id""",
+    "q_survival" ->
+      """WITH su AS (
+           SELECT user_id, min(ts) AS sts FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         pu AS (
+           SELECT e.user_id, min(e.ts) AS pts
+           FROM events e JOIN su USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= su.sts
+           GROUP BY 1),
+         e AS (SELECT max(CAST(ts AS DATE)) AS endd FROM events),
+         lt AS (
+           SELECT
+             CAST(CASE WHEN pu.pts IS NOT NULL
+               THEN CAST(pu.pts AS DATE) - CAST(su.sts AS DATE)
+               ELSE e.endd - CAST(su.sts AS DATE) END AS BIGINT) AS t,
+             CASE WHEN pu.pts IS NOT NULL THEN 1 ELSE 0 END AS dead
+           FROM su LEFT JOIN pu USING (user_id), e),
+         hist AS (
+           SELECT t, count(*) AS n_users,
+             CAST(sum(dead) AS BIGINT) AS n_deaths
+           FROM lt GROUP BY 1),
+         risk AS (
+           SELECT a.t, CAST(sum(b.n_users) AS BIGINT) AS n_at_risk
+           FROM hist a JOIN hist b ON b.t >= a.t GROUP BY a.t),
+         h2 AS (
+           SELECT hist.t, risk.n_at_risk, hist.n_deaths
+           FROM hist JOIN risk USING (t)),
+         dh AS (
+           SELECT t AS bt,
+             CASE WHEN n_deaths = n_at_risk THEN NULL
+               ELSE ln(1.0 - CAST(n_deaths AS DOUBLE) / n_at_risk)
+             END AS lnr,
+             CASE WHEN n_deaths = n_at_risk THEN 1 ELSE 0 END AS term
+           FROM h2 WHERE n_deaths > 0)
+         SELECT a.t, a.n_at_risk, a.n_deaths,
+           CASE WHEN max(dh.term) = 1 THEN 0.0
+             ELSE floor(exp(sum(dh.lnr)) * 1e4 + 0.5) / 1e4
+           END AS survival
+         FROM h2 a JOIN dh ON dh.bt <= a.t
+         WHERE a.n_deaths > 0
+         GROUP BY a.t, a.n_at_risk, a.n_deaths
+         ORDER BY a.t""",
     "q_seasonal_anom" ->
       """WITH dates AS (
            SELECT d,

@@ -509,7 +509,10 @@ object PipelineOps {
     // cell-bounded (|langs|·|sources|·10 rows) re-aggregation —
     // corpus touched once, everything downstream broadcast-sized.
     // Integer counts end-to-end; the rate is one exact-int division
-    // rounded at 4 dp.
+    // rounded at 4 dp. Streaming stance: the cell counts stream as a
+    // keyed count agg; the risk readout is a per-trigger re-agg over
+    // the cell-bounded frame (a cell can cross the k threshold in
+    // either direction as data arrives — batch is authoritative).
     "q_kanon" -> ((s, dir) => {
       val cells = T(s, dir, "documents")
         .groupBy(col("lang"), col("source"),
@@ -590,7 +593,10 @@ object PipelineOps {
     // b = maxb(a) AND b > M(a). One corpus pass, two bounded
     // broadcasts, ZERO windows — the textbook single-pass SQL skyline
     // is a global-ORDER-BY window, i.e. the single-task plan this repo
-    // bans (it survives only in the DuckDB oracle).
+    // bans (it survives only in the DuckDB oracle). Streaming stance:
+    // the (a, maxb) frame is a keyed max-agg (incrementally
+    // maintainable); the frontier re-derives from it per trigger at
+    // constant cost (SCALE.md: |A| measured flat across ×16 docs).
     "q_skyline" -> ((s, dir) =>
       skylineOf(T(s, dir, "documents"))))
 

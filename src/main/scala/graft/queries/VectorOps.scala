@@ -59,7 +59,10 @@ object VectorOps {
     // rel and sims round at 4 dp BEFORE the greedy; both engines
     // evaluate λ·rel − (1−λ)·maxsim from identical rounded doubles
     // (bit-identical IEEE), ties break to the lower vec_id; the oracle
-    // unrolls the same greedy as k−1 argmax CTE rounds.
+    // unrolls the same greedy as k−1 argmax CTE rounds. Streaming
+    // stance: MMR is per-query reranking, not a standing computation —
+    // it runs inside each query's request path (the candidate scan is
+    // the only corpus touch, servable by the maintained ANN index).
     "q_mmr_topk" -> ((s, dir) => {
       import s.implicits._
       GraftFunctions.register(s)
