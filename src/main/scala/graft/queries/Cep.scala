@@ -463,6 +463,24 @@ object Cep {
            ORDER BY o_orderkey LIMIT 500""")
     }),
 
+    // EP1j — auto-PIVOT dialect (r12): DuckDB's statement-leading
+    // `PIVOT t ON col USING agg(expr) GROUP BY rows` runs NATIVELY as
+    // the oracle; Spark has only the explicit-IN-list PIVOT, so
+    // CepSql's dispatch derives the value list from the data (one
+    // distinct scan, sorted, capped at 100) — a DATA-aware rewrite,
+    // not just schema-aware. The pivoted measure is exact integer
+    // cents carried as DOUBLE (sums exact < 2^53 — DuckDB's
+    // sum(BIGINT) would come back HUGEINT and fail the dtype family
+    // gate).
+    "q_dialect_pivot" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """PIVOT orders ON o_orderstatus
+           USING sum(CAST(floor(o_totalprice * 100 + 0.5) AS DOUBLE))
+           GROUP BY o_orderpriority
+           ORDER BY o_orderpriority""")
+    }),
+
     // EP1i — `GROUP BY ALL` parity pin (r12): both engines support the
     // clause natively (Spark 3.4+, DuckDB), so the SAME text runs on
     // both sides and the hash pins that their "all non-aggregate select
@@ -895,6 +913,13 @@ object Cep {
          FROM orders
          WHERE o_orderstatus = 'F'
          ORDER BY o_orderkey LIMIT 500""",
+    // DuckDB's NATIVE auto-pivot on the same text the Spark side
+    // rewrites with a data-derived IN list
+    "q_dialect_pivot" ->
+      """PIVOT orders ON o_orderstatus
+         USING sum(CAST(floor(o_totalprice * 100 + 0.5) AS DOUBLE))
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
     "q_dialect_group_by_all" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)

@@ -116,6 +116,24 @@ object CepSql {
   private val replaceItem = Pattern.compile(
     "^(.+)\\s+AS\\s+([A-Za-z_]\\w*)$",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  /** Statement-leading `PIVOT t ON col USING agg(expr) GROUP BY …`
+    * (r12) — DuckDB's auto-pivot surface. Spark's PIVOT demands an
+    * explicit `IN (…)` value list; the dispatch derives it from the
+    * data (ONE distinct scan of the ON column, sorted, capped at 100 —
+    * unbounded pivot width is a scale bug, not a feature), so the
+    * rewrite is DATA-aware, not just schema-aware. Only the
+    * statement-leading DuckDB form dispatches; Spark's own subquery
+    * `FROM t PIVOT (…)` syntax passes through untouched. */
+  private val pivotKw = Pattern.compile(
+    "^\\s*PIVOT\\b", Pattern.CASE_INSENSITIVE)
+  private val pivotStmt = Pattern.compile(
+    "^\\s*PIVOT\\s+([A-Za-z_][\\w.]*)\\s+ON\\s+([A-Za-z_]\\w*)\\s+" +
+      "USING\\s+([A-Za-z_]\\w*)\\s*\\((.+?)\\)\\s+" +
+      "GROUP\\s+BY\\s+([A-Za-z_]\\w*(?:\\s*,\\s*[A-Za-z_]\\w*)*)" +
+      "(?:\\s+ORDER\\s+BY\\s+([A-Za-z_][\\w, ]*?(?:\\s+DESC)?" +
+      "(?:\\s*,\\s*[A-Za-z_]\\w*(?:\\s+DESC)?)*))?" +
+      "(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*$",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   /** Clauses that may legally FOLLOW the QUALIFY predicate (they stay on
     * the rewritten OUTER query). */
   private val qualTail = Pattern.compile(
@@ -1570,7 +1588,63 @@ object CepSql {
       asofDispatch(spark, q, idCol)
     } else if (realExclude(q)) {
       spark.sql(excludeRewrite(spark, q))
+    } else if (realPivot(q)) {
+      spark.sql(pivotRewrite(spark, q))
     } else spark.sql(translate(q, tsCol, typeCol, idCol))
+
+  private[streaming] def realPivot(q: String): Boolean =
+    pivotKw.matcher(q).find()
+
+  /** Rewrite DuckDB's statement-leading auto-PIVOT into Spark's
+    * explicit-IN-list PIVOT (see [[pivotKw]]'s scaladoc). Returns SQL
+    * TEXT; shared by [[sql]] and [[CepSqlParser]]. */
+  private[streaming] def pivotRewrite(spark: SparkSession,
+      q: String): String = {
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"PIVOT: $msg")
+    val m = pivotStmt.matcher(q)
+    if (!m.matches())
+      bad("the dialect accepts exactly `PIVOT table ON col USING " +
+        "agg(expr) GROUP BY col[, …] [ORDER BY …] [LIMIT n]` — one ON " +
+        "column, one aggregate (register a temp view for derived " +
+        "inputs; Spark's own `FROM t PIVOT (…)` subquery form needs no " +
+        "rewrite)")
+    val (tbl, onCol, aggFn, aggExpr) =
+      (m.group(1), m.group(2), m.group(3), m.group(4))
+    val grpCols = m.group(5)
+    val (orderBy, limit) = (Option(m.group(6)), Option(m.group(7)))
+    val aggs = Set("sum", "avg", "min", "max", "count")
+    if (!aggs(aggFn.toLowerCase))
+      bad(s"USING aggregate must be one of ${aggs.mkString("/")} " +
+        s"(got '$aggFn')")
+    val cols = spark.table(tbl).columns
+    (onCol +: grpCols.split(",").map(_.trim)).foreach { c =>
+      if (!cols.exists(_.equalsIgnoreCase(c)))
+        bad(s"'$c' is not a column of '$tbl' (has: " +
+          s"${cols.mkString(", ")})")
+    }
+    // derive the IN list: one distinct scan, sorted (a deterministic
+    // column order), hard-capped — an unbounded pivot width is a scale
+    // bug surfaced loudly, not materialized
+    import org.apache.spark.sql.functions.col
+    val vals = spark.table(tbl).select(col(onCol).cast("string"))
+      .na.drop().distinct().limit(101).collect().map(_.getString(0))
+    if (vals.length > 100)
+      bad(s"ON column '$onCol' has > 100 distinct values — pivot " +
+        "width must be bounded; pre-bucket the column")
+    if (vals.isEmpty) bad(s"ON column '$onCol' has no non-null values")
+    val inList = vals.sorted
+      .map(v => "'" + v.replace("'", "''") + "'").mkString(", ")
+    val tail = orderBy.map(o => s" ORDER BY $o").getOrElse("") +
+      limit.map(n => s" LIMIT $n").getOrElse("")
+    // the ON column casts to STRING in the pre-projection so the
+    // derived IN list compares exactly and column names match DuckDB's
+    // value-derived names for any input type
+    s"SELECT * FROM (SELECT $grpCols, CAST(`$onCol` AS STRING) AS " +
+      s"`$onCol`, ($aggExpr) AS __graft_pv FROM $tbl) " +
+      s"PIVOT (${aggFn.toLowerCase}(__graft_pv) " +
+      s"FOR `$onCol` IN ($inList))$tail"
+  }
 
   private[streaming] def realExclude(q: String): Boolean = {
     if (!excludeKw.matcher(q).find()) return false
@@ -1772,9 +1846,11 @@ class CepSqlParser(session: SparkSession, delegate: ParserInterface)
     try session.conf.get(key, default)
     catch { case _: Throwable => default }
   private def t(sqlText: String): String =
-    // star modifiers need schema resolution — the parser HAS a session,
-    // so expand here rather than bouncing the user to CepSql.sql
+    // star modifiers / auto-PIVOT need schema (and data) resolution —
+    // the parser HAS a session, so expand here rather than bouncing
+    // the user to CepSql.sql
     if (CepSql.realExclude(sqlText)) CepSql.excludeRewrite(session, sqlText)
+    else if (CepSql.realPivot(sqlText)) CepSql.pivotRewrite(session, sqlText)
     else CepSql.translate(sqlText,
       conf("spark.graft.cep.tsColumn", "ts"),
       conf("spark.graft.cep.typeColumn", "event_type"),

@@ -420,6 +420,52 @@ class CepSqlSpec extends SparkSpec {
     assert(CepSql.translate(litQ) === litQ)
   }
 
+  test("auto-PIVOT dialect: data-derived IN list; edges loud (r12)") {
+    Tables.load(spark, sf)
+    val got = CepSql.sql(spark,
+      """PIVOT orders ON o_orderstatus USING count(o_orderkey)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    // columns = sorted distinct statuses, rows = priorities
+    assert(got.columns.head === "o_orderpriority")
+    val statuses = spark.table("orders").select("o_orderstatus")
+      .distinct().collect().map(_.getString(0)).sorted
+    assert(got.columns.drop(1).toSeq === statuses.toSeq)
+    // cell parity vs a plain group-by
+    val want = spark.sql(
+      """SELECT o_orderpriority, o_orderstatus, count(o_orderkey) AS c
+         FROM orders GROUP BY 1, 2""").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    got.collect().foreach { r =>
+      statuses.zipWithIndex.foreach { case (st, i) =>
+        val cell = if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)
+        assert(cell === want.getOrElse((r.getString(0), st), 0L),
+          s"cell (${r.getString(0)}, $st)")
+      }
+    }
+    // multi-column GROUP BY accepted
+    assert(CepSql.sql(spark,
+      """PIVOT orders ON o_orderstatus USING count(o_orderkey)
+         GROUP BY o_orderpriority, o_custkey LIMIT 5""").count() === 5)
+    // Spark's own subquery PIVOT form passes through untouched
+    val sub = "SELECT * FROM (SELECT o_orderpriority, o_orderstatus " +
+      "FROM orders) PIVOT (count(o_orderstatus) FOR o_orderstatus " +
+      "IN ('F', 'O', 'P'))"
+    assert(!CepSql.realPivot(sub) && CepSql.sql(spark, sub).count() > 0)
+    def rej(sqlText: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        CepSql.sql(spark, sqlText) }
+      assert(e.getMessage.contains(frag), s"$sqlText → ${e.getMessage}")
+    }
+    rej("PIVOT orders ON no_such USING count(o_orderkey) " +
+      "GROUP BY o_orderpriority", "not a column")
+    rej("PIVOT orders ON o_orderstatus USING median(o_totalprice) " +
+      "GROUP BY o_orderpriority", "must be one of")
+    rej("PIVOT orders ON o_orderkey USING count(o_custkey) " +
+      "GROUP BY o_orderpriority", "100 distinct")
+    rej("PIVOT orders ON o_orderstatus USING count(o_orderkey)",
+      "accepts exactly")
+  }
+
   test("q_dialect_asof fixture has unique (user_id, ts) clicks — the " +
       "DuckDB native-ASOF oracle's equal-ts tie choice is unspecified, " +
       "so the hash gate is deterministic ONLY under this pin (r12)") {
