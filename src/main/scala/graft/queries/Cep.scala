@@ -481,6 +481,21 @@ object Cep {
            ORDER BY o_orderpriority""")
     }),
 
+    // EP1k — long-form UNPIVOT dialect (r12): DuckDB's statement-
+    // leading melt runs NATIVELY as the oracle; the Spark side
+    // rewrites to `FROM t UNPIVOT (v FOR n IN (…))` (both engines drop
+    // NULL values by default). The two melted columns share BIGINT, so
+    // the value column types agree; the ORDER BY totalizes on
+    // (o_totalprice, o_orderdate, metric, val).
+    "q_dialect_unpivot" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """UNPIVOT orders ON o_orderkey, o_custkey
+           INTO NAME metric VALUE val
+           ORDER BY o_totalprice, o_orderdate, metric, val
+           LIMIT 500""")
+    }),
+
     // EP1i — `GROUP BY ALL` parity pin (r12): both engines support the
     // clause natively (Spark 3.4+, DuckDB), so the SAME text runs on
     // both sides and the hash pins that their "all non-aggregate select
@@ -920,6 +935,11 @@ object Cep {
          USING sum(CAST(floor(o_totalprice * 100 + 0.5) AS DOUBLE))
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority""",
+    "q_dialect_unpivot" ->
+      """UNPIVOT orders ON o_orderkey, o_custkey
+         INTO NAME metric VALUE val
+         ORDER BY o_totalprice, o_orderdate, metric, val
+         LIMIT 500""",
     "q_dialect_group_by_all" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)

@@ -134,6 +134,23 @@ object CepSql {
       "(?:\\s*,\\s*[A-Za-z_]\\w*(?:\\s+DESC)?)*))?" +
       "(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*$",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  /** Statement-leading `UNPIVOT t ON cols INTO NAME n VALUE v` (r12) —
+    * DuckDB's long-form melt. The ON spec is a bare column list or
+    * `COLUMNS(* EXCLUDE (…))` (schema-aware expansion); rewrites to
+    * Spark's `FROM t UNPIVOT (v FOR n IN (…))`, whose NULL-dropping
+    * default matches DuckDB's. */
+  private val unpivotKw = Pattern.compile(
+    "^\\s*UNPIVOT\\b", Pattern.CASE_INSENSITIVE)
+  private val unpivotStmt = Pattern.compile(
+    "^\\s*UNPIVOT\\s+([A-Za-z_][\\w.]*)\\s+ON\\s+(.+?)\\s+" +
+      "INTO\\s+NAME\\s+([A-Za-z_]\\w*)\\s+VALUE\\s+([A-Za-z_]\\w*)" +
+      "(?:\\s+ORDER\\s+BY\\s+([A-Za-z_][\\w, ]*?(?:\\s+DESC)?" +
+      "(?:\\s*,\\s*[A-Za-z_]\\w*(?:\\s+DESC)?)*))?" +
+      "(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*$",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val unpivotExcl = Pattern.compile(
+    "^COLUMNS\\s*\\(\\s*\\*\\s+EXCLUDE\\s*\\(([^)]+)\\)\\s*\\)$",
+    Pattern.CASE_INSENSITIVE)
   /** Clauses that may legally FOLLOW the QUALIFY predicate (they stay on
     * the rewritten OUTER query). */
   private val qualTail = Pattern.compile(
@@ -311,7 +328,8 @@ object CepSql {
     val mayQual = qualifyKw.matcher(q).find()
     val mayAsof = asofKw.matcher(q).find()
     val mayDon = distinctOnKw.matcher(q).find()
-    val mayEx = excludeKw.matcher(q).find()
+    val mayEx = excludeKw.matcher(q).find() &&
+      !unpivotKw.matcher(q).find() && !pivotKw.matcher(q).find()
     if (!mayOver && !mayPat && !mayQual && !mayAsof && !mayDon && !mayEx)
       return q
     val (lit, depth) = scan(q)
@@ -1590,10 +1608,55 @@ object CepSql {
       spark.sql(excludeRewrite(spark, q))
     } else if (realPivot(q)) {
       spark.sql(pivotRewrite(spark, q))
+    } else if (realUnpivot(q)) {
+      spark.sql(unpivotRewrite(spark, q))
     } else spark.sql(translate(q, tsCol, typeCol, idCol))
 
   private[streaming] def realPivot(q: String): Boolean =
     pivotKw.matcher(q).find()
+
+  private[streaming] def realUnpivot(q: String): Boolean =
+    unpivotKw.matcher(q).find()
+
+  /** Rewrite DuckDB's statement-leading UNPIVOT into Spark's
+    * `FROM t UNPIVOT (v FOR n IN (…))` (see [[unpivotKw]]). Returns SQL
+    * TEXT; shared by [[sql]] and [[CepSqlParser]]. */
+  private[streaming] def unpivotRewrite(spark: SparkSession,
+      q: String): String = {
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"UNPIVOT: $msg")
+    val m = unpivotStmt.matcher(q)
+    if (!m.matches())
+      bad("the dialect accepts exactly `UNPIVOT table ON col[, …] | " +
+        "COLUMNS(* EXCLUDE (col, …)) INTO NAME n VALUE v " +
+        "[ORDER BY …] [LIMIT n]` (register a temp view for derived " +
+        "inputs; Spark's own `FROM t UNPIVOT (…)` form needs no rewrite)")
+    val (tbl, onSpec, nCol, vCol) =
+      (m.group(1), m.group(2).trim, m.group(3), m.group(4))
+    val (orderBy, limit) = (Option(m.group(5)), Option(m.group(6)))
+    val cols = spark.table(tbl).columns
+    def resolve(n: String): String = {
+      if (!n.matches("[A-Za-z_]\\w*"))
+        bad(s"ON item '$n' must be a bare column name")
+      cols.find(_.equalsIgnoreCase(n)).getOrElse(
+        bad(s"ON column '$n' is not a column of '$tbl' (has: " +
+          s"${cols.mkString(", ")})"))
+    }
+    val em = unpivotExcl.matcher(onSpec)
+    val onCols: Seq[String] =
+      if (em.matches()) {
+        val excl = em.group(1).split(",").map(_.trim).map(resolve)
+        val kept = cols.filterNot(c => excl.exists(_.equalsIgnoreCase(c)))
+        if (kept.isEmpty) bad("COLUMNS(* EXCLUDE …) excludes everything")
+        kept.toSeq
+      } else onSpec.split(",").map(_.trim).map(resolve).toSeq
+    if (onCols.length == cols.length)
+      bad("ON melts every column — keep at least one identifier column")
+    val tail = orderBy.map(o => s" ORDER BY $o").getOrElse("") +
+      limit.map(n => s" LIMIT $n").getOrElse("")
+    s"SELECT * FROM $tbl UNPIVOT (`$vCol` FOR `$nCol` IN " +
+      s"(${onCols.map(c => s"`$c`").mkString(", ")}))$tail"
+  }
 
   /** Rewrite DuckDB's statement-leading auto-PIVOT into Spark's
     * explicit-IN-list PIVOT (see [[pivotKw]]'s scaladoc). Returns SQL
@@ -1647,6 +1710,11 @@ object CepSql {
   }
 
   private[streaming] def realExclude(q: String): Boolean = {
+    // a statement-leading PIVOT/UNPIVOT owns its text — COLUMNS(*
+    // EXCLUDE (…)) inside an UNPIVOT ON spec is that dialect's, not a
+    // star modifier
+    if (unpivotKw.matcher(q).find() || pivotKw.matcher(q).find())
+      return false
     if (!excludeKw.matcher(q).find()) return false
     val (lit, _) = scan(q)
     val m = excludeKw.matcher(q)
@@ -1851,6 +1919,8 @@ class CepSqlParser(session: SparkSession, delegate: ParserInterface)
     // the user to CepSql.sql
     if (CepSql.realExclude(sqlText)) CepSql.excludeRewrite(session, sqlText)
     else if (CepSql.realPivot(sqlText)) CepSql.pivotRewrite(session, sqlText)
+    else if (CepSql.realUnpivot(sqlText))
+      CepSql.unpivotRewrite(session, sqlText)
     else CepSql.translate(sqlText,
       conf("spark.graft.cep.tsColumn", "ts"),
       conf("spark.graft.cep.typeColumn", "event_type"),

@@ -115,4 +115,27 @@ class StatsSpec extends SparkSpec {
       }
     }
   }
+
+  test("CUSUM prefix-sum identity == direct recursion on generated " +
+      "series (r12 property)") {
+    // the q_cusum windows compute s_t = P_t - min(0, min_{i<=t} P_i);
+    // the definition is s_t = max(0, s_{t-1} + d_t). Prove equality on
+    // arbitrary integer drift series (the key's exact 1e-4-unit longs)
+    val rnd = new scala.util.Random(41)
+    (1 to 200).foreach { trial =>
+      val n = 1 + rnd.nextInt(60)
+      val d = Array.fill(n)((rnd.nextInt(2001) - 1000).toLong)
+      var sRec = 0L
+      var p = 0L
+      var minP = 0L
+      d.zipWithIndex.foreach { case (di, i) =>
+        sRec = math.max(0L, sRec + di)
+        p += di
+        minP = math.min(minP, p)
+        val sIdent = p - math.min(0L, minP)
+        assert(sIdent == sRec,
+          s"trial $trial step $i: identity $sIdent != recursion $sRec")
+      }
+    }
+  }
 }

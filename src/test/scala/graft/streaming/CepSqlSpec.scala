@@ -466,6 +466,45 @@ class CepSqlSpec extends SparkSpec {
       "accepts exactly")
   }
 
+  test("long-form UNPIVOT dialect: bare list + COLUMNS(* EXCLUDE); " +
+      "edges loud (r12)") {
+    Tables.load(spark, sf)
+    val got = CepSql.sql(spark,
+      """UNPIVOT orders ON o_orderkey, o_custkey
+         INTO NAME metric VALUE val LIMIT 10""")
+    assert(got.columns.contains("metric") && got.columns.contains("val"))
+    assert(!got.columns.contains("o_orderkey"),
+      "melted columns must leave the wide shape")
+    assert(got.count() === 10)
+    // the schema-aware EXCLUDE form melts the complement
+    val ex = CepSql.sql(spark,
+      """UNPIVOT orders ON COLUMNS(* EXCLUDE (o_orderstatus,
+           o_totalprice, o_orderdate, o_orderpriority))
+         INTO NAME metric VALUE val""")
+    assert(ex.select("metric").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq ===
+      Seq("o_custkey", "o_orderkey"))
+    // row count doubles (two melted BIGINT columns, no NULLs in fixture)
+    assert(ex.count() === spark.table("orders").count() * 2)
+    def rej(sqlText: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        CepSql.sql(spark, sqlText) }
+      assert(e.getMessage.contains(frag), s"$sqlText → ${e.getMessage}")
+    }
+    rej("UNPIVOT orders ON no_such INTO NAME m VALUE v", "not a column")
+    rej("UNPIVOT orders ON o_orderkey, o_custkey, o_orderstatus, " +
+      "o_totalprice, o_orderdate, o_orderpriority INTO NAME m VALUE v",
+      "every column")
+    rej("UNPIVOT orders ON COLUMNS(* EXCLUDE (o_orderkey, o_custkey, " +
+      "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)) " +
+      "INTO NAME m VALUE v", "excludes everything")
+    rej("UNPIVOT orders ON o_orderkey INTO NAME m", "accepts exactly")
+    // Spark's own FROM-UNPIVOT form passes through untouched
+    val sub = "SELECT * FROM orders UNPIVOT (v FOR n IN " +
+      "(o_orderkey, o_custkey))"
+    assert(!CepSql.realUnpivot(sub) && CepSql.sql(spark, sub).count() > 0)
+  }
+
   test("q_dialect_asof fixture has unique (user_id, ts) clicks — the " +
       "DuckDB native-ASOF oracle's equal-ts tie choice is unspecified, " +
       "so the hash gate is deterministic ONLY under this pin (r12)") {
