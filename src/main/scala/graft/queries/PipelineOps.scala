@@ -498,6 +498,37 @@ object PipelineOps {
         .limit(20)
     }),
 
+    // Context-window extraction (r12): the step between curation and
+    // tokenizer/packer — split each document into stride-S training
+    // windows of W tokens (overlapping when S < W, the standard
+    // long-document treatment so no span is only ever a window
+    // boundary), emitting per window its offset, length, and an md5
+    // fingerprint of the window text (the dedup/contamination handle
+    // downstream span-level checks key on). W=32, S=16 here (docs are
+    // ~100 tokens); the tail window keeps its short remainder. Plan:
+    // map-only — one explode of the per-doc start sequence, one slice +
+    // hash per window, no shuffle at all before the output sort. At
+    // 100 TB this is the shape you want: windows stream out of the
+    // scan, and the expansion factor is exactly n_tok/S per doc.
+    "q_chunk_windows" -> ((s, dir) => {
+      val W = 32
+      val S = 16
+      T(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("ws"))
+        .withColumn("n", size(col("ws")).cast("long"))
+        .select(col("doc_id"), col("ws"), col("n"),
+          explode(sequence(lit(0L), col("n") - 1, lit(S.toLong)))
+            .as("start"))
+        .select(col("doc_id"),
+          (col("start") / S).cast("long").as("win_id"),
+          col("start"),
+          least(lit(W.toLong), col("n") - col("start")).as("len"),
+          md5(concat_ws(" ",
+            slice(col("ws"), (col("start") + 1).cast("int"),
+              lit(W)))).as("h"))
+        .orderBy("doc_id", "win_id")
+    }),
+
     // k-anonymity risk audit (r12; Sweeney 2002): how many documents
     // sit in a quasi-identifier cell smaller than k — the privacy
     // screen run before releasing/training on scraped data (PII
@@ -1231,6 +1262,19 @@ object PipelineOps {
            CAST(sum(f2) AS BIGINT) AS n_quality,
            CAST(sum(f3) AS BIGINT) AS n_entropy
          FROM f GROUP BY lang ORDER BY lang""",
+    "q_chunk_windows" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         st AS (
+           SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+             CAST(unnest(range(0, len(ws), 16)) AS BIGINT) AS start
+           FROM t)
+         SELECT doc_id,
+           CAST(start // 16 AS BIGINT) AS win_id, start,
+           least(32, n - start) AS len,
+           md5(array_to_string(list_slice(ws, start + 1, start + 32),
+             ' ')) AS h
+         FROM st ORDER BY doc_id, win_id""",
     "q_kanon" ->
       """WITH cells AS (
            SELECT lang, source,
