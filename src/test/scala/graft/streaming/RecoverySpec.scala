@@ -437,6 +437,57 @@ class RecoverySpec extends SparkSpec {
       s"${diffs.size} TWAPs diverge across restart, e.g. ${diffs.take(3)}")
   }
 
+  test("CUSUM twin resumes from checkpoint: drift prefix sums survive " +
+      "(r12)") {
+    // TimeSeriesOps.cusumMarks keeps (P, min P) per side per key; a
+    // restart mid-stream must restore all four longs or every
+    // post-restart score is shifted. Output across the restart must
+    // equal the oracle-gated q_cusum batch key row for row.
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_cusum_in").toFile
+    val outDir = Files.createTempDirectory("graft_cusum_out").toFile
+    val ckpt = Files.createTempDirectory("graft_cusum_ckpt").toFile
+    val events = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val schema = events.schema
+    val mu = events.groupBy("user_id")
+      .agg(avg("value").as("m")).collect()
+      .map(r => r.getLong(0) ->
+        math.floor(r.getDouble(1) * 1e4 + 0.5) / 1e4).toMap
+    def startQuery() =
+      TimeSeriesOps.cusumMarks(
+          Sources.fileStream(spark, in.getAbsolutePath, schema)
+            .as[CepEvent], mu)
+        .writeStream.format("parquet")
+        .option("path", outDir.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append").start()
+    val cut = "2024-01-15 00:00:00"
+    events.filter(col("ts") < lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    events.filter(col("ts") >= lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(outDir.getAbsolutePath).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val want = graft.SparkEntry.queries("q_cusum")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got.keySet === want.keySet, "mark sets differ across restart")
+    val diffs = want.collect {
+      case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty,
+      s"${diffs.size} CUSUM marks diverge across restart, " +
+        s"e.g. ${diffs.take(3)}")
+    // non-vacuous: every user has pre- AND post-cut events, so every
+    // key's state crosses the restart
+    val straddled = events.filter(col("ts") < lit(cut))
+      .select("user_id").distinct().count()
+    assert(straddled > 0)
+  }
+
   test("numbered quantified detector resumes from checkpoint: held " +
       "matches and the match counter survive (r9)") {
     // MATCH_NUMBER state = held completed matches + the per-key
