@@ -1680,7 +1680,13 @@ object CepSql {
     if (!aggs(aggFn.toLowerCase))
       bad(s"USING aggregate must be one of ${aggs.mkString("/")} " +
         s"(got '$aggFn')")
-    val cols = spark.table(tbl).columns
+    val base = spark.table(tbl)
+    if (base.isStreaming)
+      bad("auto-PIVOT derives its IN list from a distinct scan of the " +
+        "ON column — impossible on an unbounded stream; pivot a batch " +
+        "snapshot, or use Spark's explicit `FROM t PIVOT (… IN (…))` " +
+        "form with a literal value list")
+    val cols = base.columns
     (onCol +: grpCols.split(",").map(_.trim)).foreach { c =>
       if (!cols.exists(_.equalsIgnoreCase(c)))
         bad(s"'$c' is not a column of '$tbl' (has: " +

@@ -66,6 +66,44 @@ class SubmitSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("batch plan"))
   }
 
+  test("r12 dialects × streaming: star modifiers and UNPIVOT run " +
+      "continuously; auto-PIVOT rejects loudly") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    stream.toDF().createOrReplaceTempView("dlc_events")
+    // SELECT * EXCLUDE is a stateless projection — stream-legal; the
+    // rewrite resolves the STREAMING view's schema
+    val q1 = ContinuousQueries.submitSql(spark,
+      "SELECT * EXCLUDE (value) FROM dlc_events", "svc_excl",
+      outputMode = "append")
+    // long-form UNPIVOT is a stateless melt — stream-legal too
+    val q2 = ContinuousQueries.submitSql(spark,
+      """UNPIVOT dlc_events ON event_id, user_id
+         INTO NAME metric VALUE val""", "svc_melt",
+      outputMode = "append")
+    try {
+      stream.addData(ev(1, "2026-01-01 00:10:00", "click"),
+        ev(2, "2026-01-01 00:20:00", "view"))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val ex = spark.table("svc_excl")
+      assert(!ex.columns.contains("value") &&
+        ex.columns.contains("event_type"))
+      assert(ex.count() === 2)
+      val melt = spark.table("svc_melt")
+      assert(melt.count() === 4) // 2 rows × 2 melted columns
+      assert(melt.select("metric").distinct().collect()
+        .map(_.getString(0)).sorted.toSeq ===
+        Seq("event_id", "user_id"))
+    } finally { q1.stop(); q2.stop() }
+    // auto-PIVOT needs a distinct VALUE scan — impossible unbounded
+    val e = intercept[IllegalArgumentException] {
+      ContinuousQueries.submitSql(spark,
+        """PIVOT dlc_events ON event_type USING count(event_id)
+           GROUP BY user_id""", "svc_piv")
+    }
+    assert(e.getMessage.contains("unbounded stream"))
+  }
+
   test("submitPattern: pattern TEXT runs CONTINUOUSLY via the detectors") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[CepEvent]
