@@ -5,7 +5,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.GraftFunctions
 
 /** T4 — LLM-training-pipeline text operators over `documents`
   * (SURVEY §2.10; mandated by BASELINE.json's north star).
