@@ -60,4 +60,35 @@ class ScaleClaimsSpec extends SparkSpec {
     assert(prunedFiles > 0 && prunedFiles <= 4,
       s"expected ~one partition of files, read $prunedFiles")
   }
+
+  test("q_skyline's reduced frame is DOMAIN-bounded: |A| ≤ max tokens " +
+      "per doc, ≪ corpus (r12)") {
+    // the |A|² suffix-max self-join is broadcastable only because |A|
+    // is bounded by the VALUE DOMAIN (distinct-token count per doc),
+    // not the corpus — assert that live (SkylineProbe measured it flat
+    // across ×16 docs; this gates the same claim per fixture)
+    val d = Tables.table(spark, sf, "documents")
+    val m = d.select(
+      size(array_distinct(split(col("text"), " "))).cast("long").as("a"))
+    val nA = m.distinct().count()
+    val maxTok = d.select(max(size(split(col("text"), " ")))).head.getInt(0)
+    val nDocs = d.count()
+    assert(nA <= maxTok, s"|A|=$nA exceeds the token-count domain $maxTok")
+    assert(nA * 10 <= nDocs || nDocs < 300,
+      s"|A|=$nA not ≪ corpus $nDocs — the broadcast claim would not hold")
+  }
+
+  test("q_chunk_windows expansion is exactly ceil(n_tok/stride) per " +
+      "doc — map-only blowup accounting (r12)") {
+    val wins = SparkEntry.queries("q_chunk_windows")(spark, sf)
+      .groupBy("doc_id").agg(count(lit(1)).as("w"))
+    val toks = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long")
+        .as("n"))
+    val bad = wins.join(toks, "doc_id")
+      .filter(col("w") =!= ceil(col("n").cast("double") / 16.0)
+        .cast("long"))
+      .count()
+    assert(bad === 0, s"$bad docs deviate from the ceil(n/16) window count")
+  }
 }
