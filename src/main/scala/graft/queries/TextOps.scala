@@ -845,6 +845,53 @@ object TextOps {
         .limit(50)
     }),
 
+    // Simpson diversity of the source mix per language (r12): 1 − Σp²
+    // over the source shares — the mixture-health readout (0 = one
+    // source owns the language, →1 = evenly spread) a curation funnel
+    // watches as it filters. All counts exact integers; Σ n_s² stays
+    // BIGINT (fixture-safe and < 2^63 up to ~3e9 docs per cell — the
+    // 100 TB form casts to double per the q_pmi_cooccur discipline);
+    // the index is ONE division of exact integers, rounded 4 dp. Two
+    // map-combined aggs, both on (lang[, source]) keys.
+    "q_simpson_mix" -> ((s, dir) => {
+      val cnt = T(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      cnt.groupBy("lang")
+        .agg(count(lit(1)).as("n_sources"),
+          sum("n").as("n_docs"),
+          sum(col("n") * col("n")).as("ss"))
+        .select(col("lang"), col("n_sources"), col("n_docs"),
+          fround(lit(1.0) - col("ss").cast("double")
+            / (col("n_docs") * col("n_docs")), 4).as("simpson"))
+        .orderBy("lang")
+    }),
+
+    // Vocabulary coverage curve (r12): the fraction of all corpus
+    // token OCCURRENCES covered by the top-k most frequent types, at
+    // k = 10/100/1000 — the readout that sizes a tokenizer vocabulary
+    // budget (BPE merges chase exactly this curve). The frequency
+    // table is Heaps-bounded; each cutoff is a TakeOrdered(k) over it
+    // (freq DESC, token tiebreak) + one sum — never a global rank of
+    // the corpus. Coverage = exact-integer sum ratio, rounded 4 dp.
+    "q_vocab_coverage" -> ((s, dir) => {
+      val freq = graft.Caching.cache(
+        T(s, dir, "documents")
+          .select(explode(toks(lower(col("text")))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("f")))
+      val total = freq.agg(sum("f").as("tot"))
+      val rows = Seq(10, 100, 1000).map { k =>
+        freq.orderBy(desc("f"), asc("w")).limit(k)
+          .agg(sum("f").as("cov"))
+          .withColumn("k", lit(k.toLong))
+      }.reduce(_ unionByName _)
+      rows.crossJoin(broadcast(total))
+        .select(col("k"),
+          col("cov"),
+          fround(col("cov").cast("double") / col("tot"), 4)
+            .as("coverage"))
+        .orderBy("k")
+    }),
+
     // Stratified weighted sampling (r12): q_sample_weighted per
     // STRATUM — an independent Efraimidis–Spirakis draw inside every
     // language, the "k docs per language, probability ∝ token count,
@@ -1678,6 +1725,41 @@ object TextOps {
          SELECT doc_id, w,
            floor(ln(u) / w * 1e6 + 0.5) / 1e6 AS skey
          FROM u ORDER BY skey DESC, doc_id LIMIT 50""",
+    "q_simpson_mix" ->
+      """WITH cnt AS (
+           SELECT lang, source, count(*) AS n
+           FROM documents GROUP BY 1, 2)
+         SELECT lang, count(*) AS n_sources,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           floor((1.0 - CAST(sum(n * n) AS DOUBLE)
+                  / (sum(n) * sum(n))) * 1e4 + 0.5) / 1e4 AS simpson
+         FROM cnt GROUP BY lang ORDER BY lang""",
+    "q_vocab_coverage" ->
+      """WITH freq AS (
+           SELECT w, count(*) AS f FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS w
+             FROM documents) GROUP BY 1),
+         tot AS (SELECT CAST(sum(f) AS BIGINT) AS tot FROM freq),
+         ks AS (SELECT CAST(unnest([10, 100, 1000]) AS BIGINT) AS k),
+         cov AS (
+           SELECT ks.k,
+             CAST((SELECT sum(f) FROM (
+                SELECT f FROM freq ORDER BY f DESC, w LIMIT 10)) AS BIGINT)
+               AS c10,
+             CAST((SELECT sum(f) FROM (
+                SELECT f FROM freq ORDER BY f DESC, w LIMIT 100)) AS BIGINT)
+               AS c100,
+             CAST((SELECT sum(f) FROM (
+                SELECT f FROM freq ORDER BY f DESC, w
+                LIMIT 1000)) AS BIGINT) AS c1000
+           FROM ks)
+         SELECT k,
+           CASE k WHEN 10 THEN c10 WHEN 100 THEN c100
+                  ELSE c1000 END AS cov,
+           floor(CAST(CASE k WHEN 10 THEN c10 WHEN 100 THEN c100
+                  ELSE c1000 END AS DOUBLE) / tot.tot * 1e4 + 0.5) / 1e4
+             AS coverage
+         FROM cov, tot ORDER BY k""",
     "q_sample_stratwt" ->
       """WITH d AS (
            SELECT doc_id, lang,
