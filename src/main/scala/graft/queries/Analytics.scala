@@ -859,6 +859,34 @@ object Analytics {
         .orderBy("event_type", "dow", "hr")
     }),
 
+    // Conditional sequence entropy (r12): H(next | current = e1) over
+    // the q_markov_trans transition counts — how predictable the next
+    // event is from the current one, the readout that says whether a
+    // sequence model has anything to learn (0 = deterministic chains,
+    // ln|types| = uniform noise). Uses the q_entropy_filter identity
+    // H = ln(n) − Σ c·ln(c)/n so every ln argument is an exact integer
+    // (cross-engine bit-identical inputs), rounded 4 dp. One lead pass
+    // (user-partitioned window) + two map-combined aggs; the output is
+    // |types| rows.
+    "q_seq_entropy" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("ts"), asc("event_id"))
+      T(s, dir, "events")
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .filter(col("e2").isNotNull)
+        .groupBy(col("event_type").as("e1"), col("e2"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("e1")
+        .agg(sum("c").as("n"),
+          count(lit(1)).as("n_next"),
+          sum(col("c").cast("double") * log(col("c").cast("double")))
+            .as("slog"))
+        .select(col("e1"), col("n"), col("n_next"),
+          fround(log(col("n").cast("double")) - col("slog") / col("n"), 4)
+            .as("h_cond"))
+        .orderBy("e1")
+    }),
+
     "q_markov_trans" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
         .orderBy(asc("ts"), asc("event_id"))
@@ -1622,6 +1650,20 @@ object Analytics {
            CAST(s_lo AS DOUBLE) / 1e4 AS cusum_lo,
            (s_hi > 2500000 OR s_lo > 2500000) AS is_alarm
          FROM s ORDER BY user_id, event_id""",
+    "q_seq_entropy" ->
+      """WITH t AS (
+           SELECT event_type AS e1,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS e2
+           FROM events),
+         c AS (
+           SELECT e1, e2, count(*) AS c FROM t
+           WHERE e2 IS NOT NULL GROUP BY 1, 2)
+         SELECT e1, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_next,
+           floor((ln(CAST(sum(c) AS DOUBLE))
+                  - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                    / sum(c)) * 1e4 + 0.5) / 1e4 AS h_cond
+         FROM c GROUP BY e1 ORDER BY e1""",
     "q_survival" ->
       """WITH su AS (
            SELECT user_id, min(ts) AS sts FROM events
