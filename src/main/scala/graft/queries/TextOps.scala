@@ -845,6 +845,57 @@ object TextOps {
         .limit(50)
     }),
 
+    // tf-idf cosine pair similarity through the df-capped posting
+    // discipline (r12): the IR-weighted near-dup ranker — two documents
+    // are similar when they share RARE terms, which is exactly the
+    // signal the Postings df ceiling preserves (a hot term's idf ≈ 0,
+    // so dropping it BEFORE the pair explode removes ranking-irrelevant
+    // mass). TERMS ARE 3-GRAM SHINGLES, the same term space every
+    // dedup key here ranks in — the fixture's unigram vocabulary is ~31
+    // words (every word df ≫ cap, all pairs vacuously hot), while its
+    // gram dfs peak at 5, so the shingle space is where tf-idf carries
+    // signal at every scale. The WHOLE computation — weights, norms,
+    // dot — restricts to df ≤ 128 terms, so the capped semantics ARE
+    // the contract (the oracle mirrors the cutoff). Plan: one cached
+    // gram-tf agg → df-filtered idf weights → map-combined norms →
+    // term-equi self-join for the dots (pair volume Σ min(df,cap)² ≤
+    // cap·Σdf — linear in corpus by the operators.Postings bound) → two
+    // doc-keyed norm equi-joins (the norm frame is corpus-sized, so NO
+    // broadcast hint — AQE broadcasts at fixture stats, shuffles at
+    // scale). Threshold 0.3 on the 4-dp-rounded cosine.
+    "q_tfidf_pairs" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val tf = graft.Caching.cache(
+        gramRows(d, 3).select(col("doc_id"), col("gram").as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= graft.operators.Postings.DefaultMaxDf)
+      val ndocs = d.select(countDistinct("doc_id").as("n"))
+      val wts = graft.Caching.cache(tf.join(dfreq, "w")
+        .crossJoin(broadcast(ndocs))
+        .select(col("doc_id"), col("w"),
+          (col("tf") * log(col("n").cast("double") / col("df")))
+            .as("x")))
+      val norms = wts.groupBy("doc_id")
+        .agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
+      val dots = wts
+        .select(col("doc_id").as("da"), col("w"), col("x").as("xa"))
+        .join(wts.select(col("doc_id").as("db"), col("w"),
+          col("x").as("xb")), Seq("w"))
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db")
+        .agg(sum(col("xa") * col("xb")).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("da"),
+          col("nrm").as("na")), "da")
+        .join(norms.select(col("doc_id").as("db"),
+          col("nrm").as("nb")), "db")
+        .withColumn("cos", fround(col("dot") / (col("na") * col("nb")), 4))
+        .filter(col("cos") >= 0.3)
+        .select("da", "db", "cos")
+        .orderBy("da", "db")
+    }),
+
     // Simpson diversity of the source mix per language (r12): 1 − Σp²
     // over the source shares — the mixture-health readout (0 = one
     // source owns the language, →1 = evenly spread) a curation funnel
@@ -1725,6 +1776,35 @@ object TextOps {
          SELECT doc_id, w,
            floor(ln(u) / w * 1e6 + 0.5) / 1e6 AS skey
          FROM u ORDER BY skey DESC, doc_id LIMIT 50""",
+    "q_tfidf_pairs" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         tok AS (
+           SELECT doc_id,
+             array_to_string(list_slice(ws, i, i + 2), ' ') AS w
+           FROM t, LATERAL (SELECT unnest(range(1,
+             greatest(len(ws) - 1, 1))) AS i) i),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (
+           SELECT w, count(*) AS df FROM tf GROUP BY 1
+           HAVING count(*) <= 128),
+         nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         wts AS (
+           SELECT doc_id, w, tf * ln(CAST(n AS DOUBLE) / df) AS x
+           FROM tf JOIN dfreq USING (w), nd),
+         norms AS (
+           SELECT doc_id, sqrt(sum(x * x)) AS nrm FROM wts GROUP BY 1),
+         dots AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, sum(a.x * b.x) AS dot
+           FROM wts a JOIN wts b
+             ON a.w = b.w AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT da, db,
+           floor(dot / (na.nrm * nb.nrm) * 1e4 + 0.5) / 1e4 AS cos
+         FROM dots JOIN norms na ON na.doc_id = da
+         JOIN norms nb ON nb.doc_id = db
+         WHERE floor(dot / (na.nrm * nb.nrm) * 1e4 + 0.5) / 1e4 >= 0.3
+         ORDER BY da, db""",
     "q_simpson_mix" ->
       """WITH cnt AS (
            SELECT lang, source, count(*) AS n
