@@ -462,6 +462,41 @@ object VectorOps {
         .limit(10)
     }),
 
+    // k-NN label purity (r12): the fraction of each budget query's 5
+    // nearest neighbors sharing its label, aggregated per label — the
+    // standard embedding-quality probe (a good encoder puts same-label
+    // points together; purity collapsing is the first symptom of a bad
+    // encoder or a broken preprocessing step). Same FIXED 40-query
+    // budget as q_ann_recall (O(Q·n) truth side, constant broadcast);
+    // the per-query rank is qid-partitioned (40·k rows survive). At
+    // 100 TB the same audit runs with the ANN index as the candidate
+    // generator — brute force IS the oracle-checkable baseline.
+    "q_knn_purity" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = T(s, dir, "embeddings")
+      val q = e.orderBy(asc("vec_id")).limit(40)
+        .select(col("vec_id").as("qid"),
+          col("label").cast("long").as("qlabel"),
+          col("embedding").as("qv"))
+      val w = Window.partitionBy("qid").orderBy(desc("cs"), asc("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlabel"),
+          col("label").cast("long").as("label"), col("vec_id"),
+          round(cos("embedding", "qv"), 4).as("cs"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy("qid", "qlabel")
+        .agg(sum((col("label") === col("qlabel")).cast("long"))
+          .as("hits"))
+        .groupBy(col("qlabel").as("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum("hits").as("hits"),
+          fround(sum("hits").cast("double") / (count(lit(1)) * 5), 4)
+            .as("purity"))
+        .orderBy("label")
+    }),
+
     // Per-label centroids (the IVF coarse quantizer as a first-class op,
     // long form). One explode + one partial-aggregated shuffle on
     // (label, pos): the map side reduces 64·N element rows down to
@@ -854,6 +889,37 @@ object VectorOps {
   // rounded at 4 dp; safe regardless of summation order).
   val oracles: Map[String, String] = Map(
     "q_mmr_topk" -> mmrOracle,
+    "q_knn_purity" ->
+      """WITH q AS (
+           SELECT vec_id AS qid, CAST(label AS BIGINT) AS qlabel,
+             embedding AS qv
+           FROM embeddings ORDER BY vec_id LIMIT 40),
+         d AS (
+           SELECT q.qid, q.qlabel, e.vec_id,
+             CAST(e.label AS BIGINT) AS label,
+             round(sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                     * CAST(q.qv[i.i + 1] AS DOUBLE))
+               / (sqrt(sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                         * CAST(e.embedding[i.i + 1] AS DOUBLE)))
+                * sqrt(sum(CAST(q.qv[i.i + 1] AS DOUBLE)
+                         * CAST(q.qv[i.i + 1] AS DOUBLE)))), 4) AS cs
+           FROM embeddings e, q, (SELECT unnest(range(64)) AS i) i
+           WHERE e.vec_id <> q.qid
+           GROUP BY 1, 2, 3, 4),
+         r AS (
+           SELECT qid, qlabel, label,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cs DESC, vec_id) AS rn
+           FROM d),
+         h AS (
+           SELECT qid, qlabel,
+             sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS hits
+           FROM r WHERE rn <= 5 GROUP BY 1, 2)
+         SELECT qlabel AS label, count(*) AS n_queries,
+           CAST(sum(hits) AS BIGINT) AS hits,
+           floor(CAST(sum(hits) AS DOUBLE) / (count(*) * 5)
+                 * 1e4 + 0.5) / 1e4 AS purity
+         FROM h GROUP BY 1 ORDER BY 1""",
     "q_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          d AS (
