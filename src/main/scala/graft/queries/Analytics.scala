@@ -859,6 +859,44 @@ object Analytics {
         .orderBy("event_type", "dow", "hr")
     }),
 
+    // Population Stability Index (r12): the drift metric risk/ML teams
+    // gate deployments on — PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over 10
+    // fixed-width value buckets, first half of the month vs second,
+    // per event type (<0.1 stable, >0.25 drifted). Complements
+    // q_kl_drift (token distributions) and q_centroid_drift
+    // (embeddings) with the numeric-feature panel. Add-1 smoothing on
+    // the FULL 10-bucket spine (the DSIR discipline) keeps empty
+    // buckets finite and both engines' ln arguments are exact-integer
+    // ratios — deterministic doubles, 4-dp round at the end. One
+    // map-combined count agg touches the corpus; the spine join and
+    // PSI fold run on types×10 rows.
+    "q_psi" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val cnt = e.groupBy(col("event_type"),
+          least(lit(9L), floor(col("value") / 33.0).cast("long")).as("b"))
+        .agg(sum((col("ts") < lit("2024-01-16 00:00:00")).cast("long"))
+          .as("c0"),
+          sum((col("ts") >= lit("2024-01-16 00:00:00")).cast("long"))
+          .as("c1"))
+      val spine = e.select("event_type").distinct()
+        .crossJoin(s.range(0, 10).select(col("id").as("b")))
+      val cells = spine.join(cnt, Seq("event_type", "b"), "left")
+        .select(col("event_type"), col("b"),
+          coalesce(col("c0"), lit(0L)).as("c0"),
+          coalesce(col("c1"), lit(0L)).as("c1"))
+      val tot = cells.groupBy("event_type")
+        .agg(sum("c0").as("t0"), sum("c1").as("t1"))
+      cells.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("c0"), col("c1"),
+          ((col("c0") + 1).cast("double") / (col("t0") + 10)).as("p"),
+          ((col("c1") + 1).cast("double") / (col("t1") + 10)).as("q"))
+        .groupBy("event_type")
+        .agg(sum("c0").as("n_first"), sum("c1").as("n_second"),
+          fround(sum((col("p") - col("q")) * log(col("p") / col("q"))),
+            4).as("psi"))
+        .orderBy("event_type")
+    }),
+
     // Conditional sequence entropy (r12): H(next | current = e1) over
     // the q_markov_trans transition counts — how predictable the next
     // event is from the current one, the readout that says whether a
@@ -1650,6 +1688,37 @@ object Analytics {
            CAST(s_lo AS DOUBLE) / 1e4 AS cusum_lo,
            (s_hi > 2500000 OR s_lo > 2500000) AS is_alarm
          FROM s ORDER BY user_id, event_id""",
+    "q_psi" ->
+      """WITH cnt AS (
+           SELECT event_type,
+             least(9, CAST(floor(value / 33.0) AS BIGINT)) AS b,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+               THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+               THEN 1 ELSE 0 END) AS BIGINT) AS c1
+           FROM events GROUP BY 1, 2),
+         spine AS (
+           SELECT t.event_type, CAST(bb.b AS BIGINT) AS b
+           FROM (SELECT DISTINCT event_type FROM events) t,
+                (SELECT unnest(range(10)) AS b) bb),
+         cells AS (
+           SELECT s.event_type, s.b,
+             coalesce(c.c0, 0) AS c0, coalesce(c.c1, 0) AS c1
+           FROM spine s LEFT JOIN cnt c
+             ON c.event_type = s.event_type AND c.b = s.b),
+         tot AS (
+           SELECT event_type, CAST(sum(c0) AS BIGINT) AS t0,
+             CAST(sum(c1) AS BIGINT) AS t1
+           FROM cells GROUP BY 1),
+         pq AS (
+           SELECT c.event_type, c.c0, c.c1,
+             CAST(c.c0 + 1 AS DOUBLE) / (t.t0 + 10) AS p,
+             CAST(c.c1 + 1 AS DOUBLE) / (t.t1 + 10) AS q
+           FROM cells c JOIN tot t USING (event_type))
+         SELECT event_type, CAST(sum(c0) AS BIGINT) AS n_first,
+           CAST(sum(c1) AS BIGINT) AS n_second,
+           floor(sum((p - q) * ln(p / q)) * 1e4 + 0.5) / 1e4 AS psi
+         FROM pq GROUP BY event_type ORDER BY event_type""",
     "q_seq_entropy" ->
       """WITH t AS (
            SELECT event_type AS e1,
