@@ -38,8 +38,17 @@ object Components {
     val e = edges.select(col(sc).cast("long").as("a"),
         col(dc).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
+    // EAGER localCheckpoint, not best-effort persist (r12 verdict #1):
+    // this frame is the input to EVERY propagation round. A persist()
+    // entry evicted under session-wide memory pressure silently re-runs
+    // the caller's upstream plan (for the dedup keys: the whole band
+    // self-join) once per round — an O(rounds)× slowdown invisible to
+    // correctness. Checkpointing materializes once to executor-local
+    // disk-backed blocks and truncates lineage, so eviction can never
+    // re-derive it; with a reliable checkpoint dir configured, checkpoint
+    // would also survive executor loss.
     val undirected = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct().persist()
+      .distinct().localCheckpoint()
 
     var labels = undirected.select(col("a").as("id"))
       .distinct().withColumn("comp", col("id")).persist()
@@ -72,7 +81,6 @@ object Components {
       converged = changed == 0L
       i += 1
     }
-    undirected.unpersist()
     if (!converged)
       // returning partially-propagated labels would silently split one
       // true component into several "groups" — fail loudly instead
@@ -119,7 +127,10 @@ object Components {
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("hi"),
         least(col("x"), col("y")).as("lo"))
-      .distinct().persist()
+      // eager checkpoint for the same reason as minLabelWithRounds: the
+      // round-0 edge frame must never re-derive the caller's upstream
+      // plan if storage is evicted mid-iteration
+      .distinct().localCheckpoint()
     var eCount = e.count()
     var converged = false
     var i = 0

@@ -191,9 +191,15 @@ object PipelineOps {
       val deg = graft.Caching.cache(
         edges.groupBy("src").agg(count(lit(1)).as("d")))
       // out-degree is static across rounds: pre-join it onto the edges
-      // ONCE, so each iteration is a single equi-join + agg
-      val ed = graft.Caching.cache(edges.join(deg, "src"))
-      val nF = graft.Caching.cache(deg.select(count(lit(1)).as("n")))
+      // ONCE, so each iteration is a single equi-join + agg. EAGER
+      // localCheckpoint, not best-effort cache (r12 verdict #1): `ed`
+      // and `nF` are consumed by EVERY power round, and an evicted
+      // cache entry would silently re-run the band self-join once per
+      // round — the 5× driver-board outlier BENCH_r12 recorded.
+      // Checkpointing materializes once to disk-backed blocks and
+      // truncates lineage, so eviction cannot re-derive it.
+      val ed = edges.join(deg, "src").localCheckpoint()
+      val nF = deg.select(count(lit(1)).as("n")).localCheckpoint()
       var pr = deg.crossJoin(broadcast(nF))
         .select(col("src").as("id"), (lit(1.0) / col("n")).as("pr"))
       for (_ <- 1 to 5) {

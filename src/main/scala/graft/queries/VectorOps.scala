@@ -398,17 +398,22 @@ object VectorOps {
         .orderBy("nprobe")
     }),
 
-    // k-NN *join* — top-3 neighbors for EVERY query vector (every 50th
-    // vec_id), not just one. The query side broadcasts; the base scan is
-    // never shuffled — per-query ranking happens in a window over the
-    // scored pairs (qid-partitioned: |queries|·k rows survive). At 100 TB
-    // the same plan holds with an LSH/IVF candidate filter replacing the
-    // broadcast cross product (Similarity.ivfTopK); brute force IS the
-    // oracle-checkable baseline SURVEY §2.10 L3 calls for.
+    // k-NN *join* — top-3 neighbors for each of the FIXED 40 budget
+    // queries (r13: moved off the `vec_id % 50` corpus-fraction query
+    // set onto the same TakeOrdered budget as q_ann_recall, verdict
+    // #3 — a fraction makes the truth side n²/50 and the query
+    // broadcast grow with the corpus; the budget keeps them O(Q·n)
+    // and constant-size at ANY scale). The query side broadcasts; the
+    // base scan is never shuffled — per-query ranking happens in a
+    // window over the scored pairs (qid-partitioned: 40·k rows
+    // survive). At 100 TB the same plan holds with an LSH/IVF
+    // candidate filter replacing the broadcast cross product
+    // (Similarity.ivfTopK); brute force IS the oracle-checkable
+    // baseline SURVEY §2.10 L3 calls for.
     "q_knn_join" -> ((s, dir) => {
       GraftFunctions.register(s)
       val e = T(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = e.orderBy(asc("vec_id")).limit(40)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val scored = e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
@@ -1202,7 +1207,7 @@ object VectorOps {
     "q_knn_join" ->
       """WITH q AS (
            SELECT vec_id AS qid, embedding AS qv FROM embeddings
-           WHERE vec_id % 50 = 0),
+           ORDER BY vec_id LIMIT 40),
          d AS (
            SELECT q.qid, e.vec_id,
              sum(CAST(e.embedding[i.i + 1] AS DOUBLE)

@@ -116,6 +116,16 @@ object CepSql {
   private val replaceItem = Pattern.compile(
     "^(.+)\\s+AS\\s+([A-Za-z_]\\w*)$",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  /** The only tails [[excludeRewrite]] may pass through verbatim: an
+    * optional `AS alias`, then a WHERE/GROUP/HAVING/ORDER/LIMIT clause
+    * chain or nothing. A JOIN, a comma FROM list or a bare alias means
+    * the star spans MORE than the resolved base table — silently
+    * expanding it over one table's columns would be wrong output, so
+    * those reject loudly (ADVICE r12). */
+  private val excludeTail = Pattern.compile(
+    "^(\\s+AS\\s+[A-Za-z_]\\w*)?" +
+      "(\\s+(WHERE|GROUP|HAVING|ORDER|LIMIT)\\b.*)?\\s*;?\\s*$",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   /** Statement-leading `PIVOT t ON col USING agg(expr) GROUP BY …`
     * (r12) — DuckDB's auto-pivot surface. Spark's PIVOT demands an
     * explicit `IN (…)` value list; the dispatch derives it from the
@@ -1702,7 +1712,22 @@ object CepSql {
       bad(s"ON column '$onCol' has > 100 distinct values — pivot " +
         "width must be bounded; pre-bucket the column")
     if (vals.isEmpty) bad(s"ON column '$onCol' has no non-null values")
-    val inList = vals.sorted
+    // sort the derived pivot columns in UTF-8 BYTE order, not Scala's
+    // UTF-16 code-unit order (ADVICE r12): the two differ exactly on
+    // supplementary characters (UTF-16 sorts surrogate pairs below
+    // U+E000..U+FFFF; codepoint/UTF-8 order sorts them above all of
+    // the BMP), and DuckDB's auto-PIVOT orders columns by its binary
+    // UTF-8 collation — a non-ASCII ON value must not reorder columns
+    // across engines
+    val utf8Order: Ordering[String] = (a: String, b: String) => {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0; var r = 0
+      val n = math.min(x.length, y.length)
+      while (i < n && r == 0) { r = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+      if (r != 0) r else x.length - y.length
+    }
+    val inList = vals.sorted(utf8Order)
       .map(v => "'" + v.replace("'", "''") + "'").mkString(", ")
     val tail = orderBy.map(o => s" ORDER BY $o").getOrElse("") +
       limit.map(n => s" LIMIT $n").getOrElse("")
@@ -1762,10 +1787,26 @@ object CepSql {
     if (excludeKw.matcher(tail).find())
       bad("one EXCLUDE per statement — star modifiers in a subquery " +
         "are not supported; expand the inner star by hand")
+    // scan EVERY top-level ';', not just the first: a literal ';'
+    // earlier in the text must not mask a real statement separator
+    // after it (ADVICE r12)
     val (lit, _) = scan(q)
-    val semi = q.indexOf(';')
-    if (semi >= 0 && !lit(semi) && q.substring(semi + 1).trim.nonEmpty)
-      bad("multi-statement text is ambiguous — submit one statement")
+    var semi = q.indexOf(';')
+    while (semi >= 0) {
+      if (!lit(semi) && q.substring(semi + 1).trim.nonEmpty)
+        bad("multi-statement text is ambiguous — submit one statement")
+      semi = q.indexOf(';', semi + 1)
+    }
+    // the tail after the base table must be an optional `AS alias`
+    // followed by a clause (or nothing): a JOIN / comma / bare second
+    // table would make the star cover the whole FROM list while this
+    // rewrite expands only the base table's columns — wrong output,
+    // so it is loudly rejected like set-ops and subqueries (ADVICE r12)
+    if (!excludeTail.matcher(tail).matches())
+      bad("the star covers only the single base table — JOINs, comma " +
+        "FROM lists and bare aliases are ambiguous here; register a " +
+        "temp view for the joined input (or use `AS alias` + " +
+        "WHERE/GROUP/HAVING/ORDER/LIMIT clauses only)")
     val tailAt = if (tail.isEmpty) -1 else m.start(4)
     if (tailAt >= 0) {
       val so = setOp.matcher(q)

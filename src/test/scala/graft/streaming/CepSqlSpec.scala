@@ -410,6 +410,22 @@ class CepSqlSpec extends SparkSpec {
       "UNION SELECT 1, 2, 3, 4, 5", "ambiguous")
     rej("SELECT * EXCLUDE (o_orderdate) FROM orders; SELECT 1",
       "multi-statement")
+    // a literal ';' before a REAL separator must not mask it (ADVICE
+    // r12: the guard used to look only at the FIRST ';')
+    rej("SELECT * EXCLUDE (o_orderdate) REPLACE (';' AS o_orderpriority) " +
+      "FROM orders; SELECT 1", "multi-statement")
+    // the star must not silently expand over ONE table of a JOIN or a
+    // comma FROM list (ADVICE r12): reject, don't produce wrong columns
+    rej("SELECT * EXCLUDE (o_orderdate) FROM orders JOIN customer " +
+      "ON o_custkey = c_custkey", "single base table")
+    rej("SELECT * EXCLUDE (o_orderdate) FROM orders, customer",
+      "single base table")
+    rej("SELECT * EXCLUDE (o_orderdate) FROM orders o2 WHERE 1=1",
+      "single base table") // bare alias: ambiguous with a second table
+    // `AS alias` + plain clause tails still pass through
+    assert(CepSql.sql(spark,
+      "SELECT * EXCLUDE (o_orderdate) FROM orders AS o2 LIMIT 3")
+      .count() === 3)
     rej("SELECT a, * EXCLUDE (b) FROM orders", "accepts exactly")
     // pure-text translate has no schema: loud pointer, not a pass-through
     val e = intercept[IllegalArgumentException] {
@@ -464,6 +480,20 @@ class CepSqlSpec extends SparkSpec {
       "GROUP BY o_orderpriority", "100 distinct")
     rej("PIVOT orders ON o_orderstatus USING count(o_orderkey)",
       "accepts exactly")
+    // ADVICE r12: the derived pivot columns order in UTF-8 BYTE order
+    // (DuckDB's binary collation), not UTF-16 code-unit order — the two
+    // disagree exactly on supplementary characters: U+EFFF (UTF-8
+    // EE BF BF) sorts BEFORE U+1F600 (UTF-8 F0 9F 98 80) in byte order,
+    // while its UTF-16 code unit 0xEFFF sorts AFTER the surrogate pair
+    // 0xD83D 0xDE00
+    import spark.implicits._
+    Seq(("\uD83D\uDE00", 1L), ("\uEFFF", 2L), ("a", 3L))
+      .toDF("k", "v").createOrReplaceTempView("__pv_utf8")
+    val pv = CepSql.sql(spark,
+      "PIVOT __pv_utf8 ON k USING sum(v) GROUP BY v")
+    assert(pv.columns.drop(1).toSeq ===
+      Seq("a", "\uEFFF", "\uD83D\uDE00"),
+      "pivot columns must follow UTF-8 byte order")
   }
 
   test("long-form UNPIVOT dialect: bare list + COLUMNS(* EXCLUDE); " +

@@ -481,11 +481,18 @@ class RecoverySpec extends SparkSpec {
     assert(diffs.isEmpty,
       s"${diffs.size} CUSUM marks diverge across restart, " +
         s"e.g. ${diffs.take(3)}")
-    // non-vacuous: every user has pre- AND post-cut events, so every
-    // key's state crosses the restart
+    // non-vacuous: some keys must actually STRADDLE the restart (events
+    // on both sides of the cut), or the checkpoint-restore path under
+    // test never carries live state across (ADVICE r12: the old check
+    // only proved SOME user had pre-cut events)
     val straddled = events.filter(col("ts") < lit(cut))
-      .select("user_id").distinct().count()
-    assert(straddled > 0)
+      .select("user_id").distinct()
+      .join(events.filter(col("ts") >= lit(cut))
+        .select("user_id").distinct(), "user_id")
+      .count()
+    assert(straddled > 0,
+      "no user has events on both sides of the restart cut — " +
+        "the recovery assertion would be vacuous")
   }
 
   test("numbered quantified detector resumes from checkpoint: held " +
