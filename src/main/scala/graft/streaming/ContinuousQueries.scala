@@ -101,20 +101,28 @@ object ContinuousQueries {
     * reluctant HEAD forms — `{1,}?` and the reluctant absence at any m
     * ([[LazyRunDetector]]). A quantified step whose class OVERLAPS its
     * predecessor's streams since r11, generalized in r12 to the whole
-    * greedy head family — `A THEN B{m,}` plus ANY unquantified tail
-    * `THEN C THEN D … [THEN NOT Z]`, tail classes free to overlap B's
+    * greedy head family — `A THEN B{m,}` plus ANY tail
+    * `THEN C[{k,}] THEN D … [THEN NOT Z]`, tail classes free to
+    * overlap B's and tail steps QUANTIFIED since r13 for the
+    * completion forms (each quantified tail step gets its own shared
+    * island tracker; pendings advance at island close — the batch
+    * rank-1-by-run_start join made incremental)
     * ([[OverlapRunDetector]] — one shared island tracker per key, the
     * batch GLOBAL gaps-and-islands made incremental; pendings CHAIN
     * through the tail steps, the trailing NOT resolving at the
-    * watermark deadline), and MEASURES over the 2-step head form
-    * (per-anchor span accumulators + island boundary slots,
-    * [[OverlapRunDetector.detectMeasures]]). The remaining batch-only
-    * forms, each rejected loudly with a pointer to [[CepSql.sql]]:
-    * overlap at a non-head boundary (OverlapRunSpec pins the
-    * counterexample) / quantified or optional tail steps after an
-    * overlap head / reluctant runs × overlap / MEASURES beyond the
-    * 2-step head (incl. MATCH_NUMBER × overlap — held-release
-    * numbering); `{1,}?` outside the 2-step head; bounded lazy
+    * watermark deadline), and MEASURES over the whole completion
+    * family — the 2-step head (r12: per-anchor span accumulators +
+    * island boundary slots) and since r13 any unquantified completion
+    * tail `A THEN B{m,} THEN C THEN D …` (pendings carry the span
+    * accumulators to their final tail match; tail class refs capture
+    * per step — [[OverlapRunDetector.detectMeasures]]). The remaining
+    * batch-only forms, each rejected loudly with a pointer to
+    * [[CepSql.sql]]: overlap at a non-head boundary (OverlapRunSpec
+    * pins the counterexample) / optional tail steps after an overlap
+    * head / quantified tails × the absent form / reluctant runs ×
+    * overlap / MEASURES × the absent overlap form or × quantified
+    * tails / MATCH_NUMBER × overlap (held-release numbering); `{1,}?`
+    * outside the 2-step head; bounded lazy
     * `{m,n}?` (rejected at parse). Measures × reluctant stream
     * since r8 (lazy completions fold POST — the m-th event is a span
     * row, unlike a greedy closure).
@@ -234,27 +242,42 @@ object ContinuousQueries {
         }
         val det: Dataset[RunChainMeasured] = if (measuresOverlapAt) {
           // MEASURES × overlap streams since r12 in the greedy 2-step
-          // head form `A THEN B{m,}`: span aggregates accumulate per
-          // anchor (the batch span join covers anchor..run-end
-          // inclusive regardless of class), FIRST/LAST read the shared
-          // island's boundary rows, anchor class refs capture at the
-          // anchor. MATCH_NUMBER and deeper/absent/reluctant overlap
+          // head form `A THEN B{m,}`, generalized r13 to ANY
+          // unquantified completion tail `A THEN B{m,} THEN C THEN D …`
+          // (verdict r12 #4): span aggregates accumulate per anchor
+          // and then per PENDING until its final tail match (the batch
+          // span join covers first..last matched rows inclusive
+          // regardless of class), FIRST/LAST read the shared island's
+          // boundary rows (frozen into the pending at close), class
+          // refs capture at the anchor or at each tail step's match.
+          // MATCH_NUMBER and absent/reluctant/quantified-tail overlap
           // forms reject loudly (OverlapRunDetector.detectMeasures
           // names each), as does overlap at a non-head boundary here.
           val sts = spec.steps
-          val headForm = sts.length == 2 && sts.head.minTimes.isEmpty &&
+          val onlyHeadOvM = sts.sliding(2).zipWithIndex.forall {
+            case (pair, idx) =>
+              idx == 0 || !(pair.length == 2 &&
+                pair.last.minTimes.isDefined &&
+                pair.head.events.toSet.intersect(
+                  pair.last.events.toSet).nonEmpty)
+          }
+          val headForm = onlyHeadOvM && sts.length >= 2 &&
+            sts.head.minTimes.isEmpty &&
             sts(1).minTimes.isDefined && !spec.absent &&
+            sts.drop(2).forall(_.minTimes.isEmpty) &&
             !sts.exists(_.optional) && !sts.exists(_.reluctant)
           if (!headForm)
             throw new IllegalArgumentException(
               "MEASURES over an overlapping run streams only in the " +
-                "greedy 2-step head form `A THEN B{m,}` " +
-                "(OverlapRunDetector.detectMeasures) — for deeper, " +
-                "absent, or reluctant overlap forms use the batch " +
-                "rewrite via CepSql.sql")
+                "greedy head family `A THEN B{m,} [THEN C THEN D …]` " +
+                "with an unquantified tail " +
+                "(OverlapRunDetector.detectMeasures) — for non-head, " +
+                "absent, quantified-tail, or reluctant overlap forms " +
+                "use the batch rewrite via CepSql.sql")
           OverlapRunDetector.detectMeasures(src, stepPred(sts.head),
             stepPred(sts(1)), sts(1).minTimes.get, sts(1).maxTimes,
-            spec.withinMs, spec.measures, Some(lateness))
+            spec.withinMs, spec.measures, Some(lateness),
+            tail = sts.drop(2).map(stepPred))
         } else RunChainDetector.detectMeasures(srcWm,
           spec.steps.map(s => (stepPred(s), s.minTimes)), spec.withinMs,
           spec.steps.map(_.maxTimes), spec.measures,
@@ -382,10 +405,17 @@ object ContinuousQueries {
               .nonEmpty &&
             sts.head.minTimes.isEmpty && !sts.exists(_.optional) &&
             !sts.exists(_.reluctant)
-          val tailOk = sts.drop(2).forall(_.minTimes.isEmpty)
+          // quantified TAIL steps stream since r13 (non-absent only):
+          // each gets its own shared island tracker in the detector,
+          // advancing pendings at island close — the batch rank-1-by-
+          // run_start join made incremental
+          val tailQuantSpecs = sts.drop(2).map(s =>
+            s.minTimes.map(m => (m, s.maxTimes)))
+          val tailHasQuant = tailQuantSpecs.exists(_.isDefined)
           val streamable2 = base && sts.length == 2 && !spec.absent
-          val streamable3 = base && sts.length == 3 && tailOk
-          val streamableN = base && sts.length >= 4 && tailOk
+          val streamable3 = base && sts.length == 3 && !tailHasQuant
+          val streamableN = base && sts.length >= 3 &&
+            (!tailHasQuant || !spec.absent)
           if (streamable2)
             return submitMemory(OverlapRunDetector.detectWhere(src,
               stepPred(sts.head), stepPred(sts(1)),
@@ -403,16 +433,20 @@ object ContinuousQueries {
               spec.withinMs, lateness).toDF(), name, "append")
           if (streamableN) {
             // flatten the tail arrays back to the batch rewrite's
-            // id_3../ts_3.. columns (the absent form emits the prefix
-            // through step N−1, exactly like the batch anti-join)
+            // columns: len_i + ts_i for a quantified tail step (the
+            // slot carries the run length), id_i + ts_i otherwise (the
+            // absent form emits the prefix through step N−1, exactly
+            // like the batch anti-join)
             val detN = OverlapRunDetector.detectChainWhere(src,
               stepPred(sts.head), stepPred(sts(1)),
               sts(1).minTimes.get, sts(1).maxTimes,
               sts.drop(2).map(stepPred), spec.absent, spec.withinMs,
-              Some(lateness)).toDF()
+              Some(lateness), tailQuant = tailQuantSpecs).toDF()
             val nTail = if (spec.absent) sts.length - 3 else sts.length - 2
-            val idCols = (0 until nTail).map(i =>
-              col("tail_ids").getItem(i).as(s"id_${i + 3}"))
+            val idCols = (0 until nTail).map { i =>
+              val nm = if (tailQuantSpecs(i).isDefined) "len" else "id"
+              col("tail_ids").getItem(i).as(s"${nm}_${i + 3}")
+            }
             val tsCols = (0 until nTail).map(i =>
               col("tail_ts").getItem(i).as(s"ts_${i + 3}"))
             return submitMemory(detN.select(
@@ -423,10 +457,11 @@ object ContinuousQueries {
           throw new IllegalArgumentException(
             "a {m,} step whose class overlaps the previous step's " +
               "streams only in the greedy head family `A THEN B{m,} " +
-              "[THEN C THEN D … [THEN NOT Z]]` with an unquantified " +
-              "tail (OverlapRunDetector) — for overlap at a later " +
-              "boundary, quantified tail steps, optional steps, or " +
-              "reluctant runs use the batch rewrite via CepSql.sql")
+              "[THEN C[{k,}] THEN D … [THEN NOT Z]]` (quantified tail " +
+              "steps since r13, completion forms only) — for overlap " +
+              "at a later boundary, quantified tails × absence, " +
+              "optional steps, or reluctant runs use the batch rewrite " +
+              "via CepSql.sql")
         }
         // watermarked input (r8): the detector's pruning horizon reads
         // getCurrentWatermarkMs — un-watermarked it fell back to the

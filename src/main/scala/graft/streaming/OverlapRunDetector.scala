@@ -56,7 +56,12 @@ case class OverlapChainState(open: Option[OvIsland],
     anchors: List[OvAnchor],
     pendId1: Seq[Long], pendTs1: Seq[Long], pendLen: Seq[Long],
     pendTs2: Seq[Long], pendTailEnd: Seq[Int],
-    pendTailIds: Seq[Long], pendTailTs: Seq[Long])
+    pendTailIds: Seq[Long], pendTailTs: Seq[Long],
+    // open island per QUANTIFIED tail step (r13): stage index plus the
+    // island triple (count, start, end as micros) — parallel arrays,
+    // at most one entry per quantified tail step
+    tIslStage: Seq[Int], tIslCount: Seq[Long],
+    tIslStart: Seq[Long], tIslEnd: Seq[Long])
 
 /** Measures-form state (r12): the island additionally carries its
   * first/last rows' slot values (FIRST/LAST boundary refs desugared from
@@ -68,7 +73,23 @@ case class OvMIsland(count: Long, start: Timestamp, end: Timestamp,
     firstBnd: Seq[Double], lastBnd: Seq[Double])
 case class OvMAnchor(id1: Long, ts1: Timestamp, sums: Seq[Double],
     cnt: Long, mns: Seq[Double], mxs: Seq[Double], anchorBnd: Seq[Double])
-case class OverlapMState(open: Option[OvMIsland], anchors: List[OvMAnchor])
+/** A measures-form anchor whose rank-1 island closed, advancing through
+  * the unquantified tail steps (r13): carries the batch prefix row, the
+  * span accumulators (which KEEP folding every event until the final
+  * tail match — the batch span join covers first..last matched rows
+  * inclusive regardless of class), the island's FIRST/LAST boundary
+  * slots frozen at close, and the per-measure class-ref slots (anchor
+  * refs filled at anchor time, tail-step refs at their match). Not
+  * packed struct-of-arrays like [[OverlapChainState]]'s pendings:
+  * completion pendings die at their final tail match instead of
+  * waiting out a watermark deadline, so their census is a fraction of
+  * the absent form's. */
+case class OvMPending(id1: Long, ts1: Timestamp, len: Long, ts2: Timestamp,
+    tailIds: Seq[Long], tailTs: Seq[Timestamp],
+    sums: Seq[Double], cnt: Long, mns: Seq[Double], mxs: Seq[Double],
+    islFirst: Seq[Double], islLast: Seq[Double], refSlots: Seq[Double])
+case class OverlapMState(open: Option[OvMIsland], anchors: List[OvMAnchor],
+    pending: List[OvMPending])
 
 /** Streaming detector for quantified chains whose run class OVERLAPS the
   * anchor's — the carve-out every round before r11 routed to batch:
@@ -157,6 +178,10 @@ object OverlapRunDetector {
     t
   }
 
+  /** Open island for one QUANTIFIED tail step (r13), micros-valued —
+    * the in-memory form of the state's tIsl* parallel arrays. */
+  private case class TailIsl(count: Long, startUs: Long, endUs: Long)
+
   /** Unpack the struct-of-arrays pending columns to the in-memory form. */
   private def unpackPending(s: OverlapChainState): List[OvPending] =
     s.pendId1.indices.map { i =>
@@ -171,12 +196,16 @@ object OverlapRunDetector {
   /** Pack pendings as parallel primitive arrays (see
     * [[OverlapChainState]]'s scaladoc for the why). */
   private def packState(open: Option[OvIsland], anchors: List[OvAnchor],
-      pending: List[OvPending]): OverlapChainState = {
+      pending: List[OvPending],
+      tIsl: Map[Int, TailIsl]): OverlapChainState = {
     val ends = pending.scanLeft(0)(_ + _.tailIds.length).tail
+    val ti = tIsl.toSeq.sortBy(_._1)
     OverlapChainState(open, anchors,
       pending.map(_.id1), pending.map(p => us(p.ts1)),
       pending.map(_.len), pending.map(p => us(p.ts2)), ends,
-      pending.flatMap(_.tailIds), pending.flatMap(_.tailTs.map(us)))
+      pending.flatMap(_.tailIds), pending.flatMap(_.tailTs.map(us)),
+      ti.map(_._1), ti.map(_._2.count),
+      ti.map(_._2.startUs), ti.map(_._2.endUs))
   }
 
   /** Greedy 2-step `A THEN B{m,}` (r11 original form). */
@@ -224,27 +253,40 @@ object OverlapRunDetector {
 
   /** N-step chained tail (r12): `A THEN B{m,} THEN C THEN D …` with an
     * optional trailing NOT (`absent = true` negates the LAST `tail`
-    * pred). Tail steps are unquantified; classes may overlap B's
-    * freely. For `absent`, a watermark is required (the no-Z verdict is
+    * pred). Tail classes may overlap B's freely. Since r13 tail steps
+    * may themselves be QUANTIFIED (`tailQuant(i) = Some((k, maxOpt))`
+    * makes step i+3 a greedy run `C{k,}`/`C{k,K}`): each quantified
+    * tail step gets its own shared island tracker — the batch GLOBAL
+    * gaps-and-islands per class — and a pending at that stage advances
+    * when an island CLOSES with `run_start` strictly after the previous
+    * step's ts, `run_end` inside the anchor window and length in range
+    * (whole-run semantics, exactly the head's discipline); the emitted
+    * tail slot carries the run LENGTH (the batch len_i column) and the
+    * run end ts. Quantified × absent stays batch-only (the trailing
+    * NOT's kill scan would need island-aware strictly-after logic the
+    * batch anti-join does not have either — rejected loudly). For
+    * `absent`, a watermark is required (the no-Z verdict is
     * timer-driven) and the emitted arrays carry the positive tail. */
   def detectChainWhere(events: Dataset[CepEvent],
       anchorPred: CepEvent => Boolean, runPred: CepEvent => Boolean,
       minLen: Int, maxLen: Option[Int],
       tail: Seq[CepEvent => Boolean], absent: Boolean, withinMs: Long,
-      watermarkDelay: Option[String] = None)
+      watermarkDelay: Option[String] = None,
+      tailQuant: Seq[Option[(Int, Option[Int])]] = Nil)
       : Dataset[OverlapChainNMatch] = {
     require(tail.nonEmpty,
       "detectChainWhere wants at least one tail step — use detectWhere " +
         "for the plain 2-step form")
     engine(events, anchorPred, runPred, minLen, maxLen, tail, absent,
-      withinMs, watermarkDelay)
+      withinMs, watermarkDelay, tailQuant)
   }
 
   private def engine(events: Dataset[CepEvent],
       anchorPred: CepEvent => Boolean, runPred: CepEvent => Boolean,
       minLen: Int, maxLen: Option[Int],
       tail: Seq[CepEvent => Boolean], absent: Boolean,
-      withinMs: Long, watermarkDelay: Option[String])
+      withinMs: Long, watermarkDelay: Option[String],
+      tailQuant: Seq[Option[(Int, Option[Int])]] = Nil)
       : Dataset[OverlapChainNMatch] = {
     implicit val matchEnc = Encoders.product[OverlapChainNMatch]
     implicit val stateEnc = Encoders.product[OverlapChainState]
@@ -263,6 +305,14 @@ object OverlapRunDetector {
     // the stage index at which a pending has matched every POSITIVE tail
     // step: completion emits there; absence waits there for the verdict
     val doneStage = if (absent) tail.length - 1 else tail.length
+    // quantified tail steps (r13): per-step (min, max) or None
+    val quant: Seq[Option[(Int, Option[Int])]] =
+      if (tailQuant.isEmpty) Seq.fill(tail.length)(None) else tailQuant
+    require(quant.length == tail.length,
+      "tailQuant must align with tail (one entry per tail step)")
+    require(!absent || quant.forall(_.isEmpty),
+      "quantified tail steps x the absent form stay batch-only — use " +
+        "the batch rewrite via CepSql.sql")
     val src = if (wmEnabled) events.withWatermark("ts", watermarkDelay.get)
               else events
     val timeoutConf = if (wmEnabled) GroupStateTimeout.EventTimeTimeout()
@@ -276,10 +326,33 @@ object OverlapRunDetector {
           var open = state.getOption.flatMap(_.open)
           var anchors = state.getOption.map(_.anchors).getOrElse(Nil)
           var pending = state.getOption.map(unpackPending).getOrElse(Nil)
+          var tIsl: Map[Int, TailIsl] = state.getOption.map(s =>
+            s.tIslStage.indices.map(i => s.tIslStage(i) ->
+              TailIsl(s.tIslCount(i), s.tIslStart(i), s.tIslEnd(i)))
+              .toMap).getOrElse(Map.empty)
           val out = List.newBuilder[OverlapChainNMatch]
           def deadline(ts1: Timestamp): Long = us(ts1) + withinUs
           def lastTs(p: OvPending): Long =
             if (p.tailTs.isEmpty) us(p.ts2) else us(p.tailTs.last)
+          // a pending stays live past its deadline only while (absent
+          // form) it awaits its watermark verdict at done-stage, or
+          // (quantified stage, r13) the stage's OPEN island already
+          // qualifies frozen — the anchors' live() discipline: a close
+          // can come at any later event and the frozen content already
+          // meets every bound
+          def pendLive(p: OvPending, clock: Long): Boolean = {
+            val dl = deadline(p.ts1)
+            if (clock <= dl) true
+            else {
+              val stage = p.tailIds.length
+              (absent && stage == doneStage) ||
+                (stage < tail.length && quant(stage).exists {
+                  case (k, kx) => tIsl.get(stage).exists(o =>
+                    o.startUs > lastTs(p) && o.endUs <= dl &&
+                      o.count >= k && kx.forall(o.count <= _))
+                })
+            }
+          }
 
           // an anchor stays live while SOME island could still meet the
           // batch predicate: any island starting after `clock` is gone
@@ -308,7 +381,10 @@ object OverlapRunDetector {
                   out += OverlapChainNMatch(user, p.id1, p.len,
                     p.ts1, p.ts2, p.tailIds, p.tailTs)
               }
-              pending = rest
+              // a ripe pending at a quantified stage survives while its
+              // frozen open island still qualifies (r13 — pendLive)
+              pending = rest ++
+                ripe.filter(p => !absent && pendLive(p, wmUs))
             }
           }
 
@@ -346,12 +422,47 @@ object OverlapRunDetector {
                 }
                 open = None
               }
+              // 1b. QUANTIFIED tail island closes (r13): a non-class
+              //     event makes stage s's island maximal; pendings AT
+              //     stage s advance when the island starts strictly
+              //     after their previous step's ts, ends inside their
+              //     window and has length in range (whole-run, the
+              //     batch runsSub + rank-1-by-run_start join verbatim
+              //     — islands are disjoint and close in start order).
+              //     The LEN rides the tail slot (batch len_i column),
+              //     run_end the ts slot. A failing island still clears.
+              quant.indices.foreach { s =>
+                if (quant(s).isDefined && !tail(s)(e)) {
+                  tIsl.get(s).foreach { o =>
+                    val (k, kx) = quant(s).get
+                    if (o.count >= k && kx.forall(o.count <= _))
+                      pending = pending.flatMap { p =>
+                        if (p.tailIds.length == s &&
+                            o.startUs > lastTs(p) &&
+                            o.endUs <= deadline(p.ts1)) {
+                          val adv = p.copy(
+                            tailIds = p.tailIds :+ o.count,
+                            tailTs = p.tailTs :+ tsOf(o.endUs))
+                          if (adv.tailIds.length == doneStage) {
+                            out += OverlapChainNMatch(user, adv.id1,
+                              adv.len, adv.ts1, adv.ts2,
+                              adv.tailIds, adv.tailTs)
+                            Nil
+                          } else List(adv)
+                        } else List(p)
+                      }
+                  }
+                  tIsl -= s
+                }
+              }
               // 2. tail resolution — tested on EVERY event including
               //    the breaker that just closed the island (a disjoint
               //    tail event is necessarily a breaker; an overlapping
               //    one extends the island below AND serves pendings
               //    here). Each pending advances at most ONE step per
               //    event: the next step wants ts strictly greater.
+              //    Quantified stages (r13) advance only at their
+              //    island closes above, never on single events.
               if (tail.nonEmpty)
                 pending = pending.flatMap { p =>
                   val stage = p.tailIds.length
@@ -360,7 +471,8 @@ object OverlapRunDetector {
                     if (absent && tail.last(e) && t > lastTs(p) &&
                         t <= deadline(p.ts1)) Nil
                     else List(p)
-                  } else if (tail(stage)(e) && t > lastTs(p) &&
+                  } else if (quant(stage).isEmpty && tail(stage)(e) &&
+                      t > lastTs(p) &&
                       t <= deadline(p.ts1)) {
                     val adv = p.copy(tailIds = p.tailIds :+ e.event_id,
                       tailTs = p.tailTs :+ e.ts)
@@ -374,19 +486,28 @@ object OverlapRunDetector {
               // 3. event-clock cleanup (no emission — unmatched anchors
               //    and unserved completion pendings are inner-join
               //    misses; an absence pending that reached doneStage
-              //    waits for the watermark, but one still mid-tail past
-              //    its deadline can never complete and drops here too)
+              //    waits for the watermark; a pending at a quantified
+              //    stage survives while its frozen open island still
+              //    qualifies — pendLive; one mid-tail past its deadline
+              //    with no such island can never complete, drops here)
               anchors = anchors.filter(live(_, t))
               if (tail.nonEmpty)
-                pending = pending.filter(p =>
-                  t <= deadline(p.ts1) ||
-                    (absent && p.tailIds.length == doneStage))
+                pending = pending.filter(pendLive(_, t))
               // 4. a B event extends or opens the shared island
               if (runPred(e)) {
                 open = open match {
                   case Some(o) => Some(OvIsland(o.count + 1, o.start, e.ts))
                   case None    => Some(OvIsland(1, e.ts, e.ts))
                 }
+              }
+              // 4b. a quantified-tail-class event extends or opens that
+              //     stage's shared island (r13)
+              quant.indices.foreach { s =>
+                if (quant(s).isDefined && tail(s)(e))
+                  tIsl += s -> (tIsl.get(s) match {
+                    case Some(o) => TailIsl(o.count + 1, o.startUs, t)
+                    case None    => TailIsl(1, t, t)
+                  })
               }
               // 5. an A event anchors (AFTER island upkeep: when e is in
               //    both classes the island now CONTAINS e, and its start
@@ -395,10 +516,14 @@ object OverlapRunDetector {
             }
           }
 
+          // dropping open tail islands with the rest is SOUND here: a
+          // future pending's qualifying island must start strictly
+          // after its ts_2, which is in the future of this drop — an
+          // island already open can never satisfy it
           if (open.isEmpty && anchors.isEmpty && pending.isEmpty)
             state.remove()
           else {
-            state.update(packState(open, anchors, pending))
+            state.update(packState(open, anchors, pending, tIsl))
             if (wmEnabled && (anchors.nonEmpty || pending.nonEmpty)) {
               val nextMs = (anchors.map(a => deadline(a.ts1)) ++
                 pending.map(p => deadline(p.ts1)))
@@ -411,21 +536,31 @@ object OverlapRunDetector {
       }
   }
 
-  /** MEASURES over the greedy 2-step head form `A THEN B{m,}` (r12):
+  /** MEASURES over the greedy overlap-head family (r12 2-step; r13 ANY
+    * unquantified completion tail `A THEN B{m,} THEN C THEN D …`):
     * span aggregates (SUM/AVG/MIN/MAX/COUNT over numeric converter
-    * columns or COUNT(*)), FIRST/LAST boundary refs on the quantified
-    * step (step 2 — refs to it desugar there; ts rides the Double slot
-    * as exact micros), and class refs on the anchor step (step 1).
-    * MATCH_NUMBER is rejected (see the object scaladoc). Output is
+    * columns or COUNT(*)) — the batch span join covers every event of
+    * the key between the match's FIRST row (the anchor) and LAST row
+    * (the run end for the 2-step form; the FINAL TAIL MATCH for the
+    * chained form) in (ts, id) lexicographic order inclusive,
+    * regardless of class, so a pending's accumulators keep folding
+    * every event until its final tail step matches — FIRST/LAST
+    * boundary refs on the quantified step (step 2 — refs to it desugar
+    * there; ts rides the Double slot as exact micros; the island's
+    * boundary slots freeze into the pending at close), and class refs
+    * on the anchor (step 1) or any unquantified tail step (step ≥ 3,
+    * captured at that step's match). MATCH_NUMBER and the absent form
+    * are rejected (see the object scaladoc). Output is
     * [[RunChainMeasured]] — the same shape the quantified-chain
     * measures arm emits, so the dispatch's alias/cast mapping applies
-    * unchanged: step_vals = [id_1, len_2], step_ts = [ts_1, ts_2],
-    * start_ts/end_ts = the span bounds. */
+    * unchanged: step_vals = [id_1, len_2, id_3 …], step_ts =
+    * [ts_1, ts_2, ts_3 …], start_ts/end_ts = the span bounds. */
   def detectMeasures(events: Dataset[CepEvent],
       anchorPred: CepEvent => Boolean, runPred: CepEvent => Boolean,
       minLen: Int, maxLen: Option[Int], withinMs: Long,
       measures: Seq[CepSql.Measure],
-      watermarkDelay: Option[String] = None)
+      watermarkDelay: Option[String] = None,
+      tail: Seq[CepEvent => Boolean] = Nil)
       : Dataset[RunChainMeasured] = {
     require(measures.nonEmpty, "at least one measure")
     measures.foreach {
@@ -440,11 +575,13 @@ object OverlapRunDetector {
             "step (step 2)")
         if (!c.equalsIgnoreCase("ts")) PatternMatch.numColumn(c)
       case CepSql.ClassRef(_, c, st, _) =>
-        require(st == 1, "overlap-form class refs read the anchor (step 1)")
+        require(st == 1 || (st >= 3 && st <= 2 + tail.length),
+          "overlap-form class refs read the anchor (step 1) or an " +
+            "unquantified tail step (step >= 3, r13)")
         if (!c.equalsIgnoreCase("ts")) PatternMatch.numColumn(c)
       case m => throw new IllegalArgumentException(
         "overlap-form measures support span aggregates, FIRST/LAST on " +
-          "the run, and anchor class refs — MATCH_NUMBER needs " +
+          "the run, and anchor/tail class refs — MATCH_NUMBER needs " +
           "held-release numbering (an early anchor can match a late " +
           s"island); got '$m' — use the batch rewrite via CepSql.sql")
     }
@@ -481,8 +618,29 @@ object OverlapRunDetector {
             state: GroupState[OverlapMState]) =>
           var open = state.getOption.flatMap(_.open)
           var anchors = state.getOption.map(_.anchors).getOrElse(Nil)
+          var pending = state.getOption.map(_.pending).getOrElse(Nil)
           val out = List.newBuilder[RunChainMeasured]
           def deadline(ts1: Timestamp): Long = us(ts1) + withinUs
+          def lastTs(p: OvMPending): Long =
+            if (p.tailTs.isEmpty) us(p.ts2) else us(p.tailTs.last)
+          def pvals(p: OvMPending): Seq[Double] =
+            measures.zipWithIndex.map {
+              case (CepSql.SpanAgg(fn, c, _), _) =>
+                lazy val i =
+                  aggCols.indexOf(c.toLowerCase(java.util.Locale.ROOT))
+                fn match {
+                  case "SUM" => p.sums(i)
+                  case "AVG" => p.sums(i) / p.cnt
+                  case "MIN" => p.mns(i)
+                  case "MAX" => p.mxs(i)
+                  case _     => p.cnt.toDouble
+                }
+              case (CepSql.BoundRef("FIRST", _, _, _, _), j) =>
+                p.islFirst(j)
+              case (_: CepSql.BoundRef, j) => p.islLast(j)
+              case (_: CepSql.ClassRef, j) => p.refSlots(j)
+              case (_, _) => 0.0
+            }
           def live(a: OvMAnchor, clock: Long): Boolean = {
             val dl = deadline(a.ts1)
             if (clock <= dl) true
@@ -509,27 +667,37 @@ object OverlapRunDetector {
               case (_, _) => 0.0
             }
 
-          // wm-driven anchor pruning (state stays window-bound on idle
-          // keys too): a timed-out key drops anchors no island can serve
+          // wm-driven pruning (state stays window-bound on idle keys
+          // too): a timed-out key drops anchors no island can serve and
+          // completion pendings past their deadline (inner-join misses)
           val batch =
             if (state.hasTimedOut) Array.empty[CepEvent]
             else it.toArray.sortBy(e => (us(e.ts), e.event_id))
-          if (state.hasTimedOut)
-            anchors = anchors.filter(
-              live(_, state.getCurrentWatermarkMs() * 1000L))
+          if (state.hasTimedOut) {
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            anchors = anchors.filter(live(_, wmUs))
+            pending = pending.filter(p => wmUs <= deadline(p.ts1))
+          }
           batch.foreach { e =>
             val t = us(e.ts)
             // 1. island close: qualifying anchors emit with THEIR span
             //    accumulators (events anchor..run-end — the breaker is
-            //    not yet folded in) and the island's boundary slots
+            //    not yet folded in) and the island's boundary slots;
+            //    with a tail (r13) they park as PENDINGS instead,
+            //    carrying accumulators + frozen island boundary slots
             if (!runPred(e)) {
               open.foreach { o =>
                 if (o.count >= minLen && maxLen.forall(o.count <= _))
                   anchors = anchors.flatMap { a =>
                     if (us(o.start) > us(a.ts1) &&
                         us(o.end) <= deadline(a.ts1)) {
-                      out += RunChainMeasured(user, Seq(a.id1, o.count),
-                        Seq(a.ts1, o.end), a.ts1, o.end, vals(a, o))
+                      if (tail.isEmpty)
+                        out += RunChainMeasured(user, Seq(a.id1, o.count),
+                          Seq(a.ts1, o.end), a.ts1, o.end, vals(a, o))
+                      else
+                        pending ::= OvMPending(a.id1, a.ts1, o.count,
+                          o.end, Nil, Nil, a.sums, a.cnt, a.mns, a.mxs,
+                          o.firstBnd, o.lastBnd, a.anchorBnd)
                       Nil
                     } else List(a)
                   }
@@ -537,11 +705,15 @@ object OverlapRunDetector {
               open = None
             }
             // 2. cleanup, then fold THIS event into surviving anchors'
-            //    span accumulators (the span covers anchor..run-end
-            //    inclusive regardless of class; an anchor surviving this
-            //    close may still match a later island whose span
-            //    includes this event)
+            //    AND pendings' span accumulators (the span covers
+            //    first..last matched rows inclusive regardless of
+            //    class; a pending's span extends past the run end to
+            //    its final tail match, so the breaker and every later
+            //    event up to that match fold in — events after a
+            //    pending's emission never reach it, it is removed at
+            //    completion below)
             anchors = anchors.filter(live(_, t))
+            pending = pending.filter(p => t <= deadline(p.ts1))
             val evAgg = aggSels.map(g => g(e))
             anchors = anchors.map { a =>
               a.copy(sums = a.sums.lazyZip(evAgg).map(_ + _),
@@ -549,6 +721,42 @@ object OverlapRunDetector {
                 mns = a.mns.lazyZip(evAgg).map(math.min),
                 mxs = a.mxs.lazyZip(evAgg).map(math.max))
             }
+            pending = pending.map { p =>
+              p.copy(sums = p.sums.lazyZip(evAgg).map(_ + _),
+                cnt = p.cnt + 1,
+                mns = p.mns.lazyZip(evAgg).map(math.min),
+                mxs = p.mxs.lazyZip(evAgg).map(math.max))
+            }
+            // 2b. tail resolution (r13) — AFTER the fold, so a
+            //     completing event's own values are already in the
+            //     span (it is the span's last row). Per-step rank-1:
+            //     first event of the step's class strictly after the
+            //     previous step's ts inside the anchor window; class-
+            //     ref slots for step stage+3 capture here; completion
+            //     emits and removes the pending
+            if (tail.nonEmpty)
+              pending = pending.flatMap { p =>
+                val stage = p.tailIds.length
+                if (stage < tail.length && tail(stage)(e) &&
+                    t > lastTs(p) && t <= deadline(p.ts1)) {
+                  val adv = p.copy(
+                    tailIds = p.tailIds :+ e.event_id,
+                    tailTs = p.tailTs :+ e.ts,
+                    refSlots = p.refSlots.lazyZip(measures)
+                      .lazyZip(slotGet).map {
+                        case (_, cr: CepSql.ClassRef, Some(g))
+                            if cr.step == stage + 3 => g(e)
+                        case (cur, _, _) => cur
+                      })
+                  if (adv.tailIds.length == tail.length) {
+                    out += RunChainMeasured(user,
+                      Seq(adv.id1, adv.len) ++ adv.tailIds,
+                      Seq(adv.ts1, adv.ts2) ++ adv.tailTs,
+                      adv.ts1, adv.tailTs.last, pvals(adv))
+                    Nil
+                  } else List(adv)
+                } else List(p)
+              }
             // 3. island upkeep with boundary-slot capture
             if (runPred(e)) {
               val slots = slotGet.map(_.map(g => g(e)).getOrElse(0.0))
@@ -573,12 +781,15 @@ object OverlapRunDetector {
                 evA, 1L, evA, evA, slots)
             }
           }
-          if (open.isEmpty && anchors.isEmpty) state.remove()
+          if (open.isEmpty && anchors.isEmpty && pending.isEmpty)
+            state.remove()
           else {
-            state.update(OverlapMState(open, anchors))
-            if (wmEnabled && anchors.nonEmpty)
+            state.update(OverlapMState(open, anchors, pending))
+            if (wmEnabled && (anchors.nonEmpty || pending.nonEmpty))
               state.setTimeoutTimestamp(math.max(
-                anchors.map(a => deadline(a.ts1) / 1000L + 1).min,
+                (anchors.map(a => deadline(a.ts1)) ++
+                  pending.map(p => deadline(p.ts1)))
+                  .map(_ / 1000L + 1).min,
                 state.getCurrentWatermarkMs() + 1))
           }
           out.result().iterator

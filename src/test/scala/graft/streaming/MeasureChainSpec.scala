@@ -226,6 +226,64 @@ class MeasureChainSpec extends SparkSpec {
     }
   }
 
+  test("overlap chained-tail measures replay == batch span join (r13): " +
+      "span extends to the final tail match, tail class refs capture") {
+    import org.apache.spark.sql.functions.col
+    Tables.load(spark, sf)
+    val patternOf = (tbl: String) =>
+      s"""SELECT * FROM $tbl
+         MATCH PATTERN (click THEN click|view{2,} THEN purchase
+                        WITHIN '48' HOURS)
+         PARTITION BY user_id
+         MEASURES COUNT(*) AS c, SUM(value) AS sv,
+                  FIRST(view.value) AS fv, purchase.value AS pv"""
+    val want = CepSql.sql(spark, patternOf("events"))
+      .collect().map { r =>
+        // batch columns: user_id, id_1, len_2, id_3, ts_1, ts_2, ts_3,
+        // c, sv, fv, pv — (user_id, id_1) identifies a match
+        (r.getAs[Long]("user_id"), r.getAs[Long]("id_1")) ->
+          ((r.getAs[Long]("len_2"), r.getAs[Long]("id_3"),
+            r.getAs[Long]("c"), r.getAs[Double]("sv"),
+            r.getAs[Double]("fv"), r.getAs[Double]("pv")))
+      }.toMap
+    assert(want.nonEmpty, "fixture must produce chained overlap matches")
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"measure_ovl3_${System.nanoTime}"
+    stream.toDF().createOrReplaceTempView(s"src_$name")
+    val q = ContinuousQueries.submitPattern(spark, patternOf(s"src_$name"),
+      name, lateness = "5 seconds")
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { ch =>
+      stream.addData(ch.toSeq)
+      q.processAllAvailable()
+    }
+    // end-of-data flush: batch closes the final island at end of input
+    stream.addData(CepEvent(-1L,
+      Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "zz", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).filter(col("user_id") =!= -1L)
+      .collect().map { r =>
+        val sv = r.getSeq[Long](1)  // step_vals = [id_1, len_2, id_3]
+        (r.getLong(0), sv(0)) ->
+          ((sv(1), sv(2), r.getAs[Long]("c"), r.getAs[Double]("sv"),
+            r.getAs[Double]("fv"), r.getAs[Double]("pv")))
+      }.toMap
+    assert(got.keySet === want.keySet,
+      s"match sets differ: ${got.keySet.diff(want.keySet).take(3)} " +
+        s"extra, ${want.keySet.diff(got.keySet).take(3)} missing")
+    want.foreach { case (k, w) =>
+      val g = got(k)
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3,
+        s"len/id_3/count @$k: $g vs $w")
+      Seq(g._4 -> w._4, g._5 -> w._5, g._6 -> w._6).foreach {
+        case (gv, wv) =>
+          assert(math.abs(gv - wv) < 1e-6, s"measure @$k: $g vs $w") }
+    }
+  }
+
   test("overlap measures: anchor class refs via the direct API; " +
       "MATCH_NUMBER rejects with the held-release reason (r12)") {
     implicit val sq = spark.sqlContext

@@ -387,6 +387,123 @@ class OverlapRunSpec extends SparkSpec {
     }
   }
 
+  test("quantified tail steps after an overlap head: streaming == batch " +
+      "on randomized dense fixtures (r13 fuzz — per-step island " +
+      "trackers, len slots, bounded and mixed tails)") {
+    implicit val sq = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val types = Array("b", "b", "c", "d", "x")
+    val bP = (e: CepEvent) => e.event_type == "b"
+    val cP = (e: CepEvent) => e.event_type == "c"
+    val dP = (e: CepEvent) => e.event_type == "d"
+    val forms: Seq[(String, Seq[CepEvent => Boolean],
+        Seq[Option[(Int, Option[Int])]], Seq[String])] = Seq(
+      ("THEN c{2,}", Seq(cP), Seq(Some((2, None))), Seq("len_3")),
+      ("THEN c{1,3}", Seq(cP), Seq(Some((1, Some(3)))), Seq("len_3")),
+      ("THEN c{1,} THEN d", Seq(cP, dP), Seq(Some((1, None)), None),
+        Seq("len_3", "id_4")),
+      ("THEN d THEN c{2,}", Seq(dP, cP), Seq(None, Some((2, None))),
+        Seq("id_3", "len_4")))
+    for (seed <- 1 to 4; ((tailTxt, tailPreds, tq, tcols), fi) <-
+        forms.zipWithIndex) {
+      val rnd = new scala.util.Random(seed * 1000 + fi)
+      val rows = (1 to 90).map { id =>
+        CepEvent(id.toLong, new Timestamp(t0 + rnd.nextInt(600) * 1000L),
+          (1 + rnd.nextInt(3)).toLong, types(rnd.nextInt(5)), 0.0)
+      }.sortBy(e => (e.ts.getTime, e.event_id))
+      val tag = s"q${seed}_$fi"
+      import spark.implicits._
+      rows.toDF().createOrReplaceTempView(s"ev_ovq_$tag")
+      val cols = Seq("user_id", "id_1", "len_2") ++ tcols
+      val batch = CepSql.sql(spark,
+        s"""SELECT * FROM ev_ovq_$tag
+           MATCH PATTERN (b THEN b{2,} $tailTxt WITHIN '2' MINUTES)
+           PARTITION BY user_id""")
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      val stream = MemoryStream[CepEvent]
+      val name = s"ovq_$tag"
+      val det = OverlapRunDetector.detectChainWhere(stream.toDS(),
+        bP, bP, 2, None, tailPreds, absent = false, 2 * 60 * 1000L,
+        Some("5 seconds"), tailQuant = tq).toDF()
+      val q = det.writeStream.queryName(name).format("memory")
+        .outputMode("append").start()
+      try {
+        rows.grouped(20).foreach { c =>
+          stream.addData(c); q.processAllAvailable()
+        }
+        // end-of-data flush: batch closes trailing islands at end of
+        // input (head AND tail trackers)
+        stream.addData((1 to 3).map(u => CepEvent(-u.toLong,
+          Timestamp.valueOf("2026-01-02 00:00:00"), u.toLong, "zz", 0.0)))
+        q.processAllAvailable()
+        val flat = Seq(col("user_id"), col("id_1"), col("len_2")) ++
+          tcols.zipWithIndex.map { case (nm, i) =>
+            col("tail_ids").getItem(i).as(nm) }
+        val got = spark.table(name).select(flat: _*)
+          .collect().map(_.toSeq).toSet
+        assert(got === batch,
+          s"seed $seed form '$tailTxt': ${got.diff(batch).take(3)} " +
+            s"extra, ${batch.diff(got).take(3)} missing " +
+            s"(${got.size} streamed vs ${batch.size} batch)")
+      } finally {
+        if (q.isActive) q.stop()
+        spark.catalog.dropTempView(s"ev_ovq_$tag")
+      }
+    }
+  }
+
+  test("quantified tail x absence and quantified tail via the dialect " +
+      "dispatch (r13): len_i columns stream, the absent combo rejects " +
+      "loudly") {
+    implicit val sq = spark.sqlContext
+    // dialect dispatch: the flattened column is len_3, values == batch
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def evAt(id: Long, secs: Int, ty: String) =
+      CepEvent(id, new Timestamp(t0 + secs * 1000L), 7L, ty, 0.0)
+    val fixture = Seq(
+      evAt(1, 0, "b"), evAt(2, 2, "x"), // anchor b1; x breaks its island
+      evAt(3, 5, "b"), evAt(4, 10, "b"),
+      evAt(5, 15, "x"), // closes the b-island [3..4] (strictly after b1)
+      evAt(6, 20, "c"), evAt(7, 25, "c"), evAt(8, 30, "c"),
+      evAt(9, 35, "x")) // closes the c-island [6..8] -> len_3 = 3
+    import spark.implicits._
+    fixture.toDF().createOrReplaceTempView("ev_ovqd")
+    val batch = CepSql.sql(spark,
+      """SELECT * FROM ev_ovqd
+         MATCH PATTERN (b THEN b{2,} THEN c{2,} WITHIN '30' MINUTES)
+         PARTITION BY user_id""")
+      .select("user_id", "id_1", "len_2", "len_3").collect()
+      .map(_.toSeq).toSet
+    assert(batch.nonEmpty, "fixture must match in batch")
+    val stream = MemoryStream[CepEvent]
+    stream.toDF().createOrReplaceTempView("ev_ovqd_s")
+    val name = s"ovqd_${System.nanoTime}"
+    val q = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM ev_ovqd_s
+         MATCH PATTERN (b THEN b{2,} THEN c{2,} WITHIN '30' MINUTES)
+         PARTITION BY user_id""", name, lateness = "0 seconds")
+    try {
+      stream.addData(fixture)
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select("user_id", "id_1", "len_2", "len_3").collect()
+        .map(_.toSeq).toSet
+      assert(got === batch, s"$got vs $batch")
+    } finally if (q.isActive) q.stop()
+    // quantified tail x absence: loud reject naming the batch rewrite
+    val stream2 = MemoryStream[CepEvent]
+    stream2.toDF().createOrReplaceTempView("ev_ovqd_s2")
+    val e = intercept[IllegalArgumentException] {
+      ContinuousQueries.submitPattern(spark,
+        """SELECT * FROM ev_ovqd_s2
+           MATCH PATTERN (b THEN b{2,} THEN c{2,} THEN NOT d
+                          WITHIN '30' MINUTES)
+           PARTITION BY user_id""", s"${name}_abs")
+    }
+    assert(e.getMessage.contains("batch rewrite") ||
+      e.getMessage.contains("CepSql.sql"), e.getMessage)
+  }
+
   test("non-head overlap boundary stays batch-only: the pinned " +
       "counterexample a per-partial tracker would get wrong (r12)") {
     // `a THEN b THEN b{2,}` on a b1 b2 b3: step 2 takes b1; the ONLY

@@ -894,6 +894,71 @@ class RecoverySpec extends SparkSpec {
     }
   }
 
+  test("quantified-tail overlap detector resumes from checkpoint: the " +
+      "open TAIL island tracker survives the restart (r13)") {
+    // the r13 form's novel state is the per-quantified-tail-step shared
+    // island tracker: the cut lands MID-ISLAND (two c's pre-cut, the
+    // third post-cut), so a lost tracker would restart the island at
+    // count 1 post-cut and the close would fail the {2,} bound — no
+    // match — while batch (and correctly restored streaming) reads the
+    // full 3-long island.
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ev(id: Long, t: String, u: Long, ty: String) =
+      CepEvent(id, Timestamp.valueOf(t), u, ty, 0.0)
+    val pre = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, "b"),
+      ev(2, "2024-01-01 00:30:00", 1, "x"),
+      ev(3, "2024-01-01 01:00:00", 1, "b"),
+      ev(4, "2024-01-01 01:30:00", 1, "b"),
+      ev(5, "2024-01-01 02:00:00", 1, "x"), // closes run [3,4] -> pending
+      ev(6, "2024-01-01 02:30:00", 1, "c"),
+      ev(7, "2024-01-01 03:00:00", 1, "c")) // tail island OPEN at the cut
+    val post = Seq(
+      ev(8, "2024-01-01 03:30:00", 1, "c"), // extends the RESTORED island
+      ev(9, "2024-01-01 04:00:00", 1, "x")) // closes it -> len_3 = 3
+    val flush = Seq(ev(-1, "2031-01-01 00:00:00", 1, "zz"))
+    val all = pre ++ post ++ flush
+    val bP = (e: CepEvent) => e.event_type == "b"
+    val cP = (e: CepEvent) => e.event_type == "c"
+    val in = Files.createTempDirectory("graft_ovqt_in").toFile
+    val outDir = Files.createTempDirectory("graft_ovqt_out").toFile
+    val ckpt = Files.createTempDirectory("graft_ovqt_ck").toFile
+    val schema = pre.toDS().toDF().schema
+    def startQuery() =
+      OverlapRunDetector.detectChainWhere(
+          Sources.fileStream(spark, in.getAbsolutePath, schema)
+            .as[CepEvent],
+          bP, bP, 2, None, Seq(cP), absent = false,
+          48L * 3600 * 1000, Some("0 seconds"),
+          tailQuant = Seq(Some((2, None))))
+        .writeStream.format("parquet")
+        .option("path", outDir.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append").start()
+    pre.toDS().toDF().write.mode("append").parquet(in.getAbsolutePath)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    post.toDS().toDF().write.mode("append").parquet(in.getAbsolutePath)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    flush.toDS().toDF().write.mode("append").parquet(in.getAbsolutePath)
+    val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+    val got = spark.read.parquet(outDir.getAbsolutePath)
+      .select("user_id", "id_1", "len_2", "tail_ids").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3))).toSet
+    all.toDS().toDF().createOrReplaceTempView("ev_ovqt")
+    val want = CepSql.sql(spark,
+      """SELECT * FROM ev_ovqt
+         MATCH PATTERN (b THEN b{2,} THEN c{2,} WITHIN '48' HOURS)
+         PARTITION BY user_id""")
+      .select("user_id", "id_1", "len_2", "len_3").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Seq(r.getLong(3)))).toSet
+    assert(got === want && want.nonEmpty, s"got $got vs batch $want")
+    // the island really straddled: the full 3-c run, not a 2-c rerun
+    assert(got == Set((1L, 1L, 2L, Seq(3L))))
+  }
+
   test("3-way PERMUTE detector resumes from checkpoint: open trackers " +
       "and held arm-2 triples survive (r10)") {
     // Permute3Detector state = per-anchor trackers with BOTH candidate

@@ -763,14 +763,15 @@ class SubmitSqlSpec extends SparkSpec {
            PARTITION BY user_id""", "svc_badovlmid")
     }
     assert(eOvlMid.getMessage.contains("overlaps"))
-    // ...and a QUANTIFIED tail step after the overlap head too
-    val eOvlQTail = intercept[IllegalArgumentException] {
-      ContinuousQueries.submitPattern(spark,
-        """SELECT * FROM pat_events2
-           MATCH PATTERN (b THEN b{2,} THEN c{2,} WITHIN '1' MINUTES)
-           PARTITION BY user_id""", "svc_badovlqt")
-    }
-    assert(eOvlQTail.getMessage.contains("overlaps"))
+    // ...while a QUANTIFIED tail step after the overlap head STREAMS
+    // since r13 (per-step island trackers — OverlapRunSpec fuzzes the
+    // twin law; this pins only that the dispatch accepts the form)
+    val qOvlQTail = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM pat_events2
+         MATCH PATTERN (b THEN b{2,} THEN c{2,} WITHIN '1' MINUTES)
+         PARTITION BY user_id""", "svc_ovlqt")
+    try assert(qOvlQTail.isActive)
+    finally { if (qOvlQTail.isActive) qOvlQTail.stop() }
     // absence after a quantified chain (r8, previously rejected) →
     // RunChainDetector.detectAbsent: user 7's completed signup→2-click
     // prefix has no purchase → absence once the watermark proves it;
