@@ -870,6 +870,14 @@ object Analytics {
     // ratios — deterministic doubles, 4-dp round at the end. One
     // map-combined count agg touches the corpus; the spine join and
     // PSI fold run on types×10 rows.
+    // STREAMING stance (r13, verdict #7): the (type, bucket, side)
+    // counts are a keyed count agg — incrementally maintainable as a
+    // plain streaming aggregation (integer adds commute; late data
+    // folds in exactly); the smoothed p/q + PSI fold re-derives per
+    // trigger from the types×10 bucket frame — constant-size, the
+    // q_seasonal_anom readout stance. No twin needed: the maintained
+    // state IS the batch input, and q_cusum's recovery-pinned twin
+    // already covers the change-detection state class.
     "q_psi" -> ((s, dir) => {
       val e = T(s, dir, "events")
       val cnt = e.groupBy(col("event_type"),

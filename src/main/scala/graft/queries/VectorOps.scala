@@ -532,6 +532,13 @@ object VectorOps {
     // 64·|labels| frame per label. Centroid components round at 6 dp
     // BEFORE the dot product (the q_embed_cov discipline: avg drift
     // ~1e-12), the cosine at 4 dp after.
+    // STREAMING stance (r13, verdict #7): the (label, pos) conditional
+    // sums/counts are keyed aggs — incrementally maintainable as a
+    // streaming aggregation (sums commute; the parity split becomes
+    // the stream's window/batch tag); the cosine readout re-derives
+    // per trigger from the 64·|labels| centroid frame — constant-size
+    // regardless of corpus scale, the q_psi/q_seasonal_anom readout
+    // stance.
     "q_centroid_drift" -> ((s, dir) => {
       val x = col("x").cast("double")
       val even = pmod(col("vec_id"), lit(2L)) === 0L

@@ -593,6 +593,41 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("BPE local trainer at a realistic merge count (r13, verdict #6): " +
+      "64 merges run ZERO per-round Spark jobs past the cutover") {
+    // the cutover's whole point is that job count stays CONSTANT in the
+    // merge count (one word-freq agg + one Heaps-bounded vocab collect,
+    // then a driver-local loop); count jobs across a 64-round train —
+    // 8× the cutover; the sf0.001 fixture vocab exhausts its adjacent
+    // pairs at merge 90, so tools.BpeProbe carries the 256-round arm at
+    // sf0.1 — and assert the bound: a regression back to per-round
+    // jobs would read >= 64 here
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (merges, _) =
+        graft.queries.PipelineOps.bpeRounds(spark, sf, 64)
+      // the applied frame is lazy — training itself is what we count.
+      // Listener delivery is async; give the bus a moment to drain
+      // (asserting an UPPER bound, a short wait can only make the test
+      // stricter, never flaky-pass a regression of 64 jobs)
+      Thread.sleep(2000)
+      assert(merges.length == 64)
+      assert(jobs.get() <= 8,
+        s"expected a constant handful of jobs for 64 local merges, " +
+          s"saw ${jobs.get()} — the per-round job loop is back")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      graft.Caching.releaseAll()
+    }
+  }
+
   test("q_skyline == brute-force pairwise dominance (r12): the " +
       "window-free grouped plan is the textbook skyline") {
     val got = graft.SparkEntry.queries("q_skyline")(spark, sf).collect()
