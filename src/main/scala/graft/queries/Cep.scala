@@ -445,6 +445,35 @@ object Cep {
            LIMIT 500""")
     }),
 
+    // EP1m — RENAME star modifier (r13): `SELECT * RENAME (old AS
+    // new)` keeps every column and renames in place — the last member
+    // of the DuckDB/BigQuery star-modifier family after EXCLUDE/
+    // REPLACE. The Spark side expands via CepSql's schema-aware
+    // rewrite; the oracle is the hand-expanded equivalent SELECT list
+    // (the driver's DuckDB 1.0 predates native RENAME — the VALUES
+    // are what the hash pins, column names included).
+    "q_dialect_rename" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * RENAME (o_orderdate AS order_date,
+                            o_custkey AS cust_id)
+           FROM orders
+           WHERE o_orderstatus = 'O'
+           ORDER BY o_orderkey LIMIT 500""")
+    }),
+
+    // EP1n — ORDER BY ALL parity (r13): both engines sort by every
+    // SELECT column left-to-right; group keys are unique so the order
+    // is total and the hash pins the shared semantics (Spark 4 parses
+    // the form natively — no rewrite, same text both sides, the
+    // q_dialect_group_by_all discipline).
+    "q_dialect_order_all" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+           FROM orders GROUP BY ALL ORDER BY ALL""")
+    }),
+
     // EP1h — star-modifier dialect (r12): `SELECT * EXCLUDE (…)
     // REPLACE (…)`. DuckDB runs the SAME text natively; the Spark side
     // goes through CepSql's schema-aware star expansion (Spark's parser
@@ -918,6 +947,20 @@ object Cep {
          FROM orders
          ORDER BY o_custkey, o_totalprice DESC, o_orderkey
          LIMIT 500""",
+    // hand-expanded SELECT-list equivalent of the RENAME modifier (the
+    // driver's DuckDB 1.0 predates native RENAME; the values + renamed
+    // column names are what the hash pins)
+    "q_dialect_rename" ->
+      """SELECT o_orderkey, o_custkey AS cust_id, o_orderstatus,
+                o_totalprice, o_orderdate AS order_date, o_orderpriority
+         FROM orders
+         WHERE o_orderstatus = 'O'
+         ORDER BY o_orderkey LIMIT 500""",
+    // DuckDB's NATIVE ORDER BY ALL on the same text Spark parses
+    // natively too
+    "q_dialect_order_all" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+         FROM orders GROUP BY ALL ORDER BY ALL""",
     // DuckDB's NATIVE star modifiers on the same text the Spark side
     // expands via schema — the modifier semantics are what the hash pins
     "q_dialect_exclude" ->

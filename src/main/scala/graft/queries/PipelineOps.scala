@@ -635,7 +635,64 @@ object PipelineOps {
     // maintainable); the frontier re-derives from it per trigger at
     // constant cost (SCALE.md: |A| measured flat across ×16 docs).
     "q_skyline" -> ((s, dir) =>
-      skylineOf(T(s, dir, "documents"))))
+      skylineOf(T(s, dir, "documents"))),
+
+    // l-diversity audit (r13; Machanavajjhala et al. 2007, public) —
+    // the complement to q_kanon: k-anonymity counts how many records
+    // share a quasi-identifier cell, but a cell where every record
+    // carries the SAME sensitive value still leaks it; l-diversity
+    // requires ≥ l distinct sensitive values per cell. Same cells as
+    // q_kanon ((lang, len-bucket) quasi-identifiers — source plays the
+    // sensitive attribute here, so it moves OUT of the cell key), one
+    // map-combined distinct-count per cell, then a cell-bounded
+    // per-lang roll-up: min l, cells below 2, records exposed. Scale:
+    // the corpus is touched once by the cell agg; everything after
+    // runs on |langs|×|buckets| rows.
+    "q_l_diversity" -> ((s, dir) => {
+      val cells = T(s, dir, "documents")
+        .groupBy(col("lang"),
+          floor(col("n_chars") / lit(100L)).cast("long").as("len_bucket"))
+        .agg(countDistinct(col("source")).as("l"),
+          count(lit(1)).as("cnt"))
+      cells.groupBy("lang")
+        .agg(count(lit(1)).as("n_cells"),
+          min("l").as("min_l"),
+          sum((col("l") < 2L).cast("long")).as("n_weak_cells"),
+          sum(when(col("l") < 2L, col("cnt")).otherwise(0L))
+            .as("docs_exposed"))
+        .orderBy("lang")
+    }),
+
+    // Degree power-law fit over the near-dup candidate graph (r13):
+    // the degree-distribution slope of the band graph — natural
+    // near-dup graphs are heavy-tailed (template families make hubs);
+    // a slope collapsing toward 0 means band collisions have
+    // degenerated into one giant component (the parameter-tuning
+    // smoke alarm for LSH banding, read BEFORE paying for connected
+    // components). ln(cnt) ~ ln(deg) regression over the degree
+    // HISTOGRAM — the corpus-sized work is the band self-join + one
+    // degree agg (both already the q_pagerank/q_triangles shape); the
+    // regression runs on ≤ max-degree rows. Exact-integer ln inputs,
+    // fround 4 (the q_token_zipf discipline).
+    "q_degree_powerlaw" -> ((s, dir) => {
+      val bands = graft.Caching.cache(TextOps.bandRows(T(s, dir, "documents")))
+      val p0 = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+        .distinct()
+      val deg = p0.select(col("u").as("id"))
+        .union(p0.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      deg.groupBy("deg").agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_points"),
+          fround(regr_slope(log(col("cnt")), log(col("deg"))), 4)
+            .as("slope"),
+          fround(regr_intercept(log(col("cnt")), log(col("deg"))), 4)
+            .as("icept"),
+          fround(regr_r2(log(col("cnt")), log(col("deg"))), 4).as("r2"))
+    }))
 
   /** The q_skyline plan over an arbitrary documents-shaped frame
     * (doc_id, text, n_chars) — factored out so tools.SkylineProbe can
@@ -1366,5 +1423,52 @@ object PipelineOps {
            FROM m)
          SELECT doc_id, a AS n_tok_distinct, b AS n_chars FROM w
          WHERE b = mba AND (ms IS NULL OR b > ms)
-         ORDER BY a DESC, doc_id""")
+         ORDER BY a DESC, doc_id""",
+    "q_l_diversity" ->
+      """WITH cells AS (
+           SELECT lang, n_chars // 100 AS len_bucket,
+             count(DISTINCT source) AS l, count(*) AS cnt
+           FROM documents GROUP BY 1, 2)
+         SELECT lang, count(*) AS n_cells,
+           min(l) AS min_l,
+           CAST(sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_weak_cells,
+           CAST(sum(CASE WHEN l < 2 THEN cnt ELSE 0 END) AS BIGINT)
+             AS docs_exposed
+         FROM cells GROUP BY lang ORDER BY lang""",
+    "q_degree_powerlaw" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         gi AS (
+           SELECT doc_id, unnest(range(1, greatest(len(w) - 1, 1))) AS i, w
+           FROM t),
+         g AS (
+           SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+           FROM gi),
+         mh AS (
+           SELECT doc_id, s.seed,
+             min(md5(concat(CAST(s.seed AS VARCHAR), ':', gram))) AS mh
+           FROM g, (SELECT unnest(range(16)) AS seed) s
+           GROUP BY doc_id, s.seed),
+         bands AS (
+           SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+           FROM mh GROUP BY doc_id, seed // 4),
+         p0 AS (
+           SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id),
+         deg AS (
+           SELECT id, count(*) AS deg FROM (
+             SELECT u AS id FROM p0 UNION ALL SELECT v FROM p0)
+           GROUP BY id),
+         h AS (SELECT deg, count(*) AS cnt FROM deg GROUP BY deg)
+         SELECT count(*) AS n_points,
+           floor(regr_slope(ln(cnt), ln(deg)) * 1e4 + 0.5) / 1e4 AS slope,
+           floor(regr_intercept(ln(cnt), ln(deg)) * 1e4 + 0.5) / 1e4
+             AS icept,
+           floor(regr_r2(ln(cnt), ln(deg)) * 1e4 + 0.5) / 1e4 AS r2
+         FROM h""")
 }

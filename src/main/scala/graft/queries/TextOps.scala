@@ -1224,6 +1224,100 @@ object TextOps {
         .withColumn("novelty",
           fround(col("n_unique") / col("n_grams"), 4))
         .orderBy("doc_id")
+    }),
+
+    // Good–Turing frequency-of-frequencies (r13; Good 1953, public):
+    // the lexical-statistics readout that estimates how much
+    // PROBABILITY MASS the corpus has never seen — p0 = N1/N — and the
+    // smoothed count r* = (r+1)·N_{r+1}/N_r for the low-frequency
+    // ranks, the standard sanity panel before trusting token counts
+    // from a sample (a corpus whose N1 share is huge is under-sampled;
+    // one whose r* ≈ r is saturated). Plan: ONE token-count agg
+    // (map-combined — the only corpus-sized pass), then the
+    // frequency-of-frequencies re-agg collapses to ≤ max-freq rows;
+    // the r+1 lookup is a broadcast self-join of that tiny frame and
+    // N/N_min ride in as a broadcast single-row frame. Everything is
+    // exact-integer until the two divisions (fround 6). The panel
+    // reads the 5 LOWEST frequency ranks PRESENT (a TakeOrdered on the
+    // fof frame), not a literal r ≤ 5 — the fixture's word pool gives
+    // every type a large count, and a real corpus's rare tail sits
+    // wherever its sampling put it; p0 generalizes to N_min·r_min/N
+    // (the unseen-mass estimate from the rarest observed rank, = N1/N
+    // when singletons exist).
+    "q_good_turing" -> ((s, dir) => {
+      val tf = T(s, dir, "documents")
+        .select(explode(toks(lower(col("text")))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("r"))
+      val fof = graft.Caching.cache(
+        tf.groupBy("r").agg(count(lit(1)).as("n_r")))
+      val tot = tf.agg(sum("r").as("n"))
+      val mn = fof.orderBy(asc("r")).limit(1)
+        .select(col("r").as("r_min"), col("n_r").as("n_min"))
+      fof.orderBy(asc("r")).limit(5)
+        .join(broadcast(fof.select((col("r") - 1).as("r"),
+          col("n_r").as("n_next"))), Seq("r"), "left")
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(mn))
+        .select(col("r"), col("n_r"),
+          coalesce(col("n_next"), lit(0L)).as("n_next"),
+          fround((col("r") + 1) * coalesce(col("n_next"), lit(0L)) /
+            col("n_r").cast("double"), 6).as("r_star"),
+          fround(col("n_min") * col("r_min").cast("double") / col("n"), 6)
+            .as("p0"))
+        .orderBy("r")
+    }),
+
+    // Type-token-ratio by length bucket (r13): TTR = distinct/total
+    // tokens per doc, aggregated over the q_kanon length buckets —
+    // the lexical-diversity curve (TTR falls with length in natural
+    // text; flat high TTR flags boilerplate-free but tiny docs, flat
+    // LOW flags template spam). Buckets are FIXED-WIDTH (n_chars/100,
+    // capped), never ntile — a value-domain bucket needs no global
+    // ordering, so the plan is one map pass + one ≤10-group agg at
+    // any corpus size. Per-doc ratios are exact-int divisions; the
+    // avg folds ≤ corpus-rows doubles (fround 4 absorbs summation
+    // order).
+    "q_ttr_bucket" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(least(lit(9L), floor(col("n_chars") / 100L).cast("long"))
+          .as("bucket"),
+          (size(array_distinct(toks(col("text")))).cast("double") /
+            size(toks(col("text")))).as("ttr"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), fround(avg("ttr"), 4).as("ttr"))
+        .orderBy("bucket")
+    }),
+
+    // Spearman rank correlation (r13; Spearman 1904, public) between
+    // doc length (n_chars) and lexical richness (distinct tokens) —
+    // the distribution-free association check quality pipelines run
+    // before regressing one signal on another (Pearson on heavy-tailed
+    // lengths is leverage-dominated; Spearman is not). AVERAGE ranks
+    // with exact tie handling, computed WITHOUT any global window:
+    // rank(v) = (#rows below v) + (cnt_v + 1)/2 comes from a broadcast
+    // self-join over the DISTINCT-VALUE frame (the skyline discipline
+    // — n_chars and distinct-token domains are bounded by document
+    // length, independent of corpus size), joined back value-keyed.
+    // The rank columns are exact half-integers, so corr()'s input is
+    // bit-identical cross-engine; fround 4 absorbs the covariance
+    // summation order.
+    "q_spearman" -> ((s, dir) => {
+      val m = graft.Caching.cache(T(s, dir, "documents")
+        .select(col("n_chars").as("a"),
+          size(array_distinct(toks(col("text")))).cast("long").as("b")))
+      def rankMap(c: String): DataFrame = {
+        val dv = m.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        dv.as("x").join(broadcast(dv.as("y")),
+            col("y.v") < col("x.v"), "left")
+          .groupBy(col("x.v").as("v"), col("x.cnt").as("cnt"))
+          .agg(coalesce(sum("y.cnt"), lit(0L)).as("below"))
+          .select(col("v"),
+            (col("below") + (col("cnt") + 1) / lit(2.0)).as(s"r_$c"))
+      }
+      m.join(broadcast(rankMap("a")), col("a") === col("v")).drop("v")
+        .join(broadcast(rankMap("b")), col("b") === col("v")).drop("v")
+        .agg(count(lit(1)).as("n_docs"),
+          fround(corr(col("r_a"), col("r_b")), 4).as("spearman"))
     })
   )
 
@@ -2018,7 +2112,48 @@ object TextOps {
            floor(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) / count(*)
              * 10000 + 0.5) / 10000 AS novelty
          FROM g JOIN d USING (gram)
-         GROUP BY doc_id ORDER BY doc_id"""
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q_good_turing" ->
+      """WITH tf AS (
+           SELECT w, count(*) AS r FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS w
+             FROM documents) t
+           GROUP BY w),
+         fof AS (SELECT r, count(*) AS n_r FROM tf GROUP BY r),
+         tot AS (SELECT CAST(sum(r) AS BIGINT) AS n FROM tf),
+         mn AS (SELECT r AS r_min, n_r AS n_min FROM fof
+                ORDER BY r LIMIT 1),
+         low AS (SELECT r, n_r FROM fof ORDER BY r LIMIT 5)
+         SELECT f.r, f.n_r,
+           CAST(coalesce(f2.n_r, 0) AS BIGINT) AS n_next,
+           floor((f.r + 1) * coalesce(f2.n_r, 0) / CAST(f.n_r AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS r_star,
+           floor(m.n_min * CAST(m.r_min AS DOUBLE) / t.n * 1e6 + 0.5)
+             / 1e6 AS p0
+         FROM low f LEFT JOIN fof f2 ON f2.r = f.r + 1, tot t, mn m
+         ORDER BY f.r""",
+    "q_ttr_bucket" ->
+      """SELECT least(9, n_chars // 100) AS bucket,
+           count(*) AS n_docs,
+           floor(avg(CAST(len(list_distinct(string_split(text, ' ')))
+             AS DOUBLE) / len(string_split(text, ' ')))
+             * 1e4 + 0.5) / 1e4 AS ttr
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_spearman" ->
+      """WITH m AS (
+           SELECT n_chars AS a,
+             len(list_distinct(string_split(text, ' '))) AS b
+           FROM documents),
+         r AS (
+           SELECT
+             rank() OVER (ORDER BY a)
+               + (count(*) OVER (PARTITION BY a) - 1) / 2.0 AS ra,
+             rank() OVER (ORDER BY b)
+               + (count(*) OVER (PARTITION BY b) - 1) / 2.0 AS rb
+           FROM m)
+         SELECT count(*) AS n_docs,
+           floor(corr(ra, rb) * 1e4 + 0.5) / 1e4 AS spearman
+         FROM r"""
   )
 
   /** Shared winnowing CTEs (k=4, w=4) — the oracle twin of

@@ -817,6 +817,70 @@ object VectorOps {
           .drop("best_label"))
         .orderBy(asc("adc"), asc("vec_id"))
         .limit(10)
+    }),
+
+    // nDCG@10 of the IVF ranking (r13; Järvelin & Kekäläinen 2002,
+    // public): q_ann_recall says how many of the true top-10 the index
+    // returns; nDCG says whether it returns them in the right ORDER —
+    // the graded metric retrieval deployments actually gate on (an
+    // index that finds all 10 but inverts the head scores worse here,
+    // identically on recall). Relevance grades are the brute-force
+    // ranks (truth rank i ⇒ rel 11−i, else 0); DCG folds the IVF
+    // candidate list's positions; IDCG is the closed-form constant
+    // Σ(11−i)/log2(i+1) since every query has exactly ten graded
+    // docs. Same plan skeleton and FIXED 40-query budget as
+    // q_ann_recall (one brute scored frame feeds both rankings;
+    // O(Q·n) truth side, constant broadcasts); rank inputs are the
+    // 4-dp-rounded cosine + vec_id tiebreak, so both engines rank
+    // bit-identically and the 4-dp fround only absorbs the final
+    // log-sum order.
+    "q_ndcg_ivf" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = T(s, dir, "embeddings")
+      val q = e.orderBy(asc("vec_id")).limit(40)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cents = e
+        .select(col("label"),
+          posexplode(transform(col("embedding"), _.cast("double")))
+            .as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(avg("x").as("cx"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          p => p.getField("cx")).as("cv"))
+      val wBest = Window.partitionBy("qid")
+        .orderBy(desc("ccs"), asc("label"))
+      val best = q.crossJoin(broadcast(cents))
+        .withColumn("qvd",
+          transform(col("qv"), (x: Column) => x.cast("double")))
+        .select(col("qid"), col("label"),
+          fround(cos("cv", "qvd"), 6).as("ccs"))
+        .withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("qid").as("bqid"), col("label").as("best_label"))
+      val scored = graft.Caching.cache(e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), col("label"),
+          round(cos("embedding", "qv"), 4).as("cs")))
+      val wq = Window.partitionBy("qid").orderBy(desc("cs"), asc("vec_id"))
+      val truth = scored.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 10)
+        .select(col("qid"), col("vec_id"),
+          (lit(11) - col("rn")).cast("double").as("rel"))
+      val ivf = scored
+        .join(broadcast(best), col("qid") === col("bqid") &&
+          col("label") === col("best_label"))
+        .withColumn("pos", row_number().over(wq))
+        .filter(col("pos") <= 10).select("qid", "vec_id", "pos")
+      val idcg = (1 to 10)
+        .map(i => (11 - i) / (math.log(i + 1.0) / math.log(2.0))).sum
+      ivf.join(truth, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("rel"), lit(0.0)) /
+          log2(col("pos") + lit(1))).as("dcg0"))
+        .select(col("qid"), fround(col("dcg0"), 4).as("dcg"),
+          fround(col("dcg0") / lit(idcg), 4).as("ndcg"))
+        .orderBy("qid")
     })
   )
 
@@ -1495,7 +1559,66 @@ object VectorOps {
          FROM cp JOIN adc USING (vec_id)
          JOIN embeddings v ON v.vec_id = cp.vec_id
          WHERE v.label = (SELECT label FROM best) AND cp.vec_id <> 0
-         ORDER BY adc.adc, cp.vec_id LIMIT 10""")
+         ORDER BY adc.adc, cp.vec_id LIMIT 10""",
+    "q_ndcg_ivf" ->
+      """WITH q AS (
+           SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           ORDER BY vec_id LIMIT 40),
+         cent AS (
+           SELECT label, i.i AS pos, avg(CAST(embedding[i.i + 1] AS DOUBLE))
+             AS cx
+           FROM embeddings, (SELECT unnest(range(64)) AS i) i
+           GROUP BY label, i.i),
+         cscore AS (
+           SELECT q.qid, c.label,
+             floor(sum(c.cx * CAST(q.qv[c.pos + 1] AS DOUBLE)) /
+               (sqrt(sum(c.cx * c.cx)) *
+                sqrt(sum(CAST(q.qv[c.pos + 1] AS DOUBLE)
+                       * CAST(q.qv[c.pos + 1] AS DOUBLE))))
+               * 1000000 + 0.5) / 1000000 AS ccs
+           FROM cent c, q GROUP BY q.qid, c.label),
+         best AS (
+           SELECT qid, label AS best_label FROM (
+             SELECT qid, label,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY ccs DESC, label) AS rn
+             FROM cscore) WHERE rn = 1),
+         d AS (
+           SELECT q.qid, e.vec_id, e.label,
+             round(sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                     * CAST(q.qv[i.i + 1] AS DOUBLE)) /
+               (sqrt(sum(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                       * CAST(e.embedding[i.i + 1] AS DOUBLE))) *
+                sqrt(sum(CAST(q.qv[i.i + 1] AS DOUBLE)
+                       * CAST(q.qv[i.i + 1] AS DOUBLE)))), 4) AS cs
+           FROM embeddings e, q, (SELECT unnest(range(64)) AS i) i
+           WHERE e.vec_id <> q.qid
+           GROUP BY q.qid, e.vec_id, e.label),
+         truth AS (
+           SELECT qid, vec_id, 11 - rn AS rel FROM (
+             SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cs DESC, vec_id) AS rn
+             FROM d) WHERE rn <= 10),
+         ivf AS (
+           SELECT qid, vec_id, rn AS pos FROM (
+             SELECT d.qid, d.vec_id,
+               row_number() OVER (PARTITION BY d.qid
+                 ORDER BY d.cs DESC, d.vec_id) AS rn
+             FROM d JOIN best b
+               ON d.qid = b.qid AND d.label = b.best_label)
+           WHERE rn <= 10),
+         idcg AS (
+           SELECT sum((11 - i) / log2(i + 1.0)) AS v
+           FROM (SELECT unnest(range(1, 11)) AS i))
+         SELECT i.qid,
+           floor(sum(coalesce(t.rel, 0) / log2(i.pos + 1.0))
+             * 1e4 + 0.5) / 1e4 AS dcg,
+           floor(sum(coalesce(t.rel, 0) / log2(i.pos + 1.0))
+             / (SELECT v FROM idcg) * 1e4 + 0.5) / 1e4 AS ndcg
+         FROM ivf i LEFT JOIN truth t
+           ON i.qid = t.qid AND i.vec_id = t.vec_id
+         GROUP BY i.qid ORDER BY i.qid""")
 
   /** The q_mmr_topk oracle: the same greedy the Spark key runs on its
     * collected C-row candidate frame, unrolled as k−1 argmax CTE rounds

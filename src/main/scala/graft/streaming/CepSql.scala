@@ -116,6 +116,22 @@ object CepSql {
   private val replaceItem = Pattern.compile(
     "^(.+)\\s+AS\\s+([A-Za-z_]\\w*)$",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  /** `SELECT * RENAME (old AS new, …)` (r13) — the remaining star
+    * modifier of the DuckDB/BigQuery family after EXCLUDE/REPLACE
+    * (r12): keep every column, rename the named ones in place. Same
+    * schema-aware expansion machinery and the same loud edges (unknown
+    * or duplicate source column, target collision with a surviving
+    * column, JOIN/comma/bare-alias tails, set-ops, multi-statement). */
+  private val renameKw = Pattern.compile(
+    "\\*\\s*RENAME\\s*\\(", Pattern.CASE_INSENSITIVE)
+  private val renameStmt = Pattern.compile(
+    "^\\s*SELECT\\s+\\*\\s+RENAME\\s*\\(([^)]+)\\)" +
+      "\\s+FROM\\s+([A-Za-z_][\\w.]*)(.*?)\\s*;?\\s*$",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val renameItem = Pattern.compile(
+    "^([A-Za-z_]\\w*)\\s+AS\\s+([A-Za-z_]\\w*)$",
+    Pattern.CASE_INSENSITIVE)
+
   /** The only tails [[excludeRewrite]] may pass through verbatim: an
     * optional `AS alias`, then a WHERE/GROUP/HAVING/ORDER/LIMIT clause
     * chain or nothing. A JOIN, a comma FROM list or a bare alias means
@@ -340,7 +356,9 @@ object CepSql {
     val mayDon = distinctOnKw.matcher(q).find()
     val mayEx = excludeKw.matcher(q).find() &&
       !unpivotKw.matcher(q).find() && !pivotKw.matcher(q).find()
-    if (!mayOver && !mayPat && !mayQual && !mayAsof && !mayDon && !mayEx)
+    val mayRen = renameKw.matcher(q).find()
+    if (!mayOver && !mayPat && !mayQual && !mayAsof && !mayDon &&
+        !mayEx && !mayRen)
       return q
     val (lit, depth) = scan(q)
     if (mayEx) {
@@ -349,6 +367,16 @@ object CepSql {
         if (!lit(em.start()))
           throw new IllegalArgumentException(
             "SELECT * EXCLUDE needs the base table's schema to expand " +
+              "the star — no text-to-text rewrite exists; submit " +
+              "through CepSql.sql(spark, …) or the installed " +
+              "CepSqlParser (both resolve the schema)")
+    }
+    if (mayRen) {
+      val rm = renameKw.matcher(q)
+      while (rm.find())
+        if (!lit(rm.start()))
+          throw new IllegalArgumentException(
+            "SELECT * RENAME needs the base table's schema to expand " +
               "the star — no text-to-text rewrite exists; submit " +
               "through CepSql.sql(spark, …) or the installed " +
               "CepSqlParser (both resolve the schema)")
@@ -1616,6 +1644,8 @@ object CepSql {
       asofDispatch(spark, q, idCol)
     } else if (realExclude(q)) {
       spark.sql(excludeRewrite(spark, q))
+    } else if (realRename(q)) {
+      spark.sql(renameRewrite(spark, q))
     } else if (realPivot(q)) {
       spark.sql(pivotRewrite(spark, q))
     } else if (realUnpivot(q)) {
@@ -1849,6 +1879,70 @@ object CepSql {
     s"SELECT ${items.mkString(", ")} FROM $tbl$tail"
   }
 
+  private[streaming] def realRename(q: String): Boolean = {
+    if (!renameKw.matcher(q).find()) return false
+    val (lit, _) = scan(q)
+    val m = renameKw.matcher(q)
+    while (m.find()) if (!lit(m.start())) return true
+    false
+  }
+
+  /** Expand `SELECT * RENAME (old AS new, …) FROM t <tail>` against t's
+    * resolved schema (see [[renameKw]]). Returns SQL TEXT; shares the
+    * [[excludeRewrite]] guard discipline. */
+  private[streaming] def renameRewrite(spark: SparkSession,
+      q: String): String = {
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"SELECT * RENAME: $msg")
+    val m = renameStmt.matcher(q)
+    if (!m.matches())
+      bad("the dialect accepts exactly `SELECT * RENAME (old AS new, …) " +
+        "FROM table [tail…]` — one base table/view, bare column names " +
+        "(register a temp view for derived inputs)")
+    val (items, tbl) = (m.group(1), m.group(2))
+    val tail = Option(m.group(3)).getOrElse("")
+    val (lit, _) = scan(q)
+    var semi = q.indexOf(';')
+    while (semi >= 0) {
+      if (!lit(semi) && q.substring(semi + 1).trim.nonEmpty)
+        bad("multi-statement text is ambiguous — submit one statement")
+      semi = q.indexOf(';', semi + 1)
+    }
+    if (!excludeTail.matcher(tail).matches())
+      bad("the star covers only the single base table — JOINs, comma " +
+        "FROM lists and bare aliases are ambiguous here; register a " +
+        "temp view for the joined input (or use `AS alias` + " +
+        "WHERE/GROUP/HAVING/ORDER/LIMIT clauses only)")
+    val cols = spark.table(tbl).columns
+    val renames = items.split(",").map(_.trim).map { it =>
+      val rm = renameItem.matcher(it)
+      if (!rm.matches())
+        bad(s"RENAME item '$it' must be `<col> AS <newname>` with bare " +
+          "identifiers (for computed columns use REPLACE)")
+      val (o, n) = (rm.group(1), rm.group(2))
+      val cn = cols.find(_.equalsIgnoreCase(o)).getOrElse(
+        bad(s"RENAME source '$o' is not a column of '$tbl' " +
+          s"(has: ${cols.mkString(", ")})"))
+      cn -> n
+    }
+    if (renames.map(_._1.toLowerCase).distinct.length != renames.length)
+      bad("duplicate RENAME source column")
+    val newNames = renames.map(_._2.toLowerCase)
+    if (newNames.distinct.length != newNames.length)
+      bad("duplicate RENAME target name")
+    val renamedFrom = renames.map(_._1.toLowerCase).toSet
+    val surviving = cols.filterNot(c => renamedFrom(c.toLowerCase))
+      .map(_.toLowerCase).toSet
+    newNames.foreach { n =>
+      if (surviving(n))
+        bad(s"RENAME target '$n' collides with a surviving column")
+    }
+    val rmap = renames.toMap
+    val sel = cols.map(c =>
+      rmap.get(c).map(n => s"`$c` AS `$n`").getOrElse(s"`$c`"))
+    s"SELECT ${sel.mkString(", ")} FROM $tbl$tail"
+  }
+
   private def realAsof(q: String): Boolean = {
     if (!asofKw.matcher(q).find()) return false
     val (lit, _) = scan(q)
@@ -1965,6 +2059,8 @@ class CepSqlParser(session: SparkSession, delegate: ParserInterface)
     // the parser HAS a session, so expand here rather than bouncing
     // the user to CepSql.sql
     if (CepSql.realExclude(sqlText)) CepSql.excludeRewrite(session, sqlText)
+    else if (CepSql.realRename(sqlText))
+      CepSql.renameRewrite(session, sqlText)
     else if (CepSql.realPivot(sqlText)) CepSql.pivotRewrite(session, sqlText)
     else if (CepSql.realUnpivot(sqlText))
       CepSql.unpivotRewrite(session, sqlText)

@@ -427,6 +427,29 @@ class CepSqlSpec extends SparkSpec {
       "SELECT * EXCLUDE (o_orderdate) FROM orders AS o2 LIMIT 3")
       .count() === 3)
     rej("SELECT a, * EXCLUDE (b) FROM orders", "accepts exactly")
+    // RENAME star modifier (r13): rename-in-place, schema order kept
+    val ren = CepSql.sql(spark,
+      "SELECT * RENAME (o_orderdate AS odate) FROM orders LIMIT 5")
+    assert(ren.columns.toSeq ===
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "odate", "o_orderpriority"))
+    assert(ren.count() === 5)
+    rej("SELECT * RENAME (no_such AS x) FROM orders", "not a column")
+    rej("SELECT * RENAME (o_custkey AS x, o_custkey AS y) FROM orders",
+      "duplicate RENAME source")
+    rej("SELECT * RENAME (o_custkey AS x, o_orderdate AS x) FROM orders",
+      "duplicate RENAME target")
+    rej("SELECT * RENAME (o_custkey AS o_orderdate) FROM orders",
+      "collides")
+    rej("SELECT * RENAME (upper(o_orderstatus) AS s) FROM orders",
+      "bare column names") // computed items fail the grammar itself
+    rej("SELECT * RENAME (o_orderdate AS odate) FROM orders, customer",
+      "single base table")
+    rej("SELECT * RENAME (o_orderdate AS odate) FROM orders; SELECT 1",
+      "multi-statement")
+    val eRen = intercept[IllegalArgumentException] {
+      CepSql.translate("SELECT * RENAME (a AS b) FROM t") }
+    assert(eRen.getMessage.contains("CepSql.sql"))
     // pure-text translate has no schema: loud pointer, not a pass-through
     val e = intercept[IllegalArgumentException] {
       CepSql.translate("SELECT * EXCLUDE (a) FROM t") }
