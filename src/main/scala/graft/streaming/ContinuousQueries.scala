@@ -112,16 +112,17 @@ object ContinuousQueries {
     * through the tail steps, the trailing NOT resolving at the
     * watermark deadline), and MEASURES over the whole completion
     * family — the 2-step head (r12: per-anchor span accumulators +
-    * island boundary slots) and since r13 any unquantified completion
-    * tail `A THEN B{m,} THEN C THEN D …` (pendings carry the span
-    * accumulators to their final tail match; tail class refs capture
-    * per step — [[OverlapRunDetector.detectMeasures]]). The remaining
+    * island boundary slots) and since r13 any completion tail,
+    * unquantified OR quantified (pendings carry the span accumulators
+    * to their final tail match; tail class refs capture per step;
+    * tail-ISLAND boundary refs at their island's close —
+    * [[OverlapRunDetector.detectMeasures]]). The remaining
     * batch-only forms, each rejected loudly with a pointer to
     * [[CepSql.sql]]: overlap at a non-head boundary (OverlapRunSpec
     * pins the counterexample) / optional tail steps after an overlap
     * head / quantified tails × the absent form / reluctant runs ×
-    * overlap / MEASURES × the absent overlap form or × quantified
-    * tails / MATCH_NUMBER × overlap (held-release numbering); `{1,}?`
+    * overlap / MEASURES × the absent overlap form / MATCH_NUMBER ×
+    * overlap (held-release numbering); `{1,}?`
     * outside the 2-step head; bounded lazy
     * `{m,n}?` (rejected at parse). Measures × reluctant stream
     * since r8 (lazy completions fold POST — the m-th event is a span
@@ -264,20 +265,22 @@ object ContinuousQueries {
           val headForm = onlyHeadOvM && sts.length >= 2 &&
             sts.head.minTimes.isEmpty &&
             sts(1).minTimes.isDefined && !spec.absent &&
-            sts.drop(2).forall(_.minTimes.isEmpty) &&
             !sts.exists(_.optional) && !sts.exists(_.reluctant)
           if (!headForm)
             throw new IllegalArgumentException(
               "MEASURES over an overlapping run streams only in the " +
-                "greedy head family `A THEN B{m,} [THEN C THEN D …]` " +
-                "with an unquantified tail " +
-                "(OverlapRunDetector.detectMeasures) — for non-head, " +
-                "absent, quantified-tail, or reluctant overlap forms " +
+                "greedy completion head family `A THEN B{m,} " +
+                "[THEN C[{k,}] THEN D …]` " +
+                "(OverlapRunDetector.detectMeasures; quantified tail " +
+                "steps since r13) — for non-head, absent, or " +
+                "reluctant overlap forms " +
                 "use the batch rewrite via CepSql.sql")
           OverlapRunDetector.detectMeasures(src, stepPred(sts.head),
             stepPred(sts(1)), sts(1).minTimes.get, sts(1).maxTimes,
             spec.withinMs, spec.measures, Some(lateness),
-            tail = sts.drop(2).map(stepPred))
+            tail = sts.drop(2).map(stepPred),
+            tailQuant = sts.drop(2).map(s =>
+              s.minTimes.map(m => (m, s.maxTimes))))
         } else RunChainDetector.detectMeasures(srcWm,
           spec.steps.map(s => (stepPred(s), s.minTimes)), spec.withinMs,
           spec.steps.map(_.maxTimes), spec.measures,

@@ -88,8 +88,13 @@ case class OvMPending(id1: Long, ts1: Timestamp, len: Long, ts2: Timestamp,
     tailIds: Seq[Long], tailTs: Seq[Timestamp],
     sums: Seq[Double], cnt: Long, mns: Seq[Double], mxs: Seq[Double],
     islFirst: Seq[Double], islLast: Seq[Double], refSlots: Seq[Double])
+/** Measures-form state. `tailStages`/`tailIslands` (r13) carry the open
+  * island per QUANTIFIED tail step — [[OvMIsland]] is reused so each
+  * tail island captures its own per-measure FIRST/LAST boundary slots
+  * exactly like the head island does. */
 case class OverlapMState(open: Option[OvMIsland], anchors: List[OvMAnchor],
-    pending: List[OvMPending])
+    pending: List[OvMPending],
+    tailStages: Seq[Int], tailIslands: List[OvMIsland])
 
 /** Streaming detector for quantified chains whose run class OVERLAPS the
   * anchor's — the carve-out every round before r11 routed to batch:
@@ -560,9 +565,16 @@ object OverlapRunDetector {
       minLen: Int, maxLen: Option[Int], withinMs: Long,
       measures: Seq[CepSql.Measure],
       watermarkDelay: Option[String] = None,
-      tail: Seq[CepEvent => Boolean] = Nil)
+      tail: Seq[CepEvent => Boolean] = Nil,
+      tailQuant: Seq[Option[(Int, Option[Int])]] = Nil)
       : Dataset[RunChainMeasured] = {
     require(measures.nonEmpty, "at least one measure")
+    val quant: Seq[Option[(Int, Option[Int])]] =
+      if (tailQuant.isEmpty) Seq.fill(tail.length)(None) else tailQuant
+    require(quant.length == tail.length,
+      "tailQuant must align with tail (one entry per tail step)")
+    def quantStep(st: Int): Boolean =
+      st >= 3 && st <= 2 + tail.length && quant(st - 3).isDefined
     measures.foreach {
       case CepSql.SpanAgg(fn, c, _) =>
         require(Set("SUM", "AVG", "MIN", "MAX", "COUNT")(fn),
@@ -570,14 +582,17 @@ object OverlapRunDetector {
         if (c != "*") PatternMatch.numColumn(c) // loud on non-numeric
       case CepSql.BoundRef(fn, _, c, st, _) =>
         require(Set("FIRST", "LAST")(fn), s"unsupported boundary fn '$fn'")
-        require(st == 2,
-          "overlap-form FIRST/LAST boundary refs read the quantified " +
-            "step (step 2)")
+        require(st == 2 || quantStep(st),
+          "overlap-form FIRST/LAST boundary refs read a quantified " +
+            "step (the head run, step 2, or a quantified tail step — " +
+            "r13)")
         if (!c.equalsIgnoreCase("ts")) PatternMatch.numColumn(c)
       case CepSql.ClassRef(_, c, st, _) =>
-        require(st == 1 || (st >= 3 && st <= 2 + tail.length),
+        require(st == 1 ||
+            (st >= 3 && st <= 2 + tail.length && !quantStep(st)),
           "overlap-form class refs read the anchor (step 1) or an " +
-            "unquantified tail step (step >= 3, r13)")
+            "unquantified tail step (step >= 3, r13); refs to a " +
+            "quantified tail step desugar to FIRST/LAST")
         if (!c.equalsIgnoreCase("ts")) PatternMatch.numColumn(c)
       case m => throw new IllegalArgumentException(
         "overlap-form measures support span aggregates, FIRST/LAST on " +
@@ -619,6 +634,8 @@ object OverlapRunDetector {
           var open = state.getOption.flatMap(_.open)
           var anchors = state.getOption.map(_.anchors).getOrElse(Nil)
           var pending = state.getOption.map(_.pending).getOrElse(Nil)
+          var tmIsl: Map[Int, OvMIsland] = state.getOption.map(s =>
+            s.tailStages.zip(s.tailIslands).toMap).getOrElse(Map.empty)
           val out = List.newBuilder[RunChainMeasured]
           def deadline(ts1: Timestamp): Long = us(ts1) + withinUs
           def lastTs(p: OvMPending): Long =
@@ -635,12 +652,31 @@ object OverlapRunDetector {
                   case "MAX" => p.mxs(i)
                   case _     => p.cnt.toDouble
                 }
-              case (CepSql.BoundRef("FIRST", _, _, _, _), j) =>
+              // step-2 boundary refs read the HEAD island's slots
+              // frozen at close; tail-step boundary refs (r13) read the
+              // refSlots the serving tail island wrote at its close
+              case (CepSql.BoundRef("FIRST", _, _, 2, _), j) =>
                 p.islFirst(j)
-              case (_: CepSql.BoundRef, j) => p.islLast(j)
+              case (CepSql.BoundRef(_, _, _, 2, _), j) => p.islLast(j)
+              case (_: CepSql.BoundRef, j) => p.refSlots(j)
               case (_: CepSql.ClassRef, j) => p.refSlots(j)
               case (_, _) => 0.0
             }
+          // a pending at a quantified stage survives past its deadline
+          // while that stage's OPEN island already qualifies frozen
+          // (the non-measures engine's pendLive discipline)
+          def pendLiveM(p: OvMPending, clock: Long): Boolean = {
+            val dl = deadline(p.ts1)
+            if (clock <= dl) true
+            else {
+              val stage = p.tailIds.length
+              stage < tail.length && quant(stage).exists {
+                case (k, kx) => tmIsl.get(stage).exists(o =>
+                  us(o.start) > lastTs(p) && us(o.end) <= dl &&
+                    o.count >= k && kx.forall(o.count <= _))
+              }
+            }
+          }
           def live(a: OvMAnchor, clock: Long): Boolean = {
             val dl = deadline(a.ts1)
             if (clock <= dl) true
@@ -676,7 +712,7 @@ object OverlapRunDetector {
           if (state.hasTimedOut) {
             val wmUs = state.getCurrentWatermarkMs() * 1000L
             anchors = anchors.filter(live(_, wmUs))
-            pending = pending.filter(p => wmUs <= deadline(p.ts1))
+            pending = pending.filter(pendLiveM(_, wmUs))
           }
           batch.foreach { e =>
             val t = us(e.ts)
@@ -704,6 +740,46 @@ object OverlapRunDetector {
               }
               open = None
             }
+            // 1b. QUANTIFIED tail island closes (r13, measures form):
+            //     BEFORE the fold — the breaker is outside a span that
+            //     ends at this island's run_end. Serving writes the
+            //     island's FIRST/LAST boundary slots into the pending's
+            //     refSlots for measures targeting this step; the
+            //     emitted slot is the run LENGTH, the ts slot run_end.
+            quant.indices.foreach { s =>
+              if (quant(s).isDefined && !tail(s)(e)) {
+                tmIsl.get(s).foreach { o =>
+                  val (k, kx) = quant(s).get
+                  if (o.count >= k && kx.forall(o.count <= _))
+                    pending = pending.flatMap { p =>
+                      if (p.tailIds.length == s &&
+                          us(o.start) > lastTs(p) &&
+                          us(o.end) <= deadline(p.ts1)) {
+                        val slots = p.refSlots.lazyZip(measures)
+                          .lazyZip(measures.indices).map {
+                            case (_, CepSql.BoundRef("FIRST", _, _, st, _),
+                                j) if st == s + 3 => o.firstBnd(j)
+                            case (_, CepSql.BoundRef(_, _, _, st, _), j)
+                                if st == s + 3 => o.lastBnd(j)
+                            case (cur, _, _) => cur
+                          }
+                        val adv = p.copy(
+                          tailIds = p.tailIds :+ o.count,
+                          tailTs = p.tailTs :+ o.end,
+                          refSlots = slots)
+                        if (adv.tailIds.length == tail.length) {
+                          out += RunChainMeasured(user,
+                            Seq(adv.id1, adv.len) ++ adv.tailIds,
+                            Seq(adv.ts1, adv.ts2) ++ adv.tailTs,
+                            adv.ts1, adv.tailTs.last, pvals(adv))
+                          Nil
+                        } else List(adv)
+                      } else List(p)
+                    }
+                }
+                tmIsl -= s
+              }
+            }
             // 2. cleanup, then fold THIS event into surviving anchors'
             //    AND pendings' span accumulators (the span covers
             //    first..last matched rows inclusive regardless of
@@ -711,9 +787,10 @@ object OverlapRunDetector {
             //    its final tail match, so the breaker and every later
             //    event up to that match fold in — events after a
             //    pending's emission never reach it, it is removed at
-            //    completion below)
+            //    completion below; a quantified-stage pending past its
+            //    deadline survives while its frozen island qualifies)
             anchors = anchors.filter(live(_, t))
-            pending = pending.filter(p => t <= deadline(p.ts1))
+            pending = pending.filter(pendLiveM(_, t))
             val evAgg = aggSels.map(g => g(e))
             anchors = anchors.map { a =>
               a.copy(sums = a.sums.lazyZip(evAgg).map(_ + _),
@@ -727,17 +804,20 @@ object OverlapRunDetector {
                 mns = p.mns.lazyZip(evAgg).map(math.min),
                 mxs = p.mxs.lazyZip(evAgg).map(math.max))
             }
-            // 2b. tail resolution (r13) — AFTER the fold, so a
-            //     completing event's own values are already in the
-            //     span (it is the span's last row). Per-step rank-1:
-            //     first event of the step's class strictly after the
-            //     previous step's ts inside the anchor window; class-
-            //     ref slots for step stage+3 capture here; completion
-            //     emits and removes the pending
+            // 2b. UNQUANTIFIED tail resolution (r13) — AFTER the fold,
+            //     so a completing event's own values are already in
+            //     the span (it is the span's last row). Per-step
+            //     rank-1: first event of the step's class strictly
+            //     after the previous step's ts inside the anchor
+            //     window; class-ref slots for step stage+3 capture
+            //     here; completion emits and removes the pending.
+            //     Quantified stages advance only at their island
+            //     closes (1b), never on single events.
             if (tail.nonEmpty)
               pending = pending.flatMap { p =>
                 val stage = p.tailIds.length
-                if (stage < tail.length && tail(stage)(e) &&
+                if (stage < tail.length && quant(stage).isEmpty &&
+                    tail(stage)(e) &&
                     t > lastTs(p) && t <= deadline(p.ts1)) {
                   val adv = p.copy(
                     tailIds = p.tailIds :+ e.event_id,
@@ -768,6 +848,18 @@ object OverlapRunDetector {
                   Some(OvMIsland(1, e.ts, e.ts, slots, slots))
               }
             }
+            // 3b. quantified-tail island upkeep (r13) — same boundary-
+            //     slot capture discipline as the head island
+            quant.indices.foreach { s =>
+              if (quant(s).isDefined && tail(s)(e)) {
+                val slots = slotGet.map(_.map(g => g(e)).getOrElse(0.0))
+                tmIsl += s -> (tmIsl.get(s) match {
+                  case Some(o) => o.copy(count = o.count + 1, end = e.ts,
+                    lastBnd = slots)
+                  case None => OvMIsland(1, e.ts, e.ts, slots, slots)
+                })
+              }
+            }
             // 4. anchor creation — accumulators SEEDED with the anchor
             //    event itself (the span's first row), class-ref slots
             //    captured here
@@ -784,7 +876,9 @@ object OverlapRunDetector {
           if (open.isEmpty && anchors.isEmpty && pending.isEmpty)
             state.remove()
           else {
-            state.update(OverlapMState(open, anchors, pending))
+            val ti = tmIsl.toSeq.sortBy(_._1)
+            state.update(OverlapMState(open, anchors, pending,
+              ti.map(_._1), ti.map(_._2).toList))
             if (wmEnabled && (anchors.nonEmpty || pending.nonEmpty))
               state.setTimeoutTimestamp(math.max(
                 (anchors.map(a => deadline(a.ts1)) ++

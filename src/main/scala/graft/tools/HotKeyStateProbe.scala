@@ -149,6 +149,21 @@ object HotKeyStateProbe {
           Seq((e: CepEvent) => e.event_type == "purchase",
             (e: CepEvent) => e.event_type == "refund"),
           absent = true, 2L * 3600 * 1000, Some("0 seconds")).toDF())
+      // r13: QUANTIFIED tail after the overlap head — pendings wait for
+      // purchase{1,} ISLANDS (closing at the next non-purchase event),
+      // and the detector's new state class is the per-quantified-step
+      // island quad (CONSTANT: one (stage, count, start, end) per step)
+      // on top of the window-bound pendings — so peak state must stay
+      // the in-window pending census (the 10× density law), with no
+      // island-tracker growth
+      replay(s"overlap_qtail_$lbl", evs, ds =>
+        OverlapRunDetector.detectChainWhere(ds,
+          (e: CepEvent) => e.event_type == "click",
+          (e: CepEvent) => e.event_type == "click",
+          2, None,
+          Seq((e: CepEvent) => e.event_type == "purchase"),
+          absent = false, 2L * 3600 * 1000, Some("0 seconds"),
+          tailQuant = Seq(Some((1, None)))).toDF())
       // r12: CUSUM marks — state is four longs per key by construction
       // (running drift prefix sums + their minima), so peak state must
       // be CONSTANT (1 row, flat KB) across spacings AND totals — the

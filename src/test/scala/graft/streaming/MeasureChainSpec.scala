@@ -284,6 +284,65 @@ class MeasureChainSpec extends SparkSpec {
     }
   }
 
+  test("overlap quantified-tail measures replay == batch span join " +
+      "(r13): the span ends at the tail island's run_end, FIRST/LAST " +
+      "read the serving island's boundary rows") {
+    import org.apache.spark.sql.functions.col
+    Tables.load(spark, sf)
+    val patternOf = (tbl: String) =>
+      s"""SELECT * FROM $tbl
+         MATCH PATTERN (click THEN click|view{2,} THEN purchase{1,}
+                        WITHIN '48' HOURS)
+         PARTITION BY user_id
+         MEASURES COUNT(*) AS c, SUM(value) AS sv,
+                  FIRST(view.value) AS fv,
+                  FIRST(purchase.value) AS fpv, purchase.value AS lpv"""
+    val want = CepSql.sql(spark, patternOf("events"))
+      .collect().map { r =>
+        (r.getAs[Long]("user_id"), r.getAs[Long]("id_1")) ->
+          ((r.getAs[Long]("len_2"), r.getAs[Long]("len_3"),
+            r.getAs[Long]("c"), r.getAs[Double]("sv"),
+            r.getAs[Double]("fv"), r.getAs[Double]("fpv"),
+            r.getAs[Double]("lpv")))
+      }.toMap
+    assert(want.nonEmpty, "fixture must produce quantified-tail matches")
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"measure_ovlq_${System.nanoTime}"
+    stream.toDF().createOrReplaceTempView(s"src_$name")
+    val q = ContinuousQueries.submitPattern(spark, patternOf(s"src_$name"),
+      name, lateness = "5 seconds")
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { ch =>
+      stream.addData(ch.toSeq)
+      q.processAllAvailable()
+    }
+    stream.addData(CepEvent(-1L,
+      Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "zz", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).filter(col("user_id") =!= -1L)
+      .collect().map { r =>
+        val sv = r.getSeq[Long](1)  // step_vals = [id_1, len_2, len_3]
+        (r.getLong(0), sv(0)) ->
+          ((sv(1), sv(2), r.getAs[Long]("c"), r.getAs[Double]("sv"),
+            r.getAs[Double]("fv"), r.getAs[Double]("fpv"),
+            r.getAs[Double]("lpv")))
+      }.toMap
+    assert(got.keySet === want.keySet,
+      s"match sets differ: ${got.keySet.diff(want.keySet).take(3)} " +
+        s"extra, ${want.keySet.diff(got.keySet).take(3)} missing")
+    want.foreach { case (k, w) =>
+      val g = got(k)
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3,
+        s"len_2/len_3/count @$k: $g vs $w")
+      Seq(g._4 -> w._4, g._5 -> w._5, g._6 -> w._6, g._7 -> w._7)
+        .foreach { case (gv, wv) =>
+          assert(math.abs(gv - wv) < 1e-6, s"measure @$k: $g vs $w") }
+    }
+  }
+
   test("overlap measures: anchor class refs via the direct API; " +
       "MATCH_NUMBER rejects with the held-release reason (r12)") {
     implicit val sq = spark.sqlContext
