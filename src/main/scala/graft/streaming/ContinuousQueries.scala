@@ -103,10 +103,11 @@ object ContinuousQueries {
     * predecessor's streams since r11, generalized in r12 to the whole
     * greedy head family — `A THEN B{m,}` plus ANY tail
     * `THEN C[{k,}] THEN D … [THEN NOT Z]`, tail classes free to
-    * overlap B's and tail steps QUANTIFIED since r13 for the
-    * completion forms (each quantified tail step gets its own shared
-    * island tracker; pendings advance at island close — the batch
-    * rank-1-by-run_start join made incremental)
+    * overlap B's and positive tail steps QUANTIFIED since r13 —
+    * completion AND absent forms (each quantified tail step gets its
+    * own shared island tracker; pendings advance at island close —
+    * the batch rank-1-by-run_start join made incremental; the
+    * trailing NOT is a class, never a run)
     * ([[OverlapRunDetector]] — one shared island tracker per key, the
     * batch GLOBAL gaps-and-islands made incremental; pendings CHAIN
     * through the tail steps, the trailing NOT resolving at the
@@ -120,7 +121,7 @@ object ContinuousQueries {
     * batch-only forms, each rejected loudly with a pointer to
     * [[CepSql.sql]]: overlap at a non-head boundary (OverlapRunSpec
     * pins the counterexample) / optional tail steps after an overlap
-    * head / quantified tails × the absent form / reluctant runs ×
+    * head / reluctant runs ×
     * overlap / MEASURES × the absent overlap form / MATCH_NUMBER ×
     * overlap (held-release numbering); `{1,}?`
     * outside the 2-step head; bounded lazy
@@ -417,8 +418,11 @@ object ContinuousQueries {
           val tailHasQuant = tailQuantSpecs.exists(_.isDefined)
           val streamable2 = base && sts.length == 2 && !spec.absent
           val streamable3 = base && sts.length == 3 && !tailHasQuant
-          val streamableN = base && sts.length >= 3 &&
-            (!tailHasQuant || !spec.absent)
+          // r13 session 2: the absent form admits quantified POSITIVE
+          // tail steps (the trailing NOT is a class, never a run — the
+          // parser cannot produce a quantified NOT, so the last spec is
+          // always unquantified here)
+          val streamableN = base && sts.length >= 3
           if (streamable2)
             return submitMemory(OverlapRunDetector.detectWhere(src,
               stepPred(sts.head), stepPred(sts(1)),
@@ -460,10 +464,10 @@ object ContinuousQueries {
           throw new IllegalArgumentException(
             "a {m,} step whose class overlaps the previous step's " +
               "streams only in the greedy head family `A THEN B{m,} " +
-              "[THEN C[{k,}] THEN D … [THEN NOT Z]]` (quantified tail " +
-              "steps since r13, completion forms only) — for overlap " +
-              "at a later boundary, quantified tails × absence, " +
-              "optional steps, or reluctant runs use the batch rewrite " +
+              "[THEN C[{k,}] THEN D … [THEN NOT Z]]` (quantified " +
+              "positive tail steps since r13, completion and absent " +
+              "forms) — for overlap at a later boundary, optional " +
+              "steps, or reluctant runs use the batch rewrite " +
               "via CepSql.sql")
         }
         // watermarked input (r8): the detector's pruning horizon reads

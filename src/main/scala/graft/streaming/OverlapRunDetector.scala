@@ -310,14 +310,19 @@ object OverlapRunDetector {
     // the stage index at which a pending has matched every POSITIVE tail
     // step: completion emits there; absence waits there for the verdict
     val doneStage = if (absent) tail.length - 1 else tail.length
-    // quantified tail steps (r13): per-step (min, max) or None
+    // quantified tail steps (r13): per-step (min, max) or None. The
+    // absent form admits quantified POSITIVE tail steps (r13 session 2
+    // — the kill scan and the wm verdict read lastTs, which an
+    // island-served stage sets to run_end, exactly the batch anti
+    // join's ts_{N-1}); the trailing NOT itself is a class, never a
+    // run.
     val quant: Seq[Option[(Int, Option[Int])]] =
       if (tailQuant.isEmpty) Seq.fill(tail.length)(None) else tailQuant
     require(quant.length == tail.length,
       "tailQuant must align with tail (one entry per tail step)")
-    require(!absent || quant.forall(_.isEmpty),
-      "quantified tail steps x the absent form stay batch-only — use " +
-        "the batch rewrite via CepSql.sql")
+    require(!absent || quant.last.isEmpty,
+      "the trailing NOT step is a class, not a run — it cannot be " +
+        "quantified")
     val src = if (wmEnabled) events.withWatermark("ts", watermarkDelay.get)
               else events
     val timeoutConf = if (wmEnabled) GroupStateTimeout.EventTimeTimeout()
@@ -387,9 +392,11 @@ object OverlapRunDetector {
                     p.ts1, p.ts2, p.tailIds, p.tailTs)
               }
               // a ripe pending at a quantified stage survives while its
-              // frozen open island still qualifies (r13 — pendLive)
-              pending = rest ++
-                ripe.filter(p => !absent && pendLive(p, wmUs))
+              // frozen open island still qualifies (r13 — pendLive);
+              // ripe absent DONE-stage pendings were just emitted above
+              pending = rest ++ ripe.filter(p =>
+                !(absent && p.tailIds.length == doneStage) &&
+                  pendLive(p, wmUs))
             }
           }
 
@@ -448,7 +455,9 @@ object OverlapRunDetector {
                           val adv = p.copy(
                             tailIds = p.tailIds :+ o.count,
                             tailTs = p.tailTs :+ tsOf(o.endUs))
-                          if (adv.tailIds.length == doneStage) {
+                          // an absent pending reaching done-stage WAITS
+                          // for the watermark verdict (r13 session 2)
+                          if (!absent && adv.tailIds.length == doneStage) {
                             out += OverlapChainNMatch(user, adv.id1,
                               adv.len, adv.ts1, adv.ts2,
                               adv.tailIds, adv.tailTs)

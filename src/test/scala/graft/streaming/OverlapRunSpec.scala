@@ -397,14 +397,21 @@ class OverlapRunSpec extends SparkSpec {
     val cP = (e: CepEvent) => e.event_type == "c"
     val dP = (e: CepEvent) => e.event_type == "d"
     val forms: Seq[(String, Seq[CepEvent => Boolean],
-        Seq[Option[(Int, Option[Int])]], Seq[String])] = Seq(
-      ("THEN c{2,}", Seq(cP), Seq(Some((2, None))), Seq("len_3")),
-      ("THEN c{1,3}", Seq(cP), Seq(Some((1, Some(3)))), Seq("len_3")),
+        Seq[Option[(Int, Option[Int])]], Seq[String], Boolean)] = Seq(
+      ("THEN c{2,}", Seq(cP), Seq(Some((2, None))), Seq("len_3"), false),
+      ("THEN c{1,3}", Seq(cP), Seq(Some((1, Some(3)))), Seq("len_3"),
+        false),
       ("THEN c{1,} THEN d", Seq(cP, dP), Seq(Some((1, None)), None),
-        Seq("len_3", "id_4")),
+        Seq("len_3", "id_4"), false),
       ("THEN d THEN c{2,}", Seq(dP, cP), Seq(None, Some((2, None))),
-        Seq("id_3", "len_4")))
-    for (seed <- 1 to 4; ((tailTxt, tailPreds, tq, tcols), fi) <-
+        Seq("id_3", "len_4"), false),
+      // r13 session 2: the ABSENT form with quantified positive tails
+      // (the batch anti join's ts_{N-1} is the island's run_end)
+      ("THEN c{1,} THEN NOT d", Seq(cP, dP),
+        Seq(Some((1, None)), None), Seq("len_3"), true),
+      ("THEN c{2,} THEN NOT b", Seq(cP, bP),
+        Seq(Some((2, None)), None), Seq("len_3"), true))
+    for (seed <- 1 to 4; ((tailTxt, tailPreds, tq, tcols, absent), fi) <-
         forms.zipWithIndex) {
       val rnd = new scala.util.Random(seed * 1000 + fi)
       val rows = (1 to 90).map { id =>
@@ -423,7 +430,7 @@ class OverlapRunSpec extends SparkSpec {
       val stream = MemoryStream[CepEvent]
       val name = s"ovq_$tag"
       val det = OverlapRunDetector.detectChainWhere(stream.toDS(),
-        bP, bP, 2, None, tailPreds, absent = false, 2 * 60 * 1000L,
+        bP, bP, 2, None, tailPreds, absent = absent, 2 * 60 * 1000L,
         Some("5 seconds"), tailQuant = tq).toDF()
       val q = det.writeStream.queryName(name).format("memory")
         .outputMode("append").start()
@@ -452,9 +459,8 @@ class OverlapRunSpec extends SparkSpec {
     }
   }
 
-  test("quantified tail x absence and quantified tail via the dialect " +
-      "dispatch (r13): len_i columns stream, the absent combo rejects " +
-      "loudly") {
+  test("quantified tail via the dialect dispatch (r13): len_i columns " +
+      "stream; the absent combo streams too (r13 session 2)") {
     implicit val sq = spark.sqlContext
     // dialect dispatch: the flattened column is len_3, values == batch
     val t0 = Timestamp.valueOf("2026-01-01 00:00:00").getTime
@@ -490,18 +496,40 @@ class OverlapRunSpec extends SparkSpec {
         .map(_.toSeq).toSet
       assert(got === batch, s"$got vs $batch")
     } finally if (q.isActive) q.stop()
-    // quantified tail x absence: loud reject naming the batch rewrite
+    // quantified tail x absence streams too (r13 session 2): same
+    // fixture, no d ever arrives, so the no-d verdict emits at the
+    // flush; batch twin on the same data
+    val fixture2 = fixture :+ evAt(10, 40, "x")
+    val flush = CepEvent(-1L,
+      java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), 7L, "zz", 0.0)
+    fixture2.toDF().createOrReplaceTempView("ev_ovqda")
+    val batchAbs = CepSql.sql(spark,
+      """SELECT * FROM ev_ovqda
+         MATCH PATTERN (b THEN b{2,} THEN c{2,} THEN NOT d
+                        WITHIN '30' MINUTES)
+         PARTITION BY user_id""")
+      .select("user_id", "id_1", "len_2", "len_3").collect()
+      .map(_.toSeq).toSet
+    assert(batchAbs.nonEmpty, "absent fixture must match in batch")
     val stream2 = MemoryStream[CepEvent]
     stream2.toDF().createOrReplaceTempView("ev_ovqd_s2")
-    val e = intercept[IllegalArgumentException] {
-      ContinuousQueries.submitPattern(spark,
-        """SELECT * FROM ev_ovqd_s2
-           MATCH PATTERN (b THEN b{2,} THEN c{2,} THEN NOT d
-                          WITHIN '30' MINUTES)
-           PARTITION BY user_id""", s"${name}_abs")
-    }
-    assert(e.getMessage.contains("batch rewrite") ||
-      e.getMessage.contains("CepSql.sql"), e.getMessage)
+    val name2 = s"ovqda_${System.nanoTime}"
+    val q2 = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM ev_ovqd_s2
+         MATCH PATTERN (b THEN b{2,} THEN c{2,} THEN NOT d
+                        WITHIN '30' MINUTES)
+         PARTITION BY user_id""", name2, lateness = "0 seconds")
+    try {
+      stream2.addData(fixture2)
+      q2.processAllAvailable()
+      stream2.addData(flush) // wm past the deadline -> no-d verdict
+      q2.processAllAvailable()
+      val got2 = spark.table(name2)
+        .filter(org.apache.spark.sql.functions.col("user_id") =!= -1L)
+        .select("user_id", "id_1", "len_2", "len_3").collect()
+        .map(_.toSeq).toSet
+      assert(got2 === batchAbs, s"$got2 vs $batchAbs")
+    } finally if (q2.isActive) q2.stop()
   }
 
   test("non-head overlap boundary stays batch-only: the pinned " +
