@@ -116,15 +116,18 @@ object ContinuousQueries {
     * island boundary slots) and since r13 any completion tail,
     * unquantified OR quantified (pendings carry the span accumulators
     * to their final tail match; tail class refs capture per step;
-    * tail-ISLAND boundary refs at their island's close —
+    * tail-ISLAND boundary refs at their island's close), plus
+    * MATCH_NUMBER (r13 session 2: completions HOLD until no live
+    * anchor/pending with a smaller (ts_1, id_1) remains, then release
+    * in sort order on a persistent per-key counter —
     * [[OverlapRunDetector.detectMeasures]]). The remaining
     * batch-only forms, each rejected loudly with a pointer to
     * [[CepSql.sql]]: overlap at a non-head boundary (OverlapRunSpec
-    * pins the counterexample) / optional tail steps after an overlap
-    * head / reluctant runs ×
-    * overlap / MEASURES × the absent overlap form / MATCH_NUMBER ×
-    * overlap (held-release numbering); `{1,}?`
-    * outside the 2-step head; bounded lazy
+    * pins the counterexample) / reluctant runs ×
+    * overlap / MEASURES × the absent overlap form (absent × measures
+    * is absent from the BATCH rewrite too — parity, not a gap);
+    * optional steps × quantifiers reject at PARSE for both engines;
+    * `{1,}?` outside the 2-step head; bounded lazy
     * `{m,n}?` (rejected at parse). Measures × reluctant stream
     * since r8 (lazy completions fold POST — the m-th event is a span
     * row, unlike a greedy closure).
@@ -251,10 +254,11 @@ object ContinuousQueries {
           // span join covers first..last matched rows inclusive
           // regardless of class), FIRST/LAST read the shared island's
           // boundary rows (frozen into the pending at close), class
-          // refs capture at the anchor or at each tail step's match.
-          // MATCH_NUMBER and absent/reluctant/quantified-tail overlap
-          // forms reject loudly (OverlapRunDetector.detectMeasures
-          // names each), as does overlap at a non-head boundary here.
+          // refs capture at the anchor or at each tail step's match,
+          // and MATCH_NUMBER holds completions for ordered release
+          // (r13 session 2). Absent/reluctant overlap measures reject
+          // loudly (OverlapRunDetector.detectMeasures names each), as
+          // does overlap at a non-head boundary here.
           val sts = spec.steps
           val onlyHeadOvM = sts.sliding(2).zipWithIndex.forall {
             case (pair, idx) =>

@@ -88,13 +88,24 @@ case class OvMPending(id1: Long, ts1: Timestamp, len: Long, ts2: Timestamp,
     tailIds: Seq[Long], tailTs: Seq[Timestamp],
     sums: Seq[Double], cnt: Long, mns: Seq[Double], mxs: Seq[Double],
     islFirst: Seq[Double], islLast: Seq[Double], refSlots: Seq[Double])
+/** A completed measures-form match HELD for MATCH_NUMBER assignment
+  * (r13 session 2): numbering orders by (ts_1, id_1) per key, but an
+  * EARLY anchor can match a LATE island after a later anchor already
+  * matched — so completions wait until no live anchor or pending with a
+  * smaller sort key remains, then release in sort order with a monotone
+  * per-key counter. */
+case class OvMHeld(id1: Long, ts1: Timestamp,
+    stepVals: Seq[Long], stepTs: Seq[Timestamp],
+    startTs: Timestamp, endTs: Timestamp, vals: Seq[Double])
 /** Measures-form state. `tailStages`/`tailIslands` (r13) carry the open
   * island per QUANTIFIED tail step — [[OvMIsland]] is reused so each
   * tail island captures its own per-measure FIRST/LAST boundary slots
-  * exactly like the head island does. */
+  * exactly like the head island does. `held`/`nextNum` (r13 session 2)
+  * are the MATCH_NUMBER hold buffer and its counter. */
 case class OverlapMState(open: Option[OvMIsland], anchors: List[OvMAnchor],
     pending: List[OvMPending],
-    tailStages: Seq[Int], tailIslands: List[OvMIsland])
+    tailStages: Seq[Int], tailIslands: List[OvMIsland],
+    held: List[OvMHeld], nextNum: Long)
 
 /** Streaming detector for quantified chains whose run class OVERLAPS the
   * anchor's — the carve-out every round before r11 routed to batch:
@@ -603,12 +614,19 @@ object OverlapRunDetector {
             "unquantified tail step (step >= 3, r13); refs to a " +
             "quantified tail step desugar to FIRST/LAST")
         if (!c.equalsIgnoreCase("ts")) PatternMatch.numColumn(c)
+      case _: CepSql.MatchNum => () // held-release numbering (r13 s2)
       case m => throw new IllegalArgumentException(
-        "overlap-form measures support span aggregates, FIRST/LAST on " +
-          "the run, and anchor/tail class refs — MATCH_NUMBER needs " +
-          "held-release numbering (an early anchor can match a late " +
-          s"island); got '$m' — use the batch rewrite via CepSql.sql")
+        "overlap-form measures support span aggregates, FIRST/LAST, " +
+          s"anchor/tail class refs and MATCH_NUMBER; got '$m' — use " +
+          "the batch rewrite via CepSql.sql")
     }
+    // MATCH_NUMBER (r13 session 2): numbering is by (ts_1, id_1) per
+    // key, but an early anchor can match a LATE island after a later
+    // anchor already matched — so with a MATCH_NUMBER measure present,
+    // completions are HELD and released once no live anchor/pending
+    // with a smaller sort key remains (then in sort order, monotone
+    // counter). Without one, completions emit immediately as before.
+    val hasMatchNum = measures.exists(_.isInstanceOf[CepSql.MatchNum])
     val aggCols = measures.collect {
       case CepSql.SpanAgg(fn, c, _) if fn != "COUNT" && c != "*" =>
         c.toLowerCase(java.util.Locale.ROOT)
@@ -645,7 +663,17 @@ object OverlapRunDetector {
           var pending = state.getOption.map(_.pending).getOrElse(Nil)
           var tmIsl: Map[Int, OvMIsland] = state.getOption.map(s =>
             s.tailStages.zip(s.tailIslands).toMap).getOrElse(Map.empty)
+          var held = state.getOption.map(_.held).getOrElse(Nil)
+          var nextNum = state.getOption.map(_.nextNum).getOrElse(1L)
           val out = List.newBuilder[RunChainMeasured]
+          // completion funnel: immediate without MATCH_NUMBER, held
+          // for ordered release with one (r13 session 2)
+          def emitM(id1: Long, ts1: Timestamp, stepVals: Seq[Long],
+              stepTs: Seq[Timestamp], st: Timestamp, en: Timestamp,
+              vs: Seq[Double]): Unit =
+            if (hasMatchNum)
+              held ::= OvMHeld(id1, ts1, stepVals, stepTs, st, en, vs)
+            else out += RunChainMeasured(user, stepVals, stepTs, st, en, vs)
           def deadline(ts1: Timestamp): Long = us(ts1) + withinUs
           def lastTs(p: OvMPending): Long =
             if (p.tailTs.isEmpty) us(p.ts2) else us(p.tailTs.last)
@@ -737,7 +765,7 @@ object OverlapRunDetector {
                     if (us(o.start) > us(a.ts1) &&
                         us(o.end) <= deadline(a.ts1)) {
                       if (tail.isEmpty)
-                        out += RunChainMeasured(user, Seq(a.id1, o.count),
+                        emitM(a.id1, a.ts1, Seq(a.id1, o.count),
                           Seq(a.ts1, o.end), a.ts1, o.end, vals(a, o))
                       else
                         pending ::= OvMPending(a.id1, a.ts1, o.count,
@@ -777,7 +805,7 @@ object OverlapRunDetector {
                           tailTs = p.tailTs :+ o.end,
                           refSlots = slots)
                         if (adv.tailIds.length == tail.length) {
-                          out += RunChainMeasured(user,
+                          emitM(adv.id1, adv.ts1,
                             Seq(adv.id1, adv.len) ++ adv.tailIds,
                             Seq(adv.ts1, adv.ts2) ++ adv.tailTs,
                             adv.ts1, adv.tailTs.last, pvals(adv))
@@ -838,7 +866,7 @@ object OverlapRunDetector {
                         case (cur, _, _) => cur
                       })
                   if (adv.tailIds.length == tail.length) {
-                    out += RunChainMeasured(user,
+                    emitM(adv.id1, adv.ts1,
                       Seq(adv.id1, adv.len) ++ adv.tailIds,
                       Seq(adv.ts1, adv.ts2) ++ adv.tailTs,
                       adv.ts1, adv.tailTs.last, pvals(adv))
@@ -882,12 +910,42 @@ object OverlapRunDetector {
                 evA, 1L, evA, evA, slots)
             }
           }
-          if (open.isEmpty && anchors.isEmpty && pending.isEmpty)
+          // ordered MATCH_NUMBER release (r13 session 2), ONCE per
+          // invocation after the whole batch: a held match releases
+          // when no live anchor/pending with a smaller (ts_1, id_1)
+          // remains — any future completion necessarily carries a
+          // larger sort key, so the counter assignment equals the
+          // batch row_number ordering
+          if (hasMatchNum && held.nonEmpty) {
+            val blockers = anchors.map(a => (us(a.ts1), a.id1)) ++
+              pending.map(p => (us(p.ts1), p.id1))
+            val minB = blockers.sorted.headOption
+            val (rel, keep) = held.sortBy(h => (us(h.ts1), h.id1))
+              .span(h => minB.forall(b =>
+                Ordering[(Long, Long)].lt((us(h.ts1), h.id1), b)))
+            rel.foreach { h =>
+              val vs = h.vals.lazyZip(measures).map {
+                case (_, _: CepSql.MatchNum) => nextNum.toDouble
+                case (v, _) => v
+              }
+              out += RunChainMeasured(user, h.stepVals, h.stepTs,
+                h.startTs, h.endTs, vs)
+              nextNum += 1
+            }
+            held = keep
+          }
+          // with MATCH_NUMBER the per-key counter must survive quiet
+          // periods (the batch numbers EVERY match of the key 1..n), so
+          // a key that ever matched keeps its one-counter state row —
+          // the standard MATCH_NUMBER residue, 8 bytes + envelope per
+          // matched key
+          if (open.isEmpty && anchors.isEmpty && pending.isEmpty &&
+              held.isEmpty && (!hasMatchNum || nextNum == 1L))
             state.remove()
           else {
             val ti = tmIsl.toSeq.sortBy(_._1)
             state.update(OverlapMState(open, anchors, pending,
-              ti.map(_._1), ti.map(_._2).toList))
+              ti.map(_._1), ti.map(_._2).toList, held, nextNum))
             if (wmEnabled && (anchors.nonEmpty || pending.nonEmpty))
               state.setTimeoutTimestamp(math.max(
                 (anchors.map(a => deadline(a.ts1)) ++

@@ -343,17 +343,56 @@ class MeasureChainSpec extends SparkSpec {
     }
   }
 
-  test("overlap measures: anchor class refs via the direct API; " +
-      "MATCH_NUMBER rejects with the held-release reason (r12)") {
+  test("overlap MATCH_NUMBER replay == batch row_number (r13 s2): " +
+      "held-release ordering survives an early anchor matching a " +
+      "late island") {
+    import org.apache.spark.sql.functions.col
+    Tables.load(spark, sf)
+    val patternOf = (tbl: String) =>
+      s"""SELECT * FROM $tbl
+         MATCH PATTERN (click THEN click|view{2,} WITHIN '48' HOURS)
+         PARTITION BY user_id
+         MEASURES COUNT(*) AS c, MATCH_NUMBER() AS mn"""
+    val want = CepSql.sql(spark, patternOf("events"))
+      .collect().map { r =>
+        (r.getAs[Long]("user_id"), r.getAs[Long]("id_1")) ->
+          ((r.getAs[Long]("len_2"), r.getAs[Long]("c"),
+            r.getAs[Long]("mn")))
+      }.toMap
+    assert(want.nonEmpty && want.values.exists(_._3 > 1L),
+      "fixture must produce multi-match keys so numbering is exercised")
     implicit val sq = spark.sqlContext
-    // MATCH_NUMBER: loud, names the batch rewrite
-    val stream0 = MemoryStream[CepEvent]
-    val e = intercept[IllegalArgumentException] {
-      OverlapRunDetector.detectMeasures(stream0.toDS(),
-        _.event_type == "b", _.event_type == "b", 2, None, 60000L,
-        Seq(CepSql.MatchNum("mno")))
+    val stream1 = MemoryStream[CepEvent]
+    val nameMn = s"measure_ovmn_${System.nanoTime}"
+    stream1.toDF().createOrReplaceTempView(s"src_$nameMn")
+    val qMn = ContinuousQueries.submitPattern(spark,
+      patternOf(s"src_$nameMn"), nameMn, lateness = "5 seconds")
+    val dataMn = eventsDs.orderBy("ts", "event_id").collect()
+    dataMn.grouped(250).foreach { ch =>
+      stream1.addData(ch.toSeq); qMn.processAllAvailable()
     }
-    assert(e.getMessage.contains("batch rewrite"))
+    stream1.addData(CepEvent(-1L,
+      Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "zz", 0.0))
+    qMn.processAllAvailable()
+    // one more batch: the flush's island closes release against an
+    // empty blocker set on the NEXT invocation's release pass
+    stream1.addData(CepEvent(-2L,
+      Timestamp.valueOf("2031-01-02 00:00:00"), -2L, "zz", 0.0))
+    qMn.processAllAvailable()
+    qMn.stop()
+    val gotMn = spark.table(nameMn).filter(col("user_id") >= 0L)
+      .collect().map { r =>
+        val sv = r.getSeq[Long](1)
+        (r.getLong(0), sv(0)) ->
+          ((sv(1), r.getAs[Long]("c"), r.getAs[Long]("mn")))
+      }.toMap
+    assert(gotMn === want,
+      s"${gotMn.toSet.diff(want.toSet).take(3)} vs " +
+        s"${want.toSet.diff(gotMn.toSet).take(3)}")
+  }
+
+  test("overlap measures: anchor class refs via the direct API (r12)") {
+    implicit val sq = spark.sqlContext
     // anchor class ref (step 1) — not expressible in the dialect for an
     // overlap pattern (the anchor name is ambiguous by definition), so
     // the API-level capture is pinned here: b1's value rides the slot
