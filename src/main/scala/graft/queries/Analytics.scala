@@ -1145,9 +1145,96 @@ object Analytics {
         .filter(col("ratio") >= 2.0 || col("ratio") <= 0.5)
         .select("event_type", "d", "hr", "cnt", "ratio")
         .orderBy("event_type", "d", "hr")
+    }),
+
+    // Burstiness / Fano factor per event type (r13; Fano 1947,
+    // public): var/mean of HOURLY counts over the full dates×24 spine
+    // (zero hours count — burstiness is precisely about the empty
+    // cells). Fano ≈ 1 is Poisson traffic; >> 1 is bursty (campaign
+    // spikes, bot storms), << 1 is paced/throttled — the dispersion
+    // diagnostic capacity planning and anomaly thresholds read before
+    // trusting a rate model. The identity (n·Σx² − (Σx)²)/(n·Σx)
+    // keeps numerator AND denominator exact integers (never var_pop —
+    // engines' central-moment recursions differ), one division,
+    // fround 4. One corpus-sized count agg; the spine join and the
+    // fold run on |types|·|dates|·24 rows.
+    "q_burstiness" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val cell = e.groupBy(col("event_type"),
+          col("ts").cast("date").as("d"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val spine = e.select("event_type").distinct()
+        .crossJoin(e.select(col("ts").cast("date").as("d")).distinct())
+        .crossJoin(s.range(0, 24).select(col("id").as("hr")))
+      spine.join(cell, Seq("event_type", "d", "hr"), "left")
+        .select(col("event_type"), coalesce(col("cnt"), lit(0L)).as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_cells"), sum("c").as("n_events"),
+          sum(col("c") * col("c")).as("ss"))
+        .select(col("event_type"), col("n_cells"), col("n_events"),
+          fround((col("n_cells") * col("ss") -
+              col("n_events") * col("n_events")).cast("double") /
+            (col("n_cells") * col("n_events")), 4).as("fano"))
+        .orderBy("event_type")
+    }),
+
+    // Theil–Sen robust trend (r13; Theil 1950 / Sen 1968, public):
+    // median of all pairwise slopes over the DAILY volume series —
+    // the robust "is traffic growing" estimator a single outage day
+    // cannot bend (OLS q_growth_wow can). Scale: the corpus-sized
+    // work is ONE daily count agg; the pairwise frame is
+    // |days|·(|days|−1)/2 rows over the CALENDAR-bounded daily table
+    // (a month = 435 pairs, a decade = 6.7M — broadcast-joinable
+    // forever), never the event volume. Slopes are exact-integer
+    // ratios (IEEE-identical cross-engine); the exact interpolated
+    // median rounds at 4 dp.
+    "q_theilsen" -> ((s, dir) => {
+      val daily = T(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("c"))
+        .select(datediff(col("d"), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"), col("c"))
+      daily.as("i").join(broadcast(daily.as("j")),
+          col("j.x") > col("i.x"))
+        .select(((col("j.c") - col("i.c")).cast("double") /
+          (col("j.x") - col("i.x"))).as("slope"))
+        .agg(count(lit(1)).as("n_pairs"),
+          fround(expr("percentile(slope, 0.5)"), 4).as("slope_med"))
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_burstiness" ->
+      """WITH cell AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, hour(ts) AS hr,
+             count(*) AS cnt
+           FROM events GROUP BY 1, 2, 3),
+         types AS (SELECT DISTINCT event_type FROM events),
+         dates AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+         spine AS (
+           SELECT event_type, d, h.hr
+           FROM types, dates, (SELECT unnest(range(24)) AS hr) h),
+         f AS (
+           SELECT s.event_type, coalesce(c.cnt, 0) AS c
+           FROM spine s LEFT JOIN cell c USING (event_type, d, hr))
+         SELECT event_type, count(*) AS n_cells,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           floor((count(*) * sum(c * c) - sum(c) * sum(c))
+             / CAST(count(*) * sum(c) AS DOUBLE) * 1e4 + 0.5) / 1e4
+             AS fano
+         FROM f GROUP BY 1 ORDER BY 1""",
+    "q_theilsen" ->
+      """WITH daily AS (
+           SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+             AS x, count(*) AS c
+           FROM events GROUP BY 1),
+         p AS (
+           SELECT (j.c - i.c) / CAST(j.x - i.x AS DOUBLE) AS slope
+           FROM daily i JOIN daily j ON j.x > i.x)
+         SELECT count(*) AS n_pairs,
+           floor(quantile_cont(slope, 0.5) * 1e4 + 0.5) / 1e4
+             AS slope_med
+         FROM p""",
     "q_funnel" ->
       """WITH su AS (
            SELECT user_id, min(ts) AS t1 FROM events

@@ -117,6 +117,33 @@ object PipelineOps {
       Components.resolveDuplicates(pairs).orderBy("id")
     }),
 
+    // Near-dup component-size histogram (r13): the census of the
+    // band-graph components q_dedup_resolve labels — how many
+    // duplicate families of each size the corpus carries and how many
+    // docs they absorb. The exact-hash twin is q_dup_stats; THIS is
+    // the near-dup counterpart, and the shape a dedup rollout is
+    // judged on (a fat tail of giant components means the banding is
+    // over-merging — read together with q_degree_powerlaw BEFORE
+    // deleting anything). Plan: the shared cached band graph + CC,
+    // then two tiny re-aggs (per-keeper size, then per-size census) —
+    // everything after the resolve runs on component-count rows.
+    // Streaming stance: q_dedup_resolve's (periodic recompute over
+    // maintained band frames — one edge can merge components).
+    "q_dedup_cluster_hist" -> ((s, dir) => {
+      val bands = graft.Caching.cache(TextOps.bandRows(T(s, dir, "documents")))
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      Components.resolveDuplicates(pairs)
+        .groupBy("keeper").agg(count(lit(1)).as("sz"))
+        .groupBy("sz")
+        .agg(count(lit(1)).as("n_components"), sum("sz").as("n_docs"))
+        .orderBy("sz")
+    }),
+
     // L13b (r11) — QUALITY-aware canonical selection: q_dedup_resolve
     // keeps min(doc_id) per duplicate component (arbitrary but
     // deterministic); real pipelines keep the BEST copy — here argmax
@@ -1089,6 +1116,42 @@ object PipelineOps {
            UNION
            SELECT e.a, r.lbl FROM e JOIN reach r ON r.id = e.b)
          SELECT id, min(lbl) AS keeper FROM reach GROUP BY id ORDER BY id""",
+    "q_dedup_cluster_hist" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         gi AS (
+           SELECT doc_id, unnest(range(1, greatest(len(w) - 1, 1))) AS i, w
+           FROM t),
+         g AS (
+           SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+           FROM gi),
+         mh AS (
+           SELECT doc_id, s.seed,
+             min(md5(concat(CAST(s.seed AS VARCHAR), ':', gram))) AS mh
+           FROM g, (SELECT unnest(range(16)) AS seed) s
+           GROUP BY doc_id, s.seed),
+         bands AS (
+           SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+           FROM mh GROUP BY doc_id, seed // 4),
+         p0 AS (
+           SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id),
+         e AS (SELECT a, b FROM p0 UNION SELECT b, a FROM p0),
+         reach AS (
+           SELECT DISTINCT a AS id, a AS lbl FROM e
+           UNION
+           SELECT e.a, r.lbl FROM e JOIN reach r ON r.id = e.b),
+         comp AS (
+           SELECT id, min(lbl) AS keeper FROM reach GROUP BY id),
+         szs AS (
+           SELECT keeper, count(*) AS sz FROM comp GROUP BY keeper)
+         SELECT sz, count(*) AS n_components,
+           CAST(sum(sz) AS BIGINT) AS n_docs
+         FROM szs GROUP BY sz ORDER BY sz""",
     "q_dedup_keepbest" ->
       """WITH RECURSIVE t AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -164,6 +164,20 @@ object HotKeyStateProbe {
           Seq((e: CepEvent) => e.event_type == "purchase"),
           absent = false, 2L * 3600 * 1000, Some("0 seconds"),
           tailQuant = Seq(Some((1, None)))).toDF())
+      // r13 session 2: MATCH_NUMBER hold buffer — completions hold
+      // until no live anchor/pending with a smaller (ts_1, id_1)
+      // remains. With m=2 the frequent island closes resolve anchors
+      // almost immediately, so the buffer drains at each close: peak
+      // state must stay the in-window live-anchor + brief-hold census
+      // (window-bound), plus the ONE persistent counter per matched
+      // key
+      replay(s"overlap_mn_$lbl", evs, ds =>
+        OverlapRunDetector.detectMeasures(ds,
+          (e: CepEvent) => e.event_type == "click",
+          (e: CepEvent) => e.event_type == "click",
+          2, None, 2L * 3600 * 1000,
+          Seq(CepSql.SpanAgg("COUNT", "*", "c"), CepSql.MatchNum("mn")),
+          Some("0 seconds")).toDF())
       // r12: CUSUM marks — state is four longs per key by construction
       // (running drift prefix sums + their minima), so peak state must
       // be CONSTANT (1 row, flat KB) across spacings AND totals — the
