@@ -123,8 +123,10 @@ object ContinuousQueries {
     * [[OverlapRunDetector.detectMeasures]]). The remaining
     * batch-only forms, each rejected loudly with a pointer to
     * [[CepSql.sql]]: overlap at a non-head boundary (OverlapRunSpec
-    * pins the counterexample) / reluctant runs ×
-    * overlap / MEASURES × the absent overlap form (absent × measures
+    * pins the counterexample) / reluctant overlap WITH tails (the
+    * plain reluctant head `A THEN B{m,}?` streams since r13 s2 —
+    * emission fixes at the island's m-th event) / MEASURES × the
+    * absent overlap form (absent × measures
     * is absent from the BATCH rewrite too — parity, not a gap);
     * optional steps × quantifiers reject at PARSE for both engines;
     * `{1,}?` outside the 2-step head; bounded lazy
@@ -432,6 +434,20 @@ object ContinuousQueries {
               stepPred(sts.head), stepPred(sts(1)),
               sts(1).minTimes.get, sts(1).maxTimes,
               spec.withinMs, Some(lateness)).toDF(), name, "append")
+          // RELUCTANT overlap head `A THEN B{m,}?` (r13 session 2):
+          // the truncated run fixes at the island's m-th event, so
+          // emission is immediate there — see
+          // OverlapRunDetector.detectReluctantWhere
+          val streamable2R = onlyHeadOv && sts.length == 2 &&
+            !spec.absent && sts.head.minTimes.isEmpty &&
+            sts(1).minTimes.isDefined && sts(1).reluctant &&
+            sts(1).maxTimes.isEmpty && !sts.exists(_.optional) &&
+            sts.head.events.toSet.intersect(sts(1).events.toSet).nonEmpty
+          if (streamable2R)
+            return submitMemory(OverlapRunDetector.detectReluctantWhere(
+              src, stepPred(sts.head), stepPred(sts(1)),
+              sts(1).minTimes.get, spec.withinMs,
+              Some(lateness)).toDF(), name, "append")
           if (streamable3 && !spec.absent)
             return submitMemory(OverlapRunDetector.detectFollowWhere(
               src, stepPred(sts.head), stepPred(sts(1)),
@@ -467,12 +483,12 @@ object ContinuousQueries {
           }
           throw new IllegalArgumentException(
             "a {m,} step whose class overlaps the previous step's " +
-              "streams only in the greedy head family `A THEN B{m,} " +
+              "streams only in the head family `A THEN B{m,}[?] " +
               "[THEN C[{k,}] THEN D … [THEN NOT Z]]` (quantified " +
               "positive tail steps since r13, completion and absent " +
-              "forms) — for overlap at a later boundary, optional " +
-              "steps, or reluctant runs use the batch rewrite " +
-              "via CepSql.sql")
+              "forms; the reluctant 2-step head since r13 s2) — for " +
+              "overlap at a later boundary, reluctant with tails, or " +
+              "optional steps use the batch rewrite via CepSql.sql")
         }
         // watermarked input (r8): the detector's pruning horizon reads
         // getCurrentWatermarkMs — un-watermarked it fell back to the

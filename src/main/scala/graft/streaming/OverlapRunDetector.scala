@@ -237,6 +237,33 @@ object OverlapRunDetector {
         m.ts_1, m.ts_2))
   }
 
+  /** RELUCTANT 2-step `A THEN B{m,}?` over an overlapping class (r13
+    * session 2 — the last streaming-expressible overlap carve-out):
+    * the batch reluctant form truncates each qualifying island to its
+    * FIRST m events (run_len = m, run_end = the m-th event's ts), so
+    * emission is NOT close-driven — the moment the shared island's
+    * count reaches m, every live anchor with `island start strictly
+    * after ts_1` and `m-th ts` inside its window matches and emits
+    * IMMEDIATELY (extensions cannot change the truncated form, and
+    * the island's start was fixed at its first event, so nothing
+    * about the match can still move). Islands are time-disjoint and
+    * reach m in start order, so the first serving island IS the batch
+    * rank-1. An anchor whose window passes before any island reaches
+    * m is dead outright (later islands' m-th events are even later) —
+    * no frozen-island survival branch exists in this form. Bounded
+    * reluctant `{m,n}?` rejects at parse engine-wide. */
+  def detectReluctantWhere(events: Dataset[CepEvent],
+      anchorPred: CepEvent => Boolean, runPred: CepEvent => Boolean,
+      minLen: Int, withinMs: Long,
+      watermarkDelay: Option[String] = None)
+      : Dataset[OverlapChainMatch] = {
+    implicit val matchEnc = Encoders.product[OverlapChainMatch]
+    engine(events, anchorPred, runPred, minLen, None, Nil,
+      absent = false, withinMs, watermarkDelay, reluctant = true)
+      .map(m => OverlapChainMatch(m.user_id, m.id_1, m.len_2,
+        m.ts_1, m.ts_2))
+  }
+
   /** 3-step completion `A THEN B{m,} THEN C` (C may overlap B since
     * r12). */
   def detectFollowWhere(events: Dataset[CepEvent],
@@ -302,8 +329,13 @@ object OverlapRunDetector {
       minLen: Int, maxLen: Option[Int],
       tail: Seq[CepEvent => Boolean], absent: Boolean,
       withinMs: Long, watermarkDelay: Option[String],
-      tailQuant: Seq[Option[(Int, Option[Int])]] = Nil)
+      tailQuant: Seq[Option[(Int, Option[Int])]] = Nil,
+      reluctant: Boolean = false)
       : Dataset[OverlapChainNMatch] = {
+    require(!reluctant || (tail.isEmpty && !absent && maxLen.isEmpty),
+      "the reluctant overlap form streams only as the plain 2-step " +
+        "head `A THEN B{m,}?` — tails/absence/bounds go through the " +
+        "batch rewrite via CepSql.sql")
     implicit val matchEnc = Encoders.product[OverlapChainNMatch]
     implicit val stateEnc = Encoders.product[OverlapChainState]
     implicit val keyEnc = Encoders.scalaLong
@@ -379,11 +411,14 @@ object OverlapRunDetector {
           // batch predicate: any island starting after `clock` is gone
           // once clock > deadline, and the open island only survives
           // that point if it already qualifies frozen (any extension
-          // pushes its end past the deadline and disqualifies it)
+          // pushes its end past the deadline and disqualifies it).
+          // RELUCTANT (r13 s2): no frozen survival — the m-th event
+          // either already served (anchor gone) or lies in the future
+          // past the deadline
           def live(a: OvAnchor, clock: Long): Boolean = {
             val dl = deadline(a.ts1)
             if (clock <= dl) true
-            else open.exists(o => us(o.start) > us(a.ts1) &&
+            else !reluctant && open.exists(o => us(o.start) > us(a.ts1) &&
               us(o.end) <= dl && o.count >= minLen &&
               maxLen.forall(o.count <= _))
           }
@@ -426,10 +461,13 @@ object OverlapRunDetector {
               //    every live anchor tests the batch join predicate —
               //    strictly-after start, window-bounded end, length in
               //    [m, n] with whole-run semantics. A qualifying anchor
-              //    emits (2-step) or moves to pending (tail forms)
+              //    emits (2-step) or moves to pending (tail forms).
+              //    RELUCTANT emission is NOT close-driven (it happened
+              //    at the m-th event below) — the close only clears.
               if (!runPred(e)) {
                 open.foreach { o =>
-                  if (o.count >= minLen && maxLen.forall(o.count <= _))
+                  if (!reluctant &&
+                      o.count >= minLen && maxLen.forall(o.count <= _))
                     anchors = anchors.flatMap { a =>
                       if (us(o.start) > us(a.ts1) &&
                           us(o.end) <= deadline(a.ts1)) {
@@ -518,11 +556,27 @@ object OverlapRunDetector {
               anchors = anchors.filter(live(_, t))
               if (tail.nonEmpty)
                 pending = pending.filter(pendLive(_, t))
-              // 4. a B event extends or opens the shared island
+              // 4. a B event extends or opens the shared island.
+              //    RELUCTANT (r13 s2): the moment the island reaches m
+              //    it serves every live anchor immediately — run_len is
+              //    the constant m, run_end the m-th event's ts, and
+              //    nothing about the truncated form can still move
+              //    (start froze at the first event, extensions are
+              //    ignored by truncation)
               if (runPred(e)) {
                 open = open match {
                   case Some(o) => Some(OvIsland(o.count + 1, o.start, e.ts))
                   case None    => Some(OvIsland(1, e.ts, e.ts))
+                }
+                if (reluctant && open.exists(_.count == minLen)) {
+                  val o = open.get
+                  anchors = anchors.flatMap { a =>
+                    if (us(o.start) > us(a.ts1) && t <= deadline(a.ts1)) {
+                      out += OverlapChainNMatch(user, a.id1,
+                        minLen.toLong, a.ts1, e.ts, Nil, Nil)
+                      Nil
+                    } else List(a)
+                  }
                 }
               }
               // 4b. a quantified-tail-class event extends or opens that

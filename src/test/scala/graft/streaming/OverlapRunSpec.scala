@@ -530,6 +530,81 @@ class OverlapRunSpec extends SparkSpec {
         .map(_.toSeq).toSet
       assert(got2 === batchAbs, s"$got2 vs $batchAbs")
     } finally if (q2.isActive) q2.stop()
+    // reluctant overlap head through the dialect dispatch (r13 s2):
+    // the island [3,4] fixes the match at its 2nd event (id 4)
+    val batchRel = CepSql.sql(spark,
+      """SELECT * FROM ev_ovqd
+         MATCH PATTERN (b THEN b{2,}? WITHIN '30' MINUTES)
+         PARTITION BY user_id""")
+      .select("user_id", "id_1", "len_2", "ts_2").collect()
+      .map(_.toSeq).toSet
+    assert(batchRel.nonEmpty)
+    val stream3 = MemoryStream[CepEvent]
+    stream3.toDF().createOrReplaceTempView("ev_ovqd_s3")
+    val name3 = s"ovqdr_${System.nanoTime}"
+    val q3 = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM ev_ovqd_s3
+         MATCH PATTERN (b THEN b{2,}? WITHIN '30' MINUTES)
+         PARTITION BY user_id""", name3, lateness = "0 seconds")
+    try {
+      stream3.addData(fixture)
+      q3.processAllAvailable()
+      val got3 = spark.table(name3)
+        .select("user_id", "id_1", "len_2", "ts_2").collect()
+        .map(_.toSeq).toSet
+      assert(got3 === batchRel, s"$got3 vs $batchRel")
+    } finally if (q3.isActive) q3.stop()
+  }
+
+  test("reluctant overlap head `A THEN B{m,}?`: streaming == batch on " +
+      "randomized dense fixtures (r13 s2 — emission at the island's " +
+      "m-th event, truncated run_len = m)") {
+    implicit val sq = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val types = Array("b", "b", "b", "x", "y")
+    val bP = (e: CepEvent) => e.event_type == "b"
+    for (seed <- 1 to 6; m <- Seq(2, 3)) {
+      val rnd = new scala.util.Random(seed * 37 + m)
+      val rows = (1 to 80).map { id =>
+        CepEvent(id.toLong, new Timestamp(t0 + rnd.nextInt(500) * 1000L),
+          (1 + rnd.nextInt(3)).toLong, types(rnd.nextInt(5)), 0.0)
+      }.sortBy(e => (e.ts.getTime, e.event_id))
+      val tag = s"r${seed}_$m"
+      import spark.implicits._
+      rows.toDF().createOrReplaceTempView(s"ev_ovr_$tag")
+      val batch = CepSql.sql(spark,
+        s"""SELECT * FROM ev_ovr_$tag
+           MATCH PATTERN (b THEN b{$m,}? WITHIN '2' MINUTES)
+           PARTITION BY user_id""")
+        .select("user_id", "id_1", "len_2", "ts_2").collect()
+        .map(_.toSeq).toSet
+      val stream = MemoryStream[CepEvent]
+      val name = s"ovr_$tag"
+      val det = OverlapRunDetector.detectReluctantWhere(stream.toDS(),
+        bP, bP, m, 2 * 60 * 1000L, Some("5 seconds")).toDF()
+      val q = det.writeStream.queryName(name).format("memory")
+        .outputMode("append").start()
+      try {
+        rows.grouped(20).foreach { c =>
+          stream.addData(c); q.processAllAvailable()
+        }
+        // reluctant emission is m-th-event-driven, no close needed —
+        // but flush anyway so the law also covers trailing islands
+        stream.addData((1 to 3).map(u => CepEvent(-u.toLong,
+          Timestamp.valueOf("2026-01-02 00:00:00"), u.toLong, "zz", 0.0)))
+        q.processAllAvailable()
+        val got = spark.table(name)
+          .select("user_id", "id_1", "len_2", "ts_2").collect()
+          .map(_.toSeq).toSet
+        assert(got === batch,
+          s"seed $seed m=$m: ${got.diff(batch).take(3)} extra, " +
+            s"${batch.diff(got).take(3)} missing " +
+            s"(${got.size} streamed vs ${batch.size} batch)")
+      } finally {
+        if (q.isActive) q.stop()
+        spark.catalog.dropTempView(s"ev_ovr_$tag")
+      }
+    }
   }
 
   test("non-head overlap boundary stays batch-only: the pinned " +
