@@ -1158,6 +1158,10 @@ object Analytics {
     // engines' central-moment recursions differ), one division,
     // fround 4. One corpus-sized count agg; the spine join and the
     // fold run on |types|·|dates|·24 rows.
+    // STREAMING stance: the hourly cell counts are a keyed count agg
+    // (incrementally maintainable); the Fano fold re-derives per
+    // trigger from the calendar-bounded cell frame — the q_psi
+    // readout stance.
     "q_burstiness" -> ((s, dir) => {
       val e = T(s, dir, "events")
       val cell = e.groupBy(col("event_type"),
@@ -1189,6 +1193,10 @@ object Analytics {
     // forever), never the event volume. Slopes are exact-integer
     // ratios (IEEE-identical cross-engine); the exact interpolated
     // median rounds at 4 dp.
+    // STREAMING stance: the daily counts are a keyed count agg; the
+    // pairwise median re-derives per trigger from the calendar-bounded
+    // daily frame (one new day perturbs |days|−1 slopes — no
+    // incremental median worth its state).
     "q_theilsen" -> ((s, dir) => {
       val daily = T(s, dir, "events")
         .groupBy(col("ts").cast("date").as("d"))

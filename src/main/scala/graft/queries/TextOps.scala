@@ -1318,6 +1318,57 @@ object TextOps {
         .join(broadcast(rankMap("b")), col("b") === col("v")).drop("v")
         .agg(count(lit(1)).as("n_docs"),
           fround(corr(col("r_a"), col("r_b")), 4).as("spearman"))
+    }),
+
+    // Mutual information between lang and source (r13 s2; Shannon
+    // 1948, public): how much knowing a document's source tells you
+    // about its language — the corpus-composition dependence readout
+    // (MI → 0 means sources are language-balanced; high MI means a
+    // language lives in few sources, the sampling-bias smell mixing
+    // weights must correct for). Plan: ONE (lang, source) contingency
+    // agg touches the corpus; marginals and the MI fold run on the
+    // |langs|·|sources| cell frame with broadcast marginals. Every ln
+    // argument is an exact-integer ratio n·N/(R·C) — cross-engine
+    // bit-identical — and the ~|cells| double sum rounds at 4 dp.
+    "q_mutual_info" -> ((s, dir) => {
+      val cells = T(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val r = cells.groupBy("lang").agg(sum("n").as("rl"))
+      val c = cells.groupBy("source").agg(sum("n").as("cs"))
+      val tot = cells.agg(sum("n").as("nn"))
+      cells.join(broadcast(r), "lang").join(broadcast(c), "source")
+        .crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("n_cells"), sum("n").as("n_docs"),
+          fround(sum(col("n").cast("double") / col("nn") *
+            log((col("n") * col("nn")).cast("double") /
+              (col("rl") * col("cs")))), 4).as("mi"))
+    }),
+
+    // Chi-squared independence of lang × source (r13 s2; Pearson
+    // 1900, public): the classical test statistic on the same
+    // contingency frame — Σ (O−E)²/E rewritten as
+    // Σ (n·N − R·C)²/(R·C·N) so the inner difference is EXACT integer
+    // arithmetic before the one squaring + two divisions (expected
+    // counts as raw doubles would drift across engines). Fixture-scale
+    // products stay far under 2^53; at 100 TB cell counts the
+    // difference moves to double where IEEE rounding is still
+    // engine-identical on identical inputs. Same plan shape as
+    // q_mutual_info: one corpus pass, cell-bounded fold.
+    "q_chi2_indep" -> ((s, dir) => {
+      val cells = T(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val r = cells.groupBy("lang").agg(sum("n").as("rl"))
+      val c = cells.groupBy("source").agg(sum("n").as("cs"))
+      val tot = cells.agg(sum("n").as("nn"))
+      cells.join(broadcast(r), "lang").join(broadcast(c), "source")
+        .crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("n_cells"),
+          ((countDistinct(col("lang")) - 1) *
+            (countDistinct(col("source")) - 1)).cast("long").as("dof"),
+          fround(sum(
+            pow(col("n") * col("nn") - col("rl") * col("cs"), 2) /
+              (col("rl") * col("cs")).cast("double") / col("nn")), 4)
+            .as("chi2"))
     })
   )
 
@@ -2153,7 +2204,32 @@ object TextOps {
            FROM m)
          SELECT count(*) AS n_docs,
            floor(corr(ra, rb) * 1e4 + 0.5) / 1e4 AS spearman
-         FROM r"""
+         FROM r""",
+    "q_mutual_info" ->
+      """WITH cells AS (
+           SELECT lang, source, count(*) AS n FROM documents
+           GROUP BY 1, 2),
+         r AS (SELECT lang, sum(n) AS rl FROM cells GROUP BY 1),
+         c AS (SELECT source, sum(n) AS cs FROM cells GROUP BY 1),
+         tot AS (SELECT sum(n) AS nn FROM cells)
+         SELECT count(*) AS n_cells, CAST(sum(n) AS BIGINT) AS n_docs,
+           floor(sum(CAST(n AS DOUBLE) / nn
+             * ln(CAST(n * nn AS DOUBLE) / (rl * cs))) * 1e4 + 0.5)
+             / 1e4 AS mi
+         FROM cells JOIN r USING (lang) JOIN c USING (source), tot""",
+    "q_chi2_indep" ->
+      """WITH cells AS (
+           SELECT lang, source, count(*) AS n FROM documents
+           GROUP BY 1, 2),
+         r AS (SELECT lang, sum(n) AS rl FROM cells GROUP BY 1),
+         c AS (SELECT source, sum(n) AS cs FROM cells GROUP BY 1),
+         tot AS (SELECT sum(n) AS nn FROM cells)
+         SELECT count(*) AS n_cells,
+           CAST((count(DISTINCT lang) - 1)
+             * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
+           floor(sum(power(CAST(n * nn - rl * cs AS DOUBLE), 2)
+             / CAST(rl * cs AS DOUBLE) / nn) * 1e4 + 0.5) / 1e4 AS chi2
+         FROM cells JOIN r USING (lang) JOIN c USING (source), tot"""
   )
 
   /** Shared winnowing CTEs (k=4, w=4) — the oracle twin of
