@@ -162,26 +162,34 @@ case class OverlapMState(open: Option[OvMIsland], anchors: List[OvMAnchor],
   * serve them; state is O(live anchors + pendings + 1 island) per key,
   * all window-bound.
   *
-  * MEASURES (r12, 2-step head only): span aggregates accumulate PER
-  * ANCHOR (seeded at the anchor event — the batch span join covers
-  * every event between the match's first and last rows inclusive
-  * regardless of class, and non-B events can sit between the anchor
-  * and the island start); FIRST/LAST boundary refs read the island's
-  * first/last rows, captured in the island tracker. MATCH_NUMBER stays
-  * batch-only: numbering orders by (ts_1, id_1) but an EARLY anchor
-  * can match a LATE island after a later anchor already matched, so a
-  * correct number assignment must hold emissions back to the
-  * watermark horizon — a third resolution clock this detector
-  * deliberately does not add (RunChainDetector's held-release
-  * machinery exists for the disjoint forms; the batch rewrite serves
-  * the overlap form).
+  * MEASURES (r12 2-step head; r13 the whole completion family): span
+  * aggregates accumulate PER ANCHOR (seeded at the anchor event — the
+  * batch span join covers every event between the match's first and
+  * last rows inclusive regardless of class, and non-B events can sit
+  * between the anchor and the island start) and then per PENDING to
+  * the final tail match; FIRST/LAST boundary refs read the island's
+  * first/last rows, captured in the island tracker (tail islands
+  * capture their own). MATCH_NUMBER streams since r13 session 2 via
+  * held-release: numbering orders by (ts_1, id_1) and an EARLY anchor
+  * can match a LATE island after a later anchor already matched, so
+  * completions HOLD until no live anchor/pending with a smaller sort
+  * key remains, then release in sort order on a persistent per-key
+  * counter (the counter is the one deliberate per-matched-key state
+  * residue — batch numbers every match of a key 1..n).
+  *
+  * QUANTIFIED tail steps (r13) get one shared island tracker each —
+  * pendings advance at island close under the batch
+  * rank-1-by-run_start law — in completion AND absent forms; the
+  * RELUCTANT head `A THEN B{m,}?` (r13 s2) emits at the island's m-th
+  * event, where the truncated match is fully determined.
   *
   * Still batch-only (loudly rejected upstream, SubmitSqlSpec-pinned):
   * overlap at a NON-HEAD boundary (step i ≥ 2 overlapping step i+1 —
   * the island tracker is anchored to the head; a mid-chain overlap
-  * would need one shared tracker PER PREFIX POSITION), reluctant
-  * runs, optional steps, quantified tail steps, and MEASURES beyond
-  * the 2-step head form.
+  * would need one shared tracker PER PREFIX POSITION — OverlapRunSpec
+  * pins the counterexample), reluctant WITH tails, and MEASURES × the
+  * absent form (absent from the BATCH rewrite too — parity);
+  * optional steps × quantifiers reject at parse in both engines.
   */
 object OverlapRunDetector {
   private def us(t: Timestamp): Long =
