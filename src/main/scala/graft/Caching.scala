@@ -44,9 +44,42 @@ object Caching {
     if (prev == null) { df.persist(); df } else prev
   }
 
+  // lineage-truncating checkpoints are NOT in the CacheManager, so a
+  // Dataset.unpersist on the returned frame is a no-op and the blocks
+  // survive until the ContextCleaner GCs the RDD object (ADVICE r13):
+  // track the underlying persisted RDDs here so releaseAll drops them
+  // deterministically instead of at some future GC.
+  private val ckptRdds = new java.util.concurrent.ConcurrentLinkedQueue[
+    org.apache.spark.rdd.RDD[_]]()
+
+  /** Lineage-truncating checkpoint with deterministic release (r14).
+    *
+    * With a reliable checkpoint dir configured
+    * (`sc.setCheckpointDir`), uses `Dataset.checkpoint` — the blocks
+    * survive executor loss, which `localCheckpoint` does not (on a real
+    * cluster a lost executor fails the job since lineage is gone); file
+    * lifetime is governed by `spark.cleaner.referenceTracking
+    * .cleanCheckpoints`. Otherwise `localCheckpoint`, with the persisted
+    * RDD captured (via the `getPersistentRDDs` delta — the persist mark
+    * registers immediately even for lazy checkpoints) so [[releaseAll]]
+    * frees the blocks. After releaseAll the frame is UNUSABLE — lineage
+    * was truncated — which is the releaseAll contract: it runs between
+    * queries, never inside one. */
+  def checkpoint(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isDefined) df.checkpoint(eager)
+    else {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(eager)
+      (sc.getPersistentRDDs -- before).values.foreach(ckptRdds.add)
+      out
+    }
+  }
+
   /** Unpersist every tracked frame and forget it. Blocking=false: the
     * executors drop blocks asynchronously; correctness never depends on
-    * a cache entry existing. */
+    * a cache entry existing (checkpointed frames: on the caller not
+    * reusing them past this call, per the [[checkpoint]] contract). */
   def releaseAll(): Unit = {
     val it = reg.values.iterator()
     while (it.hasNext) {
@@ -54,6 +87,11 @@ object Caching {
       catch { case _: Throwable => () } // a stopped session has nothing to drop
     }
     reg.clear()
+    var r = ckptRdds.poll()
+    while (r != null) {
+      try r.unpersist(false) catch { case _: Throwable => () }
+      r = ckptRdds.poll()
+    }
   }
 
   /** Number of live tracked entries (test + diagnostics surface). */

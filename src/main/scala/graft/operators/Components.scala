@@ -38,17 +38,19 @@ object Components {
     val e = edges.select(col(sc).cast("long").as("a"),
         col(dc).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-    // EAGER localCheckpoint, not best-effort persist (r12 verdict #1):
+    // EAGER checkpoint, not best-effort persist (r12 verdict #1):
     // this frame is the input to EVERY propagation round. A persist()
     // entry evicted under session-wide memory pressure silently re-runs
     // the caller's upstream plan (for the dedup keys: the whole band
     // self-join) once per round — an O(rounds)× slowdown invisible to
-    // correctness. Checkpointing materializes once to executor-local
-    // disk-backed blocks and truncates lineage, so eviction can never
-    // re-derive it; with a reliable checkpoint dir configured, checkpoint
-    // would also survive executor loss.
-    val undirected = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
+    // correctness. Checkpointing materializes once and truncates
+    // lineage, so eviction can never re-derive it. Via Caching (r14):
+    // reliable checkpoint when a dir is configured (survives executor
+    // loss), else localCheckpoint with the blocks tracked so
+    // Caching.releaseAll frees them deterministically instead of at
+    // ContextCleaner GC time.
+    val undirected = graft.Caching.checkpoint(
+      e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct())
 
     var labels = undirected.select(col("a").as("id"))
       .distinct().withColumn("comp", col("id")).persist()
@@ -69,10 +71,11 @@ object Components {
         .withColumn("own", col("comp"))
       // LAZY checkpoint: the changed-count action right below
       // materializes it, so an eager checkpoint would run a second job
-      val next = viaNeighbors.withColumn("own", lit(null).cast("long"))
-        .union(viaSelf)
-        .groupBy("id").agg(min("comp").as("comp"), min("own").as("own"))
-        .localCheckpoint(false) // truncate lineage every round
+      val next = graft.Caching.checkpoint(
+        viaNeighbors.withColumn("own", lit(null).cast("long"))
+          .union(viaSelf)
+          .groupBy("id").agg(min("comp").as("comp"), min("own").as("own")),
+        eager = false) // truncate lineage every round; count() below runs it
       val changed = Option(next
         .agg(sum(when(col("comp") < col("own"), 1L).otherwise(0L)))
         .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -127,10 +130,11 @@ object Components {
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("hi"),
         least(col("x"), col("y")).as("lo"))
-      // eager checkpoint for the same reason as minLabelWithRounds: the
-      // round-0 edge frame must never re-derive the caller's upstream
-      // plan if storage is evicted mid-iteration
-      .distinct().localCheckpoint()
+      .distinct()
+    // eager checkpoint for the same reason as minLabelWithRounds: the
+    // round-0 edge frame must never re-derive the caller's upstream
+    // plan if storage is evicted mid-iteration
+    e = graft.Caching.checkpoint(e)
     var eCount = e.count()
     var converged = false
     var i = 0
@@ -149,11 +153,12 @@ object Components {
       // (and itself) attach to their minimum.
       val smallN = large.select(col("hi").as("u"), col("lo").as("v"))
       val mins2 = smallN.groupBy("u").agg(min("v").as("m"))
-      val next = smallN.join(mins2, "u").filter(col("v") =!= col("m"))
-        .select(col("v").as("hi"), col("m").as("lo"))
-        .union(mins2.select(col("u").as("hi"), col("m").as("lo")))
-        .distinct()
-        .localCheckpoint(false) // truncate lineage every round
+      val next = graft.Caching.checkpoint(
+        smallN.join(mins2, "u").filter(col("v") =!= col("m"))
+          .select(col("v").as("hi"), col("m").as("lo"))
+          .union(mins2.select(col("u").as("hi"), col("m").as("lo")))
+          .distinct(),
+        eager = false) // truncate lineage every round
         .persist()
       val nextCount = next.count()
       converged = nextCount == eCount && next.except(e).isEmpty

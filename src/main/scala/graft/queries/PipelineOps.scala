@@ -219,14 +219,17 @@ object PipelineOps {
         edges.groupBy("src").agg(count(lit(1)).as("d")))
       // out-degree is static across rounds: pre-join it onto the edges
       // ONCE, so each iteration is a single equi-join + agg. EAGER
-      // localCheckpoint, not best-effort cache (r12 verdict #1): `ed`
+      // checkpoint, not best-effort cache (r12 verdict #1): `ed`
       // and `nF` are consumed by EVERY power round, and an evicted
       // cache entry would silently re-run the band self-join once per
       // round — the 5× driver-board outlier BENCH_r12 recorded.
-      // Checkpointing materializes once to disk-backed blocks and
-      // truncates lineage, so eviction cannot re-derive it.
-      val ed = edges.join(deg, "src").localCheckpoint()
-      val nF = deg.select(count(lit(1)).as("n")).localCheckpoint()
+      // Checkpointing materializes once and truncates lineage, so
+      // eviction cannot re-derive it; via Caching.checkpoint (r14) the
+      // blocks are also released deterministically at releaseAll
+      // instead of at ContextCleaner GC time.
+      val ed = graft.Caching.checkpoint(edges.join(deg, "src"))
+      val nF = graft.Caching.checkpoint(
+        deg.select(count(lit(1)).as("n")))
       var pr = deg.crossJoin(broadcast(nF))
         .select(col("src").as("id"), (lit(1.0) / col("n")).as("pr"))
       for (_ <- 1 to 5) {

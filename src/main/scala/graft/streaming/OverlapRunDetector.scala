@@ -977,13 +977,28 @@ object OverlapRunDetector {
           // when no live anchor/pending with a smaller (ts_1, id_1)
           // remains — any future completion necessarily carries a
           // larger sort key, so the counter assignment equals the
-          // batch row_number ordering
+          // batch row_number ordering. r14 (advice): live blockers
+          // alone are not enough under out-of-order arrival — a later
+          // micro-batch may deliver a watermark-ADMISSIBLE event with
+          // an earlier event time that anchors a smaller sort key. An
+          // admissible future event has ts >= watermark, so a held
+          // match additionally waits until its anchor ts is STRICTLY
+          // below the watermark (then every future anchor's key is
+          // larger). Without a watermark there is no lateness contract
+          // to hold against; release rests on the blocker check alone
+          // (numbering is then correct for event-time-ordered arrival,
+          // the only order a watermark-free stream can promise).
           if (hasMatchNum && held.nonEmpty) {
             val blockers = anchors.map(a => (us(a.ts1), a.id1)) ++
               pending.map(p => (us(p.ts1), p.id1))
             val minB = blockers.sorted.headOption
+            val wmGate: OvMHeld => Boolean =
+              if (wmEnabled) {
+                val wmUs = state.getCurrentWatermarkMs() * 1000L
+                h => us(h.ts1) < wmUs
+              } else _ => true
             val (rel, keep) = held.sortBy(h => (us(h.ts1), h.id1))
-              .span(h => minB.forall(b =>
+              .span(h => wmGate(h) && minB.forall(b =>
                 Ordering[(Long, Long)].lt((us(h.ts1), h.id1), b)))
             rel.foreach { h =>
               val vs = h.vals.lazyZip(measures).map {
@@ -1008,11 +1023,18 @@ object OverlapRunDetector {
             val ti = tmIsl.toSeq.sortBy(_._1)
             state.update(OverlapMState(open, anchors, pending,
               ti.map(_._1), ti.map(_._2).toList, held, nextNum))
-            if (wmEnabled && (anchors.nonEmpty || pending.nonEmpty))
+            // r14: held matches also arm the timeout — a watermark-
+            // gated release must fire when the watermark passes the
+            // held anchor's ts even if the key never sees another
+            // event (a held item wakes at its ts1 ms: the timeout
+            // fires once wm > that, which makes us(ts1) < wmUs true)
+            if (wmEnabled && (anchors.nonEmpty || pending.nonEmpty ||
+                held.nonEmpty))
               state.setTimeoutTimestamp(math.max(
-                (anchors.map(a => deadline(a.ts1)) ++
+                ((anchors.map(a => deadline(a.ts1)) ++
                   pending.map(p => deadline(p.ts1)))
-                  .map(_ / 1000L + 1).min,
+                  .map(_ / 1000L + 1) ++
+                  held.map(h => us(h.ts1) / 1000L)).min,
                 state.getCurrentWatermarkMs() + 1))
           }
           out.result().iterator

@@ -391,6 +391,68 @@ class MeasureChainSpec extends SparkSpec {
         s"${want.toSet.diff(gotMn.toSet).take(3)}")
   }
 
+  test("overlap MATCH_NUMBER holds to the watermark horizon (r14): an " +
+      "admissible later-batch event with an EARLIER event time still " +
+      "takes the smaller number") {
+    // The r13 held-release freed a match as soon as no LIVE blocker had
+    // a smaller (ts_1, id_1). That is wrong under out-of-order arrival:
+    // batch 1 completes anchor A2 (ts 00:00:10) with no blockers left,
+    // but the watermark is only 00:00:08 — batch 2 may still deliver an
+    // admissible anchor A1 at 00:00:09 whose match must take number 1.
+    // Pre-fix, A2 released as #1 in batch 1; post-fix both hold until
+    // the watermark passes their anchor ts, then release in sort order.
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"measure_ovwm_${System.nanoTime}"
+    val q = OverlapRunDetector.detectMeasures(stream.toDS(),
+        _.event_type == "a", _.event_type == "b", 2, None,
+        30 * 60 * 1000L,
+        Seq(CepSql.SpanAgg("COUNT", "*", "c"), CepSql.MatchNum("mn")),
+        watermarkDelay = Some("5 seconds"))
+      .writeStream.queryName(name).format("memory").outputMode("append")
+      .start()
+    // batch 1: A2 anchors at :10, island :11-:12 closes at :13 -> match
+    // complete; watermark after this batch = :13 - 5s = :08
+    stream.addData(
+      CepEvent(20, Timestamp.valueOf("2026-01-01 00:00:10"), 7, "a", 0.0),
+      CepEvent(21, Timestamp.valueOf("2026-01-01 00:00:11"), 7, "b", 0.0),
+      CepEvent(22, Timestamp.valueOf("2026-01-01 00:00:12"), 7, "b", 0.0),
+      CepEvent(23, Timestamp.valueOf("2026-01-01 00:00:13"), 7, "x", 0.0))
+    q.processAllAvailable()
+    assert(spark.table(name).count() == 0L,
+      "A2's match must HOLD: the watermark (:08) has not passed its " +
+        "anchor ts (:10), so an earlier admissible anchor can still " +
+        "arrive")
+    // batch 2: all events admissible (>= :08) but EARLIER than A2 —
+    // A1 anchors at :09, island :09.2-:09.4 closes at :09.6
+    stream.addData(
+      CepEvent(10, Timestamp.valueOf("2026-01-01 00:00:09"), 7, "a", 0.0),
+      CepEvent(11, Timestamp.valueOf("2026-01-01 00:00:09.2"), 7, "b", 0.0),
+      CepEvent(12, Timestamp.valueOf("2026-01-01 00:00:09.4"), 7, "b", 0.0),
+      CepEvent(13, Timestamp.valueOf("2026-01-01 00:00:09.6"), 7, "x", 0.0))
+    q.processAllAvailable()
+    // flush 1 advances the watermark past both anchors (visible to the
+    // NEXT batch); flush 2 triggers key 7's event-time timeout so the
+    // watermark-gated release fires without another key-7 event
+    stream.addData(CepEvent(-1L,
+      Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "zz", 0.0))
+    q.processAllAvailable()
+    stream.addData(CepEvent(-2L,
+      Timestamp.valueOf("2031-01-02 00:00:00"), -2L, "zz", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name)
+      .filter(org.apache.spark.sql.functions.col("user_id") >= 0L)
+      .collect().map { r =>
+        val sv = r.getSeq[Long](1)
+        sv(0) -> (r.getSeq[Double](5)(0), r.getSeq[Double](5)(1))
+      }.toMap
+    // batch row_number law: A1 (ts :09) is match 1, A2 (ts :10) match 2;
+    // spans cover anchor..run-end inclusive -> COUNT 3 each
+    assert(got === Map(10L -> ((3.0, 1.0)), 20L -> ((3.0, 2.0))),
+      s"got $got")
+  }
+
   test("overlap measures: anchor class refs via the direct API (r12)") {
     implicit val sq = spark.sqlContext
     // anchor class ref (step 1) — not expressible in the dialect for an
