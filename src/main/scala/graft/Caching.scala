@@ -52,6 +52,12 @@ object Caching {
   private val ckptRdds = new java.util.concurrent.ConcurrentLinkedQueue[
     org.apache.spark.rdd.RDD[_]]()
 
+  /** Probe-only escape hatch (BoardContextProbe's A/B arm): `false`
+    * restores the r13 behavior — checkpoint blocks freed only when the
+    * ContextCleaner GCs the RDD object — so the storage-accumulation
+    * mechanism can be measured against the tracked default. */
+  @volatile private[graft] var trackCheckpoints = true
+
   /** Lineage-truncating checkpoint with deterministic release (r14).
     *
     * With a reliable checkpoint dir configured
@@ -68,6 +74,7 @@ object Caching {
   def checkpoint(df: DataFrame, eager: Boolean = true): DataFrame = {
     val sc = df.sparkSession.sparkContext
     if (sc.getCheckpointDir.isDefined) df.checkpoint(eager)
+    else if (!trackCheckpoints) df.localCheckpoint(eager)
     else {
       val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint(eager)
@@ -75,6 +82,17 @@ object Caching {
       out
     }
   }
+
+  // registries elsewhere in the library that memoize frames BUILT ON
+  // tracked caches/checkpoints (e.g. Dedup.bandGraph) must be cleared
+  // when those caches drop, or they would hand out frames over released
+  // blocks — they register a clear hook here (hooks stay registered
+  // across releases; they must be idempotent)
+  private val hooks = new java.util.concurrent.ConcurrentLinkedQueue[
+    () => Unit]()
+
+  /** Register a callback invoked at the END of every [[releaseAll]]. */
+  def onReleaseAll(h: () => Unit): Unit = hooks.add(h)
 
   /** Unpersist every tracked frame and forget it. Blocking=false: the
     * executors drop blocks asynchronously; correctness never depends on
@@ -92,6 +110,7 @@ object Caching {
       try r.unpersist(false) catch { case _: Throwable => () }
       r = ckptRdds.poll()
     }
+    hooks.forEach(h => try h() catch { case _: Throwable => () })
   }
 
   /** Number of live tracked entries (test + diagnostics surface). */

@@ -120,4 +120,68 @@ object Dedup {
 
   /** Hamming distance between two 64-bit signatures (for simhash pairs). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** The shared near-dup band graph (r14, verdict #2): ONE band
+    * self-join, many readouts. Seven of the library's dedup/graph
+    * queries (resolve, keep-best, cluster histogram, split-leakage,
+    * source-overlap matrix, degree power-law, PageRank) and the
+    * triangle counter all consume the same md5-minhash band-collision
+    * graph; built independently, each pays the gram→minhash→band
+    * pipeline plus the band self-join (~0.8–1.2 s at sf0.1 each — and
+    * at 100 TB, a full corpus pass each). A real pipeline materializes
+    * the graph ONCE. [[Dedup.bandGraph]] memoizes per (canonicalized
+    * docs plan, schema), so any number of consumers composed in one
+    * session share:
+    *
+    *  - [[bands]]   (doc_id, band, band_sig) — cached;
+    *  - [[edges]]   (da, db), da < db, distinct — the candidate-pair
+    *                frame, cached (band-equi join, never all-pairs);
+    *  - [[components]] (id, comp) — connected components over the
+    *                edges, computed on FIRST touch (the CC loop runs
+    *                jobs; lazy so edge-only consumers never pay it)
+    *                and then shared;
+    *  - [[resolution]] (id, keeper) — the deletion verdict frame.
+    *
+    * Lifecycle: all four ride [[graft.Caching]]; `releaseAll()` drops
+    * the blocks AND this registry (a clear hook), so a stale graph can
+    * never hand out frames over released storage. Do not hold a
+    * BandGraph reference across a releaseAll — re-call bandGraph. */
+  final class BandGraph private[operators] (docs: DataFrame) {
+    val bands: DataFrame =
+      graft.Caching.cache(graft.queries.TextOps.bandRows(docs))
+    val edges: DataFrame = graft.Caching.cache(
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct())
+    lazy val components: DataFrame =
+      Components.connectedComponents(edges)
+    lazy val resolution: DataFrame =
+      components.select(col("id"), col("comp").as("keeper"))
+  }
+
+  private val graphs = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      org.apache.spark.sql.types.StructType), BandGraph]()
+  @volatile private var hooked = false
+
+  /** Memoized [[BandGraph]] over a documents-shaped frame (doc_id,
+    * text, …): repeated calls with a structurally identical input plan
+    * return the SAME graph, so its band self-join and component
+    * fixpoint run once per session epoch (epoch = until
+    * `Caching.releaseAll()`). */
+  def bandGraph(docs: DataFrame): BandGraph = {
+    if (!hooked) synchronized {
+      if (!hooked) {
+        graft.Caching.onReleaseAll(() => graphs.clear())
+        hooked = true
+      }
+    }
+    // schema joins the key for the same reason as Caching's registry:
+    // canonicalization normalizes attribute names away
+    val key = (docs.queryExecution.analyzed.canonicalized, docs.schema)
+    graphs.computeIfAbsent(key, _ => new BandGraph(docs))
+  }
 }

@@ -875,9 +875,11 @@ object Analytics {
     // plain streaming aggregation (integer adds commute; late data
     // folds in exactly); the smoothed p/q + PSI fold re-derives per
     // trigger from the types×10 bucket frame — constant-size, the
-    // q_seasonal_anom readout stance. No twin needed: the maintained
-    // state IS the batch input, and q_cusum's recovery-pinned twin
-    // already covers the change-detection state class.
+    // q_seasonal_anom readout stance. The stance is EXECUTED since r14
+    // (verdict #5): TimeSeriesOps.psiMarks maintains the cells as
+    // per-type state and re-derives the panel row per trigger —
+    // replay ≡ this key (StreamingTwinSpec) and checkpoint recovery
+    // across the side boundary pinned (RecoverySpec).
     "q_psi" -> ((s, dir) => {
       val e = T(s, dir, "events")
       val cnt = e.groupBy(col("event_type"),
@@ -1209,6 +1211,64 @@ object Analytics {
           (col("j.x") - col("i.x"))).as("slope"))
         .agg(count(lit(1)).as("n_pairs"),
           fround(expr("percentile(slope, 0.5)"), 4).as("slope_med"))
+    }),
+
+    // Benford first-digit panel (r14; Benford 1938/Newcomb 1881,
+    // public): the leading-significant-digit distribution of the value
+    // column against log10(1 + 1/d) — the classic fabricated-data /
+    // synthetic-drift screen an ingest pipeline runs before trusting a
+    // new source's numeric columns. Determinism: the digit comes from
+    // the INTEGER cents string (floor(value·100) — value·100 and its
+    // floor are IEEE-identical cross-engine; a log10-based significand
+    // extraction would ride libm boundaries at exact powers of ten),
+    // expected = ln(1+1/d)/ln(10) on exact small-integer ratios.
+    // Plan: map-side digit extraction, one 9-cell agg — the corpus is
+    // touched once, the fold is digit-bounded at any scale.
+    "q_benford" -> ((s, dir) => {
+      val d = T(s, dir, "events")
+        .select(floor(col("value") * 100).cast("long").as("cv"))
+        .filter(col("cv") >= 1L)
+        .select(substring(col("cv").cast("string"), 1, 1).cast("long")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = d.agg(sum("n").as("nn"))
+      d.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          fround(col("n").cast("double") / col("nn"), 4).as("freq"),
+          fround(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)),
+            4).as("benford"))
+        .orderBy("digit")
+    }),
+
+    // Kendall tau-b (r14; Kendall 1938, public) between daily event
+    // volume and daily active users — the rank-concordance trend
+    // check that, unlike Pearson/Spearman on values, is exact on the
+    // PAIR level: every pair verdict here is an INTEGER sign test
+    // (both series are counts), so nc/nd/ties are cross-engine
+    // bit-identical and only the final ratio rounds. Complements
+    // q_spearman (doc-level ranks) and q_theilsen (slope) on the
+    // calendar-bounded daily frame: |days|²/2 pairs via broadcast
+    // self-join — a decade is 6.7 M pairs, broadcast-joinable forever
+    // (the q_theilsen bound argument verbatim).
+    "q_kendall_tau" -> ((s, dir) => {
+      val daily = T(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("x"),
+          countDistinct(col("user_id")).as("y"))
+      val p = daily.as("i").join(broadcast(daily.as("j")),
+          col("j.d") > col("i.d"))
+        .select((col("j.x") - col("i.x")).as("dx"),
+          (col("j.y") - col("i.y")).as("dy"))
+      p.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("nd"),
+          sum(when(col("dx") === 0, 1L).otherwise(0L)).as("tx"),
+          sum(when(col("dy") === 0, 1L).otherwise(0L)).as("ty"))
+        .select(col("n_pairs"), col("nc"), col("nd"),
+          fround((col("nc") - col("nd")).cast("double") /
+            sqrt(((col("n_pairs") - col("tx")) *
+              (col("n_pairs") - col("ty"))).cast("double")), 4)
+            .as("tau_b"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1242,6 +1302,40 @@ object Analytics {
          SELECT count(*) AS n_pairs,
            floor(quantile_cont(slope, 0.5) * 1e4 + 0.5) / 1e4
              AS slope_med
+         FROM p""",
+    "q_benford" ->
+      """WITH cents AS (
+           SELECT CAST(floor(value * 100) AS BIGINT) AS cv FROM events
+           WHERE floor(value * 100) >= 1),
+         d AS (
+           SELECT CAST(substr(CAST(cv AS VARCHAR), 1, 1) AS BIGINT)
+             AS digit, count(*) AS n
+           FROM cents GROUP BY 1),
+         tot AS (SELECT sum(n) AS nn FROM d)
+         SELECT digit, n,
+           floor(CAST(n AS DOUBLE) / nn * 1e4 + 0.5) / 1e4 AS freq,
+           floor(ln(1 + 1.0 / digit) / ln(10) * 1e4 + 0.5) / 1e4
+             AS benford
+         FROM d, tot ORDER BY digit""",
+    "q_kendall_tau" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d, count(*) AS x,
+             count(DISTINCT user_id) AS y
+           FROM events GROUP BY 1),
+         p AS (
+           SELECT (j.x - i.x) AS dx, (j.y - i.y) AS dy
+           FROM daily i JOIN daily j ON j.d > i.d)
+         SELECT count(*) AS n_pairs,
+           CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nc,
+           CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nd,
+           floor((sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END)
+                - sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END))
+             / sqrt(CAST(
+                 (count(*) - sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END))
+               * (count(*) - sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END))
+               AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS tau_b
          FROM p""",
     "q_funnel" ->
       """WITH su AS (

@@ -169,13 +169,7 @@ object TextOps {
     // event).
     "q_source_overlap" -> ((s, dir) => {
       val d = T(s, dir, "documents")
-      val bands = graft.Caching.cache(bandRows(d))
-      val pairs = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") &&
-          col("a.band_sig") === col("b.band_sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
+      val pairs = graft.operators.Dedup.bandGraph(d).edges
       val src = d.select(col("doc_id"), col("source"))
       pairs
         .join(src.withColumnRenamed("doc_id", "da")
@@ -1369,6 +1363,32 @@ object TextOps {
             pow(col("n") * col("nn") - col("rl") * col("cs"), 2) /
               (col("rl") * col("cs")).cast("double") / col("nn")), 4)
             .as("chi2"))
+    }),
+
+    // Cramér's V (r14; Cramér 1946, public): the chi-squared statistic
+    // NORMALIZED to [0, 1] — V = sqrt(χ² / (N·min(R−1, C−1))) — so the
+    // lang×source dependence is comparable across corpora of different
+    // sizes (χ² itself grows with N even at fixed association; V is
+    // the effect size mixing audits actually threshold on). Same
+    // exact-integer inner difference as q_chi2_indep on the SAME
+    // contingency shape; one corpus pass, |langs|·|sources| cell fold
+    // — domain-bounded regardless of corpus size.
+    "q_cramers_v" -> ((s, dir) => {
+      val cells = T(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val r = cells.groupBy("lang").agg(sum("n").as("rl"))
+      val c = cells.groupBy("source").agg(sum("n").as("cs"))
+      val tot = cells.agg(sum("n").as("nn"))
+      cells.join(broadcast(r), "lang").join(broadcast(c), "source")
+        .crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("n_cells"), sum("n").as("n_docs"),
+          fround(sqrt(
+            sum(pow(col("n") * col("nn") - col("rl") * col("cs"), 2) /
+              (col("rl") * col("cs")).cast("double") / col("nn")) /
+            (max(col("nn")) *
+              (least(countDistinct(col("lang")),
+                countDistinct(col("source"))) - 1)).cast("double")), 4)
+            .as("v"))
     })
   )
 
@@ -2229,6 +2249,21 @@ object TextOps {
              * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
            floor(sum(power(CAST(n * nn - rl * cs AS DOUBLE), 2)
              / CAST(rl * cs AS DOUBLE) / nn) * 1e4 + 0.5) / 1e4 AS chi2
+         FROM cells JOIN r USING (lang) JOIN c USING (source), tot""",
+    "q_cramers_v" ->
+      """WITH cells AS (
+           SELECT lang, source, count(*) AS n FROM documents
+           GROUP BY 1, 2),
+         r AS (SELECT lang, sum(n) AS rl FROM cells GROUP BY 1),
+         c AS (SELECT source, sum(n) AS cs FROM cells GROUP BY 1),
+         tot AS (SELECT sum(n) AS nn FROM cells)
+         SELECT count(*) AS n_cells, CAST(sum(n) AS BIGINT) AS n_docs,
+           floor(sqrt(
+             sum(power(CAST(n * nn - rl * cs AS DOUBLE), 2)
+               / CAST(rl * cs AS DOUBLE) / nn)
+             / CAST(max(nn) * (least(count(DISTINCT lang),
+                 count(DISTINCT source)) - 1) AS DOUBLE)) * 1e4 + 0.5)
+             / 1e4 AS v
          FROM cells JOIN r USING (lang) JOIN c USING (source), tot"""
   )
 

@@ -120,19 +120,21 @@ object ContinuousQueries {
     * MATCH_NUMBER (r13 session 2: completions HOLD until no live
     * anchor/pending with a smaller (ts_1, id_1) remains, then release
     * in sort order on a persistent per-key counter —
-    * [[OverlapRunDetector.detectMeasures]]). The remaining
-    * batch-only forms, each rejected loudly with a pointer to
-    * [[CepSql.sql]]: overlap at a non-head boundary (OverlapRunSpec
-    * pins the counterexample) / reluctant overlap WITH tails (the
-    * plain reluctant head `A THEN B{m,}?` streams since r13 s2 —
-    * emission fixes at the island's m-th event) / MEASURES × the
-    * absent overlap form (absent × measures
-    * is absent from the BATCH rewrite too — parity, not a gap);
-    * optional steps × quantifiers reject at PARSE for both engines;
-    * `{1,}?` outside the 2-step head; bounded lazy
-    * `{m,n}?` (rejected at parse). Measures × reluctant stream
-    * since r8 (lazy completions fold POST — the m-th event is a span
-    * row, unlike a greedy closure).
+    * [[OverlapRunDetector.detectMeasures]]). RELUCTANT overlap heads
+    * stream WITH tails since r14 (verdict r13 #3): the truncated match
+    * fixes at the island's m-th event, which then plays the island
+    * close's role as the pendings' birth point — completion, absent,
+    * and quantified-tail forms all compose, m = 1 included. The
+    * remaining batch-only forms, each rejected loudly with a pointer
+    * to [[CepSql.sql]]: overlap at a non-head boundary (OverlapRunSpec
+    * pins the counterexample) / MEASURES × the reluctant or absent
+    * overlap forms (absent × measures is absent from the BATCH rewrite
+    * too — parity, not a gap); optional steps × quantifiers reject at
+    * PARSE for both engines; `{1,}?` outside the 2-step head or an
+    * overlap head; bounded lazy `{m,n}?` (rejected at parse).
+    * Measures × reluctant stream since r8 on NON-overlap chains (lazy
+    * completions fold POST — the m-th event is a span row, unlike a
+    * greedy closure).
     *
     * The source view must be a STREAMING view with the events-table
     * converter schema `(event_id, ts, user_id, event_type, value)` and
@@ -157,15 +159,33 @@ object ContinuousQueries {
       spec.steps.head.minTimes.isDefined &&
       spec.steps.head.maxTimes.isEmpty &&
       spec.steps.last.minTimes.isEmpty && spec.measures.isEmpty
+    // r14: the OVERLAP head `A THEN B{m,}?` admits m = 1 too — the
+    // island's 1st event is a well-defined emission point for the
+    // OverlapRunDetector engine (the greedy-close fast paths that
+    // assume m >= 2 belong to RunChainDetector's mid-chain lazy mode,
+    // which the overlap dispatch never uses)
+    val lazyOverlapHead = spec.steps.length >= 2 &&
+      spec.steps(1).reluctant && spec.steps(1).minTimes.isDefined &&
+      spec.steps(1).maxTimes.isEmpty && spec.measures.isEmpty &&
+      spec.steps.head.events.toSet
+        .intersect(spec.steps(1).events.toSet).nonEmpty
     if (spec.steps.exists(st => st.reluctant && st.minTimes.contains(1)) &&
-        !lazy2Step)
+        !lazy2Step && !lazyOverlapHead)
       throw new IllegalArgumentException(
         "reluctant {1,}? streams only as the head of a 2-step pattern " +
-          "— run the batch rewrite via CepSql.sql for other positions")
+          "or over an overlap head (r14) — run the batch rewrite via " +
+          "CepSql.sql for other positions")
     val src0 = spark.table(spec.table)
     require(src0.isStreaming,
       s"'${spec.table}' resolved to a batch view — submitPattern runs " +
         "patterns CONTINUOUSLY; for a one-shot answer use CepSql.sql")
+    // loud per-key state circuit breaker (r14, verdict #6): caps live
+    // anchors + pendings per key on the overlap family — the one
+    // detector class whose in-flight candidates are linear in the
+    // window content under a hostile key. Breach FAILS the query with
+    // a named error, never a silent drop.
+    val maxPendings: Option[Int] =
+      spark.conf.getOption("spark.graft.cep.maxPendings").map(_.toInt)
     import org.apache.spark.sql.functions.col
     implicit val enc = org.apache.spark.sql.Encoders.product[CepEvent]
     val src = src0.select(col("event_id").cast("long"), col("ts"),
@@ -287,7 +307,10 @@ object ContinuousQueries {
             spec.withinMs, spec.measures, Some(lateness),
             tail = sts.drop(2).map(stepPred),
             tailQuant = sts.drop(2).map(s =>
-              s.minTimes.map(m => (m, s.maxTimes))))
+              s.minTimes.map(m => (m, s.maxTimes))),
+            maxPendings =
+              spark.conf.getOption("spark.graft.cep.maxPendings")
+                .map(_.toInt))
         } else RunChainDetector.detectMeasures(srcWm,
           spec.steps.map(s => (stepPred(s), s.minTimes)), spec.withinMs,
           spec.steps.map(_.maxTimes), spec.measures,
@@ -410,11 +433,19 @@ object ContinuousQueries {
                 pair.head.events.toSet.intersect(
                   pair.last.events.toSet).nonEmpty)
           }
-          val base = onlyHeadOv && sts(1).minTimes.isDefined &&
+          val baseCore = onlyHeadOv && sts(1).minTimes.isDefined &&
             sts.head.events.toSet.intersect(sts(1).events.toSet)
               .nonEmpty &&
-            sts.head.minTimes.isEmpty && !sts.exists(_.optional) &&
-            !sts.exists(_.reluctant)
+            sts.head.minTimes.isEmpty && !sts.exists(_.optional)
+          val base = baseCore && !sts.exists(_.reluctant)
+          // r14 (verdict #3): a RELUCTANT head composes with tails —
+          // the truncated match fixes at the island's m-th event,
+          // which then plays the island close's role as the pendings'
+          // birth point; tails advance via the shared greedy
+          // machinery. The head must be unbounded ({m,n}? rejects at
+          // parse) and tail steps themselves greedy.
+          val baseR = baseCore && sts(1).reluctant &&
+            sts(1).maxTimes.isEmpty && !sts.drop(2).exists(_.reluctant)
           // quantified TAIL steps stream since r13 (non-absent only):
           // each gets its own shared island tracker in the detector,
           // advancing pendings at island close — the batch rank-1-by-
@@ -428,12 +459,13 @@ object ContinuousQueries {
           // tail steps (the trailing NOT is a class, never a run — the
           // parser cannot produce a quantified NOT, so the last spec is
           // always unquantified here)
-          val streamableN = base && sts.length >= 3
+          val streamableN = (base || baseR) && sts.length >= 3
           if (streamable2)
             return submitMemory(OverlapRunDetector.detectWhere(src,
               stepPred(sts.head), stepPred(sts(1)),
               sts(1).minTimes.get, sts(1).maxTimes,
-              spec.withinMs, Some(lateness)).toDF(), name, "append")
+              spec.withinMs, Some(lateness),
+              maxPendings = maxPendings).toDF(), name, "append")
           // RELUCTANT overlap head `A THEN B{m,}?` (r13 session 2):
           // the truncated run fixes at the island's m-th event, so
           // emission is immediate there — see
@@ -447,17 +479,20 @@ object ContinuousQueries {
             return submitMemory(OverlapRunDetector.detectReluctantWhere(
               src, stepPred(sts.head), stepPred(sts(1)),
               sts(1).minTimes.get, spec.withinMs,
-              Some(lateness)).toDF(), name, "append")
+              Some(lateness), maxPendings = maxPendings).toDF(),
+              name, "append")
           if (streamable3 && !spec.absent)
             return submitMemory(OverlapRunDetector.detectFollowWhere(
               src, stepPred(sts.head), stepPred(sts(1)),
               sts(1).minTimes.get, sts(1).maxTimes, stepPred(sts(2)),
-              spec.withinMs, Some(lateness)).toDF(), name, "append")
+              spec.withinMs, Some(lateness),
+              maxPendings = maxPendings).toDF(), name, "append")
           if (streamable3 && spec.absent)
             return submitMemory(OverlapRunDetector.detectAbsentWhere(
               src, stepPred(sts.head), stepPred(sts(1)),
               sts(1).minTimes.get, sts(1).maxTimes, stepPred(sts(2)),
-              spec.withinMs, lateness).toDF(), name, "append")
+              spec.withinMs, lateness,
+              maxPendings = maxPendings).toDF(), name, "append")
           if (streamableN) {
             // flatten the tail arrays back to the batch rewrite's
             // columns: len_i + ts_i for a quantified tail step (the
@@ -468,7 +503,9 @@ object ContinuousQueries {
               stepPred(sts.head), stepPred(sts(1)),
               sts(1).minTimes.get, sts(1).maxTimes,
               sts.drop(2).map(stepPred), spec.absent, spec.withinMs,
-              Some(lateness), tailQuant = tailQuantSpecs).toDF()
+              Some(lateness), tailQuant = tailQuantSpecs,
+              reluctant = sts(1).reluctant,
+              maxPendings = maxPendings).toDF()
             val nTail = if (spec.absent) sts.length - 3 else sts.length - 2
             val idCols = (0 until nTail).map { i =>
               val nm = if (tailQuantSpecs(i).isDefined) "len" else "id"
@@ -486,9 +523,9 @@ object ContinuousQueries {
               "streams only in the head family `A THEN B{m,}[?] " +
               "[THEN C[{k,}] THEN D … [THEN NOT Z]]` (quantified " +
               "positive tail steps since r13, completion and absent " +
-              "forms; the reluctant 2-step head since r13 s2) — for " +
-              "overlap at a later boundary, reluctant with tails, or " +
-              "optional steps use the batch rewrite via CepSql.sql")
+              "forms; reluctant heads — with or without tails — since " +
+              "r14) — for overlap at a later boundary or optional " +
+              "steps use the batch rewrite via CepSql.sql")
         }
         // watermarked input (r8): the detector's pruning horizon reads
         // getCurrentWatermarkMs — un-watermarked it fell back to the

@@ -181,15 +181,22 @@ case class OverlapMState(open: Option[OvMIsland], anchors: List[OvMAnchor],
   * pendings advance at island close under the batch
   * rank-1-by-run_start law — in completion AND absent forms; the
   * RELUCTANT head `A THEN B{m,}?` (r13 s2) emits at the island's m-th
-  * event, where the truncated match is fully determined.
+  * event, where the truncated match is fully determined — and since
+  * r14 composes with ANY tail (verdict r13 #3): with tails present the
+  * m-th event parks the anchor as a PENDING instead of emitting — the
+  * exact role the island close plays for a greedy head — after which
+  * completion, absence, and quantified tail steps ride the shared
+  * machinery unchanged (m = 1 included: the island's first event is a
+  * well-defined emission point here).
   *
   * Still batch-only (loudly rejected upstream, SubmitSqlSpec-pinned):
   * overlap at a NON-HEAD boundary (step i ≥ 2 overlapping step i+1 —
   * the island tracker is anchored to the head; a mid-chain overlap
   * would need one shared tracker PER PREFIX POSITION — OverlapRunSpec
-  * pins the counterexample), reluctant WITH tails, and MEASURES × the
-  * absent form (absent from the BATCH rewrite too — parity);
-  * optional steps × quantifiers reject at parse in both engines.
+  * pins the counterexample), and MEASURES × the reluctant or absent
+  * forms (absent × measures is absent from the BATCH rewrite too —
+  * parity); optional steps × quantifiers reject at parse in both
+  * engines.
   */
 object OverlapRunDetector {
   private def us(t: Timestamp): Long =
@@ -232,15 +239,41 @@ object OverlapRunDetector {
       ti.map(_._2.startUs), ti.map(_._2.endUs))
   }
 
+  /** Loud per-key state circuit breaker (r14, verdict #6): the overlap
+    * family's anchors/pendings are window-bound but still LINEAR in
+    * matches-in-flight, so a hostile key (every event anchors, nothing
+    * ever resolves) can grow a single key's state to the window's
+    * content. `maxPendings` caps live anchors + pendings per key: on
+    * breach the detector THROWS (failing the query with a named error —
+    * never a silent drop, which would corrupt the match set), giving
+    * operators a circuit breaker to size against their window.
+    * Configure via `spark.graft.cep.maxPendings` for submitPattern
+    * text queries, or pass directly on the detector APIs. */
+  private def checkCap(maxPendings: Option[Int], user: Long,
+      nAnchors: Int, nPendings: Int): Unit =
+    maxPendings.foreach { cap =>
+      if (nAnchors + nPendings > cap)
+        throw new IllegalStateException(
+          s"graft CEP state cap exceeded for key $user: $nAnchors live " +
+            s"anchors + $nPendings pendings > maxPendings=$cap — the " +
+            "key's in-window match candidates outgrew the configured " +
+            "bound (spark.graft.cep.maxPendings); widen the cap, " +
+            "shrink WITHIN, or quarantine the key upstream. Failing " +
+            "loudly: silently dropping candidates would corrupt the " +
+            "match set.")
+    }
+
   /** Greedy 2-step `A THEN B{m,}` (r11 original form). */
   def detectWhere(events: Dataset[CepEvent],
       anchorPred: CepEvent => Boolean, runPred: CepEvent => Boolean,
       minLen: Int, maxLen: Option[Int], withinMs: Long,
-      watermarkDelay: Option[String] = None)
+      watermarkDelay: Option[String] = None,
+      maxPendings: Option[Int] = None)
       : Dataset[OverlapChainMatch] = {
     implicit val matchEnc = Encoders.product[OverlapChainMatch]
     engine(events, anchorPred, runPred, minLen, maxLen, Nil,
-      absent = false, withinMs, watermarkDelay)
+      absent = false, withinMs, watermarkDelay,
+      maxPendings = maxPendings)
       .map(m => OverlapChainMatch(m.user_id, m.id_1, m.len_2,
         m.ts_1, m.ts_2))
   }
@@ -263,11 +296,13 @@ object OverlapRunDetector {
   def detectReluctantWhere(events: Dataset[CepEvent],
       anchorPred: CepEvent => Boolean, runPred: CepEvent => Boolean,
       minLen: Int, withinMs: Long,
-      watermarkDelay: Option[String] = None)
+      watermarkDelay: Option[String] = None,
+      maxPendings: Option[Int] = None)
       : Dataset[OverlapChainMatch] = {
     implicit val matchEnc = Encoders.product[OverlapChainMatch]
     engine(events, anchorPred, runPred, minLen, None, Nil,
-      absent = false, withinMs, watermarkDelay, reluctant = true)
+      absent = false, withinMs, watermarkDelay, reluctant = true,
+      maxPendings = maxPendings)
       .map(m => OverlapChainMatch(m.user_id, m.id_1, m.len_2,
         m.ts_1, m.ts_2))
   }
@@ -278,11 +313,13 @@ object OverlapRunDetector {
       anchorPred: CepEvent => Boolean, runPred: CepEvent => Boolean,
       minLen: Int, maxLen: Option[Int],
       followPred: CepEvent => Boolean, withinMs: Long,
-      watermarkDelay: Option[String] = None)
+      watermarkDelay: Option[String] = None,
+      maxPendings: Option[Int] = None)
       : Dataset[OverlapChain3Match] = {
     implicit val matchEnc = Encoders.product[OverlapChain3Match]
     engine(events, anchorPred, runPred, minLen, maxLen,
-      Seq(followPred), absent = false, withinMs, watermarkDelay)
+      Seq(followPred), absent = false, withinMs, watermarkDelay,
+      maxPendings = maxPendings)
       .map(m => OverlapChain3Match(m.user_id, m.id_1, m.len_2,
         m.tail_ids.head, m.ts_1, m.ts_2, m.tail_ts.head))
   }
@@ -294,10 +331,12 @@ object OverlapRunDetector {
       anchorPred: CepEvent => Boolean, runPred: CepEvent => Boolean,
       minLen: Int, maxLen: Option[Int],
       followPred: CepEvent => Boolean, withinMs: Long,
-      watermarkDelay: String): Dataset[OverlapChainMatch] = {
+      watermarkDelay: String,
+      maxPendings: Option[Int] = None): Dataset[OverlapChainMatch] = {
     implicit val matchEnc = Encoders.product[OverlapChainMatch]
     engine(events, anchorPred, runPred, minLen, maxLen,
-      Seq(followPred), absent = true, withinMs, Some(watermarkDelay))
+      Seq(followPred), absent = true, withinMs, Some(watermarkDelay),
+      maxPendings = maxPendings)
       .map(m => OverlapChainMatch(m.user_id, m.id_1, m.len_2,
         m.ts_1, m.ts_2))
   }
@@ -323,13 +362,15 @@ object OverlapRunDetector {
       minLen: Int, maxLen: Option[Int],
       tail: Seq[CepEvent => Boolean], absent: Boolean, withinMs: Long,
       watermarkDelay: Option[String] = None,
-      tailQuant: Seq[Option[(Int, Option[Int])]] = Nil)
+      tailQuant: Seq[Option[(Int, Option[Int])]] = Nil,
+      reluctant: Boolean = false,
+      maxPendings: Option[Int] = None)
       : Dataset[OverlapChainNMatch] = {
     require(tail.nonEmpty,
       "detectChainWhere wants at least one tail step — use detectWhere " +
         "for the plain 2-step form")
     engine(events, anchorPred, runPred, minLen, maxLen, tail, absent,
-      withinMs, watermarkDelay, tailQuant)
+      withinMs, watermarkDelay, tailQuant, reluctant, maxPendings)
   }
 
   private def engine(events: Dataset[CepEvent],
@@ -338,12 +379,17 @@ object OverlapRunDetector {
       tail: Seq[CepEvent => Boolean], absent: Boolean,
       withinMs: Long, watermarkDelay: Option[String],
       tailQuant: Seq[Option[(Int, Option[Int])]] = Nil,
-      reluctant: Boolean = false)
+      reluctant: Boolean = false,
+      maxPendings: Option[Int] = None)
       : Dataset[OverlapChainNMatch] = {
-    require(!reluctant || (tail.isEmpty && !absent && maxLen.isEmpty),
-      "the reluctant overlap form streams only as the plain 2-step " +
-        "head `A THEN B{m,}?` — tails/absence/bounds go through the " +
-        "batch rewrite via CepSql.sql")
+    // r14 (verdict #3): reluctant × tails composes — the reluctant head
+    // fixes the anchor's match at the island's m-th event (run_len = m,
+    // run_end = that event's ts), after which tails advance exactly as
+    // the greedy form's pendings do (the m-th event plays the island
+    // close's role as the pending's birth point). Only the bounded lazy
+    // form stays out (rejects at parse engine-wide).
+    require(!reluctant || maxLen.isEmpty,
+      "bounded reluctant {m,n}? rejects at parse engine-wide")
     implicit val matchEnc = Encoders.product[OverlapChainNMatch]
     implicit val stateEnc = Encoders.product[OverlapChainState]
     implicit val keyEnc = Encoders.scalaLong
@@ -580,8 +626,19 @@ object OverlapRunDetector {
                   val o = open.get
                   anchors = anchors.flatMap { a =>
                     if (us(o.start) > us(a.ts1) && t <= deadline(a.ts1)) {
-                      out += OverlapChainNMatch(user, a.id1,
-                        minLen.toLong, a.ts1, e.ts, Nil, Nil)
+                      // with tails (r14) the truncated head parks the
+                      // anchor as a pending — the m-th event is this
+                      // pending's birth point, exactly the role the
+                      // island CLOSE plays for a greedy head; tails
+                      // then advance via the shared machinery above
+                      // (strictly-after keeps this very event from
+                      // serving its own tail)
+                      if (tail.isEmpty)
+                        out += OverlapChainNMatch(user, a.id1,
+                          minLen.toLong, a.ts1, e.ts, Nil, Nil)
+                      else
+                        pending ::= OvPending(a.id1, a.ts1,
+                          minLen.toLong, e.ts, Nil, Nil)
                       Nil
                     } else List(a)
                   }
@@ -600,6 +657,10 @@ object OverlapRunDetector {
               //    both classes the island now CONTAINS e, and its start
               //    <= ts_1 correctly fails the strictly-after test)
               if (anchorPred(e)) anchors = anchors :+ OvAnchor(e.event_id, e.ts)
+              // loud per-key circuit breaker (r14, verdict #6) —
+              // checked per event so a single hostile micro-batch
+              // cannot balloon past the cap before a batch-end check
+              checkCap(maxPendings, user, anchors.length, pending.length)
             }
           }
 
@@ -648,7 +709,8 @@ object OverlapRunDetector {
       measures: Seq[CepSql.Measure],
       watermarkDelay: Option[String] = None,
       tail: Seq[CepEvent => Boolean] = Nil,
-      tailQuant: Seq[Option[(Int, Option[Int])]] = Nil)
+      tailQuant: Seq[Option[(Int, Option[Int])]] = Nil,
+      maxPendings: Option[Int] = None)
       : Dataset[RunChainMeasured] = {
     require(measures.nonEmpty, "at least one measure")
     val quant: Seq[Option[(Int, Option[Int])]] =
@@ -971,6 +1033,8 @@ object OverlapRunDetector {
               anchors = anchors :+ OvMAnchor(e.event_id, e.ts,
                 evA, 1L, evA, evA, slots)
             }
+            // loud per-key circuit breaker (r14, verdict #6)
+            checkCap(maxPendings, user, anchors.length, pending.length)
           }
           // ordered MATCH_NUMBER release (r13 session 2), ONCE per
           // invocation after the whole batch: a held match releases

@@ -615,6 +615,60 @@ object TimeSeriesOps {
       }
   }
 
+  case class PsiRow(event_type: String, n_first: Long, n_second: Long,
+      psi: Double)
+  case class PsiState(c0: Seq[Long], c1: Seq[Long])
+
+  /** Streaming twin of `q_psi` (r14, verdict #5 — the drift-panel
+    * stance EXECUTED): the maintained state per event type is exactly
+    * the batch key's input — the 10-bucket × 2-side count cells (20
+    * longs, CONSTANT per key; integer adds commute, so arrival order
+    * and cross-batch splits are immaterial, the cdcCompact class) —
+    * and each micro-batch re-derives the smoothed p/q + PSI fold from
+    * those cells at constant cost, emitting the key's current panel
+    * row (Update mode, upsert-sink contract: downstream keeps the
+    * newest row per type — `n_first + n_second` is monotone, so the
+    * max-count row IS the newest). Replaying the events table
+    * reproduces the oracle-checked batch key exactly
+    * (StreamingTwinSpec law; checkpoint-recovery pinned in
+    * RecoverySpec). Bucket/side arithmetic is the batch key's
+    * verbatim: bucket = least(9, floor(value/33)), side = ts before /
+    * from 2024-01-16 UTC, add-1 smoothing on the full 10-bucket spine,
+    * psi folded in ascending bucket order, 4-dp round. */
+  def psiMarks(events: Dataset[CepEvent]): Dataset[PsiRow] = {
+    implicit val rowEnc = Encoders.product[PsiRow]
+    implicit val stEnc = Encoders.product[PsiState]
+    implicit val keyEnc = Encoders.STRING
+    val cutUs = java.time.LocalDateTime.of(2024, 1, 16, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[PsiState, PsiRow](OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (ty: String, it: Iterator[CepEvent],
+            state: GroupState[PsiState]) =>
+          val c0 = state.getOption.map(_.c0.toArray)
+            .getOrElse(Array.fill(10)(0L))
+          val c1 = state.getOption.map(_.c1.toArray)
+            .getOrElse(Array.fill(10)(0L))
+          it.foreach { e =>
+            val b = math.min(9L, math.floor(e.value / 33.0).toLong).toInt
+            if (us(e.ts) < cutUs) c0(b) += 1L else c1(b) += 1L
+          }
+          state.update(PsiState(c0.toSeq, c1.toSeq))
+          val t0 = c0.sum
+          val t1 = c1.sum
+          var psi = 0.0
+          var b = 0
+          while (b < 10) {
+            val p = (c0(b) + 1).toDouble / (t0 + 10)
+            val q = (c1(b) + 1).toDouble / (t1 + 10)
+            psi += (p - q) * math.log(p / q)
+            b += 1
+          }
+          Iterator.single(PsiRow(ty, t0, t1, r4(psi)))
+      }
+  }
+
   case class LocfRow(event_type: String, h: Timestamp, filled: Double,
       is_observed: Boolean)
   case class LocfState(hour: Long, sum: Double, cnt: Long)

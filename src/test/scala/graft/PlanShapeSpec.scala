@@ -783,4 +783,35 @@ class PlanShapeSpec extends SparkSpec {
       "carry = union + per-key window pass")
     graft.Caching.releaseAll()
   }
+
+  test("Dedup.bandGraph: consumers composed in one session share ONE " +
+      "band graph — and releaseAll retires it (r14, verdict #2)") {
+    import graft.operators.Dedup
+    graft.Caching.releaseAll()
+    val docs = Tables.table(spark, sf, "documents")
+    val g1 = Dedup.bandGraph(docs)
+    // a structurally identical plan (fresh read of the same table) maps
+    // to the SAME graph — this is what lets seven query keys composed
+    // in one session pay the band self-join once
+    val g2 = Dedup.bandGraph(Tables.table(spark, sf, "documents"))
+    assert(g1 eq g2, "structurally identical docs plans must memoize")
+    // the component fixpoint runs on FIRST touch and is then shared:
+    // the second access returns the same frame object (lazy val), so a
+    // resolution consumer after a components consumer adds zero jobs
+    assert(g1.components eq g2.components)
+    // end-to-end: two declared keys that both ride the graph agree with
+    // their standalone semantics while sharing the build
+    val nResolved = SparkEntry.queries("q_dedup_resolve")(spark, sf).count()
+    val hist = SparkEntry.queries("q_dedup_cluster_hist")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).head.getLong(0)
+    assert(nResolved == hist,
+      s"histogram docs ($hist) must census the resolved frame " +
+        s"($nResolved)")
+    // epoch end: releaseAll clears the registry so a stale graph can
+    // never hand out frames over released blocks
+    graft.Caching.releaseAll()
+    val g3 = Dedup.bandGraph(Tables.table(spark, sf, "documents"))
+    assert(!(g3 eq g1), "releaseAll must retire the memoized graph")
+    graft.Caching.releaseAll()
+  }
 }

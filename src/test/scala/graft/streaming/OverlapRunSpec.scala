@@ -607,6 +607,121 @@ class OverlapRunSpec extends SparkSpec {
     }
   }
 
+  test("reluctant overlap head WITH tails: streaming == batch on " +
+      "randomized dense fixtures (r14, verdict #3 — the m-th event " +
+      "parks pendings; completion, absent, quantified and " +
+      "overlapping-class tails, m = 1 included)") {
+    implicit val sq = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val types = Array("b", "b", "c", "d", "x")
+    val bP = (e: CepEvent) => e.event_type == "b"
+    val cP = (e: CepEvent) => e.event_type == "c"
+    val dP = (e: CepEvent) => e.event_type == "d"
+    // (tail text, tail preds, tail quant, flattened cols, absent, m)
+    val forms: Seq[(String, Seq[CepEvent => Boolean],
+        Seq[Option[(Int, Option[Int])]], Seq[String], Boolean, Int)] = Seq(
+      ("THEN c", Seq(cP), Seq(None), Seq("id_3"), false, 2),
+      // tail class OVERLAPS the head run's: the (m+1)-th b can serve it
+      ("THEN b", Seq(bP), Seq(None), Seq("id_3"), false, 2),
+      ("THEN c THEN d", Seq(cP, dP), Seq(None, None),
+        Seq("id_3", "id_4"), false, 2),
+      ("THEN c{2,}", Seq(cP), Seq(Some((2, None))), Seq("len_3"),
+        false, 2),
+      ("THEN NOT c", Seq(cP), Seq(None), Nil, true, 2),
+      ("THEN c{1,} THEN NOT d", Seq(cP, dP), Seq(Some((1, None)), None),
+        Seq("len_3"), true, 2),
+      // m = 1 (r14: admitted for the overlap head)
+      ("THEN c", Seq(cP), Seq(None), Seq("id_3"), false, 1))
+    for (seed <- 1 to 4; ((tailTxt, tailPreds, tq, tcols, absent, m), fi)
+        <- forms.zipWithIndex) {
+      val rnd = new scala.util.Random(seed * 2000 + fi)
+      val rows = (1 to 90).map { id =>
+        CepEvent(id.toLong, new Timestamp(t0 + rnd.nextInt(600) * 1000L),
+          (1 + rnd.nextInt(3)).toLong, types(rnd.nextInt(5)), 0.0)
+      }.sortBy(e => (e.ts.getTime, e.event_id))
+      val tag = s"rt${seed}_$fi"
+      import spark.implicits._
+      rows.toDF().createOrReplaceTempView(s"ev_ovrt_$tag")
+      val cols = Seq("user_id", "id_1", "len_2") ++ tcols
+      val batch = CepSql.sql(spark,
+        s"""SELECT * FROM ev_ovrt_$tag
+           MATCH PATTERN (b THEN b{$m,}? $tailTxt WITHIN '2' MINUTES)
+           PARTITION BY user_id""")
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      val stream = MemoryStream[CepEvent]
+      val name = s"ovrt_$tag"
+      val det = OverlapRunDetector.detectChainWhere(stream.toDS(),
+        bP, bP, m, None, tailPreds, absent = absent, 2 * 60 * 1000L,
+        Some("5 seconds"), tailQuant = tq, reluctant = true).toDF()
+      val q = det.writeStream.queryName(name).format("memory")
+        .outputMode("append").start()
+      try {
+        rows.grouped(20).foreach { c =>
+          stream.addData(c); q.processAllAvailable()
+        }
+        // flush: closes trailing tail islands; for the absent forms the
+        // advanced watermark drives the no-Z verdicts
+        stream.addData((1 to 3).map(u => CepEvent(-u.toLong,
+          Timestamp.valueOf("2026-01-02 00:00:00"), u.toLong, "zz", 0.0)))
+        q.processAllAvailable()
+        stream.addData(Seq(CepEvent(-9L,
+          Timestamp.valueOf("2026-01-03 00:00:00"), 9L, "zz", 0.0)))
+        q.processAllAvailable()
+        val flat = Seq(col("user_id"), col("id_1"), col("len_2")) ++
+          tcols.zipWithIndex.map { case (nm, i) =>
+            col("tail_ids").getItem(i).as(nm) }
+        val got = spark.table(name).select(flat: _*)
+          .collect().map(_.toSeq).toSet
+        assert(got === batch,
+          s"seed $seed m=$m form '$tailTxt': " +
+            s"${got.diff(batch).take(3)} extra, " +
+            s"${batch.diff(got).take(3)} missing " +
+            s"(${got.size} streamed vs ${batch.size} batch)")
+      } finally {
+        if (q.isActive) q.stop()
+        spark.catalog.dropTempView(s"ev_ovrt_$tag")
+      }
+    }
+  }
+
+  test("reluctant overlap with tails through the dialect dispatch " +
+      "(r14): submitPattern routes it; values == batch") {
+    implicit val sq = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def evAt(id: Long, secs: Int, ty: String) =
+      CepEvent(id, new Timestamp(t0 + secs * 1000L), 7L, ty, 0.0)
+    val fixture = Seq(
+      evAt(1, 0, "b"), evAt(2, 2, "x"),
+      evAt(3, 5, "b"), evAt(4, 10, "b"), evAt(5, 12, "b"),
+      // island [3..5]: the 2nd event (id 4) fixes the truncated match
+      // for anchor b1; id 5 extends the island but not the match
+      evAt(6, 20, "c"), evAt(7, 30, "x")) // c serves the tail
+    import spark.implicits._
+    fixture.toDF().createOrReplaceTempView("ev_ovrtd")
+    val batch = CepSql.sql(spark,
+      """SELECT * FROM ev_ovrtd
+         MATCH PATTERN (b THEN b{2,}? THEN c WITHIN '30' MINUTES)
+         PARTITION BY user_id""")
+      .select("user_id", "id_1", "len_2", "id_3").collect()
+      .map(_.toSeq).toSet
+    assert(batch.nonEmpty, "fixture must match in batch")
+    val stream = MemoryStream[CepEvent]
+    stream.toDF().createOrReplaceTempView("ev_ovrtd_s")
+    val name = s"ovrtd_${System.nanoTime}"
+    val q = ContinuousQueries.submitPattern(spark,
+      """SELECT * FROM ev_ovrtd_s
+         MATCH PATTERN (b THEN b{2,}? THEN c WITHIN '30' MINUTES)
+         PARTITION BY user_id""", name, lateness = "0 seconds")
+    try {
+      stream.addData(fixture)
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select("user_id", "id_1", "len_2", "id_3").collect()
+        .map(_.toSeq).toSet
+      assert(got === batch, s"$got vs $batch")
+    } finally if (q.isActive) q.stop()
+  }
+
   test("non-head overlap boundary stays batch-only: the pinned " +
       "counterexample a per-partial tracker would get wrong (r12)") {
     // `a THEN b THEN b{2,}` on a b1 b2 b3: step 2 takes b1; the ONLY

@@ -495,6 +495,67 @@ class RecoverySpec extends SparkSpec {
         "the recovery assertion would be vacuous")
   }
 
+  test("PSI twin resumes from checkpoint: bucket cells survive (r14)") {
+    // TimeSeriesOps.psiMarks keeps the 10x2 count cells per type; a
+    // restart mid-stream must restore them or every post-restart panel
+    // row is computed from second-half counts only. Update mode -> the
+    // sink is foreachBatch-append (parquet rejects update); the NEWEST
+    // row per type (max n_first + n_second, monotone) after the second
+    // half must equal the oracle-gated q_psi batch key exactly.
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_psi_in").toFile
+    val outDir = Files.createTempDirectory("graft_psi_out").toFile
+    val ckpt = Files.createTempDirectory("graft_psi_ckpt").toFile
+    val events = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val schema = events.schema
+    def startQuery() =
+      TimeSeriesOps.psiMarks(
+          Sources.fileStream(spark, in.getAbsolutePath, schema)
+            .as[CepEvent])
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            TimeSeriesOps.PsiRow], _: Long) =>
+          df.write.mode("append").parquet(outDir.getAbsolutePath)
+        }
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("update").start()
+    val cut = "2024-01-16 00:00:00" // the PSI side boundary itself:
+    // post-restart arrivals land in c1 cells while c0 must come back
+    // from the checkpoint — a lost c0 makes every p ratio collapse
+    events.filter(col("ts") < lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    events.filter(col("ts") >= lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(outDir.getAbsolutePath).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .groupBy(_._1).map { case (ty, rows) =>
+        val last = rows.maxBy(r => r._2 + r._3)
+        ty -> ((last._2, last._3, last._4))
+      }
+    val want = graft.SparkEntry.queries("q_psi")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === want.keySet, "type sets differ across restart")
+    val diffs = want.collect {
+      case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty,
+      s"${diffs.size} PSI rows diverge across restart, " +
+        s"e.g. ${diffs.take(3)}")
+    // non-vacuous: some types must straddle the restart cut
+    val straddled = events.filter(col("ts") < lit(cut))
+      .select("event_type").distinct()
+      .join(events.filter(col("ts") >= lit(cut))
+        .select("event_type").distinct(), "event_type")
+      .count()
+    assert(straddled > 0,
+      "no type has events on both sides of the restart cut — " +
+        "the recovery assertion would be vacuous")
+  }
+
   test("numbered quantified detector resumes from checkpoint: held " +
       "matches and the match counter survive (r9)") {
     // MATCH_NUMBER state = held completed matches + the per-key

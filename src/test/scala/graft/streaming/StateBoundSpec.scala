@@ -128,4 +128,52 @@ class StateBoundSpec extends SparkSpec {
       s"state rows $maxStateRows exceeded user count $users")
     assert(maxStateRows > 0, "state metrics should have been recorded")
   }
+
+  test("maxPendings circuit breaker fails LOUDLY on a hostile key " +
+      "(r14, verdict #6) — and an adequate cap stays silent") {
+    import java.sql.Timestamp
+    implicit val sq = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    // hostile key: every click anchors, m = 20 is unreachable (signups
+    // break every island at length <= 9), so live anchors grow to the
+    // in-window click count — the HotKeyStateProbe overlap_noq shape
+    def mk(n: Int): Seq[CepEvent] = (0 until n).map { i =>
+      val ty = if (i % 10 == 0) "signup" else "click"
+      CepEvent(i.toLong, new Timestamp(t0 + i * 1000L), 7L, ty, 1.0)
+    }
+    def run(cap: Option[Int], n: Int): Option[Throwable] = {
+      val stream = MemoryStream[CepEvent]
+      val q = OverlapRunDetector.detectWhere(stream.toDS(),
+          (e: CepEvent) => e.event_type == "click",
+          (e: CepEvent) => e.event_type == "click",
+          20, None, 2L * 3600 * 1000, Some("0 seconds"),
+          maxPendings = cap)
+        .toDF().writeStream.queryName(s"cap_${System.nanoTime}")
+        .format("memory").outputMode("append").start()
+      val err = try {
+        mk(n).grouped(200).foreach { c =>
+          stream.addData(c); q.processAllAvailable()
+        }
+        None
+      } catch { case e: org.apache.spark.sql.streaming
+          .StreamingQueryException => Some(e) }
+      finally if (q.isActive) q.stop()
+      err
+    }
+    // 2000 events / 1 s spacing: ~1800 live in-window anchors — a cap
+    // of 100 must trip, and the error must NAME the breaker (loud, not
+    // a silent drop)
+    val tripped = run(Some(100), 2000)
+    assert(tripped.isDefined, "the cap must fail the query")
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      c.getMessage
+    }
+    assert(rootMsg(tripped.get).contains("maxPendings=100"),
+      s"breach must name the breaker: ${rootMsg(tripped.get)}")
+    // the same stream under an adequate cap (and under none) completes
+    assert(run(Some(5000), 2000).isEmpty, "an adequate cap must pass")
+    assert(run(None, 2000).isEmpty, "no cap (default) must pass")
+  }
 }

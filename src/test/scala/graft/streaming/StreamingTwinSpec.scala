@@ -209,6 +209,43 @@ class StreamingTwinSpec extends SparkSpec {
     assert(batch.exists(_._2._3), "fixture should trip ≥1 alarm")
   }
 
+  test("PSI: streaming bucket-cell state == batch drift panel (r14, " +
+      "verdict #5 — the drift-panel stance executed)") {
+    // the maintained state per type is the batch key's INPUT (10x2
+    // count cells); each trigger re-derives the smoothed PSI fold from
+    // it at constant cost, emitting the type's current panel row.
+    // Update-mode upsert contract: n_first + n_second is monotone, so
+    // the max-count row per type is the newest — it must equal the
+    // oracle-gated batch key exactly.
+    val batch = graft.SparkEntry.queries("q_psi")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[CepEvent]
+    val name = s"twin_psi_${System.nanoTime}"
+    val q = TimeSeriesOps.psiMarks(stream.toDS())
+      .writeStream.queryName(name).format("memory")
+      .outputMode("update").start()
+    val data = eventsDs.orderBy("ts", "event_id").collect()
+    data.grouped(250).foreach { c =>
+      stream.addData(c.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .groupBy(_._1).map { case (ty, rows) =>
+        val last = rows.maxBy(r => r._2 + r._3)
+        ty -> ((last._2, last._3, last._4))
+      }
+    assert(got.keySet === batch.keySet)
+    val diffs = batch.collect {
+      case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty, s"${diffs.size} diverge, e.g. ${diffs.take(3)}")
+    assert(batch.nonEmpty && batch.values.exists(_._3 != 0.0),
+      "fixture should show nonzero drift somewhere")
+  }
+
   test("EWMA: streaming 16-value ring == batch 16-lag window fold (r9)") {
     val batch = graft.SparkEntry.queries("q_ewma")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
