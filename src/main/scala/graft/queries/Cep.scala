@@ -851,6 +851,28 @@ object Cep {
            MATCH PATTERN (signup THEN click{2,} THEN NOT purchase
            WITHIN '24' HOURS)
            PARTITION BY user_id""")
+    }),
+
+    // EP1o — MEASURES × ABSENCE (r14): the q_pattern_qabs funnel WITH
+    // measures — span COUNT over the positive prefix (anchor .. the
+    // run's end row, inclusive, regardless of class) and MATCH_NUMBER
+    // over the surviving (never-converted) matches. This closes the
+    // r13 "parity non-gap": the batch rewrite now wraps the prefix
+    // with the anti join and runs the shared measures machinery on
+    // the survivors — references to the NOT step reject at parse (it
+    // never matches a row). COUNT + MATCH_NUMBER keep the oracle
+    // integer-exact; SUM/AVG/boundary forms are spec-pinned against a
+    // DataFrame recomputation (CepSqlSpec), the q_measure_multi
+    // discipline. Scale shape: anti join + span join both touch match
+    // cardinality, never raw events squared.
+    "q_measure_absent" -> ((s, dir) => {
+      graft.Tables.load(s, dir)
+      graft.streaming.CepSql.sql(s,
+        """SELECT * FROM events
+           MATCH PATTERN (signup THEN click{2,} THEN NOT purchase
+           WITHIN '24' HOURS)
+           PARTITION BY user_id
+           MEASURES COUNT(*) AS span_n, MATCH_NUMBER() AS mno""")
     })
   )
 
@@ -1432,6 +1454,57 @@ object Cep {
            SELECT 1 FROM events b
            WHERE b.user_id = p.k AND b.event_type = 'purchase'
              AND b.ts > p.ts_2 AND b.ts <= p.ts_1 + INTERVAL 24 HOUR)
+         ORDER BY id_1""",
+    "q_measure_absent" ->
+      """WITH o AS (
+           SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS grp
+           FROM events),
+         runs AS (
+           SELECT user_id, grp, count(*) AS run_len,
+             min(ts) AS run_start, max(ts) AS run_end
+           FROM o WHERE event_type = 'click'
+           GROUP BY user_id, grp HAVING count(*) >= 2),
+         runs2 AS (
+           SELECT r.user_id, r.grp, r.run_len, r.run_start, r.run_end,
+             max(o.event_id) AS run_end_id
+           FROM runs r JOIN o
+             ON o.user_id = r.user_id AND o.grp = r.grp
+            AND o.event_type = 'click' AND o.ts = r.run_end
+           GROUP BY r.user_id, r.grp, r.run_len, r.run_start, r.run_end),
+         s1 AS (
+           SELECT user_id AS k, event_id AS id_1, ts AS ts_1 FROM events
+           WHERE event_type = 'signup'),
+         s2 AS (
+           SELECT k, id_1, run_len AS len_2, ts_1, run_end AS ts_2,
+             run_end_id FROM (
+             SELECT p.k, p.id_1, r.run_len, p.ts_1, r.run_end,
+               r.run_end_id,
+               row_number() OVER (PARTITION BY p.id_1
+                                  ORDER BY r.run_start, r.run_end) AS rn
+             FROM s1 p JOIN runs2 r
+               ON p.k = r.user_id AND r.run_start > p.ts_1
+              AND r.run_end <= p.ts_1 + INTERVAL 24 HOUR) WHERE rn = 1),
+         surv AS (
+           SELECT * FROM s2 p
+           WHERE NOT EXISTS (
+             SELECT 1 FROM events b
+             WHERE b.user_id = p.k AND b.event_type = 'purchase'
+               AND b.ts > p.ts_2 AND b.ts <= p.ts_1 + INTERVAL 24 HOUR))
+         SELECT p.k AS user_id, p.id_1, p.len_2, p.ts_1, p.ts_2,
+           count(*) AS span_n,
+           CAST(row_number() OVER (PARTITION BY p.k
+                                   ORDER BY p.ts_1, p.id_1) AS BIGINT)
+             AS mno
+         FROM surv p JOIN events e
+           ON e.user_id = p.k
+          AND (e.ts > p.ts_1 OR (e.ts = p.ts_1 AND e.event_id >= p.id_1))
+          AND (e.ts < p.ts_2
+               OR (e.ts = p.ts_2 AND e.event_id <= p.run_end_id))
+         GROUP BY p.k, p.id_1, p.len_2, p.ts_1, p.ts_2
          ORDER BY id_1""",
     "q_pattern_skip" ->
       """WITH RECURSIVE

@@ -898,9 +898,26 @@ object CepSql {
       }
     }.getOrElse(Nil)
     if (measures.nonEmpty) {
-      if (skipPast || steps.exists(st => st.negated || st.optional))
+      // r14: the trailing-NOT (absent) form composes with MEASURES —
+      // the span covers the POSITIVE prefix (anchor .. last positive
+      // step), exactly the columns the absent form emits. Mid-chain
+      // NOT cannot parse (grammar), so steps.init.exists(negated) is
+      // unreachable; optional steps and SKIP stay out.
+      if (skipPast || steps.exists(_.optional) ||
+          steps.init.exists(_.negated))
         malformed("MEASURES is defined for sequence chains — no " +
-          "NOT, optional steps, or SKIP PAST LAST ROW")
+          "optional steps or SKIP PAST LAST ROW")
+      measures.foreach {
+        case ClassRef(ev, _, st, _) if st == steps.length &&
+            steps.last.negated =>
+          malformed(s"measure references '$ev' — the NOT step never " +
+            "matches a row, so it has no values to reference")
+        case BoundRef(_, ev, _, st, _) if st == steps.length &&
+            steps.last.negated =>
+          malformed(s"measure references '$ev' — the NOT step never " +
+            "matches a row, so it has no values to reference")
+        case _ => ()
+      }
       // quantified steps compose with span aggregates / COUNT /
       // MATCH_NUMBER since r8 and bare class refs since r9 (desugared
       // to LAST run-boundary refs above — no ClassRef ever reaches the
@@ -1267,7 +1284,7 @@ object CepSql {
     val np = chainSteps.length
     val order =
       if (chainSteps.head.minTimes.isDefined) s"$k, ts_1" else "id_1"
-    if (spec.absent)
+    if (spec.absent && spec.measures.isEmpty)
       s"""SELECT __k AS $k, ${cols(np)}
          |FROM $prefix p
          |LEFT ANTI JOIN (SELECT * FROM $tbl WHERE ${inPred("", steps.last)}) b
@@ -1275,6 +1292,19 @@ object CepSql {
          |   AND b.$t <= p.ts_1 + INTERVAL $n $unit
          |ORDER BY $order""".stripMargin
     else if (spec.measures.nonEmpty) {
+      // MEASURES × absent (r14): the anti join against the NOT class
+      // wraps the PREFIX — surviving matches then flow through the
+      // measures machinery below unchanged (span/ref/boundary joins
+      // touch match cardinality either way, and every emitted column
+      // belongs to the positive prefix, whose last step is
+      // chainSteps.last — steps.init for an absent spec)
+      if (spec.absent)
+        prefix =
+          s"""(SELECT p.* FROM $prefix p
+             |LEFT ANTI JOIN (SELECT * FROM $tbl
+             |                WHERE ${inPred("", steps.last)}) z
+             |ON p.__k = z.$k AND z.$t > p.ts_$np
+             |   AND z.$t <= p.ts_1 + INTERVAL $n $unit)""".stripMargin
       // MEASURES (r7, list since r8; quantified steps since r8 too —
       // labels are id_i or len_i per step, span bounds recovered from
       // the runs subquery when an end step is a run).

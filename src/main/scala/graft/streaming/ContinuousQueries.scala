@@ -278,9 +278,12 @@ object ContinuousQueries {
           // boundary rows (frozen into the pending at close), class
           // refs capture at the anchor or at each tail step's match,
           // and MATCH_NUMBER holds completions for ordered release
-          // (r13 session 2). Absent/reluctant overlap measures reject
-          // loudly (OverlapRunDetector.detectMeasures names each), as
-          // does overlap at a non-head boundary here.
+          // (r13 session 2). MEASURES × the ABSENT overlap form
+          // streams since r14 (matching the batch rewrite's new
+          // anti-join-wrapped measures): done-stage pendings freeze
+          // their prefix-span accumulators and verdict at the
+          // watermark. Reluctant overlap measures still reject
+          // loudly, as does overlap at a non-head boundary here.
           val sts = spec.steps
           val onlyHeadOvM = sts.sliding(2).zipWithIndex.forall {
             case (pair, idx) =>
@@ -291,16 +294,16 @@ object ContinuousQueries {
           }
           val headForm = onlyHeadOvM && sts.length >= 2 &&
             sts.head.minTimes.isEmpty &&
-            sts(1).minTimes.isDefined && !spec.absent &&
+            sts(1).minTimes.isDefined &&
             !sts.exists(_.optional) && !sts.exists(_.reluctant)
           if (!headForm)
             throw new IllegalArgumentException(
               "MEASURES over an overlapping run streams only in the " +
-                "greedy completion head family `A THEN B{m,} " +
-                "[THEN C[{k,}] THEN D …]` " +
+                "greedy head family `A THEN B{m,} " +
+                "[THEN C[{k,}] THEN D … [THEN NOT Z]]` " +
                 "(OverlapRunDetector.detectMeasures; quantified tail " +
-                "steps since r13) — for non-head, absent, or " +
-                "reluctant overlap forms " +
+                "steps since r13, the absent form since r14) — for " +
+                "non-head or reluctant overlap forms " +
                 "use the batch rewrite via CepSql.sql")
           OverlapRunDetector.detectMeasures(src, stepPred(sts.head),
             stepPred(sts(1)), sts(1).minTimes.get, sts(1).maxTimes,
@@ -310,11 +313,23 @@ object ContinuousQueries {
               s.minTimes.map(m => (m, s.maxTimes))),
             maxPendings =
               spark.conf.getOption("spark.graft.cep.maxPendings")
-                .map(_.toInt))
-        } else RunChainDetector.detectMeasures(srcWm,
-          spec.steps.map(s => (stepPred(s), s.minTimes)), spec.withinMs,
-          spec.steps.map(_.maxTimes), spec.measures,
-          spec.steps.map(_.reluctant))
+                .map(_.toInt),
+            absent = spec.absent)
+        } else {
+          // non-overlap quantified chains: the absent measures form is
+          // batch-only (RunChainDetector has no absent measures arm) —
+          // loudly, now that the PARSER admits MEASURES × NOT (r14)
+          if (spec.absent)
+            throw new IllegalArgumentException(
+              "MEASURES with a trailing NOT streams only over an " +
+                "OVERLAP head (OverlapRunDetector.detectMeasures, " +
+                "r14) — for non-overlap absent chains use the batch " +
+                "rewrite via CepSql.sql")
+          RunChainDetector.detectMeasures(srcWm,
+            spec.steps.map(s => (stepPred(s), s.minTimes)), spec.withinMs,
+            spec.steps.map(_.maxTimes), spec.measures,
+            spec.steps.map(_.reluctant))
+        }
         // same alias + integral-cast discipline as the plain-chain
         // measures arm (batch schema parity)
         val intCols = Set("event_id", "user_id")
@@ -564,7 +579,16 @@ object ContinuousQueries {
           // MEASURES (r7, list since r8): plain chains only
           // (parse-validated); span aggregates and class references read
           // any NUMERIC converter column since r8 (value, event_id,
-          // user_id) — detectMeasures rejects the rest loudly at submit
+          // user_id) — detectMeasures rejects the rest loudly at submit.
+          // The parser admits MEASURES × NOT since r14, but only the
+          // OVERLAP-head family streams it — plain absent chains stay
+          // batch-only, loudly
+          if (spec.absent)
+            throw new IllegalArgumentException(
+              "MEASURES with a trailing NOT streams only over an " +
+                "OVERLAP head (OverlapRunDetector.detectMeasures, " +
+                "r14) — for plain absent chains use the batch " +
+                "rewrite via CepSql.sql")
           val det = PatternMatch.detectMeasures(srcWm,
             spec.steps.map(stepPred), spec.withinMs, spec.measures)
           // project the vals vector onto the declared aliases, casting

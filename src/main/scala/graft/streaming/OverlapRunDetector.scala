@@ -710,13 +710,26 @@ object OverlapRunDetector {
       watermarkDelay: Option[String] = None,
       tail: Seq[CepEvent => Boolean] = Nil,
       tailQuant: Seq[Option[(Int, Option[Int])]] = Nil,
-      maxPendings: Option[Int] = None)
+      maxPendings: Option[Int] = None,
+      absent: Boolean = false)
       : Dataset[RunChainMeasured] = {
     require(measures.nonEmpty, "at least one measure")
     val quant: Seq[Option[(Int, Option[Int])]] =
       if (tailQuant.isEmpty) Seq.fill(tail.length)(None) else tailQuant
     require(quant.length == tail.length,
       "tailQuant must align with tail (one entry per tail step)")
+    // MEASURES × absent (r14, matching the batch rewrite's new form):
+    // the LAST tail pred is the NOT class; the span covers the POSITIVE
+    // prefix (anchor .. the last positive match), so a pending that
+    // reaches done-stage FREEZES its accumulators and waits for the
+    // watermark verdict — a NOT-class event after its last positive
+    // match kills it; the verdict is timer-driven, so a watermark (and
+    // a streaming input) is REQUIRED, exactly like the non-measures
+    // absent engine.
+    require(!absent || tail.nonEmpty, "the absent form needs a tail step")
+    require(!absent || quant.last.isEmpty,
+      "the trailing NOT step is a class, not a run")
+    val doneStage = if (absent) tail.length - 1 else tail.length
     def quantStep(st: Int): Boolean =
       st >= 3 && st <= 2 + tail.length && quant(st - 3).isDefined
     measures.foreach {
@@ -733,10 +746,13 @@ object OverlapRunDetector {
         if (!c.equalsIgnoreCase("ts")) PatternMatch.numColumn(c)
       case CepSql.ClassRef(_, c, st, _) =>
         require(st == 1 ||
-            (st >= 3 && st <= 2 + tail.length && !quantStep(st)),
+            (st >= 3 &&
+              st <= 2 + tail.length - (if (absent) 1 else 0) &&
+              !quantStep(st)),
           "overlap-form class refs read the anchor (step 1) or an " +
-            "unquantified tail step (step >= 3, r13); refs to a " +
-            "quantified tail step desugar to FIRST/LAST")
+            "unquantified POSITIVE tail step (step >= 3, r13); refs " +
+            "to a quantified tail step desugar to FIRST/LAST, and the " +
+            "NOT step never matches a row")
         if (!c.equalsIgnoreCase("ts")) PatternMatch.numColumn(c)
       case _: CepSql.MatchNum => () // held-release numbering (r13 s2)
       case m => throw new IllegalArgumentException(
@@ -769,6 +785,10 @@ object OverlapRunDetector {
     }
     val withinUs = withinMs * 1000L
     val wmEnabled = watermarkDelay.isDefined && events.isStreaming
+    require(!absent || wmEnabled,
+      "the absent measures form needs a STREAMING input with a " +
+        "watermark (no-Z verdicts are timer-driven; for batch input " +
+        "use the batch rewrite via CepSql.sql)")
     val src = if (wmEnabled) events.withWatermark("ts", watermarkDelay.get)
               else events
     implicit val matchEnc = Encoders.product[RunChainMeasured]
@@ -825,18 +845,42 @@ object OverlapRunDetector {
             }
           // a pending at a quantified stage survives past its deadline
           // while that stage's OPEN island already qualifies frozen
-          // (the non-measures engine's pendLive discipline)
+          // (the non-measures engine's pendLive discipline); an absent
+          // pending at done-stage waits for its watermark verdict
           def pendLiveM(p: OvMPending, clock: Long): Boolean = {
             val dl = deadline(p.ts1)
             if (clock <= dl) true
             else {
               val stage = p.tailIds.length
-              stage < tail.length && quant(stage).exists {
-                case (k, kx) => tmIsl.get(stage).exists(o =>
-                  us(o.start) > lastTs(p) && us(o.end) <= dl &&
-                    o.count >= k && kx.forall(o.count <= _))
-              }
+              (absent && stage == doneStage) ||
+                (stage < tail.length && quant(stage).exists {
+                  case (k, kx) => tmIsl.get(stage).exists(o =>
+                    us(o.start) > lastTs(p) && us(o.end) <= dl &&
+                      o.count >= k && kx.forall(o.count <= _))
+                })
             }
+          }
+          def lastTsOf(p: OvMPending): Timestamp =
+            if (p.tailTs.isEmpty) p.ts2 else p.tailTs.last
+          // watermark-horizon resolution (absent form): once wm passes
+          // a pending's deadline no NOT-class event inside the window
+          // can still arrive — a done-stage pending verdicts NO-FOLLOW
+          // and emits with its FROZEN prefix-span accumulators; every
+          // other ripe pending is an inner-join miss (pendLiveM)
+          def resolveByWmM(wmUs: Long): Unit = {
+            anchors = anchors.filter(live(_, wmUs))
+            if (absent) {
+              val (ripe, rest) =
+                pending.partition(p => wmUs > deadline(p.ts1))
+              ripe.foreach { p =>
+                if (p.tailIds.length == doneStage)
+                  emitM(p.id1, p.ts1, Seq(p.id1, p.len) ++ p.tailIds,
+                    Seq(p.ts1, p.ts2) ++ p.tailTs, p.ts1, lastTsOf(p),
+                    pvals(p))
+              }
+              pending = rest ++ ripe.filter(p =>
+                p.tailIds.length != doneStage && pendLiveM(p, wmUs))
+            } else pending = pending.filter(pendLiveM(_, wmUs))
           }
           def live(a: OvMAnchor, clock: Long): Boolean = {
             val dl = deadline(a.ts1)
@@ -866,15 +910,20 @@ object OverlapRunDetector {
 
           // wm-driven pruning (state stays window-bound on idle keys
           // too): a timed-out key drops anchors no island can serve and
-          // completion pendings past their deadline (inner-join misses)
+          // completion pendings past their deadline (inner-join
+          // misses); absent done-stage pendings EMIT their no-follow
+          // verdict here (resolveByWmM). A key that keeps receiving
+          // data may never fire its timer — resolve against the
+          // batch-start watermark first (sound: in-bound events of
+          // this batch all carry ts above it), the non-measures
+          // engine's discipline.
           val batch =
             if (state.hasTimedOut) Array.empty[CepEvent]
             else it.toArray.sortBy(e => (us(e.ts), e.event_id))
-          if (state.hasTimedOut) {
-            val wmUs = state.getCurrentWatermarkMs() * 1000L
-            anchors = anchors.filter(live(_, wmUs))
-            pending = pending.filter(pendLiveM(_, wmUs))
-          }
+          if (state.hasTimedOut)
+            resolveByWmM(state.getCurrentWatermarkMs() * 1000L)
+          else if (wmEnabled && absent)
+            resolveByWmM(state.getCurrentWatermarkMs() * 1000L)
           batch.foreach { e =>
             val t = us(e.ts)
             // 1. island close: qualifying anchors emit with THEIR span
@@ -928,7 +977,10 @@ object OverlapRunDetector {
                           tailIds = p.tailIds :+ o.count,
                           tailTs = p.tailTs :+ o.end,
                           refSlots = slots)
-                        if (adv.tailIds.length == tail.length) {
+                        // an absent pending reaching done-stage WAITS
+                        // for the watermark verdict (accumulators
+                        // freeze via the fold guard above)
+                        if (!absent && adv.tailIds.length == doneStage) {
                           emitM(adv.id1, adv.ts1,
                             Seq(adv.id1, adv.len) ++ adv.tailIds,
                             Seq(adv.ts1, adv.ts2) ++ adv.tailTs,
@@ -960,7 +1012,11 @@ object OverlapRunDetector {
                 mxs = a.mxs.lazyZip(evAgg).map(math.max))
             }
             pending = pending.map { p =>
-              p.copy(sums = p.sums.lazyZip(evAgg).map(_ + _),
+              // absent form: a done-stage pending's span ended at its
+              // last POSITIVE match — accumulators are FROZEN (the
+              // batch span join covers anchor .. ts_{N-1} only)
+              if (absent && p.tailIds.length == doneStage) p
+              else p.copy(sums = p.sums.lazyZip(evAgg).map(_ + _),
                 cnt = p.cnt + 1,
                 mns = p.mns.lazyZip(evAgg).map(math.min),
                 mxs = p.mxs.lazyZip(evAgg).map(math.max))
@@ -977,8 +1033,14 @@ object OverlapRunDetector {
             if (tail.nonEmpty)
               pending = pending.flatMap { p =>
                 val stage = p.tailIds.length
-                if (stage < tail.length && quant(stage).isEmpty &&
-                    tail(stage)(e) &&
+                if (stage == doneStage) {
+                  // absence arm: a NOT-class event after the last
+                  // positive match kills the pending (the batch anti
+                  // join's predicate verbatim)
+                  if (absent && tail.last(e) && t > lastTs(p) &&
+                      t <= deadline(p.ts1)) Nil
+                  else List(p)
+                } else if (quant(stage).isEmpty && tail(stage)(e) &&
                     t > lastTs(p) && t <= deadline(p.ts1)) {
                   val adv = p.copy(
                     tailIds = p.tailIds :+ e.event_id,
@@ -989,12 +1051,17 @@ object OverlapRunDetector {
                             if cr.step == stage + 3 => g(e)
                         case (cur, _, _) => cur
                       })
-                  if (adv.tailIds.length == tail.length) {
-                    emitM(adv.id1, adv.ts1,
-                      Seq(adv.id1, adv.len) ++ adv.tailIds,
-                      Seq(adv.ts1, adv.ts2) ++ adv.tailTs,
-                      adv.ts1, adv.tailTs.last, pvals(adv))
-                    Nil
+                  if (adv.tailIds.length == doneStage) {
+                    // reaching done-stage: completion emits; absence
+                    // waits for the watermark verdict
+                    if (absent) List(adv)
+                    else {
+                      emitM(adv.id1, adv.ts1,
+                        Seq(adv.id1, adv.len) ++ adv.tailIds,
+                        Seq(adv.ts1, adv.ts2) ++ adv.tailTs,
+                        adv.ts1, adv.tailTs.last, pvals(adv))
+                      Nil
+                    }
                   } else List(adv)
                 } else List(p)
               }

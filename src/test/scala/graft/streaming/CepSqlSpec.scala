@@ -1341,24 +1341,33 @@ class CepSqlSpec extends SparkSpec {
       assert(maxs(sid) === mx, s"max@$sid")
       assert(math.abs(avgs(sid) - av) < 1e-9, s"avg@$sid")
     }
-    // measures reject NOT/optional/skip-past chains and SUM(*). (A
-    // class ref into a quantified run — a{2,} … MEASURES a.value —
-    // stopped being malformed in r9: it desugars to LAST(a.value) per
-    // MATCH_RECOGNIZE running semantics, pinned by the desugar test and
-    // oracle-gated as q_pattern_qref.)
+    // measures reject optional/skip-past chains, SUM(*), and refs to a
+    // NOT step. (A class ref into a quantified run — a{2,} … MEASURES
+    // a.value — stopped being malformed in r9: it desugars to
+    // LAST(a.value) per MATCH_RECOGNIZE running semantics, pinned by
+    // the desugar test and oracle-gated as q_pattern_qref. The
+    // trailing-NOT form itself stopped being malformed in r14: it
+    // rewrites to the anti-join-wrapped measures pipeline — see
+    // q_measure_absent — so only REFERENCES to the never-matching NOT
+    // step reject.)
     Seq(
-      "MATCH PATTERN (a THEN NOT b WITHIN '5' MINUTES) PARTITION BY k " +
-        "MEASURES COUNT(*)",
       "MATCH PATTERN (a THEN b? THEN c WITHIN '5' MINUTES) PARTITION " +
         "BY k MEASURES COUNT(*)",
       "MATCH PATTERN (a THEN b WITHIN '5' MINUTES) PARTITION BY k " +
         "AFTER MATCH SKIP PAST LAST ROW MEASURES COUNT(*)",
       "MATCH PATTERN (a THEN b WITHIN '5' MINUTES) PARTITION BY k " +
-        "MEASURES SUM(*)"
+        "MEASURES SUM(*)",
+      "MATCH PATTERN (a THEN NOT b WITHIN '5' MINUTES) PARTITION BY k " +
+        "MEASURES b.value"
     ).foreach { frag =>
       intercept[IllegalArgumentException](
         CepSql.parsePattern(s"SELECT * FROM t $frag"))
     }
+    // the absent form WITH measures parses since r14
+    val abs = CepSql.parsePattern("SELECT * FROM t MATCH PATTERN " +
+      "(a THEN NOT b WITHIN '5' MINUTES) PARTITION BY k " +
+      "MEASURES COUNT(*) AS c")
+    assert(abs.absent && abs.measures.nonEmpty)
   }
 
   test("MEASURES over a mid-chain quantified step == direct span agg " +

@@ -453,6 +453,78 @@ class MeasureChainSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("MEASURES x absent overlap: streaming == batch on randomized " +
+      "dense fixtures (r14 — frozen prefix-span accumulators, " +
+      "watermark verdicts, MATCH_NUMBER holds)") {
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val types = Array("b", "b", "c", "d", "x")
+    // (pattern tail text, batch select cols, streamed tail arity)
+    val forms = Seq(
+      ("THEN NOT d", Seq("user_id", "id_1", "len_2", "c", "sv", "mn"), 0),
+      ("THEN c THEN NOT d",
+        Seq("user_id", "id_1", "len_2", "c", "sv", "mn"), 1))
+    for (seed <- 1 to 3; ((tailTxt, bcols, nTail), fi)
+        <- forms.zipWithIndex) {
+      val rnd = new scala.util.Random(seed * 3000 + fi)
+      val rows = (1 to 80).map { id =>
+        CepEvent(id.toLong, new Timestamp(t0 + rnd.nextInt(500) * 1000L),
+          (1 + rnd.nextInt(3)).toLong, types(rnd.nextInt(5)), id * 0.5)
+      }.sortBy(e => (e.ts.getTime, e.event_id))
+      val tag = s"ma${seed}_$fi"
+      import spark.implicits._
+      rows.toDF().createOrReplaceTempView(s"ev_ovma_$tag")
+      val pat = (tbl: String) =>
+        s"""SELECT * FROM $tbl
+           MATCH PATTERN (b THEN b{2,} $tailTxt WITHIN '2' MINUTES)
+           PARTITION BY user_id
+           MEASURES COUNT(*) AS c, SUM(value) AS sv,
+                    MATCH_NUMBER() AS mn"""
+      val batch = CepSql.sql(spark, pat(s"ev_ovma_$tag"))
+        .select(bcols.map(col): _*).collect().map { r =>
+          (r.getLong(0), r.getLong(1)) ->
+            ((r.getLong(2), r.getLong(3),
+              math.floor(r.getDouble(4) * 1e6) / 1e6, r.getLong(5)))
+        }.toMap
+      val stream = MemoryStream[CepEvent]
+      val name = s"ovma_$tag"
+      stream.toDF().createOrReplaceTempView(s"src_ovma_$tag")
+      val q = ContinuousQueries.submitPattern(spark,
+        pat(s"src_ovma_$tag"), name, lateness = "5 seconds")
+      try {
+        rows.grouped(20).foreach { ch =>
+          stream.addData(ch.toSeq); q.processAllAvailable()
+        }
+        // two flushes: first advances the watermark past every
+        // deadline; second fires the timers + the MATCH_NUMBER
+        // release pass under the advanced watermark
+        stream.addData(Seq(CepEvent(-1L,
+          Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "zz", 0.0)))
+        q.processAllAvailable()
+        stream.addData(Seq(CepEvent(-2L,
+          Timestamp.valueOf("2031-01-02 00:00:00"), -2L, "zz", 0.0)))
+        q.processAllAvailable()
+        val got = spark.table(name).filter(col("user_id") >= 0L)
+          .collect().map { r =>
+            val sv = r.getSeq[Long](1)
+            (r.getLong(0), sv(0)) ->
+              ((sv(1), r.getAs[Long]("c"),
+                math.floor(r.getAs[Double]("sv") * 1e6) / 1e6,
+                r.getAs[Long]("mn")))
+          }.toMap
+        assert(got === batch,
+          s"seed $seed form '$tailTxt': " +
+            s"${got.toSet.diff(batch.toSet).take(3)} extra, " +
+            s"${batch.toSet.diff(got.toSet).take(3)} missing " +
+            s"(${got.size} streamed vs ${batch.size} batch)")
+      } finally {
+        if (q.isActive) q.stop()
+        spark.catalog.dropTempView(s"ev_ovma_$tag")
+      }
+    }
+  }
+
   test("overlap measures: anchor class refs via the direct API (r12)") {
     implicit val sq = spark.sqlContext
     // anchor class ref (step 1) — not expressible in the dialect for an

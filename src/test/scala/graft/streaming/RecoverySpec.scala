@@ -626,6 +626,82 @@ class RecoverySpec extends SparkSpec {
       s"${diffs.size} (span, number) diverge, e.g. ${diffs.take(3)}")
   }
 
+  test("absent-measures overlap pendings resume from checkpoint: " +
+      "frozen prefix-span accumulators survive to the verdict (r14)") {
+    // MEASURES x absent overlap: a done-stage pending carries FROZEN
+    // accumulators (anchor .. run_end) until the watermark verdicts
+    // no-follow. A restart mid-wait must restore them or the verdict
+    // emits second-half-only (or zero) spans. The fixture replays the
+    // events table against `click THEN click{2,} THEN NOT purchase`
+    // (overlap head: every anchor is also run class) and compares the
+    // post-restart verdicts to the batch rewrite row for row.
+    import java.sql.Timestamp
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_ovab_in").toFile
+    val outDir = Files.createTempDirectory("graft_ovab_out").toFile
+    val ckpt = Files.createTempDirectory("graft_ovab_ckpt").toFile
+    val events = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val schema = events.schema
+    def startQuery() =
+      OverlapRunDetector.detectMeasures(
+          Sources.fileStream(spark, in.getAbsolutePath, schema)
+            .as[CepEvent],
+          (e: CepEvent) => e.event_type == "click",
+          (e: CepEvent) => e.event_type == "click",
+          2, None, 12L * 3600 * 1000,
+          Seq(CepSql.SpanAgg("COUNT", "*", "span_n"),
+            CepSql.SpanAgg("SUM", "value", "sv")),
+          Some("0 seconds"),
+          tail = Seq((e: CepEvent) => e.event_type == "purchase"),
+          absent = true)
+        .writeStream.format("parquet")
+        .option("path", outDir.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append").start()
+    val cut = "2024-01-08 00:00:00"
+    events.filter(col("ts") < lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    events.filter(col("ts") >= lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    // flush: advance the watermark far past every deadline, then one
+    // more batch so the timers fire under it
+    Seq(CepEvent(-1L, Timestamp.valueOf("2031-01-01 00:00:00"), -1L,
+      "zz_flush", 0.0)).toDS().toDF()
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+    Seq(CepEvent(-2L, Timestamp.valueOf("2031-01-02 00:00:00"), -2L,
+      "zz_flush", 0.0)).toDS().toDF()
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q4 = startQuery(); q4.processAllAvailable(); q4.stop()
+    val got = spark.read.parquet(outDir.getAbsolutePath)
+      .filter(col("user_id") >= 0L).collect()
+      .map { r =>
+        val v = r.getSeq[Double](5)
+        (r.getLong(0), r.getSeq[Long](1).head) ->
+          ((r.getSeq[Long](1)(1), v(0).toLong,
+            math.floor(v(1) * 1e6) / 1e6))
+      }.toMap
+    Tables.load(spark, sf)
+    val want = CepSql.sql(spark,
+      """SELECT * FROM events
+         MATCH PATTERN (click THEN click{2,} THEN NOT purchase
+         WITHIN '12' HOURS)
+         PARTITION BY user_id
+         MEASURES COUNT(*) AS span_n, SUM(value) AS sv""").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("id_1")) ->
+        ((r.getAs[Long]("len_2"), r.getAs[Long]("span_n"),
+          math.floor(r.getAs[Double]("sv") * 1e6) / 1e6))).toMap
+    assert(want.nonEmpty, "fixture must produce absent-form matches")
+    assert(got.keySet === want.keySet, "match sets differ across restart")
+    val diffs = want.collect {
+      case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty,
+      s"${diffs.size} (len, span, sum) diverge, e.g. ${diffs.take(3)}")
+  }
+
   test("LOCF gap-fill carry resumes from checkpoint: open-hour " +
       "accumulator and carry value survive (r9)") {
     // TimeSeriesOps.locfHourly keeps (open hour, sum, cnt) per type; a
