@@ -124,17 +124,20 @@ object ContinuousQueries {
     * stream WITH tails since r14 (verdict r13 #3): the truncated match
     * fixes at the island's m-th event, which then plays the island
     * close's role as the pendings' birth point — completion, absent,
-    * and quantified-tail forms all compose, m = 1 included. The
-    * remaining batch-only forms, each rejected loudly with a pointer
-    * to [[CepSql.sql]]: overlap at a non-head boundary (OverlapRunSpec
-    * pins the counterexample) / MEASURES × the reluctant or absent
-    * overlap forms (absent × measures is absent from the BATCH rewrite
-    * too — parity, not a gap); optional steps × quantifiers reject at
-    * PARSE for both engines; `{1,}?` outside the 2-step head or an
-    * overlap head; bounded lazy `{m,n}?` (rejected at parse).
-    * Measures × reluctant stream since r8 on NON-overlap chains (lazy
-    * completions fold POST — the m-th event is a span row, unlike a
-    * greedy closure).
+    * and quantified-tail forms all compose, m = 1 included. MEASURES ×
+    * absent and MEASURES × reluctant overlap stream since r14 too
+    * (frozen prefix-span accumulators + watermark verdicts; m-th-event
+    * serving), matching the batch rewrite's new anti-join-wrapped
+    * measures form (q_measure_absent). The remaining batch-only forms,
+    * each rejected loudly with a pointer to [[CepSql.sql]]: overlap at
+    * a non-head boundary (OverlapRunSpec pins the counterexample) /
+    * MEASURES × absent on NON-overlap chains (the batch rewrite covers
+    * them; the run-chain detectors have no absent measures arm);
+    * optional steps × quantifiers reject at PARSE for both engines;
+    * `{1,}?` outside the 2-step head or an overlap head; bounded lazy
+    * `{m,n}?` (rejected at parse). Measures × reluctant stream since
+    * r8 on NON-overlap chains (lazy completions fold POST — the m-th
+    * event is a span row, unlike a greedy closure).
     *
     * The source view must be a STREAMING view with the events-table
     * converter schema `(event_id, ts, user_id, event_type, value)` and
@@ -166,7 +169,7 @@ object ContinuousQueries {
     // which the overlap dispatch never uses)
     val lazyOverlapHead = spec.steps.length >= 2 &&
       spec.steps(1).reluctant && spec.steps(1).minTimes.isDefined &&
-      spec.steps(1).maxTimes.isEmpty && spec.measures.isEmpty &&
+      spec.steps(1).maxTimes.isEmpty &&
       spec.steps.head.events.toSet
         .intersect(spec.steps(1).events.toSet).nonEmpty
     if (spec.steps.exists(st => st.reluctant && st.minTimes.contains(1)) &&
@@ -295,16 +298,20 @@ object ContinuousQueries {
           val headForm = onlyHeadOvM && sts.length >= 2 &&
             sts.head.minTimes.isEmpty &&
             sts(1).minTimes.isDefined &&
-            !sts.exists(_.optional) && !sts.exists(_.reluctant)
+            !sts.exists(_.optional) &&
+            // the head may be RELUCTANT since r14 (m-th-event serving;
+            // {m,n}? rejects at parse); tail steps must stay greedy
+            !sts.drop(2).exists(_.reluctant) &&
+            (!sts(1).reluctant || sts(1).maxTimes.isEmpty)
           if (!headForm)
             throw new IllegalArgumentException(
               "MEASURES over an overlapping run streams only in the " +
-                "greedy head family `A THEN B{m,} " +
+                "greedy-or-reluctant head family `A THEN B{m,}[?] " +
                 "[THEN C[{k,}] THEN D … [THEN NOT Z]]` " +
                 "(OverlapRunDetector.detectMeasures; quantified tail " +
-                "steps since r13, the absent form since r14) — for " +
-                "non-head or reluctant overlap forms " +
-                "use the batch rewrite via CepSql.sql")
+                "steps since r13, absent and reluctant forms since " +
+                "r14) — for non-head overlap use the batch rewrite " +
+                "via CepSql.sql")
           OverlapRunDetector.detectMeasures(src, stepPred(sts.head),
             stepPred(sts(1)), sts(1).minTimes.get, sts(1).maxTimes,
             spec.withinMs, spec.measures, Some(lateness),
@@ -314,7 +321,8 @@ object ContinuousQueries {
             maxPendings =
               spark.conf.getOption("spark.graft.cep.maxPendings")
                 .map(_.toInt),
-            absent = spec.absent)
+            absent = spec.absent,
+            reluctant = sts(1).reluctant)
         } else {
           // non-overlap quantified chains: the absent measures form is
           // batch-only (RunChainDetector has no absent measures arm) —

@@ -189,14 +189,19 @@ case class OverlapMState(open: Option[OvMIsland], anchors: List[OvMAnchor],
   * machinery unchanged (m = 1 included: the island's first event is a
   * well-defined emission point here).
   *
+  * MEASURES × absent (r14): done-stage pendings FREEZE their
+  * accumulators (the batch span covers anchor .. the last positive
+  * match only) and verdict at the watermark timer; MEASURES ×
+  * reluctant (r14) serves at the m-th event with the island's boundary
+  * slots frozen there. Both fuzz-pinned ≡ the batch rewrite's
+  * anti-join-wrapped measures form.
+  *
   * Still batch-only (loudly rejected upstream, SubmitSqlSpec-pinned):
   * overlap at a NON-HEAD boundary (step i ≥ 2 overlapping step i+1 —
   * the island tracker is anchored to the head; a mid-chain overlap
   * would need one shared tracker PER PREFIX POSITION — OverlapRunSpec
-  * pins the counterexample), and MEASURES × the reluctant or absent
-  * forms (absent × measures is absent from the BATCH rewrite too —
-  * parity); optional steps × quantifiers reject at parse in both
-  * engines.
+  * pins the counterexample); optional steps × quantifiers reject at
+  * parse in both engines.
   */
 object OverlapRunDetector {
   private def us(t: Timestamp): Long =
@@ -711,9 +716,19 @@ object OverlapRunDetector {
       tail: Seq[CepEvent => Boolean] = Nil,
       tailQuant: Seq[Option[(Int, Option[Int])]] = Nil,
       maxPendings: Option[Int] = None,
-      absent: Boolean = false)
+      absent: Boolean = false,
+      reluctant: Boolean = false)
       : Dataset[RunChainMeasured] = {
     require(measures.nonEmpty, "at least one measure")
+    // MEASURES × reluctant head (r14): the truncated match fixes at
+    // the island's m-th event — the anchor's accumulators have just
+    // folded that event (span = anchor .. m-th row inclusive) and the
+    // island's boundary slots read its first/m-th rows, so serving
+    // happens right there: emission for the tail-less form, pendings
+    // (which keep folding to their final tail match) otherwise.
+    // Bounded reluctant {m,n}? rejects at parse engine-wide.
+    require(!reluctant || maxLen.isEmpty,
+      "bounded reluctant {m,n}? rejects at parse engine-wide")
     val quant: Seq[Option[(Int, Option[Int])]] =
       if (tailQuant.isEmpty) Seq.fill(tail.length)(None) else tailQuant
     require(quant.length == tail.length,
@@ -885,7 +900,9 @@ object OverlapRunDetector {
           def live(a: OvMAnchor, clock: Long): Boolean = {
             val dl = deadline(a.ts1)
             if (clock <= dl) true
-            else open.exists(o => us(o.start) > us(a.ts1) &&
+            // reluctant: no frozen survival — the m-th event either
+            // already served (anchor gone) or lies past the deadline
+            else !reluctant && open.exists(o => us(o.start) > us(a.ts1) &&
               us(o.end) <= dl && o.count >= minLen &&
               maxLen.forall(o.count <= _))
           }
@@ -932,8 +949,11 @@ object OverlapRunDetector {
             //    with a tail (r13) they park as PENDINGS instead,
             //    carrying accumulators + frozen island boundary slots
             if (!runPred(e)) {
+              // RELUCTANT serving is m-th-event-driven (step 3 below);
+              // the close only clears the tracker
               open.foreach { o =>
-                if (o.count >= minLen && maxLen.forall(o.count <= _))
+                if (!reluctant &&
+                    o.count >= minLen && maxLen.forall(o.count <= _))
                   anchors = anchors.flatMap { a =>
                     if (us(o.start) > us(a.ts1) &&
                         us(o.end) <= deadline(a.ts1)) {
@@ -1065,7 +1085,13 @@ object OverlapRunDetector {
                   } else List(adv)
                 } else List(p)
               }
-            // 3. island upkeep with boundary-slot capture
+            // 3. island upkeep with boundary-slot capture. RELUCTANT
+            //    (r14): the moment the island reaches m it serves every
+            //    live anchor — the anchor's accumulators folded THIS
+            //    event in step 2 (span = anchor..m-th row inclusive)
+            //    and the island's lastBnd just froze at the m-th row,
+            //    so emission (tail-less) or parking (tails) happens
+            //    here with len = m, ts2 = the m-th ts
             if (runPred(e)) {
               val slots = slotGet.map(_.map(g => g(e)).getOrElse(0.0))
               open = open match {
@@ -1074,6 +1100,21 @@ object OverlapRunDetector {
                     lastBnd = slots))
                 case None =>
                   Some(OvMIsland(1, e.ts, e.ts, slots, slots))
+              }
+              if (reluctant && open.exists(_.count == minLen)) {
+                val o = open.get
+                anchors = anchors.flatMap { a =>
+                  if (us(o.start) > us(a.ts1) && t <= deadline(a.ts1)) {
+                    if (tail.isEmpty)
+                      emitM(a.id1, a.ts1, Seq(a.id1, minLen.toLong),
+                        Seq(a.ts1, e.ts), a.ts1, e.ts, vals(a, o))
+                    else
+                      pending ::= OvMPending(a.id1, a.ts1,
+                        minLen.toLong, e.ts, Nil, Nil, a.sums, a.cnt,
+                        a.mns, a.mxs, o.firstBnd, o.lastBnd, a.anchorBnd)
+                    Nil
+                  } else List(a)
+                }
               }
             }
             // 3b. quantified-tail island upkeep (r13) — same boundary-

@@ -453,19 +453,27 @@ class MeasureChainSpec extends SparkSpec {
       s"got $got")
   }
 
-  test("MEASURES x absent overlap: streaming == batch on randomized " +
-      "dense fixtures (r14 — frozen prefix-span accumulators, " +
-      "watermark verdicts, MATCH_NUMBER holds)") {
+  test("MEASURES x absent/reluctant overlap: streaming == batch on " +
+      "randomized dense fixtures (r14 — frozen prefix-span " +
+      "accumulators, watermark verdicts, m-th-event serving, " +
+      "MATCH_NUMBER holds)") {
     import org.apache.spark.sql.functions.col
     implicit val sq = spark.sqlContext
     val t0 = Timestamp.valueOf("2026-01-01 00:00:00").getTime
     val types = Array("b", "b", "c", "d", "x")
-    // (pattern tail text, batch select cols, streamed tail arity)
+    // (head quantifier, pattern tail text, batch select cols)
     val forms = Seq(
-      ("THEN NOT d", Seq("user_id", "id_1", "len_2", "c", "sv", "mn"), 0),
-      ("THEN c THEN NOT d",
-        Seq("user_id", "id_1", "len_2", "c", "sv", "mn"), 1))
-    for (seed <- 1 to 3; ((tailTxt, bcols, nTail), fi)
+      ("{2,}", "THEN NOT d", Seq("user_id", "id_1", "len_2", "c", "sv",
+        "mn")),
+      ("{2,}", "THEN c THEN NOT d",
+        Seq("user_id", "id_1", "len_2", "c", "sv", "mn")),
+      // reluctant heads (r14): truncated span ends at the m-th event
+      ("{2,}?", "", Seq("user_id", "id_1", "len_2", "c", "sv", "mn")),
+      ("{2,}?", "THEN c", Seq("user_id", "id_1", "len_2", "c", "sv",
+        "mn")),
+      ("{2,}?", "THEN NOT d", Seq("user_id", "id_1", "len_2", "c", "sv",
+        "mn")))
+    for (seed <- 1 to 3; ((headQ, tailTxt, bcols), fi)
         <- forms.zipWithIndex) {
       val rnd = new scala.util.Random(seed * 3000 + fi)
       val rows = (1 to 80).map { id =>
@@ -477,7 +485,7 @@ class MeasureChainSpec extends SparkSpec {
       rows.toDF().createOrReplaceTempView(s"ev_ovma_$tag")
       val pat = (tbl: String) =>
         s"""SELECT * FROM $tbl
-           MATCH PATTERN (b THEN b{2,} $tailTxt WITHIN '2' MINUTES)
+           MATCH PATTERN (b THEN b$headQ $tailTxt WITHIN '2' MINUTES)
            PARTITION BY user_id
            MEASURES COUNT(*) AS c, SUM(value) AS sv,
                     MATCH_NUMBER() AS mn"""
