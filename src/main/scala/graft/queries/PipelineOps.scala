@@ -682,6 +682,30 @@ object PipelineOps {
           fround(regr_r2(log(col("cnt")), log(col("deg"))), 4).as("r2"))
     }),
 
+    // Dedup survivor roll-up per source (r14): the report a curation
+    // team reads AFTER resolution — per source, how many docs (and how
+    // many characters) survive keeping one copy per near-dup component
+    // (keeper = min doc_id; singletons keep themselves). The
+    // complement to q_source_overlap's pre-resolution matrix and the
+    // number that actually drives storage/compute planning for the
+    // training run. Rides the SHARED Dedup.bandGraph resolution (ninth
+    // consumer); after the component fixpoint everything is one
+    // doc-keyed left join + a |sources|-row fold.
+    "q_dedup_survivor" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      d.select(col("doc_id"), col("source"), col("n_chars"))
+        .join(Dedup.bandGraph(d).resolution
+          .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("keep",
+          coalesce(col("keeper") === col("doc_id"), lit(true)))
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum(col("keep").cast("long")).as("n_kept"),
+          sum("n_chars").as("chars_total"),
+          sum(when(col("keep"), col("n_chars")).otherwise(0L))
+            .as("chars_kept"))
+        .orderBy("source")
+    }),
+
     // Degree assortativity of the near-dup candidate graph (r14;
     // Newman 2002, public): the Pearson correlation of endpoint
     // degrees over the symmetrized edge list — positive r means hubs
@@ -1520,6 +1544,47 @@ object PipelineOps {
              AS icept,
            floor(regr_r2(ln(cnt), ln(deg)) * 1e4 + 0.5) / 1e4 AS r2
          FROM h""",
+    "q_dedup_survivor" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         gi AS (
+           SELECT doc_id, unnest(range(1, greatest(len(w) - 1, 1))) AS i, w
+           FROM t),
+         g AS (
+           SELECT DISTINCT doc_id,
+             array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+           FROM gi),
+         mh AS (
+           SELECT doc_id, s.seed,
+             min(md5(concat(CAST(s.seed AS VARCHAR), ':', gram))) AS mh
+           FROM g, (SELECT unnest(range(16)) AS seed) s
+           GROUP BY doc_id, s.seed),
+         bands AS (
+           SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+           FROM mh GROUP BY doc_id, seed // 4),
+         p0 AS (
+           SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id),
+         e AS (SELECT a, b FROM p0 UNION SELECT b, a FROM p0),
+         reach AS (
+           SELECT DISTINCT a AS id, a AS lbl FROM e
+           UNION
+           SELECT e.a, r.lbl FROM e JOIN reach r ON r.id = e.b),
+         cc AS (SELECT id, min(lbl) AS keeper FROM reach GROUP BY id),
+         k AS (
+           SELECT d.doc_id, d.source, d.n_chars,
+             CASE WHEN cc.keeper IS NULL OR cc.keeper = d.doc_id
+                  THEN 1 ELSE 0 END AS keep
+           FROM documents d LEFT JOIN cc ON cc.id = d.doc_id)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(sum(CASE WHEN keep = 1 THEN n_chars ELSE 0 END)
+             AS BIGINT) AS chars_kept
+         FROM k GROUP BY source ORDER BY source""",
     "q_assortativity" ->
       """WITH t AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -366,6 +366,79 @@ object TextOps {
         .limit(50)
     }),
 
+    // Simpson diversity per language (r14; Simpson 1949, public): the
+    // probability two token occurrences drawn without replacement are
+    // DIFFERENT types — 1 − Σ nᵢ(nᵢ−1)/(N(N−1)) — the concentration
+    // complement to q_token_zipf's slope (a corpus dominated by few
+    // types scores low; the repetition smell mixing audits read).
+    // Exact-integer numerator terms (nᵢ(nᵢ−1) sums as longs — safe to
+    // ~3e9 tokens per lang; the denominator multiplies as DOUBLE so
+    // 100 TB token counts cannot overflow, and IEEE products of exact
+    // ints are engine-identical). One token agg touches the corpus;
+    // the per-lang fold runs on vocab-bounded rows.
+    "q_simpson" -> ((s, dir) => {
+      val cnt = T(s, dir, "documents")
+        .select(col("lang"), explode(toks(lower(col("text")))).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      cnt.groupBy("lang")
+        .agg(count(lit(1)).as("vocab"), sum("c").as("n_tokens"),
+          sum(col("c") * (col("c") - 1)).as("ss"))
+        .select(col("lang"), col("vocab"), col("n_tokens"),
+          fround(lit(1.0) - col("ss").cast("double") /
+            (col("n_tokens").cast("double") *
+              (col("n_tokens") - 1).cast("double")), 4)
+            .as("simpson_div"))
+        .orderBy("lang")
+    }),
+
+    // Herfindahl–Hirschman source-concentration index per language
+    // (r14; public antitrust statistic): Σ share² of docs by source
+    // within the language — the single-number "is this language's data
+    // all one crawl?" screen that complements q_mutual_info's global
+    // dependence readout. Shares are exact-integer ratios; the fold
+    // runs on |langs|·|sources| cells.
+    "q_herfindahl" -> ((s, dir) => {
+      val cells = T(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy("lang").agg(sum("n").as("nl"))
+      cells.join(broadcast(tot), "lang")
+        .groupBy("lang").agg(count(lit(1)).as("n_sources"),
+          max("nl").as("n_docs"),
+          fround(sum(pow(col("n").cast("double") / col("nl"), 2)), 4)
+            .as("hhi"))
+        .orderBy("lang")
+    }),
+
+    // Out-of-vocabulary rate per language (r14): the fraction of
+    // held-out token OCCURRENCES whose type never appears in the
+    // training split's vocabulary — the tokenizer/domain-shift
+    // diagnostic run before freezing a vocab (reads with q_bpe_train
+    // and q_distinct_n). The split is the q_split_hash md5 bucket
+    // (buckets 1–12 train, 13–16 held ≈ 3/4 vs 1/4), so the same
+    // partition every split key uses. Scale: one token pass each side;
+    // the membership join keys on (lang, w) — bounded by train VOCAB
+    // (Heaps-sublinear), never by corpus volume.
+    "q_oov_rate" -> ((s, dir) => {
+      val tok = T(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          explode(toks(lower(col("text")))).as("w"))
+        .withColumn("b", instr(lit("0123456789abcdef"),
+          substring(md5(col("doc_id").cast("string")), 1, 1))
+          .cast("long"))
+      val train = tok.filter(col("b") <= 12)
+        .select("lang", "w").distinct()
+      tok.filter(col("b") > 12)
+        .join(train.withColumn("seen", lit(1L)), Seq("lang", "w"),
+          "left")
+        .groupBy("lang").agg(count(lit(1)).as("held_tokens"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L))
+            .as("oov_tokens"))
+        .select(col("lang"), col("held_tokens"), col("oov_tokens"),
+          fround(col("oov_tokens").cast("double") / col("held_tokens"),
+            4).as("oov_rate"))
+        .orderBy("lang")
+    }),
+
     // L4b — n-gram language-model statistics: top-20 word bigrams per
     // language by OCCURRENCE count (not per-doc distinct — an LM counts
     // every occurrence). Map-only gram stage, one partial+final hash agg,
@@ -2250,6 +2323,48 @@ object TextOps {
            floor(sum(power(CAST(n * nn - rl * cs AS DOUBLE), 2)
              / CAST(rl * cs AS DOUBLE) / nn) * 1e4 + 0.5) / 1e4 AS chi2
          FROM cells JOIN r USING (lang) JOIN c USING (source), tot""",
+    "q_simpson" ->
+      """WITH cnt AS (
+           SELECT lang, w, count(*) AS c FROM (
+             SELECT lang,
+               unnest(string_split(lower(text), ' ')) AS w
+             FROM documents)
+           GROUP BY 1, 2)
+         SELECT lang, count(*) AS vocab,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           floor((1.0 - CAST(sum(c * (c - 1)) AS DOUBLE)
+             / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) - 1 AS DOUBLE)))
+             * 1e4 + 0.5) / 1e4 AS simpson_div
+         FROM cnt GROUP BY lang ORDER BY lang""",
+    "q_herfindahl" ->
+      """WITH cells AS (
+           SELECT lang, source, count(*) AS n FROM documents
+           GROUP BY 1, 2),
+         tot AS (SELECT lang, sum(n) AS nl FROM cells GROUP BY 1)
+         SELECT lang, count(*) AS n_sources,
+           CAST(max(nl) AS BIGINT) AS n_docs,
+           floor(sum(power(CAST(n AS DOUBLE) / nl, 2)) * 1e4 + 0.5)
+             / 1e4 AS hhi
+         FROM cells JOIN tot USING (lang)
+         GROUP BY lang ORDER BY lang""",
+    "q_oov_rate" ->
+      """WITH tok AS (
+           SELECT lang, doc_id,
+             unnest(string_split(lower(text), ' ')) AS w,
+             strpos('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS b
+           FROM documents),
+         train AS (
+           SELECT DISTINCT lang, w FROM tok WHERE b <= 12),
+         held AS (SELECT lang, w FROM tok WHERE b > 12)
+         SELECT h.lang, count(*) AS held_tokens,
+           CAST(sum(CASE WHEN t.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           floor(sum(CASE WHEN t.w IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS oov_rate
+         FROM held h LEFT JOIN train t
+           ON t.lang = h.lang AND t.w = h.w
+         GROUP BY h.lang ORDER BY h.lang""",
     "q_cramers_v" ->
       """WITH cells AS (
            SELECT lang, source, count(*) AS n FROM documents
