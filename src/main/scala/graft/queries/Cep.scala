@@ -861,10 +861,12 @@ object Cep {
     // with the anti join and runs the shared measures machinery on
     // the survivors — references to the NOT step reject at parse (it
     // never matches a row). COUNT + MATCH_NUMBER keep the oracle
-    // integer-exact; SUM/AVG/boundary forms are spec-pinned against a
-    // DataFrame recomputation (CepSqlSpec), the q_measure_multi
-    // discipline. Scale shape: anti join + span join both touch match
-    // cardinality, never raw events squared.
+    // integer-exact; the SUM form is pinned by a genuinely independent
+    // second engine — MeasureChainSpec's fuzz compares this rewrite's
+    // span JOIN against the streaming detector's event-by-event
+    // accumulators on randomized fixtures. Scale shape: anti join +
+    // span join both touch match cardinality, never raw events
+    // squared.
     "q_measure_absent" -> ((s, dir) => {
       graft.Tables.load(s, dir)
       graft.streaming.CepSql.sql(s,
