@@ -1353,6 +1353,11 @@ object CepSql {
         else (s"p.ts_1", s"p.id_1")
       val (eTs, eId) =
         if (lastQ) (s"p.ts_$np", "rn.run_end_id")
+        // a 1-step QUANTIFIED prefix (reachable via the r14 absent ×
+        // measures form, e.g. `b{2,} THEN NOT d`) has no id_1 — the
+        // span's end row is the head run's END row (r0 is already
+        // joined for the span start)
+        else if (np == 1 && headQ) ("p.ts_1", "r0.run_end_id")
         else (s"p.ts_$np", s"p.id_$np")
       val spanJoin =
         if (spanAggs.isEmpty) ""

@@ -128,11 +128,14 @@ object ContinuousQueries {
     * absent and MEASURES × reluctant overlap stream since r14 too
     * (frozen prefix-span accumulators + watermark verdicts; m-th-event
     * serving), matching the batch rewrite's new anti-join-wrapped
-    * measures form (q_measure_absent). The remaining batch-only forms,
-    * each rejected loudly with a pointer to [[CepSql.sql]]: overlap at
-    * a non-head boundary (OverlapRunSpec pins the counterexample) /
-    * MEASURES × absent on NON-overlap chains (the batch rewrite covers
-    * them; the run-chain detectors have no absent measures arm);
+    * measures form (q_measure_absent) — and across the NON-overlap
+    * families too (r14 session 2: [[PatternMatch.detectMeasures]] and
+    * [[RunChainDetector.detectMeasures]] gained `absentPred` arms —
+    * parked prefixes with frozen spans, watermark verdicts), so
+    * MEASURES × absent streams on every chain family. The remaining
+    * batch-only forms, each rejected loudly with a pointer to
+    * [[CepSql.sql]]: overlap at a non-head boundary (OverlapRunSpec
+    * pins the counterexample);
     * optional steps × quantifiers reject at PARSE for both engines;
     * `{1,}?` outside the 2-step head or an overlap head; bounded lazy
     * `{m,n}?` (rejected at parse). Measures × reluctant stream since
@@ -323,21 +326,21 @@ object ContinuousQueries {
                 .map(_.toInt),
             absent = spec.absent,
             reluctant = sts(1).reluctant)
-        } else {
-          // non-overlap quantified chains: the absent measures form is
-          // batch-only (RunChainDetector has no absent measures arm) —
-          // loudly, now that the PARSER admits MEASURES × NOT (r14)
-          if (spec.absent)
-            throw new IllegalArgumentException(
-              "MEASURES with a trailing NOT streams only over an " +
-                "OVERLAP head (OverlapRunDetector.detectMeasures, " +
-                "r14) — for non-overlap absent chains use the batch " +
-                "rewrite via CepSql.sql")
+        } else if (spec.absent)
+          // non-overlap quantified absent measures (r14): the positive
+          // prefix runs the completion machinery; verdicts are parked
+          // prefixes resolved at the watermark — the batch
+          // anti-join-wrapped measures rewrite's streaming twin
           RunChainDetector.detectMeasures(srcWm,
-            spec.steps.map(s => (stepPred(s), s.minTimes)), spec.withinMs,
-            spec.steps.map(_.maxTimes), spec.measures,
-            spec.steps.map(_.reluctant))
-        }
+            spec.steps.init.map(s => (stepPred(s), s.minTimes)),
+            spec.withinMs,
+            spec.steps.init.map(_.maxTimes), spec.measures,
+            spec.steps.init.map(_.reluctant),
+            absentPred = Some(stepPred(spec.steps.last)))
+        else RunChainDetector.detectMeasures(srcWm,
+          spec.steps.map(s => (stepPred(s), s.minTimes)), spec.withinMs,
+          spec.steps.map(_.maxTimes), spec.measures,
+          spec.steps.map(_.reluctant))
         // same alias + integral-cast discipline as the plain-chain
         // measures arm (batch schema parity)
         val intCols = Set("event_id", "user_id")
@@ -584,21 +587,22 @@ object ContinuousQueries {
             else runs.filter(_.next_follow.isDefined)
           wanted.toDF()
         case None if spec.measures.nonEmpty =>
-          // MEASURES (r7, list since r8): plain chains only
-          // (parse-validated); span aggregates and class references read
-          // any NUMERIC converter column since r8 (value, event_id,
-          // user_id) — detectMeasures rejects the rest loudly at submit.
-          // The parser admits MEASURES × NOT since r14, but only the
-          // OVERLAP-head family streams it — plain absent chains stay
-          // batch-only, loudly
-          if (spec.absent)
-            throw new IllegalArgumentException(
-              "MEASURES with a trailing NOT streams only over an " +
-                "OVERLAP head (OverlapRunDetector.detectMeasures, " +
-                "r14) — for plain absent chains use the batch " +
-                "rewrite via CepSql.sql")
-          val det = PatternMatch.detectMeasures(srcWm,
-            spec.steps.map(stepPred), spec.withinMs, spec.measures)
+          // MEASURES (r7, list since r8): plain chains; span aggregates
+          // and class references read any NUMERIC converter column
+          // since r8 (value, event_id, user_id) — detectMeasures
+          // rejects the rest loudly at submit. The trailing-NOT form
+          // streams since r14: the positive prefix parks with frozen
+          // accumulators and verdicts at the watermark
+          // (PatternMatch.detectMeasures' absentPred arm — matches the
+          // batch anti-join-wrapped measures, q_measure_absent).
+          val det =
+            if (spec.absent)
+              PatternMatch.detectMeasures(srcWm,
+                spec.steps.init.map(stepPred), spec.withinMs,
+                spec.measures,
+                absentPred = Some(stepPred(spec.steps.last)))
+            else PatternMatch.detectMeasures(srcWm,
+              spec.steps.map(stepPred), spec.withinMs, spec.measures)
           // project the vals vector onto the declared aliases, casting
           // the integer-valued measures back to long so the streaming
           // schema matches the batch rewrite's: COUNT, MATCH_NUMBER, and

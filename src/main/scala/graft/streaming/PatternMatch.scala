@@ -50,7 +50,12 @@ case class MeasureNDone(ids: List[Long], cvals: List[Seq[Double]],
 /** `counter` is the last assigned match number — it must survive even
   * when no partials/done remain, or numbering would restart. */
 case class MeasureNState(partials: List[MeasureNPartial],
-    done: List[MeasureNDone], counter: Long)
+    done: List[MeasureNDone], counter: Long,
+    // completed positive prefixes awaiting the absent form's watermark
+    // verdict (r14) — accumulators frozen at the last positive match.
+    // NOTE: adding this field breaks state-store schema compatibility
+    // with pre-r14 checkpoints of measure queries (MIGRATION.md §4).
+    waiting: List[MeasureNDone] = Nil)
 
 /** An N-step match whose optional steps may be absent: one entry per
   * step — the matched event id/ts, or None for a skipped optional step
@@ -205,10 +210,28 @@ object PatternMatch {
     * fallback). The per-key state with MATCH_NUMBER keeps the counter
     * alive forever (one long — numbering must not restart); partials and
     * held matches stay bounded by the window as before. */
+  /** `absentPred` (r14): the trailing NOT step's predicate — `steps`
+    * then lists only the POSITIVE prefix. A partial completing the
+    * prefix parks with FROZEN accumulators (the batch span covers
+    * anchor .. the last positive match); an absent-class event strictly
+    * after that match and inside the anchor window kills it; the
+    * no-follow verdict emits once the watermark passes the anchor
+    * deadline (timer-driven — a WATERMARKED streaming input is
+    * required; matches the batch rewrite's anti-join-wrapped measures,
+    * q_measure_absent). MATCH_NUMBER composes: verdicts join the held
+    * list and release in (ts_1, id_1) order. */
   def detectMeasures(events: Dataset[CepEvent],
       steps: Seq[CepEvent => Boolean], withinMs: Long,
-      measures: Seq[CepSql.Measure]): Dataset[MeasureNMatch] = {
-    require(steps.length >= 2, "a pattern needs at least 2 steps")
+      measures: Seq[CepSql.Measure],
+      absentPred: Option[CepEvent => Boolean] = None)
+      : Dataset[MeasureNMatch] = {
+    val absent = absentPred.isDefined
+    require(steps.length >= 2 || (absent && steps.nonEmpty),
+      "a pattern needs at least 2 steps")
+    require(!absent || events.isStreaming,
+      "the absent measures form needs a STREAMING watermarked input " +
+        "(no-Z verdicts are timer-driven; for batch input use the " +
+        "batch rewrite via CepSql.sql)")
     require(measures.nonEmpty, "at least one measure")
     val n = steps.length
     measures.foreach {
@@ -239,7 +262,7 @@ object PatternMatch {
     implicit val keyEnc = Encoders.scalaLong
     val withinUs = withinMs * 1000L
     val timeoutConf =
-      if (hasNum) GroupStateTimeout.EventTimeTimeout()
+      if (hasNum || absent) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
 
     def vals(d: MeasureNDone, no: Long): Seq[Double] = measures.map {
@@ -266,6 +289,7 @@ object PatternMatch {
           var partials = prev.partials
           var done = prev.done
           var counter = prev.counter
+          var waiting = prev.waiting
           val out = List.newBuilder[MeasureNMatch]
           val batch =
             if (state.hasTimedOut) Array.empty[CepEvent]
@@ -289,28 +313,60 @@ object PatternMatch {
                 if (ids2.length == n) {
                   val d = MeasureNDone(ids2.reverse, cv2.reverse,
                     acc.start, e.ts, acc.sums, acc.cnt, acc.mns, acc.mxs)
-                  if (hasNum) done = d :: done
+                  // absent (r14): the completed PREFIX parks with
+                  // frozen accumulators until the watermark verdict
+                  if (absent) waiting = d :: waiting
+                  else if (hasNum) done = d :: done
                   else out += MeasureNMatch(user, d.ids, d.start, d.end,
                     vals(d, 0L))
                   Nil
                 } else List(acc.copy(ids = ids2, cvals = cv2, last = e.ts))
               } else List(acc)
             }
-            if (steps.head(e))
-              // the anchor event seeds its own partial's accumulators
-              partials = MeasureNPartial(List(e.event_id),
-                List(refSels.map(_(e))), e.ts, e.ts,
-                ev, 1L, ev, ev) :: partials
+            if (steps.head(e)) {
+              // the anchor event seeds its own partial's accumulators;
+              // a 1-step positive prefix (`a THEN NOT b`) is complete
+              // AT the anchor — park it directly
+              if (n == 1 && absent)
+                waiting = MeasureNDone(List(e.event_id),
+                  List(refSels.map(_(e))), e.ts, e.ts, ev, 1L, ev, ev) ::
+                  waiting
+              else
+                partials = MeasureNPartial(List(e.event_id),
+                  List(refSels.map(_(e))), e.ts, e.ts,
+                  ev, 1L, ev, ev) :: partials
+            }
+            // absent kill scan (r14): a NOT-class event strictly after
+            // a parked prefix's last positive match and inside its
+            // anchor window kills it — the batch anti join verbatim
+            absentPred.foreach { np =>
+              if (np(e))
+                waiting = waiting.filter(d =>
+                  !(t > us(d.end) && t <= us(d.start) + withinUs))
+            }
           }
           val horizon = scala.util.Try(state.getCurrentWatermarkMs() * 1000L)
             .getOrElse(maxTs)
           partials = partials.filter(p => us(p.start) + withinUs >= horizon)
+          // absent verdicts (r14): once the watermark passes a parked
+          // prefix's anchor deadline STRICTLY, no admissible NOT-class
+          // event can still kill it — emit (or hold for numbering)
+          if (absent) {
+            val (ripe, still) = waiting.partition(d =>
+              us(d.start) + withinUs < horizon)
+            waiting = still
+            ripe.foreach { d =>
+              if (hasNum) done = d :: done
+              else out += MeasureNMatch(user, d.ids, d.start, d.end,
+                vals(d, 0L))
+            }
+          }
           if (hasNum) {
             // numbered release: window closed AND no open partial is
             // anchored before it ((ts, id_1) order — such a partial
             // could still complete into an earlier-numbered match)
-            val minOpen = partials
-              .map(p => (us(p.start), p.ids.last))
+            val minOpen = (partials.map(p => (us(p.start), p.ids.last)) ++
+              waiting.map(d => (us(d.start), d.ids.head)))
               .minOption
             val releasable = (d: MeasureNDone) =>
               us(d.start) + withinUs <= horizon &&
@@ -324,13 +380,16 @@ object PatternMatch {
             }
             done = keep
           }
-          if (partials.isEmpty && done.isEmpty && counter == 0L)
+          if (partials.isEmpty && done.isEmpty && waiting.isEmpty &&
+              counter == 0L)
             state.remove()
           else {
-            state.update(MeasureNState(partials, done, counter))
-            if (hasNum && (done.nonEmpty || partials.nonEmpty)) {
+            state.update(MeasureNState(partials, done, counter, waiting))
+            if ((hasNum || absent) &&
+                (done.nonEmpty || partials.nonEmpty || waiting.nonEmpty)) {
               // wake when the earliest still-relevant window closes
               val targetMs = (done.map(d => us(d.start)) ++
+                waiting.map(d => us(d.start)) ++
                 partials.map(p => us(p.start)))
                 .map(_ / 1000L + withinMs + 1).min
               state.setTimeoutTimestamp(

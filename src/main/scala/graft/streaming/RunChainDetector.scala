@@ -60,7 +60,13 @@ case class RunChainMPartial(vals: List[Long], tss: List[Timestamp],
 case class RunChainMDone(m: RunChainMeasured, hrsid: Long)
 
 case class RunChainMState(partials: List[RunChainMPartial],
-    done: List[RunChainMDone] = Nil, counter: Long = 0L)
+    done: List[RunChainMDone] = Nil, counter: Long = 0L,
+    // completed positive prefixes awaiting the absent form's watermark
+    // verdict (r14) — their spans froze at the last positive match by
+    // construction (only partials fold). NOTE: this field breaks
+    // state-store schema compatibility with pre-r14 checkpoints of
+    // measure queries (MIGRATION.md §4).
+    waiting: List[RunChainMDone] = Nil)
 
 /** Streaming quantified chains (r7): `MATCH PATTERN` chains with `{m,}`
   * on any step — the last pattern form [[ContinuousQueries.submitPattern]]
@@ -451,11 +457,27 @@ object RunChainDetector {
     * inside the lateness bound still advance STEPS but cannot
     * retro-enter an already-accumulated span — batch is authoritative
     * there ([[PatternMatch.detectMeasure]]'s documented contract). */
+  /** `absentPred` (r14): the trailing NOT step's predicate — `steps`
+    * then lists only the POSITIVE prefix. A partial completing the
+    * prefix parks (its span froze at the last positive match — parked
+    * items never fold); a NOT-class event strictly after that match
+    * inside the anchor window kills it; the no-follow verdict emits
+    * once the watermark passes the anchor deadline (timer-driven — a
+    * WATERMARKED streaming input required). Matches the batch
+    * anti-join-wrapped measures rewrite; MATCH_NUMBER composes
+    * (verdicts join the held list; waiting prefixes block release
+    * like open partials). */
   def detectMeasures(events: Dataset[CepEvent],
       steps: Seq[(CepEvent => Boolean, Option[Int])], withinMs: Long,
       maxTimes: Seq[Option[Int]], measures: Seq[CepSql.Measure],
-      lazyStepsIn: Seq[Boolean] = Nil)
+      lazyStepsIn: Seq[Boolean] = Nil,
+      absentPred: Option[CepEvent => Boolean] = None)
       : Dataset[RunChainMeasured] = {
+    val absent = absentPred.isDefined
+    require(!absent || events.isStreaming,
+      "the absent measures form needs a STREAMING watermarked input " +
+        "(no-Z verdicts are timer-driven; for batch input use the " +
+        "batch rewrite via CepSql.sql)")
     // RELUCTANT steps (r8): same lazy completion as [[core]] — the run
     // truncates at its m-th event, which IS a span row, so lazy
     // completions fold POST (unlike a greedy closure, whose closing
@@ -471,7 +493,8 @@ object RunChainDetector {
     }
     require(maxTimes.length == steps.length,
       "one maxTimes entry per step (None = uncapped)")
-    require(steps.length >= 2, "a pattern needs at least 2 steps")
+    require(steps.length >= 2 || (absent && steps.nonEmpty),
+      "a pattern needs at least 2 steps")
     require(steps.exists(_._2.isDefined),
       "no quantifier — use PatternMatch.detectMeasures for plain chains")
     require(measures.nonEmpty, "at least one measure")
@@ -548,7 +571,7 @@ object RunChainDetector {
     implicit val keyEnc = Encoders.scalaLong
 
     val timeoutConf =
-      if (hasNum) GroupStateTimeout.EventTimeTimeout()
+      if (hasNum || absent) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[RunChainMState, RunChainMeasured](
@@ -559,6 +582,7 @@ object RunChainDetector {
           var partials = prev.partials
           var done = prev.done
           var counter = prev.counter
+          var waiting = prev.waiting
           val out = List.newBuilder[RunChainMeasured]
           val batch =
             if (state.hasTimedOut) Array.empty[CepEvent]
@@ -601,7 +625,11 @@ object RunChainDetector {
               val m = RunChainMeasured(user, vals2.reverse, tss2.reverse,
                 tss2.last, ts,
                 measureVals(emit._1, emit._2, emit._3, emit._4, p.bnd))
-              if (hasNum) done = RunChainMDone(m, p.hrsid) :: done
+              // absent (r14): the completed PREFIX parks until the
+              // watermark verdict (parked items never fold, so the
+              // span froze at this — the last positive — match)
+              if (absent) waiting = RunChainMDone(m, p.hrsid) :: waiting
+              else if (hasNum) done = RunChainMDone(m, p.hrsid) :: done
               else out += m
               None
             } else Some(RunChainMPartial(vals2, tss2, p.anchorTs, ts,
@@ -789,6 +817,18 @@ object RunChainDetector {
                     ev, 1L, ev, ev, seedBnd(Nil, 0),
                     e.event_id) :: partials
             }
+            // absent kill scan (r14): a NOT-class event strictly after
+            // a parked prefix's last positive match and inside its
+            // anchor window kills it — the batch anti join verbatim
+            // (runs AFTER this event's own close/advance above, so a
+            // NOT-class breaker kills the prefix it just completed:
+            // its ts is strictly past the run's end, as in batch)
+            absentPred.foreach { np =>
+              if (np(e))
+                waiting = waiting.filter(d =>
+                  !(t > us(d.m.end_ts) &&
+                    t <= us(d.m.start_ts) + withinUs))
+            }
           }
 
           val horizon = scala.util.Try(state.getCurrentWatermarkMs() * 1000L)
@@ -796,6 +836,18 @@ object RunChainDetector {
           partials = partials.filter { p =>
             p.runStart != null ||
               (p.tss.nonEmpty && windowEnd(p) >= horizon)
+          }
+          // absent verdicts (r14): once the watermark passes a parked
+          // prefix's anchor deadline STRICTLY, no admissible NOT-class
+          // event can still kill it — emit (or hold for numbering)
+          if (absent) {
+            val (ripe, still) = waiting.partition(d =>
+              us(d.m.start_ts) + withinUs < horizon)
+            waiting = still
+            ripe.foreach { d =>
+              if (hasNum) done = d :: done
+              else out += d.m
+            }
           }
           if (hasNum) {
             // numbered release (r9, PatternMatch's discipline): a done
@@ -823,7 +875,11 @@ object RunChainDetector {
                   us(p.runLast) + withinUs > horizon)
                 Some((us(p.runLast), p.hrsid))
               else None
-            }
+            } ++
+              // a parked prefix awaiting its absence verdict could
+              // still emit with an EARLIER anchor — it blocks release
+              // exactly like an open partial (r14)
+              waiting.map(d => (us(d.m.start_ts), d.hrsid))
             val minOpen = bounds.minOption
             val releasable = (d: RunChainMDone) =>
               us(d.m.start_ts) + withinUs <= horizon &&
@@ -838,13 +894,16 @@ object RunChainDetector {
             }
             done = keep
           }
-          if (partials.isEmpty && done.isEmpty && counter == 0L)
+          if (partials.isEmpty && done.isEmpty && waiting.isEmpty &&
+              counter == 0L)
             state.remove()
           else {
-            state.update(RunChainMState(partials, done, counter))
-            if (hasNum && (done.nonEmpty || partials.nonEmpty)) {
+            state.update(RunChainMState(partials, done, counter, waiting))
+            if ((hasNum || absent) && (done.nonEmpty ||
+                partials.nonEmpty || waiting.nonEmpty)) {
               // wake when the earliest still-relevant window closes
               val anchorUs = done.map(d => us(d.m.start_ts)) ++
+                waiting.map(d => us(d.m.start_ts)) ++
                 partials.map(p =>
                   us(if (p.tss.isEmpty) p.anchorTs else p.tss.last))
               val targetMs = anchorUs.map(_ / 1000L + withinMs + 1).min

@@ -533,6 +533,157 @@ class MeasureChainSpec extends SparkSpec {
     }
   }
 
+  test("MEASURES x absent PLAIN chains: streaming == batch on " +
+      "randomized fixtures (r14 — parked prefixes, watermark " +
+      "verdicts, 1-step and 2-step positive prefixes)") {
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val types = Array("a", "b", "d", "x", "x")
+    val forms = Seq(
+      // 1-step positive prefix: the anchor row IS the span
+      ("a THEN NOT d", Seq("user_id", "id_1", "c", "sv", "mn")),
+      ("a THEN b THEN NOT d",
+        Seq("user_id", "id_1", "id_2", "c", "sv", "mn")))
+    for (seed <- 1 to 3; ((patTxt, bcols), fi) <- forms.zipWithIndex) {
+      val rnd = new scala.util.Random(seed * 4000 + fi)
+      val rows = (1 to 80).map { id =>
+        CepEvent(id.toLong, new Timestamp(t0 + rnd.nextInt(500) * 1000L),
+          (1 + rnd.nextInt(3)).toLong, types(rnd.nextInt(5)), id * 0.25)
+      }.sortBy(e => (e.ts.getTime, e.event_id))
+      val tag = s"pa${seed}_$fi"
+      import spark.implicits._
+      rows.toDF().createOrReplaceTempView(s"ev_pabs_$tag")
+      val pat = (tbl: String) =>
+        s"""SELECT * FROM $tbl
+           MATCH PATTERN ($patTxt WITHIN '2' MINUTES)
+           PARTITION BY user_id
+           MEASURES COUNT(*) AS c, SUM(value) AS sv,
+                    MATCH_NUMBER() AS mn"""
+      val batch = CepSql.sql(spark, pat(s"ev_pabs_$tag"))
+        .select(bcols.map(col): _*).collect().map { r =>
+          (r.getLong(0), r.getLong(1)) ->
+            ((r.toSeq.drop(1).dropRight(3),
+              r.getAs[Long]("c"),
+              math.floor(r.getAs[Double]("sv") * 1e6) / 1e6,
+              r.getAs[Long]("mn")))
+        }.toMap
+      val stream = MemoryStream[CepEvent]
+      val name = s"pabs_$tag"
+      stream.toDF().createOrReplaceTempView(s"src_pabs_$tag")
+      val q = ContinuousQueries.submitPattern(spark,
+        pat(s"src_pabs_$tag"), name, lateness = "5 seconds")
+      try {
+        rows.grouped(20).foreach { ch =>
+          stream.addData(ch.toSeq); q.processAllAvailable()
+        }
+        stream.addData(Seq(CepEvent(-1L,
+          Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "zz", 0.0)))
+        q.processAllAvailable()
+        stream.addData(Seq(CepEvent(-2L,
+          Timestamp.valueOf("2031-01-02 00:00:00"), -2L, "zz", 0.0)))
+        q.processAllAvailable()
+        val got = spark.table(name).filter(col("user_id") >= 0L)
+          .collect().map { r =>
+            val ids = r.getSeq[Long](1)
+            (r.getLong(0), ids.head) ->
+              ((ids.map(x => x: Any),
+                r.getAs[Long]("c"),
+                math.floor(r.getAs[Double]("sv") * 1e6) / 1e6,
+                r.getAs[Long]("mn")))
+          }.toMap
+      assert(got.keySet === batch.keySet,
+          s"seed $seed '$patTxt': ${got.keySet.diff(batch.keySet).take(3)}" +
+            s" extra, ${batch.keySet.diff(got.keySet).take(3)} missing")
+        batch.foreach { case (k, (bids, bc, bsv, bmn)) =>
+          val (gids, gc, gsv, gmn) = got(k)
+          assert(gids.map(_.toString) == bids.map(_.toString) &&
+            gc == bc && gsv == bsv && gmn == bmn,
+            s"seed $seed '$patTxt' @$k: got ${got(k)} vs ${batch(k)}")
+        }
+      } finally {
+        if (q.isActive) q.stop()
+        spark.catalog.dropTempView(s"ev_pabs_$tag")
+      }
+    }
+  }
+
+  test("MEASURES x absent QUANTIFIED chains: streaming == batch on " +
+      "randomized fixtures (r14 — parked prefixes never fold, " +
+      "watermark verdicts, disjoint-class heads)") {
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val types = Array("a", "b", "b", "d", "x")
+    val forms = Seq(
+      // quantified head, 1-step prefix
+      ("b{2,} THEN NOT d", Seq("user_id", "len_1", "c", "sv", "mn")),
+      // plain anchor + quantified step + NOT (disjoint classes — the
+      // overlap family has its own arm)
+      ("a THEN b{2,} THEN NOT d",
+        Seq("user_id", "id_1", "len_2", "c", "sv", "mn")))
+    for (seed <- 1 to 3; ((patTxt, bcols), fi) <- forms.zipWithIndex) {
+      val rnd = new scala.util.Random(seed * 5000 + fi)
+      val rows = (1 to 80).map { id =>
+        CepEvent(id.toLong, new Timestamp(t0 + rnd.nextInt(500) * 1000L),
+          (1 + rnd.nextInt(3)).toLong, types(rnd.nextInt(5)), id * 0.25)
+      }.sortBy(e => (e.ts.getTime, e.event_id))
+      val tag = s"qa${seed}_$fi"
+      import spark.implicits._
+      rows.toDF().createOrReplaceTempView(s"ev_qabs_$tag")
+      val pat = (tbl: String) =>
+        s"""SELECT * FROM $tbl
+           MATCH PATTERN ($patTxt WITHIN '2' MINUTES)
+           PARTITION BY user_id
+           MEASURES COUNT(*) AS c, SUM(value) AS sv,
+                    MATCH_NUMBER() AS mn"""
+      val batch = CepSql.sql(spark, pat(s"ev_qabs_$tag"))
+        .select(bcols.map(col): _*).collect().map { r =>
+          (r.getLong(0), r.toSeq.drop(1).dropRight(3).map(_.toString)) ->
+            ((r.getAs[Long]("c"),
+              math.floor(r.getAs[Double]("sv") * 1e6) / 1e6,
+              r.getAs[Long]("mn")))
+        }.toMap
+      val stream = MemoryStream[CepEvent]
+      val name = s"qabs_$tag"
+      stream.toDF().createOrReplaceTempView(s"src_qabs_$tag")
+      val q = ContinuousQueries.submitPattern(spark,
+        pat(s"src_qabs_$tag"), name, lateness = "5 seconds")
+      try {
+        rows.grouped(20).foreach { ch =>
+          stream.addData(ch.toSeq); q.processAllAvailable()
+        }
+        // per-KEY flush: closes each user's trailing open run (the
+        // batch gaps-and-islands closes runs at end of input) and
+        // advances the watermark; the second batch fires the timers
+        stream.addData((1 to 3).map(u => CepEvent(-u.toLong,
+          Timestamp.valueOf("2031-01-01 00:00:00"), u.toLong, "zz",
+          0.0)))
+        q.processAllAvailable()
+        stream.addData(Seq(CepEvent(-9L,
+          Timestamp.valueOf("2031-01-02 00:00:00"), 9L, "zz", 0.0)))
+        q.processAllAvailable()
+        val got = spark.table(name)
+          .filter(col("step_vals").getItem(0) >= 0L)
+          .collect().map { r =>
+            (r.getLong(0),
+              r.getSeq[Long](1).map(_.toString)) ->
+              ((r.getAs[Long]("c"),
+                math.floor(r.getAs[Double]("sv") * 1e6) / 1e6,
+                r.getAs[Long]("mn")))
+          }.toMap
+        assert(got === batch,
+          s"seed $seed '$patTxt': " +
+            s"${got.toSet.diff(batch.toSet).take(3)} extra, " +
+            s"${batch.toSet.diff(got.toSet).take(3)} missing " +
+            s"(${got.size} streamed vs ${batch.size} batch)")
+      } finally {
+        if (q.isActive) q.stop()
+        spark.catalog.dropTempView(s"ev_qabs_$tag")
+      }
+    }
+  }
+
   test("overlap measures: anchor class refs via the direct API (r12)") {
     implicit val sq = spark.sqlContext
     // anchor class ref (step 1) — not expressible in the dialect for an
