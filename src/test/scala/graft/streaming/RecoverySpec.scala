@@ -702,6 +702,77 @@ class RecoverySpec extends SparkSpec {
       s"${diffs.size} (len, span, sum) diverge, e.g. ${diffs.take(3)}")
   }
 
+  test("quantified-chain absent-measures waiting list resumes from " +
+      "checkpoint (r14): parked prefixes and their frozen spans " +
+      "survive to the verdict") {
+    // The r14 `waiting` field on RunChainMState: prefixes completed
+    // before the restart must still verdict (with their frozen span
+    // accumulators) after it. Exactly q_measure_absent's pattern, so
+    // the oracle-gated batch key is the want-side.
+    import java.sql.Timestamp
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_qam_in").toFile
+    val outDir = Files.createTempDirectory("graft_qam_out").toFile
+    val ckpt = Files.createTempDirectory("graft_qam_ckpt").toFile
+    val events = Tables.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val schema = events.schema
+    def startQuery() =
+      RunChainDetector.detectMeasures(
+          Sources.fileStream(spark, in.getAbsolutePath, schema)
+            .withWatermark("ts", "0 seconds").as[CepEvent],
+          Seq(((e: CepEvent) => e.event_type == "signup", None),
+            ((e: CepEvent) => e.event_type == "click", Some(2))),
+          24L * 3600 * 1000, Seq(None, None),
+          Seq(CepSql.SpanAgg("COUNT", "*", "span_n"),
+            CepSql.MatchNum("mno")),
+          absentPred =
+            Some((e: CepEvent) => e.event_type == "purchase"))
+        .writeStream.format("parquet")
+        .option("path", outDir.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append").start()
+    val cut = "2024-01-08 00:00:00"
+    events.filter(col("ts") < lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    events.filter(col("ts") >= lit(cut))
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    // per-key flush closes trailing click runs; second batch fires
+    // the verdict timers under the advanced watermark
+    val users = events.select("user_id").distinct()
+      .collect().map(_.getLong(0))
+    users.zipWithIndex.map { case (u, i) =>
+      CepEvent(-7000L - i, Timestamp.valueOf("2031-01-01 00:00:00"), u,
+        "zz_flush", 0.0)
+    }.toSeq.toDS().toDF()
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+    Seq(CepEvent(-9999L, Timestamp.valueOf("2031-01-02 00:00:00"), -1L,
+      "zz_flush", 0.0)).toDS().toDF()
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q4 = startQuery(); q4.processAllAvailable(); q4.stop()
+    val got = spark.read.parquet(outDir.getAbsolutePath).collect()
+      .map { r =>
+        val v = r.getSeq[Double](5)
+        (r.getLong(0), r.getSeq[Long](1).toList) ->
+          ((v(0).toLong, v(1).toLong))
+      }.toMap
+    Tables.load(spark, sf)
+    val want = graft.SparkEntry.queries("q_measure_absent")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        List(r.getAs[Long]("id_1"), r.getAs[Long]("len_2"))) ->
+        ((r.getAs[Long]("span_n"), r.getAs[Long]("mno")))).toMap
+    assert(want.nonEmpty, "fixture must produce absent-form matches")
+    assert(got.keySet === want.keySet, "match sets differ across restart")
+    val diffs = want.collect {
+      case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty,
+      s"${diffs.size} (span, number) diverge, e.g. ${diffs.take(3)}")
+  }
+
   test("LOCF gap-fill carry resumes from checkpoint: open-hour " +
       "accumulator and carry value survive (r9)") {
     // TimeSeriesOps.locfHourly keeps (open hour, sum, cnt) per type; a
