@@ -439,6 +439,46 @@ object TextOps {
         .orderBy("lang")
     }),
 
+    // Jensen–Shannon divergence between the train and held splits per
+    // language (r14; Lin 1991, public): where q_oov_rate counts tokens
+    // the vocab has never seen, JSD measures how far the WHOLE token
+    // distribution shifted — the symmetric, finite (no smoothing
+    // needed: 0·ln0 = 0 and the mixture is positive wherever either
+    // side is) divergence mixing audits threshold on. Determinism: the
+    // ln argument reduces to 2·c0·n1/(c0·n1 + c1·n0) — products of
+    // exact integers evaluated in DOUBLE with the same association on
+    // both engines (and overflow-safe at 100 TB counts); the
+    // vocab-row double sum rounds at 4 dp (the q_mutual_info
+    // discipline). One token pass; the fold is vocab-bounded per lang.
+    "q_js_split" -> ((s, dir) => {
+      val tok = T(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          explode(toks(lower(col("text")))).as("w"))
+        .withColumn("b", instr(lit("0123456789abcdef"),
+          substring(md5(col("doc_id").cast("string")), 1, 1))
+          .cast("long"))
+      val cnt = tok.groupBy("lang", "w")
+        .agg(sum((col("b") <= 12).cast("long")).as("c0"),
+          sum((col("b") > 12).cast("long")).as("c1"))
+      val tot = cnt.groupBy("lang")
+        .agg(sum("c0").as("n0"), sum("c1").as("n1"))
+      val den = col("c0").cast("double") * col("n1") +
+        col("c1").cast("double") * col("n0")
+      cnt.join(broadcast(tot), "lang")
+        .select(col("lang"), col("n0"), col("n1"),
+          when(col("c0") > 0, col("c0").cast("double") / col("n0") *
+            log(lit(2.0) * col("c0") * col("n1") / den))
+            .otherwise(lit(0.0)).as("tp"),
+          when(col("c1") > 0, col("c1").cast("double") / col("n1") *
+            log(lit(2.0) * col("c1") * col("n0") / den))
+            .otherwise(lit(0.0)).as("tq"))
+        .groupBy("lang")
+        .agg(max("n0").as("n_train_tokens"),
+          max("n1").as("n_held_tokens"),
+          fround((sum("tp") + sum("tq")) / 2.0, 4).as("jsd"))
+        .orderBy("lang")
+    }),
+
     // L4b — n-gram language-model statistics: top-20 word bigrams per
     // language by OCCURRENCE count (not per-doc distinct — an LM counts
     // every occurrence). Map-only gram stage, one partial+final hash agg,
@@ -2323,6 +2363,36 @@ object TextOps {
            floor(sum(power(CAST(n * nn - rl * cs AS DOUBLE), 2)
              / CAST(rl * cs AS DOUBLE) / nn) * 1e4 + 0.5) / 1e4 AS chi2
          FROM cells JOIN r USING (lang) JOIN c USING (source), tot""",
+    "q_js_split" ->
+      """WITH tok AS (
+           SELECT lang,
+             unnest(string_split(lower(text), ' ')) AS w,
+             strpos('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS b
+           FROM documents),
+         cnt AS (
+           SELECT lang, w,
+             sum(CASE WHEN b <= 12 THEN 1 ELSE 0 END) AS c0,
+             sum(CASE WHEN b > 12 THEN 1 ELSE 0 END) AS c1
+           FROM tok GROUP BY 1, 2),
+         tot AS (
+           SELECT lang, sum(c0) AS n0, sum(c1) AS n1 FROM cnt
+           GROUP BY 1),
+         terms AS (
+           SELECT lang, n0, n1,
+             CASE WHEN c0 > 0 THEN CAST(c0 AS DOUBLE) / n0 *
+               ln(2.0 * c0 * n1 /
+                 (CAST(c0 AS DOUBLE) * n1 + CAST(c1 AS DOUBLE) * n0))
+             ELSE 0.0 END AS tp,
+             CASE WHEN c1 > 0 THEN CAST(c1 AS DOUBLE) / n1 *
+               ln(2.0 * c1 * n0 /
+                 (CAST(c0 AS DOUBLE) * n1 + CAST(c1 AS DOUBLE) * n0))
+             ELSE 0.0 END AS tq
+           FROM cnt JOIN tot USING (lang))
+         SELECT lang, CAST(max(n0) AS BIGINT) AS n_train_tokens,
+           CAST(max(n1) AS BIGINT) AS n_held_tokens,
+           floor((sum(tp) + sum(tq)) / 2 * 1e4 + 0.5) / 1e4 AS jsd
+         FROM terms GROUP BY lang ORDER BY lang""",
     "q_simpson" ->
       """WITH cnt AS (
            SELECT lang, w, count(*) AS c FROM (
