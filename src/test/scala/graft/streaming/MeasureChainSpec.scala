@@ -621,6 +621,10 @@ class MeasureChainSpec extends SparkSpec {
       // plain anchor + quantified step + NOT (disjoint classes — the
       // overlap family has its own arm)
       ("a THEN b{2,} THEN NOT d",
+        Seq("user_id", "id_1", "len_2", "c", "sv", "mn")),
+      // RELUCTANT quantified prefix + NOT: the lazy completion parks
+      // at the m-th run event; the verdict machinery is shared
+      ("a THEN b{2,}? THEN NOT d",
         Seq("user_id", "id_1", "len_2", "c", "sv", "mn")))
     for (seed <- 1 to 3; ((patTxt, bcols), fi) <- forms.zipWithIndex) {
       val rnd = new scala.util.Random(seed * 5000 + fi)
