@@ -32,7 +32,26 @@ object Tables {
     * which is exactly DuckDB's naive read). Dispatch on the arrived type
     * so either vintage of testdata works unchanged.
     */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    tables.getOrElseUpdate((spark, sfDir, name), {
+      // drop entries for stopped sessions so the memo can't pin dead
+      // sessions (and their state) forever — same hygiene as `registered`
+      tables.filterInPlace { case ((s, _, _), _) =>
+        (s ne spark) && !s.sparkContext.isStopped }
+      build(spark, sfDir, name)
+    })
+
+  /** Uncached build (r14 optimization round): `spark.read.parquet` costs
+    * ~70–90 ms of driver work per call (DataSource resolution, file
+    * listing, footer schema read) — measured via tools.OptProbe phase
+    * split: q_join_6way spent 0.55 s of its 1.34 s median just re-deriving
+    * its 6 table frames per run. The memo above hands every invocation the
+    * SAME logical plan, so that work is paid once per (session, dir,
+    * table). This caches driver-side METADATA only (guide §6 file-listing
+    * caching, §7.3 driver work): executions still scan the parquet bytes —
+    * no data or results are persisted. */
+  private def build(spark: SparkSession, sfDir: String, name: String)
+      : DataFrame = {
     // Verify/Bench create the session without this conf; runtime-set works
     // (verified in SURVEY §7.1 M0). Harmless to set repeatedly, and inert
     // when the file is not NANOS-typed.
@@ -49,6 +68,10 @@ object Tables {
       }
     else df
   }
+
+  private val tables =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, String), DataFrame]
 
   /** Load all tables and register each as a temp view (for SQL-surface use).
     *

@@ -83,16 +83,24 @@ object Postings {
     * doc COUNT, so building (and sorting) the doc arrays is wasted
     * work when no pair stage consumes them — measured 1.46 → 1.20 s at
     * sf0.1 for the standalone `q_posting_df` key (the residual is the
-    * gram explode itself, shared by every inverted-index key). Two
-    * map-combinable
-    * exchanges ((keys, doc) dedup, then per-key count) instead of one
-    * collect_set exchange carrying whole arrays. */
+    * gram explode itself, shared by every inverted-index key).
+    *
+    * r14 (optimization round, guide §2.4): ONE exchange instead of two.
+    * The previous `distinct()` + `groupBy(keys).count()` paid a full
+    * hash exchange on (keys, doc) and then ANOTHER on (keys) — the
+    * (keys, doc) partitioning cannot satisfy a (keys) clustering.
+    * `countDistinct(doc)` plans the single-distinct rewrite: partial
+    * per-partition (keys, doc) dedup map-side (same shuffle-byte bound
+    * as the old partial distinct), ONE exchange keyed on (keys), final
+    * dedup + count on the reducer. Result identical (doc ids are never
+    * null). Skew note: a viral gram's distinct docs land on one reducer
+    * either way — the old plan shipped them to the (keys) reducer in
+    * its second exchange too; this just deletes the intermediate pass. */
   def dfHistogramOf(rows: DataFrame, keyCols: Seq[String],
       docCol: String = "doc_id", maxDf: Int = DefaultMaxDf): DataFrame =
     histOverDf(
-      rows.select((keyCols :+ docCol).map(col): _*).distinct()
-        .groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("df")), maxDf)
+      rows.groupBy(keyCols.map(col): _*)
+        .agg(countDistinct(col(docCol)).as("df")), maxDf)
 
   private def histOverDf(dfs: DataFrame, maxDf: Int): DataFrame =
     dfs.select(col("df").cast("long").as("df"))

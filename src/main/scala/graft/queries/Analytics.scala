@@ -473,20 +473,38 @@ object Analytics {
     // Expand) — the q_approx_distinct discipline. AnalyticsSpec's
     // "q_profile approx twin" test pins the swap: the approx readout
     // stays within HLL error of this exact key on every column.
+    // r14 (optimization round): the single 13-function agg planned
+    // SORT aggregates end-to-end — min/max(event_type) put a STRING in
+    // the aggregation buffer, which HashAggregateExec cannot hold, so
+    // the ×4 Expand of the whole table paid a full Sort on (type,
+    // value, user, gid) before aggregating (measured 1.46 s exec;
+    // plans/r14/q_profile_before.txt). Split instead: the string
+    // column's profile folds over a per-type HASH group-by (|types|
+    // rows — the string min/max then runs over 5 rows), and the
+    // numeric agg keeps only fixed-width buffers so its ×3 Expand is
+    // pure HashAggregate. Values are provably identical: n_rows =
+    // Σ group counts, nn_type = Σ counts of the null group, nd_type =
+    // count of non-null group keys, min/max over keys = min/max over
+    // rows. One extra (trivial) scan; zero Sorts before the output
+    // orderBy.
     "q_profile" -> ((s, dir) => {
       val e = T(s, dir, "events")
+      val typ = e.groupBy("event_type").agg(count(lit(1)).as("c"))
+        .agg(
+          sum("c").as("n_rows"),
+          sum(when(col("event_type").isNull, col("c")).otherwise(0L))
+            .as("nn_type"),
+          count("event_type").as("nd_type"),
+          min("event_type").as("mn_type"), max("event_type").as("mx_type"))
       e.agg(
-          count(lit(1)).as("n_rows"),
           sum(col("user_id").isNull.cast("long")).as("nn_user"),
           countDistinct(col("user_id")).as("nd_user"),
           min("user_id").as("mn_user"), max("user_id").as("mx_user"),
-          sum(col("event_type").isNull.cast("long")).as("nn_type"),
-          countDistinct(col("event_type")).as("nd_type"),
-          min("event_type").as("mn_type"), max("event_type").as("mx_type"),
           sum(col("value").isNull.cast("long")).as("nn_val"),
           countDistinct(col("value")).as("nd_val"),
           fround(min("value"), 4).as("mn_val"),
           fround(max("value"), 4).as("mx_val"))
+        .crossJoin(typ)
         .selectExpr("stack(3, " +
           "'event_type', n_rows, nn_type, nd_type, " +
           "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_type, mx_type, " +

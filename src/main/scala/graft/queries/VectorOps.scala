@@ -938,9 +938,12 @@ object VectorOps {
       }.toSeq.sortBy(_._1)
     }
     // ADC lookup table: ||q_m - c_mk||² per (m, k), driver-computed
-    // from the 64 query scalars + the rounded codebook, plan-literal
-    val qv = e.filter(col("vec_id") === 0).select(col("xd"))
-      .collect()(0).getSeq[Double](0)
+    // from the 64 query scalars + the rounded codebook, plan-literal.
+    // r14 (optimization round): the query vector is vec_id 0, which the
+    // seed collect (vec_id < K, K = 4) already fetched — reading it off
+    // `seeds` deletes one whole driver job per run (same values by
+    // construction; `.get` keeps the old fail-loudly-if-absent contract).
+    val qv = seeds.find(_._1 == 0L).get._2
     val adc = (0 until M).map { m =>
       val qsub = qv.slice(m * sub, (m + 1) * sub)
       val qq = qsub.map(x => x * x).sum

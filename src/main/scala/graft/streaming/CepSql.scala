@@ -1548,24 +1548,36 @@ object CepSql {
       Seq(s"${cn(x, y, z)} AS ${chain(x, y, z)}",
         s"${cn(x, z, y)} AS ${chain(x, z, y)}")
     }
-    def startArm(x: PatternStep, y: PatternStep, z: PatternStep)
-        : String =
+    // r14 (optimization round, guide §2.4): listed-order preference via
+    // ONE window dedup instead of three NOT-IN anti joins. Each chain
+    // CTE yields AT MOST ONE row per anchor (two nested rank-1
+    // filters), and an anchor event belongs to exactly one class, so
+    // "arm 2 fires only where arm 1 left the anchor unmatched" is
+    // exactly row_number() OVER (PARTITION BY first_id ORDER BY pref)
+    // = 1 over the union of all six tagged arms. The old NOT-IN form
+    // re-executed each first-preference chain subquery inside its anti
+    // join (Spark inlines CTE references) — 9 chain-subquery executions
+    // per run; this form executes each of the 6 exactly once and
+    // dedups on the (small) match set. Results identical (pinned by the
+    // brute-force scan in CepSqlSpec, the q_pattern_permute3 oracle,
+    // and the Permute3Detector replay).
+    def armSel(pref: Int, x: PatternStep, y: PatternStep,
+        z: PatternStep): String =
       s"""SELECT __k, '${x.event}' AS first_ev, first_id AS id_1, id_2,
-         |  id_3, first_ts AS ts_1, ts_2, ts_3 FROM (
-         |  SELECT * FROM ${cn(x, y, z)}
-         |  UNION ALL
-         |  SELECT * FROM ${cn(x, z, y)}
-         |  WHERE first_id NOT IN (SELECT first_id FROM ${cn(x, y, z)})
-         |)""".stripMargin
+         |  id_3, first_ts AS ts_1, ts_2, ts_3, $pref AS __pref
+         |FROM ${cn(x, y, z)}""".stripMargin
+    val armUnion = Seq((sa, sb, sc), (sb, sa, sc), (sc, sa, sb))
+      .flatMap { case (x, y, z) =>
+        Seq(armSel(0, x, y, z), armSel(1, x, z, y)) }
+      .mkString("\nUNION ALL\n")
     s"""WITH ${defs.mkString(",\n")}
        |SELECT ${"__k AS " + k}, first_ev, id_1, id_2, id_3,
        |  ts_1, ts_2, ts_3 FROM (
-       |${startArm(sa, sb, sc)}
-       |UNION ALL
-       |${startArm(sb, sa, sc)}
-       |UNION ALL
-       |${startArm(sc, sa, sb)}
-       |) ORDER BY id_1""".stripMargin
+       |  SELECT *, row_number() OVER (PARTITION BY id_1
+       |                               ORDER BY __pref) AS __arm FROM (
+       |$armUnion
+       |  )
+       |) WHERE __arm = 1 ORDER BY id_1""".stripMargin
   }
 
   /** AFTER MATCH SKIP PAST LAST ROW rewrite: greedy NON-OVERLAPPING

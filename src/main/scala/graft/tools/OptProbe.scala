@@ -1,0 +1,69 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** r14 optimization probe: per-key timing under the EXACT Bench protocol
+  * (same session config, warm-up + 3 timed runs, median, cache release +
+  * GC between keys) plus the final adaptive formatted plan, written to
+  * `plans/r14/<key>_<tag>.txt` so before/after plan claims are auditable
+  * without running Spark.
+  *
+  * Usage: OptProbe <tag> <key>[,<key>...]        (tag = before | after | ...)
+  * Env:   SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32),
+  *        SPARK_GRAFT_PLAN_DIR (default plans/r14).
+  */
+object OptProbe {
+  def main(args: Array[String]): Unit = {
+    val tag = if (args.nonEmpty) args(0) else "before"
+    val keys =
+      if (args.length > 1) args(1).split(",").map(_.trim).filter(_.nonEmpty)
+      else Array.empty[String]
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val planDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/r14")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        math.min(cpus.toInt, 8).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(planDir))
+    keys.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      spark.sparkContext.setJobDescription(s"optprobe:$name")
+      // warm-up run also finalizes AQE so the dumped plan is the real one
+      val warm = fn(spark, sfDir)
+      warm.count()
+      val txt = s"// $name — final adaptive plan, $sfDir, tag=$tag\n" +
+        warm.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      Files.writeString(Paths.get(s"$planDir/${name}_$tag.txt"), txt)
+      // phase breakdown per run: build (DataFrame construction incl. any
+      // dialect rewrite), plan (analysis+optimization+physical planning,
+      // forced via executedPlan), execute (jobs incl. AQE re-planning)
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan
+        val t2 = System.nanoTime()
+        df.count()
+        val t3 = System.nanoTime()
+        ((t3 - t0) / 1e9, (t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+      }.sortBy(_._1)
+      graft.Caching.releaseAll()
+      System.gc()
+      val (tot, b, p, x) = times(1)
+      println(f"[optprobe] $name%-24s median $tot%7.3f s " +
+        f"(build $b%.3f plan $p%.3f exec $x%.3f; " +
+        f"runs ${times.map(t => f"${t._1}%.3f").mkString(" ")})  plan -> " +
+        s"$planDir/${name}_$tag.txt")
+      spark.sparkContext.setJobDescription(null)
+    }
+    spark.stop()
+  }
+}
