@@ -73,6 +73,28 @@ object Tables {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, String), DataFrame]
 
+  /** Conditional scan fan-out (r14 optimization round; guide §2.5's
+    * "one huge unsplittable file → repartition immediately after the
+    * read"). The fixture tables arrive as ONE parquet file with ONE row
+    * group, so every scan stage runs as a single task regardless of
+    * `maxPartitionBytes` — measured via the OptProbe stage listener: the
+    * gram+md5 map stage of the text keys spent 0.5–0.9 s on one core
+    * with 31 idle. When (and only when) the scan yields fewer partitions
+    * than the session's shuffle parallelism, hash-repartition on the
+    * row-identity column: the heavy map work then engages every core,
+    * and every downstream per-`key` aggregation/window REUSES the
+    * partitioning (hashpartitioning(key) satisfies their clustering), so
+    * the net exchange count does not grow — the exchange moves BEFORE
+    * the expensive map and carries the (smaller) raw rows instead of the
+    * exploded gram stream. At cluster scale the file count already
+    * provides parallelism, the condition is false, and this is the
+    * identity — no shuffle is added. Results are partition-count
+    * independent (re-verified at CPUS=2/32 per VERIFICATION.md). */
+  def fanout(df: DataFrame, key: String): DataFrame =
+    if (df.rdd.getNumPartitions >=
+        df.sparkSession.sessionState.conf.numShufflePartitions) df
+    else df.repartition(col(key))
+
   /** Load all tables and register each as a temp view (for SQL-surface use).
     *
     * Memoized per (session, dir): SQL-surface queries call this on every

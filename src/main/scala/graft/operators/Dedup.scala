@@ -149,7 +149,15 @@ object Dedup {
   final class BandGraph private[operators] (docs: DataFrame) {
     val bands: DataFrame =
       graft.Caching.cache(graft.queries.TextOps.bandRows(docs))
-    val edges: DataFrame = graft.Caching.cache(
+    // r14 (optimization round): the edge frame is a CHECKPOINT, not a
+    // cache — lineage truncation makes it a leaf, so the nine consumers'
+    // plans (triangles' three-way self-join, pagerank's matvec, the
+    // dedup readouts) stop carrying — and re-analyzing/re-canonicalizing
+    // — the whole minhash pipeline on every build (q_triangles spent
+    // ~0.7 s of driver time per run there). Also closes the r12
+    // eviction-recompute class for every edge consumer, not just the
+    // iterating ones.
+    val edges: DataFrame = graft.Caching.checkpoint(
       bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") &&
           col("a.band_sig") === col("b.band_sig") &&

@@ -726,9 +726,12 @@ object Analytics {
     // vocabulary, never quadratic in rows); the marginals and the
     // basket total broadcast (5 + 1 rows).
     "q_basket_lift" -> ((s, dir) => {
-      val items = T(s, dir, "events")
+      // r14 (optimization round, guide §5): `items` feeds FOUR branches
+      // (basket total, marginals, both self-join sides) — uncached, the
+      // events distinct ran four times per execution
+      val items = graft.Caching.cache(T(s, dir, "events")
         .withColumn("day", to_date(col("ts")))
-        .select("user_id", "day", "event_type").distinct()
+        .select("user_id", "day", "event_type").distinct())
       val nb = items.select("user_id", "day").distinct()
         .agg(count(lit(1)).as("n_baskets"))
       val marg = items.groupBy(col("event_type").as("t"))
@@ -759,11 +762,13 @@ object Analytics {
     // at the end. The final week churns everyone by construction
     // (no week+1 data) — deterministic in both engines.
     "q_churn" -> ((s, dir) => {
-      val wk = T(s, dir, "events")
+      // r14: three consumers (next-week probe, retained semi-join side,
+      // active agg) — cache the one distinct pass (guide §5)
+      val wk = graft.Caching.cache(T(s, dir, "events")
         .withColumn("week",
           expr("floor(datediff(CAST(ts AS DATE), date '2024-01-01') / 7)")
             .cast("long"))
-        .select("user_id", "week").distinct()
+        .select("user_id", "week").distinct())
       val nxt = wk.select(col("user_id").as("u2"),
         (col("week") - 1).as("wk0"))
       val ret = wk.join(nxt,

@@ -175,8 +175,8 @@ object PipelineOps {
     // dst (shuffle ∝ |E|/p), never an adjacency collect; the edge frame
     // itself is band-bounded (q_minhash_band's equi-join, never
     // all-pairs). 5 rounds ≈ the candidate graph's diameter (components
-    // here are template families, diameter 2–3). Node count enters as a
-    // broadcast single-row frame (no driver collect). Ranks emit
+    // here are template families, diameter 2–3). Node count reaches the
+    // driver as ONE long (constant traffic, r14). Ranks emit
     // N-scaled (pr·N ~ O(1)) and fround(6): the values are ratios of
     // double sums, identical-magnitude cross-engine, so the shared
     // rounding grid absorbs summation-order drift.
@@ -203,20 +203,24 @@ object PipelineOps {
       // blocks are also released deterministically at releaseAll
       // instead of at ContextCleaner GC time.
       val ed = graft.Caching.checkpoint(edges.join(deg, "src"))
-      val nF = graft.Caching.checkpoint(
-        deg.select(count(lit(1)).as("n")))
-      var pr = deg.crossJoin(broadcast(nF))
-        .select(col("src").as("id"), (lit(1.0) / col("n")).as("pr"))
+      // r14 (optimization round): the node count is ONE scalar — read it
+      // to the driver (the k-means/BPE constant-traffic discipline, one
+      // long) instead of checkpointing a 1-row frame and crossJoining a
+      // broadcast of it into every power round. Deletes one checkpoint
+      // materialization job and seven BroadcastExchange subplans per
+      // execution; the arithmetic is the same IEEE double division, so
+      // ranks are bit-identical (oracle re-verified).
+      val n = deg.agg(count(lit(1))).head().getLong(0)
+      var pr = deg
+        .select(col("src").as("id"), lit(1.0 / n).as("pr"))
       for (_ <- 1 to 5) {
         pr = ed.join(pr.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst"))
           .agg(sum(col("pr") / col("d")).as("m"))
-          .crossJoin(broadcast(nF))
           .select(col("dst").as("id"),
-            (lit(0.15) / col("n") + lit(0.85) * col("m")).as("pr"))
+            (lit(0.15 / n) + lit(0.85) * col("m")).as("pr"))
       }
-      pr.crossJoin(broadcast(nF))
-        .select(col("id"), fround(col("pr") * col("n"), 6).as("pr_rel"))
+      pr.select(col("id"), fround(col("pr") * lit(n), 6).as("pr_rel"))
         .orderBy("id")
     }),
 
@@ -777,7 +781,7 @@ object PipelineOps {
       : (Seq[(Long, String, String, Long)], DataFrame) = {
     import s.implicits._
     val words = graft.Caching.cache(
-      T(s, dir, "documents")
+      graft.Tables.fanout(T(s, dir, "documents"), "doc_id")
         .select(explode(toks(col("text"))).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy("w").agg(count(lit(1)).as("freq"))

@@ -42,7 +42,8 @@ object TextOps {
     * the difference between a map-only gram stage and a full shuffle of
     * the token stream. */
   private[graft] def gramRows(d: DataFrame, n: Int): DataFrame =
-    d.select(col("doc_id"), col("lang"), toks(col("text")).as("__ws"))
+    graft.Tables.fanout(d, "doc_id") // parallelize the gram map stage
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("__ws"))
       .select(col("doc_id"), col("lang"), explode(expr(
         // sequence(0, m) would generate a DESCENDING range for m < 0
         // (doc shorter than n words) — guard with an empty array
@@ -57,10 +58,13 @@ object TextOps {
     * the estimate-vs-exact audit key can read the hashes directly. */
   private[graft] def minhashSigs(d: DataFrame): DataFrame = {
     // the distinct looks redundant (min() is idempotent under duplicate
-    // grams) but is kept deliberately: its exchange spreads the 16-way
-    // md5 min aggregation across cores when the scan has few splits
-    // (measured 2× at sf0.1's single parquet file), and it shrinks the
-    // shuffle payload to distinct grams
+    // grams) but is kept deliberately: it shrinks the md5×16 work to
+    // distinct grams. r14: gramRows now fans the scan out by doc_id
+    // up front, so BOTH the distinct and the groupBy(doc_id) below
+    // reuse that partitioning — the gram-level exchange this comment
+    // previously justified (and the sig-level one) fold into the one
+    // raw-row exchange; gram building AND the md5 mins run on every
+    // core. Plan: plans/r14/q_minhash_band_{before,after2}.txt.
     val g = gramRows(d, 3).select("doc_id", "gram").distinct()
     val mins = (0 until 16).map(i =>
       min(md5(concat(lit(s"$i:"), col("gram")))).as(s"h$i"))
@@ -87,7 +91,8 @@ object TextOps {
     * as an integer (bit-identical in DuckDB), frequency-weighted sign
     * sums per bit, one aggregation pass. */
   private[graft] def simhashFrame(d: DataFrame): DataFrame = {
-    val tok = d.select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    val tok = graft.Tables.fanout(d, "doc_id") // parallel token+md5 map
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10)
         .cast("long"))
     val sums = (0 until 32).map(j =>
@@ -1511,7 +1516,8 @@ object TextOps {
     * (doc_id, fp_pos, fp_hash); complete windows only. */
   private[graft] def winnowRows(d: DataFrame, k: Int = 4, w: Int = 4)
       : DataFrame = {
-    val g = d
+    val g = graft.Tables.fanout(d, "doc_id") // parallel gram+md5 map;
+      // the per-doc window below reuses the partitioning (no 2nd shuffle)
       .select(col("doc_id"), toks(col("text")).as("__ws"))
       .select(col("doc_id"), (size(col("__ws")) - k + 1).as("m"),
         posexplode(expr(

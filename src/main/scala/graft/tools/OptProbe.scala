@@ -32,6 +32,25 @@ object OptProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(planDir))
+    // per-stage accounting (guide §1.1 empirical loop, headless stand-in
+    // for the Stages tab): task-summed run time + shuffle bytes per stage
+    val stages = new java.util.concurrent.ConcurrentHashMap[
+      Int, (String, Long, Long, Long, Long)]() // name, ms, sh-read, sh-write, tasks
+    val showStages = sys.env.contains("SPARK_GRAFT_STAGES")
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val si = sc.stageInfo
+          val name = si.name.takeWhile(_ != '\n').take(60)
+          stages.put(si.stageId, (name,
+            si.taskMetrics.executorRunTime,
+            si.taskMetrics.shuffleReadMetrics.totalBytesRead,
+            si.taskMetrics.shuffleWriteMetrics.bytesWritten,
+            si.numTasks.toLong))
+        }
+      })
     keys.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       spark.sparkContext.setJobDescription(s"optprobe:$name")
@@ -45,7 +64,8 @@ object OptProbe {
       // phase breakdown per run: build (DataFrame construction incl. any
       // dialect rewrite), plan (analysis+optimization+physical planning,
       // forced via executedPlan), execute (jobs incl. AQE re-planning)
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).map { i =>
+        if (i == 3) stages.clear() // keep only the LAST run's stages
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val t1 = System.nanoTime()
@@ -55,6 +75,14 @@ object OptProbe {
         val t3 = System.nanoTime()
         ((t3 - t0) / 1e9, (t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
       }.sortBy(_._1)
+      if (showStages) {
+        import scala.jdk.CollectionConverters._
+        val rows = stages.asScala.toSeq.sortBy(-_._2._2).take(8)
+        rows.foreach { case (id, (nm, ms, sr, sw, nt)) =>
+          println(f"    [stage $id%5d] $ms%6d ms  tasks $nt%3d  " +
+            f"shRead ${sr / 1024}%8d KB  shWrite ${sw / 1024}%8d KB  $nm")
+        }
+      }
       graft.Caching.releaseAll()
       System.gc()
       val (tot, b, p, x) = times(1)
