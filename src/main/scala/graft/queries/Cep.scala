@@ -163,10 +163,14 @@ object Cep {
         .agg(count(lit(1)).as("cnt"))
         .select(col("user_id"), col("session_window.start").as("s_start"),
           col("session_window.end").as("s_end")))
-      val p95Sec = Option(sess
-        .agg(expr("approx_percentile(unix_micros(s_end) - " +
-          "unix_micros(s_start), 0.95)")).head().get(0))
-        .map(_.asInstanceOf[Long] / 1000000.0).getOrElse(1800.0)
+      // r14: one scalar, deterministic from the cached session frame —
+      // epoch-memoized so re-builds skip the derivation job
+      val p95Sec = graft.Caching.memoEpoch(("overlapP95", s, dir)) {
+        Option(sess
+          .agg(expr("approx_percentile(unix_micros(s_end) - " +
+            "unix_micros(s_start), 0.95)")).head().get(0))
+          .map(_.asInstanceOf[Long] / 1000000.0).getOrElse(1800.0)
+      }
       val band = math.min(3600L,
         math.max(60L, (math.ceil(p95Sec / 60) * 60).toLong))
       def banded(u: String) = sess
