@@ -1051,7 +1051,32 @@ object CepSql {
     * alternations: for a single event name, partitioning by the indicator
     * is exactly partitioning by the type over the surviving rows.
     * Selects (__k, run_len, run_start, run_end). */
+  /** Set by [[sql]] around its translate call: when present, [[runsSub]]
+    * returns a cached temp VIEW over its subquery instead of inline text,
+    * so every reference in the emitted statement shares one computation
+    * per epoch (released with Caching.releaseAll; the view then simply
+    * recomputes on next use). The injected-parser path leaves this unset
+    * — a parser must stay side-effect-free text→text. */
+  private val matSession = new ThreadLocal[org.apache.spark.sql
+    .SparkSession]()
+
   private def runsSub(st: PatternStep, minLen: Int, key: String,
+      tsCol: String, typeCol: String, idCol: String, tbl: String,
+      maxLen: Option[Int] = None, reluctant: Boolean = false): String = {
+    val txt = runsSubText(st, minLen, key, tsCol, typeCol, idCol, tbl,
+      maxLen, reluctant)
+    val sess = matSession.get()
+    if (sess == null) txt
+    else {
+      val view = "__graft_runs_" +
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(txt).take(12)
+      val df = graft.Caching.cache(sess.sql(s"SELECT * FROM $txt __r"))
+      df.createOrReplaceTempView(view)
+      s"`$view`"
+    }
+  }
+
+  private def runsSubText(st: PatternStep, minLen: Int, key: String,
       tsCol: String, typeCol: String, idCol: String, tbl: String,
       maxLen: Option[Int] = None, reluctant: Boolean = false): String = {
     def bq(c: String) = s"`$c`"
@@ -1697,7 +1722,18 @@ object CepSql {
       spark.sql(pivotRewrite(spark, q))
     } else if (realUnpivot(q)) {
       spark.sql(unpivotRewrite(spark, q))
-    } else spark.sql(translate(q, tsCol, typeCol, idCol))
+    } else {
+      // r14 (optimization round): on the function path, let runsSub
+      // materialize its gaps-and-islands frame as a cached temp view so
+      // multi-reference rewrites (measures/boundary forms re-join the
+      // runs subquery; Spark inlines CTEs, so each reference re-ran the
+      // scan + double window + aggregation) compute it once per epoch.
+      // The injected-parser path (plain spark.sql over dialect text)
+      // never sets this and keeps the pure-text rewrite.
+      matSession.set(spark)
+      try spark.sql(translate(q, tsCol, typeCol, idCol))
+      finally matSession.remove()
+    }
 
   private[streaming] def realPivot(q: String): Boolean =
     pivotKw.matcher(q).find()

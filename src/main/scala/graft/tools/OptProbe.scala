@@ -17,8 +17,13 @@ import org.apache.spark.sql.SparkSession
 object OptProbe {
   def main(args: Array[String]): Unit = {
     val tag = if (args.nonEmpty) args(0) else "before"
+    // "ALL" = every declared key, one warm-up execution + plan dump only
+    // (no timed runs) — the round-close plan-evidence sweep
+    val dumpOnly = args.length > 1 && args(1) == "ALL"
     val keys =
-      if (args.length > 1) args(1).split(",").map(_.trim).filter(_.nonEmpty)
+      if (dumpOnly) graft.SparkEntry.queries.keys.toArray.sorted
+      else if (args.length > 1)
+        args(1).split(",").map(_.trim).filter(_.nonEmpty)
       else Array.empty[String]
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -61,6 +66,10 @@ object OptProbe {
         warm.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
       Files.writeString(Paths.get(s"$planDir/${name}_$tag.txt"), txt)
+      if (dumpOnly) {
+        graft.Caching.releaseAll()
+        println(s"[optprobe] $name plan -> $planDir/${name}_$tag.txt")
+      } else {
       // phase breakdown per run: build (DataFrame construction incl. any
       // dialect rewrite), plan (analysis+optimization+physical planning,
       // forced via executedPlan), execute (jobs incl. AQE re-planning)
@@ -90,6 +99,7 @@ object OptProbe {
         f"(build $b%.3f plan $p%.3f exec $x%.3f; " +
         f"runs ${times.map(t => f"${t._1}%.3f").mkString(" ")})  plan -> " +
         s"$planDir/${name}_$tag.txt")
+      }
       spark.sparkContext.setJobDescription(null)
     }
     spark.stop()

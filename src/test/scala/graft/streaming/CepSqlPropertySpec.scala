@@ -144,9 +144,13 @@ class CepSqlPropertySpec extends AnyFunSuite {
       sample(gen.map(List(_)), seed).foreach { case (a, b, c, q) =>
         val t = CepSql.translate(q)
         assert(!t.toUpperCase.contains("MATCH PATTERN"), s"$q ->\n$t")
-        // 6 CTE'd rank-1 chains, each with 2 row_numbers; 3 anchor arms
-        assert("ROW_NUMBER".r.findAllIn(t.toUpperCase).length === 12, t)
-        assert("NOT IN".r.findAllIn(t.toUpperCase).length === 3, t)
+        // 6 CTE'd rank-1 chains, each with 2 row_numbers, plus ONE
+        // listed-order preference window over the tagged arm union
+        // (r14: replaced the 3 NOT-IN anti joins, which re-executed
+        // each first-preference chain subquery)
+        assert("ROW_NUMBER".r.findAllIn(t.toUpperCase).length === 13, t)
+        assert(!t.toUpperCase.contains("NOT IN"), t)
+        assert(t.contains("PARTITION BY id_1"), t)
         Seq(a, b, c).foreach(e =>
           assert(t.contains(s"'$e' AS first_ev"), s"$e missing: $t"))
       }
