@@ -64,11 +64,16 @@ object TextPipeline {
     val bg = graft.Caching.cache(graft.queries.TextOps.gramRows(
         docs.select(col("doc_id"), col(groupCol).as("lang"), col("text")), 2)
       .groupBy("doc_id", "lang", "gram").agg(count(lit(1)).as("tf")))
-    val big = bg.groupBy("lang", "gram").agg(sum("tf").as("bc"))
-    val uni = bg
-      .withColumn("w1", expr("split(gram, ' ')[0]"))
-      .groupBy("lang", "w1").agg(sum("tf").as("uc"))
-    val model = big.withColumn("w1", expr("split(gram, ' ')[0]"))
+    // r14 (optimization round, guide §2.3 aggregate-before-shuffle): the
+    // unigram context totals are exactly the bigram counts re-grouped by
+    // their first word — derive `uni` from the (already vocab²-bounded)
+    // `big` frame instead of re-aggregating the full per-doc tf frame a
+    // second time. Same integer sums, one bigram-level exchange fewer.
+    val big = graft.Caching.cache(
+      bg.groupBy("lang", "gram").agg(sum("tf").as("bc"))
+        .withColumn("w1", expr("split(gram, ' ')[0]")))
+    val uni = big.groupBy("lang", "w1").agg(sum("bc").as("uc"))
+    val model = big
       .join(uni, Seq("lang", "w1"))
       .select(col("lang"), col("gram"),
         log(col("bc").cast("double") / col("uc")).as("logp"))
