@@ -37,11 +37,24 @@ object Caching {
   /** Persist `df` (MEMORY_AND_DISK) unless a frame with the same
     * canonicalized plan + schema is already tracked — in that case return
     * the tracked frame so the caller composes against the live cache
-    * entry. */
+    * entry.
+    *
+    * r15: the first registration MATERIALIZES the cache (one count()
+    * job) instead of leaving it lazy. Every cache() frame here feeds two
+    * or more branches of one plan, and under AQE those branches execute
+    * as CONCURRENT futures (shuffle query stages, broadcast builds): with
+    * a lazy cache each future races to populate the buffers and each
+    * recomputes the expensive upstream plan itself — the OptProbe stage
+    * listener showed q_rrf_fusion's five consumers re-running the
+    * token-tf aggregation 5× in parallel (20 s median; 1.3 s after this
+    * change). One eager pass bounds the upstream plan to exactly one
+    * execution at any scale. (Invisible before r15 only because the
+    * bench's warm-up materialized the cache for the timed runs — the
+    * de-gamed protocol pays it honestly, once.) */
   def cache(df: DataFrame): DataFrame = {
     val key = (df.queryExecution.analyzed.canonicalized, df.schema)
     val prev = reg.putIfAbsent(key, df)
-    if (prev == null) { df.persist(); df } else prev
+    if (prev == null) { df.persist(); df.count(); df } else prev
   }
 
   // lineage-truncating checkpoints are NOT in the CacheManager, so a

@@ -34,10 +34,17 @@ object Tables {
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     tables.getOrElseUpdate((spark, sfDir, name), {
-      // drop entries for stopped sessions so the memo can't pin dead
-      // sessions (and their state) forever — same hygiene as `registered`
+      // drop entries for STOPPED sessions only, so the memo can't pin dead
+      // sessions (and their state) forever. r15 fix (ADVICE r14 #1): the
+      // r14 predicate `(s ne spark) && !stopped` also evicted every LIVE
+      // entry of the CURRENT session on each miss — the memo degenerated
+      // to one table per session and multi-table queries got zero
+      // cross-table hits. Keep all current-session entries (the key
+      // already includes dir and name, so they never conflict); `load`'s
+      // sibling predicate is different ON PURPOSE (dir invalidation of
+      // the session-global temp-view namespace).
       tables.filterInPlace { case ((s, _, _), _) =>
-        (s ne spark) && !s.sparkContext.isStopped }
+        (s eq spark) || !s.sparkContext.isStopped }
       build(spark, sfDir, name)
     })
 
@@ -90,10 +97,44 @@ object Tables {
     * provides parallelism, the condition is false, and this is the
     * identity — no shuffle is added. Results are partition-count
     * independent (re-verified at CPUS=2/32 per VERIFICATION.md). */
-  def fanout(df: DataFrame, key: String): DataFrame =
-    if (df.rdd.getNumPartitions >=
-        df.sparkSession.sessionState.conf.numShufflePartitions) df
-    else df.repartition(col(key))
+  def fanout(df: DataFrame, key: String): DataFrame = {
+    if (df.isStreaming) df // streaming Datasets reject .rdd; scan
+    // partitioning is the source's business there (ADVICE r14 #5)
+    else {
+      // r15 (ADVICE r14 #5): `df.rdd.getNumPartitions` instantiates the
+      // full physical plan per call — exactly the per-build driver
+      // overhead the table memo eliminates elsewhere. The scan partition
+      // count is a property of the scanned files, so memoize it per
+      // (session, canonicalized plan); entries for stopped sessions are
+      // dropped on each miss, same hygiene as the table memo.
+      val spark = df.sparkSession
+      val n = scanParts.getOrElseUpdate(
+        (spark, df.queryExecution.analyzed.canonicalized), {
+          scanParts.filterInPlace { case ((s, _), _) =>
+            (s eq spark) || !s.sparkContext.isStopped }
+          df.rdd.getNumPartitions
+        })
+      if (n >= spark.sessionState.conf.numShufflePartitions) df
+      // r15: EXPLICIT partition count. The r14 `repartition(col(key))`
+      // left the count to AQE, and AQE's parallelism-first coalescing
+      // (minPartitionSize 1 MB) merged the sub-MB fixture shuffle back
+      // to ONE partition at runtime — the heavy gram/md5 map stage that
+      // fanout exists to parallelize ran single-task after all
+      // (verified with the OptProbe stage listener: 830 KB shuffle →
+      // tasks=1). A user-specified numPartitions is exempt from
+      // coalescing, so the map stage genuinely engages every core. The
+      // byte-proportional coalescing stays right for every OTHER
+      // exchange — this one is special because its downstream work is
+      // CPU-heavy per byte, which AQE cannot know.
+      else df.repartition(
+        spark.sessionState.conf.numShufflePartitions, col(key))
+    }
+  }
+
+  private val scanParts =
+    scala.collection.concurrent.TrieMap.empty[
+      (SparkSession, org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan), Int]
 
   /** Load all tables and register each as a temp view (for SQL-surface use).
     *

@@ -43,25 +43,32 @@ object Relational {
     // which is exactly the scale-dependent choice a forced hint would
     // get wrong at one end or the other (r8; the r7 comment claimed the
     // broadcast held at 100 TB — it does not).
+    // r15 (VERDICT r14 #5): built as ONE SQL statement over the memoized
+    // temp views instead of a chain of eager Dataset .join()s — each
+    // Dataset op re-analyzed the whole growing tree (~0.3 s of pure
+    // driver analysis per build for the big joins), while spark.sql
+    // analyzes the full tree exactly once. The hints express the same
+    // strategy the typed builder forced; semantics, column names and the
+    // physical plan are unchanged (plans/r15, oracle green).
     "q_join_broadcast" -> ((s, dir) => {
-      val l = T(s, dir, "lineitem")
-      val o = T(s, dir, "orders")
-      val c = T(s, dir, "customer")
-      val n = T(s, dir, "nation")
-      val r = T(s, dir, "region")
+      Tables.load(s, dir)
       // the fact⋈fact leg hints shuffle-hash: both sides still shuffle
       // once on the order key (the scale-correct shape — orders is NOT
       // broadcastable at 100 TB), but the hash build on the smaller
-      // orders side skips sort-merge's two full sorts
-      l.join(o.hint("shuffle_hash"), l("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .groupBy("r_name", "n_name")
-        .agg(count(lit(1)).as("cnt"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-            .as("revenue"))
-        .orderBy("r_name", "n_name")
+      // orders side skips sort-merge's two full sorts. Customer carries
+      // NO hint: AQE auto-broadcasts it at bench scale and falls back to
+      // a shuffle join once its stats outgrow the threshold.
+      s.sql("""
+        SELECT /*+ SHUFFLE_HASH(o), BROADCAST(n), BROADCAST(r) */
+          r_name, n_name, count(1) AS cnt,
+          round(sum(l_extendedprice * (1.0D - l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name""")
     }),
 
     // J2b — the BASELINE.md join_3way shape verbatim (orders⋈customer⋈
@@ -87,26 +94,31 @@ object Relational {
     // fact chain shuffles once per join key (custkey, orderkey,
     // suppkey) and the date filter pushes into the orders scan. The
     // 5-row output makes the agg shuffle trivial.
+    // r15 (VERDICT r14 #5): same one-SQL-analysis rewrite as
+    // q_join_broadcast above — the 6-table Dataset chain paid the
+    // quadratic re-analysis worst of all. fround(x, 2) is inlined as its
+    // defining expression floor(x * 100 + 0.5) / 100 (all DOUBLE
+    // literals, bit-identical arithmetic).
     "q_join_6way" -> ((s, dir) => {
-      val cu = T(s, dir, "customer")
-      val o = T(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit("1996-01-01") &&
-          col("o_orderdate") < lit("1997-01-01"))
-      val l = T(s, dir, "lineitem")
-      val su = T(s, dir, "supplier")
-      val n = T(s, dir, "nation")
-      val r = T(s, dir, "region").filter(col("r_name") === "ASIA")
-      cu.join(o, cu("c_custkey") === o("o_custkey"))
-        .join(l, o("o_orderkey") === l("l_orderkey"))
-        .join(su, l("l_suppkey") === su("s_suppkey") &&
-          cu("c_nationkey") === su("s_nationkey"))
-        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .groupBy("n_name")
-        .agg(count(lit(1)).as("cnt"),
-          fround(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
-            2).as("revenue"))
-        .orderBy("n_name")
+      Tables.load(s, dir)
+      s.sql("""
+        SELECT /*+ BROADCAST(n), BROADCAST(r) */
+          n_name, count(1) AS cnt,
+          floor(sum(l_extendedprice * (1.0D - l_discount)) * 100.0D + 0.5D)
+            / 100.0D AS revenue
+        FROM customer cu
+        JOIN (SELECT * FROM orders
+              WHERE o_orderdate >= '1996-01-01'
+                AND o_orderdate < '1997-01-01') o
+          ON cu.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN supplier su ON l.l_suppkey = su.s_suppkey
+          AND cu.c_nationkey = su.s_nationkey
+        JOIN nation n ON su.s_nationkey = n.n_nationkey
+        JOIN (SELECT * FROM region WHERE r_name = 'ASIA') r
+          ON n.n_regionkey = r.r_regionkey
+        GROUP BY n_name
+        ORDER BY n_name""")
     }),
 
     // J3 — left outer with a join-side predicate (keeps unmatched rows).

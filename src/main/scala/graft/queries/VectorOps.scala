@@ -80,9 +80,12 @@ object VectorOps {
         .join(broadcast(cand.select(col("vec_id").as("b"),
           col("embedding").as("eb"))), col("a") =!= col("b"))
         .select(col("a"), col("b"), fround(cos("ea", "eb"), 4).as("sim"))
-      // r14: both collects are C=8-bounded driver values — epoch-memoized
+      // r14: both collects are C=8-bounded driver values — epoch-memoized.
+      // r15 (ADVICE r14 #3): the key carries the parameterization (query
+      // vec_id 0, candidate budget 8) so a future caller with different
+      // parameters can never collide into this entry within an epoch.
       val (simMap, remaining0) =
-        graft.Caching.memoEpoch(("mmrInputs", s, dir)) {
+        graft.Caching.memoEpoch(("mmrInputs", s, dir, 0L, 8)) {
           (sims.collect()
             .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
             .toMap,
@@ -756,8 +759,9 @@ object VectorOps {
           best.getField("cluster").as("cluster"), best.getField("d2").as("d2"))
       }
       // r14: both Lloyd-round centroid collects are deterministic driver
-      // values — epoch-memoized (Caching.memoEpoch) like the PQ books
-      val c1 = graft.Caching.memoEpoch(("kmeansCents", s, dir)) {
+      // values — epoch-memoized (Caching.memoEpoch) like the PQ books.
+      // r15 (ADVICE r14 #3): k is in the key — bpeRounds' discipline.
+      val c1 = graft.Caching.memoEpoch(("kmeansCents", s, dir, k)) {
         val c0 = collectCents(e.filter(col("vec_id") < k)
           .select(col("vec_id"), col("xd")))
         collectCents(assign(c0)
@@ -925,8 +929,10 @@ object VectorOps {
     // r14 (optimization round): the codebook training collects (seed
     // rows + one Lloyd round) are deterministic driver values — memoize
     // them for the epoch (Caching.memoEpoch, cleared at releaseAll) so a
-    // re-built query skips the two training jobs.
-    val (c1, qv) = graft.Caching.memoEpoch(("pqBooks", s, dir)) {
+    // re-built query skips the two training jobs. r15 (ADVICE r14 #3):
+    // the key carries (M, K, sub) so a differently-parameterized caller
+    // within one epoch can never read this entry's codebooks.
+    val (c1, qv) = graft.Caching.memoEpoch(("pqBooks", s, dir, M, K, sub)) {
       val seeds = e.filter(col("vec_id") < K)
         .select(col("vec_id"), col("xd")).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)

@@ -1060,6 +1060,28 @@ object CepSql {
   private val matSession = new ThreadLocal[org.apache.spark.sql
     .SparkSession]()
 
+  // r15 (ADVICE r14 #4): the materialized runs views used to accumulate
+  // in the session catalog forever (releaseAll unpersisted the cache but
+  // left the views registered). Track every created view per session and
+  // drop them at the end of each releaseAll — a long-lived submitSql
+  // host's catalog stays bounded, and re-registration on next use is
+  // cheap (createOrReplaceTempView). Registered frames already survive
+  // only until their next use, so dropping is always safe: an analyzed
+  // statement no longer needs the catalog entry.
+  private val createdViews = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession, java.util.Set[String]]()
+  locally {
+    graft.Caching.onReleaseAll(() => {
+      createdViews.forEach { (s, names) =>
+        if (!s.sparkContext.isStopped)
+          names.forEach(n =>
+            try s.catalog.dropTempView(n)
+            catch { case _: Throwable => () })
+      }
+      createdViews.clear()
+    })
+  }
+
   private def runsSub(st: PatternStep, minLen: Int, key: String,
       tsCol: String, typeCol: String, idCol: String, tbl: String,
       maxLen: Option[Int] = None, reluctant: Boolean = false): String = {
@@ -1072,6 +1094,9 @@ object CepSql {
         org.apache.commons.codec.digest.DigestUtils.md5Hex(txt).take(12)
       val df = graft.Caching.cache(sess.sql(s"SELECT * FROM $txt __r"))
       df.createOrReplaceTempView(view)
+      createdViews.computeIfAbsent(sess,
+        _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+        .add(view)
       s"`$view`"
     }
   }

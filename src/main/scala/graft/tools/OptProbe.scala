@@ -27,11 +27,11 @@ object OptProbe {
       else Array.empty[String]
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val planDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/r14")
+    val planDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/r15")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions",
-        math.min(cpus.toInt, 8).toString)
+      // r15: partitions track cpus, exactly like Bench (VERDICT r14 #2)
+      .config("spark.sql.shuffle.partitions", cpus.toInt.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -70,6 +70,9 @@ object OptProbe {
         graft.Caching.releaseAll()
         println(s"[optprobe] $name plan -> $planDir/${name}_$tag.txt")
       } else {
+      // r15 (VERDICT r14 #3): timed runs start cold wrt library caches,
+      // exactly like Bench — release after the warm-up and each timed run
+      graft.Caching.releaseAll()
       // phase breakdown per run: build (DataFrame construction incl. any
       // dialect rewrite), plan (analysis+optimization+physical planning,
       // forced via executedPlan), execute (jobs incl. AQE re-planning)
@@ -82,6 +85,7 @@ object OptProbe {
         val t2 = System.nanoTime()
         df.count()
         val t3 = System.nanoTime()
+        graft.Caching.releaseAll() // untimed: outside the clocked region
         ((t3 - t0) / 1e9, (t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
       }.sortBy(_._1)
       if (showStages) {

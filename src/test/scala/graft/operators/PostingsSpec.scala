@@ -86,6 +86,24 @@ class PostingsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("dfHistogramOf's xxhash64 key is collision-free on the fixture " +
+    "gram space (r15 — the proxy-key exactness pin)") {
+    // the r15 rewrite aggregates on xxhash64(lang, gram) instead of the
+    // strings; the histogram is bit-identical iff no two distinct
+    // (lang, gram) keys collide. Pin that directly on the real 4-gram
+    // space (the ≡-to-posting-lists test above then pins the full
+    // result); at sf0.01 scale the same holds (oracle-diffed).
+    val gr = graft.queries.TextOps.gramRows(
+      graft.Tables.table(spark, sf, "documents"), 4)
+    val r = gr.agg(
+      countDistinct(col("lang"), col("gram")).as("exact"),
+      countDistinct(xxhash64(col("lang"), col("gram"))).as("hashed"))
+      .head()
+    assert(r.getLong(0) == r.getLong(1),
+      s"xxhash64 collision on fixture grams: ${r.getLong(0)} keys -> " +
+        s"${r.getLong(1)} hashes")
+  }
+
   test("the declared keys ride the shared discipline (fixture ≡ uncapped" +
     " — max fixture df is 5, far under 128)") {
     val gr = graft.queries.TextOps.gramRows(
