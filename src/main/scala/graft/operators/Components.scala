@@ -213,4 +213,62 @@ object Components {
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       org.apache.spark.sql.types.StructType), DataFrame]()
   @volatile private var hooked = false
+
+  /** BLOCK-LOCAL dedup resolution (r15, guide §2 "remove the shuffle
+    * loop when the data is already partitioned as needed"): when every
+    * edge is confined to a block (both endpoints share the block
+    * columns — q_semdedup's pairs join requires label and sub equal, and
+    * each vertex belongs to exactly ONE (label, sub)), connected
+    * components can NEVER span blocks, so the global O(diameter)
+    * fixpoint — with its per-round join + aggregation + driver-side
+    * count barrier — collapses to ONE aggregation: group the edges by
+    * block and run an in-memory union-find per block. Per-block edge
+    * volume is bounded by the caller's blocking cap (subclusterByCap:
+    * block size ≤ max(32, ceil(√n)), so ≤ n edges per block — the same
+    * Θ(n^1.5) budget SCALE.md already grants the pairs join that FEEDS
+    * this), so the collect_list buffer is as bounded as the join output
+    * itself. Union-find keeps the smaller root, so the emitted keeper is
+    * the component minimum — EXACTLY [[resolveDuplicates]]' contract
+    * (ComponentsSpec pins the equivalence on the fixture pairs and on
+    * random blocked graphs); vertices in no edge are not emitted, also
+    * as in [[resolveDuplicates]].
+    *
+    * Scale note: this is a Scala UDF (off-codegen) over a grouped edge
+    * list — the trade is deliberate: one exchange of (block, a, b)
+    * triples replaces `rounds` global shuffles PLUS `rounds` driver
+    * round-trips of the label frame, and the UDF's O(E α(V)) per block
+    * beats re-scanning the edge frame once per round long before any
+    * interpreter overhead matters.
+    *
+    * @param pairs     edge frame carrying `blockCols` ++ (src, dst)
+    * @return (id, keeper) exactly as [[resolveDuplicates]] */
+  def resolveDuplicatesBlocked(pairs: DataFrame, src: String, dst: String,
+      blockCols: Seq[String]): DataFrame = {
+    require(blockCols.nonEmpty, "blocked resolution needs block columns")
+    val ccUdf = udf((es: Seq[org.apache.spark.sql.Row]) => {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { e =>
+        val a = e.getLong(0); val b = e.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        // smaller root wins → the final root of every tree is the
+        // component's minimum id (keeper contract)
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      parent.keys.toArray.sorted.map(id => (id, find(id)))
+    })
+    pairs
+      .groupBy(blockCols.map(col): _*)
+      .agg(collect_list(struct(col(src).cast("long"),
+        col(dst).cast("long"))).as("__es"))
+      .select(explode(ccUdf(col("__es"))).as("__kv"))
+      .select(col("__kv._1").as("id"), col("__kv._2").as("keeper"))
+  }
 }

@@ -32,7 +32,12 @@ object Dedup {
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int)
       : DataFrame = {
     val w = Window.partitionBy(idCol).orderBy("__pos")
-    val tok = df.select(col(idCol),
+    // r15 (guide §2.3/§2.5): fan the DOC rows out on the id BEFORE the
+    // explode — the window below needs hash(idCol) distribution anyway,
+    // so this moves the one exchange from the exploded token stream to
+    // the raw doc rows (fewer bytes) and parallelizes the explode map
+    // on a single-file scan. Identity on an already-parallel scan.
+    val tok = graft.Tables.fanout(df, idCol).select(col(idCol),
       posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
     val withLeads = (1 until n).foldLeft(tok)((d, i) =>
       d.withColumn(s"__w$i", lead(col("__w"), i).over(w)))
@@ -105,7 +110,9 @@ object Dedup {
     * explode form pushed 64× the token count through the shuffle and was
     * the measured bottleneck at a 20× corpus scale-up. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol),
+    // r15: same fanout rationale as shingles — the groupBy(idCol)
+    // needs hash(idCol) anyway; exchange raw docs, explode in parallel
+    val tok = graft.Tables.fanout(df, idCol).select(col(idCol),
         explode(split(col(textCol), " ")).as("__w"))
       .withColumn("__h", xxhash64(col("__w")))
     val bitSums = (0 until 64).map(i =>

@@ -301,11 +301,17 @@ object Analytics {
     // Three range shuffles of one-row-per-user is the floor for three
     // independent orderings, and each holds at billions of users.
     "q_rfm" -> ((s, dir) => {
-      val base = T(s, dir, "events")
+      // r15 (guide §1.1 measured): repartitionByRange SAMPLES its input
+      // to pick range bounds, then shuffles it — an unmaterialized base
+      // meant the events aggregation ran TWICE per execution (the probe
+      // showed two ~equal heavy map stages, 8.2 s + 5.6 s task-summed).
+      // Caching the per-user frame makes the sampler and the exchange
+      // read one materialized pass of events.
+      val base = graft.Caching.cache(T(s, dir, "events")
         .groupBy("user_id")
         .agg(max("ts").as("last_ts"), count(lit(1)).as("freq"),
           fround(coalesce(sum(when(col("event_type") === "purchase",
-            col("value"))), lit(0.0)), 2).as("mon"))
+            col("value"))), lit(0.0)), 2).as("mon")))
       import graft.operators.Ranking.withGlobalNtile
       val r = withGlobalNtile(base, 4, "r_score",
         desc("last_ts"), asc("user_id"))

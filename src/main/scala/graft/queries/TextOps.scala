@@ -300,8 +300,11 @@ object TextOps {
       val posts = graft.Caching.cache(graft.operators.Postings
         .postingLists(gramRows(T(s, dir, "documents"), 4),
           Seq("lang", "gram")))
-      val sizes = posts.select(explode(col("ds")).as("doc_id"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // r15: sizes feeds TWO joins (na, nb) — uncached the posting-list
+      // explode + per-doc agg ran twice per execution (twin probe stages)
+      val sizes = graft.Caching.cache(
+        posts.select(explode(col("ds")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n")))
       val pairs = graft.operators.Postings.pairCounts(posts)
       pairs
         .join(sizes.withColumnRenamed("doc_id", "da")
@@ -330,8 +333,11 @@ object TextOps {
       val posts = graft.Caching.cache(graft.operators.Postings
         .postingLists(gramRows(T(s, dir, "documents"), 4),
           Seq("lang", "gram")))
-      val sizes = posts.select(explode(col("ds")).as("doc_id"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // r15: sizes feeds TWO joins (na, nb) — uncached the posting-list
+      // explode + per-doc agg ran twice per execution (twin probe stages)
+      val sizes = graft.Caching.cache(
+        posts.select(explode(col("ds")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n")))
       val pairs = graft.operators.Postings.pairCounts(posts)
       pairs
         .join(sizes.withColumnRenamed("doc_id", "da")
@@ -357,7 +363,10 @@ object TextOps {
       val d = T(s, dir, "documents")
       // persist: tf feeds both the document-frequency branch and the
       // final join — without it the token explode + aggregation runs twice
-      val tf = graft.Caching.cache(d.select(col("doc_id"),
+      // r15 (guide §2.5): fanout parallelizes the tokenize map — identity
+      // on a multi-file scan
+      val tf = graft.Caching.cache(
+        graft.Tables.fanout(d, "doc_id").select(col("doc_id"),
           explode(toks(lower(col("text")))).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
       val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
@@ -382,7 +391,7 @@ object TextOps {
     // ints are engine-identical). One token agg touches the corpus;
     // the per-lang fold runs on vocab-bounded rows.
     "q_simpson" -> ((s, dir) => {
-      val cnt = T(s, dir, "documents")
+      val cnt = graft.Tables.fanout(T(s, dir, "documents"), "doc_id") // r15: parallel tokenize map
         .select(col("lang"), explode(toks(lower(col("text")))).as("w"))
         .groupBy("lang", "w").agg(count(lit(1)).as("c"))
       cnt.groupBy("lang")
@@ -424,8 +433,8 @@ object TextOps {
     // the membership join keys on (lang, w) — bounded by train VOCAB
     // (Heaps-sublinear), never by corpus volume.
     "q_oov_rate" -> ((s, dir) => {
-      val tok = T(s, dir, "documents")
-        .select(col("lang"), col("doc_id"),
+      val tok = graft.Tables.fanout(T(s, dir, "documents"), "doc_id")
+        .select(col("lang"), col("doc_id"), // r15: parallel tokenize map
           explode(toks(lower(col("text")))).as("w"))
         .withColumn("b", instr(lit("0123456789abcdef"),
           substring(md5(col("doc_id").cast("string")), 1, 1))
@@ -456,8 +465,8 @@ object TextOps {
     // vocab-row double sum rounds at 4 dp (the q_mutual_info
     // discipline). One token pass; the fold is vocab-bounded per lang.
     "q_js_split" -> ((s, dir) => {
-      val tok = T(s, dir, "documents")
-        .select(col("lang"), col("doc_id"),
+      val tok = graft.Tables.fanout(T(s, dir, "documents"), "doc_id")
+        .select(col("lang"), col("doc_id"), // r15: parallel tokenize map
           explode(toks(lower(col("text")))).as("w"))
         .withColumn("b", instr(lit("0123456789abcdef"),
           substring(md5(col("doc_id").cast("string")), 1, 1))
@@ -555,7 +564,7 @@ object TextOps {
 
     // L4 — tokenize + global top-20 word counts.
     "q_text_tokens" -> ((s, dir) => {
-      T(s, dir, "documents")
+      graft.Tables.fanout(T(s, dir, "documents"), "doc_id") // r15: parallel tokenize map
         .select(explode(toks(lower(col("text")))).as("w"))
         .groupBy("w")
         .agg(count(lit(1)).as("cnt"))
@@ -567,8 +576,9 @@ object TextOps {
     // words against each language's top-50 word list, argmax wins.
     "q_lang_id" -> ((s, dir) => {
       val d = T(s, dir, "documents")
-      val tok = d.select(col("doc_id"), col("lang"),
-        explode(toks(col("text"))).as("w"))
+      val tok = graft.Tables.fanout(d, "doc_id") // r15: parallel tokenize
+        .select(col("doc_id"), col("lang"),
+          explode(toks(col("text"))).as("w"))
       // one aggregation pass over the exploded tokens feeds BOTH branches
       // (per-doc distinct words AND per-language counts) — the persisted
       // frame is per-doc word counts, far smaller than the token stream
@@ -659,7 +669,7 @@ object TextOps {
     // (operators.FreqSketch — guarantee-tested, deliberately not an
     // oracle key since its counter values are merge-order-dependent).
     "q_heavy_hitters" -> ((s, dir) => {
-      val tok = T(s, dir, "documents")
+      val tok = graft.Tables.fanout(T(s, dir, "documents"), "doc_id") // r15: parallel tokenize map
         .select(explode(toks(lower(col("text")))).as("w"))
       val counts = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
       val total = counts.agg(sum("cnt").as("total"))
@@ -679,7 +689,7 @@ object TextOps {
     // 4-dp fround is stable. One token agg + one bounded window over
     // lang×100 rows — the heavy explode happens exactly once.
     "q_token_zipf" -> ((s, dir) => {
-      val freq = T(s, dir, "documents")
+      val freq = graft.Tables.fanout(T(s, dir, "documents"), "doc_id") // r15: parallel tokenize map
         .select(col("lang"), explode(toks(lower(col("text")))).as("w"))
         .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
       val wr = Window.partitionBy("lang")
@@ -762,7 +772,9 @@ object TextOps {
       val (k1, b) = (1.2, 0.75)
       val d = T(s, dir, "documents")
       // cache: tf feeds the df branch, the dl branch, AND the final join
-      val tf = graft.Caching.cache(d.select(col("doc_id"),
+      // r15 (guide §2.5): fanout parallelizes the tokenize map
+      val tf = graft.Caching.cache(
+        graft.Tables.fanout(d, "doc_id").select(col("doc_id"),
           explode(toks(lower(col("text")))).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
       val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
@@ -792,7 +804,7 @@ object TextOps {
     // threshold is not a float boundary. norm_ent = H/ln(uniq) ∈ [0,1]
     // (0 when the doc is a single repeated token).
     "q_entropy_filter" -> ((s, dir) => {
-      T(s, dir, "documents")
+      graft.Tables.fanout(T(s, dir, "documents"), "doc_id") // r15: parallel tokenize map
         .select(col("doc_id"), explode(toks(lower(col("text")))).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
@@ -988,15 +1000,21 @@ object TextOps {
         .select(col("doc_id"), col("w"),
           (col("tf") * log(col("n").cast("double") / col("df")))
             .as("x")))
-      val norms = wts.groupBy("doc_id")
-        .agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
-      val dots = wts
-        .select(col("doc_id").as("da"), col("w"), col("x").as("xa"))
-        .join(wts.select(col("doc_id").as("db"), col("w"),
-          col("x").as("xb")), Seq("w"))
-        .filter(col("da") < col("db"))
-        .groupBy("da", "db")
-        .agg(sum(col("xa") * col("xb")).as("dot"))
+      // r15: norms feeds TWO joins (na, nb) — uncached it aggregated the
+      // weights twice (twin probe stages); one doc-sized cache entry
+      val norms = graft.Caching.cache(wts.groupBy("doc_id")
+        .agg(sqrt(sum(col("x") * col("x"))).as("nrm")))
+      // r15 (guide §2.1 exchange reuse): self-join via .as() aliases on
+      // the IDENTICAL cached frame instead of two differently-renamed
+      // projections — the rename made the two sides canonically distinct,
+      // so each side ran its own scan+shuffle of the same weights (the
+      // probe showed twin ~equal stages); identical sides let Spark plan
+      // ONE exchange and a ReusedExchange for the other. Same rows
+      // (rename-only), oracle green.
+      val dots = wts.as("ta").join(wts.as("tb"), col("ta.w") === col("tb.w"))
+        .filter(col("ta.doc_id") < col("tb.doc_id"))
+        .groupBy(col("ta.doc_id").as("da"), col("tb.doc_id").as("db"))
+        .agg(sum(col("ta.x") * col("tb.x")).as("dot"))
       dots
         .join(norms.select(col("doc_id").as("da"),
           col("nrm").as("na")), "da")
@@ -1038,7 +1056,7 @@ object TextOps {
     // the corpus. Coverage = exact-integer sum ratio, rounded 4 dp.
     "q_vocab_coverage" -> ((s, dir) => {
       val freq = graft.Caching.cache(
-        T(s, dir, "documents")
+        graft.Tables.fanout(T(s, dir, "documents"), "doc_id") // r15: parallel tokenize
           .select(explode(toks(lower(col("text")))).as("w"))
           .groupBy("w").agg(count(lit(1)).as("f")))
       val total = freq.agg(sum("f").as("tot"))
@@ -1098,7 +1116,8 @@ object TextOps {
     // boundaries.
     "q_distinct_n" -> ((s, dir) => {
       val d = T(s, dir, "documents")
-      val uni = d.select(col("source"), explode(toks(col("text"))).as("g"))
+      val uni = graft.Tables.fanout(d, "doc_id") // r15: parallel tokenize
+        .select(col("source"), explode(toks(col("text"))).as("g"))
         .groupBy("source")
         .agg(count(lit(1)).as("tokens"),
           countDistinct("g").as("d1"))
@@ -1243,7 +1262,8 @@ object TextOps {
     "q_pmi_cooccur" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       val dw = graft.Caching.cache(
-        docs.select(col("doc_id"),
+        graft.Tables.fanout(docs, "doc_id") // r15: parallel tokenize map
+          .select(col("doc_id"),
             explode(split(col("text"), " ")).as("w"))
           .where(length(col("w")) > 0).distinct())
       val topv = dw.groupBy("w").agg(count(lit(1)).as("nw"))
@@ -1286,7 +1306,7 @@ object TextOps {
     // form is periodic recompute over maintained (source, w) counts
     // (which stream exactly as a keyed count), at vocab cardinality.
     "q_kl_drift" -> ((s, dir) => {
-      val tok = T(s, dir, "documents")
+      val tok = graft.Tables.fanout(T(s, dir, "documents"), "doc_id") // r15: parallel tokenize map
         .select(col("source"), explode(toks(col("text"))).as("w"))
         .where(length(col("w")) > 0)
       val sw = graft.Caching.cache(
@@ -1357,7 +1377,7 @@ object TextOps {
     // (the unseen-mass estimate from the rarest observed rank, = N1/N
     // when singletons exist).
     "q_good_turing" -> ((s, dir) => {
-      val tf = T(s, dir, "documents")
+      val tf = graft.Tables.fanout(T(s, dir, "documents"), "doc_id") // r15: parallel tokenize map
         .select(explode(toks(lower(col("text")))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("r"))
       val fof = graft.Caching.cache(

@@ -202,8 +202,10 @@ object VectorOps {
         .select("doc_id", "rd")
       // lexical arm — q_bm25's scorer (k1=1.2, b=0.75, Lucene +1 idf),
       // restricted to doc 0's terms and summed per candidate doc
-      val tf = graft.Caching.cache(d.select(col("doc_id"),
-          explode(split(lower(col("text")), " ")).as("w"))
+      val tf = graft.Caching.cache(
+        graft.Tables.fanout(d, "doc_id") // r15: parallel tokenize map
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
       val qterms = tf.filter(col("doc_id") === 0).select("w")
       val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
@@ -681,8 +683,15 @@ object VectorOps {
       val pairs = a.join(b, col("label") === col("lb") &&
           col("sub") === col("sb") && col("ia") < col("ib"))
         .filter(fround(cos("va", "vb"), 4) >= 0.35)
-        .select(col("ia"), col("ib"))
-      val res = graft.operators.Components.resolveDuplicates(pairs)
+        .select(col("label"), col("sub"), col("ia"), col("ib"))
+      // r15: every edge is confined to its (label, sub) block (the join
+      // requires both equal and each vector has exactly one assignment),
+      // so components cannot span blocks — the global O(diameter)
+      // fixpoint (one join + agg + driver count PER ROUND) collapses to
+      // one grouped union-find pass (Components.resolveDuplicatesBlocked;
+      // equivalence spec-pinned + oracle-diffed at 3 SFs).
+      val res = graft.operators.Components.resolveDuplicatesBlocked(
+        pairs, "ia", "ib", Seq("label", "sub"))
       e.select(col("vec_id"))
         .join(res, col("vec_id") === col("id"), "left")
         .select(col("vec_id"),

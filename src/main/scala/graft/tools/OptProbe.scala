@@ -48,7 +48,12 @@ object OptProbe {
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
             : Unit = {
           val si = sc.stageInfo
-          val name = si.name.takeWhile(_ != '\n').take(60)
+          // RDD scope names make the stage attributable ("Scan parquet",
+          // "InMemoryTableScan", ...) where the callsite alone is the
+          // opaque AQE $anonfun
+          val rdds = si.rddInfos.map(_.name).distinct.mkString(">")
+            .replaceAll("\\s+", " ").take(80)
+          val name = (si.name.takeWhile(_ != '\n') + " | " + rdds).take(140)
           stages.put(si.stageId, (name,
             si.taskMetrics.executorRunTime,
             si.taskMetrics.shuffleReadMetrics.totalBytesRead,

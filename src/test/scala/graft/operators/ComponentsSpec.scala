@@ -127,4 +127,33 @@ class ComponentsSpec extends SparkSpec {
       assert(verdicts(id + 200000) == id)
     }
   }
+
+  test("blocked union-find == global fixpoint on block-confined graphs " +
+    "(60 seeds, r15)") {
+    // pins q_semdedup's r15 rewrite: when every edge lives inside one
+    // block, resolveDuplicatesBlocked (one grouped union-find pass)
+    // must emit exactly what the global iterative resolution emits
+    (1 to 60).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val blocks = 1 + rnd.nextInt(4)
+      val edges = (0 until blocks).flatMap { blk =>
+        val base = blk * 100L // disjoint id spaces per block
+        val n = 2 + rnd.nextInt(10)
+        val m = 1 + rnd.nextInt(14)
+        Seq.fill(m)((blk.toLong, rnd.nextInt(n) + base,
+          rnd.nextInt(n) + base)).filter(e => e._2 != e._3)
+      }
+      if (edges.nonEmpty) {
+        val df = edges.toDF("blk", "a", "b")
+        val got = Components
+          .resolveDuplicatesBlocked(df, "a", "b", Seq("blk"))
+          .as[(Long, Long)].collect().toMap
+        val want = Components
+          .resolveDuplicates(df.select("a", "b"))
+          .as[(Long, Long)].collect().toMap
+        graft.Caching.releaseAll()
+        assert(got === want, s"seed=$seed edges=$edges")
+      }
+    }
+  }
 }
