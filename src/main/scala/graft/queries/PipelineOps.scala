@@ -35,7 +35,7 @@ object PipelineOps {
     // duplicate-word fraction; keep-flag via integer-only thresholds
     // (top_frac <= 0.08 AND dup_frac <= 0.6 — keeps 54/500 at sf0.01).
     "q_quality_gopher" -> ((s, dir) => {
-      val wc = graft.Tables.fanout(T(s, dir, "documents"), "doc_id") // r15: parallel tokenize map
+      val wc = T(s, dir, "documents")
         .select(col("doc_id"), explode(toks(col("text"))).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       wc.groupBy("doc_id")
@@ -443,8 +443,7 @@ object PipelineOps {
     // identical CTE chain.
     "q_curation_funnel" -> ((s, dir) => {
       val d = T(s, dir, "documents")
-      val sig = graft.Tables.fanout(d, "doc_id") // r15: parallel tokenize
-        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      val sig = d.select(col("doc_id"), explode(toks(col("text"))).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg(sum("c").as("nw"), count(lit(1)).as("uniq"),

@@ -391,7 +391,7 @@ object TextOps {
     // ints are engine-identical). One token agg touches the corpus;
     // the per-lang fold runs on vocab-bounded rows.
     "q_simpson" -> ((s, dir) => {
-      val cnt = graft.Tables.fanout(T(s, dir, "documents"), "doc_id") // r15: parallel tokenize map
+      val cnt = T(s, dir, "documents")
         .select(col("lang"), explode(toks(lower(col("text")))).as("w"))
         .groupBy("lang", "w").agg(count(lit(1)).as("c"))
       cnt.groupBy("lang")
@@ -433,8 +433,8 @@ object TextOps {
     // the membership join keys on (lang, w) — bounded by train VOCAB
     // (Heaps-sublinear), never by corpus volume.
     "q_oov_rate" -> ((s, dir) => {
-      val tok = graft.Tables.fanout(T(s, dir, "documents"), "doc_id")
-        .select(col("lang"), col("doc_id"), // r15: parallel tokenize map
+      val tok = T(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
           explode(toks(lower(col("text")))).as("w"))
         .withColumn("b", instr(lit("0123456789abcdef"),
           substring(md5(col("doc_id").cast("string")), 1, 1))
@@ -465,8 +465,8 @@ object TextOps {
     // vocab-row double sum rounds at 4 dp (the q_mutual_info
     // discipline). One token pass; the fold is vocab-bounded per lang.
     "q_js_split" -> ((s, dir) => {
-      val tok = graft.Tables.fanout(T(s, dir, "documents"), "doc_id")
-        .select(col("lang"), col("doc_id"), // r15: parallel tokenize map
+      val tok = T(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
           explode(toks(lower(col("text")))).as("w"))
         .withColumn("b", instr(lit("0123456789abcdef"),
           substring(md5(col("doc_id").cast("string")), 1, 1))
@@ -564,7 +564,7 @@ object TextOps {
 
     // L4 — tokenize + global top-20 word counts.
     "q_text_tokens" -> ((s, dir) => {
-      graft.Tables.fanout(T(s, dir, "documents"), "doc_id") // r15: parallel tokenize map
+      T(s, dir, "documents")
         .select(explode(toks(lower(col("text")))).as("w"))
         .groupBy("w")
         .agg(count(lit(1)).as("cnt"))
@@ -669,7 +669,7 @@ object TextOps {
     // (operators.FreqSketch — guarantee-tested, deliberately not an
     // oracle key since its counter values are merge-order-dependent).
     "q_heavy_hitters" -> ((s, dir) => {
-      val tok = graft.Tables.fanout(T(s, dir, "documents"), "doc_id") // r15: parallel tokenize map
+      val tok = T(s, dir, "documents")
         .select(explode(toks(lower(col("text")))).as("w"))
       val counts = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
       val total = counts.agg(sum("cnt").as("total"))
@@ -689,7 +689,7 @@ object TextOps {
     // 4-dp fround is stable. One token agg + one bounded window over
     // lang×100 rows — the heavy explode happens exactly once.
     "q_token_zipf" -> ((s, dir) => {
-      val freq = graft.Tables.fanout(T(s, dir, "documents"), "doc_id") // r15: parallel tokenize map
+      val freq = T(s, dir, "documents")
         .select(col("lang"), explode(toks(lower(col("text")))).as("w"))
         .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
       val wr = Window.partitionBy("lang")
@@ -804,7 +804,7 @@ object TextOps {
     // threshold is not a float boundary. norm_ent = H/ln(uniq) ∈ [0,1]
     // (0 when the doc is a single repeated token).
     "q_entropy_filter" -> ((s, dir) => {
-      graft.Tables.fanout(T(s, dir, "documents"), "doc_id") // r15: parallel tokenize map
+      T(s, dir, "documents")
         .select(col("doc_id"), explode(toks(lower(col("text")))).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
@@ -1056,7 +1056,7 @@ object TextOps {
     // the corpus. Coverage = exact-integer sum ratio, rounded 4 dp.
     "q_vocab_coverage" -> ((s, dir) => {
       val freq = graft.Caching.cache(
-        graft.Tables.fanout(T(s, dir, "documents"), "doc_id") // r15: parallel tokenize
+        T(s, dir, "documents")
           .select(explode(toks(lower(col("text")))).as("w"))
           .groupBy("w").agg(count(lit(1)).as("f")))
       val total = freq.agg(sum("f").as("tot"))
@@ -1116,8 +1116,7 @@ object TextOps {
     // boundaries.
     "q_distinct_n" -> ((s, dir) => {
       val d = T(s, dir, "documents")
-      val uni = graft.Tables.fanout(d, "doc_id") // r15: parallel tokenize
-        .select(col("source"), explode(toks(col("text"))).as("g"))
+      val uni = d.select(col("source"), explode(toks(col("text"))).as("g"))
         .groupBy("source")
         .agg(count(lit(1)).as("tokens"),
           countDistinct("g").as("d1"))
@@ -1377,7 +1376,7 @@ object TextOps {
     // (the unseen-mass estimate from the rarest observed rank, = N1/N
     // when singletons exist).
     "q_good_turing" -> ((s, dir) => {
-      val tf = graft.Tables.fanout(T(s, dir, "documents"), "doc_id") // r15: parallel tokenize map
+      val tf = T(s, dir, "documents")
         .select(explode(toks(lower(col("text")))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("r"))
       val fof = graft.Caching.cache(
