@@ -58,8 +58,21 @@ object Components {
       e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
         .repartition(col("b")))
 
-    var labels = undirected.select(col("a").as("id"))
-      .distinct().withColumn("comp", col("id")).persist()
+    // r15 (guide §2: one shuffle less per fixpoint): the label INIT is
+    // fused with the first propagation step. The old init built
+    // labels₀ = (id, id) with a distinct — one aggregation-shaped job —
+    // and then round 1 computed min(self, neighbors) with a join + agg.
+    // But min(self, neighbors) is computable DIRECTLY from the
+    // undirected edge frame with the SAME single aggregation the
+    // distinct cost: group by a, comp = least(a, min(b)). Every CC call
+    // therefore saves one full round (join + union + agg + driver count
+    // + checkpoint) — for the star-like duplicate graphs (diameter 2-3)
+    // that is ~25% of the fixpoint. Fixpoint and output are unchanged
+    // (the min-label fixpoint is unique; ComponentsSpec's 100-seed
+    // union-find pin covers this form).
+    var labels = undirected.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("comp"))
+      .select(col("a").as("id"), col("comp")).persist()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {

@@ -202,7 +202,15 @@ object PipelineOps {
       // eviction cannot re-derive it; via Caching.checkpoint (r14) the
       // blocks are also released deterministically at releaseAll
       // instead of at ContextCleaner GC time.
-      val ed = graft.Caching.checkpoint(edges.join(deg, "src"))
+      // r15 (guide §2.4, the Components r14 pattern): checkpoint `ed`
+      // ALREADY partitioned on `src` — every power round joins on
+      // ed.src = pr.src, and LogicalRDD preserves the checkpoint's
+      // output partitioning, so at scale each round re-exchanges only
+      // the node-sized rank frame, never the edge frame (at fixture
+      // stats the round join broadcasts pr, so this is plan-neutral
+      // locally — the win is the cluster-scale shape).
+      val ed = graft.Caching.checkpoint(
+        edges.join(deg, "src").repartition(col("src")))
       // r14 (optimization round): the node count is ONE scalar — read it
       // to the driver (the k-means/BPE constant-traffic discipline, one
       // long) instead of checkpointing a 1-row frame and crossJoining a
